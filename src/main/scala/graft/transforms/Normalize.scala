@@ -1,0 +1,35 @@
+package graft.transforms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Input normalization: join-key rounding and epoch-ns → date/step
+  * derivations.
+  *
+  * Semantics (reference: databricks/glofas-forecast-computation.py:124-132):
+  *  - `latitude`/`longitude` rounded to `precision` decimals (HALF_UP).
+  *    This is load-bearing — every downstream join is an equality on the
+  *    rounded doubles; unrounded keys silently produce empty joins
+  *    (pinned by reference test test_spark_transforms.py:55-84).
+  *  - `issued_on` = date of `time` (ns since epoch).
+  *  - `step` ns → whole days as Int.
+  *  - `valid_for` = date of `valid_time` minus one day (the 24h-mean
+  *    discharge labelled T covers the day ending at T).
+  */
+object Normalize {
+
+  /** Round the spatial join keys. Applied to every table before any join. */
+  def roundKeys(df: DataFrame, precision: Int): DataFrame =
+    df.withColumn("latitude", round(col("latitude"), precision))
+      .withColumn("longitude", round(col("longitude"), precision))
+
+  /** Full raw-forecast normalization: key rounding + time derivations. */
+  def forecast(raw: DataFrame, precision: Int): DataFrame =
+    roundKeys(raw, precision)
+      .withColumn("issued_on", to_date(timestamp_seconds(col("time") / 1e9)))
+      .drop("time")
+      .withColumn("step", (col("step") / lit(24L * 3600 * 1000 * 1000 * 1000)).cast("int"))
+      .withColumn("valid_time", to_date(timestamp_seconds(col("valid_time") / 1e9)))
+      .withColumn("valid_for", date_sub(col("valid_time"), 1))
+      .drop("valid_time")
+}

@@ -1,0 +1,65 @@
+package graft.transforms
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Detailed forecast: ensemble → per-(cell, step) exceedance probabilities
+  * plus a five-number discharge summary.
+  *
+  * Semantics (reference: flood/spark/transforms.py:112-150):
+  *  - left-join forecasts to per-cell thresholds on (latitude, longitude);
+  *  - per return period N: indicator `exceed_Ny = dis24 >= threshold_Ny`;
+  *  - group by (latitude, longitude, issued_on, valid_for, step):
+  *    mean(indicator) → `p_above_Ny`; min/Q1/median/Q3/max of dis24.
+  *
+  * Quantiles come in two modes (reference: transforms.py:132-137):
+  * `Approx` = `percentile_approx` at default accuracy (the production
+  * default — mergeable sketch, single shuffle, scales to 100 TB), `Exact` =
+  * interpolating `percentile` (collects per-group value buffers; use for
+  * oracle parity and small groups only).
+  *
+  * Scale notes: one hash aggregation after an equi-join on the rounded grid
+  * keys. The threshold side is a per-cell dimension table (~1 row per grid
+  * cell) — broadcast it when small; at 100 TB of forecasts the join and the
+  * aggregation share the (latitude, longitude)-hash partitioning so the agg
+  * reuses the join's shuffle.
+  */
+object ThresholdPercentages {
+
+  sealed trait AccuracyMode
+  case object Approx extends AccuracyMode
+  case object Exact extends AccuracyMode
+
+  def apply(
+      forecast: DataFrame,
+      thresholds: DataFrame,
+      thresholdYears: Seq[Int] = Seq(2, 5, 20),
+      mode: AccuracyMode = Approx
+  ): DataFrame = {
+    val joined = forecast.join(thresholds, Seq("latitude", "longitude"), "left")
+
+    val withIndicators = thresholdYears.foldLeft(joined) { (df, n) =>
+      df.withColumn(
+        s"exceed_${n}y",
+        when(col("dis24") >= col(s"threshold_${n}y"), 1).otherwise(0))
+    }
+
+    def quantile(q: Double): Column = mode match {
+      case Approx => percentile_approx(col("dis24"), lit(q), lit(10000))
+      case Exact  => expr(s"percentile(dis24, $q)")
+    }
+
+    val aggs =
+      thresholdYears.map(n => mean(col(s"exceed_${n}y")).as(s"p_above_${n}y")) ++
+        Seq(
+          min(col("dis24")).as("min_dis"),
+          quantile(0.25).as("Q1_dis"),
+          quantile(0.5).as("median_dis"),
+          quantile(0.75).as("Q3_dis"),
+          max(col("dis24")).as("max_dis"))
+
+    withIndicators
+      .groupBy(col("latitude"), col("longitude"), col("issued_on"), col("valid_for"), col("step"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
