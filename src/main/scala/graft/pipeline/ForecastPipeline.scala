@@ -29,13 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object ForecastPipeline {
 
-  final case class Outputs(detailed: DataFrame, summary: DataFrame)
+  /** Pipeline outputs plus a handle to release the cached shared subplan —
+    * in a long-lived session repeated runs would otherwise pin storage
+    * memory (the reference is a one-shot notebook where this can't bite).
+    * Call `release()` after both outputs are written/consumed. */
+  final case class Outputs(detailed: DataFrame, summary: DataFrame, release: () => Unit)
 
   def readForecast(spark: SparkSession, path: String, cfg: FloodConfig): DataFrame =
     Normalize.forecast(spark.read.schema(Schemas.rawForecast).parquet(path), cfg.precision)
 
   def readThresholds(spark: SparkSession, path: String, cfg: FloodConfig): DataFrame =
-    Normalize.roundKeys(spark.read.parquet(path), cfg.precision)
+    Normalize.roundKeys(spark.read.schema(Schemas.thresholds).parquet(path), cfg.precision)
 
   private def copartition(df: DataFrame, cfg: FloodConfig): DataFrame =
     if (cfg.joinPartitions > 0) df.repartition(cfg.joinPartitions, col("latitude"), col("longitude"))
@@ -79,11 +83,12 @@ object ForecastPipeline {
       Geometry.addWkt(detailed, cfg.halfGridSize, cfg.precision)
         .join(summaryGeo.select("latitude", "longitude"), Seq("latitude", "longitude"), "left_semi")
 
-    Outputs(detailedGeo, summaryGeo)
+    Outputs(detailedGeo, summaryGeo, () => { detailed.unpersist(); () })
   }
 
   def write(out: Outputs, detailedPath: String, summaryPath: String): Unit = {
     out.detailed.write.mode("overwrite").parquet(detailedPath)
     out.summary.write.mode("overwrite").parquet(summaryPath)
+    out.release()
   }
 }

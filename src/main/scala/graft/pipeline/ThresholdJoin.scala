@@ -20,17 +20,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ThresholdJoin {
 
-  def run(inputs: Seq[DataFrame], cfg: FloodConfig = FloodConfig()): DataFrame = {
+  /** `validate = true` mirrors the reference's count-preservation asserts
+    * (threshold-data-joining.py:84-100) at the cost of N+1 extra actions;
+    * the default path runs a single job (the asserts are a data-quality
+    * check on dimension-sized inputs, not pipeline logic). */
+  def run(
+      inputs: Seq[DataFrame],
+      cfg: FloodConfig = FloodConfig(),
+      validate: Boolean = false
+  ): DataFrame = {
     require(inputs.nonEmpty, "at least one threshold table required")
     val rounded = inputs.map(Normalize.roundKeys(_, cfg.precision))
-
-    val counts = rounded.map(_.count())
-    require(counts.distinct.size == 1,
-      s"threshold tables must have identical cell counts, got $counts")
-
     val unified = rounded.reduce((a, b) => a.join(b, Seq("latitude", "longitude"), "inner"))
-    require(unified.count() == counts.head,
-      "join must preserve the per-cell row count (1:1 on every input)")
+
+    if (validate) {
+      val cached = rounded.map(_.cache())
+      val counts = cached.map(_.count())
+      require(counts.distinct.size == 1,
+        s"threshold tables must have identical cell counts, got $counts")
+      require(unified.count() == counts.head,
+        "join must preserve the per-cell row count (1:1 on every input)")
+      cached.foreach(_.unpersist())
+    }
 
     Geometry.addWkt(unified, cfg.halfGridSize, cfg.precision)
       .orderBy("latitude", "longitude")

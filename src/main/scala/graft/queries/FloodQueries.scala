@@ -1,0 +1,344 @@
+package graft.queries
+
+import graft.config.{FloodConfig, Roi}
+import graft.model.Schemas
+import graft.pipeline.{ForecastPipeline, ThresholdJoin}
+import graft.transforms._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing flood-operator queries, one per SURVEY §2 operator family,
+  * each with an exact DuckDB SQL mirror in [[oracles]].
+  *
+  * Exactness rules that keep the DuckDB hash-compare green (derived
+  * empirically, see tools/check.py):
+  *  - every fractional SQL literal that participates in double arithmetic
+  *    is CAST(... AS DOUBLE) — DuckDB would otherwise keep it DECIMAL and
+  *    produce a differently-rounded result than Spark's double math;
+  *  - DuckDB `quantile_cont` is bit-identical to Spark's exact
+  *    `percentile` (same Hyndman–Fan type-7 interpolation, verified);
+  *  - ties in ranked windows are broken by an explicit trailing key
+  *    (`step`), because hash-compare cannot tolerate engine-dependent
+  *    tie resolution.
+  */
+object FloodQueries {
+
+  private val cfg = FloodConfig()
+  private val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+  private val t0Ns = 1696118400L * 1000000000L // 2023-10-01 00:00:00 UTC
+
+  // ---------------------------------------------------------------- Spark side
+
+  /** Exact-mode detailed forecast over the FloodShaped tables — the J1+P8+A1
+    * core (reference: flood/spark/transforms.py:112-150). */
+  private def detailed(s: SparkSession, dir: String): DataFrame =
+    ThresholdPercentages(
+      FloodShaped.forecast(s, dir),
+      FloodShaped.thresholds(s, dir),
+      cfg.thresholdYears,
+      ThresholdPercentages.Exact)
+
+  /** Control slice: step-1 median as the control discharge
+    * (reference: databricks/glofas-forecast-computation.py:180-182). */
+  private def withControl(d: DataFrame): DataFrame = {
+    val control = d
+      .filter(col("step") === 1)
+      .select(col("latitude"), col("longitude"), col("median_dis").as("control_dis"))
+    d.join(control, Seq("latitude", "longitude"), "left")
+  }
+
+  /** Raw epoch-ns forecast rows (with jittered keys + null discharge rows)
+    * for exercising Normalize end to end — what the GRIB→Parquet conversion
+    * would hand the engine (reference: databricks/glofas-forecast-computation.py:98-106). */
+  private def rawForecast(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val latCenter = lit(-6.0) + floor(pmod(col("l_partkey"), lit(400)) / 20) * 0.05 + 0.025
+    val lonCenter = lit(28.0) + pmod(pmod(col("l_partkey"), lit(400)), lit(20)) * 0.05 + 0.025
+    val stepDays = pmod(col("l_orderkey"), lit(30)) + 1
+    li.select(
+      col("l_linenumber").cast("long").as("number"),
+      (latCenter + (pmod(col("l_suppkey"), lit(7)) - 3) * 0.00001).as("latitude"),
+      (lonCenter + (pmod(col("l_orderkey"), lit(5)) - 2) * 0.00001).as("longitude"),
+      lit(t0Ns).as("time"),
+      (stepDays * dayNs).cast("long").as("step"),
+      (lit(t0Ns) + stepDays * dayNs).cast("long").as("valid_time"),
+      when(col("l_tax") > 0.07, lit(null))
+        .otherwise(col("l_quantity") * (lit(1.0) + col("l_discount")))
+        .cast("float").as("dis24"))
+  }
+
+  /** Upstream drainage-area dimension with sub-cell jittered coordinates,
+    * so the nearest-cell snap (J7) is actually exercised
+    * (reference: flood/etl/filter_by_upstream.py:14-25). */
+  private def uparea(s: SparkSession, dir: String): DataFrame = {
+    val p = s.read.parquet(s"$dir/part.parquet")
+    val latCenter = lit(-6.0) + floor(pmod(col("p_partkey"), lit(400)) / 20) * 0.05 + 0.025
+    val lonCenter = lit(28.0) + pmod(pmod(col("p_partkey"), lit(400)), lit(20)) * 0.05 + 0.025
+    p.select(
+      round(latCenter + (pmod(col("p_size"), lit(5)) - 2) * 0.004, 3).as("latitude"),
+      round(lonCenter + (pmod(col("p_partkey"), lit(3)) - 1) * 0.004, 3).as("longitude"),
+      (pmod(col("p_size"), lit(10)).cast("double") * 50000000.0).as("uparea"))
+  }
+
+  // ---------------------------------------------------------------- SQL side
+
+  /** Shared CTE preamble mirroring the Spark-side derivations. */
+  private val preamble: String =
+    s"""WITH forecast AS (${FloodShaped.forecastSql}),
+       |thresholds AS (${FloodShaped.thresholdsSql}),
+       |detailed AS (
+       |  SELECT f.latitude, f.longitude, f.issued_on, f.valid_for, f.step,
+       |    AVG(CASE WHEN f.dis24 >= t.threshold_2y THEN 1 ELSE 0 END) AS p_above_2y,
+       |    AVG(CASE WHEN f.dis24 >= t.threshold_5y THEN 1 ELSE 0 END) AS p_above_5y,
+       |    AVG(CASE WHEN f.dis24 >= t.threshold_20y THEN 1 ELSE 0 END) AS p_above_20y,
+       |    MIN(f.dis24) AS min_dis,
+       |    quantile_cont(f.dis24, 0.25) AS Q1_dis,
+       |    quantile_cont(f.dis24, 0.5) AS median_dis,
+       |    quantile_cont(f.dis24, 0.75) AS Q3_dis,
+       |    MAX(f.dis24) AS max_dis
+       |  FROM forecast f LEFT JOIN thresholds t USING (latitude, longitude)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |control AS (
+       |  SELECT latitude, longitude, median_dis AS control_dis FROM detailed WHERE step = 1),
+       |dwc AS (
+       |  SELECT d.*, c.control_dis
+       |  FROM detailed d LEFT JOIN control c USING (latitude, longitude)),
+       |tendency AS (
+       |  SELECT *,
+       |    CASE WHEN max_median_dis > control_dis * CAST(1.10 AS DOUBLE) THEN 'U'
+       |         WHEN min_median_dis <= control_dis * CAST(0.90 AS DOUBLE)
+       |              AND max_median_dis <= control_dis * CAST(1.10 AS DOUBLE) THEN 'D'
+       |         ELSE 'C' END AS tendency
+       |  FROM (
+       |    SELECT latitude, longitude,
+       |      MAX(median_dis) AS max_median_dis,
+       |      MIN(median_dis) AS min_median_dis,
+       |      MIN(control_dis) AS control_dis,
+       |      MAX(max_dis) AS max_max_dis,
+       |      MIN(min_dis) AS min_min_dis
+       |    FROM dwc GROUP BY 1, 2)),
+       |intensity AS (
+       |  SELECT *,
+       |    CASE WHEN max_p_above_20y >= 0.30 THEN 'P'
+       |         WHEN max_p_above_5y >= 0.30 THEN 'R'
+       |         WHEN max_p_above_2y >= 0.30 THEN 'Y'
+       |         ELSE 'G' END AS intensity
+       |  FROM (
+       |    SELECT latitude, longitude,
+       |      MAX(p_above_20y) AS max_p_above_20y,
+       |      MAX(p_above_5y) AS max_p_above_5y,
+       |      MAX(p_above_2y) AS max_p_above_2y
+       |    FROM detailed GROUP BY 1, 2)),
+       |peak AS (
+       |  SELECT latitude, longitude, issued_on, peak_step, peak_day,
+       |    CASE WHEN peak_step BETWEEN 1 AND 3 THEN 'BB'
+       |         WHEN peak_step > 10 AND max_2y_start < 0.30 THEN 'GC'
+       |         ELSE 'GB' END AS peak_timing
+       |  FROM (
+       |    SELECT latitude, longitude, issued_on, step AS peak_step, valid_for AS peak_day,
+       |      max_2y_start,
+       |      ROW_NUMBER() OVER (PARTITION BY latitude, longitude
+       |                         ORDER BY condition ASC, median_dis DESC, step ASC) AS rn
+       |    FROM (
+       |      SELECT *,
+       |        MAX(CASE WHEN step BETWEEN 1 AND 10 THEN p_above_2y END)
+       |          OVER (PARTITION BY latitude, longitude) AS max_2y_start,
+       |        CASE WHEN p_above_20y >= 0.3 THEN 1
+       |             WHEN p_above_5y >= 0.3 THEN 2
+       |             WHEN p_above_2y >= 0.3 THEN 3
+       |             ELSE 4 END AS condition
+       |      FROM detailed))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** WKT polygon expression over `latitude`/`longitude` columns — mirrors
+    * Geometry.addWkt's corner rounding and ring order
+    * (reference: flood/spark/transforms.py:152-177). Spark's concat casts
+    * doubles with Java Double.toString; DuckDB's VARCHAR cast produces the
+    * same shortest-round-trip form for these magnitudes. */
+  private def wktSql(half: Double = cfg.halfGridSize, prec: Int = cfg.precision): String = {
+    def r(c: String, sign: String) = s"CAST(ROUND($c $sign CAST($half AS DOUBLE), $prec) AS VARCHAR)"
+    val (minLat, maxLat) = (r("latitude", "-"), r("latitude", "+"))
+    val (minLon, maxLon) = (r("longitude", "-"), r("longitude", "+"))
+    s"'POLYGON ((' || $minLon || ' ' || $minLat || ',' || $minLon || ' ' || $maxLat || ',' || " +
+      s"$maxLon || ' ' || $maxLat || ',' || $maxLon || ' ' || $minLat || ',' || " +
+      s"$minLon || ' ' || $minLat || '))'"
+  }
+
+  private def snapSql(c: String): String =
+    s"ROUND(FLOOR($c / CAST(0.05 AS DOUBLE)) * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE), 3)"
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P2+P3+P6: key rounding, epoch-ns → date/step, NA-drop
+    "q_normalize" -> ((s, dir) => Normalize.forecast(rawForecast(s, dir), cfg.precision)),
+
+    // U1: control + perturbed ensemble union
+    "q_ensemble_union" -> ((s, dir) => {
+      val pf = FloodShaped.forecast(s, dir)
+      val cf = pf.filter(col("number") === 1).withColumn("number", lit(0L))
+      EnsembleUnion(pf, cf, useControl = true)
+    }),
+
+    // J1+P8+A1: the detailed forecast (exact percentile mode)
+    "q_threshold_percentages" -> ((s, dir) => detailed(s, dir)),
+
+    // J2: detailed ⨝ control discharge
+    "q_detailed_control" -> ((s, dir) =>
+      withControl(detailed(s, dir))
+        .select("latitude", "longitude", "step", "median_dis", "control_dis")),
+
+    // A2+P7: tendency classification
+    "q_tendency" -> ((s, dir) => Tendency(withControl(detailed(s, dir)))),
+
+    // A3+P7: intensity classification
+    "q_intensity" -> ((s, dir) => Intensity(detailed(s, dir))),
+
+    // P4+A4+W1+P7: peak timing
+    "q_peak_timing" -> ((s, dir) => PeakTiming(detailed(s, dir))),
+
+    // J4+P11+P5: full summary forecast with geometry + relevance filter
+    "q_summary_forecast" -> ((s, dir) => {
+      val d = detailed(s, dir)
+      val summary = PeakTiming(d)
+        .join(Tendency(withControl(d)), Seq("latitude", "longitude"), "inner")
+        .join(Intensity(d), Seq("latitude", "longitude"), "inner")
+      Geometry.addWkt(summary, cfg.halfGridSize, cfg.precision)
+        .filter(col("intensity") =!= "G")
+    }),
+
+    // J6: detailed restricted to the summary's surviving cells (left_semi)
+    "q_detailed_restricted" -> ((s, dir) => {
+      val d = detailed(s, dir)
+      val surviving = Intensity(d).filter(col("intensity") =!= "G")
+        .select("latitude", "longitude")
+      d.join(surviving, Seq("latitude", "longitude"), "left_semi")
+    }),
+
+    // P11: WKT polygon construction
+    "q_geometry_wkt" -> ((s, dir) =>
+      Geometry.addWkt(FloodShaped.thresholds(s, dir), cfg.halfGridSize, cfg.precision)),
+
+    // J5+O1: threshold unification fold-join + global sort
+    "q_threshold_join" -> ((s, dir) => {
+      val t = FloodShaped.thresholds(s, dir)
+      ThresholdJoin.run(Seq(
+        t.select("latitude", "longitude", "threshold_2y"),
+        t.select("latitude", "longitude", "threshold_5y"),
+        t.select("latitude", "longitude", "threshold_20y")), cfg)
+    }),
+
+    // P9/J7: upstream-area mask via nearest-cell snap + semi-join
+    "q_upstream_mask" -> ((s, dir) =>
+      UpstreamFilter(FloodShaped.forecast(s, dir), uparea(s, dir),
+        cfg.upstreamThreshold, cfg.resolution, cfg.precision)),
+
+    // P10: region-of-interest slice with buffer
+    "q_roi_slice" -> ((s, dir) =>
+      UpstreamFilter.restrictArea(
+        FloodShaped.forecast(s, dir),
+        Roi(latMin = -6.0, latMax = -5.8, lonMin = 28.0, lonMax = 28.4),
+        cfg.buffer)),
+
+    // P12/J8: serving-side point lookup (cell + 8 neighbors)
+    "q_cell_lookup" -> ((s, dir) =>
+      Geometry.cellsContaining(FloodShaped.thresholds(s, dir),
+        lat = -5.875, lon = 28.125, resolution = cfg.resolution, includeNeighbors = true))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_normalize" ->
+      s"""SELECT CAST(l_linenumber AS BIGINT) AS number,
+         |  ROUND(-6.0 + FLOOR((l_partkey % 400) / 20) * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE)
+         |        + ((l_suppkey % 7) - 3) * CAST(0.00001 AS DOUBLE), 3) AS latitude,
+         |  ROUND(28.0 + ((l_partkey % 400) % 20) * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE)
+         |        + ((l_orderkey % 5) - 2) * CAST(0.00001 AS DOUBLE), 3) AS longitude,
+         |  CAST((l_orderkey % 30) + 1 AS INTEGER) AS step,
+         |  CAST(l_quantity * (1.0 + l_discount) AS REAL) AS dis24,
+         |  DATE '2023-10-01' AS issued_on,
+         |  DATE '2023-10-01' + CAST(l_orderkey % 30 AS INTEGER) AS valid_for
+         |FROM lineitem WHERE l_tax <= 0.07""".stripMargin,
+
+    "q_ensemble_union" ->
+      s"""WITH forecast AS (${FloodShaped.forecastSql})
+         |SELECT * FROM forecast
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT) AS number, latitude, longitude, issued_on, step, valid_for, dis24
+         |FROM forecast WHERE number = 1""".stripMargin,
+
+    "q_threshold_percentages" -> s"$preamble SELECT * FROM detailed",
+
+    "q_detailed_control" ->
+      s"$preamble SELECT latitude, longitude, step, median_dis, control_dis FROM dwc",
+
+    "q_tendency" ->
+      s"""$preamble SELECT latitude, longitude, max_median_dis, min_median_dis,
+         |control_dis, max_max_dis, min_min_dis, tendency FROM tendency""".stripMargin,
+
+    "q_intensity" ->
+      s"""$preamble SELECT latitude, longitude, max_p_above_20y, max_p_above_5y,
+         |max_p_above_2y, intensity FROM intensity""".stripMargin,
+
+    "q_peak_timing" -> s"$preamble SELECT * FROM peak",
+
+    "q_summary_forecast" ->
+      s"""$preamble
+         |SELECT p.*, t.max_median_dis, t.min_median_dis, t.control_dis,
+         |  t.max_max_dis, t.min_min_dis, t.tendency,
+         |  i.max_p_above_20y, i.max_p_above_5y, i.max_p_above_2y, i.intensity,
+         |  ${wktSql()} AS wkt
+         |FROM peak p
+         |JOIN tendency t USING (latitude, longitude)
+         |JOIN intensity i USING (latitude, longitude)
+         |WHERE i.intensity <> 'G'""".stripMargin,
+
+    "q_detailed_restricted" ->
+      s"""$preamble
+         |SELECT d.* FROM detailed d
+         |WHERE EXISTS (SELECT 1 FROM intensity i
+         |  WHERE i.latitude = d.latitude AND i.longitude = d.longitude
+         |    AND i.intensity <> 'G')""".stripMargin,
+
+    "q_geometry_wkt" ->
+      s"""WITH thresholds AS (${FloodShaped.thresholdsSql})
+         |SELECT *, ${wktSql()} AS wkt FROM thresholds""".stripMargin,
+
+    "q_threshold_join" ->
+      s"""WITH thresholds AS (${FloodShaped.thresholdsSql})
+         |SELECT latitude, longitude, threshold_2y, threshold_5y, threshold_20y,
+         |  ${wktSql()} AS wkt
+         |FROM thresholds""".stripMargin,
+
+    "q_upstream_mask" ->
+      s"""WITH forecast AS (${FloodShaped.forecastSql}),
+         |uparea AS (
+         |  SELECT
+         |    ROUND(-6.0 + FLOOR((p_partkey % 400) / 20) * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE)
+         |          + ((p_size % 5) - 2) * CAST(0.004 AS DOUBLE), 3) AS latitude,
+         |    ROUND(28.0 + ((p_partkey % 400) % 20) * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE)
+         |          + ((p_partkey % 3) - 1) * CAST(0.004 AS DOUBLE), 3) AS longitude,
+         |    CAST(p_size % 10 AS DOUBLE) * CAST(50000000.0 AS DOUBLE) AS uparea
+         |  FROM part)
+         |SELECT f.* FROM forecast f
+         |WHERE EXISTS (SELECT 1 FROM uparea u
+         |  WHERE u.uparea >= 250000000.0
+         |    AND ${snapSql("u.latitude")} = ${snapSql("f.latitude")}
+         |    AND ${snapSql("u.longitude")} = ${snapSql("f.longitude")})""".stripMargin,
+
+    "q_roi_slice" -> {
+      val b = cfg.buffer
+      s"""WITH forecast AS (${FloodShaped.forecastSql})
+         |SELECT * FROM forecast
+         |WHERE latitude BETWEEN ${-6.0 - b} AND ${-5.8 + b}
+         |  AND longitude BETWEEN ${28.0 - b} AND ${28.4 + b}""".stripMargin
+    },
+
+    "q_cell_lookup" -> {
+      val reach = 1.5 * cfg.resolution
+      s"""WITH thresholds AS (${FloodShaped.thresholdsSql})
+         |SELECT * FROM thresholds
+         |WHERE latitude BETWEEN ${-5.875 - reach} AND ${-5.875 + reach}
+         |  AND longitude BETWEEN ${28.125 - reach} AND ${28.125 + reach}""".stripMargin
+    }
+  )
+}

@@ -23,9 +23,12 @@ object Normalize {
     df.withColumn("latitude", round(col("latitude"), precision))
       .withColumn("longitude", round(col("longitude"), precision))
 
-  /** Full raw-forecast normalization: key rounding + time derivations. */
+  /** Full raw-forecast normalization: key rounding + time derivations +
+    * NA-drop of masked-out discharge (the upstream mask writes NaN→null
+    * rows; reference: flood/etl/raster_converter.py:44-45,73-75). */
   def forecast(raw: DataFrame, precision: Int): DataFrame =
     roundKeys(raw, precision)
+      .na.drop(Seq("dis24"))
       .withColumn("issued_on", to_date(timestamp_seconds(col("time") / 1e9)))
       .drop("time")
       .withColumn("step", (col("step") / lit(24L * 3600 * 1000 * 1000 * 1000)).cast("int"))

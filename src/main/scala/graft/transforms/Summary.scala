@@ -96,7 +96,12 @@ object PeakTiming {
           .when(col("p_above_2y") >= 0.3, 3)
           .otherwise(4))
 
-    val rankW = cellW.orderBy(asc("condition"), desc("median_dis"))
+    // Final `step` tiebreak beyond the reference's composite key: the
+    // reference's ordering is partition-order-dependent when two steps tie
+    // on (condition, median_dis) (transforms.py:86-90); pinning by step
+    // makes the plan deterministic across engines/runs without changing
+    // any untied result.
+    val rankW = cellW.orderBy(asc("condition"), desc("median_dis"), asc("step"))
 
     val peak = withSignals
       .withColumn("row_num", row_number().over(rankW))
