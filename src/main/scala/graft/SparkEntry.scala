@@ -1,6 +1,6 @@
 package graft
 import graft.pipeline.ForecastPipeline
-import graft.queries.{FloodQueries, FloodShaped}
+import graft.queries.{FloodQueries, FloodShaped, LlmQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -22,11 +22,11 @@ object SparkEntry {
     * plus the LLM-data-pipeline operators (dedup / similarity / text
     * analysis / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FloodQueries.queries
+    FloodQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted only for non-SQL-expressible ops (driver then
     * records a weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    FloodQueries.oracles
+    FloodQueries.oracles ++ LlmQueries.oracles
 }

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream analytics in batch form: tumbling-window aggregation and
+  * gap-based sessionization over the `events` table. The Structured
+  * Streaming variants live in [[graft.streaming.EventStream]]; these batch
+  * forms define the semantics and are what the DuckDB oracle checks.
+  *
+  * Determinism rules for the oracle hash-compare:
+  *  - `value` sums are aggregated as micro-unit longs
+  *    (`round(value * 1e6)`) — double summation order differs between
+  *    Spark's partial/final aggregation and a single-threaded oracle, so a
+  *    raw `sum(double)` can never hash-compare exactly. Min/max/count stay
+  *    exact on doubles.
+  *  - timestamps are normalized to epoch microseconds (long) on input and
+  *    output: the testdata parquet carries TIMESTAMP(NANOS), which Spark
+  *    reads as a nanos long under `spark.sql.legacy.parquet.nanosAsLong`
+  *    (set in Verify/Bench sessions), while DuckDB truncates it to a
+  *    microsecond timestamp — integer instants are the representation both
+  *    engines agree on. Window bounds are pure integer arithmetic on the
+  *    micros, which for epoch-aligned tumbling windows is exactly Spark's
+  *    `window()` semantics.
+  */
+object Events {
+
+  /** Event time as epoch micros, whatever the physical ts type:
+    * nanos-long (legacy parquet read), timestamp, or timestamp_ntz. */
+  private def tsMicros(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000") // nanos -> micros; integer div (double math would lose precision above 2^53)
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  private def valueMicros: Column = round(col("value") * 1e6).cast("long")
+
+  /** Tumbling-window counts per event type:
+    * (window_start_us, event_type, n_events, n_users, value_micros,
+    * value_min, value_max). One shuffle on (window, type); partial
+    * aggregation map-side-combines before it. */
+  def windowedCounts(events: DataFrame, windowUs: Long = 3600000000L): DataFrame =
+    events
+      .select(tsMicros(events).as("ts_us"), col("event_type"), col("user_id"), col("value"))
+      .groupBy((expr(s"ts_us DIV $windowUs") * windowUs).as("window_start_us"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(valueMicros).as("value_micros"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes` of
+    * user inactivity. Returns one row per session:
+    * (user_id, session_id, n_events, session_start_us, session_end_us,
+    * value_micros). Two shuffles (window by user, then group by
+    * user+session — same key prefix, so the sort-window partitioning is
+    * reused); at 100 TB the user key is the natural partitioner and
+    * per-user data is small, so the sort window does not skew. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val prevTs = lag(col("ts_us"), 1).over(byUser)
+    events
+      .select(col("user_id"), col("event_id"), tsMicros(events).as("ts_us"), col("value"))
+      .withColumn("new_session",
+        when(prevTs.isNull || col("ts_us") - prevTs > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        sum(valueMicros).as("value_micros"))
+  }
+}

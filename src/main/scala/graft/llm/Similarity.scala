@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths, mirroring the brute-force-baseline / bucketed-scale split a
+  * 100 TB corpus needs:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
+  *    (it is dimension-sized by construction), so the plan is a single
+  *    BroadcastNestedLoopJoin over the corpus scan — no shuffle of the
+  *    corpus at all; the per-partition top-k is finished by a small
+  *    row_number window on (query, cosine).
+  *  - [[hyperplaneBuckets]] / [[nearDupPairs]]: random-hyperplane LSH.
+  *    Bucket ids come from sign bits of dot products with `nPlanes`
+  *    deterministic pseudo-random hyperplanes, so candidate generation is
+  *    an equi-join on the bucket id (shuffle on a long, never all-pairs).
+  *
+  * Float math portability: all folds run sequentially left-to-right in
+  * Double (Catalyst `aggregate` with a 0.0 seed; DuckDB `list_reduce`),
+  * which makes cosine bit-identical across engines — required for the
+  * driver's exact hash compare. The hyperplane components are integer
+  * arithmetic cast to double: `((j*1000003 + i*7919) % 2001) - 1000`.
+  */
+object Similarity {
+
+  /** Elementwise-double view of a float-array embedding column. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  /** Cosine similarity; assumes non-zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic hyperplane component for plane j, dimension i (1-based):
+    * integer in [-1000, 1000], SQL-expressible on both engines. */
+  private def planeComponent(j: Int, i: Column): Column =
+    (((lit(j) * 1000003 + i * 7919) % 2001) - 1000).cast("double")
+
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bucket space =
+    * 2^nPlanes). `dim` is the embedding dimensionality. */
+  def hyperplaneBucket(vecDouble: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val d = aggregate(
+        transform(sequence(lit(1), lit(dim)), i => element_at(vecDouble, i) * planeComponent(j, i)),
+        lit(0.0),
+        (acc, p) => acc + p)
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, bucket) assignment for every vector. */
+  def hyperplaneBuckets(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int): DataFrame =
+    vectors.select(
+      col(idCol).as("vec_id"),
+      hyperplaneBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+
+  /** Near-duplicate vector pairs: same LSH bucket AND exact cosine >=
+    * `minCosine`. Returns (vec_a, vec_b, cosine), vec_a < vec_b. */
+  def nearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int = 6,
+      minCosine: Double = 0.3): DataFrame = {
+    val withBucket = vectors.select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"),
+      hyperplaneBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Exact cosine top-k: for each query vector (ids in `queryIds`), the k
+    * nearest corpus vectors (self excluded), ties broken by neighbor id.
+    * Returns (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val corpus = vectors.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vn"))
+    val queries = vectors
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("vq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("vq"), col("vn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Text-analysis operators for corpus curation: per-document statistics,
+  * quality scoring, n-gram-heuristic language ID, token counting, and
+  * content fingerprinting.
+  *
+  * Everything is a narrow per-row projection — no shuffle at any scale —
+  * built from Catalyst built-ins and higher-order functions (no UDFs), so
+  * the operators stay codegen-adjacent and are oracle-checked in DuckDB.
+  * Integer counts and ratios-of-integers keep the float math deterministic.
+  */
+object TextAnalysis {
+
+  /** Default stopword list for ratio features (pluggable per corpus). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Language marker tables for [[langId]]. Real deployments load
+    * per-language stopword/character-profile tables; these defaults
+    * partition the synthetic corpus vocabulary so the heuristic is
+    * exercised end-to-end with deterministic, non-constant output. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "table", "row", "value", "query"),
+    "de" -> Seq("data", "batch", "window", "stream", "merge", "group"),
+    "fr" -> Seq("join", "filter", "sort", "hash", "scan", "dup"),
+    "es" -> Seq("key", "agg", "part", "column", "line", "vector"),
+    "zh" -> Seq("spark", "order", "small", "big", "fast", "slow", "customer"))
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*)))
+
+  /** BPE-ish regex tokenization: word pieces, numbers, or single
+    * non-space symbols — the usual pre-tokenizer split shape. */
+  def bpeishTokens(s: Column): Column =
+    regexp_extract_all(s, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Per-document statistics:
+    * (doc_id, n_chars, n_tokens, n_distinct_tokens, n_bpeish_tokens,
+    *  token_chars, distinct_ratio, stopword_ratio, alpha_ratio). */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = wordTokens(t)
+    val nTokens = size(tokens)
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).as("n_chars"),
+      nTokens.as("n_tokens"),
+      size(array_distinct(tokens)).as("n_distinct_tokens"),
+      size(bpeishTokens(t)).as("n_bpeish_tokens"),
+      aggregate(tokens, lit(0L), (acc, x) => acc + length(x)).as("token_chars"),
+      (size(array_distinct(tokens)).cast("double") / nTokens).as("distinct_ratio"),
+      (countIn(tokens, Stopwords).cast("double") / nTokens).as("stopword_ratio"),
+      ((length(t) - length(regexp_replace(t, "[a-z]", ""))).cast("double") / length(t))
+        .as("alpha_ratio"))
+  }
+
+  /** N-gram-heuristic language ID: score = marker-token hits per language,
+    * prediction = argmax with fixed tie order (declaration order of
+    * [[LangMarkers]]). Returns (doc_id, score_<lang>..., predicted_lang). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = wordTokens(col(textCol))
+    val scores = LangMarkers.map { case (lang, words) => lang -> countIn(tokens, words) }
+    // argmax with declaration-order ties: a chain of strict > comparisons
+    val predicted = scores.foldLeft((lit(""), lit(-1L): Column)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score.cast("long")).otherwise(bestScore))
+    }._1
+    docs.select(
+      col(idCol).as("doc_id") +:
+        scores.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
+        predicted.as("predicted_lang"): _*)
+  }
+
+  /** Composite quality score in [0,1] with a 3-way bucket:
+    * length saturation, lexical diversity, stopword-rate band, and
+    * mean token length band — the usual cheap corpus-quality features
+    * (cf. Gopher/C4-style filters). Deterministic double arithmetic. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = wordTokens(col(textCol))
+    val nTokens = size(tokens)
+    val lengthTerm = least(nTokens, lit(50)).cast("double") / 50.0
+    val diversityTerm = size(array_distinct(tokens)).cast("double") / nTokens
+    val stopRatio = countIn(tokens, Stopwords).cast("double") / nTokens
+    val stopTerm = when(stopRatio.between(0.02, 0.5), lit(1.0)).otherwise(lit(0.0))
+    val meanLen = aggregate(tokens, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTokens
+    val lenBandTerm = when(meanLen.between(2.0, 10.0), lit(1.0)).otherwise(lit(0.0))
+    val score = lengthTerm * 0.25 + diversityTerm * 0.25 + stopTerm * 0.25 + lenBandTerm * 0.25
+    docs.select(
+      col(idCol).as("doc_id"),
+      score.as("quality_score"),
+      when(score >= 0.7, "high").when(score >= 0.4, "medium").otherwise("low").as("quality_bucket"))
+  }
+
+  /** Content fingerprints: full-text polynomial hash plus min/max 8-gram
+    * rolling hashes (a 1-permutation MinHash sketch — the winnowing
+    * building block). Returns (doc_id, content_hash, min_gram_hash,
+    * max_gram_hash). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val gramHashes = hashAll(charShingles(col(textCol), k))
+    docs.select(
+      col(idCol).as("doc_id"),
+      polyHash(col(textCol)).as("content_hash"),
+      array_min(gramHashes).as("min_gram_hash"),
+      array_max(gramHashes).as("max_gram_hash"))
+  }
+}

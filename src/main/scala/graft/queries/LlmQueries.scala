@@ -1,0 +1,350 @@
+package graft.queries
+
+import graft.llm._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing LLM-data-pipeline queries over the `documents`,
+  * `embeddings`, and `events` tables, each with an exact DuckDB SQL mirror
+  * in [[oracles]].
+  *
+  * Mirroring rules (same discipline as [[FloodQueries]]):
+  *  - every hash is the portable polynomial fold of [[graft.llm.TextHash]]
+  *    (`list_reduce` in DuckDB, `aggregate` in Spark — same fold order);
+  *  - every float reduction is a sequential left-to-right fold in Double,
+  *    so cosine similarity is bit-identical across engines;
+  *  - fractional SQL literals that enter double arithmetic are
+  *    `CAST(... AS DOUBLE)` (DuckDB parses bare decimals as DECIMAL);
+  *  - arrays are never emitted (element order is engine-dependent); only
+  *    order-insensitive reductions of them are.
+  */
+object LlmQueries {
+
+  private val P = TextHash.Prime
+
+  // ------------------------------------------------------------ SQL helpers
+
+  /** DuckDB mirror of [[TextHash.polyHash]]. `s` must be a non-empty
+    * string expression; `iv` names the lambda variable (vary when nesting). */
+  private def polyHashSql(s: String, iv: String = "i"): String =
+    s"list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT), " +
+      s"list_transform(generate_series(1, len($s)), $iv -> CAST(ascii(substr($s, $iv, 1)) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % $P)"
+
+  /** DuckDB mirror of [[TextHash.charShingles]] (distinct char k-grams). */
+  private def shinglesSql(s: String, k: Int): String =
+    s"list_distinct(list_transform(generate_series(1, len($s) - ${k - 1}), i -> substr($s, i, $k)))"
+
+  private val tokensSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** DuckDB mirror of [[graft.llm.Similarity.dot]] over double-list
+    * expressions `a`, `b` of length `dim`. */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** Shared CTE: distinct 5-gram shingles + their hashes per document. */
+  private val shingleCte: String =
+    s"""sh AS (
+       |  SELECT doc_id, ${shinglesSql("text", 5)} AS shingles FROM documents),
+       |hs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles, s -> ${polyHashSql("s", "ci")}) AS h
+       |  FROM sh)""".stripMargin
+
+  /** Shared CTE: embeddings as double lists. */
+  private val embCte: String =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy with in-group text equality
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // MinHash + banded LSH near-dup pairs, exact-Jaccard verified
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5)),
+
+    // SimHash fingerprints (per-doc 24-bit)
+    "q_simhash_fingerprint" -> ((s, dir) =>
+      Dedup.simhashFingerprints(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // SimHash banded near-dup pairs, exact-hamming verified
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        bits = 24, bandBits = 6, maxHamming = 2)),
+
+    // word-3-gram Jaccard near-dup pairs via inverted-index join
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 3, minJaccard = 0.5)),
+
+    // embedding near-dup pairs: hyperplane-LSH bucket join + exact cosine
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        dim = 64, nPlanes = 6, minCosine = 0.3)),
+
+    // exact cosine top-k for 8 query vectors (broadcast NL join)
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        queryIds = 0L until 8L, k = 10)),
+
+    // per-document text statistics
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // n-gram-heuristic language ID
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // composite quality score + bucket
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // content fingerprints (full-text hash + min/max 8-gram rolling hash)
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // binary-payload metadata (multimodal column plumbing)
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(
+        Multimodal.payloadsFromText(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))),
+
+    // tumbling-window event aggregation
+    "q_events_window" -> ((s, dir) =>
+      Events.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
+
+    // gap-based sessionization
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(s.read.parquet(s"$dir/events.parquet")))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_id, text_hash, count(*) AS n_copies
+         |FROM (SELECT doc_id, text, ${polyHashSql("text")} AS text_hash FROM documents)
+         |GROUP BY text_hash, text""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(generate_series(0, 63), j ->
+         |      list_min(list_transform(h, x -> (x * (2*j+1) + (j*j+1)) % $P))) AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, shingles, b.band,
+         |    list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT),
+         |      [sig[4*b.band+1], sig[4*b.band+2], sig[4*b.band+3], sig[4*b.band+4]]),
+         |      (a, c) -> (a * 31 + c) % $P) AS bh
+         |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b)
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    "q_simhash_fingerprint" -> (simhashSql + " SELECT doc_id, simhash FROM sim"),
+
+    "q_dedup_simhash" ->
+      s"""$simhashSql,
+         |banded AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (6 * b.band)) & 63 AS band_val
+         |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT * FROM pairs WHERE hamming <= 2""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+         |postings AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |shared AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM postings x JOIN postings y ON x.gram = y.gram AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT s.doc_a, s.doc_b,
+         |    CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared) AS jaccard
+         |  FROM shared s
+         |  JOIN sizes sa ON sa.doc_id = s.doc_a
+         |  JOIN sizes sb ON sb.doc_id = s.doc_b)
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH $embCte,
+         |b AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 5), j ->
+         |      CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |          i -> v[i] * CAST(((j * 1000003 + i * 7919) % 2001) - 1000 AS DOUBLE)),
+         |          (x, y) -> x + y) >= 0
+         |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+         |      (x, y) -> x + y) AS bucket
+         |  FROM e)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |    ${cosineSql("a.v", "b2.v", 64)} AS cosine
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${cosineSql("q.vq", "e.v", 64)} AS cosine
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH tok AS (SELECT doc_id, text, $tokensSql AS t FROM documents)
+         |SELECT doc_id,
+         |  len(text) AS n_chars,
+         |  len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_distinct_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(t, w -> CAST(len(w) AS BIGINT))), (a, c) -> a + c) AS token_chars,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+         |  CAST(len(list_filter(t, w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(", ")})))
+         |    AS DOUBLE) / len(t) AS stopword_ratio,
+         |  CAST(len(text) - len(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE) / len(text)
+         |    AS alpha_ratio
+         |FROM tok""".stripMargin,
+
+    "q_lang_id" -> langIdSql,
+
+    "q_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(least(len(t), 50) AS DOUBLE) / CAST(50 AS DOUBLE) AS length_term,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity_term,
+         |    CAST(len(list_filter(t, w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(", ")})))
+         |      AS DOUBLE) / len(t) AS stop_ratio,
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, w -> CAST(len(w) AS BIGINT))), (a, c) -> a + c))
+         |      / CAST(len(t) AS DOUBLE) AS mean_len
+         |  FROM tok),
+         |sc AS (
+         |  SELECT doc_id,
+         |    length_term * CAST(0.25 AS DOUBLE)
+         |      + diversity_term * CAST(0.25 AS DOUBLE)
+         |      + (CASE WHEN stop_ratio BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.5 AS DOUBLE)
+         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+         |      + (CASE WHEN mean_len BETWEEN CAST(2.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+         |      AS quality_score
+         |  FROM f)
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score >= CAST(0.7 AS DOUBLE) THEN 'high'
+         |       WHEN quality_score >= CAST(0.4 AS DOUBLE) THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM sc""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, ${polyHashSql("text")} AS content_hash,
+         |    list_transform(${shinglesSql("text", 8)}, s -> ${polyHashSql("s", "ci")}) AS gh
+         |  FROM documents)
+         |SELECT doc_id, content_hash, list_min(gh) AS min_gram_hash, list_max(gh) AS max_gram_hash
+         |FROM g""".stripMargin,
+
+    "q_multimodal_meta" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+         |       ELSE 'video/mp4' END AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+         |  ${polyHashSql("text")} AS checksum
+         |FROM documents""".stripMargin,
+
+    "q_events_window" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS value_micros,
+         |  min(value) AS value_min,
+         |  max(value) AS value_max
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM f)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |  sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS value_micros
+         |FROM g GROUP BY 1, 2""".stripMargin
+  )
+
+  /** Shared simhash CTE (24-bit, word tokens). */
+  private lazy val simhashSql: String =
+    s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(t, s -> ${polyHashSql("s", "ci")}) AS h FROM tok),
+       |sim AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 23), i ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(h, x -> CASE WHEN (x >> i) & 1 = 1
+       |                 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |               (a, b) -> a + b) > 0
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS simhash
+       |  FROM th)""".stripMargin
+
+  /** Language-ID oracle: replicates the fold-based argmax with declaration
+    * -order tie-breaking of [[TextAnalysis.langId]]. */
+  private lazy val langIdSql: String = {
+    val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      s"CAST(len(list_filter(t, w -> w IN (${words.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS score_$lang"
+    }
+    // fold argmax: strict > keeps earlier lang on ties
+    val predicted = TextAnalysis.LangMarkers.map(_._1).foldLeft(("''", "CAST(-1 AS BIGINT)")) {
+      case ((bestLang, bestScore), lang) =>
+        (s"(CASE WHEN score_$lang > $bestScore THEN '$lang' ELSE $bestLang END)",
+          s"(CASE WHEN score_$lang > $bestScore THEN score_$lang ELSE $bestScore END)")
+    }._1
+    s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |scored AS (SELECT doc_id, ${scoreExprs.mkString(", ")} FROM tok)
+       |SELECT doc_id, ${TextAnalysis.LangMarkers.map(m => "score_" + m._1).mkString(", ")},
+       |  $predicted AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+}

@@ -1,0 +1,52 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("payloadsFromText produces binary payloads with typed metadata") {
+    val d = Multimodal.payloadsFromText(docs(0L -> "he", 1L -> "llo", 2L -> "xyz"), "doc_id", "text")
+    val rows = d.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Array[Byte]]("payload"), r.getAs[String]("media_type"))).toMap
+    assert(rows(0L)._1.sameElements("he".getBytes("UTF-8")))
+    assert(rows(0L)._2 == "image/png" && rows(1L)._2 == "image/jpeg" && rows(2L)._2 == "video/mp4")
+  }
+
+  test("decodeFeatures (mapPartitions stub) is deterministic and schema-typed") {
+    val recs = Seq(
+      MediaRecord(1L, "hello world".getBytes("UTF-8"), "image/png"),
+      MediaRecord(2L, Array.fill[Byte](1000)(42), "video/mp4")).toDS()
+    val feats = Multimodal.decodeFeatures(recs).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 11)
+    assert(feats(2L).n_frames == 1000 / 256 + 1)
+    assert(feats(1L).width >= 64 && feats(1L).width < 576)
+    // checksum equals the char-wise polyHash for ASCII payloads
+    val expected = "hello world".foldLeft(7L)((a, c) => (a * 31 + c) % TextHash.Prime)
+    assert(feats(1L).checksum == expected)
+  }
+
+  test("metadata (SQL-expressible path) agrees with the mapPartitions decode") {
+    val d = Multimodal.payloadsFromText(docs(5L -> "some payload text"), "doc_id", "text")
+    val meta = Multimodal.metadata(d).head()
+    val viaRecord = Multimodal.fakeDecode(
+      MediaRecord(5L, "some payload text".getBytes("UTF-8"), "video/mp4"))
+    assert(meta.getAs[Long]("n_bytes") == viaRecord.n_bytes)
+    assert(meta.getAs[Long]("checksum") == viaRecord.checksum)
+    assert(meta.getAs[String]("magic_hex") == "736F6D65") // 'some'
+  }
+
+  test("sampleFrames slices strided fixed-width binary windows") {
+    val payload = Array.tabulate[Byte](2100)(i => (i % 127).toByte)
+    val d = Seq((1L, payload)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(d, stride = 4, frameBytes = 256).collect()
+    // offsets 0, 1024, 2048 -> 3 frames
+    assert(frames.length == 3)
+    val f1 = frames.find(_.getAs[Long]("frame_idx") == 1L).get.getAs[Array[Byte]]("frame")
+    assert(f1.length == 256 && f1.sameElements(payload.slice(1024, 1280)))
+    val f2 = frames.find(_.getAs[Long]("frame_idx") == 2L).get.getAs[Array[Byte]]("frame")
+    assert(f2.length == 2100 - 2048) // tail frame is short
+  }
+}

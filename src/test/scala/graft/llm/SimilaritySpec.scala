@@ -1,0 +1,49 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine, excludes self, breaks ties by id") {
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0.01f, 0f), // nearest to 0
+      2L -> Seq(0.5f, 0.5f, 0f), // second
+      3L -> Seq(0f, 1f, 0f)) // last
+    val got = Similarity.bruteForceTopK(d, "vec_id", "embedding", Seq(0L), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("cosine of identical vectors is 1.0 exactly for unit-ish inputs") {
+    val d = vecs(0L -> Seq(3f, 4f), 1L -> Seq(3f, 4f))
+    val c = Similarity.bruteForceTopK(d, "vec_id", "embedding", Seq(0L), k = 1)
+      .select("cosine").as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-15)
+  }
+
+  test("nearDupPairs finds co-bucketed high-cosine pairs") {
+    // two near-identical vectors + one orthogonal: identical directions land
+    // in the same hyperplane bucket by construction
+    val d = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f),
+      1L -> Seq(1.01f, 2.01f, 3.01f, 4.01f),
+      2L -> Seq(-4f, 3f, -2f, 1f))
+    val got = Similarity.nearDupPairs(d, "vec_id", "embedding", dim = 4, nPlanes = 6, minCosine = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("hyperplaneBuckets is deterministic across invocations") {
+    val d = vecs(0L -> Seq(1f, -2f, 3f, -4f), 1L -> Seq(5f, 6f, -7f, 8f))
+    val a = Similarity.hyperplaneBuckets(d, "vec_id", "embedding", 4, 6)
+      .as[(Long, Long)].collect().toMap
+    val b = Similarity.hyperplaneBuckets(d, "vec_id", "embedding", 4, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(bk => bk >= 0 && bk < 64))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("stats computes token/char counts and ratios") {
+    val d = docs(1L -> "the quick the fox")
+    val r = TextAnalysis.stats(d, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") == 17)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_distinct_tokens") == 3)
+    assert(r.getAs[Long]("token_chars") == 14)
+    assert(r.getAs[Double]("distinct_ratio") == 0.75)
+    assert(r.getAs[Double]("stopword_ratio") == 0.5) // 'the' twice
+  }
+
+  test("bpeish tokenization splits words, numbers, and symbols") {
+    val d = docs(1L -> "ab12 cd, ef!")
+    val r = TextAnalysis.stats(d, "doc_id", "text").head()
+    // ab, 12, cd, ',', ef, '!'
+    assert(r.getAs[Int]("n_bpeish_tokens") == 6)
+  }
+
+  test("langId scores marker hits and breaks ties in declaration order") {
+    val d = docs(
+      1L -> "the a table spark", // en=3, zh=1 -> en
+      2L -> "spark spark order", // zh=3 -> zh
+      3L -> "data join key") // de=1, fr=1, es=1 -> de (declaration order)
+    val got = TextAnalysis.langId(d, "doc_id", "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "de"))
+  }
+
+  test("qualityScore is in [0,1] and buckets deterministically") {
+    val rows = TextAnalysis.qualityScore(
+      docs(1L -> "the quick brown fox jumps", 2L -> "x"), "doc_id", "text").collect()
+    rows.foreach { r: Row =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(Seq("high", "medium", "low").contains(r.getAs[String]("quality_bucket")))
+    }
+  }
+
+  test("fingerprints: content hash differs on different text, equals on same") {
+    val got = TextAnalysis.fingerprints(
+      docs(1L -> "aaaa bbbb cccc", 2L -> "aaaa bbbb cccc", 3L -> "dddd eeee ffff"),
+      "doc_id", "text")
+      .select("doc_id", "content_hash").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+}
