@@ -74,15 +74,18 @@ object Similarity {
       dim: Int,
       nPlanes: Int = 6,
       minCosine: Double = 0.3): DataFrame = {
+    // norm is computed once per vector, not once per pair (3x fewer folds)
     val withBucket = vectors.select(
       col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"),
+      sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"),
       hyperplaneBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -95,14 +98,21 @@ object Similarity {
       vecCol: String,
       queryIds: Seq[Long],
       k: Int): DataFrame = {
-    val corpus = vectors.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vn"))
+    val corpus = vectors.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("vn"),
+      sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nn"))
     val queries = vectors
       .filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("vq"))
+      .select(
+        col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("vq"),
+        sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nq"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("vq"), col("vn")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

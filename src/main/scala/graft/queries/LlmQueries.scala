@@ -45,14 +45,51 @@ object LlmQueries {
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
-  /** Shared CTE: distinct 5-gram shingles + their hashes per document. */
-  private val shingleCte: String =
-    s"""sh AS (
-       |  SELECT doc_id, ${shinglesSql("text", 5)} AS shingles FROM documents),
-       |hs AS (
-       |  SELECT doc_id, shingles,
-       |    list_transform(shingles, s -> ${polyHashSql("s", "ci")}) AS h
-       |  FROM sh)""".stripMargin
+  /** DuckDB mirror of the LSH-verified-pairs skeleton in
+    * [[graft.llm.Dedup]]: distinct element-hash sets → MinHash signature →
+    * band digests → capped bucket groupBy → in-bucket pair expansion →
+    * exact Jaccard on the hash sets. `elementsExpr` yields the distinct
+    * string elements (shingles or n-grams) of `text`. */
+  private def lshPairsSql(
+      elementsExpr: String,
+      perms: Int,
+      nBands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucket: Int): String = {
+    val bandFold = (0 until rowsPerBand)
+      .map(r => s"sig[$rowsPerBand*b.band+${r + 1}]")
+      .mkString("[", ", ", "]")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($elementsExpr, s -> ${polyHashSql("s", "ci")})) AS hs
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${perms - 1}), j ->
+       |      list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+1)) % $P))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b.band,
+       |    list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT), $bandFold),
+       |      (a, c) -> (a * 31 + c) % $P) AS bh
+       |  FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS band) b),
+       |buckets AS (
+       |  SELECT band, bh, list(doc_id) AS ids FROM bands GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT p[1] AS doc_a, p[2] AS doc_b FROM (
+       |    SELECT unnest(flatten(list_transform(ids, x ->
+       |      list_transform(list_filter(ids, y -> y > x), y -> [x, y])))) AS p
+       |    FROM buckets WHERE len(ids) BETWEEN 2 AND $maxBucket))
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+       |  FROM pairs c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b)
+       |WHERE jaccard >= CAST($minJaccard AS DOUBLE)""".stripMargin
+  }
 
   /** Shared CTE: embeddings as double lists. */
   private val embCte: String =
@@ -132,31 +169,9 @@ object LlmQueries {
          |FROM (SELECT doc_id, text, ${polyHashSql("text")} AS text_hash FROM documents)
          |GROUP BY text_hash, text""".stripMargin,
 
-    "q_dedup_minhash" ->
-      s"""WITH $shingleCte,
-         |sig AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(generate_series(0, 63), j ->
-         |      list_min(list_transform(h, x -> (x * (2*j+1) + (j*j+1)) % $P))) AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, shingles, b.band,
-         |    list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT),
-         |      [sig[4*b.band+1], sig[4*b.band+2], sig[4*b.band+3], sig[4*b.band+4]]),
-         |      (a, c) -> (a * 31 + c) % $P) AS bh
-         |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) b),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-         |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
-         |      AS jaccard
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.doc_a
-         |  JOIN sh y ON y.doc_id = c.doc_b)
-         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "q_dedup_minhash" -> lshPairsSql(
+      shinglesSql("text", 5),
+      perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64),
 
     "q_simhash_fingerprint" -> (simhashSql + " SELECT doc_id, simhash FROM sim"),
 
@@ -165,32 +180,23 @@ object LlmQueries {
          |banded AS (
          |  SELECT doc_id, simhash, b.band, (simhash >> (6 * b.band)) & 63 AS band_val
          |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         |buckets AS (
+         |  SELECT band, band_val,
+         |    list(struct_pack(doc_id := doc_id, simhash := simhash)) AS ids
+         |  FROM banded GROUP BY 1, 2),
          |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |  SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b, p.hamming AS hamming FROM (
+         |    SELECT unnest(flatten(list_transform(ids, x ->
+         |      list_transform(list_filter(ids, y -> y > x), y ->
+         |        struct_pack(doc_a := x.doc_id, doc_b := y.doc_id,
+         |          hamming := CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)))))) AS p
+         |    FROM buckets WHERE len(ids) BETWEEN 2 AND 256))
          |SELECT * FROM pairs WHERE hamming <= 2""".stripMargin,
 
-    "q_dedup_ngram" ->
-      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |g AS (
-         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
-         |  FROM tok),
-         |sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g),
-         |postings AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-         |shared AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM postings x JOIN postings y ON x.gram = y.gram AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT s.doc_a, s.doc_b,
-         |    CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared) AS jaccard
-         |  FROM shared s
-         |  JOIN sizes sa ON sa.doc_id = s.doc_a
-         |  JOIN sizes sb ON sb.doc_id = s.doc_b)
-         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "q_dedup_ngram" -> lshPairsSql(
+      s"list_distinct(list_transform(generate_series(1, len($tokensSql) - 2), " +
+        s"i -> $tokensSql[i] || ' ' || $tokensSql[i+1] || ' ' || $tokensSql[i+2]))",
+      perms = 64, nBands = 32, rowsPerBand = 2, minJaccard = 0.5, maxBucket = 64),
 
     "q_dedup_embedding" ->
       s"""WITH $embCte,

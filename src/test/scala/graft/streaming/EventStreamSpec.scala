@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Events
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming/batch equivalence over the real sf0.001 events table: the
+  * streaming operators must agree with the batch semantics they mirror. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** File-source streams need a directory; the testdata is a single file. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events-stream")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def runAvailableNow(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming windowedCounts (complete mode) matches batch on counts") {
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val stream = EventStream.windowedCounts(EventStream.readEvents(spark, eventsDir))
+    val q = stream.writeStream
+      .format("memory").queryName("win").outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win")
+      .select("window_start_us", "event_type", "n_events", "value_micros")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = Events.windowedCounts(spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("window_start_us", "event_type", "n_events", "value_micros")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sessionize emits exactly the batch sessions minus each user's open one") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    runAvailableNow(
+      EventStream.sessionize(EventStream.toEventRows(
+        EventStream.readEvents(spark, eventsDir))).toDF(),
+      "sess")
+    val streamed = spark.table("sess")
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us", "value_micros")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+    val batchAll = Events.sessionize(events)
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us", "value_micros")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // drop each user's chronologically-last (still open) session
+    val lastPerUser = batchAll.groupBy(_._1).map { case (u, ss) => (u, ss.map(_._2).max) }.toSet
+    val batchCompleted = batchAll.filterNot(s => lastPerUser.contains((s._1, s._2))).toSet
+
+    assert(streamed == batchCompleted)
+    assert(streamed.nonEmpty)
+  }
+}
