@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.llm.TextHash.{Prime, Seed}
+
+/** Compiled kernels for the portable text hashes of
+  * [[graft.llm.TextHash]].
+  *
+  * The higher-order-function formulations in TextHash are the *reference
+  * semantics* — they are what the DuckDB oracle mirrors, and they are
+  * correct — but Catalyst evaluates lambda bodies expression-node by
+  * expression-node, so hashing ~400 shingles × 64 permutations per
+  * document costs millions of interpreted node evaluations. These static
+  * methods compute the identical values (pinned by
+  * `HashFunctionsSpec` equivalence tests over the real corpus) in tight
+  * JVM loops, and are exposed to Catalyst through `StaticInvoke`
+  * ([[HashFunctions]]), which participates in whole-stage codegen as a
+  * plain static call.
+  *
+  * Parity notes (all must hold or the oracle breaks):
+  *  - iteration is by Unicode code point, matching Spark/DuckDB
+  *    `substr`/`ascii` semantics (corpus is ASCII; this keeps the kernel
+  *    honest beyond it);
+  *  - distinct-by-hash equals the HOF's distinct-strings→hash→distinct
+  *    composition (colliding strings collapse either way);
+  *  - tokenization is `trim` (space-only, UTF8String.trim parity) then
+  *    Java-regex `\s+` split — exactly what `split(trim(s), "\\s+")` does.
+  *  - inputs are assumed non-empty strings (the corpus guarantees it; the
+  *    HOF forms share the assumption).
+  */
+object GraftHashOps {
+
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var o = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(o) = cp
+      o += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  private def foldRange(cp: Array[Int], from: Int, until: Int, acc0: Long): Long = {
+    var acc = acc0
+    var i = from
+    while (i < until) {
+      acc = (acc * 31 + cp(i)) % Prime
+      i += 1
+    }
+    acc
+  }
+
+  /** polyHash of a whole string — identical to [[graft.llm.TextHash.polyHash]]. */
+  def polyHash(s: UTF8String): Long = {
+    val cp = codePoints(s)
+    foldRange(cp, 0, cp.length, Seed)
+  }
+
+  /** Distinct char-k-gram hashes in first-occurrence order — identical
+    * value set to `array_distinct(hashAll(charShingles(s, k)))`. */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val cp = codePoints(s)
+    val n = cp.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      seen.add(foldRange(cp, i, i + k, Seed))
+      i += 1
+    }
+    toArrayData(seen)
+  }
+
+  private def tokens(s: UTF8String): Array[String] =
+    s.trim().toString.split("\\s+")
+
+  /** Token hashes with multiplicity — identical to
+    * `hashAll(wordTokens(s))`. */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val ts = tokens(s)
+    val out = new Array[Long](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      out(i) = hashString(ts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-n-gram hashes — identical value set to
+    * `array_distinct(hashAll(wordNgrams(wordTokens(s), n)))` (the gram
+    * hash folds token chars with single separating spaces, which is
+    * exactly the hash of the space-joined gram string). */
+  def ngramHashes(s: UTF8String, n: Int): ArrayData = {
+    val ts = tokens(s)
+    val m = ts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      var acc = Seed
+      var t = 0
+      while (t < n) {
+        if (t > 0) acc = (acc * 31 + ' ') % Prime
+        val w = ts(i + t)
+        var c = 0
+        while (c < w.length) {
+          val cp = w.codePointAt(c)
+          acc = (acc * 31 + cp) % Prime
+          c += Character.charCount(cp)
+        }
+        t += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    toArrayData(seen)
+  }
+
+  /** MinHash signature — identical to
+    * [[graft.llm.TextHash.minhashSignature]]. */
+  def minhashSig(hashes: ArrayData, perms: Int): ArrayData = {
+    val hs = hashes.toLongArray()
+    val sig = new Array[Long](perms)
+    var j = 0
+    while (j < perms) {
+      val a = 2L * j + 1
+      val b = j.toLong * j + 1
+      var best = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (hs(i) * a + b) % Prime
+        if (v < best) best = v
+        i += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash fingerprint — identical to
+    * `simhash(hashAll(wordTokens(s)), bits)`. */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val ts = tokens(s)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < ts.length) {
+      val h = hashString(ts(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  private def hashString(w: String): Long = {
+    var acc = Seed
+    var c = 0
+    while (c < w.length) {
+      val cp = w.codePointAt(c)
+      acc = (acc * 31 + cp) % Prime
+      c += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private def toArrayData(seen: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = it.next()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

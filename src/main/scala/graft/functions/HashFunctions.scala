@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Column builders over the compiled hash kernels in [[GraftHashOps]].
+  *
+  * Each builder wraps a `StaticInvoke` Catalyst expression — the same
+  * mechanism Spark's own object-serialization expressions use — so the
+  * call compiles into generated code as a single static method invocation
+  * (no UDF wrapping/boxing, no interpreted lambda trees). Deterministic,
+  * null-propagating, non-nullable outputs.
+  *
+  * These are drop-in replacements for the HOF formulations in
+  * [[graft.llm.TextHash]]; value equality between the two is pinned by
+  * `HashFunctionsSpec` over the real test corpus.
+  */
+object HashFunctions {
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+
+  private def invoke(name: String, dataType: DataType, args: Seq[Expression]): Column =
+    ColumnBridge.column(StaticInvoke(
+      GraftHashOps.getClass,
+      dataType,
+      name,
+      args,
+      propagateNull = true,
+      returnNullable = false))
+
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Compiled [[graft.llm.TextHash.polyHash]]. */
+  def polyHash(s: Column): Column =
+    invoke("polyHash", LongType, Seq(e(s)))
+
+  /** Compiled `array_distinct(hashAll(charShingles(s, k)))`. */
+  def shingleHashes(s: Column, k: Int): Column =
+    invoke("shingleHashes", longArray, Seq(e(s), Literal(k)))
+
+  /** Compiled `hashAll(wordTokens(s))`. */
+  def tokenHashes(s: Column): Column =
+    invoke("tokenHashes", longArray, Seq(e(s)))
+
+  /** Compiled `array_distinct(hashAll(wordNgrams(wordTokens(s), n)))`. */
+  def ngramHashes(s: Column, n: Int): Column =
+    invoke("ngramHashes", longArray, Seq(e(s), Literal(n)))
+
+  /** Compiled [[graft.llm.TextHash.minhashSignature]]. */
+  def minhashSignature(hashes: Column, perms: Int): Column =
+    invoke("minhashSig", longArray, Seq(e(hashes), Literal(perms)))
+
+  /** Compiled `simhash(hashAll(wordTokens(s)), bits)`. */
+  def simhash(s: Column, bits: Int): Column =
+    invoke("simhash", LongType, Seq(e(s), Literal(bits)))
+}

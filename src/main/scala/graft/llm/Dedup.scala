@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.HashFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import TextHash._
@@ -42,7 +43,7 @@ object Dedup {
     * (minimum) id and the number of copies. Callers keep `keep_id`. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol), col(textCol), polyHash(col(textCol)).as("text_hash"))
+      .select(col(idCol), col(textCol), HashFunctions.polyHash(col(textCol)).as("text_hash"))
       .groupBy(col("text_hash"), col(textCol)) // hash narrows the shuffle; text guards collisions
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("text_hash"), col("n_copies"))
@@ -64,7 +65,7 @@ object Dedup {
         // bindOnce: the signature is evaluated once per row, not once per
         // band digest (CollapseProject would re-inline it nBands times)
         explode(bindOnce(
-          minhashSignature(col("hs"), perms),
+          HashFunctions.minhashSignature(col("hs"), perms),
           sig => bandDigests(sig, nBands, rowsPerBand))).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
     val pairs = bucketPairs(
@@ -115,7 +116,7 @@ object Dedup {
     lshVerifiedPairs(
       docs.select(
         col(idCol).as("doc_id"),
-        array_distinct(hashAll(charShingles(col(textCol), shingleK))).as("hs")),
+        HashFunctions.shingleHashes(col(textCol), shingleK).as("hs")),
       perms, nBands, rowsPerBand, minJaccard, maxBucket)
 
   /** Word n-gram Jaccard near-duplicate pairs. Candidates come from the
@@ -138,14 +139,14 @@ object Dedup {
     lshVerifiedPairs(
       docs.select(
         col(idCol).as("doc_id"),
-        array_distinct(hashAll(wordNgrams(wordTokens(col(textCol)), n))).as("hs")),
+        HashFunctions.ngramHashes(col(textCol), n).as("hs")),
       perms, nBands, rowsPerBand, minJaccard, maxBucket)
 
   /** Per-document SimHash fingerprint: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      simhash(hashAll(wordTokens(col(textCol))), bits).as("simhash"))
+      HashFunctions.simhash(col(textCol), bits).as("simhash"))
 
   /** SimHash near-duplicate pairs: candidates share at least one `bandBits`
     * sub-band, verified with exact hamming distance — computed during pair

@@ -103,5 +103,5 @@ object Multimodal {
       col("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       upper(substring(hex(col("payload")), 1, 8)).as("magic_hex"),
-      TextHash.polyHash(decode(col("payload"), "UTF-8")).as("checksum"))
+      graft.functions.HashFunctions.polyHash(decode(col("payload"), "UTF-8")).as("checksum"))
 }

@@ -100,10 +100,10 @@ object TextAnalysis {
     * building block). Returns (doc_id, content_hash, min_gram_hash,
     * max_gram_hash). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val gramHashes = hashAll(charShingles(col(textCol), k))
+    val gramHashes = graft.functions.HashFunctions.shingleHashes(col(textCol), k)
     docs.select(
       col(idCol).as("doc_id"),
-      polyHash(col(textCol)).as("content_hash"),
+      graft.functions.HashFunctions.polyHash(col(textCol)).as("content_hash"),
       array_min(gramHashes).as("min_gram_hash"),
       array_max(gramHashes).as("max_gram_hash"))
   }

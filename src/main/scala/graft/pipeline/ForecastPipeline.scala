@@ -41,6 +41,17 @@ object ForecastPipeline {
   def readThresholds(spark: SparkSession, path: String, cfg: FloodConfig): DataFrame =
     Normalize.roundKeys(spark.read.schema(Schemas.thresholds).parquet(path), cfg.precision)
 
+  /** Control-discharge reader: yesterday's 24 h (step-1) forecast as the
+    * per-cell control (reference: databricks/glofas-control-ETL.py:77-79,
+    * glofas-forecast-computation.py:185-191). The input is the
+    * control-member parquet the control ETL produces (single ensemble
+    * member, like the reference's `control.parquet`). Pass the result as
+    * [[run]]'s `controlForecast` instead of the step-1-median default. */
+  def readControl(spark: SparkSession, path: String, cfg: FloodConfig): DataFrame =
+    readForecast(spark, path, cfg)
+      .filter(col("step") === 1)
+      .select(col("latitude"), col("longitude"), col("dis24").cast("double").as("control_dis"))
+
   private def copartition(df: DataFrame, cfg: FloodConfig): DataFrame =
     if (cfg.joinPartitions > 0) df.repartition(cfg.joinPartitions, col("latitude"), col("longitude"))
     else df

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.TextHash
+import org.apache.spark.sql.functions._
+
+/** Pins the compiled StaticInvoke kernels to the HOF reference semantics
+  * (which are what the DuckDB oracle mirrors) over the REAL test corpus —
+  * any divergence here would silently break the correctness gate. */
+class HashFunctionsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def assertAllEqual(cmp: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = cmp.filter(not(col("ok"))).count()
+    assert(bad == 0, s"$bad documents diverge between kernel and HOF")
+  }
+
+  test("polyHash kernel == HOF polyHash on every document") {
+    assertAllEqual(docs.select(
+      (HashFunctions.polyHash(col("text")) === TextHash.polyHash(col("text"))).as("ok")))
+  }
+
+  test("shingleHashes kernel == distinct HOF shingle hashes (as sets) on every document") {
+    assertAllEqual(docs.select(
+      (array_sort(HashFunctions.shingleHashes(col("text"), 5)) ===
+        array_sort(array_distinct(TextHash.hashAll(TextHash.charShingles(col("text"), 5)))))
+        .as("ok")))
+  }
+
+  test("tokenHashes kernel == HOF token hashes (ordered, with multiplicity)") {
+    assertAllEqual(docs.select(
+      (HashFunctions.tokenHashes(col("text")) ===
+        TextHash.hashAll(TextHash.wordTokens(col("text")))).as("ok")))
+  }
+
+  test("ngramHashes kernel == distinct HOF word-3-gram hashes (as sets)") {
+    assertAllEqual(docs.select(
+      (array_sort(HashFunctions.ngramHashes(col("text"), 3)) ===
+        array_sort(array_distinct(TextHash.hashAll(
+          TextHash.wordNgrams(TextHash.wordTokens(col("text")), 3))))).as("ok")))
+  }
+
+  test("minhashSignature kernel == HOF signature over kernel hashes") {
+    assertAllEqual(docs.select(
+      (HashFunctions.minhashSignature(HashFunctions.shingleHashes(col("text"), 5), 64) ===
+        TextHash.minhashSignature(HashFunctions.shingleHashes(col("text"), 5), 64)).as("ok")))
+  }
+
+  test("simhash kernel == HOF simhash on every document") {
+    assertAllEqual(docs.select(
+      (HashFunctions.simhash(col("text"), 24) ===
+        TextHash.simhash(TextHash.hashAll(TextHash.wordTokens(col("text"))), 24)).as("ok")))
+  }
+}
