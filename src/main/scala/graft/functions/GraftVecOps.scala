@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Compiled kernels for embedding math ([[graft.llm.Similarity]]).
+  *
+  * Bit-compatibility contract: [[dot]] accumulates left-to-right in Double
+  * from a 0.0 seed — exactly the fold order of the HOF formulation
+  * (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`) and of the DuckDB oracle's
+  * `list_reduce`, so cosine values stay bit-identical across all three.
+  * [[hyperplaneBucket]] reproduces the deterministic integer hyperplanes
+  * `((j*1000003 + i*7919) % 2001) - 1000` (i 1-based) of
+  * `Similarity.hyperplaneBucket`. Equivalence is pinned by
+  * `VecFunctionsSpec` over the real embeddings table.
+  */
+object GraftVecOps {
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Sign-bit LSH bucket from `nPlanes` deterministic hyperplanes. */
+  def hyperplaneBucket(v: ArrayData, nPlanes: Int): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val plane = ((j * 1000003 + (i + 1) * 7919) % 2001 - 1000).toDouble
+        d += v.getDouble(i) * plane
+        i += 1
+      }
+      if (d >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}

@@ -56,4 +56,21 @@ object HashFunctions {
   /** Compiled `simhash(hashAll(wordTokens(s)), bits)`. */
   def simhash(s: Column, bits: Int): Column =
     invoke("simhash", LongType, Seq(e(s), Literal(bits)))
+
+  private def invokeVec(name: String, dataType: DataType, args: Seq[Expression]): Column =
+    ColumnBridge.column(StaticInvoke(
+      GraftVecOps.getClass,
+      dataType,
+      name,
+      args,
+      propagateNull = true,
+      returnNullable = false))
+
+  /** Compiled [[graft.llm.Similarity.dot]] (same fold order → same bits). */
+  def dot(a: Column, b: Column): Column =
+    invokeVec("dot", DoubleType, Seq(e(a), e(b)))
+
+  /** Compiled [[graft.llm.Similarity.hyperplaneBucket]]. */
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+    invokeVec("hyperplaneBucket", LongType, Seq(e(v), Literal(nPlanes)))
 }

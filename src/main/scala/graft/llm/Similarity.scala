@@ -67,6 +67,18 @@ object Similarity {
 
   /** Near-duplicate vector pairs: same LSH bucket AND exact cosine >=
     * `minCosine`. Returns (vec_a, vec_b, cosine), vec_a < vec_b. */
+  private def kdot(a: Column, b: Column): Column = graft.functions.HashFunctions.dot(a, b)
+
+  /** (id, v, norm, bucket) projection shared by the LSH paths. Uses the
+    * compiled kernels ([[graft.functions.GraftVecOps]]) — bit-identical to
+    * the HOF forms above, pinned by VecFunctionsSpec. */
+  private def withBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+    vectors.select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"),
+      sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"),
+      graft.functions.HashFunctions.hyperplaneBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
+
   def nearDupPairs(
       vectors: DataFrame,
       idCol: String,
@@ -75,18 +87,43 @@ object Similarity {
       nPlanes: Int = 6,
       minCosine: Double = 0.3): DataFrame = {
     // norm is computed once per vector, not once per pair (3x fewer folds)
-    val withBucket = vectors.select(
-      col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"),
-      sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"),
-      hyperplaneBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+    val withBucket = withBuckets(vectors, idCol, vecCol, nPlanes)
     val a = withBucket.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        (kdot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** Approximate cosine top-k, the ANN scale path: candidates are
+    * restricted to the query's LSH bucket (an equi-join on the bucket id —
+    * no corpus broadcast, no all-pairs), then ranked exactly. Recall is
+    * tunable via `nPlanes` (fewer planes → bigger buckets → higher recall,
+    * more compute); multiprobe (flipping low-confidence bits) is the
+    * standard next refinement. Returns (query_id, neighbor_id, cosine,
+    * rank). */
+  def lshTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    val all = withBuckets(vectors, idCol, vecCol, nPlanes)
+    val queries = all
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("vq"), col("norm").as("nq"))
+    val corpus = all.select(col("bucket"), col("vec_id").as("neighbor_id"), col("v").as("vn"), col("norm").as("nn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (kdot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Exact cosine top-k: for each query vector (ids in `queryIds`), the k
@@ -101,18 +138,18 @@ object Similarity {
     val corpus = vectors.select(
       col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("vn"),
-      sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nn"))
+      sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nn"))
     val queries = vectors
       .filter(col(idCol).isin(queryIds: _*))
       .select(
         col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("vq"),
-        sqrt(dot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nq"))
+        sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nq"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cosine"))
+        (kdot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -95,6 +95,16 @@ object LlmQueries {
   private val embCte: String =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** DuckDB mirror of [[graft.llm.Similarity.hyperplaneBucket]] over the
+    * double-list column `v` (dim 64). */
+  private def bucketSql(nPlanes: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${nPlanes - 1}), j ->
+       |      CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |          i -> v[i] * CAST(((j * 1000003 + i * 7919) % 2001) - 1000 AS DOUBLE)),
+       |          (x, y) -> x + y) >= 0
+       |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+       |      (x, y) -> x + y)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,6 +140,11 @@ object LlmQueries {
     "q_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         queryIds = 0L until 8L, k = 10)),
+
+    // approximate top-k restricted to the query's LSH bucket (scale path)
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        queryIds = 0L until 8L, k = 10, nPlanes = 4)),
 
     // per-document text statistics
     "q_text_stats" -> ((s, dir) =>
@@ -201,19 +216,31 @@ object LlmQueries {
     "q_dedup_embedding" ->
       s"""WITH $embCte,
          |b AS (
-         |  SELECT vec_id, v,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 5), j ->
-         |      CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-         |          i -> v[i] * CAST(((j * 1000003 + i * 7919) % 2001) - 1000 AS DOUBLE)),
-         |          (x, y) -> x + y) >= 0
-         |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
-         |      (x, y) -> x + y) AS bucket
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm,
+         |    ${bucketSql(6)} AS bucket
          |  FROM e)
          |SELECT vec_a, vec_b, cosine FROM (
          |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         |    ${cosineSql("a.v", "b2.v", 64)} AS cosine
+         |    (${dotSql("a.v", "b2.v", 64)} / (a.norm * b2.norm)) AS cosine
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH $embCte,
+         |b AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm,
+         |    ${bucketSql(4)} AS bucket
+         |  FROM e),
+         |q AS (SELECT bucket, vec_id AS query_id, v AS vq, norm AS nq FROM b WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    (${dotSql("q.vq", "c.v", 64)} / (q.nq * c.norm)) AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH $embCte,

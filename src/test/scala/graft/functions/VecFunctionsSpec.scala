@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Pins the compiled vector kernels to the HOF reference semantics over
+  * the REAL embeddings table — bit-exact, not approximate: the DuckDB
+  * oracle relies on identical fold order. */
+class VecFunctionsSpec extends SparkSpec {
+
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+
+  test("dot kernel is bit-identical to the HOF fold on every vector") {
+    val bad = embs.select(
+      (HashFunctions.dot(col("v"), col("v")) === Similarity.dot(col("v"), col("v"))).as("ok"))
+      .filter(not(col("ok"))).count()
+    assert(bad == 0)
+  }
+
+  test("hyperplaneBucket kernel equals the HOF bucket on every vector") {
+    val bad = embs.select(
+      (HashFunctions.hyperplaneBucket(col("v"), 6) ===
+        Similarity.hyperplaneBucket(col("v"), 64, 6)).as("ok"))
+      .filter(not(col("ok"))).count()
+    assert(bad == 0)
+  }
+
+  test("lshTopK returns a subset of brute-force candidates, exactly ranked per bucket") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = Similarity.lshTopK(raw, "vec_id", "embedding", Seq(0L, 1L), k = 5, nPlanes = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+    assert(lsh.nonEmpty)
+    // ranks are 1..n consecutive per query
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}
