@@ -27,6 +27,30 @@ object GraftVecOps {
     s
   }
 
+  /** Exact Jaccard of two long-array sets (inputs must be duplicate-free,
+    * as [[GraftHashOps.shingleHashes]]/`ngramHashes` guarantee). Computes
+    * the same `|A∩B| / (|A|+|B|-|A∩B|)` integer counts → double division
+    * as the `array_intersect`/`size` formulation and the DuckDB
+    * `list_intersect` mirror — identical values, one hash probe per
+    * element instead of materializing the intersection array. */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) {
+      set.add(small.getLong(i))
+      i += 1
+    }
+    var inter = 0
+    var j = 0
+    while (j < large.numElements()) {
+      if (set.contains(large.getLong(j))) inter += 1
+      j += 1
+    }
+    val union = a.numElements() + b.numElements() - inter
+    inter.toDouble / union
+  }
+
   /** Sign-bit LSH bucket from `nPlanes` deterministic hyperplanes. */
   def hyperplaneBucket(v: ArrayData, nPlanes: Int): Long = {
     val dim = v.numElements()

@@ -73,4 +73,8 @@ object HashFunctions {
   /** Compiled [[graft.llm.Similarity.hyperplaneBucket]]. */
   def hyperplaneBucket(v: Column, nPlanes: Int): Column =
     invokeVec("hyperplaneBucket", LongType, Seq(e(v), Literal(nPlanes)))
+
+  /** Compiled exact Jaccard over duplicate-free long-array sets. */
+  def jaccardLong(a: Column, b: Column): Column =
+    invokeVec("jaccardLong", DoubleType, Seq(e(a), e(b)))
 }

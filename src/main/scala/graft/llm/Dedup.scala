@@ -75,12 +75,11 @@ object Dedup {
       (x, y) => struct(x.as("doc_a"), y.as("doc_b")))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct() // a pair may collide in several bands; verify once
-    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
-    val union = size(col("hs_a")) + size(col("hs_b")) - inter
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), (inter.cast("double") / union).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        HashFunctions.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
