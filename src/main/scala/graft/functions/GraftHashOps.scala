@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -167,6 +169,49 @@ object GraftHashOps {
       b += 1
     }
     fp
+  }
+
+  private val BpeishPattern = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+
+  /** One-pass text statistics — value-identical to the expression
+    * formulation in [[graft.llm.TextAnalysis.stats]] (codepoint counts,
+    * Java-regex token/BPE-ish splits, int→double ratio divisions).
+    * Returns a struct row matching `HashFunctions.TextStatsType`. */
+  def textStats(s: UTF8String, stopwordsCsv: UTF8String): InternalRow = {
+    val str = s.toString
+    val nChars = str.codePointCount(0, str.length)
+    val ts = tokens(s)
+    val stop = stopwordsCsv.toString.split(",").toSet
+    val distinct = new java.util.HashSet[String](ts.length * 2)
+    var tokenChars = 0L
+    var stopCount = 0
+    var i = 0
+    while (i < ts.length) {
+      val w = ts(i)
+      distinct.add(w)
+      tokenChars += w.codePointCount(0, w.length)
+      if (stop.contains(w)) stopCount += 1
+      i += 1
+    }
+    var bpeish = 0
+    val m = BpeishPattern.matcher(str)
+    while (m.find()) bpeish += 1
+    var alpha = 0
+    var ci = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      if (cp >= 'a' && cp <= 'z') alpha += 1
+      ci += Character.charCount(cp)
+    }
+    new GenericInternalRow(Array[Any](
+      nChars,
+      ts.length,
+      distinct.size,
+      bpeish,
+      tokenChars,
+      distinct.size.toDouble / ts.length,
+      stopCount.toDouble / ts.length,
+      alpha.toDouble / nChars))
   }
 
   private def hashString(w: String): Long = {

@@ -77,4 +77,22 @@ object HashFunctions {
   /** Compiled exact Jaccard over duplicate-free long-array sets. */
   def jaccardLong(a: Column, b: Column): Column =
     invokeVec("jaccardLong", DoubleType, Seq(e(a), e(b)))
+
+  /** Output schema of [[GraftHashOps.textStats]]; field names become the
+    * column names when expanded with `inline`. */
+  val TextStatsType: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct_tokens", IntegerType, nullable = false),
+    StructField("n_bpeish_tokens", IntegerType, nullable = false),
+    StructField("token_chars", LongType, nullable = false),
+    StructField("distinct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("alpha_ratio", DoubleType, nullable = false)))
+
+  /** Compiled one-pass text statistics (see
+    * [[graft.llm.TextAnalysis.stats]]). */
+  def textStats(s: Column, stopwords: Seq[String]): Column =
+    invoke("textStats", TextStatsType,
+      Seq(e(s), Literal.create(stopwords.mkString(","), StringType)))
 }

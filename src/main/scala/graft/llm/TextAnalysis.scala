@@ -39,23 +39,18 @@ object TextAnalysis {
 
   /** Per-document statistics:
     * (doc_id, n_chars, n_tokens, n_distinct_tokens, n_bpeish_tokens,
-    *  token_chars, distinct_ratio, stopword_ratio, alpha_ratio). */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val tokens = wordTokens(t)
-    val nTokens = size(tokens)
+    *  token_chars, distinct_ratio, stopword_ratio, alpha_ratio).
+    *
+    * Backed by the compiled [[graft.functions.GraftHashOps.textStats]]
+    * kernel (one pass over the text), expanded through `inline` so the
+    * kernel runs once per row — a plain multi-column projection would
+    * re-invoke it per output column (CollapseProject re-inlines shared
+    * subexpressions). Value parity with the expression formulation is
+    * pinned by TextAnalysisSpec. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      length(t).as("n_chars"),
-      nTokens.as("n_tokens"),
-      size(array_distinct(tokens)).as("n_distinct_tokens"),
-      size(bpeishTokens(t)).as("n_bpeish_tokens"),
-      aggregate(tokens, lit(0L), (acc, x) => acc + length(x)).as("token_chars"),
-      (size(array_distinct(tokens)).cast("double") / nTokens).as("distinct_ratio"),
-      (countIn(tokens, Stopwords).cast("double") / nTokens).as("stopword_ratio"),
-      ((length(t) - length(regexp_replace(t, "[a-z]", ""))).cast("double") / length(t))
-        .as("alpha_ratio"))
-  }
+      inline(array(graft.functions.HashFunctions.textStats(col(textCol), Stopwords))))
 
   /** N-gram-heuristic language ID: score = marker-token hits per language,
     * prediction = argmax with fixed tie order (declaration order of

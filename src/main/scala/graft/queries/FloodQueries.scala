@@ -30,13 +30,17 @@ object FloodQueries {
   // ---------------------------------------------------------------- Spark side
 
   /** Exact-mode detailed forecast over the FloodShaped tables — the J1+P8+A1
-    * core (reference: flood/spark/transforms.py:112-150). */
+    * core (reference: flood/spark/transforms.py:112-150). Cached: it fans
+    * out into control/tendency/intensity/peak/summary queries, mirroring
+    * the reference's `.cache()` (glofas-forecast-computation.py:169);
+    * Spark's CacheManager matches the canonicalized plan, so every
+    * registry query in a Verify/Bench run shares one materialization. */
   private def detailed(s: SparkSession, dir: String): DataFrame =
     ThresholdPercentages(
       FloodShaped.forecast(s, dir),
       FloodShaped.thresholds(s, dir),
       cfg.thresholdYears,
-      ThresholdPercentages.Exact)
+      ThresholdPercentages.Exact).cache()
 
   /** Control slice: step-1 median as the control discharge
     * (reference: databricks/glofas-forecast-computation.py:180-182). */

@@ -47,6 +47,27 @@ class HashFunctionsSpec extends SparkSpec {
         TextHash.minhashSignature(HashFunctions.shingleHashes(col("text"), 5), 64)).as("ok")))
   }
 
+  test("textStats kernel == expression formulation on every document") {
+    import graft.llm.TextAnalysis.Stopwords
+    val t = col("text")
+    val tokens = TextHash.wordTokens(t)
+    val nTokens = size(tokens)
+    val expected = docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      nTokens.as("n_tokens"),
+      size(array_distinct(tokens)).as("n_distinct_tokens"),
+      size(graft.llm.TextAnalysis.bpeishTokens(t)).as("n_bpeish_tokens"),
+      aggregate(tokens, lit(0L), (acc, x) => acc + length(x)).as("token_chars"),
+      (size(array_distinct(tokens)).cast("double") / nTokens).as("distinct_ratio"),
+      (size(filter(tokens, w => w.isin(Stopwords: _*))).cast("double") / nTokens)
+        .as("stopword_ratio"),
+      ((length(t) - length(regexp_replace(t, "[a-z]", ""))).cast("double") / length(t))
+        .as("alpha_ratio"))
+    val got = graft.llm.TextAnalysis.stats(docs, "doc_id", "text")
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+  }
+
   test("simhash kernel == HOF simhash on every document") {
     assertAllEqual(docs.select(
       (HashFunctions.simhash(col("text"), 24) ===
