@@ -141,6 +141,51 @@ object Dedup {
         HashFunctions.ngramHashes(col(textCol), n).as("hs")),
       perms, nBands, rowsPerBand, minJaccard, maxBucket)
 
+  /** Connected components over a near-duplicate pair table: every document
+    * gets the minimum doc id reachable through pair edges as its
+    * `cluster_id` (singletons cluster with themselves). This is the step
+    * that turns pair detection into a dedup *decision* — keep one doc per
+    * cluster.
+    *
+    * Implementation is iterative min-label propagation: each round joins
+    * labels across edges and keeps the per-node minimum, until a round
+    * changes nothing. Rounds needed = graph diameter (near-dup clusters
+    * are shallow; large diameters indicate chained semi-dups and converge
+    * in O(log n) with this doubling-free form too). The driver-side loop
+    * is the standard shape for iterative graph algorithms on Spark (GraphX
+    * Pregel does the same); `localCheckpoint` cuts the growing lineage so
+    * plan size stays constant per round. The result (min id per component)
+    * is iteration-order independent, so the DuckDB oracle can compute it
+    * with a recursive-CTE transitive closure instead.
+    *
+    * @param docs  (doc_id) universe, including docs in no pair
+    * @param pairs (doc_a, doc_b) undirected near-dup edges
+    * @return (doc_id, cluster_id)
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .union(viaEdges)
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** Per-document SimHash fingerprint: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame =
     docs.select(

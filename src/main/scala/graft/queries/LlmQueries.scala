@@ -117,6 +117,14 @@ object LlmQueries {
       Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5)),
 
+    // near-dup clusters: connected components over the MinHash pairs
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.clusters(
+        docs.select(col("doc_id")),
+        Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5))
+    }),
+
     // SimHash fingerprints (per-doc 24-bit)
     "q_simhash_fingerprint" -> ((s, dir) =>
       Dedup.simhashFingerprints(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -187,6 +195,21 @@ object LlmQueries {
     "q_dedup_minhash" -> lshPairsSql(
       shinglesSql("text", 5),
       perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64),
+
+    // transitive closure over the same pair set; min reachable id = cluster
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs_q AS (
+         |${lshPairsSql(shinglesSql("text", 5),
+              perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs_q
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs_q),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
 
     "q_simhash_fingerprint" -> (simhashSql + " SELECT doc_id, simhash FROM sim"),
 
