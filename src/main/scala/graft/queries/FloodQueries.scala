@@ -40,7 +40,9 @@ object FloodQueries {
       FloodShaped.forecast(s, dir),
       FloodShaped.thresholds(s, dir),
       cfg.thresholdYears,
-      ThresholdPercentages.Exact).cache()
+      // single-buffer exact quantiles; bit-identical to Exact (pinned by
+      // FiveNumberSummarySpec), still matching DuckDB quantile_cont
+      ThresholdPercentages.ExactOnePass).cache()
 
   /** Control slice: step-1 median as the control discharge
     * (reference: databricks/glofas-forecast-computation.py:180-182). */

@@ -30,6 +30,12 @@ object ThresholdPercentages {
   case object Approx extends AccuracyMode
   case object Exact extends AccuracyMode
 
+  /** Exact quantiles from ONE aggregation buffer
+    * ([[graft.functions.FiveNumberSummary]]) instead of three independent
+    * `percentile` buffers + min + max — same values (type-7
+    * interpolation), a fifth of the aggregation state. */
+  case object ExactOnePass extends AccuracyMode
+
   def apply(
       forecast: DataFrame,
       thresholds: DataFrame,
@@ -46,20 +52,31 @@ object ThresholdPercentages {
 
     def quantile(q: Double): Column = mode match {
       case Approx => percentile_approx(col("dis24"), lit(q), lit(10000))
-      case Exact  => expr(s"percentile(dis24, $q)")
+      case Exact | ExactOnePass => expr(s"percentile(dis24, $q)")
     }
 
-    val aggs =
-      thresholdYears.map(n => mean(col(s"exceed_${n}y")).as(s"p_above_${n}y")) ++
-        Seq(
+    val pAboves = thresholdYears.map(n => mean(col(s"exceed_${n}y")).as(s"p_above_${n}y"))
+    val grouped = withIndicators
+      .groupBy(col("latitude"), col("longitude"), col("issued_on"), col("valid_for"), col("step"))
+
+    mode match {
+      case ExactOnePass =>
+        val aggs = pAboves :+ graft.functions.FiveNumberSummary(col("dis24")).as("fns")
+        grouped.agg(aggs.head, aggs.tail: _*)
+          .withColumn("min_dis", col("fns.min"))
+          .withColumn("Q1_dis", col("fns.q1"))
+          .withColumn("median_dis", col("fns.median"))
+          .withColumn("Q3_dis", col("fns.q3"))
+          .withColumn("max_dis", col("fns.max"))
+          .drop("fns")
+      case _ =>
+        val aggs = pAboves ++ Seq(
           min(col("dis24")).as("min_dis"),
           quantile(0.25).as("Q1_dis"),
           quantile(0.5).as("median_dis"),
           quantile(0.75).as("Q3_dis"),
           max(col("dis24")).as("max_dis"))
-
-    withIndicators
-      .groupBy(col("latitude"), col("longitude"), col("issued_on"), col("valid_for"), col("step"))
-      .agg(aggs.head, aggs.tail: _*)
+        grouped.agg(aggs.head, aggs.tail: _*)
+    }
   }
 }

@@ -1,0 +1,29 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.queries.FloodShaped
+import graft.transforms.ThresholdPercentages
+
+class FiveNumberSummarySpec extends SparkSpec {
+
+  test("ExactOnePass equals the three-percentile Exact mode on real flood-shaped data") {
+    val dir = "/root/testdata/sf0.001"
+    val f = FloodShaped.forecast(spark, dir)
+    val t = FloodShaped.thresholds(spark, dir)
+    val exact = ThresholdPercentages(f, t, mode = ThresholdPercentages.Exact)
+    val onePass = ThresholdPercentages(f, t, mode = ThresholdPercentages.ExactOnePass)
+    assert(exact.columns.toSeq == onePass.columns.toSeq)
+    assert(onePass.exceptAll(exact).isEmpty && exact.exceptAll(onePass).isEmpty)
+    assert(onePass.count() > 0)
+  }
+
+  test("five-number summary on a tiny hand-checked group") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+    val r = df.groupBy("k").agg(FiveNumberSummary(org.apache.spark.sql.functions.col("v")).as("s"))
+      .selectExpr("s.min", "s.q1", "s.median", "s.q3", "s.max").head()
+    // type-7 on [1,2,3,4]: q1 = 1.75, median = 2.5, q3 = 3.25
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.75 &&
+      r.getDouble(2) == 2.5 && r.getDouble(3) == 3.25 && r.getDouble(4) == 4.0)
+  }
+}
