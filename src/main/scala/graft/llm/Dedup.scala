@@ -162,9 +162,13 @@ object Dedup {
     * @param pairs (doc_a, doc_b) undirected near-dup edges
     * @return (doc_id, cluster_id)
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+    // checkpoint the edge table: the propagation loop joins it every
+    // round, and without the barrier each round would re-execute the
+    // upstream pair-detection pipeline (LSH, verification, ...)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     var round = 0
     var converged = false

@@ -56,14 +56,15 @@ object LlmQueries {
       nBands: Int,
       rowsPerBand: Int,
       minJaccard: Double,
-      maxBucket: Int): String = {
+      maxBucket: Int,
+      source: String = "documents"): String = {
     val bandFold = (0 until rowsPerBand)
       .map(r => s"sig[$rowsPerBand*b.band+${r + 1}]")
       .mkString("[", ", ", "]")
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform($elementsExpr, s -> ${polyHashSql("s", "ci")})) AS hs
-       |  FROM documents),
+       |  FROM $source),
        |sig AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, ${perms - 1}), j ->
@@ -165,6 +166,10 @@ object LlmQueries {
     // composite quality score + bucket
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // end-to-end curation: quality gate -> near-dup clusters -> keep/drop
+    "q_curate" -> ((s, dir) =>
+      Curation.curate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
     // content fingerprints (full-text hash + min/max 8-gram rolling hash)
     "q_text_fingerprint" -> ((s, dir) =>
@@ -297,32 +302,43 @@ object LlmQueries {
     "q_lang_id" -> langIdSql,
 
     "q_quality_score" ->
-      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(least(len(t), 50) AS DOUBLE) / CAST(50 AS DOUBLE) AS length_term,
-         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity_term,
-         |    CAST(len(list_filter(t, w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(", ")})))
-         |      AS DOUBLE) / len(t) AS stop_ratio,
-         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(t, w -> CAST(len(w) AS BIGINT))), (a, c) -> a + c))
-         |      / CAST(len(t) AS DOUBLE) AS mean_len
-         |  FROM tok),
-         |sc AS (
-         |  SELECT doc_id,
-         |    length_term * CAST(0.25 AS DOUBLE)
-         |      + diversity_term * CAST(0.25 AS DOUBLE)
-         |      + (CASE WHEN stop_ratio BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.5 AS DOUBLE)
-         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
-         |      + (CASE WHEN mean_len BETWEEN CAST(2.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
-         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
-         |      AS quality_score
-         |  FROM f)
+      s"""$qualityCte
          |SELECT doc_id, quality_score,
          |  CASE WHEN quality_score >= CAST(0.7 AS DOUBLE) THEN 'high'
          |       WHEN quality_score >= CAST(0.4 AS DOUBLE) THEN 'medium'
          |       ELSE 'low' END AS quality_bucket
          |FROM sc""".stripMargin,
+
+    "q_curate" -> {
+      val pairsSql = lshPairsSql(shinglesSql("text", 5),
+        perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64,
+        source = "passing")
+      s"""WITH RECURSIVE q AS ($qualityCte SELECT doc_id, quality_score FROM sc),
+         |passing AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE q.quality_score >= CAST(0.4 AS DOUBLE)),
+         |pairs_q AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs_q
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs_q),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM passing
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT d.doc_id, q.quality_score, c.cluster_id,
+         |  CASE WHEN q.quality_score < CAST(0.4 AS DOUBLE) THEN FALSE
+         |       WHEN d.doc_id = c.cluster_id THEN TRUE
+         |       ELSE FALSE END AS keep,
+         |  CASE WHEN q.quality_score < CAST(0.4 AS DOUBLE) THEN 'low_quality'
+         |       WHEN d.doc_id = c.cluster_id THEN 'kept'
+         |       ELSE 'near_duplicate' END AS reason
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN clusters c ON c.doc_id = d.doc_id""".stripMargin
+    },
 
     "q_text_fingerprint" ->
       s"""WITH g AS (
@@ -368,6 +384,31 @@ object LlmQueries {
          |  sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS value_micros
          |FROM g GROUP BY 1, 2""".stripMargin
   )
+
+  /** Quality-score CTE chain (tok → f → sc); mirror of
+    * [[graft.llm.TextAnalysis.qualityScore]]. End with `SELECT ... FROM sc`. */
+  private lazy val qualityCte: String =
+    s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(least(len(t), 50) AS DOUBLE) / CAST(50 AS DOUBLE) AS length_term,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity_term,
+       |    CAST(len(list_filter(t, w -> w IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(", ")})))
+       |      AS DOUBLE) / len(t) AS stop_ratio,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(t, w -> CAST(len(w) AS BIGINT))), (a, c) -> a + c))
+       |      / CAST(len(t) AS DOUBLE) AS mean_len
+       |  FROM tok),
+       |sc AS (
+       |  SELECT doc_id,
+       |    length_term * CAST(0.25 AS DOUBLE)
+       |      + diversity_term * CAST(0.25 AS DOUBLE)
+       |      + (CASE WHEN stop_ratio BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.5 AS DOUBLE)
+       |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+       |      + (CASE WHEN mean_len BETWEEN CAST(2.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+       |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+       |      AS quality_score
+       |  FROM f)""".stripMargin
 
   /** Shared simhash CTE (24-bit, word tokens). */
   private lazy val simhashSql: String =
