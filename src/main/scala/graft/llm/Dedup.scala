@@ -40,13 +40,21 @@ object Dedup {
   val MaxBucket = 64
 
   /** Exact duplicate groups: one row per distinct text with the surviving
-    * (minimum) id and the number of copies. Callers keep `keep_id`. */
+    * (minimum) id and the number of copies. Callers keep `keep_id`.
+    *
+    * Groups on `md5(text)`, the industry-standard content-hash dedup: the
+    * shuffle key is 32 bytes regardless of document size (grouping on the
+    * text itself would ship every document through the shuffle), identical
+    * on both engines (lowercase hex in Spark and DuckDB), and its 128-bit
+    * space makes accidental collisions negligible at any corpus size —
+    * unlike the 30-bit portable [[TextHash.polyHash]], which would need an
+    * in-group text-equality guard. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol), col(textCol), HashFunctions.polyHash(col(textCol)).as("text_hash"))
-      .groupBy(col("text_hash"), col(textCol)) // hash narrows the shuffle; text guards collisions
+      .select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("text_hash"), col("n_copies"))
+      .select(col("keep_id"), col("text_md5"), col("n_copies"))
 
   /** Shared LSH skeleton: `sh` must be (doc_id, hs: array<long>) with hs
     * the distinct element-hash set. Signature → band digests → bucket

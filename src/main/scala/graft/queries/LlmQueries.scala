@@ -193,9 +193,9 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
-      s"""SELECT min(doc_id) AS keep_id, text_hash, count(*) AS n_copies
-         |FROM (SELECT doc_id, text, ${polyHashSql("text")} AS text_hash FROM documents)
-         |GROUP BY text_hash, text""".stripMargin,
+      s"""SELECT min(doc_id) AS keep_id, md5(text) AS text_md5, count(*) AS n_copies
+         |FROM documents
+         |GROUP BY md5(text)""".stripMargin,
 
     "q_dedup_minhash" -> lshPairsSql(
       shinglesSql("text", 5),
