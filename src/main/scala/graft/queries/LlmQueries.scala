@@ -180,6 +180,14 @@ object LlmQueries {
       Multimodal.metadata(
         Multimodal.payloadsFromText(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))),
 
+    // strided binary frame sampling (frames compared as hex: the oracle
+    // cannot slice blobs, and hex equality is byte equality)
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.payloadsFromText(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+        .select(col("doc_id"), col("frame_idx"),
+          upper(hex(col("frame"))).as("frame_hex"))),
+
     // tumbling-window event aggregation
     "q_events_window" -> ((s, dir) =>
       Events.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
@@ -357,6 +365,17 @@ object LlmQueries {
          |  upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
          |  ${polyHashSql("text")} AS checksum
          |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, (octet_length(payload) - 1) // 1024)) AS frame_idx,
+         |    payload
+         |  FROM p)
+         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  upper(substr(hex(payload), CAST(frame_idx AS INTEGER) * 2048 + 1, 512)) AS frame_hex
+         |FROM f""".stripMargin,
 
     "q_events_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

@@ -51,6 +51,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming exact dedup emits one row per distinct text (== batch distinct)") {
+    val dir = Files.createTempDirectory("docs-stream")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    runAvailableNow(
+      CorpusStream.streamingExactDedup(CorpusStream.readDocuments(spark, dir.toString)),
+      "dedup")
+    val streamed = spark.table("dedup")
+    val batchDistinct = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct().count()
+    assert(streamed.count() == batchDistinct)
+    assert(streamed.select("text_md5").distinct().count() == batchDistinct)
+  }
+
   test("streaming sessionize emits exactly the batch sessions minus each user's open one") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     runAvailableNow(
