@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** SQL surface for the compiled kernels: `graft_*` functions usable from
+  * `spark.sql(...)` / `expr(...)`.
+  *
+  * Two registration paths:
+  *  - cluster deployment: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (constructor injection, the canonical `SparkSessionExtensions` hook);
+  *  - existing session: `GraftExtensions.register(spark)` (runtime
+  *    FunctionRegistry registration — e.g. notebooks, tests).
+  *
+  * Each builder validates its fixed-arity arguments and delegates to the
+  * same `StaticInvoke` expressions as [[HashFunctions]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+
+  private def invoke(obj: Class[_], name: String, dt: DataType, args: Seq[Expression]): Expression =
+    StaticInvoke(obj, dt, name, args, propagateNull = true, returnNullable = false)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  /** (name, info, builder) triples for every exposed function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_poly_hash",
+      info("graft_poly_hash", "portable polynomial hash (base 31 mod 1e9+7) of a string"),
+      (args: Seq[Expression]) => {
+        arity("graft_poly_hash", 1, args)
+        invoke(GraftHashOps.getClass, "polyHash", LongType, args)
+      }),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes", "distinct char-k-gram hashes of a string: (text, k)"),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2, args)
+        invoke(GraftHashOps.getClass, "shingleHashes", longArray, args)
+      }),
+    ("graft_token_hashes",
+      info("graft_token_hashes", "whitespace-token hashes of a string, with multiplicity"),
+      (args: Seq[Expression]) => {
+        arity("graft_token_hashes", 1, args)
+        invoke(GraftHashOps.getClass, "tokenHashes", longArray, args)
+      }),
+    ("graft_minhash",
+      info("graft_minhash", "minhash signature of a hash array: (hashes, perms)"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash", 2, args)
+        invoke(GraftHashOps.getClass, "minhashSig", longArray, args)
+      }),
+    ("graft_simhash",
+      info("graft_simhash", "simhash fingerprint of a string: (text, bits)"),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash", 2, args)
+        invoke(GraftHashOps.getClass, "simhash", LongType, args)
+      }),
+    ("graft_dot",
+      info("graft_dot", "sequential-fold dot product of two double arrays"),
+      (args: Seq[Expression]) => {
+        arity("graft_dot", 2, args)
+        invoke(GraftVecOps.getClass, "dot", DoubleType, args)
+      }),
+    ("graft_jaccard",
+      info("graft_jaccard", "exact Jaccard of two duplicate-free long-array sets"),
+      (args: Seq[Expression]) => {
+        arity("graft_jaccard", 2, args)
+        invoke(GraftVecOps.getClass, "jaccardLong", DoubleType, args)
+      }),
+    ("graft_hyperplane_bucket",
+      info("graft_hyperplane_bucket", "sign-bit LSH bucket of a double array: (vec, planes)"),
+      (args: Seq[Expression]) => {
+        arity("graft_hyperplane_bucket", 2, args)
+        invoke(GraftVecOps.getClass, "hyperplaneBucket", LongType, args)
+      }))
+
+  /** Register on an already-built session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -178,6 +178,12 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    // convergence via the label-sum invariant: a node's label only ever
+    // decreases under min propagation, so the sum strictly decreases until
+    // the fixpoint — one tiny aggregate per round instead of a diff join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).head.getLong(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -189,9 +195,9 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       round += 1
     }
