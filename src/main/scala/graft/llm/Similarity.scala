@@ -110,11 +110,19 @@ object Similarity {
       vecCol: String,
       queryIds: Seq[Long],
       k: Int,
-      nPlanes: Int = 4): DataFrame = {
+      nPlanes: Int = 4,
+      multiprobe: Int = 0): DataFrame = {
     val all = withBuckets(vectors, idCol, vecCol, nPlanes)
+    // multiprobe: also search the buckets at hamming distance 1 from the
+    // query's bucket (flip each of the first `multiprobe` sign bits) — the
+    // standard recall/compute dial for sign-LSH, still an equi-join
+    val probes: Column =
+      array((col("bucket") +: (0 until multiprobe).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
     val queries = all
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("vq"), col("norm").as("nq"))
+      .select(explode(probes).as("bucket"),
+        col("vec_id").as("query_id"), col("v").as("vq"), col("norm").as("nq"))
     val corpus = all.select(col("bucket"), col("vec_id").as("neighbor_id"), col("v").as("vn"), col("norm").as("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus

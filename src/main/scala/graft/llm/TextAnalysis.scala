@@ -90,6 +90,27 @@ object TextAnalysis {
       when(score >= 0.7, "high").when(score >= 0.4, "medium").otherwise("low").as("quality_bucket"))
   }
 
+  /** Corpus vocabulary statistics: per token, total occurrences (`tf`) and
+    * document frequency (`df`), top `limit` by tf (ties by token). The
+    * input to tokenizer training and IDF weighting; emits raw integer
+    * counts — downstream weights (log-IDF etc.) are a trivial projection,
+    * and keeping the oracle-compared surface integer-only avoids
+    * cross-engine `ln` last-ulp hazards.
+    *
+    * One explode + one shuffle on the token (partial aggregation combines
+    * map-side); the final top-k is a WindowGroupLimit over a single
+    * ordering. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, limit: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token").asc)
+    docs
+      .select(col(idCol).as("doc_id"), explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+  }
+
   /** Content fingerprints: full-text polynomial hash plus min/max 8-gram
     * rolling hashes (a 1-permutation MinHash sketch — the winnowing
     * building block). Returns (doc_id, content_hash, min_gram_hash,

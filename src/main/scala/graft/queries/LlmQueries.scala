@@ -155,6 +155,15 @@ object LlmQueries {
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         queryIds = 0L until 8L, k = 10, nPlanes = 4)),
 
+    // multiprobe variant: also search hamming-1 buckets (recall dial)
+    "q_ann_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        queryIds = 0L until 8L, k = 10, nPlanes = 4, multiprobe = 2)),
+
+    // corpus vocabulary: token tf/df, top 100 (tokenizer-training input)
+    "q_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // per-document text statistics
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -290,6 +299,36 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_ann_multiprobe" ->
+      s"""WITH $embCte,
+         |b AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm,
+         |    ${bucketSql(4)} AS bucket
+         |  FROM e),
+         |q AS (
+         |  SELECT p.probe AS bucket, vec_id AS query_id, v AS vq, norm AS nq
+         |  FROM b, unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS p(probe)
+         |  WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    (${dotSql("q.vq", "c.v", 64)} / (q.nq * c.norm)) AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_vocabulary" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |agg AS (
+         |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS INTEGER) AS rank
+         |  FROM agg)
+         |SELECT token, tf, df, rank FROM r WHERE rank <= 100""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH tok AS (SELECT doc_id, text, $tokensSql AS t FROM documents)

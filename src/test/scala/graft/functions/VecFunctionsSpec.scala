@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * the REAL embeddings table — bit-exact, not approximate: the DuckDB
   * oracle relies on identical fold order. */
 class VecFunctionsSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
@@ -25,6 +26,22 @@ class VecFunctionsSpec extends SparkSpec {
         Similarity.hyperplaneBucket(col("v"), 64, 6)).as("ok"))
       .filter(not(col("ok"))).count()
     assert(bad == 0)
+  }
+
+  test("multiprobe lshTopK candidate set contains the single-probe set per query") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // k beyond any candidate count: inclusion holds for candidate SETS;
+    // a smaller k legitimately drops low-cosine single-probe candidates
+    // once multiprobe widens the pool
+    def pairs(mp: Int) =
+      Similarity.lshTopK(raw, "vec_id", "embedding", Seq(0L, 1L, 2L), k = 10000, nPlanes = 4,
+        multiprobe = mp)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val single = pairs(0)
+    val multi = pairs(2)
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
   }
 
   test("lshTopK returns a subset of brute-force candidates, exactly ranked per bucket") {

@@ -46,6 +46,13 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary counts tf with multiplicity and df per document") {
+    val d = docs(1L -> "a b a", 2L -> "a c")
+    val got = TextAnalysis.vocabulary(d, "doc_id", "text")
+      .select("token", "tf", "df", "rank").as[(String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(("a", 3L, 2L, 1), ("b", 1L, 1L, 2), ("c", 1L, 1L, 3)))
+  }
+
   test("fingerprints: content hash differs on different text, equals on same") {
     val got = TextAnalysis.fingerprints(
       docs(1L -> "aaaa bbbb cccc", 2L -> "aaaa bbbb cccc", 3L -> "dddd eeee ffff"),
