@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.ColumnBridge
@@ -40,6 +41,12 @@ case class FiveNumberSummary(
   override def nullable: Boolean = true
   override def dataType: DataType = FiveNumberSummary.OutputType
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"five_number_summary requires a numeric argument, got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): ArrayBuffer[Double] = ArrayBuffer.empty[Double]
 
   override def update(buf: ArrayBuffer[Double], input: InternalRow): ArrayBuffer[Double] = {
@@ -47,6 +54,7 @@ case class FiveNumberSummary(
     if (v != null) buf += (v match {
       case d: Double => d
       case f: Float => f.toDouble
+      case d: Decimal => d.toDouble // Decimal is not a java.lang.Number
       case n: Number => n.doubleValue()
     })
     buf

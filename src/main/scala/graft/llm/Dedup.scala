@@ -9,10 +9,11 @@ import TextHash._
   *
   * Four families, each shaped for a 1000-executor / 100 TB run:
   *
-  *  - [[exact]]: hash-groupBy. One shuffle on a 64-bit content hash (never
-  *    on the full text — shuffling multi-KB keys is the classic mistake at
-  *    scale); full-text equality is re-checked inside each hash group, so a
-  *    Prime-modulus collision cannot merge distinct documents.
+  *  - [[exact]]: hash-groupBy on `md5(text)`. One shuffle on a 32-byte
+  *    content hash (never on the full text — shuffling multi-KB keys is
+  *    the classic mistake at scale); the 128-bit space makes accidental
+  *    collisions negligible at any corpus size, so no in-group equality
+  *    guard is needed.
   *  - [[minhashPairs]]: MinHash + banded LSH over character shingles.
   *  - [[ngramJaccardPairs]]: the same LSH skeleton over word n-grams.
   *  - [[simhashFingerprints]] / [[simhashPairs]]: 24-bit SimHash; pair
@@ -180,9 +181,15 @@ object Dedup {
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     // convergence via the label-sum invariant: a node's label only ever
     // decreases under min propagation, so the sum strictly decreases until
-    // the fixpoint — one tiny aggregate per round instead of a diff join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("cluster_id")).head.getLong(0)
+    // the fixpoint — one tiny aggregate per round instead of a diff join.
+    // Summed as decimal(38,0) so the invariant cannot wrap on Long ids;
+    // sum over zero rows is SQL NULL → 0 (an empty universe is already
+    // converged).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
+        .getAs[java.math.BigDecimal](0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
@@ -196,7 +203,7 @@ object Dedup {
         .agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       round += 1

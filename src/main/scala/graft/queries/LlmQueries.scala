@@ -420,7 +420,7 @@ object LlmQueries {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
          |  count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,
-         |  sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS value_micros,
+         |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS value_micros,
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1, 2""".stripMargin,
@@ -439,7 +439,7 @@ object LlmQueries {
          |  FROM f)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-         |  sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS value_micros
+         |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS value_micros
          |FROM g GROUP BY 1, 2""".stripMargin
   )
 

@@ -16,12 +16,25 @@ import org.apache.spark.sql.functions._
   * `rand()`): retried tasks must salt identically or shuffle retries
   * produce wrong results — nondeterministic expressions force Spark to
   * recompute whole stages on retry.
+  *
+  * Limitation of content-derived salts: when a hot key's rows are *exact
+  * duplicates* (the degenerate-skew case) every copy hashes to the same
+  * salt and nothing spreads. There is no deterministic, retry-safe way to
+  * distinguish identical rows without a pre-existing disambiguator — so if
+  * rows may be full duplicates, pass an explicit `saltCols` carrying one
+  * (a source row id, file offset, `input_file_name()`-derived column, ...)
+  * rather than relying on the non-key-column default.
   */
 object Skew {
 
   /** Deterministic salt in [0, saltFactor) from the given columns. */
-  def saltFrom(saltFactor: Int, cols: Column*): Column =
+  def saltFrom(saltFactor: Int, cols: Column*): Column = {
+    require(cols.nonEmpty,
+      "salt needs at least one input column: with zero inputs xxhash64 is a " +
+        "constant and every row lands on one reducer (pass saltCols explicitly " +
+        "when the key covers all columns)")
     pmod(xxhash64(cols: _*), lit(saltFactor.toLong)).cast("int")
+  }
 
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (keys + salt), final aggregate on keys. `partial` and `merge` must
@@ -38,9 +51,12 @@ object Skew {
       keys: Seq[String],
       saltFactor: Int,
       partial: Column,
-      merge: Column): DataFrame = {
-    val salted = df.withColumn(
-      "__salt", saltFrom(saltFactor, df.columns.filterNot(keys.contains).map(col).toSeq: _*))
+      merge: Column,
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    val saltInputs =
+      if (saltCols.nonEmpty) saltCols
+      else df.columns.filterNot(keys.contains).map(col).toSeq
+    val salted = df.withColumn("__salt", saltFrom(saltFactor, saltInputs: _*))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial)
@@ -57,11 +73,14 @@ object Skew {
       replicated: DataFrame,
       keys: Seq[String],
       saltFactor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltCols: Seq[Column] = Nil): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"salted join supports inner/left, got $joinType")
-    val saltedLarge = skewed.withColumn(
-      "__salt", saltFrom(saltFactor, skewed.columns.filterNot(keys.contains).map(col).toSeq: _*))
+    val saltInputs =
+      if (saltCols.nonEmpty) saltCols
+      else skewed.columns.filterNot(keys.contains).map(col).toSeq
+    val saltedLarge = skewed.withColumn("__salt", saltFrom(saltFactor, saltInputs: _*))
     val replicatedSalted = replicated.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLarge
