@@ -51,6 +51,20 @@ object GraftVecOps {
     inter.toDouble / union
   }
 
+  /** Number of positions where two equal-length long arrays agree — the
+    * MinHash estimate of Jaccard is `sigAgreement(sigA, sigB) / perms`.
+    * Integer-valued, so thresholds compare exactly on every engine. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
   /** Sign-bit LSH bucket from `nPlanes` deterministic hyperplanes. */
   def hyperplaneBucket(v: ArrayData, nPlanes: Int): Long = {
     val dim = v.numElements()

@@ -78,6 +78,11 @@ object HashFunctions {
   def jaccardLong(a: Column, b: Column): Column =
     invokeVec("jaccardLong", DoubleType, Seq(e(a), e(b)))
 
+  /** Compiled count of agreeing positions of two equal-length signatures
+    * (MinHash Jaccard estimator numerator). */
+  def sigAgreement(a: Column, b: Column): Column =
+    invokeVec("sigAgreement", IntegerType, Seq(e(a), e(b)))
+
   /** Output schema of [[GraftHashOps.textStats]]; field names become the
     * column names when expanded with `inline`. */
   val TextStatsType: StructType = StructType(Seq(

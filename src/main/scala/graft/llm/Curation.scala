@@ -25,15 +25,20 @@ object Curation {
       textCol: String,
       minQuality: Double = 0.4,
       minJaccard: Double = 0.5): DataFrame = {
-    val withQ = docs
+    // Materialize only (doc_id, quality_score) — two narrow columns —
+    // instead of re-running the tokenizing quality scorer for each of its
+    // three consumers (gate, cluster universe, final verdict join). The
+    // full text is never checkpointed; it is re-scanned exactly once, by
+    // the pair-detection input join below.
+    val scores = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select("doc_id", "quality_score").localCheckpoint()
+    val passingIds = scores.filter(col("quality_score") >= minQuality)
+    val passing = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(
-        TextAnalysis.qualityScore(docs, idCol, textCol).select("doc_id", "quality_score"),
-        Seq("doc_id"))
-    val passing = withQ.filter(col("quality_score") >= minQuality)
+      .join(passingIds.select("doc_id"), Seq("doc_id"))
     val pairs = Dedup.minhashPairs(passing, "doc_id", "text", minJaccard = minJaccard)
-    val clustered = Dedup.clusters(passing.select("doc_id"), pairs)
-    withQ
+    val clustered = Dedup.clusters(passingIds.select("doc_id"), pairs)
+    scores
       .join(clustered, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -27,9 +27,11 @@ import TextHash._
   * shuffle it twice. Buckets above [[MaxBucket]] are dropped: an LSH
   * bucket that large is a degenerate duplicate *cluster* (the classic LSH
   * skew hazard at scale) that exact dedup already collapses; pair-wise
-  * expansion of it is O(n²) noise. Verification joins carry hashed shingle
-  * sets (`array<long>`), not strings — the arrays are ~8x smaller on the
-  * wire and `array_intersect` compares longs, not strings.
+  * expansion of it is O(n²) noise. Verification is two-stage: candidates
+  * are first screened by the MinHash Jaccard estimate (an integer
+  * agreement count over the 8*perms-byte signatures), and only survivors
+  * pay the exact-Jaccard join that ships the full hashed element sets
+  * (`array<long>`, still ~8x smaller on the wire than the strings).
   *
   * All arithmetic is SQL-portable (see [[TextHash]]) so every operator —
   * including the bucket cap and pair expansion — is oracle-checked
@@ -61,21 +63,26 @@ object Dedup {
     * the distinct element-hash set. Signature → band digests → bucket
     * groupBy → in-bucket pair expansion → exact-Jaccard verify on hs. */
   private def lshVerifiedPairs(
-      sh: DataFrame,
+      shRaw: DataFrame,
       perms: Int,
       nBands: Int,
       rowsPerBand: Int,
       minJaccard: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      estSlack: Double): DataFrame = {
     require(nBands * rowsPerBand == perms, "perms must equal nBands * rowsPerBand")
+    // The (doc_id, hs, sig) relation feeds four plan subtrees — banding
+    // plus both sides of the estimate and verification joins — and Spark
+    // re-executes a subtree per occurrence. Shingle-hashing the corpus is
+    // the most expensive CPU stage of the operator, so materialize it once
+    // (hs arrays are ~the text's size; a corpus-copy spill beats a 4x
+    // recompute + 3x extra source scan at any scale). The signature rides
+    // along: 8*perms bytes per doc, computed exactly once.
+    val sh = shRaw
+      .withColumn("sig", HashFunctions.minhashSignature(col("hs"), perms))
+      .localCheckpoint()
     val banded = sh
-      .select(
-        col("doc_id"),
-        // bindOnce: the signature is evaluated once per row, not once per
-        // band digest (CollapseProject would re-inline it nBands times)
-        explode(bindOnce(
-          HashFunctions.minhashSignature(col("hs"), perms),
-          sig => bandDigests(sig, nBands, rowsPerBand))).as("bd"))
+      .select(col("doc_id"), explode(bandDigests(col("sig"), nBands, rowsPerBand)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
     val pairs = bucketPairs(
       banded.groupBy(col("band"), col("band_hash"))
@@ -84,7 +91,24 @@ object Dedup {
       (x, y) => struct(x.as("doc_a"), y.as("doc_b")))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct() // a pair may collide in several bands; verify once
-    pairs
+    // Two-stage verification. Band collision is a weak filter (every pair
+    // sharing ONE band survives — on a homogeneous corpus that is nearly
+    // all pairs), so first screen candidates with the MinHash estimate the
+    // signatures already encode: ship 8*perms bytes per side and compare
+    // an integer agreement count. Only survivors pay the exact-Jaccard
+    // join, which ships the full hashed shingle sets (~the document size).
+    // `minAgree` rounds the slacked threshold to the estimator's actual
+    // granularity (agreement is k/perms), keeping the cut engine-exact;
+    // estSlack trades recall for verify cost (at perms=64 the estimator's
+    // sd is ~0.06 near j=0.5, so the default 0.15 is ~2.5 sd — a pair at
+    // the decision boundary is overwhelmingly likely to survive).
+    val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
+    val screened = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .filter(HashFunctions.sigAgreement(col("sig_a"), col("sig_b")) >= minAgree)
+      .select(col("doc_a"), col("doc_b"))
+    screened
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -109,6 +133,8 @@ object Dedup {
     * @param nBands       LSH bands; collision threshold ~ (1/nBands)^(1/rows)
     * @param rowsPerBand  signature rows folded per band
     * @param minJaccard   exact shingle-set Jaccard a candidate must meet
+    * @param estSlack     signature-estimate screening margin below
+    *                     minJaccard (see [[lshVerifiedPairs]])
     * @return (doc_a, doc_b, jaccard), doc_a < doc_b
     */
   def minhashPairs(
@@ -120,12 +146,13 @@ object Dedup {
       nBands: Int = 16,
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.5,
-      maxBucket: Int = MaxBucket): DataFrame =
+      maxBucket: Int = MaxBucket,
+      estSlack: Double = 0.15): DataFrame =
     lshVerifiedPairs(
       docs.select(
         col(idCol).as("doc_id"),
         HashFunctions.shingleHashes(col(textCol), shingleK).as("hs")),
-      perms, nBands, rowsPerBand, minJaccard, maxBucket)
+      perms, nBands, rowsPerBand, minJaccard, maxBucket, estSlack)
 
   /** Word n-gram Jaccard near-duplicate pairs. Candidates come from the
     * same MinHash-LSH skeleton (2-row bands: collision threshold
@@ -143,12 +170,13 @@ object Dedup {
       nBands: Int = 32,
       rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
-      maxBucket: Int = MaxBucket): DataFrame =
+      maxBucket: Int = MaxBucket,
+      estSlack: Double = 0.15): DataFrame =
     lshVerifiedPairs(
       docs.select(
         col(idCol).as("doc_id"),
         HashFunctions.ngramHashes(col(textCol), n).as("hs")),
-      perms, nBands, rowsPerBand, minJaccard, maxBucket)
+      perms, nBands, rowsPerBand, minJaccard, maxBucket, estSlack)
 
   /** Connected components over a near-duplicate pair table: every document
     * gets the minimum doc id reachable through pair edges as its

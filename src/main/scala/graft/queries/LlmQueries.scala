@@ -57,10 +57,13 @@ object LlmQueries {
       rowsPerBand: Int,
       minJaccard: Double,
       maxBucket: Int,
+      estSlack: Double = 0.15,
       source: String = "documents"): String = {
     val bandFold = (0 until rowsPerBand)
       .map(r => s"sig[$rowsPerBand*b.band+${r + 1}]")
       .mkString("[", ", ", "]")
+    // mirror of Dedup.lshVerifiedPairs' integer screening threshold
+    val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform($elementsExpr, s -> ${polyHashSql("s", "ci")})) AS hs
@@ -81,12 +84,18 @@ object LlmQueries {
        |  SELECT DISTINCT p[1] AS doc_a, p[2] AS doc_b FROM (
        |    SELECT unnest(flatten(list_transform(ids, x ->
        |      list_transform(list_filter(ids, y -> y > x), y -> [x, y])))) AS p
-       |    FROM buckets WHERE len(ids) BETWEEN 2 AND $maxBucket))
+       |    FROM buckets WHERE len(ids) BETWEEN 2 AND $maxBucket)),
+       |screened AS (
+       |  SELECT c.doc_a, c.doc_b FROM pairs c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |  WHERE len(list_filter(generate_series(1, $perms), i -> sa.sig[i] = sb.sig[i]))
+       |    >= $minAgree)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT c.doc_a, c.doc_b,
        |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
        |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
-       |  FROM pairs c
+       |  FROM screened c
        |  JOIN sh x ON x.doc_id = c.doc_a
        |  JOIN sh y ON y.doc_id = c.doc_b)
        |WHERE jaccard >= CAST($minJaccard AS DOUBLE)""".stripMargin

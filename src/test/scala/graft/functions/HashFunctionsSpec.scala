@@ -68,6 +68,21 @@ class HashFunctionsSpec extends SparkSpec {
     assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
   }
 
+  test("sigAgreement kernel == zip_with equality count between signature pairs") {
+    // compare each doc's signature against a shifted variant (different
+    // perm family) so agreement is neither 0 nor perms everywhere
+    val sigA = HashFunctions.minhashSignature(HashFunctions.shingleHashes(col("text"), 5), 64)
+    val sigB = HashFunctions.minhashSignature(HashFunctions.shingleHashes(col("text"), 4), 64)
+    assertAllEqual(docs.select(
+      (HashFunctions.sigAgreement(sigA, sigB) ===
+        size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))).as("ok")))
+  }
+
+  test("sigAgreement of a signature with itself is perms") {
+    val sig = HashFunctions.minhashSignature(HashFunctions.shingleHashes(col("text"), 5), 64)
+    assertAllEqual(docs.select((HashFunctions.sigAgreement(sig, sig) === 64).as("ok")))
+  }
+
   test("simhash kernel == HOF simhash on every document") {
     assertAllEqual(docs.select(
       (HashFunctions.simhash(col("text"), 24) ===
