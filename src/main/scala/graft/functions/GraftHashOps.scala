@@ -214,6 +214,43 @@ object GraftHashOps {
       alpha.toDouble / nChars))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): the distinct
+    * minima of every `w`-wide sliding window over the POSITIONAL k-gram
+    * rolling hashes (not the distinct shingle set — winnowing is
+    * position-sensitive), ascending. The value set is invariant to
+    * in-window tie-breaking, so the set form is engine-portable; the
+    * sliding minimum runs in O(n) via a monotonic deque. Documents
+    * shorter than k+w-1 chars have no full window → empty. */
+  def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cp = codePoints(s)
+    val m = cp.length - k + 1
+    if (m < w) return new GenericArrayData(Array.emptyLongArray)
+    val g = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      g(i) = foldRange(cp, i, i + k, Seed)
+      i += 1
+    }
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    var j = 0
+    while (j < m) {
+      while (!deque.isEmpty && g(deque.peekLast()) >= g(j)) deque.pollLast()
+      deque.addLast(j)
+      if (deque.peekFirst() <= j - w) deque.pollFirst()
+      if (j >= w - 1) seen.add(g(deque.peekFirst()))
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = it.next()
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def hashString(w: String): Long = {
     var acc = Seed
     var c = 0

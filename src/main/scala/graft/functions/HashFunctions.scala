@@ -57,6 +57,11 @@ object HashFunctions {
   def simhash(s: Column, bits: Int): Column =
     invoke("simhash", LongType, Seq(e(s), Literal(bits)))
 
+  /** Compiled winnowing fingerprints (distinct sliding-window minima of
+    * positional k-gram hashes, ascending). */
+  def winnowHashes(s: Column, k: Int, w: Int): Column =
+    invoke("winnowHashes", longArray, Seq(e(s), Literal(k), Literal(w)))
+
   private def invokeVec(name: String, dataType: DataType, args: Seq[Expression]): Column =
     ColumnBridge.column(StaticInvoke(
       GraftVecOps.getClass,

@@ -134,6 +134,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k, the centroid-partitioned scale path.
+    *
+    * The corpus is assigned to `nCentroids` cells by nearest centroid
+    * (cosine, ties to the lower centroid id); each query searches only its
+    * `nProbes` nearest cells. Assignment is one broadcast of the
+    * dimension-sized centroid set against the unshuffled corpus scan; the
+    * search is an equi-join on the cell id — the same
+    * shuffle-on-a-small-key shape as [[lshTopK]], but with data-adaptive
+    * cells (centroids sit where the vectors are, unlike fixed hyperplane
+    * signs) and a recall dial (`nProbes`) that scans a predictable
+    * fraction of the corpus.
+    *
+    * Centroids are picked deterministically (the `nCentroids` lowest ids)
+    * so the operator is oracle-checkable end to end; a production run
+    * would feed k-means centroids in the same shape — the dataflow is
+    * identical, only the centroid table changes.
+    * Returns (query_id, neighbor_id, cosine, rank). */
+  def ivfTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbes: Int = 4): DataFrame = {
+    val base = vectors.select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"),
+      sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"))
+    val centroids = base
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vc"), col("norm").as("nc"))
+    val scoredCells = base.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
+        (kdot(col("v"), col("vc")) / (col("norm") * col("nc"))).as("c_cos"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val assigned = scoredCells
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id").as("cell"),
+        col("vec_id").as("neighbor_id"), col("v").as("vn"), col("norm").as("nn"))
+    val probes = scoredCells
+      .filter(col("vec_id").isin(queryIds: _*))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nProbes)
+      .select(col("centroid_id").as("cell"),
+        col("vec_id").as("query_id"), col("v").as("vq"), col("norm").as("nq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (kdot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k: for each query vector (ids in `queryIds`), the k
     * nearest corpus vectors (self excluded), ties broken by neighbor id.
     * Returns (query_id, neighbor_id, cosine, rank). */

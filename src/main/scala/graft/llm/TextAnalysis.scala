@@ -111,6 +111,19 @@ object TextAnalysis {
       .filter(col("rank") <= limit)
   }
 
+  /** Full winnowing fingerprints (Schleimer/Wilkerson/Aiken local
+    * sampling): every `w`-window minimum of the positional k-gram rolling
+    * hashes, exploded to one row per distinct fingerprint — the standard
+    * position-robust document sketch for plagiarism/near-dup detection
+    * (guarantees a shared fingerprint for any match of length >= k+w-1).
+    * Purely per-row compute (compiled kernel, O(n) deque) + an explode:
+    * no shuffle at all until a consumer aggregates. Returns
+    * (doc_id, fingerprint). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.HashFunctions.winnowHashes(col(textCol), k, w)).as("fingerprint"))
+
   /** Content fingerprints: full-text polynomial hash plus min/max 8-gram
     * rolling hashes (a 1-permutation MinHash sketch — the winnowing
     * building block). Returns (doc_id, content_hash, min_gram_hash,

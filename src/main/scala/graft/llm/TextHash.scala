@@ -68,6 +68,23 @@ object TextHash {
   /** Map an array of strings to their [[polyHash]]es. */
   def hashAll(strings: Column): Column = transform(strings, s => polyHash(s))
 
+  /** POSITIONAL k-gram hashes (one per start offset, duplicates kept) —
+    * the winnowing input; [[charShingles]] is the distinct-set variant. */
+  def gramHashes(s: Column, k: Int): Column =
+    when(length(s) >= k,
+      transform(sequence(lit(1), length(s) - (k - 1)), i => polyHash(s.substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Winnowing fingerprints: distinct minima of every `w`-wide sliding
+    * window over [[gramHashes]], ascending (HOF reference form of
+    * [[graft.functions.GraftHashOps.winnowHashes]]). */
+  def winnowHashes(s: Column, k: Int, w: Int): Column =
+    bindOnce(gramHashes(s, k), g =>
+      when(size(g) >= w,
+        array_sort(array_distinct(transform(sequence(lit(1), size(g) - (w - 1)), j =>
+          array_min(slice(g, j, lit(w)))))))
+        .otherwise(array().cast("array<long>")))
+
   /** MinHash signature: for permutation j in [0, perms),
     * `sig(j) = min over shingle hashes h of ((2j+1)*h + j*j+1) % Prime`.
     * Returns an array<long> of length `perms`. Universal-hash family with

@@ -169,6 +169,30 @@ object LlmQueries {
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         queryIds = 0L until 8L, k = 10, nPlanes = 4, multiprobe = 2)),
 
+    // IVF variant: nearest-centroid cells, nProbes cells searched per query
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        queryIds = 0L until 8L, k = 10, nCentroids = 16, nProbes = 4)),
+
+    // winnowing fingerprints (position-robust local-sampling sketch)
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // two-phase salted aggregation (hot-key spreading, decomposable aggs)
+    "q_salted_agg" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      graft.scale.Skew.saltedAggs(
+        e.select(col("event_type"), col("user_id"), col("value")),
+        Seq("event_type"),
+        saltFactor = 8,
+        aggs = Seq(
+          count(lit(1)).as("pc") -> sum(col("pc")).as("n_events"),
+          sum(round(col("value") * 1e6).cast("long")).as("ps") ->
+            sum(col("ps")).as("value_micros"),
+          min(col("value")).as("pmin") -> min(col("pmin")).as("value_min"),
+          max(col("value")).as("pmax") -> max(col("pmax")).as("value_max")))
+    }),
+
     // corpus vocabulary: token tf/df, top 100 (tokenizer-training input)
     "q_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -328,6 +352,57 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm FROM e),
+         |cent AS (SELECT vec_id AS centroid_id, v AS vc, norm AS nc FROM b WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+         |    (${dotSql("b.v", "c.vc", 64)} / (b.norm * c.nc)) AS c_cos
+         |  FROM b, cent c),
+         |assigned AS (
+         |  SELECT centroid_id AS cell, vec_id AS neighbor_id, v AS vn, norm AS nn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c_cos DESC, centroid_id ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id AS cell, vec_id AS query_id, v AS vq, norm AS nq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c_cos DESC, centroid_id ASC) AS rn
+         |    FROM scored WHERE vec_id < 8) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    (${dotSql("p.vq", "a.vn", 64)} / (p.nq * a.nn)) AS cosine
+         |  FROM probes p JOIN assigned a USING (cell)
+         |  WHERE a.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_winnow" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(text) - 7), i ->
+         |      ${polyHashSql("substr(text, i, 8)", "ci")}) AS gh
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(generate_series(1, len(gh) - 3), j ->
+         |      list_min(gh[j:j+3])))) AS fps
+         |  FROM g WHERE len(gh) >= 4)
+         |SELECT doc_id, unnest(fps) AS fingerprint FROM f""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT event_type,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         |    AS value_micros,
+         |  min(value) AS value_min,
+         |  max(value) AS value_max
+         |FROM events GROUP BY 1""".stripMargin,
 
     "q_vocabulary" ->
       s"""WITH tok AS (

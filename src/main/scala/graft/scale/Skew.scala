@@ -64,6 +64,25 @@ object Skew {
       .agg(merge)
   }
 
+  /** Multi-aggregate [[saltedAgg]]: each `(partial, merge)` pair must form
+    * a decomposable aggregate; merges reference the partial aliases. */
+  def saltedAggs(
+      df: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      aggs: Seq[(Column, Column)],
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    require(aggs.nonEmpty, "need at least one (partial, merge) aggregate pair")
+    val saltInputs =
+      if (saltCols.nonEmpty) saltCols
+      else df.columns.filterNot(keys.contains).map(col).toSeq
+    df.withColumn("__salt", saltFrom(saltFactor, saltInputs: _*))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._1, aggs.tail.map(_._1): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+  }
+
   /** Salted equi-join: the skewed (large) side gets a deterministic salt;
     * the replicated side is exploded across all `saltFactor` values, so
     * each hot key spreads over `saltFactor` reducers. Inner/left joins

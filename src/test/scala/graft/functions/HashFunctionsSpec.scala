@@ -83,6 +83,20 @@ class HashFunctionsSpec extends SparkSpec {
     assertAllEqual(docs.select((HashFunctions.sigAgreement(sig, sig) === 64).as("ok")))
   }
 
+  test("winnowHashes kernel == HOF winnow formulation on every document") {
+    assertAllEqual(docs.select(
+      (HashFunctions.winnowHashes(col("text"), 8, 4) ===
+        TextHash.winnowHashes(col("text"), 8, 4)).as("ok")))
+  }
+
+  test("winnowHashes is empty below k+w-1 chars and a subset of gram hashes above") {
+    assertAllEqual(docs.select(
+      (when(length(col("text")) < 11, size(HashFunctions.winnowHashes(col("text"), 8, 4)) === 0)
+        .otherwise(size(array_except(
+          HashFunctions.winnowHashes(col("text"), 8, 4),
+          TextHash.gramHashes(col("text"), 8))) === 0)).as("ok")))
+  }
+
   test("simhash kernel == HOF simhash on every document") {
     assertAllEqual(docs.select(
       (HashFunctions.simhash(col("text"), 24) ===

@@ -15,6 +15,20 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map("hot" -> 1000L, "a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("saltedAggs matches the unsalted multi-aggregate on a skewed key") {
+    val df = ((1 to 1000).map(i => ("hot", i)) ++ Seq(("a", -5), ("b", 7))).toDF("k", "v")
+    val got = Skew.saltedAggs(df, Seq("k"), 8, Seq(
+      count(lit(1)).as("pc") -> sum(col("pc")).as("n"),
+      sum(col("v")).as("ps") -> sum(col("ps")).as("s"),
+      min(col("v")).as("pmin") -> min(col("pmin")).as("mn"),
+      max(col("v")).as("pmax") -> max(col("pmax")).as("mx")))
+      .as[(String, Long, Long, Int, Int)].collect().toSet
+    val want = df.groupBy("k").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .as[(String, Long, Long, Int, Int)].collect().toSet
+    assert(got == want)
+  }
+
   test("saltedJoin matches the plain join, including rows unmatched on left") {
     val large = (Seq.fill(500)(("hot", 1)) ++ Seq(("a", 2), ("miss", 3))).toDF("k", "v")
     val dim = Seq(("hot", 10.0), ("a", 20.0), ("unused", 30.0)).toDF("k", "w")
