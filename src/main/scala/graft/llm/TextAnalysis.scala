@@ -111,6 +111,27 @@ object TextAnalysis {
       .filter(col("rank") <= limit)
   }
 
+  /** PII-pattern flags (C4-style cleaning signal): counts of email-,
+    * phone-, and IPv4-shaped substrings plus a combined flag. Patterns
+    * stick to character classes and bounded quantifiers, the regex subset
+    * Java (Spark) and RE2 (DuckDB/production scanners) match identically;
+    * non-overlapping left-to-right counting is the shared semantics of
+    * `regexp_count` / `regexp_extract_all`. A pure projection — no
+    * shuffle, codegen-friendly. Returns
+    * (doc_id, n_emails, n_phones, n_ips, has_pii). */
+  def piiFlags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val emails = regexp_count(t, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"))
+    val phones = regexp_count(t, lit("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"))
+    val ips = regexp_count(t, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      emails.cast("long").as("n_emails"),
+      phones.cast("long").as("n_phones"),
+      ips.cast("long").as("n_ips"),
+      (emails + phones + ips > 0).as("has_pii"))
+  }
+
   /** Full winnowing fingerprints (Schleimer/Wilkerson/Aiken local
     * sampling): every `w`-window minimum of the positional k-gram rolling
     * hashes, exploded to one row per distinct fingerprint — the standard

@@ -193,6 +193,20 @@ object LlmQueries {
           max(col("value")).as("pmax") -> max(col("pmax")).as("value_max")))
     }),
 
+    // deterministic train/val/test split assignment (hash-bucket, no RNG)
+    "q_sample_split" -> ((s, dir) =>
+      Sampling.split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
+
+    // PII-pattern flags (emails / phones / IPv4)
+    "q_pii" -> ((s, dir) =>
+      TextAnalysis.piiFlags(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // benchmark decontamination: word-3-gram overlap vs doc_id < 50
+    "q_decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Contamination.overlap(d, d.filter(col("doc_id") < 50), "doc_id", "text")
+    }),
+
     // corpus vocabulary: token tf/df, top 100 (tokenizer-training input)
     "q_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -352,6 +366,52 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         |  ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 100 AS bucket,
+         |  CASE WHEN ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 100 < 80 THEN 'train'
+         |       WHEN ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "q_pii" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         |  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+         |   + len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))
+         |   + len(regexp_extract_all(text,
+         |       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))) > 0 AS has_pii
+         |FROM documents""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |gr AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+         |    s -> ${polyHashSql("s", "ci")}))) AS g
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id < 50),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
+         |m AS (SELECT gr.doc_id, count(*) AS n_matched FROM gr JOIN bench USING (g) GROUP BY 1)
+         |SELECT d2.doc_id,
+         |  COALESCE(tot.n_grams, 0) AS n_grams,
+         |  COALESCE(m.n_matched, 0) AS n_matched,
+         |  CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / tot.n_grams END
+         |    AS contamination_ratio,
+         |  (CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |        ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / tot.n_grams END
+         |   >= CAST(0.2 AS DOUBLE)) AS contaminated
+         |FROM documents d2
+         |LEFT JOIN tot USING (doc_id)
+         |LEFT JOIN m USING (doc_id)""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH $embCte,

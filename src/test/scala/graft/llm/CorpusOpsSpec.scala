@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampling, PII flagging, and decontamination semantics. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split is deterministic, covers every row, and respects cut points") {
+    val docs = (0L until 1000L).toDF("doc_id")
+    val s1 = Sampling.split(docs, "doc_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Sampling.split(docs.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2) // partitioning-independent
+    assert(s1.size == 1000)
+    val byBucket = Sampling.split(docs, "doc_id")
+      .select("bucket", "split").distinct().as[(Long, String)].collect()
+    assert(byBucket.forall { case (b, s) =>
+      (b < 80 && s == "train") || (b >= 80 && b < 90 && s == "val") || (b >= 90 && s == "test")
+    })
+  }
+
+  test("hashSample keeps exactly the rows below the pct cut") {
+    val docs = (0L until 1000L).toDF("doc_id")
+    val kept = Sampling.hashSample(docs, "doc_id", 10).as[Long].collect().toSet
+    val expected = (0L until 1000L).filter(id => ((id * 1000003L + 17L) % TextHash.Prime) % 100 < 10)
+    assert(kept == expected.toSet)
+  }
+
+  test("piiFlags counts emails, phones, ips") {
+    val docs = Seq(
+      (1L, "contact me at a.b@example.com or c@d.org thanks"),
+      (2L, "call 555-123-4567 now"),
+      (3L, "server at 10.0.0.1 and 192.168.1.255"),
+      (4L, "plain text with no identifiers")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiFlags(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 0L, 0L, true)))
+    assert(got(1) == ((2L, 0L, 1L, 0L, true)))
+    assert(got(2) == ((3L, 0L, 0L, 2L, true)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, false)))
+  }
+
+  test("overlap: benchmark doc fully contaminated, disjoint doc clean, short doc zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // the benchmark doc
+      (2L, "alpha beta gamma delta zeta"),    // shares 2 of 3 grams
+      (3L, "one two three four five six"),    // disjoint
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Contamination.overlap(docs, docs.filter(col("doc_id") === 1), "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 3L, 1.0, true)))
+    assert(got(1)._3 == 2L && got(1)._5) // 2/3 >= 0.2
+    assert(got(2) == ((3L, 4L, 0L, 0.0, false)))
+    assert(got(3) == ((4L, 0L, 0L, 0.0, false)))
+  }
+}
