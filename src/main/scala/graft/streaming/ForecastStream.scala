@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.model.Schemas
+import graft.transforms.Normalize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest of the flood forecast: the incremental path for the
+  * reference's daily batch (SURVEY §2.9). New filtered-forecast parquet
+  * files appear under a folder (one drop per leadtime, exactly how the
+  * reference's GRIB→Parquet stage writes); this stream normalizes each
+  * micro-batch and joins it against the static per-cell thresholds to emit
+  * per-row exceedance flags — a **stream–static join**, which Spark plans
+  * as a broadcast of the static side into every micro-batch with no
+  * streaming state at all.
+  *
+  * Scale posture: stateless (no watermark needed), so throughput is the
+  * file-source scan rate; the threshold table is dimension-sized →
+  * broadcast; `Trigger.AvailableNow` gives catch-up-then-stop daily runs,
+  * a continuous trigger gives sub-minute alerting. The ensemble
+  * *aggregation* (exceedance probabilities) stays in the batch path — it
+  * needs all 51 members per (cell, step), which is a completeness
+  * condition, not a time condition; running it per-day after the stream
+  * lands files preserves the reference's semantics exactly.
+  */
+object ForecastStream {
+
+  /** File-source stream of raw forecast rows (explicit schema — required
+    * for streaming reads, and skips inference). */
+  def readForecast(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(Schemas.rawForecast).parquet(path)
+
+  /** Normalized stream with per-row threshold-exceedance flags:
+    * stream–static equi-join on the rounded cell keys (broadcast static
+    * side), then the P8 indicator per return period. */
+  def exceedances(
+      forecastStream: DataFrame,
+      thresholds: DataFrame,
+      precision: Int = 3,
+      thresholdYears: Seq[Int] = Seq(2, 5, 20)): DataFrame = {
+    val joined = Normalize.forecast(forecastStream, precision)
+      .join(broadcast(Normalize.roundKeys(thresholds, precision)),
+        Seq("latitude", "longitude"), "left")
+    thresholdYears.foldLeft(joined) { (df, n) =>
+      df.withColumn(s"exceed_${n}y",
+        when(col("dis24") >= col(s"threshold_${n}y"), 1).otherwise(0))
+    }
+  }
+
+  /** Alert stream: only rows whose discharge exceeds the `alertYears`
+    * return-period threshold — append-mode, stateless, ready for a sink. */
+  def alerts(
+      forecastStream: DataFrame,
+      thresholds: DataFrame,
+      precision: Int = 3,
+      alertYears: Int = 20): DataFrame =
+    exceedances(forecastStream, thresholds, precision)
+      .filter(col(s"exceed_${alertYears}y") === 1)
+}
