@@ -56,8 +56,32 @@ object Profile {
       val p = graft.llm.Dedup.minhashPairs(passing, "doc_id", "text")
       p.count(); p
     }
-    t("clusters")(graft.llm.Dedup.clusters(
-      passing.select("doc_id"), pairs).count())
+    t("clusters") {
+      // inline copy of Dedup.clusters with per-round timing
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val e2 = t("  edges checkpoint")(edges.localCheckpoint())
+      var labels = t("  labels init")(
+        passing.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint())
+      var prev = labels.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      var round = 0
+      var converged = false
+      while (!converged && round < 100) {
+        val next = t(s"  round $round") {
+          val viaEdges = e2
+            .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
+            .select(col("src").as("doc_id"), col("cluster_id"))
+          labels.select(col("doc_id"), col("cluster_id"))
+            .union(viaEdges).groupBy("doc_id")
+            .agg(min("cluster_id").as("cluster_id")).localCheckpoint()
+        }
+        val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+        converged = s.compareTo(prev) == 0
+        prev = s; labels = next; round += 1
+      }
+      println(s"  rounds: $round")
+      labels.count()
+    }
     t("curate e2e")(graft.llm.Curation.curate(docs, "doc_id", "text").count())
     spark.stop()
   }
