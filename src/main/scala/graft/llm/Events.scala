@@ -53,6 +53,17 @@ object Events {
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
 
+  /** Semi-structured metadata extraction: parse the JSON `props` column
+    * into typed fields. `get_json_object` evaluates per row inside
+    * codegen — no UDF, no shuffle; at scale prefer this narrow projection
+    * over `from_json` with a full schema when only a few keys are read
+    * (the JSON parser short-circuits on the path). */
+  def extractProps(events: DataFrame, key: String = "k"): DataFrame =
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), s"$$.$key").cast("long").as(key))
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * user inactivity. Returns one row per session:
     * (user_id, session_id, n_events, session_start_us, session_end_us,

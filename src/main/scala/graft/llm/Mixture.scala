@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture accounting and per-stratum quota sampling — the
+  * source/domain-balancing step of training-data assembly.
+  *
+  * [[report]] is one hash aggregation plus a broadcast of the one-row
+  * totals; [[stratifiedSample]] is a per-stratum top-`perStratum` by a
+  * deterministic hash order — the distributed, reproducible replacement
+  * for "shuffle and take N per domain" (same [[Sampling]] integer-hash
+  * family: stable under partitioning, retries, and engines). Stratum
+  * cardinality is domain-count-sized, so the rank window partitions
+  * cleanly; no stratum ever concentrates on one reducer beyond its own
+  * rows.
+  */
+object Mixture {
+
+  /** Per-(stratum...) mixture report: doc/char counts and corpus shares.
+    * `docShare`/`charShare` are exact integer ratios cast to double. */
+  def report(docs: DataFrame, strataCols: Seq[String], charsCol: String): DataFrame = {
+    val grouped = docs.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(charsCol)).as("n_chars_total"))
+    val totals = docs.agg(
+      count(lit(1)).as("total_docs"), sum(col(charsCol)).as("total_chars"))
+    grouped.crossJoin(broadcast(totals))
+      .select(strataCols.map(col) ++ Seq(
+        col("n_docs"),
+        col("n_chars_total"),
+        (col("n_docs").cast("double") / col("total_docs")).as("doc_share"),
+        (col("n_chars_total").cast("double") / col("total_chars")).as("char_share")): _*)
+  }
+
+  /** Deterministic per-stratum quota: keeps the `perStratum` docs with the
+    * lowest (hash bucket, id) rank in each stratum. Reproducible across
+    * runs/engines; strata smaller than the quota keep everything. */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Sampling.hashBucket(col(idCol), 100), col(idCol))
+    docs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perStratum)
+      .drop("rank")
+  }
+}

@@ -193,6 +193,20 @@ object LlmQueries {
           max(col("value")).as("pmax") -> max(col("pmax")).as("value_max")))
     }),
 
+    // corpus mixture report: per-(source, lang) counts and shares
+    "q_mixture" -> ((s, dir) =>
+      Mixture.report(s.read.parquet(s"$dir/documents.parquet"), Seq("source", "lang"), "n_chars")),
+
+    // deterministic per-source quota sampling (top-N by hash rank)
+    "q_stratified_sample" -> ((s, dir) =>
+      Mixture.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+        "doc_id", "source", perStratum = 10)),
+
+    // JSON metadata extraction from the events props column
+    "q_json_extract" -> ((s, dir) =>
+      Events.extractProps(s.read.parquet(s"$dir/events.parquet"))),
+
     // deterministic train/val/test split assignment (hash-bucket, no RNG)
     "q_sample_split" -> ((s, dir) =>
       Sampling.split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -366,6 +380,33 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_mixture" ->
+      s"""WITH t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS total_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents)
+         |SELECT source, lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |  CAST(count(*) AS DOUBLE) / t.total_docs AS doc_share,
+         |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / t.total_chars AS char_share
+         |FROM documents, t
+         |GROUP BY source, lang, t.total_docs, t.total_chars""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 100 ASC,
+         |               doc_id ASC) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q_json_extract" ->
+      s"""SELECT event_id, event_type,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |FROM events""".stripMargin,
 
     "q_sample_split" ->
       s"""SELECT doc_id,

@@ -28,6 +28,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == expected.toSet)
   }
 
+  test("stratifiedSample keeps min(quota, stratum size) rows per stratum, deterministically") {
+    val docs = (0L until 100L).map(id => (id, s"src${id % 3}")).toDF("doc_id", "source")
+    val s1 = Mixture.stratifiedSample(docs, "doc_id", "source", 5)
+      .as[(Long, String)].collect().toSet
+    val s2 = Mixture.stratifiedSample(docs.repartition(13), "doc_id", "source", 5)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._2).forall(_._2.size == 5))
+    val tiny = Seq((1L, "only")).toDF("doc_id", "source")
+    assert(Mixture.stratifiedSample(tiny, "doc_id", "source", 5).count() == 1)
+  }
+
+  test("mixture report shares sum to 1") {
+    val docs = (0L until 60L).map(id => (id, s"src${id % 3}", s"l${id % 2}", 10L + id))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val rep = Mixture.report(docs, Seq("source", "lang"), "n_chars")
+    val (ds, cs) = rep.agg(sum("doc_share"), sum("char_share"))
+      .as[(Double, Double)].head()
+    assert(math.abs(ds - 1.0) < 1e-9 && math.abs(cs - 1.0) < 1e-9)
+    assert(rep.count() == 6)
+  }
+
   test("piiFlags counts emails, phones, ips") {
     val docs = Seq(
       (1L, "contact me at a.b@example.com or c@d.org thanks"),
