@@ -87,6 +87,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_hyperplane_bucket", 2, args)
         invoke(GraftVecOps.getClass, "hyperplaneBucket", LongType, args)
+      }),
+    ("graft_sig_agreement",
+      info("graft_sig_agreement", "agreeing positions of two equal-length signatures (minhash Jaccard estimator numerator)"),
+      (args: Seq[Expression]) => {
+        arity("graft_sig_agreement", 2, args)
+        invoke(GraftVecOps.getClass, "sigAgreement", IntegerType, args)
+      }),
+    ("graft_winnow",
+      info("graft_winnow", "winnowing fingerprints of a string: (text, k, w)"),
+      (args: Seq[Expression]) => {
+        arity("graft_winnow", 3, args)
+        invoke(GraftHashOps.getClass, "winnowHashes", longArray, args)
       }))
 
   /** Register on an already-built session. Idempotent. */

@@ -251,6 +251,28 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  /** Largest multiplicity in a long array (top-token count when fed
+    * [[tokenHashes]]): sort a copy, scan the longest equal run. Per-row
+    * O(n log n), no shuffle — the distributed alternative (explode +
+    * two groupBys) ships every token through the wire. */
+  def topRunCount(a: ArrayData): Int = {
+    val n = a.numElements()
+    if (n == 0) return 0
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) { v(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(v)
+    var best = 1
+    var run = 1
+    var j = 1
+    while (j < n) {
+      if (v(j) == v(j - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      j += 1
+    }
+    best
+  }
+
   private def hashString(w: String): Long = {
     var acc = Seed
     var c = 0

@@ -62,6 +62,10 @@ object HashFunctions {
   def winnowHashes(s: Column, k: Int, w: Int): Column =
     invoke("winnowHashes", longArray, Seq(e(s), Literal(k), Literal(w)))
 
+  /** Compiled largest multiplicity in a long array. */
+  def topRunCount(a: Column): Column =
+    invoke("topRunCount", IntegerType, Seq(e(a)))
+
   private def invokeVec(name: String, dataType: DataType, args: Seq[Expression]): Column =
     ColumnBridge.column(StaticInvoke(
       GraftVecOps.getClass,

@@ -111,6 +111,38 @@ object TextAnalysis {
       .filter(col("rank") <= limit)
   }
 
+  /** Gopher-style repetition signals, entirely per-row (no shuffle):
+    * top-token fraction (longest multiplicity over the hashed token
+    * multiset — a compiled sort+scan kernel, not an explode+groupBy that
+    * would ship every token) and duplicate-2/3-gram fractions
+    * (1 − distinct/total gram occurrences). High values mark the
+    * degenerate boilerplate/looping text the Gopher rules filter.
+    * Returns (doc_id, n_tokens, top_token_count, top_token_ratio,
+    * dup_bigram_ratio, dup_trigram_ratio). */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.HashFunctions
+    import TextHash.bindOnce
+    def dupRatio(distinctGrams: Column, total: Column): Column =
+      when(total <= 0, lit(0.0))
+        .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
+    // bindOnce: token hashing and the run-count kernel each evaluate once
+    // per row (CollapseProject would re-inline them per referencing field)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        bindOnce(HashFunctions.tokenHashes(col(textCol)), th =>
+          bindOnce(HashFunctions.topRunCount(th), tc =>
+            struct(
+              size(th).as("n_tokens"),
+              tc.as("top_token_count"),
+              (tc.cast("double") / size(th)).as("top_token_ratio"),
+              dupRatio(size(HashFunctions.ngramHashes(col(textCol), 2)), size(th) - 1)
+                .as("dup_bigram_ratio"),
+              dupRatio(size(HashFunctions.ngramHashes(col(textCol), 3)), size(th) - 2)
+                .as("dup_trigram_ratio")))).as("r"))
+      .select("doc_id", "r.*")
+  }
+
   /** PII-pattern flags (C4-style cleaning signal): counts of email-,
     * phone-, and IPv4-shaped substrings plus a combined flag. Patterns
     * stick to character classes and bounded quantifiers, the regex subset

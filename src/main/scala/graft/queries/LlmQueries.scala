@@ -193,6 +193,10 @@ object LlmQueries {
           max(col("value")).as("pmax") -> max(col("pmax")).as("value_max")))
     }),
 
+    // Gopher-style repetition signals (per-row kernel, no shuffle)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // corpus mixture report: per-(source, lang) counts and shares
     "q_mixture" -> ((s, dir) =>
       Mixture.report(s.read.parquet(s"$dir/documents.parquet"), Seq("source", "lang"), "n_chars")),
@@ -380,6 +384,38 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_transform(t, s -> ${polyHashSql("s", "ci")}) AS th, len(t) AS n
+         |  FROM tok),
+         |tc AS (
+         |  SELECT doc_id, max(c) AS top_count FROM (
+         |    SELECT doc_id, hv, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(th) AS hv FROM h) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |g AS (
+         |  SELECT doc_id,
+         |    len(list_distinct(list_transform(
+         |      list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]),
+         |      s -> ${polyHashSql("s", "ci")}))) AS d2,
+         |    len(list_distinct(list_transform(
+         |      list_transform(generate_series(1, len(t) - 2),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+         |      s -> ${polyHashSql("s", "ci")}))) AS d3
+         |  FROM tok)
+         |SELECT h.doc_id,
+         |  h.n AS n_tokens,
+         |  CAST(tc.top_count AS INTEGER) AS top_token_count,
+         |  CAST(tc.top_count AS DOUBLE) / h.n AS top_token_ratio,
+         |  CASE WHEN h.n - 1 <= 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(1 AS DOUBLE) - CAST(g.d2 AS DOUBLE) / (h.n - 1) END
+         |    AS dup_bigram_ratio,
+         |  CASE WHEN h.n - 2 <= 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(1 AS DOUBLE) - CAST(g.d3 AS DOUBLE) / (h.n - 2) END
+         |    AS dup_trigram_ratio
+         |FROM h JOIN tc USING (doc_id) JOIN g USING (doc_id)""".stripMargin,
 
     "q_mixture" ->
       s"""WITH t AS (

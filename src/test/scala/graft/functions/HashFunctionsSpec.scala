@@ -97,6 +97,18 @@ class HashFunctionsSpec extends SparkSpec {
           TextHash.gramHashes(col("text"), 8))) === 0)).as("ok")))
   }
 
+  test("topRunCount kernel == explode/groupBy max multiplicity on every document") {
+    val viaGroupBy = docs
+      .select(col("doc_id"), explode(HashFunctions.tokenHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "h").count()
+      .groupBy("doc_id").agg(max("count").cast("int").as("want"))
+    val viaKernel = docs.select(col("doc_id"),
+      HashFunctions.topRunCount(HashFunctions.tokenHashes(col("text"))).as("got"))
+    val joined = viaKernel.join(viaGroupBy, Seq("doc_id"))
+    assert(joined.filter(col("got") =!= col("want")).count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
   test("simhash kernel == HOF simhash on every document") {
     assertAllEqual(docs.select(
       (HashFunctions.simhash(col("text"), 24) ===
