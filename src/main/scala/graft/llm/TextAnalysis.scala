@@ -75,19 +75,27 @@ object TextAnalysis {
     * mean token length band — the usual cheap corpus-quality features
     * (cf. Gopher/C4-style filters). Deterministic double arithmetic. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = wordTokens(col(textCol))
-    val nTokens = size(tokens)
-    val lengthTerm = least(nTokens, lit(50)).cast("double") / 50.0
-    val diversityTerm = size(array_distinct(tokens)).cast("double") / nTokens
-    val stopRatio = countIn(tokens, Stopwords).cast("double") / nTokens
-    val stopTerm = when(stopRatio.between(0.02, 0.5), lit(1.0)).otherwise(lit(0.0))
-    val meanLen = aggregate(tokens, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTokens
-    val lenBandTerm = when(meanLen.between(2.0, 10.0), lit(1.0)).otherwise(lit(0.0))
-    val score = lengthTerm * 0.25 + diversityTerm * 0.25 + stopTerm * 0.25 + lenBandTerm * 0.25
+    def scoreOf(tokens: Column): Column = {
+      val nTokens = size(tokens)
+      val lengthTerm = least(nTokens, lit(50)).cast("double") / 50.0
+      val diversityTerm = size(array_distinct(tokens)).cast("double") / nTokens
+      val stopRatio = countIn(tokens, Stopwords).cast("double") / nTokens
+      val stopTerm = when(stopRatio.between(0.02, 0.5), lit(1.0)).otherwise(lit(0.0))
+      val meanLen = aggregate(tokens, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTokens
+      val lenBandTerm = when(meanLen.between(2.0, 10.0), lit(1.0)).otherwise(lit(0.0))
+      lengthTerm * 0.25 + diversityTerm * 0.25 + stopTerm * 0.25 + lenBandTerm * 0.25
+    }
+    // bindOnce ×2: one tokenizer run and one score evaluation per row
+    // (CollapseProject would re-inline the split per referencing term)
     docs.select(
       col(idCol).as("doc_id"),
-      score.as("quality_score"),
-      when(score >= 0.7, "high").when(score >= 0.4, "medium").otherwise("low").as("quality_bucket"))
+      bindOnce(wordTokens(col(textCol)), t =>
+        bindOnce(scoreOf(t), s =>
+          struct(
+            s.as("quality_score"),
+            when(s >= 0.7, "high").when(s >= 0.4, "medium").otherwise("low")
+              .as("quality_bucket")))).as("q"))
+      .select("doc_id", "q.*")
   }
 
   /** Corpus vocabulary statistics: per token, total occurrences (`tf`) and
