@@ -56,18 +56,23 @@ object TextAnalysis {
     * prediction = argmax with fixed tie order (declaration order of
     * [[LangMarkers]]). Returns (doc_id, score_<lang>..., predicted_lang). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = wordTokens(col(textCol))
-    val scores = LangMarkers.map { case (lang, words) => lang -> countIn(tokens, words) }
-    // argmax with declaration-order ties: a chain of strict > comparisons
-    val predicted = scores.foldLeft((lit(""), lit(-1L): Column)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score.cast("long")).otherwise(bestScore))
-    }._1
+    // bindOnce: one tokenizer run per row feeds all language scores and
+    // the argmax chain (each would otherwise re-inline the split)
     docs.select(
-      col(idCol).as("doc_id") +:
-        scores.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
-        predicted.as("predicted_lang"): _*)
+      col(idCol).as("doc_id"),
+      bindOnce(wordTokens(col(textCol)), tokens => {
+        val scores = LangMarkers.map { case (lang, words) => lang -> countIn(tokens, words) }
+        // argmax with declaration-order ties: a chain of strict > comparisons
+        val predicted = scores.foldLeft((lit(""), lit(-1L): Column)) {
+          case ((bestLang, bestScore), (lang, score)) =>
+            (when(score > bestScore, lit(lang)).otherwise(bestLang),
+              when(score > bestScore, score.cast("long")).otherwise(bestScore))
+        }._1
+        struct(
+          scores.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
+            predicted.as("predicted_lang"): _*)
+      }).as("l"))
+      .select("doc_id", "l.*")
   }
 
   /** Composite quality score in [0,1] with a 3-way bucket:

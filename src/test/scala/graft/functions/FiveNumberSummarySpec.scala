@@ -17,6 +17,25 @@ class FiveNumberSummarySpec extends SparkSpec {
     assert(onePass.count() > 0)
   }
 
+  test("decimal input aggregates via Decimal.toDouble (no MatchError)") {
+    import spark.implicits._
+    val df = Seq(("g", BigDecimal("1.50")), ("g", BigDecimal("2.50")), ("g", BigDecimal("3.50")))
+      .toDF("k", "v")
+    val r = df.groupBy("k").agg(FiveNumberSummary(org.apache.spark.sql.functions.col("v")).as("s"))
+      .selectExpr("s.min", "s.median", "s.max").head()
+    assert(r.getDouble(0) == 1.5 && r.getDouble(1) == 2.5 && r.getDouble(2) == 3.5)
+  }
+
+  test("non-numeric input fails analysis with a clear type error") {
+    import spark.implicits._
+    val df = Seq(("g", "oops")).toDF("k", "v")
+    val e = intercept[Exception] {
+      df.groupBy("k").agg(FiveNumberSummary(org.apache.spark.sql.functions.col("v")).as("s"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("numeric"))
+  }
+
   test("five-number summary on a tiny hand-checked group") {
     import spark.implicits._
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -51,6 +52,17 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(d, "doc_id", "text")
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("clusters handles an empty universe and empty pair table") {
+    val empty = spark.emptyDataFrame.select(
+      org.apache.spark.sql.functions.lit(0L).as("doc_id")).filter(col("doc_id") =!= 0L)
+    val noPairs = empty.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    assert(Dedup.clusters(empty, noPairs).count() == 0)
+    val three = docs(1L -> "a", 2L -> "b", 3L -> "c").select("doc_id")
+    val got = Dedup.clusters(three, noPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 2L), (3L, 3L))) // singletons self-cluster
   }
 
   test("ngramJaccardPairs computes exact word-3-gram Jaccard above threshold") {
