@@ -45,4 +45,18 @@ object Sinks {
     * flood/etl/raster_converter.py:8-10). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned Parquet sink — the Spark-native form of the
+    * reference's date-partitioned folder layout
+    * (databricks/glofas-transform.py:62-63): `partitionBy("issued_on")`
+    * gives `issued_on=YYYY-MM-DD/` directories that daily jobs overwrite
+    * per-partition (`partitionOverwriteMode=dynamic` replaces only the
+    * partitions present in `df`, so one day's rerun never truncates
+    * history) and readers prune via partition filters before any I/O. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

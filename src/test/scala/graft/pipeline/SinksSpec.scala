@@ -1,31 +1,30 @@
 package graft.pipeline
 
 import graft.SparkSpec
-import graft.config.FloodConfig
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
-  test("jdbcWriter composes the configured writer without a live database") {
-    val df = Seq((1L, "a")).toDF("id", "v")
-    val w = Sinks.jdbcWriter(df, Sinks.JdbcConfig(
-      url = "jdbc:postgresql://db/flood", table = "summary", user = "u", password = "p"))
-    assert(w != null) // building must not touch the DB; .save() is the action
-  }
+  test("writePartitioned lays out hive partitions, overwrites only present ones, and prunes reads") {
+    val dir = Files.createTempDirectory("part-sink").toString
+    val day1 = Seq((1L, "2023-10-01", 5.0), (2L, "2023-10-01", 6.0)).toDF("id", "issued_on", "v")
+    val day2 = Seq((3L, "2023-10-02", 7.0)).toDF("id", "issued_on", "v")
+    Sinks.writePartitioned(day1.union(day2), dir, Seq("issued_on"))
+    assert(new java.io.File(s"$dir/issued_on=2023-10-01").isDirectory)
+    assert(new java.io.File(s"$dir/issued_on=2023-10-02").isDirectory)
 
-  test("readControl extracts the step-1 control discharge from a control parquet") {
-    val dir = Files.createTempDirectory("control").toString
-    val cfg = FloodConfig()
-    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
-    val t0 = 1696118400L * 1000000000L
-    Seq(
-      (0L, -5.9751, 28.0249, t0, 1 * dayNs, t0 + 1 * dayNs, 7.5f),
-      (0L, -5.9751, 28.0249, t0, 2 * dayNs, t0 + 2 * dayNs, 9.0f)) // step 2 dropped
-      .toDF("number", "latitude", "longitude", "time", "step", "valid_time", "dis24")
-      .write.mode("overwrite").parquet(dir)
-    val got = ForecastPipeline.readControl(spark, dir, cfg)
-      .as[(Double, Double, Double)].collect().toSeq
-    assert(got == Seq((-5.975, 28.025, 7.5))) // keys rounded, step-1 only
+    // dynamic overwrite: rewriting day2 must not truncate day1
+    val day2v2 = Seq((4L, "2023-10-02", 8.0)).toDF("id", "issued_on", "v")
+    Sinks.writePartitioned(day2v2, dir, Seq("issued_on"))
+    val all = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 4L))
+
+    // partition pruning: the filtered scan reads only the matching dir
+    val scan = spark.read.parquet(dir).filter(col("issued_on") === "2023-10-02")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("issued_on"))
+    assert(scan.select("id").as[Long].collect().toSet == Set(4L))
   }
 }
