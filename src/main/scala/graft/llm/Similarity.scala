@@ -169,12 +169,22 @@ object Similarity {
     val scoredCells = base.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
         (kdot(col("v"), col("vc")) / (col("norm") * col("nc"))).as("c_cos"))
-    val wCell = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id").asc)
+    // Corpus assignment as an AGGREGATION, not a window: hash aggregation
+    // partial-combines map-side, so the nCentroids scored rows per vector
+    // collapse to one before the shuffle — a row_number window would ship
+    // corpus × nCentroids rows. max_by's (c_cos desc, centroid_id asc)
+    // tiebreak matches the oracle's ROW_NUMBER ordering exactly;
+    // first(v)/first(norm) are constant per vec_id.
     val assigned = scoredCells
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("centroid_id").as("cell"),
-        col("vec_id").as("neighbor_id"), col("v").as("vn"), col("norm").as("nn"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid_id"), struct(col("c_cos"), (-col("centroid_id")).as("neg")))
+          .as("cell"),
+        first(col("v")).as("vn"),
+        first(col("norm")).as("nn"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("vn"), col("nn"))
+    // probes: query-set-sized input, the rank window is fine here
+    val wCell = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probes = scoredCells
       .filter(col("vec_id").isin(queryIds: _*))
       .withColumn("rn", row_number().over(wCell))
