@@ -211,6 +211,12 @@ object LlmQueries {
     "q_json_extract" -> ((s, dir) =>
       Events.extractProps(s.read.parquet(s"$dir/events.parquet"))),
 
+    // shard assignment + within-shard packing offsets (char budget)
+    "q_pack_shards" -> ((s, dir) =>
+      Packing.assignShards(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", nShards = 16)),
+
     // deterministic train/val/test split assignment (hash-bucket, no RNG)
     "q_sample_split" -> ((s, dir) =>
       Sampling.split(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -443,6 +449,15 @@ object LlmQueries {
       s"""SELECT event_id, event_type,
          |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events""".stripMargin,
+
+    "q_pack_shards" ->
+      s"""SELECT doc_id, n_chars,
+         |  ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 16 AS shard_id,
+         |  COALESCE(SUM(n_chars) OVER (
+         |    PARTITION BY ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 16
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |FROM documents""".stripMargin,
 
     "q_sample_split" ->
       s"""SELECT doc_id,
