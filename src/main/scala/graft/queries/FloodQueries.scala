@@ -189,6 +189,18 @@ object FloodQueries {
     // J1+P8+A1: the detailed forecast (exact percentile mode)
     "q_threshold_percentages" -> ((s, dir) => detailed(s, dir)),
 
+    // Production percentile path: mergeable percentile_approx sketches
+    // (the 100 TB default — constant-size aggregation state vs the exact
+    // mode's per-group value buffers). No SQL oracle: DuckDB has no
+    // matching sketch, so the driver records its weaker rows-only check;
+    // value agreement with exact mode is tolerance-tested in unit specs.
+    "q_detailed_approx" -> ((s, dir) =>
+      ThresholdPercentages(
+        FloodShaped.forecast(s, dir),
+        FloodShaped.thresholds(s, dir),
+        cfg.thresholdYears,
+        ThresholdPercentages.Approx)),
+
     // J2: detailed ⨝ control discharge
     "q_detailed_control" -> ((s, dir) =>
       withControl(detailed(s, dir))

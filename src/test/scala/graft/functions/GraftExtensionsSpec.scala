@@ -14,7 +14,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |  size(graft_minhash(graft_shingle_hashes('hello world', 5), 16)) AS nsig,
         |  graft_simhash('alpha beta', 24) AS sh,
         |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |  graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j
+        |  graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
+        |  size(graft_winnow('abcdefghijklmnop', 8, 4)) AS nw
         |""".stripMargin).head()
     assert(r.getAs[Long]("h") == 304891L)
     assert(r.getAs[Int]("ns") == 7)
@@ -23,6 +25,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("sh") >= 0L)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Double]("j") == 0.5)
+    assert(r.getAs[Int]("agree") == 2)
+    assert(r.getAs[Int]("nw") >= 1)
   }
 
   test("extensions class injects the same functions into a new session") {
