@@ -177,6 +177,30 @@ object TextAnalysis {
       (emails + phones + ips > 0).as("has_pii"))
   }
 
+  /** Adjacent-token-pair frequencies — the BPE merge-candidate table
+    * (tokenizer training ranks merges by exactly these counts). Same
+    * shape as [[vocabulary]]: one explode + one shuffle on the pair
+    * (map-side partial agg combines first); the final top-k is a
+    * TakeOrderedAndProject, not a global sort. Pairs keep occurrence
+    * multiplicity (a distinct-gram set would undercount merges).
+    * Returns (pair, tf, df, rank). */
+  def pairVocabulary(docs: DataFrame, idCol: String, textCol: String, limit: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("pair").asc)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(bindOnce(wordTokens(col(textCol)), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i =>
+              concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+            .otherwise(array().cast("array<string>")))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+  }
+
   /** Full winnowing fingerprints (Schleimer/Wilkerson/Aiken local
     * sampling): every `w`-window minimum of the positional k-gram rolling
     * hashes, exploded to one row per distinct fingerprint — the standard

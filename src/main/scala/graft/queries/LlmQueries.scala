@@ -235,6 +235,10 @@ object LlmQueries {
     "q_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // adjacent-pair frequencies: the BPE merge-candidate table
+    "q_pair_vocabulary" -> ((s, dir) =>
+      TextAnalysis.pairVocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // per-document text statistics
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -565,6 +569,20 @@ object LlmQueries {
          |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS INTEGER) AS rank
          |  FROM agg)
          |SELECT token, tf, df, rank FROM r WHERE rank <= 100""".stripMargin,
+
+    "q_pair_vocabulary" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1])) AS pair
+         |  FROM tok),
+         |agg AS (
+         |  SELECT pair, count(*) AS tf, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, pair ASC) AS INTEGER) AS rank
+         |  FROM agg)
+         |SELECT pair, tf, df, rank FROM r WHERE rank <= 100""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH tok AS (SELECT doc_id, text, $tokensSql AS t FROM documents)
