@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("operators tolerate an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.winnow(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.repetition(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.pairVocabulary(empty, "doc_id", "text").count() == 0)
+    assert(Curation.curate(empty, "doc_id", "text").count() == 0)
+    assert(Contamination.overlap(empty, empty, "doc_id", "text").count() == 0)
+  }
+
   test("split is deterministic, covers every row, and respects cut points") {
     val docs = (0L until 1000L).toDF("doc_id")
     val s1 = Sampling.split(docs, "doc_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
