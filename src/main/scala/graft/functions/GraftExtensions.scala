@@ -99,6 +99,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_winnow", 3, args)
         invoke(GraftHashOps.getClass, "winnowHashes", longArray, args)
+      }),
+    ("graft_five_num",
+      info("graft_five_num",
+        "aggregate: exact five-number summary (min, q1, median, q3, max) in one buffer"),
+      (args: Seq[Expression]) => {
+        arity("graft_five_num", 1, args)
+        FiveNumberSummary(args.head).toAggregateExpression()
       }))
 
   /** Register on an already-built session. Idempotent. */

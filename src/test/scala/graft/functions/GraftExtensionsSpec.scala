@@ -29,6 +29,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("nw") >= 1)
   }
 
+  test("graft_five_num aggregates through SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+      .createOrReplaceTempView("fivenum_in")
+    val r = spark.sql(
+      "SELECT s.min, s.q1, s.median, s.q3, s.max FROM " +
+        "(SELECT graft_five_num(v) AS s FROM fivenum_in GROUP BY k)").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.75 &&
+      r.getDouble(2) == 2.5 && r.getDouble(3) == 3.25 && r.getDouble(4) == 4.0)
+  }
+
   test("extensions class injects the same functions into a new session") {
     val s2 = spark.newSession()
     // newSession shares the function registry base; use the runtime path on
