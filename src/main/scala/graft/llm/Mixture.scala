@@ -33,6 +33,24 @@ object Mixture {
         (col("n_chars_total").cast("double") / col("total_chars")).as("char_share")): _*)
   }
 
+  /** One-row corpus health report: totals, stratum cardinalities, and
+    * quality-bucket counts. Everything is an integer aggregate (bucket
+    * counts instead of a mean score — double sums are
+    * aggregation-order-dependent and would break exact cross-engine
+    * comparison); a single hash aggregation with map-side combine. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String, charsCol: String): DataFrame =
+    docs
+      .join(TextAnalysis.qualityScore(docs, idCol, textCol)
+        .select(col("doc_id").as(idCol), col("quality_bucket")), Seq(idCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("n_chars_total"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(when(col("quality_bucket") === "high", 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("quality_bucket") === "medium", 1L).otherwise(0L)).as("n_medium"),
+        sum(when(col("quality_bucket") === "low", 1L).otherwise(0L)).as("n_low"))
+
   /** Deterministic per-stratum quota: keeps the `perStratum` docs with the
     * lowest (hash bucket, id) rank in each stratum. Reproducible across
     * runs/engines; strata smaller than the quota keep everything. */

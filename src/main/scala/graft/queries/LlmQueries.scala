@@ -201,6 +201,10 @@ object LlmQueries {
     "q_mixture" -> ((s, dir) =>
       Mixture.report(s.read.parquet(s"$dir/documents.parquet"), Seq("source", "lang"), "n_chars")),
 
+    // one-row corpus health report (integer aggregates only)
+    "q_corpus_report" -> ((s, dir) =>
+      Mixture.corpusReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "n_chars")),
+
     // deterministic per-source quota sampling (top-N by hash rank)
     "q_stratified_sample" -> ((s, dir) =>
       Mixture.stratifiedSample(
@@ -426,6 +430,23 @@ object LlmQueries {
          |       ELSE CAST(1 AS DOUBLE) - CAST(g.d3 AS DOUBLE) / (h.n - 2) END
          |    AS dup_trigram_ratio
          |FROM h JOIN tc USING (doc_id) JOIN g USING (doc_id)""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""$qualityCte,
+         |qb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN quality_score >= CAST(0.7 AS DOUBLE) THEN 'high'
+         |         WHEN quality_score >= CAST(0.4 AS DOUBLE) THEN 'medium'
+         |         ELSE 'low' END AS quality_bucket
+         |  FROM sc)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total,
+         |  count(DISTINCT d.lang) AS n_langs,
+         |  count(DISTINCT d.source) AS n_sources,
+         |  CAST(sum(CASE WHEN qb.quality_bucket = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |  CAST(sum(CASE WHEN qb.quality_bucket = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+         |  CAST(sum(CASE WHEN qb.quality_bucket = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         |FROM documents d JOIN qb USING (doc_id)""".stripMargin,
 
     "q_mixture" ->
       s"""WITH t AS (
