@@ -60,4 +60,32 @@ class HashPropertySpec extends SparkSpec {
       (HashFunctions.simhash(col("s"), 24) ===
         TextHash.simhash(TextHash.hashAll(TextHash.wordTokens(col("s"))), 24)).as("ok")))
   }
+
+  test("winnowHashes kernel == HOF winnow on arbitrary strings") {
+    assertAllOk(samples.toDF("s").select(
+      (HashFunctions.winnowHashes(col("s"), 3, 2) ===
+        TextHash.winnowHashes(col("s"), 3, 2)).as("ok")))
+  }
+
+  test("winnowing guarantee: strings sharing a >=k+w-1 substring share a fingerprint") {
+    // pairs (a, b) built around a common random core of length >= k+w-1
+    val k = 5
+    val w = 4
+    val coreGen = Gen.chooseNum(k + w - 1, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val pairGen = for {
+      core <- coreGen
+      pre <- Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
+      post <- Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
+    } yield (pre + core, core + post)
+    val pairs = Gen.listOfN(200, pairGen)
+      .apply(Gen.Parameters.default, Seed(7L))
+      .getOrElse(sys.error("generator failed"))
+    val overlap = pairs.toDF("a", "b").select(
+      size(array_intersect(
+        HashFunctions.winnowHashes(col("a"), k, w),
+        HashFunctions.winnowHashes(col("b"), k, w))).as("shared"))
+    assert(overlap.filter(col("shared") < 1).count() == 0,
+      "a pair with a long shared substring produced disjoint fingerprint sets")
+  }
 }
