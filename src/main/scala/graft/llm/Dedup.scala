@@ -200,12 +200,13 @@ object Dedup {
     * @return (doc_id, cluster_id)
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
-    // checkpoint the edge table: the propagation loop joins it every
-    // round, and without the barrier each round would re-execute the
-    // upstream pair-detection pipeline (LSH, verification, ...)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    // materialize the pair table once: BOTH union branches below and
+    // every round's join would otherwise re-execute the upstream
+    // pair-detection pipeline (LSH, verification, ...). The union itself
+    // stays lazy — a narrow double-scan of the materialized pairs.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     // convergence via the label-sum invariant: a node's label only ever
     // decreases under min propagation, so the sum strictly decreases until
