@@ -282,7 +282,16 @@ object LlmQueries {
 
     // gap-based sessionization
     "q_sessionize" -> ((s, dir) =>
-      Events.sessionize(s.read.parquet(s"$dir/events.parquet")))
+      Events.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+
+    // as-of join: each event gets its user's latest preceding rate update
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+      val rates = ev.filter(col("event_id") % 97 === 0)
+        .groupBy("user_id", "ts_us").agg(max("value").as("rate"))
+      graft.operators.AsofJoin(ev, rates, Seq("user_id"), "ts_us", "rate")
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -699,6 +708,15 @@ object LlmQueries {
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+         |r AS (
+         |  SELECT user_id, ts_us, max(value) AS rate
+         |  FROM e WHERE event_id % 97 = 0 GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, e.ts_us, e.value, r.rate
+         |FROM e ASOF LEFT JOIN r
+         |  ON e.user_id = r.user_id AND e.ts_us >= r.ts_us""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (
