@@ -284,6 +284,18 @@ object LlmQueries {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"))),
 
+    // range join: events landing inside 2h windows opened by trigger events
+    "q_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      val iv = ev.filter(col("event_id") % 101 === 0)
+        .select(col("user_id"), col("event_id").as("interval_id"),
+          col("ts_us").as("start_us"), (col("ts_us") + 7200000000L).as("end_us"))
+      graft.operators.RangeJoin.pointInInterval(
+        ev, iv, Seq("user_id"), "ts_us", "start_us", "end_us", bucketWidth = 3600000000L)
+        .select("event_id", "user_id", "ts_us", "interval_id", "start_us", "end_us")
+    }),
+
     // as-of join: each event gets its user's latest preceding rate update
     "q_asof_join" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -708,6 +720,16 @@ object LlmQueries {
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |iv AS (
+         |  SELECT user_id, event_id AS interval_id, ts_us AS start_us,
+         |    ts_us + 7200000000 AS end_us
+         |  FROM e WHERE event_id % 101 = 0)
+         |SELECT e.event_id, e.user_id, e.ts_us, iv.interval_id, iv.start_us, iv.end_us
+         |FROM e JOIN iv
+         |  ON e.user_id = iv.user_id AND e.ts_us BETWEEN iv.start_us AND iv.end_us""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
