@@ -64,6 +64,39 @@ object Events {
       col("event_type"),
       get_json_object(col("props"), s"$$.$key").cast("long").as(key))
 
+  /** Strictly-ordered funnel: per user, the earliest time of step 1, then
+    * the earliest step-2 event AFTER that, then the earliest step-3 event
+    * after THAT, and so on; `stage` counts consecutive steps reached.
+    *
+    * Each step is one conditional min-aggregation plus an equi-join back
+    * on user_id — every shuffle keys on the same column, so the
+    * partitioning is planned once and reused across all k steps (no
+    * quadratic pair expansion, no per-user collect). Returns
+    * (user_id, t1_us..tk_us, stage). */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"), tsMicros(events).as("ts_us"))
+    val users = e.select("user_id").distinct()
+    val (joined, _) = steps.zipWithIndex.foldLeft((users, Option.empty[String])) {
+      case ((acc, prev), (step, i)) =>
+        val name = s"t${i + 1}_us"
+        val candidates = prev match {
+          case None => e.filter(col("event_type") === step)
+          case Some(p) => e
+            .join(acc.select(col("user_id"), col(p)), Seq("user_id"))
+            .filter(col("event_type") === step && col("ts_us") > col(p))
+        }
+        val mins = candidates.groupBy("user_id").agg(min(col("ts_us")).as(name))
+        (acc.join(mins, Seq("user_id"), "left"), Some(name))
+    }
+    joined.withColumn("stage",
+      steps.indices
+        .map(i => when(col(s"t${i + 1}_us").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * user inactivity. Returns one row per session:
     * (user_id, session_id, n_events, session_start_us, session_end_us,

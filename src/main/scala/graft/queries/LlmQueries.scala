@@ -284,6 +284,10 @@ object LlmQueries {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"))),
 
+    // strictly-ordered view -> click -> purchase funnel per user
+    "q_funnel" -> ((s, dir) =>
+      Events.funnel(s.read.parquet(s"$dir/events.parquet"))),
+
     // range join: events landing inside 2h windows opened by trigger events
     "q_range_join" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -720,6 +724,27 @@ object LlmQueries {
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (
+         |  SELECT user_id, min(ts_us) AS t1_us FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, min(ts_us) AS t2_us FROM e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
+         |SELECT u.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+         |  (CASE WHEN s1.t1_us IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN s2.t2_us IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN s3.t3_us IS NOT NULL THEN 1 ELSE 0 END) AS stage
+         |FROM u
+         |LEFT JOIN s1 USING (user_id)
+         |LEFT JOIN s2 USING (user_id)
+         |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "q_range_join" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
