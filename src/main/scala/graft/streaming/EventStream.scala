@@ -56,6 +56,35 @@ object EventStream {
         col("event_type"), col("n_events"), col("n_users_approx"),
         col("value_micros"), col("value_min"), col("value_max"))
 
+  /** Watermarked stream–stream join: each view event joined with the same
+    * user's click events that follow within `withinMinutes`. Both sides
+    * carry watermarks and the join condition bounds the event-time gap,
+    * so Spark can size the join state buffers and evict rows once the
+    * watermark passes — the canonical bounded-state stream–stream join
+    * (unbounded conditions would grow state forever). Append-mode output:
+    * a pair emits once both sides are certain. */
+  def viewClickJoin(
+      events: DataFrame,
+      withinMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermarkDelay)
+    views.join(
+      clicks,
+      col("user_id") === col("click_user") &&
+        col("click_time") > col("view_time") &&
+        col("click_time") <= col("view_time") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_time")).as("view_us"),
+        unix_micros(col("click_time")).as("click_us"))
+  }
+
   // ---------------------------------------------------------- sessionization
 
   final case class EventRow(user_id: Long, event_id: Long, ts_us: Long, value_micros: Long)

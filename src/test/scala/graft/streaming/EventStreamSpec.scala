@@ -67,6 +67,33 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.select("text_md5").distinct().count() == batchDistinct)
   }
 
+  test("stream-stream view/click join matches the batch time-range join") {
+    runAvailableNow(
+      EventStream.viewClickJoin(EventStream.readEvents(spark, eventsDir)),
+      "vcjoin")
+    val streamed = spark.table("vcjoin")
+      .select("user_id", "view_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val batch = views.join(clicks,
+      col("user_id") === col("cu") &&
+        col("click_us") > col("view_us") &&
+        col("click_us") <= col("view_us") + 30L * 60 * 1000000)
+      .select("user_id", "view_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize emits exactly the batch sessions minus each user's open one") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     runAvailableNow(
