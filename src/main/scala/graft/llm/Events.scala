@@ -53,6 +53,28 @@ object Events {
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
 
+  /** Weekly cohort retention: users grouped by first-seen week; for every
+    * (cohort_week, weeks_since) cell, how many of the cohort were active
+    * and the retained fraction. Three aggregations and one join, all
+    * keyed on user_id or cohort_week — no window, no self-join of the
+    * raw event table. Ratios are integer/integer → deterministic.
+    * Returns (cohort_week, weeks_since, n_active, cohort_size,
+    * retention). */
+  def retention(events: DataFrame, weekUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    val e = events
+      .select(col("user_id"), tsMicros(events).as("ts_us"))
+      .select(col("user_id"), expr(s"ts_us DIV $weekUs").as("week")) // integer div: no double rounding at week boundaries
+    val firstSeen = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val activeWeeks = e.distinct()
+    val sizes = firstSeen.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    activeWeeks
+      .join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention", col("n_active").cast("double") / col("cohort_size"))
+  }
+
   /** Semi-structured metadata extraction: parse the JSON `props` column
     * into typed fields. `get_json_object` evaluates per row inside
     * codegen — no UDF, no shuffle; at scale prefer this narrow projection

@@ -288,6 +288,10 @@ object LlmQueries {
     "q_funnel" -> ((s, dir) =>
       Events.funnel(s.read.parquet(s"$dir/events.parquet"))),
 
+    // weekly cohort retention grid
+    "q_retention" -> ((s, dir) =>
+      Events.retention(s.read.parquet(s"$dir/events.parquet"))),
+
     // range join: events landing inside 2h windows opened by trigger events
     "q_range_join" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -724,6 +728,21 @@ object LlmQueries {
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // ${7L * 24 * 3600 * 1000000} AS week
+         |  FROM events),
+         |first_seen AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+         |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY 1),
+         |grid AS (
+         |  SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
+         |    count(DISTINCT e.user_id) AS n_active
+         |  FROM e JOIN first_seen f USING (user_id)
+         |  GROUP BY 1, 2)
+         |SELECT g.cohort_week, g.weeks_since, g.n_active, s.cohort_size,
+         |  CAST(g.n_active AS DOUBLE) / s.cohort_size AS retention
+         |FROM grid g JOIN sizes s USING (cohort_week)""".stripMargin,
 
     "q_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
