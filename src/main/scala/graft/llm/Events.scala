@@ -53,6 +53,32 @@ object Events {
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
 
+  /** Hopping (sliding) window counts: like [[windowedCounts]] but windows
+    * of `windowUs` sliding every `slideUs` overlap, so each event lands in
+    * `windowUs / slideUs` windows. The explode factor IS that ratio —
+    * bounded and chosen by the caller, the same cost model as Spark's own
+    * `window(col, len, slide)` (whose epoch-aligned window set this
+    * reproduces exactly — reproduced rather than used so the window starts
+    * are pure integer arithmetic the oracle can mirror). */
+  def hoppingCounts(
+      events: DataFrame,
+      windowUs: Long = 3600000000L,
+      slideUs: Long = 1800000000L): DataFrame = {
+    require(windowUs % slideUs == 0, "windowUs must be a multiple of slideUs")
+    val m = (windowUs / slideUs).toInt
+    events
+      .select(tsMicros(events).as("ts_us"), col("event_type"), col("user_id"), col("value"))
+      .select(
+        explode(transform(sequence(lit(0), lit(m - 1)), k =>
+          (expr(s"ts_us DIV $slideUs") - k) * slideUs)).as("window_start_us"),
+        col("event_type"), col("user_id"), col("value"))
+      .groupBy("window_start_us", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(valueMicros).as("value_micros"))
+  }
+
   /** Weekly cohort retention: users grouped by first-seen week; for every
     * (cohort_week, weeks_since) cell, how many of the cohort were active
     * and the retained fraction. Three aggregations and one join, all

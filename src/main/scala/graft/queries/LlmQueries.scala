@@ -292,6 +292,10 @@ object LlmQueries {
     "q_retention" -> ((s, dir) =>
       Events.retention(s.read.parquet(s"$dir/events.parquet"))),
 
+    // hopping-window aggregation (1h windows sliding every 30min)
+    "q_events_hopping" -> ((s, dir) =>
+      Events.hoppingCounts(s.read.parquet(s"$dir/events.parquet"))),
+
     // range join: events landing inside 2h windows opened by trigger events
     "q_range_join" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -728,6 +732,21 @@ object LlmQueries {
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_hopping" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_type, user_id, value FROM events),
+         |w AS (
+         |  SELECT unnest(list_transform(generate_series(0, 1),
+         |    k -> (ts_us // 1800000000 - k) * 1800000000)) AS window_start_us,
+         |    event_type, user_id, value
+         |  FROM e)
+         |SELECT window_start_us, event_type,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         |    AS value_micros
+         |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q_retention" ->
       s"""WITH e AS (

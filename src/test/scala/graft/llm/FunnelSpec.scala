@@ -5,6 +5,32 @@ import graft.SparkSpec
 class FunnelSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hoppingCounts reproduces Spark's native window(col, len, slide) cells") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = Events.hoppingCounts(events)
+      .select("window_start_us", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val native = events
+      .select(timestamp_micros(expr("ts DIV 1000")).as("et"), col("event_type"))
+      .groupBy(window(col("et"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start").cast("timestamp")).as("ws"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == native)
+    assert(got.nonEmpty)
+  }
+
+  test("retention: every cohort's week-0 cell retains 100% of the cohort") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val week0 = Events.retention(events).filter(col("weeks_since") === 0)
+      .select("n_active", "cohort_size", "retention")
+      .as[(Long, Long, Double)].collect()
+    assert(week0.nonEmpty)
+    assert(week0.forall { case (a, s, r) => a == s && r == 1.0 })
+  }
+
   test("funnel enforces strict step ordering per user") {
     // ts is a nanos long (DIV 1000 -> micros). u1 completes in order;
     // u2's first click precedes its view (must not count) but a later
