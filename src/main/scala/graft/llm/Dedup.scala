@@ -7,7 +7,9 @@ import TextHash._
 
 /** Corpus deduplication operators for training-data pipelines.
   *
-  * Four families, each shaped for a 1000-executor / 100 TB run:
+  * Detection families plus clustering ([[clusters]] — connected
+  * components turning pair tables into keep/drop decisions), each shaped
+  * for a 1000-executor / 100 TB run:
   *
   *  - [[exact]]: hash-groupBy on `md5(text)`. One shuffle on a 32-byte
   *    content hash (never on the full text — shuffling multi-KB keys is
