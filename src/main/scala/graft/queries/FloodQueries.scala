@@ -237,6 +237,16 @@ object FloodQueries {
     "q_geometry_wkt" -> ((s, dir) =>
       Geometry.addWkt(FloodShaped.thresholds(s, dir), cfg.halfGridSize, cfg.precision)),
 
+    // Z-order (Morton) spatial layout key per cell
+    "q_zorder" -> ((s, dir) => {
+      val t = FloodShaped.thresholds(s, dir).select("latitude", "longitude")
+      t.select(
+        col("latitude"), col("longitude"),
+        Geometry.cellIndex(col("latitude"), 90, 50).as("lat_idx"),
+        Geometry.cellIndex(col("longitude"), 180, 50).as("lon_idx"))
+        .withColumn("z", Geometry.zOrder(col("lat_idx"), col("lon_idx")))
+    }),
+
     // J5+O1: threshold unification fold-join + global sort
     "q_threshold_join" -> ((s, dir) => {
       val t = FloodShaped.thresholds(s, dir)
@@ -320,6 +330,21 @@ object FloodQueries {
     "q_geometry_wkt" ->
       s"""WITH thresholds AS (${FloodShaped.thresholdsSql})
          |SELECT *, ${wktSql()} AS wkt FROM thresholds""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH thresholds AS (${FloodShaped.thresholdsSql}),
+         |idx AS (
+         |  SELECT latitude, longitude,
+         |    (CAST(ROUND(latitude * 1000) AS BIGINT) + 90000) // 50 AS lat_idx,
+         |    (CAST(ROUND(longitude * 1000) AS BIGINT) + 180000) // 50 AS lon_idx
+         |  FROM thresholds)
+         |SELECT latitude, longitude, lat_idx, lon_idx,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(generate_series(0, 15), k ->
+         |      ((lat_idx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1))
+         |      + ((lon_idx >> k) & 1) * (CAST(1 AS BIGINT) << (2*k)))),
+         |    (a, b) -> a + b) AS z
+         |FROM idx""".stripMargin,
 
     "q_threshold_join" ->
       s"""WITH thresholds AS (${FloodShaped.thresholdsSql})

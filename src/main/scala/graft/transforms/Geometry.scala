@@ -48,6 +48,30 @@ object Geometry {
   def snapToCellCenter(c: Column, resolution: Double, precision: Int): Column =
     round(floor(c / resolution) * resolution + resolution / 2.0, precision)
 
+  /** Integer cell index from a rounded-3 coordinate: milli-degrees
+    * relative to `originDeg`, divided by the cell size in milli-degrees.
+    * `round(c*1000)` recovers the exact integer (the coordinate is
+    * already rounded to 3 decimals), so the whole derivation is integer
+    * arithmetic — engine-portable with no float-boundary hazards. */
+  def cellIndex(c: Column, originDeg: Int, cellMillideg: Int): Column =
+    // origin shift keeps the dividend non-negative, so floor == truncate
+    // on both engines; floor() because Spark's long / int promotes to double
+    floor((round(c * 1000).cast("long") + originDeg.toLong * 1000) / cellMillideg)
+      .cast("long")
+
+  /** Z-order (Morton) key: interleaves the low `bits` of the two cell
+    * indices (lat bits odd, lon bits even). Sorting/range-partitioning
+    * serving tables by `z` clusters BOTH spatial dimensions — a bbox scan
+    * touches O(perimeter) parquet row groups instead of full latitude
+    * stripes, the modern upgrade over the reference's plain
+    * (lat, lon) sort (threshold-data-joining.py:120). Pure integer
+    * bit-arithmetic: same values in any engine. */
+  def zOrder(latIdx: Column, lonIdx: Column, bits: Int = 16): Column =
+    (0 until bits).map { k =>
+      shiftright(latIdx, k).bitwiseAND(lit(1L)) * (1L << (2 * k + 1)) +
+        shiftright(lonIdx, k).bitwiseAND(lit(1L)) * (1L << (2 * k))
+    }.reduce(_ + _)
+
   /** Serving-side point lookup: rows whose cell contains the point —
     * optionally the 8 neighboring cells too (reference:
     * databricks/flood-api-examples.py:195-221, geopandas intersects →

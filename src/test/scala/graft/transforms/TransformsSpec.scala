@@ -201,4 +201,17 @@ class TransformsSpec extends SparkSpec {
     assert(got(2.225) === "POLYGON ((2.45 2.2,2.45 2.25,2.5 2.25,2.5 2.2,2.45 2.2))")
     assert(got(-0.525) === "POLYGON ((3.9 -0.55,3.9 -0.5,3.95 -0.5,3.95 -0.55,3.9 -0.55))")
   }
+
+  test("zOrder is a bijection: deinterleaving recovers both cell indices") {
+    val cells = (for (la <- 0L until 64L; lo <- 0L until 64L) yield (la, lo)).toDF("la", "lo")
+    def deinterleave(z: org.apache.spark.sql.Column, odd: Int): org.apache.spark.sql.Column =
+      (0 until 16).map(k => shiftright(z, 2 * k + odd).bitwiseAND(lit(1L)) * (1L << k)).reduce(_ + _)
+    val z = Geometry.zOrder(col("la"), col("lo"))
+    val bad = cells.select(
+      (deinterleave(z, 1) === col("la") && deinterleave(z, 0) === col("lo")).as("ok"))
+      .filter(not(col("ok"))).count()
+    assert(bad == 0)
+    // distinctness over the grid (bijective on the domain)
+    assert(cells.select(z.as("z")).distinct().count() == 64 * 64)
+  }
 }
