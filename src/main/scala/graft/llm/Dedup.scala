@@ -61,6 +61,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("text_md5"), col("n_copies"))
 
+  /** Incremental exact dedup: the daily-ingest shape — drop new documents
+    * whose content hash already exists in the historical corpus, and
+    * dedup the batch against itself (keep the minimum id per hash). The
+    * historical side needs only its `md5` column (32 bytes/doc — the
+    * corpus text never moves); the anti-join shuffles hashes, not
+    * documents, and broadcasts when the history digest fits. Returns the
+    * surviving (keep_id, text_md5) rows of the new batch. */
+  def incremental(newDocs: DataFrame, idCol: String, textCol: String, seenMd5: DataFrame): DataFrame =
+    newDocs
+      .select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .join(seenMd5.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("keep_id"), col("text_md5"))
+
   /** Shared LSH skeleton: `sh` must be (doc_id, hs: array<long>) with hs
     * the distinct element-hash set. Signature → band digests → bucket
     * groupBy → in-bucket pair expansion → exact-Jaccard verify on hs. */

@@ -193,6 +193,14 @@ object LlmQueries {
           max(col("value")).as("pmax") -> max(col("pmax")).as("value_max")))
     }),
 
+    // incremental dedup: new batch (doc_id >= 250) vs historical corpus
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incremental(
+        d.filter(col("doc_id") >= 250), "doc_id", "text",
+        d.filter(col("doc_id") < 250).select(md5(col("text")).as("text_md5")))
+    }),
+
     // Gopher-style repetition signals (per-row kernel, no shuffle)
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -325,6 +333,15 @@ object LlmQueries {
       s"""SELECT min(doc_id) AS keep_id, md5(text) AS text_md5, count(*) AS n_copies
          |FROM documents
          |GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH seen AS (SELECT md5(text) AS text_md5 FROM documents WHERE doc_id < 250),
+         |fresh AS (
+         |  SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id >= 250)
+         |SELECT min(doc_id) AS keep_id, text_md5
+         |FROM fresh
+         |WHERE text_md5 NOT IN (SELECT text_md5 FROM seen)
+         |GROUP BY text_md5""".stripMargin,
 
     "q_dedup_minhash" -> lshPairsSql(
       shinglesSql("text", 5),
