@@ -259,6 +259,16 @@ object LlmQueries {
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // language-ID confusion matrix vs the labeled lang column
+    "q_lang_confusion" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.langId(d, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // composite quality score + bucket
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -672,6 +682,12 @@ object LlmQueries {
          |FROM tok""".stripMargin,
 
     "q_lang_id" -> langIdSql,
+
+    "q_lang_confusion" ->
+      s"""WITH pred AS ($langIdSql)
+         |SELECT d.lang, p.predicted_lang, count(*) AS n_docs
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_quality_score" ->
       s"""$qualityCte
