@@ -118,8 +118,13 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
     docs
       .select(col(idCol).as("doc_id"), explode(wordTokens(col(textCol))).as("token"))
+      // two-level aggregation instead of count+count_distinct in one agg:
+      // the distinct-aggregate form plans an Expand (2x rows through the
+      // shuffle), while (token, doc) pre-aggregation map-side-combines a
+      // document's repeated tokens before anything ships
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("token")
-      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= limit)
   }
@@ -195,8 +200,9 @@ object TextAnalysis {
             transform(sequence(lit(1), size(t) - 1), i =>
               concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
             .otherwise(array().cast("array<string>")))).as("pair"))
+      .groupBy("pair", "doc_id").agg(count(lit(1)).as("c")) // see vocabulary: avoids the Expand
       .groupBy("pair")
-      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= limit)
   }
