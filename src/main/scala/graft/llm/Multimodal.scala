@@ -75,6 +75,29 @@ object Multimodal {
     }
   }
 
+  /** Resized-media features: [[decodeFeatures]] followed by a bounded-box
+    * resize of the decoded dimensions (aspect-preserving integer scale to
+    * fit `maxDim`, the thumbnailing math every vision-data pipeline runs
+    * before feature extraction). The scale itself is pure integer
+    * arithmetic on the decoded dims — the real byte-level resample is the
+    * codec stub's concern; the partitioning, schema, and dataflow are the
+    * production shape. */
+  def resize(records: Dataset[MediaRecord], maxDim: Int = 128): DataFrame =
+    decodeFeatures(records)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"))
+      .withColumn("max_side", greatest(col("width"), col("height")))
+      // integer percent scale: DIV keeps the math engine-exact (the
+      // decoded dims are themselves integer functions of the checksum,
+      // so the whole resize plan is oracle-checkable)
+      .withColumn("scale_pct",
+        when(col("max_side") <= maxDim, lit(100L))
+          .otherwise(expr(s"CAST(${maxDim * 100} AS BIGINT) DIV max_side")))
+      .select(
+        col("doc_id"), col("media_type"),
+        col("width"), col("height"),
+        expr("CAST(width * scale_pct AS BIGINT) DIV 100").cast("int").as("out_width"),
+        expr("CAST(height * scale_pct AS BIGINT) DIV 100").cast("int").as("out_height"))
+
   /** Frame sampling: every `stride`-th 256-byte window of the payload as
     * its own binary "frame" (a real video path samples decoded frames the
     * same way — explode over a sequence of offsets, slice per element).

@@ -294,6 +294,14 @@ object LlmQueries {
         .select(col("doc_id"), col("frame_idx"),
           upper(hex(col("frame"))).as("frame_hex"))),
 
+    // bounded-box resize plan over decoded (stub) dimensions
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resize(
+        Multimodal.payloadsFromText(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .as[MediaRecord])
+    }),
+
     // tumbling-window event aggregation
     "q_events_window" -> ((s, dir) =>
       Events.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
@@ -756,6 +764,28 @@ object LlmQueries {
          |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
          |  upper(substr(hex(payload), CAST(frame_idx AS INTEGER) * 2048 + 1, 512)) AS frame_hex
          |FROM f""".stripMargin,
+
+    "q_multimodal_resize" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |         WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+         |         ELSE 'video/mp4' END AS media_type,
+         |    ${polyHashSql("text")} AS checksum
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, media_type,
+         |    CAST(64 + checksum % 512 AS INTEGER) AS width,
+         |    CAST(64 + (checksum // 512) % 512 AS INTEGER) AS height
+         |  FROM p),
+         |s AS (
+         |  SELECT *, CASE WHEN greatest(width, height) <= 128 THEN CAST(100 AS BIGINT)
+         |                 ELSE 12800 // greatest(width, height) END AS scale_pct
+         |  FROM d)
+         |SELECT doc_id, media_type, width, height,
+         |  CAST((width * scale_pct) // 100 AS INTEGER) AS out_width,
+         |  CAST((height * scale_pct) // 100 AS INTEGER) AS out_height
+         |FROM s""".stripMargin,
 
     "q_events_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
