@@ -29,7 +29,12 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val pb = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
-    val ib = intervals.withColumn(
+    // inverted intervals can never contain a point, but Spark's sequence()
+    // would happily generate a DESCENDING bucket list for them — drop them
+    // before the explode rather than after the join
+    val ib = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn(
       "__bucket",
       explode(sequence(
         floor(col(startCol) / bucketWidth).cast("long"),

@@ -32,6 +32,14 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("inverted intervals (end < start) match nothing instead of exploding") {
+    val inverted = intervals.union(Seq(("k1", 99L, 300L, 100L)).toDF("key", "iid", "s", "e"))
+    val got = RangeJoin.pointInInterval(points, inverted, Seq("key"), "t", "s", "e", 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(!got.exists(_._2 == 99L))
+    assert(got == Set((2L, 10L), (3L, 10L), (4L, 10L)))
+  }
+
   test("plans an equi hash/merge join, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points, intervals, Seq("key"), "t", "s", "e", 64L)
       .queryExecution.executedPlan.toString
