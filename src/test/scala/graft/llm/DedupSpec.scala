@@ -54,6 +54,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("incremental dedup drops seen content and keeps min id per fresh hash") {
+    import org.apache.spark.sql.functions.md5
+    val history = docs(1L -> "already ingested", 2L -> "also known")
+      .select(md5(col("text")).as("text_md5"))
+    val batch = docs(
+      10L -> "already ingested", // exact dup of history → dropped
+      11L -> "brand new text",
+      12L -> "brand new text",   // in-batch dup → min id survives
+      13L -> "another fresh one")
+    val got = Dedup.incremental(batch, "doc_id", "text", history)
+      .select("keep_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
   test("clusters handles an empty universe and empty pair table") {
     val empty = spark.emptyDataFrame.select(
       org.apache.spark.sql.functions.lit(0L).as("doc_id")).filter(col("doc_id") =!= 0L)
