@@ -201,6 +201,28 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage/
+    * serving compression step of a vector pipeline (4x smaller than f32,
+    * which at corpus scale is the difference between RAM-resident and
+    * not). Per-vector scale = 127 / max|x| (zero vectors quantize to
+    * zeros); emitted exploded as (vec_id, dim_idx, q, scale) so the
+    * result is flat-relational and oracle-comparable. A pure projection +
+    * posexplode: no shuffle. */
+  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(
+        col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"),
+        array_max(transform(asDouble(col(vecCol)), x => abs(x))).as("max_abs"))
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("max_abs")))
+      .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("dim_idx", "x")))
+      .select(
+        col("vec_id"),
+        col("dim_idx"),
+        round(col("x") * col("scale")).cast("int").as("q"),
+        col("scale"))
+
   /** Exact cosine top-k: for each query vector (ids in `queryIds`), the k
     * nearest corpus vectors (self excluded), ties broken by neighbor id.
     * Returns (query_id, neighbor_id, cosine, rank). */

@@ -169,6 +169,10 @@ object LlmQueries {
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         queryIds = 0L until 8L, k = 10, nPlanes = 4, multiprobe = 2)),
 
+    // symmetric int8 embedding quantization (vector-serving compression)
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
+
     // IVF variant: nearest-centroid cells, nProbes cells searched per query
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
@@ -597,6 +601,19 @@ object LlmQueries {
          |FROM documents d2
          |LEFT JOIN tot USING (doc_id)
          |LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH $embCte,
+         |m AS (
+         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN max_abs = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(127 AS DOUBLE) / max_abs END AS scale
+         |  FROM m)
+         |SELECT vec_id, CAST(g.j - 1 AS INTEGER) AS dim_idx,
+         |  CAST(round(v[g.j] * scale) AS INTEGER) AS q, scale
+         |FROM s, (SELECT unnest(generate_series(1, 64)) AS j) g""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH $embCte,
