@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.model.Schemas
 import graft.transforms.Normalize
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** Streaming ingest of the flood forecast: the incremental path for the
   * reference's daily batch (SURVEY §2.9). New filtered-forecast parquet
@@ -56,4 +57,25 @@ object ForecastStream {
       alertYears: Int = 20): DataFrame =
     exceedances(forecastStream, thresholds, precision)
       .filter(col(s"exceed_${alertYears}y") === 1)
+
+  /** Streaming sink into the date-partitioned serving layout via
+    * `foreachBatch` — the production pattern for landing a stream in a
+    * batch-queryable table. Each micro-batch appends into its
+    * `issued_on=.../` partitions; the stream checkpoint makes the
+    * file-source exactly-once (a rerun over the same checkpoint reprocesses
+    * nothing, pinned by spec). `.start()` to run; pair with
+    * `Trigger.AvailableNow` for daily catch-up jobs. */
+  def partitionedSink(
+      stream: DataFrame,
+      path: String,
+      checkpointDir: String,
+      partitionCol: String = "issued_on"): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn(partitionCol, col(partitionCol).cast("string"))
+          .write.mode("append").partitionBy(partitionCol).parquet(path)
+      }
 }

@@ -64,6 +64,27 @@ class ForecastStreamSpec extends SparkSpec {
       .select("exceed_2y").as[Int].head() == 0)
   }
 
+  test("partitionedSink lands alerts in date partitions, exactly once across reruns") {
+    val src = Files.createTempDirectory("forecast-stream3")
+    raw.write.mode("overwrite").parquet(src.toString)
+    val out = Files.createTempDirectory("alert-sink").toString
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    def runOnce(): Unit = {
+      val q = ForecastStream.partitionedSink(
+        ForecastStream.alerts(ForecastStream.readForecast(spark, src.toString), thresholds,
+          alertYears = 20),
+        s"$out/alerts", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$out/alerts")
+    assert(first.count() == 1)
+    assert(new java.io.File(s"$out/alerts/issued_on=2023-10-01").isDirectory)
+    // same checkpoint, no new source files → nothing reprocessed
+    runOnce()
+    assert(spark.read.parquet(s"$out/alerts").count() == 1)
+  }
+
   test("alerts keeps only threshold exceedances") {
     val dir = Files.createTempDirectory("forecast-stream2")
     raw.write.mode("overwrite").parquet(dir.toString)
