@@ -44,6 +44,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("equivalent to the naive inequality-join+argmax on generated data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      t <- Gen.chooseNum(0L, 50L) // small domain → plenty of same-instant collisions
+      v <- Gen.chooseNum(-100, 100)
+    } yield (key, t, v)
+    val rows = Gen.listOfN(400, rowGen).apply(Gen.Parameters.default, Seed(11L))
+      .getOrElse(sys.error("gen failed"))
+    val l = rows.take(250).zipWithIndex
+      .map { case ((k, t, v), i) => (i.toLong, k, t, v) }.toDF("lid", "key", "t", "lv")
+    // right side unique per (key, t): keep max v
+    val r = rows.drop(250).groupBy(x => (x._1, x._2)).map { case ((k, t), xs) =>
+      (k, t, xs.map(_._3).max.toDouble)
+    }.toSeq.toDF("key", "t", "rate")
+
+    val carried = AsofJoin(l, r, Seq("key"), "t", "rate")
+      .select("lid", "rate").as[(Long, Option[Double])].collect().toMap
+
+    val naive = l.join(r.withColumnRenamed("t", "rt"), Seq("key"), "left")
+      .filter(col("rt").isNull || col("rt") <= col("t"))
+      .groupBy("lid").agg(max_by(col("rate"), col("rt")).as("rate"))
+      .as[(Long, Option[Double])].collect().toMap
+    // naive drops left rows whose ONLY right rows are in the future; they
+    // must be null in the carried result
+    val missing = carried.keySet -- naive.keySet
+    assert(missing.forall(carried(_).isEmpty))
+    assert(naive.forall { case (id, rate) => carried(id) == rate })
+    assert(carried.size == 250)
+  }
+
   test("plans one shuffle per side and a window, no join operator at all") {
     val plan = AsofJoin(left, right, Seq("key"), "t", "rate")
       .queryExecution.executedPlan.toString
