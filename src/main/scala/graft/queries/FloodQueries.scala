@@ -179,6 +179,14 @@ object FloodQueries {
     // P2+P3+P6: key rounding, epoch-ns → date/step, NA-drop
     "q_normalize" -> ((s, dir) => Normalize.forecast(rawForecast(s, dir), cfg.precision)),
 
+    // custom DataSourceV2: executor-generated cell grid (no input I/O)
+    "q_grid_source" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GridSource].getName)
+      .option("latMin", "-6").option("latMax", "-4")
+      .option("lonMin", "28").option("lonMax", "31")
+      .option("resolution", "0.05").option("numPartitions", "8")
+      .load()),
+
     // U1: control + perturbed ensemble union
     "q_ensemble_union" -> ((s, dir) => {
       val pf = FloodShaped.forecast(s, dir)
@@ -330,6 +338,13 @@ object FloodQueries {
     "q_geometry_wkt" ->
       s"""WITH thresholds AS (${FloodShaped.thresholdsSql})
          |SELECT *, ${wktSql()} AS wkt FROM thresholds""".stripMargin,
+
+    "q_grid_source" ->
+      s"""SELECT
+         |  ROUND(-6.0 + (i.i + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS latitude,
+         |  ROUND(28.0 + (j.j + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS longitude
+         |FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
+         |     (SELECT unnest(generate_series(0, 59)) AS j) j""".stripMargin,
 
     "q_zorder" ->
       s"""WITH thresholds AS (${FloodShaped.thresholdsSql}),
