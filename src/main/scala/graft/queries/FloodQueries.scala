@@ -187,6 +187,17 @@ object FloodQueries {
       .option("resolution", "0.05").option("numPartitions", "8")
       .load()),
 
+    // coverage gap check: grid cells with NO threshold row (left_anti)
+    "q_grid_coverage" -> ((s, dir) => {
+      val grid = s.read
+        .format(classOf[graft.sources.GridSource].getName)
+        .option("latMin", "-6").option("latMax", "-4")
+        .option("lonMin", "28").option("lonMax", "31")
+        .option("resolution", "0.05").option("numPartitions", "8")
+        .load()
+      grid.join(FloodShaped.thresholds(s, dir), Seq("latitude", "longitude"), "left_anti")
+    }),
+
     // U1: control + perturbed ensemble union
     "q_ensemble_union" -> ((s, dir) => {
       val pf = FloodShaped.forecast(s, dir)
@@ -345,6 +356,18 @@ object FloodQueries {
          |  ROUND(28.0 + (j.j + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS longitude
          |FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
          |     (SELECT unnest(generate_series(0, 59)) AS j) j""".stripMargin,
+
+    "q_grid_coverage" ->
+      s"""WITH thresholds AS (${FloodShaped.thresholdsSql}),
+         |grid AS (
+         |  SELECT
+         |    ROUND(-6.0 + (i.i + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS latitude,
+         |    ROUND(28.0 + (j.j + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS longitude
+         |  FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
+         |       (SELECT unnest(generate_series(0, 59)) AS j) j)
+         |SELECT g.latitude, g.longitude FROM grid g
+         |WHERE NOT EXISTS (SELECT 1 FROM thresholds t
+         |  WHERE t.latitude = g.latitude AND t.longitude = g.longitude)""".stripMargin,
 
     "q_zorder" ->
       s"""WITH thresholds AS (${FloodShaped.thresholdsSql}),
