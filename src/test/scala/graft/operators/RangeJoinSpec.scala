@@ -32,6 +32,30 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("agrees with the naive theta join on generated data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ptGen = for {
+      k <- Gen.oneOf("a", "b", "c"); t <- Gen.chooseNum(0L, 500L)
+    } yield (k, t)
+    val ivGen = for {
+      k <- Gen.oneOf("a", "b", "c"); s <- Gen.chooseNum(0L, 500L); len <- Gen.chooseNum(0L, 120L)
+    } yield (k, s, s + len)
+    val ps = Gen.listOfN(200, ptGen).apply(Gen.Parameters.default, Seed(3L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }.toDF("pid", "key", "t")
+    val ivs = Gen.listOfN(60, ivGen).apply(Gen.Parameters.default, Seed(4L)).get
+      .zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }.toDF("key", "iid", "s", "e")
+    val naive = ps.join(ivs, Seq("key"))
+      .filter(col("t").between(col("s"), col("e")))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(13L, 64L, 121L)) {
+      val got = RangeJoin.pointInInterval(ps, ivs, Seq("key"), "t", "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"bucketWidth=$w diverges on generated data")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("inverted intervals (end < start) match nothing instead of exploding") {
     val inverted = intervals.union(Seq(("k1", 99L, 300L, 100L)).toDF("key", "iid", "s", "e"))
     val got = RangeJoin.pointInInterval(points, inverted, Seq("key"), "t", "s", "e", 64L)

@@ -85,6 +85,50 @@ class ForecastStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/alerts").count() == 1)
   }
 
+  test("windowed aggregation drops late events beyond the watermark across checkpointed runs") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("late-events").toString
+    val out = Files.createTempDirectory("late-out").toString
+    val ckpt = Files.createTempDirectory("late-ckpt").toString
+    val hourNs = 3600L * 1000000000L
+    val t0 = 1700000000L * 1000000000L // batch 1 spans hours 0..9
+
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def runOnce(): Unit = {
+      val q = EventStream.windowedCounts(
+        EventStream.readEvents(spark, src), watermarkDelay = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    writeBatch((0 until 10).map(h =>
+      (h.toLong, t0 + h * hourNs, 1L, "view", 1.0)))
+    runOnce() // watermark advances to hour 9 - 2h = hour 7; hours <7 finalized
+
+    // batch 2: one event in hour 1 (far beyond the watermark → dropped)
+    // and one in hour 9 (still open → accepted)
+    writeBatch(Seq(
+      (100L, t0 + 1 * hourNs + 1, 1L, "view", 1.0),
+      (101L, t0 + 9 * hourNs + 1, 1L, "view", 1.0)))
+    runOnce()
+    // batch 3: advance the watermark far enough to flush every window
+    writeBatch(Seq((102L, t0 + 20 * hourNs, 1L, "view", 1.0)))
+    runOnce()
+
+    val counts = spark.read.parquet(out)
+      .select((col("window_start_us") / 3600000000L - t0 / 1000000000L / 3600).cast("int").as("hour"),
+        col("n_events"))
+      .as[(Int, Long)].collect().toMap
+    assert(counts(1) == 1L, "late hour-1 event must NOT be re-counted")
+    assert(counts(9) == 2L, "hour-9 event within watermark must be counted")
+  }
+
   test("alerts keeps only threshold exceedances") {
     val dir = Files.createTempDirectory("forecast-stream2")
     raw.write.mode("overwrite").parquet(dir.toString)
