@@ -129,6 +129,41 @@ object TextAnalysis {
       .filter(col("rank") <= limit)
   }
 
+  /** Overlapping context-window chunking — the document splitter every
+    * pretraining/RAG pipeline runs before packing or embedding. Chunks of
+    * `chunkTokens` tokens start every `chunkTokens - overlap` tokens; the
+    * final chunk is the first one reaching the end (short documents yield
+    * exactly one chunk). A per-row explode with replication factor
+    * ~1/(1-overlap/chunk) — no shuffle; all boundary arithmetic is
+    * integer, so the operator is oracle-exact.
+    * Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text). */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        bindOnce(wordTokens(col(textCol)), t => {
+          val n = size(t)
+          // 1 + ceil((n - chunkTokens) / stride) for n > chunkTokens, else 1
+          val nChunks = when(n <= chunkTokens, lit(1))
+            .otherwise(lit(1) + floor((n - chunkTokens + stride - 1) / stride).cast("int"))
+          transform(sequence(lit(0), nChunks - 1), ci =>
+            struct(
+              ci.as("chunk_idx"),
+              (least(ci * stride + chunkTokens, n) - ci * stride).as("n_chunk_tokens"),
+              concat_ws(" ", slice(t, ci * stride + 1,
+                least(lit(chunkTokens), n - ci * stride))).as("chunk_text")))
+        }).as("chunks"))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_chunk_tokens"), col("c.chunk_text"))
+  }
+
   /** Gopher-style repetition signals, entirely per-row (no shuffle):
     * top-token fraction (longest multiplicity over the hashed token
     * multiset — a compiled sort+scan kernel, not an explode+groupBy that

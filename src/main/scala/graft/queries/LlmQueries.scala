@@ -205,6 +205,10 @@ object LlmQueries {
         d.filter(col("doc_id") < 250).select(md5(col("text")).as("text_md5")))
     }),
 
+    // overlapping context-window chunking (64-token chunks, 16 overlap)
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // Gopher-style repetition signals (per-row kernel, no shuffle)
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -470,6 +474,19 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_chunk" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t, len($tokensSql) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, t, n,
+         |    CASE WHEN n <= 64 THEN 1 ELSE 1 + ((n - 64) + 47) // 48 END AS nch
+         |  FROM tok),
+         |x AS (
+         |  SELECT doc_id, t, n, unnest(generate_series(0, nch - 1)) AS ci FROM c)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(LEAST(ci * 48 + 64, n) - ci * 48 AS INTEGER) AS n_chunk_tokens,
+         |  array_to_string(t[ci * 48 + 1:LEAST(ci * 48 + 64, n)], ' ') AS chunk_text
+         |FROM x""".stripMargin,
 
     "q_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),

@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunking covers every token with the configured overlap and reconstructs the doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val tokens = texts(id).trim.split("\\s+").toSeq
+      // every chunk is the contiguous 64-token slice at its stride-48
+      // offset; the first starts the doc and the last reaches its end
+      cs.foreach { case (_, ci, nTok, text) =>
+        val expected = tokens.slice(ci * 48, ci * 48 + 64)
+        assert(text == expected.mkString(" "))
+        assert(nTok == expected.length)
+      }
+      assert(cs.head._2 == 0)
+      val (_, lastCi, lastN, _) = cs.last
+      assert(lastCi * 48 + lastN == tokens.length, s"doc $id not covered to the end")
+    }
+  }
+
   test("operators tolerate an empty corpus") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashPairs(empty, "doc_id", "text").count() == 0)
