@@ -100,6 +100,12 @@ object GraftExtensions {
         arity("graft_winnow", 3, args)
         invoke(GraftHashOps.getClass, "winnowHashes", longArray, args)
       }),
+    ("graft_top_run",
+      info("graft_top_run", "largest multiplicity in a long array (top-token count)"),
+      (args: Seq[Expression]) => {
+        arity("graft_top_run", 1, args)
+        invoke(GraftHashOps.getClass, "topRunCount", IntegerType, args)
+      }),
     ("graft_five_num",
       info("graft_five_num",
         "aggregate: exact five-number summary (min, q1, median, q3, max) in one buffer"),

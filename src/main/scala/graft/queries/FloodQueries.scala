@@ -228,6 +228,16 @@ object FloodQueries {
     // A2+P7: tendency classification
     "q_tendency" -> ((s, dir) => Tendency(withControl(detailed(s, dir)))),
 
+    // J2 alternate branch: tendency against an EXTERNAL control forecast
+    // (the read-yesterday's-control path, reference:
+    // glofas-forecast-computation.py:185-191 / glofas-control-ETL.py)
+    "q_tendency_external" -> ((s, dir) => {
+      val external = FloodShaped.forecast(s, dir)
+        .filter(col("number") === 1 && col("step") === 1)
+        .select(col("latitude"), col("longitude"), col("dis24").as("control_dis"))
+      Tendency(detailed(s, dir).join(external, Seq("latitude", "longitude"), "left"))
+    }),
+
     // A3+P7: intensity classification
     "q_intensity" -> ((s, dir) => Intensity(detailed(s, dir))),
 
@@ -321,6 +331,31 @@ object FloodQueries {
     "q_tendency" ->
       s"""$preamble SELECT latitude, longitude, max_median_dis, min_median_dis,
          |control_dis, max_max_dis, min_min_dis, tendency FROM tendency""".stripMargin,
+
+    "q_tendency_external" ->
+      s"""$preamble,
+         |ext AS (
+         |  SELECT latitude, longitude, dis24 AS control_dis
+         |  FROM forecast WHERE number = 1 AND step = 1),
+         |dwe AS (
+         |  SELECT d.*, e.control_dis
+         |  FROM detailed d LEFT JOIN ext e USING (latitude, longitude)),
+         |tende AS (
+         |  SELECT *,
+         |    CASE WHEN max_median_dis > control_dis * CAST(1.10 AS DOUBLE) THEN 'U'
+         |         WHEN min_median_dis <= control_dis * CAST(0.90 AS DOUBLE)
+         |              AND max_median_dis <= control_dis * CAST(1.10 AS DOUBLE) THEN 'D'
+         |         ELSE 'C' END AS tendency
+         |  FROM (
+         |    SELECT latitude, longitude,
+         |      MAX(median_dis) AS max_median_dis,
+         |      MIN(median_dis) AS min_median_dis,
+         |      MIN(control_dis) AS control_dis,
+         |      MAX(max_dis) AS max_max_dis,
+         |      MIN(min_dis) AS min_min_dis
+         |    FROM dwe GROUP BY 1, 2))
+         |SELECT latitude, longitude, max_median_dis, min_median_dis,
+         |  control_dis, max_max_dis, min_min_dis, tendency FROM tende""".stripMargin,
 
     "q_intensity" ->
       s"""$preamble SELECT latitude, longitude, max_p_above_20y, max_p_above_5y,
