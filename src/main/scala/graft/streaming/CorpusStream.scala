@@ -31,4 +31,20 @@ object CorpusStream {
     docs
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicates("text_md5")
+
+  /** Bounded-state variant: duplicates are dropped only while the key is
+    * inside the watermark horizon of `eventTimeCol`; once the watermark
+    * passes a key's event time its state is evicted, so total state is
+    * O(docs per watermark window) instead of O(all-time distinct docs) —
+    * the right trade when near-in-time duplicates (re-crawls, retried
+    * drops) are the concern and historical dedup is left to the batch
+    * [[graft.llm.Dedup.incremental]] pass. */
+  def streamingDedupWithinWatermark(
+      docs: DataFrame,
+      eventTimeCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("text_md5")
 }

@@ -94,6 +94,46 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dedup-within-watermark drops near duplicates and re-admits after eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("dedup-wm").toString
+    val out = Files.createTempDirectory("dedup-wm-out").toString
+    val ckpt = Files.createTempDirectory("dedup-wm-ckpt").toString
+    val hourUs = 3600L * 1000000L
+    val t0 = 1700000000L * 1000000L
+
+    def writeBatch(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "t_us")
+        .withColumn("event_time", timestamp_micros(col("t_us"))).drop("t_us")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
+        .parquet(src)
+      val q = CorpusStream.streamingDedupWithinWatermark(stream, "event_time", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    writeBatch(Seq((1L, "hello world", t0)))
+    runOnce()
+    // near-in-time duplicate (inside the horizon) + a watermark advancer
+    writeBatch(Seq((2L, "hello world", t0 + 10 * 60 * 1000000L),
+      (3L, "advance the clock", t0 + 5 * hourUs)))
+    runOnce()
+    // far-later duplicate: key state evicted by the advanced watermark
+    writeBatch(Seq((4L, "hello world", t0 + 5 * hourUs + 1)))
+    runOnce()
+
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L), s"got $ids")
+  }
+
   test("streaming sessionize emits exactly the batch sessions minus each user's open one") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     runAvailableNow(
