@@ -217,6 +217,27 @@ object TextAnalysis {
       (emails + phones + ips > 0).as("has_pii"))
   }
 
+  /** Corpus-specific stopword discovery: tokens whose document frequency
+    * exceeds `minDfRatio` of the corpus — the data-driven replacement for
+    * a fixed stopword list when corpora shift domain. One distinct-token
+    * explode + one aggregation + a broadcast one-row totals join; exact
+    * integer ratio. Returns (token, df, df_ratio). */
+  def stopwordCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDfRatio: Double = 0.5): DataFrame = {
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordTokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .withColumn("df_ratio", col("df").cast("double") / col("n_docs"))
+      .filter(col("df_ratio") >= minDfRatio)
+      .select("token", "df", "df_ratio")
+  }
+
   /** Adjacent-token-pair frequencies — the BPE merge-candidate table
     * (tokenizer training ranks merges by exactly these counts). Same
     * shape as [[vocabulary]]: one explode + one shuffle on the pair

@@ -259,6 +259,10 @@ object LlmQueries {
     "q_pair_vocabulary" -> ((s, dir) =>
       TextAnalysis.pairVocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // data-driven stopword discovery by document-frequency ratio
+    "q_stopwords" -> ((s, dir) =>
+      TextAnalysis.stopwordCandidates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // per-document text statistics
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -692,6 +696,15 @@ object LlmQueries {
          |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS INTEGER) AS rank
          |  FROM agg)
          |SELECT token, tf, df, rank FROM r WHERE rank <= 100""".stripMargin,
+
+    "q_stopwords" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($tokensSql) AS token FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |agg AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)
+         |SELECT token, df, CAST(df AS DOUBLE) / t.n_docs AS df_ratio
+         |FROM agg, t
+         |WHERE CAST(df AS DOUBLE) / t.n_docs >= CAST(0.5 AS DOUBLE)""".stripMargin,
 
     "q_pair_vocabulary" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
