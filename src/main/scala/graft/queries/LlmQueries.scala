@@ -571,10 +571,10 @@ object LlmQueries {
     "q_pack_shards" ->
       s"""SELECT doc_id, n_chars,
          |  ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 16 AS shard_id,
-         |  COALESCE(SUM(n_chars) OVER (
+         |  CAST(COALESCE(SUM(n_chars) OVER (
          |    PARTITION BY ((doc_id * 1000003 + 17) % ${TextHash.Prime}) % 16
          |    ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
          |FROM documents""".stripMargin,
 
     "q_sample_split" ->
@@ -922,8 +922,8 @@ object LlmQueries {
          |                 THEN 1 ELSE 0 END AS new_session
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |g AS (
-         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |    ROWS UNBOUNDED PRECEDING) AS session_id
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          |  FROM f)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
