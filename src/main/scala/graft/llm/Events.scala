@@ -81,23 +81,28 @@ object Events {
 
   /** Weekly cohort retention: users grouped by first-seen week; for every
     * (cohort_week, weeks_since) cell, how many of the cohort were active
-    * and the retained fraction. Three aggregations and one join, all
-    * keyed on user_id or cohort_week — no window, no self-join of the
-    * raw event table. Ratios are integer/integer → deterministic.
-    * Returns (cohort_week, weeks_since, n_active, cohort_size,
-    * retention). */
+    * and the retained fraction. One distinct + one aggregation + two
+    * windows, no joins: after `distinct()` each user contributes at most
+    * one row per week, so the per-cell active count is a plain `count`
+    * (no distinct-aggregate Expand), the cohort week is a per-user window
+    * `min`, and the cohort size is the cell where `weeks_since = 0`
+    * (every user is active in their own first week) read back via a
+    * per-cohort window `max` — which replaces both the `first_seen
+    * groupBy` and the `sizes` join of the textbook formulation. Ratios
+    * are integer/integer → deterministic. Returns (cohort_week,
+    * weeks_since, n_active, cohort_size, retention). */
   def retention(events: DataFrame, weekUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
     val e = events
       .select(col("user_id"), tsMicros(events).as("ts_us"))
       .select(col("user_id"), expr(s"ts_us DIV $weekUs").as("week")) // integer div: no double rounding at week boundaries
-    val firstSeen = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
-    val activeWeeks = e.distinct()
-    val sizes = firstSeen.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
-    activeWeeks
-      .join(firstSeen, Seq("user_id"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id")
+    val byCohort = Window.partitionBy("cohort_week")
+    e.withColumn("cohort_week", min(col("week")).over(byUser))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
-      .agg(count_distinct(col("user_id")).as("n_active"))
-      .join(sizes, Seq("cohort_week"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("weeks_since") === 0, col("n_active"))).over(byCohort))
       .withColumn("retention", col("n_active").cast("double") / col("cohort_size"))
   }
 
