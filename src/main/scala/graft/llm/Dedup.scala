@@ -224,7 +224,15 @@ object Dedup {
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    // Iterate ONLY over nodes that touch an edge: a node in no pair can
+    // never change its label, so the corpus-sized universe would just ride
+    // through every round's join + groupBy unchanged. Near-dup pair graphs
+    // are sparse (most documents are singletons), so per-round state is
+    // |V(edges)| — at 100 TB that is the difference between iterating over
+    // the duplicate minority and re-shuffling the whole corpus each round.
+    // Singletons rejoin once, at the end, via coalesce.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     // convergence via the label-sum invariant: a node's label only ever
     // decreases under min propagation, so the sum strictly decreases until
     // the fixpoint — one tiny aggregate per round instead of a diff join.
@@ -254,7 +262,9 @@ object Dedup {
       labels = next
       round += 1
     }
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "edge_cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Per-document SimHash fingerprint: (doc_id, simhash). */
