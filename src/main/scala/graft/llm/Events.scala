@@ -150,6 +150,61 @@ object Events {
         .reduce(_ + _))
   }
 
+  /** Per-user ordered event analytics over an explicit ROWS frame: lag /
+    * lead neighbors and a trailing moving sum/count of the last `window`
+    * rows — the smoothing/delta features of per-entity time series. One
+    * shuffle + sort on the natural user_id key (every window shares the
+    * (user_id, ts, event_id) spec, so Spark plans a single Window node);
+    * all emitted values are longs (value in micros), so the frame
+    * arithmetic is engine-exact at any parallelism. Returns (event_id,
+    * user_id, ts_us, value_micros, prev_value_micros, next_value_micros,
+    * moving_sum_micros, n_in_window, seq). */
+  def movingStats(events: DataFrame, window: Int = 4): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val frame = byUser.rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), tsMicros(events).as("ts_us"),
+        valueMicros.as("value_micros"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"), col("value_micros"),
+        lag(col("value_micros"), 1).over(byUser).as("prev_value_micros"),
+        lead(col("value_micros"), 1).over(byUser).as("next_value_micros"),
+        sum(col("value_micros")).over(frame).as("moving_sum_micros"),
+        count(lit(1)).over(frame).as("n_in_window"),
+        row_number().over(byUser).cast("long").as("seq"))
+  }
+
+  /** IQR (Tukey-fence) outlier detection per event type: a value outside
+    * [q1 - factor*iqr, q3 + factor*iqr] for its group is flagged. The
+    * per-group quartiles are one hash aggregation over the group key and
+    * broadcast back over the unshuffled scan (event-type cardinality is
+    * dimension-sized). `exact = true` uses exact `percentile` — bit-equal
+    * to DuckDB `quantile_cont`, the oracle path; production at 100 TB
+    * flips to the mergeable `percentile_approx` sketch (the
+    * ThresholdPercentages precedent). Fence arithmetic is plain double
+    * add/multiply of bit-exact inputs, so the flags are engine-exact too. Returns
+    * (event_id, event_type, value, q1, q3, lo, hi, is_outlier). */
+  def outliers(events: DataFrame, factor: Double = 1.5, exact: Boolean = true): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"), col("value"))
+    val quartiles =
+      if (exact)
+        e.groupBy("event_type").agg(
+          percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+      else
+        e.groupBy("event_type").agg(
+          percentile_approx(col("value"), lit(0.25), lit(10000)).as("q1"),
+          percentile_approx(col("value"), lit(0.75), lit(10000)).as("q3"))
+    val iqr = col("q3") - col("q1")
+    e.join(broadcast(quartiles), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"), col("q1"), col("q3"),
+        (col("q1") - lit(factor) * iqr).as("lo"),
+        (col("q3") + lit(factor) * iqr).as("hi"))
+      .withColumn("is_outlier", col("value") < col("lo") || col("value") > col("hi"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * user inactivity. Returns one row per session:
     * (user_id, session_id, n_events, session_start_us, session_end_us,

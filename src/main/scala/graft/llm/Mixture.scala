@@ -51,6 +51,38 @@ object Mixture {
         sum(when(col("quality_bucket") === "medium", 1L).otherwise(0L)).as("n_medium"),
         sum(when(col("quality_bucket") === "low", 1L).otherwise(0L)).as("n_low"))
 
+  /** Hierarchical mixture accounting: one pass producing per-(stratum...)
+    * rows PLUS every rollup level up to the grand total, tagged by the
+    * grouping bitmask — the "report at every granularity" query that would
+    * otherwise be N unions of [[report]]. Spark plans ROLLUP as a single
+    * Expand + hash aggregation (rows replicate once per level, combine
+    * map-side), so it is one shuffle regardless of depth. Counts stay
+    * integer (no shares here — each level has a different denominator).
+    * Returns (strataCols..., grp, n_docs, n_chars_total). */
+  def rollupReport(docs: DataFrame, strataCols: Seq[String], charsCol: String): DataFrame = {
+    require(strataCols.nonEmpty, "rollup needs at least one stratum column")
+    docs.rollup(strataCols.map(col): _*)
+      .agg(
+        grouping_id().as("grp"),
+        count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("n_chars_total"))
+  }
+
+  /** Cross-tab (pivot): one row per `rowCol` value, one count column per
+    * `values` entry. Values are EXPLICIT — `pivot(col)` without them runs
+    * a driver-side distinct pass over the corpus first, and an unbounded
+    * value set would turn the schema itself into a scale hazard; with the
+    * list given the plan is a single hash aggregation over conditional
+    * counts. Missing cells are 0, not null (matching the conditional-sum
+    * SQL form). Column names are `n_<value>`. */
+  def pivotCounts(docs: DataFrame, rowCol: String, pivotCol: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot needs an explicit value list")
+    docs.groupBy(col(rowCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .select(col(rowCol) +: values.map(v => coalesce(col(s"`$v`"), lit(0L)).as(s"n_$v")): _*)
+  }
+
   /** Deterministic per-stratum quota: keeps the `perStratum` docs with the
     * lowest (hash bucket, id) rank in each stratum. Reproducible across
     * runs/engines; strata smaller than the quota keep everything. */

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Ranked keyword retrieval over the corpus: inverted index construction
+  * and BM25 scoring — the lexical-search half of a training-data /RAG
+  * stack (embedding ANN in [[Similarity]] is the other half).
+  *
+  * Scale shape: the query-term filter lands BEFORE the shuffle — postings
+  * explode per token, but only tokens in the (tiny, literal) query set
+  * survive to the `groupBy`, so shuffle volume is O(matching postings),
+  * not O(corpus tokens). Corpus statistics (df per term, N, total token
+  * count) are dimension-sized and broadcast. The final top-k is a
+  * `TakeOrderedAndProject` (orderBy + limit), never a global sort.
+  *
+  * Determinism (oracle rules, see [[graft.queries.LlmQueries]]): per-term
+  * scores are rounded to integer micros and summed as longs — long
+  * addition is order-independent where double summation is not — and the
+  * top-k tiebreak is total (score desc, doc_id asc). Two idf modes:
+  * `logIdf = true` (default) is the classic Robertson–Spärck Jones
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))`; `logIdf = false` uses the raw
+  * rational `(N - df + 0.5)/(df + 0.5)` — same sign and ordering per
+  * term, but free of `ln`, whose last-ulp rounding is the one piece of
+  * libm the two engines do not contractually share. The oracle checks the
+  * rational mode; the specs pin that both modes rank identically on the
+  * test corpus (cf. the exact-vs-approx percentile precedent).
+  */
+object Retrieval {
+
+  /** Inverted index: one posting row per (token, document) with term
+    * frequency and the document's token length riding along (length is
+    * needed by every scorer; carrying it here saves the doc-length join).
+    * Returns (token, doc_id, tf, dl). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        bindOnce(wordTokens(col(textCol)), t =>
+          struct(size(t).as("dl"), t.as("toks"))).as("s"))
+      .select(col("doc_id"), col("s.dl").as("dl"), explode(col("s.toks")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+
+  /** BM25 top-k documents for a bag of query terms.
+    *
+    * @param k1      term-frequency saturation (BM25 k1)
+    * @param b       length normalization (BM25 b)
+    * @param logIdf  classic log idf (default) vs the oracle-exact rational
+    *                idf — see the object doc
+    * @return (doc_id, n_matched_terms, score_micros, rank), rank <= k
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    // postings restricted to the query terms BEFORE the (token, doc)
+    // shuffle — the index over non-query tokens never materializes
+    val postings = docs
+      .select(
+        col(idCol).as("doc_id"),
+        bindOnce(wordTokens(col(textCol)), t =>
+          struct(size(t).as("dl"), filter(t, tok => tok.isin(queryTerms: _*)).as("toks"))).as("s"))
+      .select(col("doc_id"), col("s.dl").as("dl"), explode(col("s.toks")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    // corpus stats: N and total token count (for avgdl) — one row, broadcast
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(wordTokens(col(textCol)))).as("total_tokens"))
+    // df per query term — at most |queryTerms| rows, broadcast
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val rationalIdf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + rationalIdf) else rationalIdf
+    val tfPart = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        round(idf * tfPart * 1e6).cast("long").as("term_score_micros"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_matched_terms"),
+        sum(col("term_score_micros")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micros").desc, col("doc_id").asc)))
+  }
+
+  /** TF-IDF term weights per (document, term) over the whole vocabulary —
+    * the classic retrieval/feature-extraction weighting. Same determinism
+    * scheme as [[bm25TopK]]: the weight is emitted in integer micros, and
+    * idf is the rational `N / df` family (`logIdf` adds the ln). One
+    * explode + one (token, doc) shuffle; df/N broadcast back.
+    * Returns (doc_id, token, tf, df, weight_micros). */
+  def tfidf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      logIdf: Boolean = true): DataFrame = {
+    val postings = invertedIndex(docs, idCol, textCol)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val rationalIdf = col("n_docs").cast("double") / col("df")
+    val idf = if (logIdf) log(rationalIdf) else rationalIdf
+    postings
+      .join(dfs, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("df"),
+        round((col("tf").cast("double") / col("dl")) * idf * 1e6).cast("long")
+          .as("weight_micros"))
+  }
+}

@@ -115,6 +115,10 @@ object LlmQueries {
        |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
        |      (x, y) -> x + y)""".stripMargin
 
+  /** BM25 demo query: one marker term per language family, so the scored
+    * doc set spans the corpus (vocabulary = the 31 LangMarkers words). */
+  private val Bm25QueryTerms = Seq("table", "stream", "hash", "vector")
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -252,6 +256,39 @@ object LlmQueries {
     }),
 
     // corpus vocabulary: token tf/df, top 100 (tokenizer-training input)
+    // BM25 ranked retrieval: query-term postings + broadcast stats, top-20
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Bm25QueryTerms, k = 20, logIdf = false)),
+
+    // TF-IDF weights over the full (doc, term) postings table
+    "q_tfidf" -> ((s, dir) =>
+      Retrieval.tfidf(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        logIdf = false)),
+
+    // Lloyd's k-means, 2 deterministic rounds from the vec_id < k seeds
+    "q_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 2)),
+
+    // ROLLUP mixture accounting: every granularity in one aggregation
+    "q_mixture_rollup" -> ((s, dir) =>
+      Mixture.rollupReport(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("source", "lang"), "n_chars")),
+
+    // cross-tab: doc counts per source x lang (explicit pivot values)
+    "q_pivot" -> ((s, dir) =>
+      Mixture.pivotCounts(s.read.parquet(s"$dir/documents.parquet"), "source", "lang",
+        Seq("de", "en", "es", "fr", "zh"))),
+
+    // per-user lag/lead + trailing ROWS-frame moving sum
+    "q_moving_avg" -> ((s, dir) =>
+      Events.movingStats(s.read.parquet(s"$dir/events.parquet"), window = 4)),
+
+    // Tukey-fence outliers per event type (exact quartiles, oracle mode)
+    "q_outliers" -> ((s, dir) =>
+      Events.outliers(s.read.parquet(s"$dir/events.parquet"), factor = 1.5, exact = true)),
+
     "q_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
@@ -686,6 +723,133 @@ object LlmQueries {
          |  min(value) AS value_min,
          |  max(value) AS value_max
          |FROM events GROUP BY 1""".stripMargin,
+
+    "q_bm25" -> {
+      val terms = Bm25QueryTerms.map("'" + _ + "'").mkString(", ")
+      // mirrors Retrieval.bm25TopK with logIdf = false: rational idf
+      // (N - df + 0.5)/(df + 0.5), tf saturation with k1=1.2 b=0.75,
+      // per-term micros rounding, long sum, (score desc, doc_id) top-20
+      s"""WITH toks AS (
+         |  SELECT doc_id, len($tokensSql) AS dl, unnest($tokensSql) AS token FROM documents),
+         |post AS (
+         |  SELECT token, doc_id, count(*) AS tf, min(dl) AS dl
+         |  FROM toks WHERE token IN ($terms) GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
+         |  FROM documents),
+         |dfs AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(
+         |      ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+         |      * ((p.tf * CAST(2.2 AS DOUBLE))
+         |         / (p.tf + CAST(1.2 AS DOUBLE)
+         |            * (CAST(0.25 AS DOUBLE)
+         |               + CAST(0.75 AS DOUBLE) * p.dl
+         |                 / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+         |      * 1000000) AS BIGINT) AS term_score_micros
+         |  FROM post p JOIN dfs d USING (token), stats s),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_matched_terms,
+         |    CAST(sum(term_score_micros) AS BIGINT) AS score_micros
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, n_matched_terms, score_micros,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id ASC) AS INTEGER) AS rank
+         |FROM agg ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len($tokensSql) AS dl, unnest($tokensSql) AS token FROM documents),
+         |post AS (
+         |  SELECT token, doc_id, count(*) AS tf, min(dl) AS dl FROM toks GROUP BY 1, 2),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |dfs AS (SELECT token, count(*) AS df FROM post GROUP BY 1)
+         |SELECT p.doc_id, p.token, p.tf, d.df,
+         |  CAST(round((CAST(p.tf AS DOUBLE) / p.dl)
+         |    * (CAST(s.n_docs AS DOUBLE) / d.df) * 1000000) AS BIGINT) AS weight_micros
+         |FROM post p JOIN dfs d USING (token), stats s""".stripMargin,
+
+    "q_kmeans" -> {
+      // two unrolled Lloyd rounds mirroring Clustering.kmeans: seeds are
+      // vec_id < 8; centroid components are micros-sum / (n * 1e6) so the
+      // iteration is bit-exact on both engines; argmin ties by cluster id
+      def distSql(v: String, c: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+      s"""WITH $embCte,
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+         |d1 AS (
+         |  SELECT e.vec_id, e.v, c0.cluster, ${distSql("e.v", "c0.c")} AS dist
+         |  FROM e, c0),
+         |a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |u1 AS (
+         |  SELECT cluster, g.dim,
+         |    CAST(sum(CAST(round(v[g.dim] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS dim) g
+         |  GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / (n * 1000000) ORDER BY dim) AS c
+         |  FROM u1 GROUP BY 1),
+         |d2 AS (
+         |  SELECT e.vec_id, c1.cluster, ${distSql("e.v", "c1.c")} AS dist
+         |  FROM e, c1)
+         |SELECT vec_id, cluster, CAST(round(dist * 1000000) AS BIGINT) AS dist_micros
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cluster ASC) AS rn
+         |  FROM d2) WHERE rn = 1""".stripMargin
+    },
+
+    "q_mixture_rollup" ->
+      s"""SELECT source, lang,
+         |  CAST(GROUPING(source, lang) AS BIGINT) AS grp,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |FROM documents
+         |GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT source,
+         |  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
+         |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+         |  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
+         |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
+         |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_moving_avg" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |    CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS value_micros
+         |  FROM events)
+         |SELECT event_id, user_id, ts_us, value_micros,
+         |  lag(value_micros) OVER w AS prev_value_micros,
+         |  lead(value_micros) OVER w AS next_value_micros,
+         |  CAST(sum(value_micros) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_micros,
+         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_window,
+         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+
+    "q_outliers" ->
+      s"""WITH q AS (
+         |  SELECT event_type,
+         |    quantile_cont(value, 0.25) AS q1,
+         |    quantile_cont(value, 0.75) AS q3
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type, e.value, q.q1, q.q3,
+         |  q.q1 - CAST(1.5 AS DOUBLE) * (q.q3 - q.q1) AS lo,
+         |  q.q3 + CAST(1.5 AS DOUBLE) * (q.q3 - q.q1) AS hi,
+         |  (e.value < q.q1 - CAST(1.5 AS DOUBLE) * (q.q3 - q.q1)
+         |   OR e.value > q.q3 + CAST(1.5 AS DOUBLE) * (q.q3 - q.q1)) AS is_outlier
+         |FROM events e JOIN q USING (event_type)""".stripMargin,
 
     "q_vocabulary" ->
       s"""WITH tok AS (
