@@ -205,6 +205,52 @@ object Events {
       .withColumn("is_outlier", col("value") < col("lo") || col("value") > col("hi"))
   }
 
+  /** Ranking analytics per event type: rank, percent_rank, cume_dist and
+    * ntile over the value ordering — the distribution-position features
+    * (score normalization, quantile bucketing) of per-group analysis.
+    * The ordering carries an event_id tiebreak so every rank function is
+    * total and engine-exact (percent_rank/cume_dist are then ratios of
+    * integers — deterministic doubles). One shuffle + sort on the group
+    * key. Returns (event_id, event_type, value, rnk, pct_rank, cume,
+    * quartile). */
+  def rankStats(events: DataFrame, nTiles: Int = 4): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        rank().over(w).cast("long").as("rnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(nTiles).over(w).cast("long").as("quartile"))
+  }
+
+  /** Fixed-range equi-width histogram per event type: `nBuckets` buckets
+    * over [lo, hi), out-of-range values clamped to the edge buckets. The
+    * bucket index is `floor((value - lo) / width)` — one double subtract/
+    * divide on bit-identical inputs, so bucket boundaries are engine-exact
+    * — and the aggregation is a single groupBy with map-side combine.
+    * Bounds are caller-fixed (a data-derived range would need a min/max
+    * pre-pass; at 100 TB the serving range is a config, not a scan).
+    * Returns (event_type, bucket, bucket_lo, n_events, value_micros). */
+  def histogram(
+      events: DataFrame,
+      lo: Double = 0.0,
+      hi: Double = 500.0,
+      nBuckets: Int = 20): DataFrame = {
+    require(hi > lo && nBuckets > 0, "need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+      floor((col("value") - lo) / width).cast("long"), lit(0L)), lit(nBuckets - 1L))
+    events
+      .select(col("event_type"), col("value"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(valueMicros).as("value_micros"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * width)
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * user inactivity. Returns one row per session:
     * (user_id, session_id, n_events, session_start_us, session_end_us,

@@ -285,6 +285,25 @@ object LlmQueries {
     "q_moving_avg" -> ((s, dir) =>
       Events.movingStats(s.read.parquet(s"$dir/events.parquet"), window = 4)),
 
+    // rank / percent_rank / cume_dist / ntile per event type
+    "q_rank_stats" -> ((s, dir) =>
+      Events.rankStats(s.read.parquet(s"$dir/events.parquet"), nTiles = 4)),
+
+    // fixed-range equi-width histogram per event type
+    "q_histogram" -> ((s, dir) =>
+      Events.histogram(s.read.parquet(s"$dir/events.parquet"),
+        lo = 0.0, hi = 500.0, nBuckets = 20)),
+
+    // bloom-prefiltered exact semi-join: events of high-value purchasers
+    "q_bloom_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val buyers = e.filter(col("event_type") === "purchase" && col("value") > 90)
+        .select("user_id")
+      graft.scale.Bloom.semiJoin(
+        e.select(col("event_id"), col("user_id"), col("event_type")),
+        buyers, "user_id")
+    }),
+
     // Tukey-fence outliers per event type (exact quartiles, oracle mode)
     "q_outliers" -> ((s, dir) =>
       Events.outliers(s.read.parquet(s"$dir/events.parquet"), factor = 1.5, exact = true)),
@@ -837,6 +856,37 @@ object LlmQueries {
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_window,
          |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+
+    "q_rank_stats" ->
+      s"""SELECT event_id, event_type, value,
+         |  CAST(rank() OVER w AS BIGINT) AS rnk,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+
+    "q_histogram" ->
+      s"""WITH b AS (
+         |  SELECT event_type, value,
+         |    least(greatest(CAST(floor((value - CAST(0 AS DOUBLE)) / CAST(25 AS DOUBLE)) AS BIGINT),
+         |      0), 19) AS bucket
+         |  FROM events)
+         |SELECT event_type, bucket,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         |    AS value_micros,
+         |  CAST(0 AS DOUBLE) + bucket * CAST(25 AS DOUBLE) AS bucket_lo
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // the bloom is a prefilter with no false negatives: output == the
+    // plain semi-join, which is what the oracle states (a bit-logic bug
+    // would drop rows and fail the hash compare)
+    "q_bloom_join" ->
+      s"""SELECT e.event_id, e.user_id, e.event_type FROM events e
+         |WHERE EXISTS (
+         |  SELECT 1 FROM events b
+         |  WHERE b.event_type = 'purchase' AND b.value > 90
+         |    AND b.user_id = e.user_id)""".stripMargin,
 
     "q_outliers" ->
       s"""WITH q AS (

@@ -42,6 +42,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(approx == Set(5L))
   }
 
+  test("rankStats: total tiebroken order makes ranks, ratios, and tiles exact") {
+    val rows = Events.rankStats(events).filter(col("event_type") === "view")
+      .orderBy("rnk")
+      .select("event_id", "rnk", "pct_rank", "cume", "quartile")
+      .as[(Long, Long, Double, Double, Long)].collect().toList
+    assert(rows.map(_._1) == List(1L, 2L, 3L, 4L, 5L)) // value order
+    assert(rows.map(_._2) == List(1L, 2L, 3L, 4L, 5L)) // unique ranks (tiebreak)
+    assert(rows.map(_._3) == List(0.0, 0.25, 0.5, 0.75, 1.0))
+    assert(rows.map(_._4) == List(0.2, 0.4, 0.6, 0.8, 1.0))
+    assert(rows.map(_._5) == List(1L, 1L, 2L, 3L, 4L)) // ntile(4) over 5 rows
+  }
+
+  test("histogram: clamped equi-width buckets with micros sums") {
+    val h = Events.histogram(events, lo = 0.0, hi = 4.0, nBuckets = 4)
+      .filter(col("event_type") === "view")
+      .select("bucket", "bucket_lo", "n_events", "value_micros")
+      .as[(Long, Double, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // values 1,2,3,4,100 in [0,4) w=1: 1.0->b1, 2.0->b2, 3.0->b3(last in range),
+    // 4.0 and 100.0 clamp to b3
+    assert(h(1L) == ((1.0, 1L, 1000000L)))
+    assert(h(2L) == ((2.0, 1L, 2000000L)))
+    assert(h(3L) == ((3.0, 3L, 107000000L)))
+    assert(!h.contains(0L))
+  }
+
   test("rollupReport: leaf, per-source, and grand-total levels with grouping ids") {
     val docs = Seq(
       ("a", "en", 10L), ("a", "de", 20L), ("b", "en", 30L))
