@@ -19,10 +19,14 @@ import org.apache.spark.sql.types._
   * same `StaticInvoke` expressions as [[HashFunctions]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plan rewrite: N exact quartile buffers -> one FiveNumberSummary
+    // (on a live session: spark.experimental.extraOptimizations instead)
+    ext.injectOptimizerRule(_ => graft.plans.CollapsePercentiles)
+  }
 }
 
 object GraftExtensions {
