@@ -294,6 +294,27 @@ object LlmQueries {
       Events.histogram(s.read.parquet(s"$dir/events.parquet"),
         lo = 0.0, hi = 500.0, nBuckets = 20)),
 
+    // cross-document sequence packing spans (two-phase global prefix sum)
+    "q_seq_pack" -> ((s, dir) =>
+      Packing.sequenceSpans(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", seqLen = 128)),
+
+    // latest-wins snapshot merge: upserts + inserts + tombstones
+    "q_scd_merge" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val cur = d.withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      val upserts = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 3).as("n_chars"),
+          lit(2L).as("version"), (pmod(col("doc_id"), lit(3)) === 0).as("deleted"))
+      val inserts = d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      graft.operators.SnapshotMerge.merge(
+        cur, upserts.unionByName(inserts), "doc_id", "version", Some("deleted"))
+    }),
+
     // bloom-prefiltered exact semi-join: events of high-value purchasers
     "q_bloom_join" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -877,6 +898,47 @@ object LlmQueries {
          |    AS value_micros,
          |  CAST(0 AS DOUBLE) + bucket * CAST(25 AS DOUBLE) AS bucket_lo
          |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_seq_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // 128 AS first_seq,
+         |  (start_offset + n_tokens - 1) // 128 AS last_seq,
+         |  (start_offset + n_tokens - 1) // 128 - start_offset // 128 + 1 AS n_seqs
+         |FROM o""".stripMargin,
+
+    "q_scd_merge" -> {
+      // per-column latest-wins pick of the full-outer merge
+      def pick(c: String) =
+        s"""CASE WHEN u.doc_id IS NULL THEN c.$c
+           |       WHEN c.doc_id IS NULL THEN u.$c
+           |       WHEN u.version >= c.version THEN u.$c
+           |       ELSE c.$c END AS $c""".stripMargin
+      s"""WITH cur AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    CAST(1 AS BIGINT) AS version, FALSE AS deleted
+         |  FROM documents),
+         |ups AS (
+         |  SELECT doc_id, text || ' v2' AS text, lang, source,
+         |    n_chars + 3 AS n_chars, CAST(2 AS BIGINT) AS version,
+         |    (doc_id % 3 = 0) AS deleted
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars,
+         |    CAST(2 AS BIGINT) AS version, FALSE AS deleted
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |m AS (
+         |  SELECT COALESCE(u.doc_id, c.doc_id) AS doc_id,
+         |    ${Seq("text", "lang", "source", "n_chars", "version", "deleted").map(pick).mkString(",\n    ")}
+         |  FROM cur c FULL JOIN ups u ON c.doc_id = u.doc_id)
+         |SELECT * FROM m WHERE NOT deleted""".stripMargin
+    },
 
     // the bloom is a prefilter with no false negatives: output == the
     // plain semi-join, which is what the oracle states (a bit-logic bug

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Latest-wins snapshot merge semantics. */
+class SnapshotMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, Long, Boolean)*) =
+    rows.toDF("id", "payload", "version", "deleted")
+
+  test("insert, update, keep, delete, and stale-update resolution") {
+    val current = snap((1L, "a", 1L, false), (2L, "b", 5L, false), (3L, "c", 1L, false))
+    val updates = snap(
+      (1L, "a2", 2L, false), // newer version: update wins
+      (2L, "b-stale", 2L, false), // older than current 5: current kept
+      (3L, "c", 2L, true), // tombstone: dropped
+      (9L, "new", 1L, false)) // insert
+    val out = SnapshotMerge.merge(current, updates, "id", "version", Some("deleted"))
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 9L -> "new"))
+  }
+
+  test("equal versions go to the update (idempotent re-delivery)") {
+    val current = snap((1L, "old", 3L, false))
+    val updates = snap((1L, "redelivered", 3L, false))
+    val once = SnapshotMerge.merge(current, updates, "id", "version", Some("deleted"))
+    assert(once.as[(Long, String, Long, Boolean)].collect().toSeq ==
+      Seq((1L, "redelivered", 3L, false)))
+    // merging the same batch into the result changes nothing
+    val twice = SnapshotMerge.merge(once, updates, "id", "version", Some("deleted"))
+    assert(twice.as[(Long, String, Long, Boolean)].collect().toSeq ==
+      Seq((1L, "redelivered", 3L, false)))
+  }
+
+  test("without a tombstone column every winner survives") {
+    val current = snap((1L, "a", 1L, true))
+    val out = SnapshotMerge.merge(current, snap(), "id", "version", None)
+    assert(out.count() == 1)
+  }
+
+  test("mismatched schemas are rejected") {
+    val bad = Seq((1L, "x")).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.merge(snap((1L, "a", 1L, false)), bad, "id", "version", None)
+    }
+  }
+}
