@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.operators.SnapshotMerge
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming snapshot maintenance: a file-source stream of update batches
+  * continuously merged into a Parquet snapshot with
+  * [[SnapshotMerge.merge]] — the CDC-ingest shape (upserts + tombstones
+  * flowing into a queryable table) without any table format.
+  *
+  * Each micro-batch runs one latest-wins merge of (current snapshot ∪
+  * batch) and atomically swaps the snapshot directory (write to
+  * `<path>.staging`, then overwrite — the same two-step the reference's
+  * `newest/` overwrite target uses, `glofas-forecast-computation.py:252`).
+  * The stream checkpoint makes the file source exactly-once, and the
+  * merge itself is idempotent under re-delivered batches (ties go to the
+  * update), so a crash between checkpoint and swap re-merges the same
+  * batch into the same result — the rerun-safety spec pins this.
+  *
+  * Scale posture: the snapshot rewrite is O(snapshot) per trigger, the
+  * right trade for daily/hourly corpus maintenance (the reference's own
+  * cadence); sub-minute CDC would partition the snapshot by key range and
+  * rewrite only touched partitions — same merge, narrower scope.
+  */
+object SnapshotStream {
+
+  /** File-source stream of update batches (explicit schema, as all
+    * streaming reads require). */
+  def readUpdates(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Merge each micro-batch into the snapshot at `snapshotPath`.
+    * `.start()` to run; `Trigger.AvailableNow` catches up and stops. */
+  def mergeSink(
+      updates: DataFrame,
+      snapshotPath: String,
+      checkpointDir: String,
+      keyCol: String,
+      versionCol: String,
+      deletedCol: Option[String] = None): DataStreamWriter[Row] =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try spark.read.parquet(snapshotPath)
+          catch { case _: Exception => batch.limit(0) } // first batch: empty snapshot
+        val merged = SnapshotMerge.merge(current, batch, keyCol, versionCol, deletedCol)
+        // two-step swap: the merge plan reads the snapshot it replaces
+        val staging = s"$snapshotPath.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(snapshotPath)
+      }
+}
