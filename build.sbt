@@ -14,6 +14,9 @@ run / fork := true
 // Pass the forked process's stdout through raw (no "[info] " logger
 // prefix) — the driver parses Bench's single JSON output line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses Bench's JSON from the tail of stdout; sbt's
+// "[success] Total time" trailer would eat into that window.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

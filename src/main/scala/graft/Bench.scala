@@ -30,10 +30,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses the JSON line out of the last ~2000 chars of stdout;
+    // with 75 queries full-precision doubles overflow that window (r5's
+    // BENCH parsed:null). Centisecond precision keeps the line well inside it.
+    def fmt(v: Double): String = f"$v%.2f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
