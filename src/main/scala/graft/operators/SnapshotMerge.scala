@@ -26,6 +26,31 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotMerge {
 
+  /** Collapse a possibly multi-version update batch to one winning row per
+    * key: highest `versionCol` wins, and on a version tie the tombstone
+    * wins (a delete re-delivered alongside the row it deletes must still
+    * delete). This is what keeps the full-outer join in [[merge]] 1:1 —
+    * without it a micro-batch that coalesces several update files (e.g.
+    * `Trigger.AvailableNow` catching up after a crash) fans the join out
+    * and a stale insert can resurrect a tombstoned key.
+    *
+    * One map-side-combining aggregation on the key; its output is already
+    * hash-partitioned on the key, so the merge join reuses the exchange.
+    */
+  def latestPerKey(
+      updates: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    val cols = updates.columns.toSeq
+    val ord = deletedCol.fold(struct(col(versionCol)))(d =>
+      struct(col(versionCol), coalesce(col(d), lit(false))))
+    updates
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(cols.map(col): _*), ord).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Merge `updates` into `current`. Schemas must match exactly.
     *
     * @param deletedCol optional boolean tombstone column; when the winning
@@ -43,13 +68,14 @@ object SnapshotMerge {
     def packed(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol).as("__key"), struct(cols.map(col): _*).as(as))
     val joined = packed(current, "__cur")
-      .join(packed(updates, "__upd"), Seq("__key"), "full_outer")
+      .join(packed(latestPerKey(updates, keyCol, versionCol, deletedCol), "__upd"),
+        Seq("__key"), "full_outer")
     val winner: Column =
       when(col("__upd").isNull, col("__cur"))
         .when(col("__cur").isNull, col("__upd"))
         .when(col(s"__upd.$versionCol") >= col(s"__cur.$versionCol"), col("__upd"))
         .otherwise(col("__cur"))
     val out = joined.select(winner.as("__row")).select(col("__row.*"))
-    deletedCol.fold(out)(d => out.filter(!col(d)))
+    deletedCol.fold(out)(d => out.filter(!coalesce(col(d), lit(false))))
   }
 }

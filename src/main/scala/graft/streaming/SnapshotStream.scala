@@ -45,9 +45,15 @@ object SnapshotStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // First batch ⇒ no snapshot yet: fall back to empty ONLY when the
+        // path genuinely doesn't exist. Any other read failure (corrupt
+        // footer, permissions, transient FS error) must abort the batch —
+        // swallowing it would merge against empty and wipe the snapshot.
+        val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current =
-          try spark.read.parquet(snapshotPath)
-          catch { case _: Exception => batch.limit(0) } // first batch: empty snapshot
+          if (fs.exists(hPath)) spark.read.parquet(snapshotPath)
+          else batch.limit(0)
         val merged = SnapshotMerge.merge(current, batch, keyCol, versionCol, deletedCol)
         // two-step swap: the merge plan reads the snapshot it replaces
         val staging = s"$snapshotPath.staging"

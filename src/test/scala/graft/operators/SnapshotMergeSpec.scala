@@ -34,6 +34,33 @@ class SnapshotMergeSpec extends SparkSpec {
       Seq((1L, "redelivered", 3L, false)))
   }
 
+  test("multi-version batch: per-key latest wins, tombstone not resurrected") {
+    // one batch carrying BOTH the insert and the later tombstone of key 3
+    // (the AvailableNow crash-replay shape) — the stale insert must not
+    // fan the join out and resurrect the deleted key
+    val current = snap((1L, "a", 1L, false))
+    val updates = snap(
+      (3L, "c", 1L, false), (3L, "c", 2L, true), // insert then delete
+      (4L, "d1", 1L, false), (4L, "d2", 3L, false), (4L, "d-mid", 2L, false))
+    val out = SnapshotMerge.merge(current, updates, "id", "version", Some("deleted"))
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> "a", 4L -> "d2"))
+  }
+
+  test("version-tie between an update row and its tombstone: tombstone wins") {
+    val updates = snap((5L, "e", 2L, false), (5L, "e", 2L, true))
+    val out = SnapshotMerge.merge(snap(), updates, "id", "version", Some("deleted"))
+    assert(out.count() == 0)
+  }
+
+  test("null tombstone flag is treated as not-deleted") {
+    val current = Seq((1L, "a", 1L, Some(false)), (2L, "b", 1L, None))
+      .toDF("id", "payload", "version", "deleted")
+    val updates = current.limit(0)
+    val out = SnapshotMerge.merge(current, updates, "id", "version", Some("deleted"))
+    assert(out.count() == 2) // NULL flag must not delete the live row
+  }
+
   test("without a tombstone column every winner survives") {
     val current = snap((1L, "a", 1L, true))
     val out = SnapshotMerge.merge(current, snap(), "id", "version", None)
