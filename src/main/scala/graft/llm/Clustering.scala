@@ -82,11 +82,14 @@ object Clustering {
     require(k > 0 && iters > 0, "need k > 0 and iters > 0")
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
-    // seed centroids: vec_id < k (deterministic, engine-portable — the
-    // same choice ivfTopK makes; k-means++ would sharpen quality but
-    // needs sequential randomized passes)
+    // seed centroids: the k smallest ids (deterministic, engine-portable,
+    // and robust to sparse/offset id spaces where `vec_id < k` would
+    // silently yield fewer than k seeds; k-means++ would sharpen quality
+    // but needs sequential randomized passes). orderBy+limit compiles to
+    // TakeOrderedAndProject — a per-partition top-k, no global sort.
     var centroids = vecs
-      .filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
       .localCheckpoint()
     var i = 0

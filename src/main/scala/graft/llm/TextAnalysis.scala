@@ -54,12 +54,20 @@ object TextAnalysis {
 
   /** N-gram-heuristic language ID: score = marker-token hits per language,
     * prediction = argmax with fixed tie order (declaration order of
-    * [[LangMarkers]]). Returns (doc_id, score_<lang>..., predicted_lang). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * [[LangMarkers]]). Returns (doc_id, passThrough..., score_<lang>...,
+    * predicted_lang).
+    *
+    * `passThrough` carries source columns (e.g. a ground-truth label)
+    * alongside the prediction so downstream comparisons stay a pure
+    * projection — joining the prediction back to the source on doc_id
+    * would re-scan and re-shuffle the corpus for a column that is
+    * already in the row. */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      passThrough: Seq[String] = Nil): DataFrame = {
     // bindOnce: one tokenizer run per row feeds all language scores and
     // the argmax chain (each would otherwise re-inline the split)
     docs.select(
-      col(idCol).as("doc_id"),
+      (col(idCol).as("doc_id") +: passThrough.map(col)) :+
       bindOnce(wordTokens(col(textCol)), tokens => {
         val scores = LangMarkers.map { case (lang, words) => lang -> countIn(tokens, words) }
         // argmax with declaration-order ties: a chain of strict > comparisons
@@ -71,8 +79,8 @@ object TextAnalysis {
         struct(
           scores.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
             predicted.as("predicted_lang"): _*)
-      }).as("l"))
-      .select("doc_id", "l.*")
+      }).as("l"): _*)
+      .select((("doc_id" +: passThrough) :+ "l.*").map(col): _*)
   }
 
   /** Composite quality score in [0,1] with a 3-way bucket:
@@ -125,8 +133,12 @@ object TextAnalysis {
       .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("token")
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      // top-k FIRST (TakeOrderedAndProject: per-partition top-k, then a
+      // k-row merge on the driver side) so the global rank window runs
+      // over <= limit rows, never the whole vocabulary
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(limit)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= limit)
   }
 
   /** Overlapping context-window chunking — the document splitter every
@@ -259,8 +271,10 @@ object TextAnalysis {
       .groupBy("pair", "doc_id").agg(count(lit(1)).as("c")) // see vocabulary: avoids the Expand
       .groupBy("pair")
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      // see vocabulary: bound the global rank window by the top-k first
+      .orderBy(col("tf").desc, col("pair").asc)
+      .limit(limit)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= limit)
   }
 
   /** Full winnowing fingerprints (Schleimer/Wilkerson/Aiken local

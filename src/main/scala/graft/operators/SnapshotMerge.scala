@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *  - key only in updates  → take update (insert)
   *  - both                 → higher `versionCol` wins; ties go to the
   *                           update (re-delivered batches are idempotent)
-  *  - winner has `deletedCol` true → row dropped (tombstone)
+  *  - winner has `deletedCol` true → row dropped (tombstone), or kept
+  *    with the flag set when `retainTombstones` (incremental snapshots
+  *    need the tombstone to outlive the batch that delivered it)
   *
   * One shuffle on the key for both sides; at 100 TB the update batch is
   * normally dimension-sized relative to the snapshot, so AQE broadcasts
@@ -34,6 +36,15 @@ object SnapshotMerge {
     * `Trigger.AvailableNow` catching up after a crash) fans the join out
     * and a stale insert can resurrect a tombstoned key.
     *
+    * Ties on the FULL ordering key — two update rows with the same
+    * (version, deleted) but different payloads — resolve arbitrarily
+    * (`max_by` keeps whichever it sees last). That is only sound when
+    * same-version redeliveries carry identical payloads (idempotent CDC);
+    * producers that reuse version numbers for different payloads are
+    * broken upstream. A NULL `versionCol` is rejected loudly (runtime
+    * error) rather than sorted to the bottom: silently losing to every
+    * versioned row would mask bad CDC input.
+    *
     * One map-side-combining aggregation on the key; its output is already
     * hash-partitioned on the key, so the merge join reuses the exchange.
     */
@@ -46,6 +57,10 @@ object SnapshotMerge {
     val ord = deletedCol.fold(struct(col(versionCol)))(d =>
       struct(col(versionCol), coalesce(col(d), lit(false))))
     updates
+      // assert_true evaluates to NULL for every valid row (so the filter
+      // keeps everything) and raises on the first NULL version
+      .filter(assert_true(col(versionCol).isNotNull,
+        lit(s"SnapshotMerge: NULL $versionCol in update batch")).isNull)
       .groupBy(col(keyCol))
       .agg(max_by(struct(cols.map(col): _*), ord).as("__row"))
       .select(col("__row.*"))
@@ -55,13 +70,23 @@ object SnapshotMerge {
     *
     * @param deletedCol optional boolean tombstone column; when the winning
     *                   row has it true, the key disappears from the output
+    *                   (unless `retainTombstones`)
+    * @param retainTombstones keep winning tombstone rows (deleted=true) in
+    *                   the output instead of dropping them. Required for
+    *                   incrementally-maintained snapshots where a stale
+    *                   insert for a deleted key may arrive in a LATER
+    *                   batch: if the tombstone is dropped, the key is
+    *                   simply absent and the stale insert resurrects it.
+    *                   Filter tombstones at read/export time and reclaim
+    *                   them periodically with [[compactTombstones]].
     */
   def merge(
       current: DataFrame,
       updates: DataFrame,
       keyCol: String,
       versionCol: String,
-      deletedCol: Option[String] = None): DataFrame = {
+      deletedCol: Option[String] = None,
+      retainTombstones: Boolean = false): DataFrame = {
     require(current.columns.sameElements(updates.columns),
       s"schemas must match: ${current.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val cols = current.columns.toSeq
@@ -76,6 +101,23 @@ object SnapshotMerge {
         .when(col(s"__upd.$versionCol") >= col(s"__cur.$versionCol"), col("__upd"))
         .otherwise(col("__cur"))
     val out = joined.select(winner.as("__row")).select(col("__row.*"))
-    deletedCol.fold(out)(d => out.filter(!coalesce(col(d), lit(false))))
+    deletedCol match {
+      case Some(d) if !retainTombstones => out.filter(!coalesce(col(d), lit(false)))
+      case _ => out
+    }
   }
+
+  /** Reclaim retained tombstones once they can no longer be contradicted:
+    * drops tombstone rows whose version is <= `versionWatermark`. Safe
+    * when the CDC source guarantees no update older than the watermark
+    * can still arrive (e.g. the source's own retention horizon). Run
+    * periodically on snapshots maintained with `retainTombstones = true`
+    * so deleted keys don't accumulate forever. */
+  def compactTombstones(
+      snapshot: DataFrame,
+      versionCol: String,
+      deletedCol: String,
+      versionWatermark: Long): DataFrame =
+    snapshot.filter(
+      !coalesce(col(deletedCol), lit(false)) || col(versionCol) > versionWatermark)
 }

@@ -78,12 +78,36 @@ object CollapsePercentiles extends Rule[LogicalPlan] {
     }.toMap
   }
 
+  /** Grouping expressions that are plain attributes — what the inner
+    * Aggregate can re-expose for the outer Project to reference. */
+  private def groupingAttrs(agg: Aggregate): Seq[AttributeReference] =
+    agg.groupingExpressions.collect { case a: AttributeReference => a }.distinct
+
+  /** Attributes referenced OUTSIDE any aggregate function in the output
+    * list (e.g. the `g` in `percentile(v, 0.25) + g AS x`). These must
+    * survive into the rebuilt Aggregate's output or the outer Project
+    * fails to bind. */
+  private def nonAggRefs(agg: Aggregate): AttributeSet = {
+    val refs = mutable.ArrayBuffer.empty[Attribute]
+    def walk(e: Expression): Unit = e match {
+      case _: AggregateExpression => ()
+      case a: AttributeReference => refs += a
+      case other => other.children.foreach(walk)
+    }
+    agg.aggregateExpressions.foreach(walk)
+    AttributeSet(refs.toSeq)
+  }
+
   private def shouldRewrite(agg: Aggregate): Boolean =
     foldableChildren(agg).nonEmpty && agg.aggregateExpressions.forall {
       case _: AttributeReference => true // grouping column passthrough
       case a: Alias => a.child.exists(_.isInstanceOf[AggregateExpression])
       case _ => false
-    }
+    } &&
+      // every attribute used outside an aggregate (top-level passthrough
+      // OR buried inside an aliased expression) must be a grouping
+      // attribute the inner Aggregate can re-emit; otherwise bail out
+      nonAggRefs(agg).subsetOf(AttributeSet(groupingAttrs(agg)))
 
   private def rewrite(agg: Aggregate): LogicalPlan = {
     val folded = foldableChildren(agg)
@@ -98,10 +122,12 @@ object CollapsePercentiles extends Rule[LogicalPlan] {
         passAliases.getOrElseUpdate(ae.canonicalized, Alias(ae, "_graft_agg")())
       case _ => ()
     })
-    val groupingOut = agg.aggregateExpressions.collect { case a: AttributeReference => a }
+    // re-emit ALL attribute-shaped grouping keys, not just those that
+    // appear as top-level passthroughs: an alias like
+    // `percentile(v, 0.25) + g` references `g` from the outer Project
     val inner = Aggregate(
       agg.groupingExpressions,
-      (groupingOut: Seq[NamedExpression]) ++ passAliases.values ++ fiveAliases.values,
+      (groupingAttrs(agg): Seq[NamedExpression]) ++ passAliases.values ++ fiveAliases.values,
       agg.child)
     val projectList: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference => a

@@ -348,15 +348,14 @@ object LlmQueries {
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
-    // language-ID confusion matrix vs the labeled lang column
-    "q_lang_confusion" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.langId(d, "doc_id", "text")
-        .select(col("doc_id"), col("predicted_lang"))
-        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // language-ID confusion matrix vs the labeled lang column: the label
+    // rides through langId as a pass-through column, so this is one scan +
+    // one groupBy — no self-join back to the corpus
+    "q_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          passThrough = Seq("lang"))
         .groupBy("lang", "predicted_lang")
-        .agg(count(lit(1)).as("n_docs"))
-    }),
+        .agg(count(lit(1)).as("n_docs"))),
 
     // composite quality score + bucket
     "q_quality_score" -> ((s, dir) =>
@@ -813,7 +812,8 @@ object LlmQueries {
 
     "q_kmeans" -> {
       // two unrolled Lloyd rounds mirroring Clustering.kmeans: seeds are
-      // vec_id < 8; centroid components are micros-sum / (n * 1e6) so the
+      // the 8 smallest vec_ids (= vec_id < 8 on the dense 0-based
+      // testdata); centroid components are micros-sum / (n * 1e6) so the
       // iteration is bit-exact on both engines; argmin ties by cluster id
       def distSql(v: String, c: String) =
         s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"

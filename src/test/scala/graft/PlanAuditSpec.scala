@@ -21,6 +21,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("no registry query plans an unpartitioned window outside the audited exceptions") {
+    // A Window with no PARTITION BY moves the whole input to ONE partition
+    // — a scale-killer unless the input is provably small. Two benign
+    // shapes are recognized:
+    //  - the window's input subtree is bounded by a limit
+    //    (TakeOrderedAndProject / GlobalLimit): the top-k-then-rank
+    //    pattern, window input <= k rows;
+    //  - the explicitly audited two-phase prefix sums (graft.scale.Prefix),
+    //    where the global window runs over exactly one pre-aggregated row
+    //    per partition.
+    val allowed = Set("q_seq_pack", "q_pack_shards")
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def boundedByLimit(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+      case a: AdaptiveSparkPlanExec => boundedByLimit(a.inputPlan)
+      case other => other.children.exists(boundedByLimit)
+    }
+    def unboundedGlobalWindows(p: SparkPlan): Int = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedByLimit(w.child) => 1
+        case _ => 0
+      }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => unboundedGlobalWindows(a.inputPlan)
+        case other => other.children.map(unboundedGlobalWindows).sum
+      }
+      self + nested
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val n = unboundedGlobalWindows(fn(spark, sfDir).queryExecution.executedPlan)
+        if (n > 0) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty, s"unbounded global windows in: ${offenders.mkString(", ")}")
+  }
+
   test("every query with an oracle is registered, and the flagship runs") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle SQL without a query: ${missing.mkString(", ")}")

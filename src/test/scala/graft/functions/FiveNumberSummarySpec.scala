@@ -17,6 +17,28 @@ class FiveNumberSummarySpec extends SparkSpec {
     assert(onePass.count() > 0)
   }
 
+  test("independently-built ExactOnePass plans canonicalize equal (cache matching)") {
+    // Spark's CacheManager matches canonicalized plans: two registry
+    // queries that each build `detailed` from scratch must share ONE
+    // materialization. A TypedImperativeAggregate with broken equality /
+    // canonicalization would silently recompute instead — this pins it.
+    val dir = "/root/testdata/sf0.001"
+    def build() = ThresholdPercentages(
+      FloodShaped.forecast(spark, dir), FloodShaped.thresholds(spark, dir),
+      mode = ThresholdPercentages.ExactOnePass)
+    val a = build()
+    val b = build()
+    assert(a.queryExecution.analyzed.canonicalized == b.queryExecution.analyzed.canonicalized)
+    a.cache()
+    try {
+      b.count()
+      val cached = b.queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cached.nonEmpty, "second build must hit the first build's cache entry")
+    } finally a.unpersist()
+  }
+
   test("decimal input aggregates via Decimal.toDouble (no MatchError)") {
     import spark.implicits._
     val df = Seq(("g", BigDecimal("1.50")), ("g", BigDecimal("2.50")), ("g", BigDecimal("3.50")))

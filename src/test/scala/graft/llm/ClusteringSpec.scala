@@ -35,6 +35,17 @@ class ClusteringSpec extends SparkSpec {
     assert(out(2)._3 == 196040000L)
   }
 
+  test("sparse/offset id spaces still seed k centroids") {
+    // ids start at 100: filter(vec_id < k) would yield ZERO seeds; the
+    // k-smallest-ids seeding must still produce two clusters
+    val offset = vecs.withColumn("vec_id", col("vec_id") + 100L)
+    val out = Clustering.kmeans(offset, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L))
+    assert(out.values.toSet == Set(100L, 101L)) // clusters named by seed ids
+    assert(out(102L) == out(103L))
+  }
+
   test("cluster count never exceeds k and every vector is assigned") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)

@@ -36,6 +36,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "de"))
   }
 
+  test("langId pass-through columns ride alongside the prediction") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val d = docs(1L -> "the a table spark", 2L -> "spark spark order")
+      .withColumn("label", concat(lit("L"), col("doc_id")))
+    val got = TextAnalysis.langId(d, "doc_id", "text", passThrough = Seq("label"))
+      .select("doc_id", "label", "predicted_lang")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "L1", "en"), (2L, "L2", "zh")))
+  }
+
   test("qualityScore is in [0,1] and buckets deterministically") {
     val rows = TextAnalysis.qualityScore(
       docs(1L -> "the quick brown fox jumps", 2L -> "x"), "doc_id", "text").collect()

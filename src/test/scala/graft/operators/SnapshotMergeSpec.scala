@@ -61,6 +61,33 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(out.count() == 2) // NULL flag must not delete the live row
   }
 
+  test("retainTombstones keeps the winning tombstone row in the output") {
+    val current = snap((1L, "a", 1L, false), (3L, "c", 1L, false))
+    val updates = snap((3L, "c", 2L, true))
+    val out = SnapshotMerge.merge(current, updates, "id", "version", Some("deleted"),
+      retainTombstones = true)
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r._4).toMap
+    assert(out == Map(1L -> false, 3L -> true))
+    // a LATER stale insert loses to the retained tombstone
+    val next = SnapshotMerge.merge(
+      SnapshotMerge.merge(current, updates, "id", "version", Some("deleted"),
+        retainTombstones = true),
+      snap((3L, "c-stale", 1L, false)), "id", "version", Some("deleted"),
+      retainTombstones = true)
+    assert(next.filter(col("id") === 3L && !col("deleted")).count() == 0)
+  }
+
+  test("NULL update versions fail loudly instead of sorting to the bottom") {
+    val updates = Seq((1L, "x", None: Option[Long], false), (1L, "y", Some(2L), false))
+      .toDF("id", "payload", "version", "deleted")
+    val ex = intercept[Exception] {
+      SnapshotMerge.merge(snap(), updates, "id", "version", Some("deleted")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NULL version")))
+  }
+
   test("without a tombstone column every winner survives") {
     val current = snap((1L, "a", 1L, true))
     val out = SnapshotMerge.merge(current, snap(), "id", "version", None)

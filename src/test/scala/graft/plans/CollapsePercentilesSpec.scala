@@ -88,6 +88,19 @@ class CollapsePercentilesSpec extends SparkSpec {
     }
   }
 
+  test("grouping attribute referenced inside an aliased expression binds and matches") {
+    def mk() = flood.groupBy("cell").agg(
+      (percentile(col("dis24"), lit(0.25)) + col("cell")).as("q1_plus_cell"),
+      percentile(col("dis24"), lit(0.5)).as("median_dis"),
+      percentile(col("dis24"), lit(0.75)).as("q3_dis"))
+    val rewritten = withRule {
+      val df = mk()
+      assert(aggFunctions(df).count(_.isInstanceOf[FiveNumberSummary]) == 1)
+      df.collect().map(_.toSeq).toSet // used to fail binding: `cell` was dropped
+    }
+    assert(rewritten == mk().collect().map(_.toSeq).toSet)
+  }
+
   test("distinct and filtered aggregates are left untouched") {
     withRule {
       val df = flood.groupBy("cell").agg(
