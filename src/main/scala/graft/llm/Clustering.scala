@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * The driver-side iteration loop with `localCheckpoint` per round is the
   * standard Spark shape for iterative ML (same as [[Dedup.clusters]]);
   * fixed `iters` keeps the oracle expressible as an unrolled CTE chain —
-  * production callers loop until centroid movement < eps instead.
+  * production callers use [[kmeansConverged]] (movement-eps loop) seeded
+  * by the deterministic farthest-first rule ([[farthestFirstSeeds]]).
   */
 object Clustering {
 
@@ -95,6 +96,100 @@ object Clustering {
     var i = 0
     while (i < iters - 1) {
       centroids = update(assign(vecs, centroids)).localCheckpoint()
+      i += 1
+    }
+    assign(vecs, centroids)
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist") * 1e6).cast("long").as("dist_micros"))
+  }
+
+  /** Deterministic farthest-first (Gonzalez) seeding — the derandomized
+    * k-means++ analog: seed 1 is the smallest id; each subsequent seed is
+    * the vector FARTHEST from its nearest already-chosen seed (ties break
+    * to the smallest id). Spreads seeds like k-means++ does in
+    * expectation, with none of the sequential sampling randomness — so
+    * the driver's DuckDB gate can check it as an unrolled CTE chain.
+    *
+    * Scale shape: k-1 driver rounds; each round anti-joins the chosen
+    * seeds out (broadcast, k rows), scores every remaining vector against
+    * the broadcast seed set, and argmaxes AS AN AGGREGATION (min-dist
+    * partial-combines map-side, then one `max_by` over n pre-reduced
+    * rows) — O(k·n·dim) total work, no window, no all-pairs.
+    *
+    * Returns (cluster = seed vec_id, c = seed vector, dmin_micros =
+    * round(1e6 × squared distance to the nearest earlier seed); 0 for the
+    * first seed). If the input has fewer than k rows, all of them seed.
+    */
+  def farthestFirstSeeds(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+    var seeds = vecs
+      .orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cluster"), col("v").as("c"),
+        lit(0L).as("dmin_micros"))
+      .localCheckpoint()
+    var i = 1
+    while (i < k) {
+      val next = vecs
+        .join(broadcast(seeds.select(col("cluster").as("vec_id"))), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(seeds.select(col("c"))))
+        .select(col("vec_id"), col("v"), sqDist(col("v"), col("c")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(col("dist")).as("dmin"), first(col("v")).as("v"))
+        // farthest first, smallest id on a distance tie (maximize -id)
+        .agg(max_by(struct(col("vec_id"), col("v"), col("dmin")),
+          struct(col("dmin"), -col("vec_id"))).as("s"))
+        .select(col("s.vec_id").as("cluster"), col("s.v").as("c"),
+          round(col("s.dmin") * 1e6).cast("long").as("dmin_micros"))
+        .filter(col("cluster").isNotNull) // input exhausted before k seeds
+      seeds = seeds.unionByName(next).localCheckpoint()
+      i += 1
+    }
+    seeds
+  }
+
+  /** Lloyd's k-means iterated to convergence: rounds run until the total
+    * squared centroid movement drops to `eps` or `maxIters` is hit — the
+    * production loop the fixed-`iters` [[kmeans]] trades away for oracle
+    * expressibility. Seeds come from [[farthestFirstSeeds]] (default) or
+    * the first k ids. A cluster that loses all members keeps its previous
+    * centroid (Lloyd's must not silently drop below k).
+    *
+    * The movement check is one k-row join + a scalar aggregate per round
+    * — the same driver-side loop-control shape as [[Dedup.clusters]]'
+    * convergence test; everything heavy stays distributed.
+    *
+    * Returns (vec_id, cluster, dist_micros) of the final assignment. */
+  def kmeansConverged(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      eps: Double = 1e-9,
+      maxIters: Int = 20,
+      farthestFirst: Boolean = true): DataFrame = {
+    require(k > 0 && maxIters > 0 && eps >= 0, "need k > 0, maxIters > 0, eps >= 0")
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+    var centroids =
+      if (farthestFirst)
+        farthestFirstSeeds(vectors, idCol, vecCol, k).select("cluster", "c")
+      else vecs.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cluster"), col("v").as("c")).localCheckpoint()
+    var moved = Double.MaxValue
+    var i = 0
+    while (moved > eps && i < maxIters) {
+      val kept = centroids.select(col("cluster"), col("c").as("c_old"))
+        .join(update(assign(vecs, centroids)), Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("c"), col("c_old")).as("c"), col("c_old"))
+        .localCheckpoint()
+      moved = kept.agg(sum(sqDist(col("c"), col("c_old")))).head.getDouble(0)
+      centroids = kept.select("cluster", "c")
       i += 1
     }
     assign(vecs, centroids)

@@ -271,6 +271,12 @@ object LlmQueries {
       Clustering.kmeans(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8, iters = 2)),
 
+    // deterministic farthest-first (k-means++-style) seed selection
+    "q_kmeans_pp_seeds" -> ((s, dir) =>
+      Clustering.farthestFirstSeeds(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 4)
+        .select("cluster", "dmin_micros")),
+
     // ROLLUP mixture accounting: every granularity in one aggregation
     "q_mixture_rollup" -> ((s, dir) =>
       Mixture.rollupReport(s.read.parquet(s"$dir/documents.parquet"),
@@ -844,6 +850,34 @@ object LlmQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY dist ASC, cluster ASC) AS rn
          |  FROM d2) WHERE rn = 1""".stripMargin
+    },
+
+    "q_kmeans_pp_seeds" -> {
+      // unrolled farthest-first chain mirroring Clustering.farthestFirstSeeds:
+      // each s<j> adds the vector with the LARGEST min-distance to the seeds
+      // chosen so far (ties: smallest vec_id); distances are exact doubles
+      // on both engines (sequential fold), reported in micros
+      def distSql(v: String, c: String) =
+        s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+      val steps = (2 to 4).map { j =>
+        s"""p$j AS (
+           |  SELECT e.vec_id, min(${distSql("e.v", "s.c")}) AS dmin
+           |  FROM e, s${j - 1} s
+           |  WHERE e.vec_id NOT IN (SELECT cluster FROM s${j - 1})
+           |  GROUP BY e.vec_id
+           |  ORDER BY dmin DESC, e.vec_id ASC LIMIT 1),
+           |n$j AS (
+           |  SELECT e.vec_id AS cluster, e.v AS c,
+           |    CAST(round(p$j.dmin * 1000000) AS BIGINT) AS dmin_micros
+           |  FROM e, p$j WHERE e.vec_id = p$j.vec_id),
+           |s$j AS (SELECT * FROM s${j - 1} UNION ALL SELECT * FROM n$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $embCte,
+         |s1 AS (
+         |  SELECT vec_id AS cluster, v AS c, CAST(0 AS BIGINT) AS dmin_micros
+         |  FROM e ORDER BY vec_id LIMIT 1),
+         |$steps
+         |SELECT cluster, dmin_micros FROM s4""".stripMargin
     },
 
     "q_mixture_rollup" ->

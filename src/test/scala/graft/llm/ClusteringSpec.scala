@@ -46,6 +46,52 @@ class ClusteringSpec extends SparkSpec {
     assert(out(102L) == out(103L))
   }
 
+  test("farthest-first seeding spreads seeds across the groups") {
+    val seeds = Clustering.farthestFirstSeeds(vecs, "vec_id", "embedding", k = 2)
+      .select("cluster", "dmin_micros").as[(Long, Long)].collect().toMap
+    // seed 1 = smallest id (0); seed 2 = farthest from it: vec 3 at
+    // (10.2f, 10) — float 10.2f is 10.199999809…, so the squared
+    // distance is 204.039996…, not 204.04
+    assert(seeds == Map(0L -> 0L, 3L -> 204039996L))
+    // k = 3: vec 1's distance to seed 0 is 0.2f² = 0.04000000119…, a hair
+    // ABOVE vec 2's distance to seed 3 (0.19999980…² = 0.03999992…) — the
+    // argmax ranks raw doubles, so vec 1 is the third seed (both round to
+    // 40000 micros)
+    val three = Clustering.farthestFirstSeeds(vecs, "vec_id", "embedding", k = 3)
+      .select("cluster", "dmin_micros").as[(Long, Long)].collect().toMap
+    assert(three == Map(0L -> 0L, 3L -> 204039996L, 1L -> 40000L))
+  }
+
+  test("farthest-first seeding yields all rows when k exceeds the input") {
+    val seeds = Clustering.farthestFirstSeeds(vecs, "vec_id", "embedding", k = 10)
+    assert(seeds.count() == 4)
+  }
+
+  test("converged k-means separates the groups and stops on zero movement") {
+    val out = Clustering.kmeansConverged(vecs, "vec_id", "embedding", k = 2, maxIters = 20)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // farthest-first seeds start one centroid in each group, so Lloyd's
+    // converges to the exact 2-cluster structure
+    assert(out(0L) == out(1L) && out(2L) == out(3L) && out(0L) != out(2L))
+    // deterministic across runs
+    val again = Clustering.kmeansConverged(vecs, "vec_id", "embedding", k = 2, maxIters = 20)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(again == out)
+  }
+
+  test("converged k-means keeps a centroid whose cluster empties") {
+    // three identical points, first-k seeds: both seeds coincide, every
+    // vector ties to the lower cluster id, cluster 1 empties — the old
+    // centroid must be kept (k preserved) and the loop must converge
+    val dup = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansConverged(dup, "vec_id", "embedding", k = 2,
+      maxIters = 5, farthestFirst = false)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 3 && out.forall(_._2 == 0L) && out.forall(_._3 == 0L))
+  }
+
   test("cluster count never exceeds k and every vector is assigned") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
