@@ -110,11 +110,17 @@ object Clustering {
     * expectation, with none of the sequential sampling randomness — so
     * the driver's DuckDB gate can check it as an unrolled CTE chain.
     *
-    * Scale shape: k-1 driver rounds; each round anti-joins the chosen
-    * seeds out (broadcast, k rows), scores every remaining vector against
-    * the broadcast seed set, and argmaxes AS AN AGGREGATION (min-dist
-    * partial-combines map-side, then one `max_by` over n pre-reduced
-    * rows) — O(k·n·dim) total work, no window, no all-pairs.
+    * Scale shape: k-1 driver rounds over a RUNNING per-vector min-distance
+    * state — each round scores the remaining vectors against only the
+    * NEWEST seed (`least(dmin, dist_to_new_seed)`), never the whole seed
+    * set, so total work is genuinely O(k·n·dim) (rescoring against all
+    * chosen seeds each round would be O(k²·n·dim)). The argmax is AN
+    * AGGREGATION (`max_by` partial-combines map-side) — no window, no
+    * all-pairs; the state is `localCheckpoint`ed per round (n rows × dim,
+    * the same footprint as re-reading the corpus) to truncate lineage.
+    * `min` over doubles is order-independent, so the running-dmin values
+    * are bit-identical to a rescore-everything formulation and the DuckDB
+    * oracle chain still hash-matches.
     *
     * Returns (cluster = seed vec_id, c = seed vector, dmin_micros =
     * round(1e6 × squared distance to the nearest earlier seed); 0 for the
@@ -133,21 +139,31 @@ object Clustering {
       .select(col("vec_id").as("cluster"), col("v").as("c"),
         lit(0L).as("dmin_micros"))
       .localCheckpoint()
+    // state: every not-yet-chosen vector with its min squared distance to
+    // the seeds chosen so far
+    var state = vecs
+      .join(broadcast(seeds.select(col("cluster").as("vec_id"))), Seq("vec_id"), "left_anti")
+      .crossJoin(broadcast(seeds.select(col("c").as("c_new"))))
+      .select(col("vec_id"), col("v"), sqDist(col("v"), col("c_new")).as("dmin"))
+      .localCheckpoint()
     var i = 1
     while (i < k) {
-      val next = vecs
-        .join(broadcast(seeds.select(col("cluster").as("vec_id"))), Seq("vec_id"), "left_anti")
-        .crossJoin(broadcast(seeds.select(col("c"))))
-        .select(col("vec_id"), col("v"), sqDist(col("v"), col("c")).as("dist"))
-        .groupBy("vec_id")
-        .agg(min(col("dist")).as("dmin"), first(col("v")).as("v"))
-        // farthest first, smallest id on a distance tie (maximize -id)
+      // farthest first, smallest id on a distance tie (maximize -id)
+      val next = state
         .agg(max_by(struct(col("vec_id"), col("v"), col("dmin")),
           struct(col("dmin"), -col("vec_id"))).as("s"))
         .select(col("s.vec_id").as("cluster"), col("s.v").as("c"),
           round(col("s.dmin") * 1e6).cast("long").as("dmin_micros"))
         .filter(col("cluster").isNotNull) // input exhausted before k seeds
+        .localCheckpoint()
       seeds = seeds.unionByName(next).localCheckpoint()
+      if (i < k - 1) // last round: the state would go unread
+        state = state
+          .join(broadcast(next.select(col("cluster").as("vec_id"))), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(next.select(col("c").as("c_new"))))
+          .select(col("vec_id"), col("v"),
+            least(col("dmin"), sqDist(col("v"), col("c_new"))).as("dmin"))
+          .localCheckpoint()
       i += 1
     }
     seeds

@@ -64,6 +64,14 @@ object TextAnalysis {
     * already in the row. */
   def langId(docs: DataFrame, idCol: String, textCol: String,
       passThrough: Seq[String] = Nil): DataFrame = {
+    // pass-through names must not collide with the generated output
+    // columns — a duplicate would make the result ambiguous downstream
+    val reserved = "doc_id" +: "predicted_lang" +:
+      LangMarkers.map { case (lang, _) => s"score_$lang" }
+    val clashes = passThrough.intersect(reserved) ++
+      passThrough.diff(passThrough.distinct)
+    require(clashes.isEmpty,
+      s"langId passThrough collides with generated/duplicate columns: ${clashes.mkString(", ")}")
     // bindOnce: one tokenizer run per row feeds all language scores and
     // the argmax chain (each would otherwise re-inline the split)
     docs.select(
@@ -119,8 +127,10 @@ object TextAnalysis {
     * cross-engine `ln` last-ulp hazards.
     *
     * One explode + one shuffle on the token (partial aggregation combines
-    * map-side); the final top-k is a WindowGroupLimit over a single
-    * ordering. */
+    * map-side); the top-k is taken FIRST via `orderBy+limit`
+    * (TakeOrderedAndProject — per-partition top-k, k-row driver merge),
+    * and only then does the global `row_number` window rank the <= limit
+    * surviving rows. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String, limit: Int = 100): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("tf").desc, col("token").asc)

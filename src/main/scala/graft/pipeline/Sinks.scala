@@ -22,12 +22,17 @@ object Sinks {
       numPartitions: Int = 8,
       /** Rows per INSERT batch. */
       batchSize: Int = 10000,
+      /** Optional DDL fragment overriding per-column SQL types on create,
+        * e.g. `"issued_on VARCHAR(10)"` — without it some dialects map
+        * StringType to a LOB type (Derby/Postgres → CLOB/TEXT) that can't
+        * be indexed or compared, which matters for anything queried. */
+      createTableColumnTypes: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite)
 
   /** Configured JDBC writer; call `.save()` to execute. Split from the
     * action so callers (and tests) can compose without a live database. */
-  def jdbcWriter(df: DataFrame, cfg: JdbcConfig): DataFrameWriter[Row] =
-    df.coalesce(cfg.numPartitions)
+  def jdbcWriter(df: DataFrame, cfg: JdbcConfig): DataFrameWriter[Row] = {
+    val w = df.coalesce(cfg.numPartitions)
       .write
       .mode(cfg.mode)
       .format("jdbc")
@@ -37,6 +42,8 @@ object Sinks {
       .option("password", cfg.password)
       .option("batchsize", cfg.batchSize)
       .option("isolationLevel", "READ_COMMITTED")
+    cfg.createTableColumnTypes.fold(w)(w.option("createTableColumnTypes", _))
+  }
 
   def writeJdbc(df: DataFrame, cfg: JdbcConfig): Unit = jdbcWriter(df, cfg).save()
 

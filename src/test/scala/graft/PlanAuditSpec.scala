@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSpec {
     def boundedByLimit(p: SparkPlan): Boolean = p match {
       case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
       case a: AdaptiveSparkPlanExec => boundedByLimit(a.inputPlan)
-      case other => other.children.exists(boundedByLimit)
+      // bounded only if EVERY input path is bounded: a join/union of a
+      // limited side with an unbounded side is itself unbounded (leaves —
+      // scans — have no children and are unbounded)
+      case other => other.children.nonEmpty && other.children.forall(boundedByLimit)
     }
     def unboundedGlobalWindows(p: SparkPlan): Int = {
       val self = p match {
@@ -59,6 +62,44 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, s"unbounded global windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("every BroadcastNestedLoopJoin broadcasts a provably small side") {
+    // BNLJ replicates its broadcast side against EVERY row of the other
+    // side — acceptable only when the broadcast side is dimension-sized
+    // (ANN query panels, k centroids, seed rows). Execute each registry
+    // query and assert every BNLJ's broadcast input stayed under a row
+    // bound; an accidental corpus-sided BNLJ (e.g. a crossJoin that
+    // should have been an equi-join) fails loudly. The bound is row-based
+    // because at audit scale every table is small in BYTES — row count is
+    // the shape signal that survives scale-down.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val maxBroadcastRows = 128L
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec => flatten(s.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val qe = fn(spark, sfDir).queryExecution
+      qe.toRdd.count() // execute so broadcast metrics are populated
+      val plan = qe.executedPlan
+      flatten(plan).collect { case b: BroadcastNestedLoopJoinExec =>
+        val buildChild = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        flatten(buildChild).collect { case ex: BroadcastExchangeExec =>
+          ex.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+        }
+      }.flatten.filter(rows => rows < 0 || rows > maxBroadcastRows)
+        .map(rows => s"$name(broadcastRows=$rows)")
+    }
+    assert(offenders.isEmpty,
+      s"BNLJ with a non-dimension-sized broadcast side in: ${offenders.mkString(", ")}")
   }
 
   test("every query with an oracle is registered, and the flagship runs") {

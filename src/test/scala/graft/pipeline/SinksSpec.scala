@@ -27,4 +27,31 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("issued_on"))
     assert(scan.select("id").as[Long].collect().toSet == Set(4L))
   }
+
+  test("writeJdbc round-trips through a real embedded JDBC database (Derby)") {
+    // Derby ships on Spark's unmanaged classpath, so this exercises the
+    // full E2E path — connection, DDL (Overwrite = drop+create), batched
+    // INSERTs, read-back — not just writer composition. In-memory DB:
+    // local-mode executors share the JVM, so every write task sees it.
+    val url = "jdbc:derby:memory:graftSinks;create=true"
+    // VARCHAR override: Derby's dialect maps StringType to CLOB, which
+    // can't be compared/pushed-down on read-back
+    val cfg = Sinks.JdbcConfig(url = url, table = "forecast_out",
+      user = "graft", password = "", numPartitions = 2, batchSize = 2,
+      createTableColumnTypes = Some("issued_on VARCHAR(10)"))
+    val df = Seq((1L, "2023-10-01", 5.0), (2L, "2023-10-01", 6.0),
+      (3L, "2023-10-02", 7.5)).toDF("id", "issued_on", "v")
+    Sinks.writeJdbc(df, cfg)
+    // Overwrite mode must replace, not append, on re-run
+    Sinks.writeJdbc(df, cfg)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", cfg.table)
+      .option("user", cfg.user).option("password", cfg.password)
+      .load()
+    assert(back.count() == 3)
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(back.filter(col("issued_on") === "2023-10-02")
+      .select("v").as[Double].collect().toSeq == Seq(7.5))
+  }
 }

@@ -74,6 +74,87 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(compacted.count() == 3)
   }
 
+  private def runBucketedStream(updatesDir: String, snapshot: String,
+      checkpoint: String, numBuckets: Int): Unit = {
+    val q = SnapshotStream.bucketedMergeSink(
+      SnapshotStream.readUpdates(spark, schema, s"$updatesDir/*"),
+      snapshot, checkpoint, "id", "version", numBuckets, Some("deleted")).start()
+    q.awaitTermination()
+  }
+
+  private def bucketedRows(snapshot: String): Map[Long, (String, Long)] =
+    SnapshotStream.readBucketedSnapshot(spark, snapshot, Some("deleted"))
+      .as[(Long, String, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  /** Parquet file names under each `__bucket=` dir — the identity of a
+    * bucket's physical contents. */
+  private def bucketFiles(snapshot: String): Map[String, Set[String]] = {
+    val root = new java.io.File(snapshot)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet).toMap
+  }
+
+  test("bucketed merge matches the flat merge and rewrites only touched buckets") {
+    val root = Files.createTempDirectory("snapbucket").toString
+    val (updates, snapshot, checkpoint) = (s"$root/updates", s"$root/snap", s"$root/ckpt")
+    val numBuckets = 8
+    // ids 1..20 spread across several buckets
+    writeBatch(updates, "b0", (1L to 20L).map(i => (i, s"p$i", 1L, false)))
+    runBucketedStream(updates, snapshot, checkpoint, numBuckets)
+    assert(bucketedRows(snapshot) ==
+      (1L to 20L).map(i => i -> ((s"p$i", 1L))).toMap)
+    val before = bucketFiles(snapshot)
+    assert(before.size > 1, s"want multiple buckets, got ${before.keySet}")
+
+    // single-key batch: update key 7, tombstone nothing else
+    writeBatch(updates, "b1", Seq((7L, "p7v2", 2L, false)))
+    runBucketedStream(updates, snapshot, checkpoint, numBuckets)
+    val after = bucketFiles(snapshot)
+    val touchedBucket = "__bucket=" + java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(7L, org.apache.spark.sql.types.LongType, 42L).toInt, numBuckets)
+    // every untouched bucket kept its exact files; only the touched one changed
+    (before.keySet - touchedBucket).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(after(touchedBucket) != before(touchedBucket),
+      s"touched bucket $touchedBucket was not rewritten")
+    val expect = (1L to 20L).map(i => i -> ((s"p$i", 1L))).toMap + (7L -> (("p7v2", 2L)))
+    assert(bucketedRows(snapshot) == expect)
+
+    // tombstone + stale-insert durability through the bucketed path
+    writeBatch(updates, "b2", Seq((7L, "p7v2", 3L, true)))
+    runBucketedStream(updates, snapshot, checkpoint, numBuckets)
+    writeBatch(updates, "b3", Seq((7L, "p7-stale", 2L, false)))
+    runBucketedStream(updates, snapshot, checkpoint, numBuckets)
+    assert(bucketedRows(snapshot) == expect - 7L)
+  }
+
+  test("bucketed merge self-heals a crash mid-swap from committed staging") {
+    val root = Files.createTempDirectory("snapbucketcrash").toString
+    val (updates, snapshot, checkpoint) = (s"$root/updates", s"$root/snap", s"$root/ckpt")
+    writeBatch(updates, "b0", (1L to 20L).map(i => (i, s"p$i", 1L, false)))
+    runBucketedStream(updates, snapshot, checkpoint, 8)
+    // simulate a crash after staging committed but before ANY bucket
+    // swapped: move one live bucket back into a staging dir with _SUCCESS
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(snapshot).getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(s"$snapshot.staging")
+    fs.mkdirs(staging)
+    val someBucket = bucketFiles(snapshot).keySet.head
+    fs.rename(new org.apache.hadoop.fs.Path(s"$snapshot/$someBucket"),
+      new org.apache.hadoop.fs.Path(staging, someBucket))
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    // next batch recovers the swap first, so no key is lost
+    writeBatch(updates, "b1", Seq((21L, "new", 1L, false)))
+    runBucketedStream(updates, snapshot, checkpoint, 8)
+    assert(bucketedRows(snapshot) ==
+      (1L to 21L).map(i => i -> (((if (i == 21L) "new" else s"p$i"), 1L))).toMap)
+    assert(!fs.exists(staging))
+  }
+
   test("crash between delete and rename self-heals from committed staging") {
     val root = Files.createTempDirectory("snapswap").toString
     val (updates, snapshot, checkpoint) = (s"$root/updates", s"$root/snap", s"$root/ckpt")
