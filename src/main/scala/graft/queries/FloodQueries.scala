@@ -32,17 +32,23 @@ object FloodQueries {
   /** Exact-mode detailed forecast over the FloodShaped tables — the J1+P8+A1
     * core (reference: flood/spark/transforms.py:112-150). Cached: it fans
     * out into control/tendency/intensity/peak/summary queries, mirroring
-    * the reference's `.cache()` (glofas-forecast-computation.py:169);
-    * Spark's CacheManager matches the canonicalized plan, so every
-    * registry query in a Verify/Bench run shares one materialization. */
+    * the reference's `.cache()` (glofas-forecast-computation.py:169).
+    * Memoized per (session, dir) so the fan-out shares ONE DataFrame —
+    * structural reuse instead of relying on CacheManager's canonicalized
+    * plan match (which worked, but re-registered the cache per query and
+    * warned `Asked to cache already cached data` on every call). */
+  private val detailedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def detailed(s: SparkSession, dir: String): DataFrame =
-    ThresholdPercentages(
-      FloodShaped.forecast(s, dir),
-      FloodShaped.thresholds(s, dir),
-      cfg.thresholdYears,
-      // single-buffer exact quantiles; bit-identical to Exact (pinned by
-      // FiveNumberSummarySpec), still matching DuckDB quantile_cont
-      ThresholdPercentages.ExactOnePass).cache()
+    detailedMemo.computeIfAbsent((s, dir), { case (sess, d) =>
+      ThresholdPercentages(
+        FloodShaped.forecast(sess, d),
+        FloodShaped.thresholds(sess, d),
+        cfg.thresholdYears,
+        // single-buffer exact quantiles; bit-identical to Exact (pinned by
+        // FiveNumberSummarySpec), still matching DuckDB quantile_cont
+        ThresholdPercentages.ExactOnePass).cache()
+    })
 
   /** Control slice: step-1 median as the control discharge
     * (reference: databricks/glofas-forecast-computation.py:180-182). */

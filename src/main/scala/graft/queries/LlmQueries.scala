@@ -277,6 +277,15 @@ object LlmQueries {
         "vec_id", "embedding", k = 4)
         .select("cluster", "dmin_micros")),
 
+    // the PRODUCTION k-means path: farthest-first seeds + movement-eps
+    // convergence loop. No oracle (the loop length is data-dependent, not
+    // expressible as a fixed CTE chain) — registered so the bench tracks
+    // its cost and the driver rows-only-checks it; the fixed-iters kernel
+    // and the seeding each have exact oracles above.
+    "q_kmeans_converged" -> ((s, dir) =>
+      Clustering.kmeansConverged(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, eps = 1e-6, maxIters = 10)),
+
     // ROLLUP mixture accounting: every granularity in one aggregation
     "q_mixture_rollup" -> ((s, dir) =>
       Mixture.rollupReport(s.read.parquet(s"$dir/documents.parquet"),
