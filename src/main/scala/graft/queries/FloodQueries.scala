@@ -179,6 +179,14 @@ object FloodQueries {
   private def snapSql(c: String): String =
     s"ROUND(FLOOR($c / CAST(0.05 AS DOUBLE)) * CAST(0.05 AS DOUBLE) + CAST(0.025 AS DOUBLE), 3)"
 
+  /** Committed NetCDF fixture paths, resolved against the repo working dir
+    * (Verify/Bench run from the repo root) so the oracle SQL dumped into
+    * oracle_sql.json carries absolute paths DuckDB can open. */
+  private lazy val netcdfFixture =
+    new java.io.File("data/netcdf/thresholds.nc").getAbsolutePath
+  private lazy val netcdfExpected =
+    new java.io.File("data/netcdf/thresholds_expected.parquet").getAbsolutePath
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -203,6 +211,30 @@ object FloodQueries {
         .load()
       grid.join(FloodShaped.thresholds(s, dir), Seq("latitude", "longitude"), "left_anti")
     }),
+
+    // S2+S3: NetCDF classic raster read directly as a table (the reference
+    // pre-converts with python-netcdf4 + to_dataframe().reset_index(),
+    // threshold-data-conversion.py:58-65; here the flatten IS the scan).
+    // Fixture + its parquet mirror are committed under data/netcdf/,
+    // generated by an independent python implementation of the public
+    // CDF-1 spec (tools/make_netcdf_fixture.py).
+    "q_netcdf_raster" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdfFixture)
+      .option("numPartitions", "3")
+      .load()),
+
+    // The production slice: projected variables + outer-coordinate range +
+    // the reference's dropna — pruning and slicing happen at the I/O layer
+    // (NetcdfSourceSpec asserts the plan), the NULL filter via _FillValue.
+    "q_netcdf_slice" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdfFixture)
+      .option("variables", "threshold_2y,upstream_area")
+      .option("numPartitions", "3")
+      .load()
+      .filter(col("lat") >= 17.8)
+      .na.drop(Seq("threshold_2y"))),
 
     // U1: control + perturbed ensemble union
     "q_ensemble_union" -> ((s, dir) => {
@@ -397,6 +429,14 @@ object FloodQueries {
          |  ROUND(28.0 + (j.j + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS longitude
          |FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
          |     (SELECT unnest(generate_series(0, 59)) AS j) j""".stripMargin,
+
+    "q_netcdf_raster" ->
+      s"SELECT * FROM read_parquet('$netcdfExpected')",
+
+    "q_netcdf_slice" ->
+      s"""SELECT lat, lon, threshold_2y, upstream_area
+         |FROM read_parquet('$netcdfExpected')
+         |WHERE lat >= CAST(17.8 AS DOUBLE) AND threshold_2y IS NOT NULL""".stripMargin,
 
     "q_grid_coverage" ->
       s"""WITH thresholds AS (${FloodShaped.thresholdsSql}),

@@ -1,0 +1,463 @@
+package graft.sources
+
+import java.io.DataInputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{And, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSourceV2: NetCDF classic (CDF-1 / CDF-2) rasters as a TABLE —
+  * the S2 ingestion boundary the reference crosses in Python
+  * (`flood/etl/utils.py:8-14` opens threshold/upstream rasters with the
+  * netcdf4 engine; `databricks/threshold-data-conversion.py:58-65`
+  * pre-converts them to parquet before Spark ever sees them). This source
+  * removes that pre-conversion hop: Spark reads the raster directly, and
+  * the S3 raster→table flattening (`flood/etl/raster_converter.py:55-85`,
+  * `to_dataframe().reset_index()`) IS the scan — long-form rows over the
+  * dimension cross product, one column per coordinate + one per data
+  * variable, `_FillValue` cells surfaced as SQL NULLs (the reference's
+  * post-flatten `dropna` becomes an ordinary pushable `IS NOT NULL`).
+  *
+  * Built from the public Unidata "NetCDF Classic Format Specification"
+  * only — big-endian header (magic `CDF\x01|\x02`, dim/gatt/var lists,
+  * padded names) and contiguous row-major fixed-variable data.
+  *
+  * Scale shape (the reason this is a DSv2 source and not a driver loop):
+  *  - the HEADER (KBs) is parsed once on the driver; bulk data is never
+  *    driver-materialized;
+  *  - partitions slice the OUTERMOST dimension; each executor seeks
+  *    directly to `begin + outerIdx·stride` and reads only its byte
+  *    range of each variable — a 3600×7200 float raster splits into 32
+  *    independent ~3 MB ranged reads per variable, the same access
+  *    pattern a parquet row-group scan does;
+  *  - column pruning reaches the I/O layer: an unprojected variable's
+  *    bytes are never read (`SupportsPushDownRequiredColumns`);
+  *  - coordinate range predicates on the outer dimension become index
+  *    bounds BEFORE any row exists (`SupportsPushDownFilters`, asc or
+  *    desc coordinates — GloFAS latitude is descending), so an ROI slice
+  *    (P10) reads only the matching stripe of the file.
+  *
+  * Record (unlimited-dimension) variables are rejected loudly: the
+  * reference's NetCDF inputs are static rasters; interleaved record data
+  * has a different layout and belongs to a streaming source.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.NetcdfSource")
+  *   .option("path", "/data/thresholds.nc")
+  *   .option("variables", "threshold_2y,upstream_area")  // optional
+  *   .option("numPartitions", "32")
+  *   .load()   // → (lat, lon, threshold_2y, upstream_area)
+  * }}}
+  */
+class NetcdfSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetcdfTableModel.fromOptions(options).schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NetcdfTable(NetcdfTableModel.fromOptions(new CaseInsensitiveStringMap(properties)))
+}
+
+// ---------------------------------------------------------------- header model
+
+private[sources] final case class NcDim(name: String, length: Int) // 0 = record dim
+private[sources] final case class NcAtt(name: String, ncType: Int, nums: Seq[Double], text: String)
+private[sources] final case class NcVar(
+    name: String, dimIds: Seq[Int], atts: Seq[NcAtt], ncType: Int, begin: Long) {
+  def fillValue: Option[Double] = atts.find(_.name == "_FillValue").flatMap(_.nums.headOption)
+}
+private[sources] final case class NcHeader(
+    version: Int, numRecs: Int, dims: Seq[NcDim], gatts: Seq[NcAtt], vars: Seq[NcVar])
+
+/** Big-endian CDF-1/CDF-2 header parser (public spec layout). */
+private[sources] object NcHeaderParser {
+  val NcDimension = 10
+  val NcVariable = 11
+  val NcAttribute = 12
+
+  def typeSize(ncType: Int): Int = ncType match {
+    case 1 | 2 => 1 // byte, char
+    case 3 => 2 // short
+    case 4 | 5 => 4 // int, float
+    case 6 => 8 // double
+    case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+  }
+
+  def parse(in: DataInputStream): NcHeader = {
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
+      "not a NetCDF classic file (bad magic)")
+    val version = magic(3).toInt
+    require(version == 1 || version == 2,
+      s"unsupported NetCDF version byte $version (classic CDF-1/CDF-2 only; " +
+        "CDF-5 and HDF5-based NetCDF-4 are out of scope)")
+    val numRecs = in.readInt()
+
+    def readName(): String = {
+      val n = in.readInt()
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      in.skipBytes((4 - n % 4) % 4)
+      new String(b, StandardCharsets.UTF_8)
+    }
+
+    def readTagged(expected: Int): Int = {
+      val tag = in.readInt()
+      val n = in.readInt()
+      require(tag == expected || (tag == 0 && n == 0),
+        s"malformed header: tag $tag (expected $expected or ABSENT)")
+      n
+    }
+
+    def readAtts(): Seq[NcAtt] = (0 until readTagged(NcAttribute)).map { _ =>
+      val nm = readName()
+      val t = in.readInt()
+      val n = in.readInt()
+      if (t == 2) { // char → one string
+        val b = new Array[Byte](n)
+        in.readFully(b)
+        in.skipBytes((4 - n % 4) % 4)
+        NcAtt(nm, t, Nil, new String(b, StandardCharsets.UTF_8))
+      } else {
+        val nums = (0 until n).map { _ =>
+          t match {
+            case 1 => in.readByte().toDouble
+            case 3 => in.readShort().toDouble
+            case 4 => in.readInt().toDouble
+            case 5 => in.readFloat().toDouble
+            case 6 => in.readDouble()
+            case other => throw new IllegalArgumentException(s"unknown attr nc_type $other")
+          }
+        }
+        in.skipBytes((4 - (n * typeSize(t)) % 4) % 4)
+        NcAtt(nm, t, nums, "")
+      }
+    }
+
+    val dims = (0 until readTagged(NcDimension)).map(_ => NcDim(readName(), in.readInt()))
+    val gatts = readAtts()
+    val vars = (0 until readTagged(NcVariable)).map { _ =>
+      val nm = readName()
+      val dimIds = (0 until in.readInt()).map(_ => in.readInt())
+      val atts = readAtts()
+      val t = in.readInt()
+      in.readInt() // vsize — recomputed from dims, per spec it may also be a rounded value
+      val begin = if (version == 1) in.readInt().toLong else in.readLong()
+      NcVar(nm, dimIds, atts, t, begin)
+    }
+    NcHeader(version, numRecs, dims, gatts, vars)
+  }
+}
+
+// ---------------------------------------------------------------- table model
+
+/** Driver-side resolution: which vars are data columns, which dims span the
+  * grid, the coordinate arrays (read eagerly — 1-D, KBs), the output schema. */
+private[sources] final case class NetcdfTableModel(
+    path: String,
+    numPartitions: Int,
+    header: NcHeader,
+    dataVars: Seq[NcVar],
+    gridDimIds: Seq[Int],
+    coords: Map[Int, Array[Double]]) { // dimId → coordinate values (or indices)
+
+  def gridDims: Seq[NcDim] = gridDimIds.map(header.dims)
+
+  def sparkType(ncType: Int): DataType = ncType match {
+    case 1 => ByteType
+    case 3 => ShortType
+    case 4 => IntegerType
+    case 5 => FloatType
+    case 6 => DoubleType
+    case t => throw new IllegalArgumentException(
+      s"nc_type $t has no tabular mapping (char variables are not data columns)")
+  }
+
+  def schema: StructType = StructType(
+    gridDims.map(d => StructField(d.name, DoubleType, nullable = false)) ++
+      dataVars.map(v => StructField(v.name, sparkType(v.ncType), nullable = v.fillValue.isDefined)))
+}
+
+private[sources] object NetcdfTableModel {
+
+  def fromOptions(o: CaseInsensitiveStringMap): NetcdfTableModel = {
+    val path = Option(o.get("path")).getOrElse(
+      throw new IllegalArgumentException("NetcdfSource requires option 'path'"))
+    val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
+    val wanted = Option(o.get("variables")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val in = new DataInputStream(fs.open(new Path(path)))
+    val header = try NcHeaderParser.parse(in) finally in.close()
+
+    val coordVars: Map[String, NcVar] = header.vars
+      .filter(v => v.dimIds.size == 1 && header.dims(v.dimIds.head).name == v.name)
+      .map(v => v.name -> v).toMap
+
+    val candidates = header.vars.filterNot(v => coordVars.contains(v.name))
+      .filter(v => v.dimIds.nonEmpty && v.ncType != 2)
+    val selected = wanted match {
+      case Some(names) =>
+        val byName = candidates.map(v => v.name -> v).toMap
+        names.map(n => byName.getOrElse(n, throw new IllegalArgumentException(
+          s"variable '$n' not found (have: ${candidates.map(_.name).mkString(", ")})")))
+      case None => candidates
+    }
+    require(selected.nonEmpty, s"no data variables in $path")
+    val gridDimIds = selected.head.dimIds
+    selected.foreach { v =>
+      require(v.dimIds == gridDimIds,
+        s"variable '${v.name}' spans dims ${v.dimIds.map(header.dims(_).name)} but " +
+          s"'${selected.head.name}' spans ${gridDimIds.map(header.dims(_).name)}; " +
+          "select one dimension tuple per scan via option 'variables'")
+    }
+    gridDimIds.foreach { id =>
+      require(header.dims(id).length > 0,
+        s"dimension '${header.dims(id).name}' is the record (unlimited) dimension; " +
+          "record variables are not supported by this raster source")
+    }
+
+    // Coordinate values per grid dim: the 1-D coordinate variable if one
+    // exists, else the plain index. 1-D → small → read on the driver.
+    val coords = gridDimIds.map { id =>
+      val dim = header.dims(id)
+      val arr = coordVars.get(dim.name) match {
+        case Some(cv) =>
+          val size = NcHeaderParser.typeSize(cv.ncType)
+          val buf = readRange(fs, path, cv.begin, dim.length.toLong * size)
+          Array.tabulate(dim.length)(i => readAs(buf, i * size, cv.ncType))
+        case None => Array.tabulate(dim.length)(_.toDouble)
+      }
+      id -> arr
+    }.toMap
+    NetcdfTableModel(path, numPartitions, header, selected, gridDimIds, coords)
+  }
+
+  def readRange(fs: FileSystem, path: String, at: Long, len: Long): ByteBuffer = {
+    require(len <= Int.MaxValue, s"range read of $len bytes exceeds buffer limit")
+    val in = fs.open(new Path(path))
+    try {
+      in.seek(at)
+      val b = new Array[Byte](len.toInt)
+      in.readFully(b)
+      ByteBuffer.wrap(b) // big-endian by default, matching the format
+    } finally in.close()
+  }
+
+  def readAs(buf: ByteBuffer, off: Int, ncType: Int): Double = ncType match {
+    case 1 => buf.get(off).toDouble
+    case 3 => buf.getShort(off).toDouble
+    case 4 => buf.getInt(off).toDouble
+    case 5 => buf.getFloat(off).toDouble
+    case 6 => buf.getDouble(off)
+    case t => throw new IllegalArgumentException(s"unreadable nc_type $t")
+  }
+}
+
+// ---------------------------------------------------------------- DSv2 plumbing
+
+private class NetcdfTable(model: NetcdfTableModel) extends Table with SupportsRead {
+  override def name(): String =
+    s"netcdf(${model.path}: ${model.gridDims.map(d => s"${d.name}=${d.length}").mkString("x")})"
+  override def schema(): StructType = model.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetcdfScanBuilder(model)
+}
+
+/** Prunes variables (I/O-level column pruning) and turns range predicates on
+  * the OUTER coordinate into outer-index bounds. Coordinates need not be
+  * sorted ascending: each pushed predicate is evaluated against the
+  * driver-held coordinate array and the surviving contiguous index range is
+  * what executors read (monotonic asc/desc both yield contiguous ranges;
+  * a non-monotonic coordinate just keeps the full range plus Spark's
+  * post-filter, because non-accepted filters are returned unpushed). */
+private class NetcdfScanBuilder(model: NetcdfTableModel)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val outerDimId = model.gridDimIds.head
+  private val outerName = model.header.dims(outerDimId).name
+  private val outerCoords = model.coords(outerDimId)
+  private var keep: Array[Boolean] = Array.fill(outerCoords.length)(true)
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = model.schema
+
+  private val monotonic: Boolean = {
+    val n = outerCoords.length
+    n < 2 || (1 until n).forall(i => outerCoords(i) > outerCoords(i - 1)) ||
+      (1 until n).forall(i => outerCoords(i) < outerCoords(i - 1))
+  }
+
+  private def applyOne(f: Filter): Boolean = f match {
+    case GreaterThanOrEqual(`outerName`, v: Number) =>
+      mask(_ >= v.doubleValue()); true
+    case GreaterThan(`outerName`, v: Number) =>
+      mask(_ > v.doubleValue()); true
+    case LessThanOrEqual(`outerName`, v: Number) =>
+      mask(_ <= v.doubleValue()); true
+    case LessThan(`outerName`, v: Number) =>
+      mask(_ < v.doubleValue()); true
+    case And(l, r) => applyOne(l) && applyOne(r)
+    case _ => false
+  }
+  private def mask(p: Double => Boolean): Unit =
+    keep = keep.zip(outerCoords).map { case (k, c) => k && p(c) }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!monotonic) return filters // ranges would not be contiguous; push nothing
+    val (accepted, rejected) = filters.partition(applyOne)
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    val lo = keep.indexOf(true) match { case -1 => 0 case i => i }
+    val hi = keep.lastIndexOf(true) + 1 // -1+1 = 0 → empty scan
+    new NetcdfScan(model, required, math.min(lo, hi), hi)
+  }
+}
+
+private class NetcdfScan(
+    model: NetcdfTableModel, required: StructType, outerLo: Int, outerHi: Int)
+  extends Scan with Batch {
+
+  private val readVars = model.dataVars.filter(v => required.fieldNames.contains(v.name))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"NetcdfScan(${model.path}, ${model.gridDims.head.name}Idx=[$outerLo,$outerHi), " +
+      s"vars=[${readVars.map(_.name).mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = math.max(0, outerHi - outerLo)
+    val n = math.max(1, math.min(model.numPartitions, math.max(1, span)))
+    val innerDimIds = model.gridDimIds.tail
+    val innerCount = innerDimIds.map(model.header.dims(_).length.toLong).product
+    val cols: Array[NcColumnSpec] = required.fields.map { f =>
+      val dimPos = model.gridDims.indexWhere(_.name == f.name)
+      if (dimPos >= 0) {
+        val id = model.gridDimIds(dimPos)
+        NcColumnSpec(f.name, isDim = true, dimPos = dimPos, ncType = 0, begin = 0,
+          fillBits = None, coords = model.coords(id))
+      } else {
+        val v = readVars.find(_.name == f.name).get
+        NcColumnSpec(f.name, isDim = false, dimPos = -1, ncType = v.ncType, begin = v.begin,
+          fillBits = v.fillValue, coords = Array.empty)
+      }
+    }
+    val dimLengths = model.gridDimIds.map(model.header.dims(_).length).toArray
+    (0 until n).map { p =>
+      val from = outerLo + (span * p) / n
+      val to = outerLo + (span * (p + 1)) / n
+      NetcdfPartition(model.path, from, to, innerCount, dimLengths, cols): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new NetcdfReaderFactory
+}
+
+/** One output column: a grid-dimension coordinate (dimPos ≥ 0, values in
+  * `coords` — outer dim included in full, the reader offsets by outer index)
+  * or a data variable (file begin offset + fill value for NULL mapping). */
+private final case class NcColumnSpec(
+    name: String, isDim: Boolean, dimPos: Int, ncType: Int, begin: Long,
+    fillBits: Option[Double], coords: Array[Double])
+
+private final case class NetcdfPartition(
+    path: String, outerFrom: Int, outerTo: Int, innerCount: Long,
+    dimLengths: Array[Int], cols: Array[NcColumnSpec]) extends InputPartition
+
+private class NetcdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[NetcdfPartition]
+    new PartitionReader[InternalRow] {
+      private val rows: Long = (p.outerTo - p.outerFrom).toLong * p.innerCount
+      private var cell: Long = -1
+      // Ranged read per projected variable: [begin + outerFrom·stride,
+      // begin + outerTo·stride) — executors touch only their slice's bytes.
+      private lazy val buffers: Array[ByteBuffer] = {
+        val fs = FileSystem.get(new Path(p.path).toUri, new Configuration())
+        p.cols.map { c =>
+          if (c.isDim) null
+          else {
+            val stride = p.innerCount * NcHeaderParser.typeSize(c.ncType)
+            NetcdfTableModel.readRange(fs, p.path, c.begin + p.outerFrom * stride,
+              (p.outerTo - p.outerFrom) * stride)
+          }
+        }
+      }
+
+      override def next(): Boolean = { cell += 1; cell < rows }
+
+      override def get(): InternalRow = {
+        val row = new Array[Any](p.cols.length)
+        var i = 0
+        while (i < p.cols.length) {
+          val c = p.cols(i)
+          if (c.isDim) {
+            // Row-major decomposition: idx_d = (cell / prod(len after d)) % len_d,
+            // where dim 0's length is the partition's outer slice.
+            var trailing = 1L
+            var d = p.dimLengths.length - 1
+            var idx = 0L
+            while (d >= 0) {
+              val len = if (d == 0) (p.outerTo - p.outerFrom).toLong else p.dimLengths(d).toLong
+              if (d == c.dimPos) idx = (cell / trailing) % len
+              trailing *= len
+              d -= 1
+            }
+            row(i) = if (c.dimPos == 0) c.coords(p.outerFrom + idx.toInt) else c.coords(idx.toInt)
+          } else {
+            val size = NcHeaderParser.typeSize(c.ncType)
+            val off = (cell * size).toInt
+            val buf = buffers(i)
+            row(i) = c.ncType match {
+              case 1 => boxFill(buf.get(off), c)
+              case 3 => boxFill(buf.getShort(off), c)
+              case 4 => boxFill(buf.getInt(off), c)
+              case 5 =>
+                val v = buf.getFloat(off)
+                if (c.fillBits.exists(f => java.lang.Float.floatToRawIntBits(f.toFloat) ==
+                  java.lang.Float.floatToRawIntBits(v))) null else v
+              case 6 =>
+                val v = buf.getDouble(off)
+                if (c.fillBits.exists(f => java.lang.Double.doubleToRawLongBits(f) ==
+                  java.lang.Double.doubleToRawLongBits(v))) null else v
+            }
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(row.toIndexedSeq)
+      }
+
+      private def boxFill(v: Long, c: NcColumnSpec): Any =
+        if (c.fillBits.exists(_.toLong == v)) null
+        else c.ncType match {
+          case 1 => v.toByte
+          case 3 => v.toShort
+          case 4 => v.toInt
+        }
+      private def boxFill(v: Byte, c: NcColumnSpec): Any = boxFill(v.toLong, c)
+      private def boxFill(v: Short, c: NcColumnSpec): Any = boxFill(v.toLong, c)
+      private def boxFill(v: Int, c: NcColumnSpec): Any = boxFill(v.toLong, c)
+
+      override def close(): Unit = ()
+    }
+  }
+}

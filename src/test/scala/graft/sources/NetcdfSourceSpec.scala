@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, File, FileOutputStream}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** NetCDF classic source: checked against the COMMITTED python-generated
+  * fixture (`tools/make_netcdf_fixture.py` writes the bytes from the public
+  * spec with struct.pack — an implementation independent of the Scala
+  * parser, so a shared misreading of the spec can't self-certify), plus
+  * Scala-written CDF-2 / typed / degenerate files for the edge cases. */
+class NetcdfSourceSpec extends SparkSpec {
+
+  private val fixture = new File("data/netcdf/thresholds.nc").getAbsolutePath
+  private val expected = new File("data/netcdf/thresholds_expected.parquet").getAbsolutePath
+
+  private def nc(path: String = fixture, parts: Int = 3) = spark.read
+    .format(classOf[NetcdfSource].getName)
+    .option("path", path)
+    .option("numPartitions", parts.toString)
+    .load()
+
+  test("reads the python-written fixture to the reference's flattened long form") {
+    val df = nc()
+    assert(df.schema == StructType(Seq(
+      StructField("lat", DoubleType, nullable = false),
+      StructField("lon", DoubleType, nullable = false),
+      StructField("threshold_2y", FloatType, nullable = true),
+      StructField("threshold_5y", DoubleType, nullable = false),
+      StructField("upstream_area", IntegerType, nullable = false))))
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      Option(r.get(2)), r.getDouble(3), r.getInt(4))).toSet
+    val want = spark.read.parquet(expected).collect().map(r => (r.getDouble(0), r.getDouble(1),
+      Option(r.get(2)), r.getDouble(3), r.getInt(4))).toSet
+    assert(got == want)
+    assert(df.count() == 48)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("_FillValue cells surface as SQL NULLs (dropna becomes a plain filter)") {
+    assert(nc().filter(col("threshold_2y").isNull).count() == 5)
+    assert(nc().na.drop(Seq("threshold_2y")).count() == 43)
+  }
+
+  test("column pruning reaches the I/O layer: unprojected variables are not read") {
+    val df = nc().select("lat", "threshold_5y")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("vars=[threshold_5y]"), s"expected pruned var list:\n$plan")
+    assert(df.collect().length == 48)
+  }
+
+  test("outer-coordinate range predicates slice the file (descending lat)") {
+    val df = nc().filter(col("lat") >= 17.9) // lat descends 17.975, 17.925, 17.875, …
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("latIdx=[0,2)"), s"expected sliced outer range:\n$plan")
+    assert(df.count() == 16)
+    // inner-dim predicates are NOT pushed but stay correct via post-filter
+    val lonF = nc().filter(col("lon") < -17.9)
+    assert(lonF.count() == 12) // 2 of 8 lons × 6 lats
+    assert(lonF.queryExecution.executedPlan.toString.contains("latIdx=[0,6)"))
+  }
+
+  test("an empty pruned range yields zero rows, not an error") {
+    assert(nc().filter(col("lat") > 100.0).count() == 0)
+  }
+
+  test("option 'variables' selects data vars; unknown names fail loudly") {
+    val df = nc().select("upstream_area")
+    assert(df.collect().map(_.getInt(0)).sum == (0 until 48).map(_ * 1000 + 7).sum)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[NetcdfSource].getName)
+        .option("path", fixture).option("variables", "nope").load()
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  // ---------------------------------------------------------------- CDF writer
+  // Minimal spec-conformant writer for edge-case files (big-endian, padded
+  // names, CDF-1 4-byte / CDF-2 8-byte begin offsets).
+
+  private def pad(out: DataOutputStream, n: Int): Unit =
+    (0 until (4 - n % 4) % 4).foreach(_ => out.writeByte(0))
+  private def name(out: DataOutputStream, s: String): Unit = {
+    out.writeInt(s.length); out.writeBytes(s); pad(out, s.length)
+  }
+
+  private case class V(name: String, dimIds: Seq[Int], ncType: Int, data: Seq[Double],
+      fill: Option[Double] = None)
+
+  /** Writes header + data for fixed-size vars; returns the file path. */
+  private def writeCdf(file: String, version: Int, dims: Seq[(String, Int)], vars: Seq[V],
+      numRecs: Int = 0): String = {
+    val sizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 4, 6 -> 8)
+    def headerBytes(begins: Seq[Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeBytes("CDF"); out.writeByte(version); out.writeInt(numRecs)
+      if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else { out.writeInt(10); out.writeInt(dims.size)
+        dims.foreach { case (n, len) => name(out, n); out.writeInt(len) } }
+      out.writeInt(0); out.writeInt(0) // no global atts
+      out.writeInt(11); out.writeInt(vars.size)
+      vars.zip(begins).foreach { case (v, begin) =>
+        name(out, v.name); out.writeInt(v.dimIds.size); v.dimIds.foreach(out.writeInt)
+        v.fill match {
+          case Some(f) =>
+            out.writeInt(12); out.writeInt(1); name(out, "_FillValue")
+            out.writeInt(v.ncType); out.writeInt(1)
+            writeVal(out, v.ncType, f); pad(out, sizes(v.ncType))
+          case None => out.writeInt(0); out.writeInt(0)
+        }
+        out.writeInt(v.ncType)
+        val vsize = v.data.size * sizes(v.ncType)
+        out.writeInt(vsize + (4 - vsize % 4) % 4)
+        if (version == 1) out.writeInt(begin.toInt) else out.writeLong(begin)
+      }
+      out.flush(); bos.toByteArray
+    }
+    def writeVal(out: DataOutputStream, t: Int, x: Double): Unit = t match {
+      case 1 => out.writeByte(x.toInt)
+      case 3 => out.writeShort(x.toInt)
+      case 4 => out.writeInt(x.toInt)
+      case 5 => out.writeFloat(x.toFloat)
+      case 6 => out.writeDouble(x)
+    }
+    val hdrLen = headerBytes(vars.map(_ => 0L)).length.toLong
+    var off = hdrLen
+    val begins = vars.map { v =>
+      val b = off
+      val vsize = v.data.size * sizes(v.ncType)
+      off += vsize + (4 - vsize % 4) % 4
+      b
+    }
+    val out = new DataOutputStream(new FileOutputStream(file))
+    try {
+      out.write(headerBytes(begins))
+      vars.foreach { v =>
+        v.data.foreach(writeVal(out, v.ncType, _))
+        pad(out, v.data.size * sizes(v.ncType))
+      }
+    } finally out.close()
+    file
+  }
+
+  private def tmp(n: String) =
+    new File(System.getProperty("java.io.tmpdir"), n).getAbsolutePath
+
+  test("golden bytes: the Scala writer and the spec agree on a minimal file") {
+    // one dim t=2, one int var x(t) — header derived by hand from the spec:
+    // magic CDF\1 | numrecs 0 | NC_DIMENSION tag 10, 1 dim: name "t" len 2
+    // | gatts ABSENT | NC_VARIABLE tag 11, 1 var: name "x", rank 1, dimid 0,
+    // atts ABSENT, type 4, vsize 8, begin = header length = 80 (0x50)
+    val f = writeCdf(tmp("golden.nc"), 1, Seq("t" -> 2), Seq(V("x", Seq(0), 4, Seq(7, 9))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val expectHex =
+      "43444601" + "00000000" +                   // magic, numrecs
+      "0000000a" + "00000001" +                   // NC_DIMENSION, 1
+      "00000001" + "74000000" + "00000002" +      // "t" (padded), len 2
+      "00000000" + "00000000" +                   // gatts ABSENT
+      "0000000b" + "00000001" +                   // NC_VARIABLE, 1
+      "00000001" + "78000000" +                   // "x" (padded)
+      "00000001" + "00000000" +                   // rank 1, dimid 0
+      "00000000" + "00000000" +                   // vatts ABSENT
+      "00000004" + "00000008" + "00000050" +      // type int, vsize 8, begin 80
+      "00000007" + "00000009"                     // data 7, 9
+    assert(bytes.map("%02x".format(_)).mkString == expectHex)
+  }
+
+  test("CDF-2 (64-bit offsets), short/byte types, and index fallback without coord vars") {
+    val f = writeCdf(tmp("v2.nc"), 2, Seq("a" -> 2, "b" -> 3), Seq(
+      V("s", Seq(0, 1), 3, Seq(1, 2, 3, 4, 5, 6)),
+      V("y", Seq(0, 1), 1, Seq(-1, 0, 1, 2, 3, 4), fill = Some(-1.0))))
+    val df = nc(f, parts = 2)
+    assert(df.schema == StructType(Seq(
+      StructField("a", DoubleType, nullable = false),
+      StructField("b", DoubleType, nullable = false),
+      StructField("s", ShortType, nullable = false),
+      StructField("y", ByteType, nullable = true))))
+    val rows = df.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getShort(2), Option(r.get(3)))).toSet
+    val want = (for (i <- 0 until 2; j <- 0 until 3) yield {
+      val c = i * 3 + j
+      (i.toDouble, j.toDouble, (c + 1).toShort,
+        if (c == 0) None else Some((c - 1).toByte.asInstanceOf[Any]))
+    }).toSet
+    assert(rows == want)
+  }
+
+  test("record (unlimited) dimension variables are rejected loudly") {
+    val f = writeCdf(tmp("rec.nc"), 1, Seq("t" -> 0, "x" -> 2),
+      Seq(V("v", Seq(0, 1), 4, Seq())), numRecs = 3)
+    val e = intercept[IllegalArgumentException] { nc(f).collect() }
+    assert(e.getMessage.contains("record"))
+  }
+
+  test("mixed dimension tuples require an explicit 'variables' pick") {
+    val f = writeCdf(tmp("mixed.nc"), 1, Seq("a" -> 2, "b" -> 3), Seq(
+      V("u", Seq(0), 4, Seq(5, 6)),
+      V("w", Seq(0, 1), 4, (1 to 6).map(_.toDouble))))
+    val e = intercept[IllegalArgumentException] { nc(f).collect() }
+    assert(e.getMessage.contains("dimension tuple"))
+    val u = spark.read.format(classOf[NetcdfSource].getName)
+      .option("path", f).option("variables", "u").load()
+    assert(u.collect().map(r => (r.getDouble(0), r.getInt(1))).toSet ==
+      Set((0.0, 5), (1.0, 6)))
+  }
+}
