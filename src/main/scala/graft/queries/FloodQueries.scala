@@ -186,6 +186,10 @@ object FloodQueries {
     new java.io.File("data/netcdf/thresholds.nc").getAbsolutePath
   private lazy val netcdfExpected =
     new java.io.File("data/netcdf/thresholds_expected.parquet").getAbsolutePath
+  private lazy val gribFixture =
+    new java.io.File("data/grib/forecast.grib2").getAbsolutePath
+  private lazy val gribExpected =
+    new java.io.File("data/grib/forecast_expected.parquet").getAbsolutePath
 
   // ---------------------------------------------------------------- registry
 
@@ -235,6 +239,27 @@ object FloodQueries {
       .load()
       .filter(col("lat") >= 17.8)
       .na.drop(Seq("threshold_2y"))),
+
+    // S1: GRIB2 ensemble forecast read directly as a table (the reference
+    // opens GRIB via python-cfgrib, flood/etl/utils.py:3-14). Fixture =
+    // shrunk GloFAS file (7 messages: deterministic + 3 members x 2 steps,
+    // simple packing, one bitmap message), written by an independent
+    // python implementation of the WMO spec (tools/make_grib_fixture.py).
+    "q_grib_forecast" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribFixture)
+      .option("numPartitions", "3")
+      .load()),
+
+    // The production slice: member/step predicates prune whole MESSAGES at
+    // plan time (GribSourceSpec asserts the plan) — the reference's
+    // filter_by_keys {dataType: pf} member split, at the I/O layer.
+    "q_grib_member" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribFixture)
+      .option("numPartitions", "3")
+      .load()
+      .filter(col("number").isNotNull && col("step_hours") === 24)),
 
     // U1: control + perturbed ensemble union
     "q_ensemble_union" -> ((s, dir) => {
@@ -429,6 +454,13 @@ object FloodQueries {
          |  ROUND(28.0 + (j.j + CAST(0.5 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 3) AS longitude
          |FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
          |     (SELECT unnest(generate_series(0, 59)) AS j) j""".stripMargin,
+
+    "q_grib_forecast" ->
+      s"SELECT * FROM read_parquet('$gribExpected')",
+
+    "q_grib_member" ->
+      s"""SELECT * FROM read_parquet('$gribExpected')
+         |WHERE number IS NOT NULL AND step_hours = 24""".stripMargin,
 
     "q_netcdf_raster" ->
       s"SELECT * FROM read_parquet('$netcdfExpected')",

@@ -1,0 +1,432 @@
+package graft.sources
+
+import java.time.{LocalDateTime, ZoneOffset}
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSourceV2: GRIB2 ensemble-forecast files as a TABLE — the S1
+  * ingestion boundary the reference crosses in Python (`flood/etl/utils.py:
+  * 3-14` opens CDS GRIB via the cfgrib engine; `databricks/glofas-transform
+  * .py:104-109` splits control/perturbed members with filter_by_keys). This
+  * source reads the GRIB file directly: each message (one 2-D field per
+  * ensemble member × forecast step for GloFAS) flattens to long-form rows
+  * `(latitude, longitude, number, step_hours, ref_time, value)` — the same
+  * shape the reference's xarray→pandas→parquet conversion produces, without
+  * the conversion hop.
+  *
+  * Built from the public WMO FM 92 GRIB edition 2 specification only:
+  * sections 0–8, grid definition template 3.0 (regular lat/lon), product
+  * definition templates 4.0 (deterministic; `number` NULL) and 4.1
+  * (individual ensemble member), data representation template 5.0 (simple
+  * packing, `Y = (R + X·2^E) / 10^D`), optional section-6 bitmap (absent
+  * cells surface as SQL NULL values). Sign-and-magnitude integers and
+  * MSB-first bit packing per spec. Anything outside that envelope —
+  * edition 1, spectral/complex/JPEG packings, non-lat/lon grids — is
+  * rejected loudly rather than mis-read.
+  *
+  * Scale shape:
+  *  - the driver INDEXES the file (walks section headers, skipping data
+  *    payloads — KBs of reads for GBs of file) into per-message metadata;
+  *  - messages distribute across `numPartitions`; executors do ranged
+  *    reads of exactly their messages' bitmap+data payloads — a GloFAS day
+  *    (51 members × 30 steps = 1530 messages) parallelizes naturally;
+  *  - predicates on `number` / `step_hours` prune whole MESSAGES at plan
+  *    time (the GRIB analog of parquet row-group pruning): reading one
+  *    member's track out of 51 touches 1/51 of the data bytes
+  *    (`SupportsPushDownFilters`);
+  *  - an unprojected `value` column skips payload decode entirely
+  *    (`SupportsPushDownRequiredColumns`) — metadata scans are free.
+  */
+class GribSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GribSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GribTable(GribModel.fromOptions(new CaseInsensitiveStringMap(properties)))
+}
+
+object GribSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("latitude", DoubleType, nullable = false),
+    StructField("longitude", DoubleType, nullable = false),
+    StructField("number", IntegerType, nullable = true), // NULL = deterministic (4.0)
+    StructField("step_hours", IntegerType, nullable = false),
+    StructField("ref_time", LongType, nullable = false), // epoch seconds UTC
+    StructField("value", DoubleType, nullable = true))) // NULL = bitmap-missing
+}
+
+/** One GRIB2 message: grid geometry + packing parameters + payload offsets.
+  * Everything an executor needs to decode its field without re-reading the
+  * header. Lat/lon are kept in micro-degrees (the wire integers) and
+  * divided once at emit, so coordinates are bit-stable. */
+private[sources] final case class GribMessage(
+    ni: Int, nj: Int,
+    latFirstMicro: Long, lonFirstMicro: Long,
+    diMicro: Long, djMicro: Long,
+    jAscending: Boolean,
+    number: Option[Int], stepHours: Int, refEpoch: Long,
+    refValue: Float, binScale: Int, decScale: Int, nbits: Int,
+    nPresent: Int,
+    bitmapOffset: Long, // -1 = no bitmap (all cells present)
+    dataOffset: Long) {
+  def points: Int = ni * nj
+}
+
+private[sources] final case class GribModel(
+    path: String, numPartitions: Int, messages: Seq[GribMessage])
+
+private[sources] object GribModel {
+
+  /** Sign-and-magnitude decode (GRIB2 uses the high bit as sign). */
+  private def sm16(v: Int): Int = if ((v & 0x8000) != 0) -(v & 0x7FFF) else v
+  private def sm32(v: Int): Long =
+    if ((v & 0x80000000) != 0) -(v.toLong & 0x7FFFFFFFL) else v.toLong
+
+  def fromOptions(o: CaseInsensitiveStringMap): GribModel = {
+    val path = Option(o.get("path")).getOrElse(
+      throw new IllegalArgumentException("GribSource requires option 'path'"))
+    val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val fileLen = fs.getFileStatus(new Path(path)).getLen
+    val in = fs.open(new Path(path))
+    try GribModel(path, numPartitions, indexMessages(in, fileLen, path))
+    finally in.close()
+  }
+
+  /** Walk the file's messages, reading section headers and SKIPPING data
+    * payloads — the driver-side index costs KBs of I/O regardless of file
+    * size. */
+  private def indexMessages(in: FSDataInputStream, fileLen: Long, path: String): Seq[GribMessage] = {
+    val out = Seq.newBuilder[GribMessage]
+    var offset = 0L
+    while (offset + 16 <= fileLen) {
+      in.seek(offset)
+      val ind = new Array[Byte](16)
+      in.readFully(ind)
+      require(ind(0) == 'G' && ind(1) == 'R' && ind(2) == 'I' && ind(3) == 'B',
+        s"$path: no GRIB indicator at offset $offset")
+      require(ind(7) == 2, s"$path: GRIB edition ${ind(7)} unsupported (edition 2 only)")
+      val msgLen = java.nio.ByteBuffer.wrap(ind, 8, 8).getLong
+      out += indexOne(in, offset, offset + msgLen, path)
+      offset += msgLen
+    }
+    out.result()
+  }
+
+  private def indexOne(in: FSDataInputStream, msgStart: Long, msgEnd: Long, path: String): GribMessage = {
+    // mutable message fields, filled section by section
+    var refEpoch = 0L
+    var ni, nj = 0
+    var latFirst, lonFirst, di, dj = 0L
+    var jAscending = false
+    var number: Option[Int] = None
+    var stepHours = 0
+    var refValue = 0.0f
+    var binScale, decScale, nbits = 0
+    var nPresent = 0
+    var bitmapOffset = -1L
+    var dataOffset = -1L
+
+    var at = msgStart + 16
+    while (at < msgEnd - 4) {
+      in.seek(at)
+      val head = new Array[Byte](5)
+      in.readFully(head)
+      val secLen = java.nio.ByteBuffer.wrap(head, 0, 4).getInt
+      val secNum = head(4) & 0xFF
+      def body(): java.nio.ByteBuffer = {
+        val b = new Array[Byte](secLen - 5)
+        in.readFully(b)
+        java.nio.ByteBuffer.wrap(b)
+      }
+      secNum match {
+        case 1 =>
+          val b = body()
+          val year = b.getShort(7) & 0xFFFF
+          refEpoch = LocalDateTime.of(year, b.get(9) & 0xFF, b.get(10) & 0xFF,
+            b.get(11) & 0xFF, b.get(12) & 0xFF, b.get(13) & 0xFF)
+            .toEpochSecond(ZoneOffset.UTC)
+        case 2 => // local use — skip
+        case 3 =>
+          val b = body()
+          require((b.get(0) & 0xFF) == 0, s"$path: grid definition source ${b.get(0)} unsupported")
+          val template = b.getShort(7) & 0xFFFF
+          require(template == 0,
+            s"$path: grid template 3.$template unsupported (3.0 regular lat/lon only)")
+          // template 3.0 body starts at offset 9 (after npts(4), optional-list(2), template(2))
+          ni = b.getInt(9 + 16)
+          nj = b.getInt(9 + 20)
+          latFirst = sm32(b.getInt(9 + 32))
+          lonFirst = sm32(b.getInt(9 + 36))
+          di = b.getInt(9 + 49).toLong & 0xFFFFFFFFL
+          dj = b.getInt(9 + 53).toLong & 0xFFFFFFFFL
+          val scan = b.get(9 + 57) & 0xFF
+          require((scan & 0xBF) == 0, // only bit 0x40 (j ascending) may vary
+            s"$path: scanning mode 0x${scan.toHexString} unsupported " +
+              "(+i row-major only; bit 0x40 j-direction honored)")
+          jAscending = (scan & 0x40) != 0
+        case 4 =>
+          val b = body()
+          val template = b.getShort(2) & 0xFFFF
+          require(template == 0 || template == 1,
+            s"$path: product template 4.$template unsupported (4.0/4.1 only)")
+          val unit = b.get(12) & 0xFF
+          val ft = b.getInt(13)
+          stepHours = unit match {
+            case 0 => math.floorDiv(ft, 60) // minutes
+            case 1 => ft
+            case 2 => ft * 24 // days
+            case u => throw new IllegalArgumentException(
+              s"$path: time unit $u unsupported (minute/hour/day)")
+          }
+          number = if (template == 1) Some(b.get(30) & 0xFF) else None
+        case 5 =>
+          val b = body()
+          nPresent = b.getInt(0)
+          val template = b.getShort(4) & 0xFFFF
+          require(template == 0,
+            s"$path: data representation template 5.$template unsupported (5.0 simple packing)")
+          refValue = b.getFloat(6)
+          binScale = sm16(b.getShort(10) & 0xFFFF)
+          decScale = sm16(b.getShort(12) & 0xFFFF)
+          nbits = b.get(14) & 0xFF
+        case 6 =>
+          val indicator = { val x = new Array[Byte](1); in.readFully(x); x(0) & 0xFF }
+          indicator match {
+            case 255 => bitmapOffset = -1L
+            case 0 => bitmapOffset = at + 6
+            case other => throw new IllegalArgumentException(
+              s"$path: bitmap indicator $other unsupported (0 or 255)")
+          }
+        case 7 => dataOffset = at + 5
+        case other => throw new IllegalArgumentException(s"$path: unexpected section $other")
+      }
+      at += secLen
+    }
+    require(ni > 0 && nj > 0 && dataOffset >= 0, s"$path: incomplete message at $msgStart")
+    if (bitmapOffset < 0) nPresent = ni * nj
+    GribMessage(ni, nj, latFirst, lonFirst, di, dj, jAscending,
+      number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
+      nPresent, bitmapOffset, dataOffset)
+  }
+}
+
+private class GribTable(model: GribModel) extends Table with SupportsRead {
+  override def name(): String = s"grib(${model.path}: ${model.messages.size} messages)"
+  override def schema(): StructType = GribSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GribScanBuilder(model)
+}
+
+/** Message-level pruning (the GRIB analog of row-group pruning): predicates
+  * on `number` and `step_hours` are evaluated against the driver-side
+  * message index, and non-matching messages are never read. NULL semantics:
+  * a template-4.0 message has no `number`, so any comparison predicate on
+  * `number` drops it (SQL three-valued logic — NULL compares to nothing). */
+private class GribScanBuilder(model: GribModel)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var messages = model.messages
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GribSource.Schema
+
+  private def applyOne(f: Filter): Boolean = f match {
+    case EqualTo("number", v: Number) =>
+      messages = messages.filter(_.number.contains(v.intValue())); true
+    case In("number", vs) =>
+      val set = vs.collect { case v: Number => v.intValue() }.toSet
+      messages = messages.filter(_.number.exists(set)); true
+    case IsNotNull("number") =>
+      messages = messages.filter(_.number.isDefined); true
+    case GreaterThan("number", v: Number) =>
+      messages = messages.filter(_.number.exists(_ > v.intValue())); true
+    case GreaterThanOrEqual("number", v: Number) =>
+      messages = messages.filter(_.number.exists(_ >= v.intValue())); true
+    case LessThan("number", v: Number) =>
+      messages = messages.filter(_.number.exists(_ < v.intValue())); true
+    case LessThanOrEqual("number", v: Number) =>
+      messages = messages.filter(_.number.exists(_ <= v.intValue())); true
+    case EqualTo("step_hours", v: Number) =>
+      messages = messages.filter(_.stepHours == v.intValue()); true
+    case In("step_hours", vs) =>
+      val set = vs.collect { case v: Number => v.intValue() }.toSet
+      messages = messages.filter(m => set(m.stepHours)); true
+    case GreaterThan("step_hours", v: Number) =>
+      messages = messages.filter(_.stepHours > v.intValue()); true
+    case GreaterThanOrEqual("step_hours", v: Number) =>
+      messages = messages.filter(_.stepHours >= v.intValue()); true
+    case LessThan("step_hours", v: Number) =>
+      messages = messages.filter(_.stepHours < v.intValue()); true
+    case LessThanOrEqual("step_hours", v: Number) =>
+      messages = messages.filter(_.stepHours <= v.intValue()); true
+    case And(l, r) => applyOne(l) && applyOne(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(applyOne)
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new GribScan(model.path, model.numPartitions, messages, required)
+}
+
+private class GribScan(
+    path: String, numPartitions: Int, messages: Seq[GribMessage], required: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GribScan($path, messages=${messages.size}, cols=[${required.fieldNames.mkString(",")}])"
+
+  /** Exact post-pruning cardinality from the message index — a
+    * member/step-pruned scan reports only its surviving messages' points,
+    * so Catalyst can broadcast one member's track against a big table. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = messages.map(_.points.toLong).sum
+    private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(numPartitions, math.max(1, messages.size)))
+    (0 until n).map { p =>
+      val from = (messages.size * p) / n
+      val to = (messages.size * (p + 1)) / n
+      GribPartition(path, messages.slice(from, to).toArray, required.fieldNames): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new GribReaderFactory
+}
+
+private final case class GribPartition(
+    path: String, messages: Array[GribMessage], cols: Array[String]) extends InputPartition
+
+private class GribReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GribPartition]
+    new PartitionReader[InternalRow] {
+      private val needValue = p.cols.contains("value")
+      private lazy val fs = FileSystem.get(new Path(p.path).toUri, new Configuration())
+      private var msgIdx = -1
+      private var cell = 0
+      private var current: GribMessage = _
+      private var bitmap: Array[Byte] = _ // null = all present
+      private var values: Array[Double] = _ // decoded, indexed by PRESENT ordinal
+      private var presentBefore = 0 // running count of present cells < `cell`
+
+      private def loadMessage(): Unit = {
+        current = p.messages(msgIdx)
+        cell = 0
+        presentBefore = 0
+        bitmap =
+          if (current.bitmapOffset < 0) null
+          else readBytes(current.bitmapOffset, (current.points + 7) / 8)
+        values =
+          if (!needValue) null
+          else {
+            val packed = readBytes(current.dataOffset,
+              (current.nPresent.toLong * current.nbits + 7) / 8)
+            decode(packed, current)
+          }
+      }
+
+      private def readBytes(at: Long, len: Long): Array[Byte] = {
+        val in = fs.open(new Path(p.path))
+        try {
+          in.seek(at)
+          val b = new Array[Byte](len.toInt)
+          in.readFully(b)
+          b
+        } finally in.close()
+      }
+
+      /** Simple packing: Y = (R + X·2^E) / 10^D; X is an MSB-first nbits
+        * unsigned stream over the PRESENT cells only. */
+      private def decode(packed: Array[Byte], m: GribMessage): Array[Double] = {
+        val out = new Array[Double](m.nPresent)
+        val r = m.refValue.toDouble
+        val twoE = math.pow(2.0, m.binScale)
+        val tenD = math.pow(10.0, m.decScale)
+        var acc = 0L
+        var accBits = 0
+        var bytePos = 0
+        var i = 0
+        while (i < m.nPresent) {
+          while (accBits < m.nbits) {
+            acc = (acc << 8) | (packed(bytePos) & 0xFFL)
+            accBits += 8
+            bytePos += 1
+          }
+          val x = (acc >>> (accBits - m.nbits)) & ((1L << m.nbits) - 1)
+          accBits -= m.nbits
+          out(i) = (r + x * twoE) / tenD
+          i += 1
+        }
+        out
+      }
+
+      private def present(c: Int): Boolean =
+        bitmap == null || ((bitmap(c >> 3) >> (7 - (c & 7))) & 1) == 1
+
+      override def next(): Boolean = {
+        if (current != null && cell + 1 < current.points) {
+          if (present(cell)) presentBefore += 1
+          cell += 1
+          true
+        } else {
+          msgIdx += 1
+          if (msgIdx >= p.messages.length) false
+          else { loadMessage(); current.points > 0 || next() }
+        }
+      }
+
+      override def get(): InternalRow = {
+        val m = current
+        val j = cell / m.ni
+        val i = cell % m.ni
+        val latMicro =
+          if (m.jAscending) m.latFirstMicro + j.toLong * m.djMicro
+          else m.latFirstMicro - j.toLong * m.djMicro
+        val lonMicro = m.lonFirstMicro + i.toLong * m.diMicro
+        val isPresent = present(cell)
+        val row = new Array[Any](p.cols.length)
+        var c = 0
+        while (c < p.cols.length) {
+          row(c) = p.cols(c) match {
+            case "latitude" => latMicro / 1e6
+            case "longitude" => lonMicro / 1e6
+            case "number" => m.number.map(Int.box).orNull
+            case "step_hours" => m.stepHours
+            case "ref_time" => m.refEpoch
+            case "value" =>
+              if (!isPresent) null
+              else if (values == null) null // value pruned from projection
+              else values(presentBefore)
+          }
+          c += 1
+        }
+        InternalRow.fromSeq(row.toIndexedSeq)
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -137,11 +137,19 @@ private class GridScanBuilder(spec: GridSpec) extends ScanBuilder with SupportsP
 }
 
 private class GridScan(spec: GridSpec, latLo: Int, latHi: Int, lonLo: Int, lonHi: Int)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = GridSource.Schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GridScan(latIdx=[$latLo,$latHi), lonIdx=[$lonLo,$lonHi))"
+
+  /** Exact generated cardinality (post-pruning) so Catalyst can broadcast a
+    * small ROI grid instead of shuffling it. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = (latHi - latLo).toLong * (lonHi - lonLo).toLong
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * 16L)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, math.min(spec.numPartitions, math.max(1, latHi - latLo)))

@@ -335,7 +335,7 @@ private class NetcdfScanBuilder(model: NetcdfTableModel)
 
 private class NetcdfScan(
     model: NetcdfTableModel, required: StructType, outerLo: Int, outerHi: Int)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   private val readVars = model.dataVars.filter(v => required.fieldNames.contains(v.name))
 
@@ -344,6 +344,17 @@ private class NetcdfScan(
   override def description(): String =
     s"NetcdfScan(${model.path}, ${model.gridDims.head.name}Idx=[$outerLo,$outerHi), " +
       s"vars=[${readVars.map(_.name).mkString(",")}])"
+
+  /** Exact post-pruning cardinality (a raster's size is fully determined by
+    * its header + the pushed slice) — lets Catalyst/AQE broadcast a small
+    * threshold raster against a big fact scan instead of shuffling both. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = (outerHi - outerLo).toLong *
+      model.gridDimIds.tail.map(model.header.dims(_).length.toLong).product
+    private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val span = math.max(0, outerHi - outerLo)

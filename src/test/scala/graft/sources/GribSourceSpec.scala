@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GRIB2 source: checked against the COMMITTED python-generated fixture
+  * (`tools/make_grib_fixture.py` writes the bytes from the public WMO spec
+  * with struct.pack — an implementation independent of the Scala parser).
+  * The fixture mirrors a shrunk GloFAS ensemble file: 7 messages =
+  * 1 deterministic (template 4.0) + 3 members × 2 steps (template 4.1),
+  * 6×8 regular lat/lon grid, simple packing, one message with a bitmap. */
+class GribSourceSpec extends SparkSpec {
+
+  private val fixture = new File("data/grib/forecast.grib2").getAbsolutePath
+  private val expected = new File("data/grib/forecast_expected.parquet").getAbsolutePath
+
+  private def grib(parts: Int = 3) = spark.read
+    .format(classOf[GribSource].getName)
+    .option("path", fixture)
+    .option("numPartitions", parts.toString)
+    .load()
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)),
+      r.getInt(3), r.getLong(4), Option(r.get(5)))).toSet
+
+  test("decodes the python-written fixture bit-exactly (simple packing, both templates)") {
+    val df = grib()
+    assert(df.schema == StructType(Seq(
+      StructField("latitude", DoubleType, nullable = false),
+      StructField("longitude", DoubleType, nullable = false),
+      StructField("number", IntegerType, nullable = true),
+      StructField("step_hours", IntegerType, nullable = false),
+      StructField("ref_time", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = true))))
+    assert(asTuples(df) == asTuples(spark.read.parquet(expected)))
+    assert(df.count() == 7L * 48)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("bitmap-missing cells surface as SQL NULL values") {
+    assert(grib().filter(col("value").isNull).count() == 3)
+    // the deterministic message has no `number`
+    assert(grib().filter(col("number").isNull).count() == 48)
+  }
+
+  test("member/step predicates prune whole messages at plan time") {
+    val one = grib().filter(col("number") === 2)
+    assert(one.queryExecution.executedPlan.toString.contains("messages=2"),
+      s"expected 2 surviving messages:\n${one.queryExecution.executedPlan}")
+    assert(one.count() == 2L * 48)
+
+    val step = grib().filter(col("step_hours") === 48)
+    assert(step.queryExecution.executedPlan.toString.contains("messages=3"))
+    assert(step.count() == 3L * 48)
+
+    // NULL semantics: comparisons never match the template-4.0 message
+    assert(grib().filter(col("number") >= 1).count() == 6L * 48)
+    // and pruning composes with post-filters on non-pushed columns
+    // member 1 = 2 messages; 2 of 6 lats pass → 2 × 2 × 8 lons
+    val combo = grib().filter(col("number") === 1 && col("latitude") > 17.9)
+    assert(combo.count() == 32)
+  }
+
+  test("reported statistics reflect message pruning (broadcastable member tracks)") {
+    def rowStats(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head.stats.rowCount
+    assert(rowStats(grib()).contains(BigInt(7 * 48)))
+    assert(rowStats(grib().filter(col("number") === 2)).contains(BigInt(2 * 48)))
+  }
+
+  test("column pruning skips payload decode for metadata-only scans") {
+    val meta = grib().select("number", "step_hours").distinct()
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[number,step_hours]"), s"expected pruned cols:\n$plan")
+    assert(meta.count() == 7)
+  }
+
+  test("ensemble statistics over the decoded field match the parquet mirror") {
+    // the end-to-end shape the reference computes: per-cell ensemble median
+    // over perturbed members at one step (glofas-forecast-computation.py)
+    def med(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("number").isNotNull && col("step_hours") === 24)
+      .groupBy("latitude", "longitude")
+      .agg(percentile(col("value"), lit(0.5)).as("median_dis"))
+    assert(asSet(med(grib())) == asSet(med(spark.read.parquet(expected))))
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)))).toSet
+}

@@ -42,4 +42,24 @@ class GridSourceSpec extends SparkSpec {
   test("an empty pruned range yields zero rows, not an error") {
     assert(grid().filter(col("latitude") > 100.0).count() == 0)
   }
+
+  test("reported statistics are pruning-exact and make a small ROI grid broadcastable") {
+    val small = grid().filter(col("latitude") >= -5.0 && col("latitude") < -4.5)
+    val rel = small.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(rel.head.stats.rowCount.contains(BigInt(600))) // 10 lat × 60 lon cells
+    assert(rel.head.stats.sizeInBytes == BigInt(600 * 16))
+    // a 20M-cell grid joined with the 600-cell ROI: the reported sizes must
+    // put the ROI side under the broadcast threshold (without statistics a
+    // DSv2 relation defaults to Long.Max bytes → sort-merge join)
+    val big = spark.read.format(classOf[GridSource].getName)
+      .option("latMin", "-20").option("latMax", "20")
+      .option("lonMin", "0").option("lonMax", "50")
+      .option("resolution", "0.01").option("numPartitions", "8")
+      .load()
+    val plan = big.join(small, Seq("latitude", "longitude"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
 }

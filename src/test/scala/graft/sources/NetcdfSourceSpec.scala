@@ -66,6 +66,14 @@ class NetcdfSourceSpec extends SparkSpec {
     assert(nc().filter(col("lat") > 100.0).count() == 0)
   }
 
+  test("reported statistics reflect the pushed slice (broadcastable rasters)") {
+    def rowStats(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head.stats.rowCount
+    assert(rowStats(nc()).contains(BigInt(48)))
+    assert(rowStats(nc().filter(col("lat") >= 17.9)).contains(BigInt(16)))
+  }
+
   test("option 'variables' selects data vars; unknown names fail loudly") {
     val df = nc().select("upstream_area")
     assert(df.collect().map(_.getInt(0)).sum == (0 until 48).map(_ * 1000 + 7).sum)
