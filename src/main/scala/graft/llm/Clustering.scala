@@ -116,10 +116,12 @@ object Clustering {
     * set, so total work is genuinely O(k·n·dim) (rescoring against all
     * chosen seeds each round would be O(k²·n·dim)). The argmax is AN
     * AGGREGATION (`max_by` partial-combines map-side) — no window, no
-    * all-pairs; the state is `localCheckpoint`ed per round (n rows × dim,
-    * the same footprint as re-reading the corpus) to truncate lineage.
-    * `min` over doubles is order-independent, so the running-dmin values
-    * are bit-identical to a rescore-everything formulation and the DuckDB
+    * all-pairs. Seeds themselves are k tiny rows, so they live on the
+    * DRIVER (the Spark-ML centroid discipline): each round is exactly one
+    * k-row-collect job over the checkpointed state plus one state
+    * re-checkpoint — no per-round union/seed-materialization jobs. `min`
+    * over doubles is order-independent, so the running-dmin values are
+    * bit-identical to a rescore-everything formulation and the DuckDB
     * oracle chain still hash-matches.
     *
     * Returns (cluster = seed vec_id, c = seed vector, dmin_micros =
@@ -131,42 +133,68 @@ object Clustering {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val idType = vectors.select(col(idCol)).schema.head.dataType
+    val rows = farthestFirstSeedsDriver(vectors, idCol, vecCol, k)
+      .map { case (id, c, dm) => org.apache.spark.sql.Row(id, c, dm) }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false),
+        org.apache.spark.sql.types.StructField("dmin_micros",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Driver-side core of [[farthestFirstSeeds]]: returns
+    * (seed id, components, dmin_micros) in selection order. */
+  private def farthestFirstSeedsDriver(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): Seq[(Any, Seq[Double], Long)] = {
     require(k > 0, "need k > 0")
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
-    var seeds = vecs
-      .orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id").as("cluster"), col("v").as("c"),
-        lit(0L).as("dmin_micros"))
-      .localCheckpoint()
+    val first = vecs.orderBy(col("vec_id")).limit(1).collect()
+    if (first.isEmpty) return Nil
+    val seeds = scala.collection.mutable.ArrayBuffer[(Any, Seq[Double], Long)](
+      (first.head.get(0), first.head.getSeq[Double](1), 0L))
     // state: every not-yet-chosen vector with its min squared distance to
-    // the seeds chosen so far
+    // the seeds chosen so far; checkpointed per round so round r re-scores
+    // only against the newest seed instead of replaying r stacked
+    // projections from the scan
     var state = vecs
-      .join(broadcast(seeds.select(col("cluster").as("vec_id"))), Seq("vec_id"), "left_anti")
-      .crossJoin(broadcast(seeds.select(col("c").as("c_new"))))
-      .select(col("vec_id"), col("v"), sqDist(col("v"), col("c_new")).as("dmin"))
+      .filter(col("vec_id") =!= lit(seeds.head._1))
+      .select(col("vec_id"), col("v"),
+        sqDist(col("v"), typedLit(seeds.head._2)).as("dmin"))
       .localCheckpoint()
     var i = 1
-    while (i < k) {
+    var exhausted = false
+    while (i < k && !exhausted) {
       // farthest first, smallest id on a distance tie (maximize -id)
       val next = state
         .agg(max_by(struct(col("vec_id"), col("v"), col("dmin")),
           struct(col("dmin"), -col("vec_id"))).as("s"))
-        .select(col("s.vec_id").as("cluster"), col("s.v").as("c"),
-          round(col("s.dmin") * 1e6).cast("long").as("dmin_micros"))
-        .filter(col("cluster").isNotNull) // input exhausted before k seeds
-        .localCheckpoint()
-      seeds = seeds.unionByName(next).localCheckpoint()
-      if (i < k - 1) // last round: the state would go unread
-        state = state
-          .join(broadcast(next.select(col("cluster").as("vec_id"))), Seq("vec_id"), "left_anti")
-          .crossJoin(broadcast(next.select(col("c").as("c_new"))))
-          .select(col("vec_id"), col("v"),
-            least(col("dmin"), sqDist(col("v"), col("c_new"))).as("dmin"))
-          .localCheckpoint()
+        .select(col("s.vec_id"), col("s.v"), col("s.dmin"))
+        .collect().head
+      if (next.isNullAt(0)) exhausted = true // input exhausted before k seeds
+      else {
+        val (id, c, dmin) = (next.get(0), next.getSeq[Double](1), next.getDouble(2))
+        seeds += ((id, c, math.round(dmin * 1e6)))
+        if (i < k - 1) // last round: the state would go unread
+          state = state
+            .filter(col("vec_id") =!= lit(id))
+            .select(col("vec_id"), col("v"),
+              least(col("dmin"), sqDist(col("v"), typedLit(c))).as("dmin"))
+            .localCheckpoint()
+      }
       i += 1
     }
-    seeds
+    seeds.toSeq
   }
 
   /** Lloyd's k-means iterated to convergence: rounds run until the total
@@ -176,9 +204,12 @@ object Clustering {
     * the first k ids. A cluster that loses all members keeps its previous
     * centroid (Lloyd's must not silently drop below k).
     *
-    * The movement check is one k-row join + a scalar aggregate per round
-    * — the same driver-side loop-control shape as [[Dedup.clusters]]'
-    * convergence test; everything heavy stays distributed.
+    * Centroids are k tiny rows, so they live on the DRIVER (the Spark-ML
+    * iterative discipline): each round is exactly ONE distributed job —
+    * collect the k updated centroids from the assign→update pipeline —
+    * and the empty-cluster retention plus movement check are free local
+    * arithmetic. No per-round join, checkpoint, or second aggregate; the
+    * corpus is never collected.
     *
     * Returns (vec_id, cluster, dist_micros) of the final assignment. */
   def kmeansConverged(
@@ -190,25 +221,43 @@ object Clustering {
       maxIters: Int = 20,
       farthestFirst: Boolean = true): DataFrame = {
     require(k > 0 && maxIters > 0 && eps >= 0, "need k > 0, maxIters > 0, eps >= 0")
+    val spark = vectors.sparkSession
+    val idType = vectors.select(col(idCol)).schema.head.dataType
+    // materialize the prepared corpus ONCE: every Lloyd round re-reads it,
+    // and re-scanning the source + float→double conversion per round would
+    // multiply the scan cost by the iteration count (the same input-caching
+    // discipline Spark ML's iterative trainers follow)
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
-    var centroids =
+      .localCheckpoint()
+    var centroids: Seq[(Any, Seq[Double])] =
       if (farthestFirst)
-        farthestFirstSeeds(vectors, idCol, vecCol, k).select("cluster", "c")
-      else vecs.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").as("cluster"), col("v").as("c")).localCheckpoint()
+        farthestFirstSeedsDriver(vectors, idCol, vecCol, k).map(s => (s._1, s._2))
+      else vecs.orderBy(col("vec_id")).limit(k).collect()
+        .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+    def centroidDf: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          centroids.map { case (id, c) => org.apache.spark.sql.Row(id, c) }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
     var moved = Double.MaxValue
     var i = 0
     while (moved > eps && i < maxIters) {
-      val kept = centroids.select(col("cluster"), col("c").as("c_old"))
-        .join(update(assign(vecs, centroids)), Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("c"), col("c_old")).as("c"), col("c_old"))
-        .localCheckpoint()
-      moved = kept.agg(sum(sqDist(col("c"), col("c_old")))).head.getDouble(0)
-      centroids = kept.select("cluster", "c")
+      val updated = update(assign(vecs, centroidDf)).collect()
+        .map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+      val next = centroids.map { case (id, cOld) =>
+        val cNew = updated.getOrElse(id, cOld) // empty cluster keeps its centroid
+        (id, cNew, cOld.lazyZip(cNew).map((a, b) => (a - b) * (a - b)).sum)
+      }
+      moved = next.map(_._3).sum
+      centroids = next.map(t => (t._1, t._2))
       i += 1
     }
-    assign(vecs, centroids)
+    assign(vecs, centroidDf)
       .select(col("vec_id"), col("cluster"),
         round(col("dist") * 1e6).cast("long").as("dist_micros"))
   }
