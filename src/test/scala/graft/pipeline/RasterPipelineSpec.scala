@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.{FloodConfig, Roi}
+import graft.sources.{GribSource, NetcdfSource}
+import graft.transforms.ThresholdPercentages
+import org.apache.spark.sql.functions._
+
+/** The reference's FULL daily flow with zero conversion hops: GRIB2
+  * ensemble forecast (cfgrib in the reference, `flood/etl/utils.py:3-14`)
+  * + NetCDF threshold rasters (netcdf4, `utils.py:8-14`) feed
+  * [[ForecastPipeline.run]] directly through the custom DSv2 sources — the
+  * end-to-end a reference user runs as
+  * fetch → transform(GRIB→parquet) → join(NetCDF→parquet) → compute,
+  * collapsed to read → compute. */
+class RasterPipelineSpec extends SparkSpec {
+
+  private val gribPath = new java.io.File("data/grib/forecast.grib2").getAbsolutePath
+  private val ncPath = new java.io.File("data/netcdf/thresholds.nc").getAbsolutePath
+
+  test("GRIB ensemble + NetCDF thresholds drive the full forecast pipeline") {
+    // forecast side: perturbed members only (the reference's filter_by_keys
+    // {dataType: pf} split) — message-level pruning in the source — then
+    // the Normalize-shape projection: 3-decimal key rounding, epoch→date,
+    // hour steps → day steps
+    val grib = spark.read.format(classOf[GribSource].getName)
+      .option("path", gribPath).option("numPartitions", "3").load()
+      .filter(col("number").isNotNull)
+    val issued = to_date(to_timestamp(col("ref_time")))
+    val stepDays = (col("step_hours") / lit(24)).cast("long")
+    val forecast = grib.select(
+      col("number").cast("long").as("number"),
+      round(col("latitude"), 3).as("latitude"),
+      round(col("longitude"), 3).as("longitude"),
+      issued.as("issued_on"),
+      stepDays.as("step"),
+      date_add(issued, (stepDays - 1).cast("int")).as("valid_for"),
+      col("value").as("dis24"))
+
+    // threshold side: raster → table IS the scan; the reference's dropna
+    // (raster_converter.py:44) is a plain null filter on the fill cells
+    val thresholds = spark.read.format(classOf[NetcdfSource].getName)
+      .option("path", ncPath)
+      .option("variables", "threshold_2y,threshold_5y,threshold_20y").load()
+      .na.drop(Seq("threshold_2y"))
+      .select(
+        round(col("lat"), 3).as("latitude"),
+        round(col("lon"), 3).as("longitude"),
+        col("threshold_2y").cast("double").as("threshold_2y"),
+        col("threshold_5y"), col("threshold_20y"))
+
+    val cfg = FloodConfig(roi = Roi(17.7, 18.0, -18.0, -17.5))
+    val out = ForecastPipeline.run(forecast, thresholds, cfg,
+      mode = ThresholdPercentages.Exact)
+
+    // 48 cells minus the 5 _FillValue cells (no threshold → never exceeds →
+    // Gray intensity → dropped by the relevance semi-join), × 2 steps
+    val detailed = out.detailed
+    assert(detailed.count() == 86)
+    assert(detailed.filter(
+      col("p_above_2y") < 0 || col("p_above_2y") > 1 ||
+        col("p_above_5y") < 0 || col("p_above_5y") > 1).count() == 0)
+
+    // hand-checked cell (grid idx 1 → lat row 0, lon col 1): members decode
+    // to 13.7 / 20.7 / 27.7 at step 1, so the ensemble median is 20.7
+    val cell = detailed.filter(
+      col("latitude") === 17.975 && col("longitude") === -17.925 && col("step") === 1)
+      .select("median_dis").collect()
+    assert(cell.length == 1 && cell.head.getDouble(0) == 20.7)
+
+    // summary computes tendency/intensity/peak + WKT geometry end-to-end
+    val summary = out.summary
+    assert(summary.count() > 0)
+    assert(summary.columns.contains("wkt"))
+    assert(summary.select("intensity").distinct().count() >= 1)
+    out.release()
+  }
+}

@@ -29,11 +29,12 @@ class NetcdfSourceSpec extends SparkSpec {
       StructField("lon", DoubleType, nullable = false),
       StructField("threshold_2y", FloatType, nullable = true),
       StructField("threshold_5y", DoubleType, nullable = false),
+      StructField("threshold_20y", DoubleType, nullable = false),
       StructField("upstream_area", IntegerType, nullable = false))))
     val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1),
-      Option(r.get(2)), r.getDouble(3), r.getInt(4))).toSet
+      Option(r.get(2)), r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
     val want = spark.read.parquet(expected).collect().map(r => (r.getDouble(0), r.getDouble(1),
-      Option(r.get(2)), r.getDouble(3), r.getInt(4))).toSet
+      Option(r.get(2)), r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
     assert(got == want)
     assert(df.count() == 48)
     assert(df.rdd.getNumPartitions == 3)

@@ -15,6 +15,7 @@ Layout (GloFAS-threshold-shaped, flood/etl/utils.py:8-14):
   vars:  lat(lat) f8, lon(lon) f8          — coordinate variables
          threshold_2y(lat,lon)  f4, _FillValue=-9999.0 (some cells filled)
          threshold_5y(lat,lon)  f8
+         threshold_20y(lat,lon) f8          — the full GloFAS raster trio
          upstream_area(lat,lon) i4          — no fills (keeps pandas int32)
   global attr: title (char)
 
@@ -39,6 +40,7 @@ t2 = (idx * np.float32(0.37) + np.float32(1.5)).astype(np.float32)
 fill_mask = (idx % 11) == 0
 t2[fill_mask] = np.float32(-9999.0)
 t5 = idx * 1.75 + 0.125  # float64
+t20 = idx * 2.5 + 9.25  # float64
 ua = (idx * 1000 + 7).astype(np.int32)
 
 
@@ -73,13 +75,15 @@ def var_header(n: str, dimids: list, atts: list, nc_type: int, vsize: int, begin
             + struct.pack(">iii", nc_type, vsize, begin))  # CDF-1: 4-byte begin
 
 
-# variable order in file: lat, lon, threshold_2y, threshold_5y, upstream_area
-vsizes = [NLAT * 8, NLON * 8, NLAT * NLON * 4, NLAT * NLON * 8, NLAT * NLON * 4]
+# variable order in file: lat, lon, thresholds, upstream_area
+vsizes = [NLAT * 8, NLON * 8, NLAT * NLON * 4, NLAT * NLON * 8,
+          NLAT * NLON * 8, NLAT * NLON * 4]
 specs = [
     ("lat", [0], [att_char("units", "degrees_north")], NC_DOUBLE),
     ("lon", [1], [att_char("units", "degrees_east")], NC_DOUBLE),
     ("threshold_2y", [0, 1], [att_float("_FillValue", -9999.0)], NC_FLOAT),
     ("threshold_5y", [0, 1], [], NC_DOUBLE),
+    ("threshold_20y", [0, 1], [], NC_DOUBLE),
     ("upstream_area", [0, 1], [], NC_INT),
 ]
 
@@ -106,7 +110,7 @@ assert len(header) == hdr_len
 
 data = (lat.astype(">f8").tobytes() + lon.astype(">f8").tobytes()
         + t2.astype(">f4").tobytes() + t5.astype(">f8").tobytes()
-        + ua.astype(">i4").tobytes())
+        + t20.astype(">f8").tobytes() + ua.astype(">i4").tobytes())
 
 with open("data/netcdf/thresholds.nc", "wb") as f:
     f.write(header + data)
@@ -120,6 +124,7 @@ table = pa.table({
     "lon": pa.array(lon_col, pa.float64()),
     "threshold_2y": pa.array(t2_flat, pa.float32(), mask=fill_mask.reshape(-1)),
     "threshold_5y": pa.array(t5.reshape(-1), pa.float64()),
+    "threshold_20y": pa.array(t20.reshape(-1), pa.float64()),
     "upstream_area": pa.array(ua.reshape(-1), pa.int32()),
 })
 pq.write_table(table, "data/netcdf/thresholds_expected.parquet")
