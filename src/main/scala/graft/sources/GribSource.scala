@@ -324,7 +324,16 @@ private class GribReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GribPartition]
     new PartitionReader[InternalRow] {
       private val needValue = p.cols.contains("value")
-      private lazy val fs = FileSystem.get(new Path(p.path).toUri, new Configuration())
+      // ONE stream per partition, seeked per ranged read — a partition may
+      // hold hundreds of messages (a GloFAS day is 1530) and per-message
+      // open/close would dominate on object stores
+      private var inOpt: Option[FSDataInputStream] = None
+      private def in: FSDataInputStream = inOpt.getOrElse {
+        val s = FileSystem.get(new Path(p.path).toUri, new Configuration())
+          .open(new Path(p.path))
+        inOpt = Some(s)
+        s
+      }
       private var msgIdx = -1
       private var cell = 0
       private var current: GribMessage = _
@@ -349,13 +358,10 @@ private class GribReaderFactory extends PartitionReaderFactory {
       }
 
       private def readBytes(at: Long, len: Long): Array[Byte] = {
-        val in = fs.open(new Path(p.path))
-        try {
-          in.seek(at)
-          val b = new Array[Byte](len.toInt)
-          in.readFully(b)
-          b
-        } finally in.close()
+        in.seek(at)
+        val b = new Array[Byte](len.toInt)
+        in.readFully(b)
+        b
       }
 
       /** Simple packing: Y = (R + X·2^E) / 10^D; X is an MSB-first nbits
@@ -426,7 +432,7 @@ private class GribReaderFactory extends PartitionReaderFactory {
         InternalRow.fromSeq(row.toIndexedSeq)
       }
 
-      override def close(): Unit = ()
+      override def close(): Unit = inOpt.foreach(_.close())
     }
   }
 }
