@@ -135,30 +135,35 @@ object Clustering {
       k: Int): DataFrame = {
     val spark = vectors.sparkSession
     val idType = vectors.select(col(idCol)).schema.head.dataType
-    val rows = farthestFirstSeedsDriver(vectors, idCol, vecCol, k)
-      .map { case (id, c, dm) => org.apache.spark.sql.Row(id, c, dm) }
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster", idType, nullable = false),
-        org.apache.spark.sql.types.StructField("c",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false),
-        org.apache.spark.sql.types.StructField("dmin_micros",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-  }
-
-  /** Driver-side core of [[farthestFirstSeeds]]: returns
-    * (seed id, components, dmin_micros) in selection order. */
-  private def farthestFirstSeedsDriver(
-      vectors: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int): Seq[(Any, Seq[Double], Long)] = {
-    require(k > 0, "need k > 0")
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+    val rows = farthestFirstSeedsDriver(vecs, k)
+      .map { case (id, c, dm) => org.apache.spark.sql.Row(id, c, dm) }
+    localDf(spark, rows, org.apache.spark.sql.types.StructType(Seq(
+      field("cluster", idType),
+      field("c", doubleArray),
+      field("dmin_micros", org.apache.spark.sql.types.LongType))))
+  }
+
+  private def field(name: String, t: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructField(name, t, nullable = false)
+  private def doubleArray = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  private def localDf(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+
+  /** Driver-side core of [[farthestFirstSeeds]]: takes the PREPARED
+    * (vec_id, v: array&lt;double&gt;) corpus so callers that already
+    * checkpointed it don't pay a second source scan; returns
+    * (seed id, components, dmin_micros) in selection order. */
+  private def farthestFirstSeedsDriver(
+      vecs: DataFrame,
+      k: Int): Seq[(Any, Seq[Double], Long)] = {
+    require(k > 0, "need k > 0")
     val first = vecs.orderBy(col("vec_id")).limit(1).collect()
     if (first.isEmpty) return Nil
     val seeds = scala.collection.mutable.ArrayBuffer[(Any, Seq[Double], Long)](
@@ -231,19 +236,13 @@ object Clustering {
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
       .localCheckpoint()
     var centroids: Seq[(Any, Seq[Double])] =
-      if (farthestFirst)
-        farthestFirstSeedsDriver(vectors, idCol, vecCol, k).map(s => (s._1, s._2))
+      if (farthestFirst) farthestFirstSeedsDriver(vecs, k).map(s => (s._1, s._2))
       else vecs.orderBy(col("vec_id")).limit(k).collect()
         .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
-    def centroidDf: DataFrame = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          centroids.map { case (id, c) => org.apache.spark.sql.Row(id, c) }).asJava),
+    def centroidDf: DataFrame = localDf(spark,
+      centroids.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster", idType, nullable = false),
-        org.apache.spark.sql.types.StructField("c",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+        field("cluster", idType), field("c", doubleArray))))
     var moved = Double.MaxValue
     var i = 0
     while (moved > eps && i < maxIters) {

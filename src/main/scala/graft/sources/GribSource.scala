@@ -3,7 +3,6 @@ package graft.sources
 import java.time.{LocalDateTime, ZoneOffset}
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -83,7 +82,8 @@ private[sources] final case class GribMessage(
 }
 
 private[sources] final case class GribModel(
-    path: String, numPartitions: Int, messages: Seq[GribMessage])
+    path: String, numPartitions: Int, messages: Seq[GribMessage],
+    conf: SerializableHadoopConf)
 
 private[sources] object GribModel {
 
@@ -96,10 +96,12 @@ private[sources] object GribModel {
     val path = Option(o.get("path")).getOrElse(
       throw new IllegalArgumentException("GribSource requires option 'path'"))
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
-    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val conf = HadoopConf.session()
+    val fs = FileSystem.get(new Path(path).toUri, conf)
     val fileLen = fs.getFileStatus(new Path(path)).getLen
     val in = fs.open(new Path(path))
-    try GribModel(path, numPartitions, indexMessages(in, fileLen, path))
+    try GribModel(path, numPartitions, indexMessages(in, fileLen, path),
+      new SerializableHadoopConf(conf))
     finally in.close()
   }
 
@@ -144,6 +146,8 @@ private[sources] object GribModel {
       in.readFully(head)
       val secLen = java.nio.ByteBuffer.wrap(head, 0, 4).getInt
       val secNum = head(4) & 0xFF
+      require(secLen >= 5, // a zero/short length would re-read the same bytes forever
+        s"$path: malformed section $secNum at offset $at (length $secLen)")
       def body(): java.nio.ByteBuffer = {
         val b = new Array[Byte](secLen - 5)
         in.readFully(b)
@@ -183,7 +187,10 @@ private[sources] object GribModel {
           val unit = b.get(12) & 0xFF
           val ft = b.getInt(13)
           stepHours = unit match {
-            case 0 => math.floorDiv(ft, 60) // minutes
+            case 0 => // minutes: reject sub-hourly rather than alias steps
+              require(ft % 60 == 0,
+                s"$path: sub-hourly forecast time ($ft min) cannot map to step_hours")
+              ft / 60
             case 1 => ft
             case 2 => ft * 24 // days
             case u => throw new IllegalArgumentException(
@@ -200,6 +207,9 @@ private[sources] object GribModel {
           binScale = sm16(b.getShort(10) & 0xFFFF)
           decScale = sm16(b.getShort(12) & 0xFFFF)
           nbits = b.get(14) & 0xFF
+          require(nbits <= 32, // 0 = constant field; >32 would overflow the
+            // 64-bit unpack accumulator and is unheard-of for real data
+            s"$path: simple packing with $nbits bits per value unsupported")
         case 6 =>
           val indicator = { val x = new Array[Byte](1); in.readFully(x); x(0) & 0xFF }
           indicator match {
@@ -283,11 +293,13 @@ private class GribScanBuilder(model: GribModel)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new GribScan(model.path, model.numPartitions, messages, required)
+  override def build(): Scan =
+    new GribScan(model.path, model.numPartitions, messages, required, model.conf)
 }
 
 private class GribScan(
-    path: String, numPartitions: Int, messages: Seq[GribMessage], required: StructType)
+    path: String, numPartitions: Int, messages: Seq[GribMessage], required: StructType,
+    conf: SerializableHadoopConf)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -307,29 +319,44 @@ private class GribScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, math.min(numPartitions, math.max(1, messages.size)))
+    // column ordinals resolved ONCE at plan time — the per-cell emit loop
+    // switches on ints, never on field-name strings
+    val ords = required.fieldNames.map {
+      case "latitude" => GribCol.Lat
+      case "longitude" => GribCol.Lon
+      case "number" => GribCol.Number
+      case "step_hours" => GribCol.Step
+      case "ref_time" => GribCol.RefTime
+      case "value" => GribCol.Value
+    }
     (0 until n).map { p =>
       val from = (messages.size * p) / n
       val to = (messages.size * (p + 1)) / n
-      GribPartition(path, messages.slice(from, to).toArray, required.fieldNames): InputPartition
+      GribPartition(path, messages.slice(from, to).toArray, ords, conf): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new GribReaderFactory
 }
 
+private object GribCol {
+  val Lat = 0; val Lon = 1; val Number = 2; val Step = 3; val RefTime = 4; val Value = 5
+}
+
 private final case class GribPartition(
-    path: String, messages: Array[GribMessage], cols: Array[String]) extends InputPartition
+    path: String, messages: Array[GribMessage], cols: Array[Int],
+    conf: SerializableHadoopConf) extends InputPartition
 
 private class GribReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GribPartition]
     new PartitionReader[InternalRow] {
-      private val needValue = p.cols.contains("value")
+      private val needValue = p.cols.contains(GribCol.Value)
       // ONE stream per partition, seeked per ranged read — a partition may
       // hold hundreds of messages (a GloFAS day is 1530) and per-message
       // open/close would dominate on object stores
       private var inOpt: Option[FSDataInputStream] = None
       private def in: FSDataInputStream = inOpt.getOrElse {
-        val s = FileSystem.get(new Path(p.path).toUri, new Configuration())
+        val s = FileSystem.get(new Path(p.path).toUri, p.conf.value)
           .open(new Path(p.path))
         inOpt = Some(s)
         s
@@ -417,19 +444,19 @@ private class GribReaderFactory extends PartitionReaderFactory {
         var c = 0
         while (c < p.cols.length) {
           row(c) = p.cols(c) match {
-            case "latitude" => latMicro / 1e6
-            case "longitude" => lonMicro / 1e6
-            case "number" => m.number.map(Int.box).orNull
-            case "step_hours" => m.stepHours
-            case "ref_time" => m.refEpoch
-            case "value" =>
+            case GribCol.Lat => latMicro / 1e6
+            case GribCol.Lon => lonMicro / 1e6
+            case GribCol.Number => m.number.map(Int.box).orNull
+            case GribCol.Step => m.stepHours
+            case GribCol.RefTime => m.refEpoch
+            case GribCol.Value =>
               if (!isPresent) null
               else if (values == null) null // value pruned from projection
               else values(presentBefore)
           }
           c += 1
         }
-        InternalRow.fromSeq(row.toIndexedSeq)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
       }
 
       override def close(): Unit = inOpt.foreach(_.close())

@@ -5,7 +5,6 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -60,8 +59,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   */
 class NetcdfSource extends TableProvider {
+  // inferSchema needs only the header (one small read); the coordinate
+  // arrays are read once, in getTable, where pushdown needs them
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetcdfTableModel.fromOptions(options).schema
+    NetcdfTableModel.resolve(options).schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -171,7 +172,8 @@ private[sources] final case class NetcdfTableModel(
     header: NcHeader,
     dataVars: Seq[NcVar],
     gridDimIds: Seq[Int],
-    coords: Map[Int, Array[Double]]) { // dimId → coordinate values (or indices)
+    coords: Map[Int, Array[Double]], // dimId → coordinate values (or indices)
+    conf: SerializableHadoopConf) {
 
   def gridDims: Seq[NcDim] = gridDimIds.map(header.dims)
 
@@ -192,13 +194,16 @@ private[sources] final case class NetcdfTableModel(
 
 private[sources] object NetcdfTableModel {
 
-  def fromOptions(o: CaseInsensitiveStringMap): NetcdfTableModel = {
+  /** Header parse + variable/dimension resolution — everything the SCHEMA
+    * needs, one small read, no coordinate I/O. */
+  def resolve(o: CaseInsensitiveStringMap): NetcdfTableModel = {
     val path = Option(o.get("path")).getOrElse(
       throw new IllegalArgumentException("NetcdfSource requires option 'path'"))
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
     val wanted = Option(o.get("variables")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
-    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val conf = HadoopConf.session()
+    val fs = FileSystem.get(new Path(path).toUri, conf)
     val in = new DataInputStream(fs.open(new Path(path)))
     val header = try NcHeaderParser.parse(in) finally in.close()
 
@@ -228,21 +233,32 @@ private[sources] object NetcdfTableModel {
         s"dimension '${header.dims(id).name}' is the record (unlimited) dimension; " +
           "record variables are not supported by this raster source")
     }
+    NetcdfTableModel(path, numPartitions, header, selected, gridDimIds,
+      Map.empty, new SerializableHadoopConf(conf))
+  }
 
+  /** [[resolve]] plus the coordinate arrays (read once, for pushdown). */
+  def fromOptions(o: CaseInsensitiveStringMap): NetcdfTableModel = {
+    val model = resolve(o)
+    val header = model.header
+    val fs = FileSystem.get(new Path(model.path).toUri, model.conf.value)
+    val coordVars: Map[String, NcVar] = header.vars
+      .filter(v => v.dimIds.size == 1 && header.dims(v.dimIds.head).name == v.name)
+      .map(v => v.name -> v).toMap
     // Coordinate values per grid dim: the 1-D coordinate variable if one
     // exists, else the plain index. 1-D → small → read on the driver.
-    val coords = gridDimIds.map { id =>
+    val coords = model.gridDimIds.map { id =>
       val dim = header.dims(id)
       val arr = coordVars.get(dim.name) match {
         case Some(cv) =>
           val size = NcHeaderParser.typeSize(cv.ncType)
-          val buf = readRange(fs, path, cv.begin, dim.length.toLong * size)
+          val buf = readRange(fs, model.path, cv.begin, dim.length.toLong * size)
           Array.tabulate(dim.length)(i => readAs(buf, i * size, cv.ncType))
         case None => Array.tabulate(dim.length)(_.toDouble)
       }
       id -> arr
     }.toMap
-    NetcdfTableModel(path, numPartitions, header, selected, gridDimIds, coords)
+    model.copy(coords = coords)
   }
 
   def readRange(fs: FileSystem, path: String, at: Long, len: Long): ByteBuffer = {
@@ -377,7 +393,8 @@ private class NetcdfScan(
     (0 until n).map { p =>
       val from = outerLo + (span * p) / n
       val to = outerLo + (span * (p + 1)) / n
-      NetcdfPartition(model.path, from, to, innerCount, dimLengths, cols): InputPartition
+      NetcdfPartition(model.path, from, to, innerCount, dimLengths, cols,
+        model.conf): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new NetcdfReaderFactory
@@ -392,7 +409,8 @@ private final case class NcColumnSpec(
 
 private final case class NetcdfPartition(
     path: String, outerFrom: Int, outerTo: Int, innerCount: Long,
-    dimLengths: Array[Int], cols: Array[NcColumnSpec]) extends InputPartition
+    dimLengths: Array[Int], cols: Array[NcColumnSpec],
+    conf: SerializableHadoopConf) extends InputPartition
 
 private class NetcdfReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -403,7 +421,7 @@ private class NetcdfReaderFactory extends PartitionReaderFactory {
       // Ranged read per projected variable: [begin + outerFrom·stride,
       // begin + outerTo·stride) — executors touch only their slice's bytes.
       private lazy val buffers: Array[ByteBuffer] = {
-        val fs = FileSystem.get(new Path(p.path).toUri, new Configuration())
+        val fs = FileSystem.get(new Path(p.path).toUri, p.conf.value)
         p.cols.map { c =>
           if (c.isDim) null
           else {
@@ -454,7 +472,7 @@ private class NetcdfReaderFactory extends PartitionReaderFactory {
           }
           i += 1
         }
-        InternalRow.fromSeq(row.toIndexedSeq)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
       }
 
       private def boxFill(v: Long, c: NcColumnSpec): Any =
