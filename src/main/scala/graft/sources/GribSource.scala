@@ -69,6 +69,7 @@ object GribSource {
   * header. Lat/lon are kept in micro-degrees (the wire integers) and
   * divided once at emit, so coordinates are bit-stable. */
 private[sources] final case class GribMessage(
+    path: String,
     ni: Int, nj: Int,
     latFirstMicro: Long, lonFirstMicro: Long,
     diMicro: Long, djMicro: Long,
@@ -98,11 +99,17 @@ private[sources] object GribModel {
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
     val conf = HadoopConf.session()
     val fs = FileSystem.get(new Path(path).toUri, conf)
-    val fileLen = fs.getFileStatus(new Path(path)).getLen
-    val in = fs.open(new Path(path))
-    try GribModel(path, numPartitions, indexMessages(in, fileLen, path),
-      new SerializableHadoopConf(conf))
-    finally in.close()
+    // `path` may be a glob — a GloFAS day arrives as one GRIB file per
+    // leadtime (glofas-API-query.py fetches 30); one scan reads them all
+    val files = Option(fs.globStatus(new Path(path))).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+    require(files.nonEmpty, s"no GRIB files match '$path'")
+    val messages = files.toSeq.flatMap { f =>
+      val in = fs.open(f)
+      try indexMessages(in, fs.getFileStatus(f).getLen, f.toString)
+      finally in.close()
+    }
+    GribModel(path, numPartitions, messages, new SerializableHadoopConf(conf))
   }
 
   /** Walk the file's messages, reading section headers and SKIPPING data
@@ -225,7 +232,7 @@ private[sources] object GribModel {
     }
     require(ni > 0 && nj > 0 && dataOffset >= 0, s"$path: incomplete message at $msgStart")
     if (bitmapOffset < 0) nPresent = ni * nj
-    GribMessage(ni, nj, latFirst, lonFirst, di, dj, jAscending,
+    GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
       nPresent, bitmapOffset, dataOffset)
   }
@@ -332,7 +339,7 @@ private class GribScan(
     (0 until n).map { p =>
       val from = (messages.size * p) / n
       val to = (messages.size * (p + 1)) / n
-      GribPartition(path, messages.slice(from, to).toArray, ords, conf): InputPartition
+      GribPartition(messages.slice(from, to).toArray, ords, conf): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new GribReaderFactory
@@ -343,7 +350,7 @@ private object GribCol {
 }
 
 private final case class GribPartition(
-    path: String, messages: Array[GribMessage], cols: Array[Int],
+    messages: Array[GribMessage], cols: Array[Int],
     conf: SerializableHadoopConf) extends InputPartition
 
 private class GribReaderFactory extends PartitionReaderFactory {
@@ -351,15 +358,21 @@ private class GribReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GribPartition]
     new PartitionReader[InternalRow] {
       private val needValue = p.cols.contains(GribCol.Value)
-      // ONE stream per partition, seeked per ranged read — a partition may
-      // hold hundreds of messages (a GloFAS day is 1530) and per-message
-      // open/close would dominate on object stores
+      // ONE stream per FILE, reopened only when the message sequence moves
+      // to the next file — a partition may hold hundreds of messages (a
+      // GloFAS day is 1530 across 30 files) and per-message open/close
+      // would dominate on object stores; messages are file-ordered, so
+      // each file opens at most once per partition
       private var inOpt: Option[FSDataInputStream] = None
-      private def in: FSDataInputStream = inOpt.getOrElse {
-        val s = FileSystem.get(new Path(p.path).toUri, p.conf.value)
-          .open(new Path(p.path))
-        inOpt = Some(s)
-        s
+      private var openPath: String = null
+      private def in(path: String): FSDataInputStream = {
+        if (openPath != path) {
+          inOpt.foreach(_.close())
+          inOpt = Some(FileSystem.get(new Path(path).toUri, p.conf.value)
+            .open(new Path(path)))
+          openPath = path
+        }
+        inOpt.get
       }
       private var msgIdx = -1
       private var cell = 0
@@ -385,9 +398,10 @@ private class GribReaderFactory extends PartitionReaderFactory {
       }
 
       private def readBytes(at: Long, len: Long): Array[Byte] = {
-        in.seek(at)
+        val s = in(current.path)
+        s.seek(at)
         val b = new Array[Byte](len.toInt)
-        in.readFully(b)
+        s.readFully(b)
         b
       }
 

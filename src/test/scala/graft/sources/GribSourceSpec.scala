@@ -162,6 +162,21 @@ class GribSourceSpec extends SparkSpec {
   private def readMini(f: String) = spark.read
     .format(classOf[GribSource].getName).option("path", f).load()
 
+  test("a glob path reads a multi-file day as one scan (per-leadtime files)") {
+    val dir = java.nio.file.Files.createTempDirectory("gribday")
+    val src = java.nio.file.Paths.get(fixture)
+    java.nio.file.Files.copy(src, dir.resolve("lt024.grib2"))
+    java.nio.file.Files.copy(src, dir.resolve("lt048.grib2"))
+    val day = spark.read.format(classOf[GribSource].getName)
+      .option("path", s"$dir/*.grib2").option("numPartitions", "4").load()
+    assert(day.count() == 2L * 7 * 48)
+    assert(day.queryExecution.executedPlan.toString.contains("messages=14"))
+    // message pruning spans files
+    val one = day.filter(col("number") === 2 && col("step_hours") === 48)
+    assert(one.queryExecution.executedPlan.toString.contains("messages=2"))
+    assert(one.count() == 2L * 48)
+  }
+
   test("j-ascending scan mode (0x40) orients latitude upward") {
     val f = miniGrib(tmp("asc.grib2"), 2, 2, 10000000, 5000000, 500000,
       scanMode = 0x40, timeUnit = 1, forecastTime = 6, values = Seq(1, 2, 3, 4))
