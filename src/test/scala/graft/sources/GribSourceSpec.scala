@@ -94,67 +94,18 @@ class GribSourceSpec extends SparkSpec {
     df.collect().map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)))).toSet
 
   // ------------------------------------------------------------ mini writer
-  // Scala-side builder for the edge cases the python fixture doesn't cover
-  // (j-ascending scan, alternate time units, wrong edition). Simple packing
-  // with R=0, E=0, D=0, nbits=16 → X IS the value.
+  // Scala-side builder (shared GribTestWriter) for the edge cases the
+  // python fixture doesn't cover (j-ascending scan, alternate time units,
+  // wrong edition). Simple packing with R=0, E=0, D=0 → X IS the value.
 
   private def miniGrib(file: String, ni: Int, nj: Int,
       latFirstMicro: Int, lonFirstMicro: Int, incMicro: Int,
       scanMode: Int, timeUnit: Int, forecastTime: Int,
-      values: Seq[Int], edition: Int = 2): String = {
-    import java.io.{DataOutputStream, FileOutputStream, ByteArrayOutputStream}
-    val npts = ni * nj
-    def sec(num: Int)(fill: DataOutputStream => Unit): Array[Byte] = {
-      val bos = new ByteArrayOutputStream(); val o = new DataOutputStream(bos)
-      fill(o); o.flush()
-      val body = bos.toByteArray
-      val out = new ByteArrayOutputStream(); val h = new DataOutputStream(out)
-      h.writeInt(body.length + 5); h.writeByte(num); h.write(body); h.flush()
-      out.toByteArray
-    }
-    val s1 = sec(1) { o =>
-      o.writeShort(98); o.writeShort(0); o.writeByte(2); o.writeByte(1); o.writeByte(1)
-      o.writeShort(2023); Seq(10, 1, 0, 0, 0).foreach(o.writeByte) // ref time
-      o.writeByte(0); o.writeByte(1)
-    }
-    val s3 = sec(3) { o =>
-      o.writeByte(0); o.writeInt(npts); o.writeByte(0); o.writeByte(0)
-      o.writeShort(0) // template 3.0
-      o.writeByte(6); o.writeByte(0); o.writeInt(0) // earth
-      o.writeByte(0); o.writeInt(0); o.writeByte(0); o.writeInt(0)
-      o.writeInt(ni); o.writeInt(nj); o.writeInt(0); o.writeInt(0)
-      o.writeInt(latFirstMicro); o.writeInt(lonFirstMicro)
-      o.writeByte(0x30)
-      val latLast = if ((scanMode & 0x40) != 0) latFirstMicro + (nj - 1) * incMicro
-                    else latFirstMicro - (nj - 1) * incMicro
-      o.writeInt(latLast); o.writeInt(lonFirstMicro + (ni - 1) * incMicro)
-      o.writeInt(incMicro); o.writeInt(incMicro)
-      o.writeByte(scanMode)
-    }
-    val s4 = sec(4) { o =>
-      o.writeShort(0); o.writeShort(0) // template 4.0
-      o.writeByte(0); o.writeByte(197); o.writeByte(2); o.writeByte(255); o.writeByte(255)
-      o.writeShort(0); o.writeByte(0)
-      o.writeByte(timeUnit); o.writeInt(forecastTime)
-      o.writeByte(1); o.writeByte(0); o.writeInt(0)
-      o.writeByte(255); o.writeByte(0); o.writeInt(0)
-    }
-    val s5 = sec(5) { o =>
-      o.writeInt(npts); o.writeShort(0)
-      o.writeFloat(0.0f); o.writeShort(0); o.writeShort(0)
-      o.writeByte(16); o.writeByte(0)
-    }
-    val s6 = sec(6)(_.writeByte(255))
-    val s7 = sec(7)(o => values.foreach(o.writeShort))
-    val body = s1 ++ s3 ++ s4 ++ s5 ++ s6 ++ s7
-    val out = new DataOutputStream(new FileOutputStream(file))
-    try {
-      out.writeBytes("GRIB"); out.writeShort(0); out.writeByte(1); out.writeByte(edition)
-      out.writeLong(16L + body.length + 4)
-      out.write(body); out.writeBytes("7777")
-    } finally out.close()
-    file
-  }
+      values: Seq[Int], edition: Int = 2): String =
+    GribTestWriter.write(file, ni, nj, latFirstMicro, lonFirstMicro, incMicro,
+      scanMode, timeUnit, forecastTime, member = None,
+      r = 0.0f, e = 0, d = 0, nbits = 16, xs = values.map(_.toLong),
+      edition = edition)
 
   private def tmp(n: String) =
     new File(System.getProperty("java.io.tmpdir"), n).getAbsolutePath

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, DataOutputStream, File, FileOutputStream}
+import java.io.File
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
@@ -86,72 +86,16 @@ class NetcdfSourceSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- CDF writer
-  // Minimal spec-conformant writer for edge-case files (big-endian, padded
-  // names, CDF-1 4-byte / CDF-2 8-byte begin offsets).
+  // Shared spec-conformant writer (TestWriters.scala) for edge-case files.
 
-  private def pad(out: DataOutputStream, n: Int): Unit =
-    (0 until (4 - n % 4) % 4).foreach(_ => out.writeByte(0))
-  private def name(out: DataOutputStream, s: String): Unit = {
-    out.writeInt(s.length); out.writeBytes(s); pad(out, s.length)
-  }
+  private type V = CdfTestWriter.V
+  private def V(name: String, dimIds: Seq[Int], ncType: Int, data: Seq[Double],
+      fill: Option[Double] = None): CdfTestWriter.V =
+    CdfTestWriter.V(name, dimIds, ncType, data, fill)
 
-  private case class V(name: String, dimIds: Seq[Int], ncType: Int, data: Seq[Double],
-      fill: Option[Double] = None)
-
-  /** Writes header + data for fixed-size vars; returns the file path. */
   private def writeCdf(file: String, version: Int, dims: Seq[(String, Int)], vars: Seq[V],
-      numRecs: Int = 0): String = {
-    val sizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 4, 6 -> 8)
-    def headerBytes(begins: Seq[Long]): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      val out = new DataOutputStream(bos)
-      out.writeBytes("CDF"); out.writeByte(version); out.writeInt(numRecs)
-      if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
-      else { out.writeInt(10); out.writeInt(dims.size)
-        dims.foreach { case (n, len) => name(out, n); out.writeInt(len) } }
-      out.writeInt(0); out.writeInt(0) // no global atts
-      out.writeInt(11); out.writeInt(vars.size)
-      vars.zip(begins).foreach { case (v, begin) =>
-        name(out, v.name); out.writeInt(v.dimIds.size); v.dimIds.foreach(out.writeInt)
-        v.fill match {
-          case Some(f) =>
-            out.writeInt(12); out.writeInt(1); name(out, "_FillValue")
-            out.writeInt(v.ncType); out.writeInt(1)
-            writeVal(out, v.ncType, f); pad(out, sizes(v.ncType))
-          case None => out.writeInt(0); out.writeInt(0)
-        }
-        out.writeInt(v.ncType)
-        val vsize = v.data.size * sizes(v.ncType)
-        out.writeInt(vsize + (4 - vsize % 4) % 4)
-        if (version == 1) out.writeInt(begin.toInt) else out.writeLong(begin)
-      }
-      out.flush(); bos.toByteArray
-    }
-    def writeVal(out: DataOutputStream, t: Int, x: Double): Unit = t match {
-      case 1 => out.writeByte(x.toInt)
-      case 3 => out.writeShort(x.toInt)
-      case 4 => out.writeInt(x.toInt)
-      case 5 => out.writeFloat(x.toFloat)
-      case 6 => out.writeDouble(x)
-    }
-    val hdrLen = headerBytes(vars.map(_ => 0L)).length.toLong
-    var off = hdrLen
-    val begins = vars.map { v =>
-      val b = off
-      val vsize = v.data.size * sizes(v.ncType)
-      off += vsize + (4 - vsize % 4) % 4
-      b
-    }
-    val out = new DataOutputStream(new FileOutputStream(file))
-    try {
-      out.write(headerBytes(begins))
-      vars.foreach { v =>
-        v.data.foreach(writeVal(out, v.ncType, _))
-        pad(out, v.data.size * sizes(v.ncType))
-      }
-    } finally out.close()
-    file
-  }
+      numRecs: Int = 0): String =
+    CdfTestWriter.write(file, version, dims, vars, numRecs)
 
   private def tmp(n: String) =
     new File(System.getProperty("java.io.tmpdir"), n).getAbsolutePath
