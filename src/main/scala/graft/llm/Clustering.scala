@@ -225,6 +225,38 @@ object Clustering {
       eps: Double = 1e-9,
       maxIters: Int = 20,
       farthestFirst: Boolean = true): DataFrame = {
+    val (vecs, centroidDf) =
+      convergedLoop(vectors, idCol, vecCol, k, eps, maxIters, farthestFirst)
+    assign(vecs, centroidDf)
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist") * 1e6).cast("long").as("dist_micros"))
+  }
+
+  /** The trained model itself: the converged (cluster, c: array&lt;double&gt;)
+    * centroid table — e.g. the coarse quantizer for
+    * [[Similarity.ivfTopKWith]] (rename `cluster`→`centroid_id`,
+    * `c`→`vc`). Same loop as [[kmeansConverged]], without the final
+    * assignment pass. */
+  def kmeansConvergedCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      eps: Double = 1e-9,
+      maxIters: Int = 20,
+      farthestFirst: Boolean = true): DataFrame =
+    convergedLoop(vectors, idCol, vecCol, k, eps, maxIters, farthestFirst)._2
+
+  /** Shared Lloyd-to-convergence loop: returns the checkpointed prepared
+    * corpus and the final driver-built centroid table. */
+  private def convergedLoop(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      eps: Double,
+      maxIters: Int,
+      farthestFirst: Boolean): (DataFrame, DataFrame) = {
     require(k > 0 && maxIters > 0 && eps >= 0, "need k > 0, maxIters > 0, eps >= 0")
     val spark = vectors.sparkSession
     val idType = vectors.select(col(idCol)).schema.head.dataType
@@ -256,8 +288,6 @@ object Clustering {
       centroids = next.map(t => (t._1, t._2))
       i += 1
     }
-    assign(vecs, centroidDf)
-      .select(col("vec_id"), col("cluster"),
-        round(col("dist") * 1e6).cast("long").as("dist_micros"))
+    (vecs, centroidDf)
   }
 }

@@ -159,13 +159,32 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbes: Int = 4): DataFrame = {
+    val centroids = vectors
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("vc"))
+      .filter(col("centroid_id") < nCentroids)
+    ivfTopKWith(vectors, idCol, vecCol, centroids, queryIds, k, nProbes)
+  }
+
+  /** [[ivfTopK]] against a TRAINED coarse quantizer: `centroids` is any
+    * (centroid_id, vc: array&lt;double&gt;) table — in production the
+    * [[Clustering.kmeansConvergedCentroids]] output, which places cells
+    * where the vectors actually are. Identical dataflow to [[ivfTopK]]
+    * (broadcast centroids → argmax-as-aggregation assignment → equi-join
+    * probes); only the centroid table changes. */
+  def ivfTopKWith(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidTable: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nProbes: Int = 4): DataFrame = {
     val base = vectors.select(
       col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"),
       sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"))
-    val centroids = base
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("vc"), col("norm").as("nc"))
+    val centroids = centroidTable.select(
+      col("centroid_id"), col("vc"), sqrt(kdot(col("vc"), col("vc"))).as("nc"))
     val scoredCells = base.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
         (kdot(col("v"), col("vc")) / (col("norm") * col("nc"))).as("c_cos"))

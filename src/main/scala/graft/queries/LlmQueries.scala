@@ -182,6 +182,25 @@ object LlmQueries {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         queryIds = 0L until 8L, k = 10, nCentroids = 16, nProbes = 4)),
 
+    // the PRODUCTION IVF path: coarse quantizer = k-means centroids (a few
+    // refinement rounds suffice for a quantizer), then the same
+    // bucket-join search. No SQL oracle (the training loop length is
+    // data-dependent) — rows-only gate + bench tracking; the search
+    // dataflow itself is oracle-checked via q_ann_ivf.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val quantizer = Clustering
+        .kmeansConvergedCentroids(emb, "vec_id", "embedding", k = 16,
+          eps = 1e-6, maxIters = 3,
+          // first-k seeding: farthest-first's k-1 sequential rounds buy
+          // seed spread a 3-round Lloyd refinement of a COARSE quantizer
+          // doesn't need — the cells move to the data either way
+          farthestFirst = false)
+        .select(col("cluster").as("centroid_id"), col("c").as("vc"))
+      Similarity.ivfTopKWith(emb, "vec_id", "embedding", quantizer,
+        queryIds = 0L until 8L, k = 10, nProbes = 4)
+    }),
+
     // winnowing fingerprints (position-robust local-sampling sketch)
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -35,6 +36,30 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.nearDupPairs(d, "vec_id", "embedding", dim = 4, nPlanes = 6, minCosine = 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L)))
+  }
+
+  test("ivfTopKWith on trained centroids recovers the tight cluster's neighbors") {
+    // two well-separated clusters; a 2-cell trained quantizer must route
+    // query 0's probe to its own cluster and return its true neighbors
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0.05f), 1L -> Seq(1f, 0.02f, 0f), 2L -> Seq(0.98f, 0f, 0f),
+      10L -> Seq(0f, 1f, 0.05f), 11L -> Seq(0f, 0.97f, 0f), 12L -> Seq(0.02f, 1f, 0f))
+    val quantizer = Clustering
+      .kmeansConvergedCentroids(d, "vec_id", "embedding", k = 2, maxIters = 5)
+      .select(col("cluster").as("centroid_id"), col("c").as("vc"))
+    val got = Similarity.ivfTopKWith(d, "vec_id", "embedding", quantizer,
+      queryIds = Seq(0L), k = 2, nProbes = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got.toSet == Set(1L, 2L)) // never the orthogonal cluster
+    // identical to the deterministic-pick dataflow when fed the same table
+    val manual = Similarity.ivfTopKWith(d, "vec_id", "embedding",
+      vecs(0L -> Seq(1f, 0f, 0.05f), 10L -> Seq(0f, 1f, 0.05f))
+        .select(col("vec_id").as("centroid_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x.cast("double")).as("vc")),
+      queryIds = Seq(0L), k = 2, nProbes = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(manual.toSet == Set(1L, 2L))
   }
 
   test("hyperplaneBuckets is deterministic across invocations") {
