@@ -232,11 +232,26 @@ object Clustering {
         round(col("dist") * 1e6).cast("long").as("dist_micros"))
   }
 
-  /** The trained model itself: the converged (cluster, c: array&lt;double&gt;)
-    * centroid table — e.g. the coarse quantizer for
-    * [[Similarity.ivfTopKWith]] (rename `cluster`→`centroid_id`,
-    * `c`→`vc`). Same loop as [[kmeansConverged]], without the final
-    * assignment pass. */
+  /** The trained model: (prepared corpus, converged centroid table).
+    * The corpus comes back as the loop's `localCheckpoint`ed
+    * (vec_id, v: array&lt;double&gt;) — downstream consumers (e.g.
+    * [[Similarity.ivfTopKWith]] search over the same vectors) should read
+    * THIS instead of re-scanning the source, so the materialization the
+    * training paid for is reused rather than duplicated. */
+  def kmeansConvergedModel(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      eps: Double = 1e-9,
+      maxIters: Int = 20,
+      farthestFirst: Boolean = true): (DataFrame, DataFrame) =
+    convergedLoop(vectors, idCol, vecCol, k, eps, maxIters, farthestFirst)
+
+  /** Just the converged (cluster, c: array&lt;double&gt;) centroid table —
+    * e.g. the coarse quantizer for [[Similarity.ivfTopKWith]] (rename
+    * `cluster`→`centroid_id`, `c`→`vc`). Prefer [[kmeansConvergedModel]]
+    * when the same corpus is consumed downstream. */
   def kmeansConvergedCentroids(
       vectors: DataFrame,
       idCol: String,

@@ -185,6 +185,11 @@ object Similarity {
       sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"))
     val centroids = centroidTable.select(
       col("centroid_id"), col("vc"), sqrt(kdot(col("vc"), col("vc"))).as("nc"))
+      // a trained quantizer can emit an exact-zero centroid (opposing
+      // vectors in one cluster cancel); its cosine is NaN, and NaN sorts
+      // ABOVE every double in max_by — one degenerate cell would swallow
+      // the whole corpus. Drop it: members re-route to their next cell.
+      .filter(col("nc") > 0)
     val scoredCells = base.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
         (kdot(col("v"), col("vc")) / (col("norm") * col("nc"))).as("c_cos"))

@@ -189,15 +189,16 @@ object LlmQueries {
     // dataflow itself is oracle-checked via q_ann_ivf.
     "q_ann_ivf_trained" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val quantizer = Clustering
-        .kmeansConvergedCentroids(emb, "vec_id", "embedding", k = 16,
-          eps = 1e-6, maxIters = 3,
-          // first-k seeding: farthest-first's k-1 sequential rounds buy
-          // seed spread a 3-round Lloyd refinement of a COARSE quantizer
-          // doesn't need — the cells move to the data either way
-          farthestFirst = false)
-        .select(col("cluster").as("centroid_id"), col("c").as("vc"))
-      Similarity.ivfTopKWith(emb, "vec_id", "embedding", quantizer,
+      // first-k seeding: farthest-first's k-1 sequential rounds buy seed
+      // spread a 3-round Lloyd refinement of a COARSE quantizer doesn't
+      // need — the cells move to the data either way
+      val (corpus, centroids) = Clustering
+        .kmeansConvergedModel(emb, "vec_id", "embedding", k = 16,
+          eps = 1e-6, maxIters = 3, farthestFirst = false)
+      // search over the training loop's checkpointed corpus — one scan
+      // and one float→double conversion for both train and search
+      Similarity.ivfTopKWith(corpus, "vec_id", "v",
+        centroids.select(col("cluster").as("centroid_id"), col("c").as("vc")),
         queryIds = 0L until 8L, k = 10, nProbes = 4)
     }),
 

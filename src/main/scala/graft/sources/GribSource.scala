@@ -100,13 +100,18 @@ private[sources] object GribModel {
     val conf = HadoopConf.session()
     val fs = FileSystem.get(new Path(path).toUri, conf)
     // `path` may be a glob — a GloFAS day arrives as one GRIB file per
-    // leadtime (glofas-API-query.py fetches 30); one scan reads them all
-    val files = Option(fs.globStatus(new Path(path))).getOrElse(Array.empty)
-      .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+    // leadtime (glofas-API-query.py fetches 30); one scan reads them all.
+    // A LITERAL path that exists wins over glob interpretation, so file
+    // names containing glob metacharacters ([..], {..}) still open.
+    val p = new Path(path)
+    val files =
+      (if (fs.exists(p) && fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+       else Option(fs.globStatus(p)).getOrElse(Array.empty).filter(_.isFile))
+        .sortBy(_.getPath.toString)
     require(files.nonEmpty, s"no GRIB files match '$path'")
-    val messages = files.toSeq.flatMap { f =>
-      val in = fs.open(f)
-      try indexMessages(in, fs.getFileStatus(f).getLen, f.toString)
+    val messages = files.toSeq.flatMap { st => // FileStatus carries the length
+      val in = fs.open(st.getPath)
+      try indexMessages(in, st.getLen, st.getPath.toString)
       finally in.close()
     }
     GribModel(path, numPartitions, messages, new SerializableHadoopConf(conf))

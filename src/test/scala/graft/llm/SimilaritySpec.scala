@@ -62,6 +62,20 @@ class SimilaritySpec extends SparkSpec {
     assert(manual.toSet == Set(1L, 2L))
   }
 
+  test("a zero trained centroid is dropped, not a NaN black hole") {
+    // cosine vs an all-zero centroid is 0/0 = NaN, and NaN ranks above
+    // every real cosine — without the guard one degenerate cell would
+    // swallow the whole corpus assignment
+    val d = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f))
+    val quantizer = Seq(
+      (100L, Seq(0.0, 0.0)), (0L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "vc")
+    val got = Similarity.ivfTopKWith(d, "vec_id", "embedding", quantizer,
+      queryIds = Seq(0L), k = 2, nProbes = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // its true cell-mate; cell 100 never exists
+  }
+
   test("hyperplaneBuckets is deterministic across invocations") {
     val d = vecs(0L -> Seq(1f, -2f, 3f, -4f), 1L -> Seq(5f, 6f, -7f, 8f))
     val a = Similarity.hyperplaneBuckets(d, "vec_id", "embedding", 4, 6)
