@@ -80,6 +80,12 @@ object GraftExtensions {
         arity("graft_dot", 2, args)
         invoke(GraftVecOps.getClass, "dot", DoubleType, args)
       }),
+    ("graft_sqdist",
+      info("graft_sqdist", "sequential-fold squared euclidean distance of two double arrays"),
+      (args: Seq[Expression]) => {
+        arity("graft_sqdist", 2, args)
+        invoke(GraftVecOps.getClass, "sqDist", DoubleType, args)
+      }),
     ("graft_jaccard",
       info("graft_jaccard", "exact Jaccard of two duplicate-free long-array sets"),
       (args: Seq[Expression]) => {

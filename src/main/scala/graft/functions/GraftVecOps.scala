@@ -27,6 +27,22 @@ object GraftVecOps {
     s
   }
 
+  /** Sequential-fold squared euclidean distance — the fold order of
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, _+_)`, so values
+    * stay bit-identical to the HOF formulation and the DuckDB oracle's
+    * unrolled chain ([[graft.llm.Clustering]]'s assignment metric). */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Exact Jaccard of two long-array sets (inputs must be duplicate-free,
     * as [[GraftHashOps.shingleHashes]]/`ngramHashes` guarantee). Computes
     * the same `|A∩B| / (|A|+|B|-|A∩B|)` integer counts → double division

@@ -79,6 +79,10 @@ object HashFunctions {
   def dot(a: Column, b: Column): Column =
     invokeVec("dot", DoubleType, Seq(e(a), e(b)))
 
+  /** Compiled squared euclidean distance (same fold order → same bits). */
+  def sqDist(a: Column, b: Column): Column =
+    invokeVec("sqDist", DoubleType, Seq(e(a), e(b)))
+
   /** Compiled [[graft.llm.Similarity.hyperplaneBucket]]. */
   def hyperplaneBucket(v: Column, nPlanes: Int): Column =
     invokeVec("hyperplaneBucket", LongType, Seq(e(v), Literal(nPlanes)))

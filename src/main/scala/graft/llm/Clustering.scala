@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Compiled kernel (higher-order `aggregate`/`zip_with` are
+    * CodegenFallback — interpreted per row — and this runs corpus × k
+    * times per Lloyd round); same fold order → same bits as the HOF
+    * formulation, pinned in `VecFunctionsSpec`. */
   private def sqDist(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)), lit(0.0), (acc, p) => acc + p)
+    graft.functions.HashFunctions.sqDist(v, c)
 
   /** One Lloyd assignment: nearest centroid per vector.
     * `centroids`: (cluster, c: array<double>). Returns (vec_id, v, cluster,

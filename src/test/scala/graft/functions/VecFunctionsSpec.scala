@@ -20,6 +20,20 @@ class VecFunctionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("sqDist kernel is bit-identical to the HOF fold on every vector pair") {
+    // pair each vector with a shifted copy of itself so distances are
+    // non-trivial; HOF reference = aggregate(zip_with((x,y)=>(x-y)^2))
+    val shifted = embs.select(col("v"),
+      transform(col("v"), x => x * 1.5 - 0.25).as("w"))
+    val hof = aggregate(
+      zip_with(col("v"), col("w"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, p) => acc + p)
+    val bad = shifted.select(
+      (HashFunctions.sqDist(col("v"), col("w")) === hof).as("ok"))
+      .filter(not(col("ok"))).count()
+    assert(bad == 0)
+  }
+
   test("hyperplaneBucket kernel equals the HOF bucket on every vector") {
     val bad = embs.select(
       (HashFunctions.hyperplaneBucket(col("v"), 6) ===
