@@ -75,4 +75,40 @@ class RasterPipelineSpec extends SparkSpec {
     assert(summary.select("intensity").distinct().count() >= 1)
     out.release()
   }
+
+  test("E2 threshold preparation runs from per-return-period NetCDF rasters") {
+    // the reference's one-time flow: one raster file per return period →
+    // join into the unified per-cell threshold table
+    // (threshold-data-joining.py:70-131) — here each raster is read by the
+    // DSv2 source directly, no parquet conversion
+    import graft.sources.{CdfTestWriter, NetcdfSource}
+    val dir = java.nio.file.Files.createTempDirectory("thresholds")
+    val (na, nb) = (4, 3)
+    val lats = (0 until na).map(i => 10.975 - i * 0.05)
+    val lons = (0 until nb).map(j => 3.025 + j * 0.05)
+    val files = Seq("2y" -> 10.0, "5y" -> 20.0, "20y" -> 40.0).map { case (rp, base) =>
+      CdfTestWriter.write(s"$dir/rp$rp.nc", version = 1,
+        dims = Seq("lat" -> na, "lon" -> nb),
+        vars = Seq(
+          CdfTestWriter.V("lat", Seq(0), 6, lats),
+          CdfTestWriter.V("lon", Seq(1), 6, lons),
+          CdfTestWriter.V(s"threshold_$rp", Seq(0, 1), 6,
+            (0 until na * nb).map(c => base + c))))
+      s"$dir/rp$rp.nc"
+    }
+    val rasters = files.map { f =>
+      val df = spark.read.format(classOf[NetcdfSource].getName).option("path", f).load()
+      val cols = Seq(col("lat").as("latitude"), col("lon").as("longitude")) ++
+        df.columns.filter(_.startsWith("threshold_")).map(col)
+      df.select(cols: _*)
+    }
+    val unified = ThresholdJoin.run(rasters, FloodConfig(), validate = true)
+    assert(unified.count() == na * nb)
+    assert(Seq("threshold_2y", "threshold_5y", "threshold_20y", "wkt")
+      .forall(unified.columns.contains))
+    // spot-check one cell carries all three periods consistently
+    val row = unified.filter(col("latitude") === 10.975 && col("longitude") === 3.025)
+      .select("threshold_2y", "threshold_5y", "threshold_20y").head
+    assert((row.getDouble(0), row.getDouble(1), row.getDouble(2)) == (10.0, 20.0, 40.0))
+  }
 }
