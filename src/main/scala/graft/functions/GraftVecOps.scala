@@ -15,9 +15,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object GraftVecOps {
 
+  /** Both kernels are SQL-reachable (`graft_dot` / `graft_sqdist`), so a
+    * length mismatch must fail LOUDLY: `UnsafeArrayData` has no bounds
+    * check, and reading past the shorter array would return garbage
+    * doubles. (The HOF formulation null-pads to NULL instead; a
+    * non-nullable compiled kernel can't, so the error beats the silent
+    * wrong number.) */
+  private def sameLength(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vector kernels need equal-length arrays, got $n vs ${b.numElements()}")
+    n
+  }
+
   /** Sequential-fold dot product of two equal-length double arrays. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameLength(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -32,7 +45,7 @@ object GraftVecOps {
     * stay bit-identical to the HOF formulation and the DuckDB oracle's
     * unrolled chain ([[graft.llm.Clustering]]'s assignment metric). */
   def sqDist(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameLength(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

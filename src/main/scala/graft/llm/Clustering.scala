@@ -264,7 +264,7 @@ object Clustering {
       eps: Double = 1e-9,
       maxIters: Int = 20,
       farthestFirst: Boolean = true): DataFrame =
-    convergedLoop(vectors, idCol, vecCol, k, eps, maxIters, farthestFirst)._2
+    kmeansConvergedModel(vectors, idCol, vecCol, k, eps, maxIters, farthestFirst)._2
 
   /** Shared Lloyd-to-convergence loop: returns the checkpointed prepared
     * corpus and the final driver-built centroid table. */

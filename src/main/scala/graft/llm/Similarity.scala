@@ -183,12 +183,18 @@ object Similarity {
       col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"),
       sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"))
+      // an all-zero corpus vector has no cosine to anything (0/0 = NaN,
+      // which ranks ABOVE every real cosine in the top-k window) — exclude
+      // it from the index rather than let it head every result list.
+      // Mirrored in the q_ann_ivf oracle SQL (WHERE norm > 0).
+      .filter(col("norm") > 0)
     val centroids = centroidTable.select(
       col("centroid_id"), col("vc"), sqrt(kdot(col("vc"), col("vc"))).as("nc"))
       // a trained quantizer can emit an exact-zero centroid (opposing
       // vectors in one cluster cancel); its cosine is NaN, and NaN sorts
       // ABOVE every double in max_by — one degenerate cell would swallow
       // the whole corpus. Drop it: members re-route to their next cell.
+      // Mirrored in the q_ann_ivf oracle SQL (AND nc > 0).
       .filter(col("nc") > 0)
     val scoredCells = base.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),

@@ -749,8 +749,10 @@ object LlmQueries {
 
     "q_ann_ivf" ->
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm FROM e),
-         |cent AS (SELECT vec_id AS centroid_id, v AS vc, norm AS nc FROM b WHERE vec_id < 16),
+         |b AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm
+         |      FROM e WHERE sqrt(${dotSql("v", "v", 64)}) > 0),
+         |cent AS (SELECT vec_id AS centroid_id, v AS vc, norm AS nc
+         |         FROM b WHERE vec_id < 16 AND norm > 0),
          |scored AS (
          |  SELECT b.vec_id, b.v, b.norm, c.centroid_id,
          |    (${dotSql("b.v", "c.vc", 64)} / (b.norm * c.nc)) AS c_cos

@@ -104,10 +104,12 @@ private[sources] object GribModel {
     // A LITERAL path that exists wins over glob interpretation, so file
     // names containing glob metacharacters ([..], {..}) still open.
     val p = new Path(path)
-    val files =
-      (if (fs.exists(p) && fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
-       else Option(fs.globStatus(p)).getOrElse(Array.empty).filter(_.isFile))
-        .sortBy(_.getPath.toString)
+    val literal = // one metadata RPC; glob fallback only when it misses
+      try Some(fs.getFileStatus(p)).filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => None }
+    val files = literal.map(Array(_)).getOrElse(
+      Option(fs.globStatus(p)).getOrElse(Array.empty).filter(_.isFile))
+      .sortBy(_.getPath.toString)
     require(files.nonEmpty, s"no GRIB files match '$path'")
     val messages = files.toSeq.flatMap { st => // FileStatus carries the length
       val in = fs.open(st.getPath)

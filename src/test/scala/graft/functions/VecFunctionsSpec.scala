@@ -34,6 +34,15 @@ class VecFunctionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("vector kernels reject mismatched lengths loudly (no out-of-bounds read)") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(HashFunctions.sqDist(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("equal-length") ||
+      Option(e.getCause).exists(_.getMessage.contains("equal-length")))
+  }
+
   test("hyperplaneBucket kernel equals the HOF bucket on every vector") {
     val bad = embs.select(
       (HashFunctions.hyperplaneBucket(col("v"), 6) ===

@@ -62,6 +62,19 @@ class SimilaritySpec extends SparkSpec {
     assert(manual.toSet == Set(1L, 2L))
   }
 
+  test("a zero corpus vector is excluded from the IVF index, never rank 1") {
+    // 0/0 cosine = NaN ranks above every real cosine in the top-k window —
+    // an all-zero embedding would otherwise head every result list
+    val d = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.8f, 0.2f),
+      9L -> Seq(0f, 0f))
+    val quantizer = Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "vc")
+    val got = Similarity.ivfTopKWith(d, "vec_id", "embedding", quantizer,
+      queryIds = Seq(0L), k = 3, nProbes = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L)) // the zero vector never appears
+  }
+
   test("a zero trained centroid is dropped, not a NaN black hole") {
     // cosine vs an all-zero centroid is 0/0 = NaN, and NaN ranks above
     // every real cosine — without the guard one degenerate cell would
