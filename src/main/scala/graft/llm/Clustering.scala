@@ -118,9 +118,12 @@ object Clustering {
     * state — each round scores the remaining vectors against only the
     * NEWEST seed (`least(dmin, dist_to_new_seed)`), never the whole seed
     * set, so total work is genuinely O(k·n·dim) (rescoring against all
-    * chosen seeds each round would be O(k²·n·dim)). The argmax is AN
-    * AGGREGATION (`max_by` partial-combines map-side) — no window, no
-    * all-pairs. Seeds themselves are k tiny rows, so they live on the
+    * chosen seeds each round would be O(k²·n·dim)). The argmax is
+    * `orderBy(…).limit(1)` — TakeOrderedAndProject, a per-partition top-1
+    * merged on the driver: no shuffle, no window, no all-pairs, and (being
+    * ordering-based, not `max_by(-id)`) it works for STRING ids and keeps
+    * NULL-id rows in play (null-safe `<=>` exclusion, NULLs ordered after
+    * every real id). Seeds themselves are k tiny rows, so they live on the
     * DRIVER (the Spark-ML centroid discipline): each round is exactly one
     * k-row-collect job over the checkpointed state plus one state
     * re-checkpoint — no per-round union/seed-materialization jobs. `min`
@@ -144,7 +147,8 @@ object Clustering {
     val rows = farthestFirstSeedsDriver(vecs, k)
       .map { case (id, c, dm) => org.apache.spark.sql.Row(id, c, dm) }
     localDf(spark, rows, org.apache.spark.sql.types.StructType(Seq(
-      field("cluster", idType),
+      // nullable: a NULL-id corpus row may legitimately become a seed
+      org.apache.spark.sql.types.StructField("cluster", idType, nullable = true),
       field("c", doubleArray),
       field("dmin_micros", org.apache.spark.sql.types.LongType))))
   }
@@ -168,7 +172,13 @@ object Clustering {
       vecs: DataFrame,
       k: Int): Seq[(Any, Seq[Double], Long)] = {
     require(k > 0, "need k > 0")
-    val first = vecs.orderBy(col("vec_id")).limit(1).collect()
+    // NULL-id rows participate in seeding (as the left_anti formulation
+    // did): exclusion is null-safe (<=>), and tiebreak ordering puts a
+    // NULL id after every real id. At most one NULL seed can be chosen —
+    // <=> removes all NULL rows once one wins — which is the only coherent
+    // reading of "distinct seeds" over an id column that cannot
+    // distinguish its NULLs.
+    val first = vecs.orderBy(col("vec_id").asc_nulls_last).limit(1).collect()
     if (first.isEmpty) return Nil
     val seeds = scala.collection.mutable.ArrayBuffer[(Any, Seq[Double], Long)](
       (first.head.get(0), first.head.getSeq[Double](1), 0L))
@@ -177,26 +187,30 @@ object Clustering {
     // only against the newest seed instead of replaying r stacked
     // projections from the scan
     var state = vecs
-      .filter(col("vec_id") =!= lit(seeds.head._1))
+      .filter(!(col("vec_id") <=> lit(seeds.head._1)))
       .select(col("vec_id"), col("v"),
         sqDist(col("v"), typedLit(seeds.head._2)).as("dmin"))
       .localCheckpoint()
     var i = 1
     var exhausted = false
     while (i < k && !exhausted) {
-      // farthest first, smallest id on a distance tie (maximize -id)
-      val next = state
-        .agg(max_by(struct(col("vec_id"), col("v"), col("dmin")),
-          struct(col("dmin"), -col("vec_id"))).as("s"))
-        .select(col("s.vec_id"), col("s.v"), col("s.dmin"))
-        .collect().head
-      if (next.isNullAt(0)) exhausted = true // input exhausted before k seeds
+      // Farthest first, smallest id on a distance tie. orderBy+limit(1)
+      // plans as TakeOrderedAndProject (per-partition top-1, driver merge
+      // of `partitions` singletons — no shuffle) and, unlike the previous
+      // max_by(-id) tiebreak, never negates the id, so string doc_id
+      // corpora order lexicographically instead of failing analysis.
+      val rows = state
+        .orderBy(col("dmin").desc, col("vec_id").asc_nulls_last)
+        .limit(1)
+        .collect()
+      if (rows.isEmpty) exhausted = true // input exhausted before k seeds
       else {
+        val next = rows.head
         val (id, c, dmin) = (next.get(0), next.getSeq[Double](1), next.getDouble(2))
         seeds += ((id, c, math.round(dmin * 1e6)))
         if (i < k - 1) // last round: the state would go unread
           state = state
-            .filter(col("vec_id") =!= lit(id))
+            .filter(!(col("vec_id") <=> lit(id)))
             .select(col("vec_id"), col("v"),
               least(col("dmin"), sqDist(col("v"), typedLit(c))).as("dmin"))
             .localCheckpoint()
@@ -293,7 +307,9 @@ object Clustering {
     def centroidDf: DataFrame = localDf(spark,
       centroids.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
       org.apache.spark.sql.types.StructType(Seq(
-        field("cluster", idType), field("c", doubleArray))))
+        // nullable: a NULL-id corpus row may legitimately seed a cluster
+        org.apache.spark.sql.types.StructField("cluster", idType, nullable = true),
+        field("c", doubleArray))))
     var moved = Double.MaxValue
     var i = 0
     while (moved > eps && i < maxIters) {

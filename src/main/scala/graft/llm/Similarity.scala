@@ -188,8 +188,12 @@ object Similarity {
       // it from the index rather than let it head every result list.
       // Mirrored in the q_ann_ivf oracle SQL (WHERE norm > 0).
       .filter(col("norm") > 0)
+    // asDouble mirrors the corpus/vector entry points: a trained quantizer
+    // built from the raw float-array embedding column (the natural input)
+    // must not misread as array<float> at kdot time.
     val centroids = centroidTable.select(
-      col("centroid_id"), col("vc"), sqrt(kdot(col("vc"), col("vc"))).as("nc"))
+      col("centroid_id"), asDouble(col("vc")).as("vc"),
+      sqrt(kdot(asDouble(col("vc")), asDouble(col("vc")))).as("nc"))
       // a trained quantizer can emit an exact-zero centroid (opposing
       // vectors in one cluster cancel); its cosine is NaN, and NaN sorts
       // ABOVE every double in max_by — one degenerate cell would swallow

@@ -325,6 +325,19 @@ object FloodQueries {
       d.join(surviving, Seq("latitude", "longitude"), "left_semi")
     }),
 
+    // E1 END TO END as one bench/correctness entry: the whole daily
+    // pipeline — threshold percentages (exact single-buffer mode, cached
+    // fan-out), step-1-median control join, tendency/intensity/peak
+    // summary, WKT geometry, relevance filter, and the detailed output
+    // semi-joined to the summary's surviving cells. Times the DAG the
+    // operational job actually runs, not its stages in isolation.
+    "q_pipeline_e2e" -> ((s, dir) =>
+      ForecastPipeline.run(
+        FloodShaped.forecast(s, dir),
+        FloodShaped.thresholds(s, dir),
+        cfg,
+        mode = ThresholdPercentages.ExactOnePass).detailed),
+
     // P11: WKT polygon construction
     "q_geometry_wkt" -> ((s, dir) =>
       Geometry.addWkt(FloodShaped.thresholds(s, dir), cfg.halfGridSize, cfg.precision)),
@@ -440,6 +453,18 @@ object FloodQueries {
     "q_detailed_restricted" ->
       s"""$preamble
          |SELECT d.* FROM detailed d
+         |WHERE EXISTS (SELECT 1 FROM intensity i
+         |  WHERE i.latitude = d.latitude AND i.longitude = d.longitude
+         |    AND i.intensity <> 'G')""".stripMargin,
+
+    // The pipeline's detailed output: every cell of `detailed` whose
+    // summary row survives the relevance filter, plus WKT. The semi-join
+    // against the summary reduces to intensity <> 'G' because peak /
+    // tendency / intensity each cover every detailed cell (inner joins
+    // over the same grouping keys drop nothing).
+    "q_pipeline_e2e" ->
+      s"""$preamble
+         |SELECT d.*, ${wktSql()} AS wkt FROM detailed d
          |WHERE EXISTS (SELECT 1 FROM intensity i
          |  WHERE i.latitude = d.latitude AND i.longitude = d.longitude
          |    AND i.intensity <> 'G')""".stripMargin,

@@ -111,11 +111,36 @@ private[sources] object GribModel {
       Option(fs.globStatus(p)).getOrElse(Array.empty).filter(_.isFile))
       .sortBy(_.getPath.toString)
     require(files.nonEmpty, s"no GRIB files match '$path'")
-    val messages = files.toSeq.flatMap { st => // FileStatus carries the length
-      val in = fs.open(st.getPath)
+    // Multi-file globs index in PARALLEL on the driver: each file's header
+    // walk is a handful of small seek+read RPCs, so a multi-year backfill
+    // (thousands of files on an object store) is latency-bound, not
+    // bandwidth-bound — a serial walk would make driver indexing the
+    // planning bottleneck long before the executors see a byte. One stream
+    // per task; FileSystem instances are cache-shared and thread-safe.
+    def indexFile(st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] = {
+      val in = fs.open(st.getPath) // FileStatus carries the length
       try indexMessages(in, st.getLen, st.getPath.toString)
       finally in.close()
     }
+    val messages =
+      if (files.length <= 1) files.toSeq.flatMap(indexFile)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(files.length, 16))
+        try {
+          val futures = files.map { st =>
+            pool.submit(new java.util.concurrent.Callable[Seq[GribMessage]] {
+              override def call(): Seq[GribMessage] = indexFile(st)
+            })
+          }
+          // get() rethrows a task's failure (wrapped) — a malformed file
+          // still fails the load loudly; files stay sorted by path because
+          // futures are joined in submission order
+          files.indices.flatMap(i =>
+            try futures(i).get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        } finally pool.shutdownNow()
+      }
     GribModel(path, numPartitions, messages, new SerializableHadoopConf(conf))
   }
 
@@ -162,6 +187,10 @@ private[sources] object GribModel {
       val secNum = head(4) & 0xFF
       require(secLen >= 5, // a zero/short length would re-read the same bytes forever
         s"$path: malformed section $secNum at offset $at (length $secLen)")
+      require(at + secLen <= msgEnd, // a corrupt length past the message end
+        // would silently read the NEXT message's bytes (or EOF obscurely)
+        s"$path: section $secNum at offset $at (length $secLen) overruns " +
+          s"message end $msgEnd")
       def body(): java.nio.ByteBuffer = {
         val b = new Array[Byte](secLen - 5)
         in.readFully(b)
@@ -388,6 +417,19 @@ private class GribReaderFactory extends PartitionReaderFactory {
       private var values: Array[Double] = _ // decoded, indexed by PRESENT ordinal
       private var presentBefore = 0 // running count of present cells < `cell`
 
+      // ONE mutable row reused across every get() call: the per-cell emit
+      // is the scan's hot loop (a GloFAS day is ≈985 M cells), and a fresh
+      // boxed Array[Any] + GenericInternalRow per cell would make
+      // allocation the scan's dominant cost. Reuse is the InternalRow
+      // contract — consumers copy when they buffer. Projected columns are
+      // all primitive, so SpecificInternalRow holds them unboxed.
+      private val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+        p.cols.toIndexedSeq.map {
+          case GribCol.Lat | GribCol.Lon | GribCol.Value => DoubleType: DataType
+          case GribCol.Number | GribCol.Step => IntegerType
+          case GribCol.RefTime => LongType
+        })
+
       private def loadMessage(): Unit = {
         current = p.messages(msgIdx)
         cell = 0
@@ -402,9 +444,27 @@ private class GribReaderFactory extends PartitionReaderFactory {
               (current.nPresent.toLong * current.nbits + 7) / 8)
             decode(packed, current)
           }
+        // message-invariant columns are written ONCE here, not per cell
+        var c = 0
+        while (c < p.cols.length) {
+          p.cols(c) match {
+            case GribCol.Number => current.number match {
+              case Some(n) => row.setInt(c, n)
+              case None => row.setNullAt(c)
+            }
+            case GribCol.Step => row.setInt(c, current.stepHours)
+            case GribCol.RefTime => row.setLong(c, current.refEpoch)
+            case _ => ()
+          }
+          c += 1
+        }
       }
 
       private def readBytes(at: Long, len: Long): Array[Byte] = {
+        require(len <= Int.MaxValue, // nPresent·nbits/8 from a corrupt header
+          // would wrap negative in toInt and fail as an obscure
+          // NegativeArraySizeException instead of naming the file
+          s"${current.path}: payload read of $len bytes at offset $at exceeds buffer limit")
         val s = in(current.path)
         s.seek(at)
         val b = new Array[Byte](len.toInt)
@@ -461,23 +521,19 @@ private class GribReaderFactory extends PartitionReaderFactory {
           else m.latFirstMicro - j.toLong * m.djMicro
         val lonMicro = m.lonFirstMicro + i.toLong * m.diMicro
         val isPresent = present(cell)
-        val row = new Array[Any](p.cols.length)
         var c = 0
         while (c < p.cols.length) {
-          row(c) = p.cols(c) match {
-            case GribCol.Lat => latMicro / 1e6
-            case GribCol.Lon => lonMicro / 1e6
-            case GribCol.Number => m.number.map(Int.box).orNull
-            case GribCol.Step => m.stepHours
-            case GribCol.RefTime => m.refEpoch
+          p.cols(c) match {
+            case GribCol.Lat => row.setDouble(c, latMicro / 1e6)
+            case GribCol.Lon => row.setDouble(c, lonMicro / 1e6)
             case GribCol.Value =>
-              if (!isPresent) null
-              else if (values == null) null // value pruned from projection
-              else values(presentBefore)
+              if (isPresent && values != null) row.setDouble(c, values(presentBefore))
+              else row.setNullAt(c) // bitmap-missing, or value pruned
+            case _ => () // number/step_hours/ref_time: set once per message
           }
           c += 1
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+        row
       }
 
       override def close(): Unit = inOpt.foreach(_.close())

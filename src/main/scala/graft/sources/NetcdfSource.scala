@@ -95,7 +95,18 @@ private[sources] object NcHeaderParser {
     case t => throw new IllegalArgumentException(s"unknown nc_type $t")
   }
 
-  def parse(in: DataInputStream): NcHeader = {
+  /** `fileLen` bounds every length/count field read from the file: header
+    * integers are UNTRUSTED, and a corrupt negative or multi-GB name
+    * length must fail as a named malformed-header error, not as a
+    * NegativeArraySizeException / driver OOM mid-allocation. */
+  def parse(in: DataInputStream, fileLen: Long): NcHeader = {
+    // every checked entity occupies at least one byte of file, so any
+    // legitimate length or element count is < fileLen
+    def checked(n: Int, what: String): Int = {
+      require(n >= 0 && n < fileLen,
+        s"malformed header: $what $n out of bounds for a $fileLen-byte file")
+      n
+    }
     val magic = new Array[Byte](4)
     in.readFully(magic)
     require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
@@ -107,7 +118,7 @@ private[sources] object NcHeaderParser {
     val numRecs = in.readInt()
 
     def readName(): String = {
-      val n = in.readInt()
+      val n = checked(in.readInt(), "name length")
       val b = new Array[Byte](n)
       in.readFully(b)
       in.skipBytes((4 - n % 4) % 4)
@@ -119,13 +130,13 @@ private[sources] object NcHeaderParser {
       val n = in.readInt()
       require(tag == expected || (tag == 0 && n == 0),
         s"malformed header: tag $tag (expected $expected or ABSENT)")
-      n
+      checked(n, s"tag-$expected element count")
     }
 
     def readAtts(): Seq[NcAtt] = (0 until readTagged(NcAttribute)).map { _ =>
       val nm = readName()
       val t = in.readInt()
-      val n = in.readInt()
+      val n = checked(in.readInt(), s"attribute '$nm' value count")
       if (t == 2) { // char → one string
         val b = new Array[Byte](n)
         in.readFully(b)
@@ -151,7 +162,7 @@ private[sources] object NcHeaderParser {
     val gatts = readAtts()
     val vars = (0 until readTagged(NcVariable)).map { _ =>
       val nm = readName()
-      val dimIds = (0 until in.readInt()).map(_ => in.readInt())
+      val dimIds = (0 until checked(in.readInt(), s"variable '$nm' rank")).map(_ => in.readInt())
       val atts = readAtts()
       val t = in.readInt()
       in.readInt() // vsize — recomputed from dims, per spec it may also be a rounded value
@@ -204,8 +215,9 @@ private[sources] object NetcdfTableModel {
 
     val conf = HadoopConf.session()
     val fs = FileSystem.get(new Path(path).toUri, conf)
+    val fileLen = fs.getFileStatus(new Path(path)).getLen
     val in = new DataInputStream(fs.open(new Path(path)))
-    val header = try NcHeaderParser.parse(in) finally in.close()
+    val header = try NcHeaderParser.parse(in, fileLen) finally in.close()
 
     val coordVars: Map[String, NcVar] = header.vars
       .filter(v => v.dimIds.size == 1 && header.dims(v.dimIds.head).name == v.name)
@@ -434,57 +446,100 @@ private class NetcdfReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = { cell += 1; cell < rows }
 
+      // Per-column loop constants, resolved ONCE per partition so the
+      // per-cell emit does no per-column stride recomputation:
+      //  - dim columns: row-major stride (product of lengths after dimPos,
+      //    dim 0's length = the partition's outer slice), modulus, and the
+      //    coordinate base offset (outer dim starts at outerFrom);
+      //  - data columns: element byte size and the fill-value bit patterns.
+      private val dimStride: Array[Long] = p.cols.map { c =>
+        if (!c.isDim) 0L
+        else {
+          var s = 1L
+          var d = p.dimLengths.length - 1
+          while (d > c.dimPos) { s *= p.dimLengths(d).toLong; d -= 1 }
+          s
+        }
+      }
+      private val dimLen: Array[Long] = p.cols.map { c =>
+        if (!c.isDim) 0L
+        else if (c.dimPos == 0) (p.outerTo - p.outerFrom).toLong
+        else p.dimLengths(c.dimPos).toLong
+      }
+      private val coordBase: Array[Int] = p.cols.map(c =>
+        if (c.isDim && c.dimPos == 0) p.outerFrom else 0)
+      private val elemSize: Array[Int] = p.cols.map(c =>
+        if (c.isDim) 0 else NcHeaderParser.typeSize(c.ncType))
+      private val fillLong: Array[Long] = p.cols.map(c => // int types + raw double bits
+        if (c.isDim) 0L
+        else c.ncType match {
+          case 6 => c.fillBits.map(java.lang.Double.doubleToRawLongBits).getOrElse(0L)
+          case _ => c.fillBits.map(_.toLong).getOrElse(0L)
+        })
+      private val fillFloat: Array[Int] = p.cols.map(c =>
+        if (!c.isDim && c.ncType == 5)
+          c.fillBits.map(f => java.lang.Float.floatToRawIntBits(f.toFloat)).getOrElse(0)
+        else 0)
+      private val hasFill: Array[Boolean] = p.cols.map(c => !c.isDim && c.fillBits.isDefined)
+
+      // ONE mutable row reused across every get() call — the raster flatten
+      // is the scan's hot loop (a 3600×7200 grid is 26 M cells per
+      // variable) and a fresh boxed Array[Any] + GenericInternalRow per
+      // cell would make allocation its dominant cost. Reuse is the
+      // InternalRow contract; all columns are primitive, so
+      // SpecificInternalRow holds them unboxed.
+      private val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+        p.cols.toIndexedSeq.map { c =>
+          if (c.isDim) DoubleType: DataType
+          else c.ncType match {
+            case 1 => ByteType
+            case 3 => ShortType
+            case 4 => IntegerType
+            case 5 => FloatType
+            case 6 => DoubleType
+          }
+        })
+
       override def get(): InternalRow = {
-        val row = new Array[Any](p.cols.length)
         var i = 0
         while (i < p.cols.length) {
           val c = p.cols(i)
           if (c.isDim) {
-            // Row-major decomposition: idx_d = (cell / prod(len after d)) % len_d,
-            // where dim 0's length is the partition's outer slice.
-            var trailing = 1L
-            var d = p.dimLengths.length - 1
-            var idx = 0L
-            while (d >= 0) {
-              val len = if (d == 0) (p.outerTo - p.outerFrom).toLong else p.dimLengths(d).toLong
-              if (d == c.dimPos) idx = (cell / trailing) % len
-              trailing *= len
-              d -= 1
-            }
-            row(i) = if (c.dimPos == 0) c.coords(p.outerFrom + idx.toInt) else c.coords(idx.toInt)
+            // Row-major decomposition: idx_d = (cell / stride_d) % len_d
+            val idx = ((cell / dimStride(i)) % dimLen(i)).toInt
+            row.setDouble(i, c.coords(coordBase(i) + idx))
           } else {
-            val size = NcHeaderParser.typeSize(c.ncType)
-            val off = (cell * size).toInt
+            val off = (cell * elemSize(i)).toInt
             val buf = buffers(i)
-            row(i) = c.ncType match {
-              case 1 => boxFill(buf.get(off), c)
-              case 3 => boxFill(buf.getShort(off), c)
-              case 4 => boxFill(buf.getInt(off), c)
+            c.ncType match {
+              case 1 =>
+                val v = buf.get(off)
+                if (hasFill(i) && v.toLong == fillLong(i)) row.setNullAt(i)
+                else row.setByte(i, v)
+              case 3 =>
+                val v = buf.getShort(off)
+                if (hasFill(i) && v.toLong == fillLong(i)) row.setNullAt(i)
+                else row.setShort(i, v)
+              case 4 =>
+                val v = buf.getInt(off)
+                if (hasFill(i) && v.toLong == fillLong(i)) row.setNullAt(i)
+                else row.setInt(i, v)
               case 5 =>
                 val v = buf.getFloat(off)
-                if (c.fillBits.exists(f => java.lang.Float.floatToRawIntBits(f.toFloat) ==
-                  java.lang.Float.floatToRawIntBits(v))) null else v
+                if (hasFill(i) && java.lang.Float.floatToRawIntBits(v) == fillFloat(i))
+                  row.setNullAt(i)
+                else row.setFloat(i, v)
               case 6 =>
                 val v = buf.getDouble(off)
-                if (c.fillBits.exists(f => java.lang.Double.doubleToRawLongBits(f) ==
-                  java.lang.Double.doubleToRawLongBits(v))) null else v
+                if (hasFill(i) && java.lang.Double.doubleToRawLongBits(v) == fillLong(i))
+                  row.setNullAt(i)
+                else row.setDouble(i, v)
             }
           }
           i += 1
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+        row
       }
-
-      private def boxFill(v: Long, c: NcColumnSpec): Any =
-        if (c.fillBits.exists(_.toLong == v)) null
-        else c.ncType match {
-          case 1 => v.toByte
-          case 3 => v.toShort
-          case 4 => v.toInt
-        }
-      private def boxFill(v: Byte, c: NcColumnSpec): Any = boxFill(v.toLong, c)
-      private def boxFill(v: Short, c: NcColumnSpec): Any = boxFill(v.toLong, c)
-      private def boxFill(v: Int, c: NcColumnSpec): Any = boxFill(v.toLong, c)
 
       override def close(): Unit = ()
     }

@@ -67,6 +67,35 @@ class ClusteringSpec extends SparkSpec {
     assert(seeds.count() == 4)
   }
 
+  test("farthest-first seeding accepts STRING ids (lexicographic tiebreak)") {
+    // the r9 formulation negated the id in the tiebreak — a string doc_id
+    // corpus failed analysis; the ordering form must handle it
+    val named = Seq(
+      ("a", Array(0.0f, 0.0f)),
+      ("b", Array(0.2f, 0.0f)),
+      ("c", Array(10.0f, 10.0f)),
+      ("d", Array(10.2f, 10.0f))).toDF("vec_id", "embedding")
+    val seeds = Clustering.farthestFirstSeeds(named, "vec_id", "embedding", k = 2)
+      .select("cluster", "dmin_micros").as[(String, Long)].collect().toMap
+    // seed 1 = smallest id "a"; seed 2 = farthest from it = "d" (same
+    // geometry as the numeric-id case: 10.2f² drift → 204039996 micros)
+    assert(seeds == Map("a" -> 0L, "d" -> 204039996L))
+  }
+
+  test("farthest-first seeding keeps NULL-id rows in play (null-safe exclusion)") {
+    // a NULL id must neither fail nor silently vanish from the state: the
+    // far-group vector with a NULL id is still the farthest point and wins
+    // round 2 (the left_anti formulation kept NULLs; so must the filter)
+    val withNull = Seq(
+      (java.lang.Long.valueOf(0L), Array(0.0f, 0.0f)),
+      (java.lang.Long.valueOf(1L), Array(0.2f, 0.0f)),
+      (null.asInstanceOf[java.lang.Long], Array(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Clustering.farthestFirstSeeds(withNull, "vec_id", "embedding", k = 3)
+      .select("cluster").collect().map(r => Option(r.get(0))).toSet
+    assert(seeds == Set(Some(0L), Some(1L), None))
+  }
+
   test("converged k-means separates the groups and stops on zero movement") {
     val out = Clustering.kmeansConverged(vecs, "vec_id", "embedding", k = 2, maxIters = 20)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap

@@ -147,6 +147,21 @@ class GribSourceSpec extends SparkSpec {
     assert(readMini(minute).select("step_hours").head.getInt(0) == 2)
   }
 
+  test("a section length overrunning the message end is rejected loudly") {
+    // lengths from the file are UNTRUSTED: a corrupt section length past
+    // msgEnd must name the file/offset, not read the next message's bytes
+    val f = miniGrib(tmp("overrun.grib2"), 1, 1, 0, 0, 500000,
+      scanMode = 0, timeUnit = 1, forecastTime = 1, values = Seq(9))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    // section 1 starts right after the 16-byte indicator; its 4-byte
+    // length field is at offset 16 — patch it to overrun the message
+    java.nio.ByteBuffer.wrap(bytes, 16, 4).putInt(1 << 20)
+    val patched = java.nio.file.Paths.get(tmp("overrun_patched.grib2"))
+    java.nio.file.Files.write(patched, bytes)
+    val e = intercept[IllegalArgumentException](readMini(patched.toString).collect())
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
+
   test("GRIB edition 1 and unsupported scan modes are rejected loudly") {
     val e1 = miniGrib(tmp("ed1.grib2"), 1, 1, 0, 0, 500000,
       scanMode = 0, timeUnit = 1, forecastTime = 1, values = Seq(9), edition = 1)

@@ -148,6 +148,28 @@ class NetcdfSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("record"))
   }
 
+  test("corrupt header lengths fail as named errors, not allocation blowups") {
+    // header integers are UNTRUSTED: a multi-GB or negative name length
+    // must raise the malformed-header error, not NegativeArraySizeException
+    // or a driver OOM mid-allocation
+    val base = writeCdf(tmp("corrupt_base.nc"), 1, Seq("t" -> 2),
+      Seq(V("x", Seq(0), 4, Seq(7, 9))))
+    def patched(name: String, nameLen: Int): String = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(base))
+      // dim name length sits at offset 16: magic(4) numrecs(4) tag(4) ndims(4)
+      java.nio.ByteBuffer.wrap(bytes, 16, 4).putInt(nameLen)
+      val f = java.nio.file.Paths.get(tmp(name))
+      java.nio.file.Files.write(f, bytes)
+      f.toString
+    }
+    for (bad <- Seq(Int.MaxValue, -4)) {
+      val e = intercept[IllegalArgumentException] {
+        nc(patched(s"corrupt_$bad.nc", bad)).collect()
+      }
+      assert(e.getMessage.contains("out of bounds"), e.getMessage)
+    }
+  }
+
   test("mixed dimension tuples require an explicit 'variables' pick") {
     val f = writeCdf(tmp("mixed.nc"), 1, Seq("a" -> 2, "b" -> 3), Seq(
       V("u", Seq(0), 4, Seq(5, 6)),
