@@ -54,6 +54,13 @@ class GribSource extends TableProvider {
     new GribTable(GribModel.fromOptions(new CaseInsensitiveStringMap(properties)))
 }
 
+/** Everything known WITHOUT touching the filesystem — `getTable` builds only
+  * this, so a STREAMING query can start against a directory that does not
+  * have files yet; the driver-side message index is computed lazily (batch:
+  * once at scan planning; streaming: per micro-batch over the new files). */
+private[sources] final case class GribSpec(
+    path: String, numPartitions: Int, conf: SerializableHadoopConf)
+
 object GribSource {
   val Schema: StructType = StructType(Seq(
     StructField("latitude", DoubleType, nullable = false),
@@ -82,10 +89,6 @@ private[sources] final case class GribMessage(
   def points: Int = ni * nj
 }
 
-private[sources] final case class GribModel(
-    path: String, numPartitions: Int, messages: Seq[GribMessage],
-    conf: SerializableHadoopConf)
-
 private[sources] object GribModel {
 
   /** Sign-and-magnitude decode (GRIB2 uses the high bit as sign). */
@@ -93,55 +96,70 @@ private[sources] object GribModel {
   private def sm32(v: Int): Long =
     if ((v & 0x80000000) != 0) -(v.toLong & 0x7FFFFFFFL) else v.toLong
 
-  def fromOptions(o: CaseInsensitiveStringMap): GribModel = {
+  def fromOptions(o: CaseInsensitiveStringMap): GribSpec = {
     val path = Option(o.get("path")).getOrElse(
       throw new IllegalArgumentException("GribSource requires option 'path'"))
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
-    val conf = HadoopConf.session()
-    val fs = FileSystem.get(new Path(path).toUri, conf)
-    // `path` may be a glob — a GloFAS day arrives as one GRIB file per
-    // leadtime (glofas-API-query.py fetches 30); one scan reads them all.
-    // A LITERAL path that exists wins over glob interpretation, so file
-    // names containing glob metacharacters ([..], {..}) still open.
-    val p = new Path(path)
+    GribSpec(path, numPartitions, new SerializableHadoopConf(HadoopConf.session()))
+  }
+
+  /** Resolve `spec.path` to files. `path` may be a glob — a GloFAS day
+    * arrives as one GRIB file per leadtime (glofas-API-query.py fetches
+    * 30); one scan reads them all. A LITERAL path that exists wins over
+    * glob interpretation, so file names containing glob metacharacters
+    * ([..], {..}) still open. Sorted by path for determinism. */
+  def listFiles(spec: GribSpec): Array[org.apache.hadoop.fs.FileStatus] = {
+    val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
+    val p = new Path(spec.path)
     val literal = // one metadata RPC; glob fallback only when it misses
       try Some(fs.getFileStatus(p)).filter(_.isFile)
       catch { case _: java.io.FileNotFoundException => None }
-    val files = literal.map(Array(_)).getOrElse(
+    literal.map(Array(_)).getOrElse(
       Option(fs.globStatus(p)).getOrElse(Array.empty).filter(_.isFile))
       .sortBy(_.getPath.toString)
-    require(files.nonEmpty, s"no GRIB files match '$path'")
-    // Multi-file globs index in PARALLEL on the driver: each file's header
-    // walk is a handful of small seek+read RPCs, so a multi-year backfill
-    // (thousands of files on an object store) is latency-bound, not
-    // bandwidth-bound — a serial walk would make driver indexing the
-    // planning bottleneck long before the executors see a byte. One stream
-    // per task; FileSystem instances are cache-shared and thread-safe.
+  }
+
+  /** Driver-side message index over `files`, in PARALLEL: each file's
+    * header walk is a handful of small seek+read RPCs, so a multi-year
+    * backfill (thousands of files on an object store) is latency-bound,
+    * not bandwidth-bound — a serial walk would make driver indexing the
+    * planning bottleneck long before the executors see a byte. One stream
+    * per task; FileSystem instances are cache-shared and thread-safe. */
+  def indexFiles(
+      spec: GribSpec,
+      files: Array[org.apache.hadoop.fs.FileStatus]): Seq[GribMessage] = {
+    val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
     def indexFile(st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] = {
       val in = fs.open(st.getPath) // FileStatus carries the length
       try indexMessages(in, st.getLen, st.getPath.toString)
       finally in.close()
     }
-    val messages =
-      if (files.length <= 1) files.toSeq.flatMap(indexFile)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(files.length, 16))
-        try {
-          val futures = files.map { st =>
-            pool.submit(new java.util.concurrent.Callable[Seq[GribMessage]] {
-              override def call(): Seq[GribMessage] = indexFile(st)
-            })
-          }
-          // get() rethrows a task's failure (wrapped) — a malformed file
-          // still fails the load loudly; files stay sorted by path because
-          // futures are joined in submission order
-          files.indices.flatMap(i =>
-            try futures(i).get()
-            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
-        } finally pool.shutdownNow()
-      }
-    GribModel(path, numPartitions, messages, new SerializableHadoopConf(conf))
+    if (files.length <= 1) files.toSeq.flatMap(indexFile)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.length, 16))
+      try {
+        val futures = files.map { st =>
+          pool.submit(new java.util.concurrent.Callable[Seq[GribMessage]] {
+            override def call(): Seq[GribMessage] = indexFile(st)
+          })
+        }
+        // get() rethrows a task's failure (wrapped) — a malformed file
+        // still fails the load loudly; files stay sorted by path because
+        // futures are joined in submission order
+        files.indices.flatMap(i =>
+          try futures(i).get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally pool.shutdownNow()
+    }
+  }
+
+  /** Batch index: every file matching the spec; empty matches fail loudly
+    * (a typo'd path must not read as an empty table). */
+  def indexAll(spec: GribSpec): Seq[GribMessage] = {
+    val files = listFiles(spec)
+    require(files.nonEmpty, s"no GRIB files match '${spec.path}'")
+    indexFiles(spec, files)
   }
 
   /** Walk the file's messages, reading section headers and SKIPPING data
@@ -274,81 +292,95 @@ private[sources] object GribModel {
   }
 }
 
-private class GribTable(model: GribModel) extends Table with SupportsRead {
-  override def name(): String = s"grib(${model.path}: ${model.messages.size} messages)"
+private class GribTable(spec: GribSpec) extends Table with SupportsRead {
+  override def name(): String = s"grib(${spec.path})"
   override def schema(): StructType = GribSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GribScanBuilder(model)
+    new GribScanBuilder(spec)
 }
 
 /** Message-level pruning (the GRIB analog of row-group pruning): predicates
   * on `number` and `step_hours` are evaluated against the driver-side
   * message index, and non-matching messages are never read. NULL semantics:
   * a template-4.0 message has no `number`, so any comparison predicate on
-  * `number` drops it (SQL three-valued logic — NULL compares to nothing). */
-private class GribScanBuilder(model: GribModel)
+  * `number` drops it (SQL three-valued logic — NULL compares to nothing).
+  * Filters compile to message PREDICATES (not an eager prune) so the same
+  * pushdown serves the batch scan and every streaming micro-batch. */
+private object GribPruning {
+  def toPredicate(f: Filter): Option[GribMessage => Boolean] = f match {
+    case EqualTo("number", v: Number) =>
+      Some(_.number.contains(v.intValue()))
+    case In("number", vs) =>
+      val set = vs.collect { case v: Number => v.intValue() }.toSet
+      Some(_.number.exists(set))
+    case IsNotNull("number") =>
+      Some(_.number.isDefined)
+    case GreaterThan("number", v: Number) =>
+      Some(_.number.exists(_ > v.intValue()))
+    case GreaterThanOrEqual("number", v: Number) =>
+      Some(_.number.exists(_ >= v.intValue()))
+    case LessThan("number", v: Number) =>
+      Some(_.number.exists(_ < v.intValue()))
+    case LessThanOrEqual("number", v: Number) =>
+      Some(_.number.exists(_ <= v.intValue()))
+    case EqualTo("step_hours", v: Number) =>
+      Some(_.stepHours == v.intValue())
+    case In("step_hours", vs) =>
+      val set = vs.collect { case v: Number => v.intValue() }.toSet
+      Some(m => set(m.stepHours))
+    case GreaterThan("step_hours", v: Number) =>
+      Some(_.stepHours > v.intValue())
+    case GreaterThanOrEqual("step_hours", v: Number) =>
+      Some(_.stepHours >= v.intValue())
+    case LessThan("step_hours", v: Number) =>
+      Some(_.stepHours < v.intValue())
+    case LessThanOrEqual("step_hours", v: Number) =>
+      Some(_.stepHours <= v.intValue())
+    case And(l, r) =>
+      for (pl <- toPredicate(l); pr <- toPredicate(r)) yield (m: GribMessage) => pl(m) && pr(m)
+    case _ => None
+  }
+}
+
+private class GribScanBuilder(spec: GribSpec)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var messages = model.messages
+  private var preds: Seq[GribMessage => Boolean] = Nil
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GribSource.Schema
 
-  private def applyOne(f: Filter): Boolean = f match {
-    case EqualTo("number", v: Number) =>
-      messages = messages.filter(_.number.contains(v.intValue())); true
-    case In("number", vs) =>
-      val set = vs.collect { case v: Number => v.intValue() }.toSet
-      messages = messages.filter(_.number.exists(set)); true
-    case IsNotNull("number") =>
-      messages = messages.filter(_.number.isDefined); true
-    case GreaterThan("number", v: Number) =>
-      messages = messages.filter(_.number.exists(_ > v.intValue())); true
-    case GreaterThanOrEqual("number", v: Number) =>
-      messages = messages.filter(_.number.exists(_ >= v.intValue())); true
-    case LessThan("number", v: Number) =>
-      messages = messages.filter(_.number.exists(_ < v.intValue())); true
-    case LessThanOrEqual("number", v: Number) =>
-      messages = messages.filter(_.number.exists(_ <= v.intValue())); true
-    case EqualTo("step_hours", v: Number) =>
-      messages = messages.filter(_.stepHours == v.intValue()); true
-    case In("step_hours", vs) =>
-      val set = vs.collect { case v: Number => v.intValue() }.toSet
-      messages = messages.filter(m => set(m.stepHours)); true
-    case GreaterThan("step_hours", v: Number) =>
-      messages = messages.filter(_.stepHours > v.intValue()); true
-    case GreaterThanOrEqual("step_hours", v: Number) =>
-      messages = messages.filter(_.stepHours >= v.intValue()); true
-    case LessThan("step_hours", v: Number) =>
-      messages = messages.filter(_.stepHours < v.intValue()); true
-    case LessThanOrEqual("step_hours", v: Number) =>
-      messages = messages.filter(_.stepHours <= v.intValue()); true
-    case And(l, r) => applyOne(l) && applyOne(r)
-    case _ => false
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition(applyOne)
-    pushed = accepted
-    rejected
+    val compiled = filters.map(f => f -> GribPruning.toPredicate(f))
+    pushed = compiled.collect { case (f, Some(_)) => f }
+    preds = compiled.collect { case (_, Some(p)) => p }.toSeq
+    compiled.collect { case (f, None) => f }
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan =
-    new GribScan(model.path, model.numPartitions, messages, required, model.conf)
+  override def build(): Scan = new GribScan(spec, preds, required)
 }
 
 private class GribScan(
-    path: String, numPartitions: Int, messages: Seq[GribMessage], required: StructType,
-    conf: SerializableHadoopConf)
+    spec: GribSpec, preds: Seq[GribMessage => Boolean], required: StructType)
   extends Scan with Batch with SupportsReportStatistics {
+
+  /** Batch message index, pruned — computed lazily so a STREAMING scan
+    * (which indexes per micro-batch instead) never lists or walks files
+    * that may not exist yet. */
+  private lazy val messages: Seq[GribMessage] =
+    GribModel.indexAll(spec).filter(m => preds.forall(_(m)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GribMicroBatchStream(spec, preds, GribCol.ordinals(required))
   override def description(): String =
-    s"GribScan($path, messages=${messages.size}, cols=[${required.fieldNames.mkString(",")}])"
+    s"GribScan(${spec.path}, messages=${messages.size}, " +
+      s"cols=[${required.fieldNames.mkString(",")}])"
 
   /** Exact post-pruning cardinality from the message index — a
     * member/step-pruned scan reports only its surviving messages' points,
@@ -360,29 +392,112 @@ private class GribScan(
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(numPartitions, math.max(1, messages.size)))
-    // column ordinals resolved ONCE at plan time — the per-cell emit loop
-    // switches on ints, never on field-name strings
-    val ords = required.fieldNames.map {
-      case "latitude" => GribCol.Lat
-      case "longitude" => GribCol.Lon
-      case "number" => GribCol.Number
-      case "step_hours" => GribCol.Step
-      case "ref_time" => GribCol.RefTime
-      case "value" => GribCol.Value
-    }
-    (0 until n).map { p =>
-      val from = (messages.size * p) / n
-      val to = (messages.size * (p + 1)) / n
-      GribPartition(messages.slice(from, to).toArray, ords, conf): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GribCol.slice(messages, spec.numPartitions, GribCol.ordinals(required), spec.conf)
   override def createReaderFactory(): PartitionReaderFactory = new GribReaderFactory
+}
+
+/** Streaming micro-batches over a GRIB directory/glob: the operational
+  * shape — a GloFAS day drops one file per leadtime as the CDS fetches
+  * complete — consumed incrementally instead of by a daily batch job.
+  *
+  * Offset model: the sorted set of file paths seen so far (the same
+  * files-are-immutable contract as Spark's built-in file stream source —
+  * a dropped file must be complete when it appears; write-then-rename).
+  * Each micro-batch indexes ONLY the new files (driver thread pool,
+  * KB-sized header reads), applies the compiled message predicates, and
+  * distributes the surviving messages across `numPartitions` ranged-read
+  * partitions — the identical executor path as the batch scan.
+  * `Trigger.AvailableNow` gives catch-up-then-stop daily runs (Spark
+  * wraps non-admission-control streams automatically). */
+private class GribMicroBatchStream(
+    spec: GribSpec, preds: Seq[GribMessage => Boolean], cols: Array[Int])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def currentListing(): GribStreamOffset =
+    GribStreamOffset(GribModel.listFiles(spec).map(_.getPath.toString).toList)
+
+  // Trigger.AvailableNow contract: the end offset is FROZEN at query start
+  // (files landing mid-run belong to the next run), then batches drain up
+  // to it and the query stops — the catch-up-then-stop daily shape.
+  private var availableNowCap: Option[GribStreamOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentListing())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowCap.getOrElse(currentListing())
+
+  override def initialOffset(): Offset = GribStreamOffset(Nil)
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def deserializeOffset(json: String): Offset = GribStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GribStreamOffset].files.toSet
+    val newPaths = end.asInstanceOf[GribStreamOffset].files.filterNot(seen)
+    if (newPaths.isEmpty) return Array.empty
+    // resolve by direct status lookup, not re-glob: on restart this batch
+    // replays from checkpointed offsets, and a file that vanished since
+    // must fail loudly (silent data loss otherwise)
+    val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
+    val files = newPaths.map { p =>
+      try fs.getFileStatus(new Path(p))
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"GRIB stream file '$p' in checkpointed offset range no longer exists")
+      }
+    }.toArray
+    val msgs = GribModel.indexFiles(spec, files).filter(m => preds.forall(_(m)))
+    GribCol.slice(msgs, spec.numPartitions, cols, spec.conf)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GribReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] final case class GribStreamOffset(files: List[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    org.json4s.jackson.Serialization.write(files)(org.json4s.DefaultFormats)
+}
+
+private[sources] object GribStreamOffset {
+  def fromJson(s: String): GribStreamOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    GribStreamOffset(org.json4s.jackson.JsonMethods.parse(s).extract[List[String]])
+  }
 }
 
 private object GribCol {
   val Lat = 0; val Lon = 1; val Number = 2; val Step = 3; val RefTime = 4; val Value = 5
+
+  /** Column ordinals resolved ONCE at plan time — the per-cell emit loop
+    * switches on ints, never on field-name strings. */
+  def ordinals(required: StructType): Array[Int] = required.fieldNames.map {
+    case "latitude" => Lat
+    case "longitude" => Lon
+    case "number" => Number
+    case "step_hours" => Step
+    case "ref_time" => RefTime
+    case "value" => Value
+  }
+
+  /** Contiguous message slices over `numPartitions` — shared by the batch
+    * scan and every streaming micro-batch. */
+  def slice(
+      messages: Seq[GribMessage], numPartitions: Int, cols: Array[Int],
+      conf: SerializableHadoopConf): Array[InputPartition] = {
+    if (messages.isEmpty) return Array.empty
+    val n = math.max(1, math.min(numPartitions, messages.size))
+    (0 until n).map { p =>
+      val from = (messages.size * p) / n
+      val to = (messages.size * (p + 1)) / n
+      GribPartition(messages.slice(from, to).toArray, cols, conf): InputPartition
+    }.toArray
+  }
 }
 
 private final case class GribPartition(

@@ -31,6 +31,18 @@ object ForecastStream {
   def readForecast(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(Schemas.rawForecast).parquet(path)
 
+  /** Streaming read of RAW GRIB2 files: the [[graft.sources.GribSource]]
+    * micro-batch surface — each newly landed file under the glob becomes
+    * decoded cells in the next batch, removing the reference's separate
+    * GRIB→parquet conversion job from the streaming path too. Pair with
+    * [[graft.transforms.Normalize.fromGrib]] or [[gribExceedances]]. */
+  def readGrib(spark: SparkSession, pathGlob: String, numPartitions: Int = 8): DataFrame =
+    spark.readStream
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", pathGlob)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+
   /** Normalized stream with per-row threshold-exceedance flags:
     * stream–static equi-join on the rounded cell keys (broadcast static
     * side), then the P8 indicator per return period. */
@@ -38,8 +50,28 @@ object ForecastStream {
       forecastStream: DataFrame,
       thresholds: DataFrame,
       precision: Int = 3,
-      thresholdYears: Seq[Int] = Seq(2, 5, 20)): DataFrame = {
-    val joined = Normalize.forecast(forecastStream, precision)
+      thresholdYears: Seq[Int] = Seq(2, 5, 20)): DataFrame =
+    flagged(Normalize.forecast(forecastStream, precision),
+      thresholds, precision, thresholdYears)
+
+  /** [[exceedances]] straight from a RAW GRIB stream ([[readGrib]]) — the
+    * full alerting path with no intermediate parquet landing at all:
+    * GRIB drop directory → decode → normalize → stream–static threshold
+    * join → flags. */
+  def gribExceedances(
+      gribStream: DataFrame,
+      thresholds: DataFrame,
+      precision: Int = 3,
+      thresholdYears: Seq[Int] = Seq(2, 5, 20)): DataFrame =
+    flagged(Normalize.fromGrib(gribStream, precision),
+      thresholds, precision, thresholdYears)
+
+  private def flagged(
+      normalized: DataFrame,
+      thresholds: DataFrame,
+      precision: Int,
+      thresholdYears: Seq[Int]): DataFrame = {
+    val joined = normalized
       .join(broadcast(Normalize.roundKeys(thresholds, precision)),
         Seq("latitude", "longitude"), "left")
     thresholdYears.foldLeft(joined) { (df, n) =>

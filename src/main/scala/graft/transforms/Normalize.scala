@@ -35,4 +35,27 @@ object Normalize {
       .withColumn("valid_time", to_date(timestamp_seconds(col("valid_time") / 1e9)))
       .withColumn("valid_for", date_sub(col("valid_time"), 1))
       .drop("valid_time")
+
+  /** Decoded GRIB cells (the [[graft.sources.GribSource]] schema:
+    * latitude, longitude, number, step_hours, ref_time, value) → the
+    * normalized forecast shape, skipping the reference's GRIB→xarray→
+    * pandas→parquet conversion hop entirely. Bitmap-missing cells (NULL
+    * value) are dropped — the same dropna the raster converter applies
+    * (flood/etl/raster_converter.py:44-45) — so exceedance averages count
+    * only observed members. Works identically on batch and STREAMING
+    * DataFrames (all expressions are stateless). */
+  def fromGrib(grib: DataFrame, precision: Int): DataFrame = {
+    val issued = to_date(to_timestamp(col("ref_time")))
+    val stepDays = (col("step_hours") / lit(24)).cast("long")
+    grib
+      .na.drop(Seq("value"))
+      .select(
+        col("number").cast("long").as("number"),
+        round(col("latitude"), precision).as("latitude"),
+        round(col("longitude"), precision).as("longitude"),
+        issued.as("issued_on"),
+        stepDays.as("step"),
+        date_add(issued, (stepDays - 1).cast("int")).as("valid_for"),
+        col("value").as("dis24"))
+  }
 }

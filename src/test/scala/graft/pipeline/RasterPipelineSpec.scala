@@ -26,16 +26,7 @@ class RasterPipelineSpec extends SparkSpec {
     val grib = spark.read.format(classOf[GribSource].getName)
       .option("path", gribPath).option("numPartitions", "3").load()
       .filter(col("number").isNotNull)
-    val issued = to_date(to_timestamp(col("ref_time")))
-    val stepDays = (col("step_hours") / lit(24)).cast("long")
-    val forecast = grib.select(
-      col("number").cast("long").as("number"),
-      round(col("latitude"), 3).as("latitude"),
-      round(col("longitude"), 3).as("longitude"),
-      issued.as("issued_on"),
-      stepDays.as("step"),
-      date_add(issued, (stepDays - 1).cast("int")).as("valid_for"),
-      col("value").as("dis24"))
+    val forecast = graft.transforms.Normalize.fromGrib(grib, 3)
 
     // threshold side: raster → table IS the scan; the reference's dropna
     // (raster_converter.py:44) is a plain null filter on the fill cells

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming GRIB ingest: the micro-batch surface of [[GribSource]] — new
+  * files under a glob become micro-batches of decoded cells, with exactly
+  * the batch scan's decode/NULL semantics and exactly-once file accounting
+  * across query restarts (checkpointed file-set offsets). */
+class GribStreamSpec extends SparkSpec {
+
+  private val fixture = new File("data/grib/forecast.grib2").getAbsolutePath
+  private val expected = new File("data/grib/forecast_expected.parquet").getAbsolutePath
+
+  private def startQuery(dir: String, checkpoint: String, name: String) = {
+    val stream = spark.readStream
+      .format(classOf[GribSource].getName)
+      .option("path", s"$dir/*.grib2")
+      .option("numPartitions", "3")
+      .load()
+    stream.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)),
+      r.getInt(3), r.getLong(4), Option(r.get(5)))).toSet
+
+  test("files arriving across restarts are consumed exactly once, decoded bit-exactly") {
+    val dir = Files.createTempDirectory("gribstream")
+    val checkpoint = Files.createTempDirectory("gribckpt").toString
+    val outDir = Files.createTempDirectory("gribout").toString
+
+    // checkpoint RECOVERY needs a restart-capable sink → parquet, not memory
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[GribSource].getName)
+        .option("path", s"$dir/*.grib2")
+        .option("numPartitions", "3")
+        .load()
+        .writeStream
+        .format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // day 1: one leadtime file lands
+    Files.copy(Paths.get(fixture), dir.resolve("lt024.grib2"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 7L * 48)
+    assert(asTuples(spark.read.parquet(outDir)) == asTuples(spark.read.parquet(expected)))
+
+    // day 2: a second file lands; a RESTARTED query (same checkpoint) must
+    // append only the new file's rows — the first file is in the offset
+    Files.copy(Paths.get(fixture), dir.resolve("lt048.grib2"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2L * 7 * 48)
+
+    // and a third run with nothing new appends nothing
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2L * 7 * 48)
+  }
+
+  test("an empty directory starts cleanly and emits zero rows") {
+    val dir = Files.createTempDirectory("gribstream-empty")
+    val checkpoint = Files.createTempDirectory("gribckpt-empty").toString
+    val q = startQuery(dir.toString, checkpoint, "grib_stream_empty")
+    q.awaitTermination(120000)
+    assert(spark.table("grib_stream_empty").count() == 0)
+  }
+
+  test("stream offsets round-trip through their JSON form") {
+    val off = GribStreamOffset(List("/a/b.grib2", "/a/c \"quoted\".grib2"))
+    assert(GribStreamOffset.fromJson(off.json()) == off)
+    assert(GribStreamOffset.fromJson(GribStreamOffset(Nil).json()) == GribStreamOffset(Nil))
+  }
+
+  test("raw-GRIB alerting path: decode → normalize → threshold flags, no parquet hop") {
+    import graft.streaming.ForecastStream
+    val dir = Files.createTempDirectory("gribstream-alert")
+    val checkpoint = Files.createTempDirectory("gribckpt-alert").toString
+    Files.copy(Paths.get(fixture), dir.resolve("lt024.grib2"))
+    // static threshold side: one known cell set low (everything exceeds),
+    // everywhere else unmatched (left join → flags 0)
+    import spark.implicits._
+    val thresholds = Seq((17.975, -17.925, 0.1, 0.2, 1.0e9))
+      .toDF("latitude", "longitude", "threshold_2y", "threshold_5y", "threshold_20y")
+    val q = ForecastStream.gribExceedances(
+      ForecastStream.readGrib(spark, s"$dir/*.grib2", numPartitions = 3), thresholds)
+      .writeStream
+      .format("memory").queryName("grib_alerts").outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("grib_alerts")
+    // normalization applied: bitmap-missing cells dropped, day steps
+    assert(out.count() == 7L * 48 - 3)
+    assert(out.select("step").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the low-threshold cell flags 2y/5y exceedance but not the huge 20y
+    val flagged = out.filter(col("latitude") === 17.975 && col("longitude") === -17.925)
+    assert(flagged.count() == 7) // all messages cover this cell
+    assert(flagged.filter(col("exceed_2y") === 1).count() == 7)
+    assert(flagged.filter(col("exceed_20y") === 1).count() == 0)
+    // unmatched cells: flags present and zero (left join semantics)
+    assert(out.filter(col("exceed_2y") === 1).count() == 7)
+  }
+
+  test("downstream transforms run per micro-batch (member filter + aggregation)") {
+    val dir = Files.createTempDirectory("gribstream-agg")
+    val checkpoint = Files.createTempDirectory("gribckpt-agg").toString
+    Files.copy(Paths.get(fixture), dir.resolve("lt024.grib2"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream
+      .format(classOf[GribSource].getName)
+      .option("path", s"$dir/*.grib2")
+      .option("numPartitions", "3")
+      .load()
+      .filter(col("number").isNotNull && col("step_hours") === 24)
+      .groupBy("latitude", "longitude")
+      .agg(count(lit(1)).as("members"))
+    val q = stream.writeStream
+      .format("memory").queryName("grib_stream_agg").outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("grib_stream_agg").collect()
+    assert(rows.length == 48) // 6x8 grid
+    assert(rows.forall(_.getLong(2) == 3L)) // 3 perturbed members at step 24
+  }
+}
