@@ -39,6 +39,8 @@ object FloodQueries {
     * warned `Asked to cache already cached data` on every call). */
   private val detailedMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pipelineMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def detailed(s: SparkSession, dir: String): DataFrame =
     detailedMemo.computeIfAbsent((s, dir), { case (sess, d) =>
       ThresholdPercentages(
@@ -331,12 +333,18 @@ object FloodQueries {
     // summary, WKT geometry, relevance filter, and the detailed output
     // semi-joined to the summary's surviving cells. Times the DAG the
     // operational job actually runs, not its stages in isolation.
-    "q_pipeline_e2e" -> ((s, dir) =>
-      ForecastPipeline.run(
-        FloodShaped.forecast(s, dir),
-        FloodShaped.thresholds(s, dir),
-        cfg,
-        mode = ThresholdPercentages.ExactOnePass).detailed),
+    // Memoized per (session, dir) like `detailed`: run() caches its
+    // fan-out subplan and expects release() after consumption, which a
+    // registry entry cannot call — one shared instance per session keeps
+    // the CacheManager at a single pinned entry across bench's 3 runs.
+    "q_pipeline_e2e" -> ((s, dir) => pipelineMemo.computeIfAbsent((s, dir), {
+      case (sess, d) =>
+        ForecastPipeline.run(
+          FloodShaped.forecast(sess, d),
+          FloodShaped.thresholds(sess, d),
+          cfg,
+          mode = ThresholdPercentages.ExactOnePass).detailed
+    })),
 
     // P11: WKT polygon construction
     "q_geometry_wkt" -> ((s, dir) =>

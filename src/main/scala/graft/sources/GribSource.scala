@@ -261,6 +261,8 @@ private[sources] object GribModel {
         case 5 =>
           val b = body()
           nPresent = b.getInt(0)
+          require(nPresent >= 0, // untrusted; drives payload-buffer sizing
+            s"$path: negative data-point count $nPresent in section 5 at offset $at")
           val template = b.getShort(4) & 0xFFFF
           require(template == 0,
             s"$path: data representation template 5.$template unsupported (5.0 simple packing)")
@@ -285,6 +287,9 @@ private[sources] object GribModel {
       at += secLen
     }
     require(ni > 0 && nj > 0 && dataOffset >= 0, s"$path: incomplete message at $msgStart")
+    require(ni.toLong * nj <= Int.MaxValue, // points is an Int; a corrupt
+      // grid size must not wrap it
+      s"$path: grid $ni x $nj overflows the per-message cell count")
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
@@ -373,23 +378,42 @@ private class GribScan(
   private lazy val messages: Seq[GribMessage] =
     GribModel.indexAll(spec).filter(m => preds.forall(_(m)))
 
+  // Set when toMicroBatchStream is called (stream start, before any batch
+  // executes): description() and estimateStatistics() are invoked on every
+  // executed micro-batch plan (MicroBatchScanExec inherits the batch
+  // plumbing), and in streaming mode they must NOT force `messages` — that
+  // would full-index the whole directory per batch (defeating incremental
+  // indexing) and crash on the empty directory a stream legitimately
+  // starts against.
+  @volatile private var streaming = false
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    streaming = true
     new GribMicroBatchStream(spec, preds, GribCol.ordinals(required))
+  }
   override def description(): String =
-    s"GribScan(${spec.path}, messages=${messages.size}, " +
-      s"cols=[${required.fieldNames.mkString(",")}])"
+    if (streaming)
+      s"GribScan(${spec.path}, streaming, cols=[${required.fieldNames.mkString(",")}])"
+    else
+      s"GribScan(${spec.path}, messages=${messages.size}, " +
+        s"cols=[${required.fieldNames.mkString(",")}])"
 
   /** Exact post-pruning cardinality from the message index — a
     * member/step-pruned scan reports only its surviving messages' points,
-    * so Catalyst can broadcast one member's track against a big table. */
+    * so Catalyst can broadcast one member's track against a big table.
+    * Streaming: unknown (per-batch cardinality lives in the stream). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = messages.map(_.points.toLong).sum
+    private val rows =
+      if (streaming) util.OptionalLong.empty()
+      else util.OptionalLong.of(messages.map(_.points.toLong).sum)
     private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * rowBytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    override def sizeInBytes(): util.OptionalLong =
+      if (rows.isPresent) util.OptionalLong.of(rows.getAsLong * rowBytes)
+      else util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong = rows
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -408,26 +432,44 @@ private class GribScan(
   * KB-sized header reads), applies the compiled message predicates, and
   * distributes the surviving messages across `numPartitions` ranged-read
   * partitions — the identical executor path as the batch scan.
-  * `Trigger.AvailableNow` gives catch-up-then-stop daily runs (Spark
-  * wraps non-admission-control streams automatically). */
+  * `Trigger.AvailableNow` gives catch-up-then-stop daily runs.
+  *
+  * Known scaling bound (deliberate): offsets carry the FULL seen-file
+  * set, so the checkpoint offset log grows O(files ever seen) — at the
+  * GloFAS cadence (30 files/day) that is ~11k paths ≈ 1 MB/offset after
+  * a year. The built-in file source bounds the same contract with
+  * compacted seen-file logs + maxFileAge; the operational mitigation
+  * here is a date-scoped glob (one stream per day/month of drops),
+  * which the daily-run shape already implies. Revisit with a compacted
+  * side-log if a single stream must outlive that. */
 private class GribMicroBatchStream(
     spec: GribSpec, preds: Seq[GribMessage => Boolean], cols: Array[Int])
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def currentListing(): GribStreamOffset =
-    GribStreamOffset(GribModel.listFiles(spec).map(_.getPath.toString).toList)
+  private def currentListing(): List[String] =
+    GribModel.listFiles(spec).map(_.getPath.toString).toList
 
   // Trigger.AvailableNow contract: the end offset is FROZEN at query start
   // (files landing mid-run belong to the next run), then batches drain up
   // to it and the query stops — the catch-up-then-stop daily shape.
-  private var availableNowCap: Option[GribStreamOffset] = None
+  private var availableNowCap: Option[List[String]] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentListing())
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowCap.getOrElse(currentListing())
+
+  /** MONOTONE union of the committed offset and the directory listing: a
+    * processed file later deleted by retention must stay in the offset —
+    * a listing-only offset would regress below the commit (spurious empty
+    * batch, forgotten file) and a next-day drop REUSING the name (the
+    * GloFAS per-leadtime convention) would re-ingest as if new. Matches
+    * the built-in file source's append-only seen-files semantics. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[GribStreamOffset].files
+    val listed = availableNowCap.getOrElse(currentListing())
+    GribStreamOffset((seen.toSet ++ listed).toList.sorted)
+  }
 
   override def initialOffset(): Offset = GribStreamOffset(Nil)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
@@ -576,10 +618,10 @@ private class GribReaderFactory extends PartitionReaderFactory {
       }
 
       private def readBytes(at: Long, len: Long): Array[Byte] = {
-        require(len <= Int.MaxValue, // nPresent·nbits/8 from a corrupt header
-          // would wrap negative in toInt and fail as an obscure
-          // NegativeArraySizeException instead of naming the file
-          s"${current.path}: payload read of $len bytes at offset $at exceeds buffer limit")
+        require(len >= 0 && len <= Int.MaxValue, // a corrupt header (negative
+          // nPresent, or nPresent·nbits/8 wrapping) must fail naming the
+          // file, not as an obscure NegativeArraySizeException
+          s"${current.path}: payload read of $len bytes at offset $at out of range")
         val s = in(current.path)
         s.seek(at)
         val b = new Array[Byte](len.toInt)

@@ -46,7 +46,9 @@ object Normalize {
     * DataFrames (all expressions are stateless). */
   def fromGrib(grib: DataFrame, precision: Int): DataFrame = {
     val issued = to_date(to_timestamp(col("ref_time")))
-    val stepDays = (col("step_hours") / lit(24)).cast("long")
+    // int, matching [[forecast]]'s step type — both producers of the
+    // normalized shape must agree or mixed parquet datasets fail to merge
+    val stepDays = (col("step_hours") / lit(24)).cast("int")
     grib
       .na.drop(Seq("value"))
       .select(
@@ -55,7 +57,7 @@ object Normalize {
         round(col("longitude"), precision).as("longitude"),
         issued.as("issued_on"),
         stepDays.as("step"),
-        date_add(issued, (stepDays - 1).cast("int")).as("valid_for"),
+        date_add(issued, stepDays - 1).as("valid_for"),
         col("value").as("dis24"))
   }
 }

@@ -67,6 +67,17 @@ class GribStreamSpec extends SparkSpec {
     // and a third run with nothing new appends nothing
     runOnce()
     assert(spark.read.parquet(outDir).count() == 2L * 7 * 48)
+
+    // retention deletes a PROCESSED file: the offset is a monotone union
+    // of commit + listing, so the deletion neither re-ingests nor crashes
+    // — and a later drop REUSING the name is still considered seen (the
+    // files-are-immutable contract; a reused name means the same data)
+    Files.delete(dir.resolve("lt024.grib2"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2L * 7 * 48)
+    Files.copy(Paths.get(fixture), dir.resolve("lt024.grib2"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2L * 7 * 48)
   }
 
   test("an empty directory starts cleanly and emits zero rows") {
@@ -103,7 +114,7 @@ class GribStreamSpec extends SparkSpec {
     val out = spark.table("grib_alerts")
     // normalization applied: bitmap-missing cells dropped, day steps
     assert(out.count() == 7L * 48 - 3)
-    assert(out.select("step").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(out.select("step").distinct().collect().map(_.getInt(0)).toSet == Set(1, 2))
     // the low-threshold cell flags 2y/5y exceedance but not the huge 20y
     val flagged = out.filter(col("latitude") === 17.975 && col("longitude") === -17.925)
     assert(flagged.count() == 7) // all messages cover this cell
