@@ -111,4 +111,50 @@ class RasterPropertySpec extends SparkSpec {
         s"types=${vars.map(_.ncType)}")
     }
   }
+
+  test("GRIB message pruning is equivalent to an unpruned scan + post-filter") {
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(20260813L)
+    // one multi-message file: GRIB messages are self-delimiting, so
+    // concatenating single-message files is a valid multi-message file
+    val members: Seq[Option[Int]] = None +: (1 to 5).map(Some(_))
+    val steps = Seq(24, 48, 72, 96)
+    val parts = for ((m, i) <- members.zipWithIndex; s <- steps) yield {
+      val xs = Seq.fill(4)((rnd.nextLong() & Long.MaxValue) % (1L << 10))
+      val p = GribTestWriter.write(tmp(s"prune_${i}_$s.grib2"), 2, 2,
+        10000000, 5000000, 50000, scanMode = 0, timeUnit = 1, forecastTime = s,
+        member = m, r = 0f, e = 0, d = 0, nbits = 10, xs = xs)
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    }
+    val f = tmp("prune_all.grib2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), parts.flatten.toArray)
+
+    val df = spark.read.format(classOf[GribSource].getName)
+      .option("path", f).option("numPartitions", "4").load()
+    val full = df.collect().map(r => (Option(r.get(2)).map(_.asInstanceOf[Int]),
+      r.getInt(3), r.getDouble(5))).toSeq
+
+    // random predicates over the pushable columns; expected result derived
+    // by applying the same SQL three-valued logic to the full collect
+    (0 until 30).foreach { round =>
+      val k = 1 + rnd.nextInt(6)
+      val s = steps(rnd.nextInt(steps.size))
+      val (pred, keep): (org.apache.spark.sql.Column, ((Option[Int], Int)) => Boolean) =
+        rnd.nextInt(7) match {
+          case 0 => (col("number") === k, t => t._1.contains(k))
+          case 1 => (col("number") >= k, t => t._1.exists(_ >= k))
+          case 2 => (col("number") < k, t => t._1.exists(_ < k))
+          case 3 => (col("number").isNotNull, t => t._1.isDefined)
+          case 4 => (col("step_hours") === s, t => t._2 == s)
+          case 5 => (col("step_hours") <= s, t => t._2 <= s)
+          case 6 => (col("number") === k && col("step_hours") === s,
+            t => t._1.contains(k) && t._2 == s)
+        }
+      val got = df.filter(pred).collect()
+        .map(r => (Option(r.get(2)).map(_.asInstanceOf[Int]), r.getInt(3), r.getDouble(5)))
+        .sorted.toSeq
+      val want = full.filter(t => keep((t._1, t._2))).sorted
+      assert(got == want, s"round $round: predicate $pred")
+    }
+  }
 }
