@@ -57,9 +57,13 @@ class GribSource extends TableProvider {
 /** Everything known WITHOUT touching the filesystem — `getTable` builds only
   * this, so a STREAMING query can start against a directory that does not
   * have files yet; the driver-side message index is computed lazily (batch:
-  * once at scan planning; streaming: per micro-batch over the new files). */
+  * once at scan planning; streaming: per micro-batch over the new files).
+  * `maxFilesPerTrigger` (0 = unlimited) bounds each micro-batch — a
+  * multi-year backfill drains in controlled chunks instead of one giant
+  * first batch. */
 private[sources] final case class GribSpec(
-    path: String, numPartitions: Int, conf: SerializableHadoopConf)
+    path: String, numPartitions: Int, maxFilesPerTrigger: Int,
+    conf: SerializableHadoopConf)
 
 object GribSource {
   val Schema: StructType = StructType(Seq(
@@ -100,7 +104,10 @@ private[sources] object GribModel {
     val path = Option(o.get("path")).getOrElse(
       throw new IllegalArgumentException("GribSource requires option 'path'"))
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
-    GribSpec(path, numPartitions, new SerializableHadoopConf(HadoopConf.session()))
+    val maxFiles = Option(o.get("maxfilespertrigger")).map(_.toInt).getOrElse(0)
+    require(maxFiles >= 0, s"maxFilesPerTrigger must be >= 0, got $maxFiles")
+    GribSpec(path, numPartitions, maxFiles,
+      new SerializableHadoopConf(HadoopConf.session()))
   }
 
   /** Resolve `spec.path` to files. `path` may be a glob — a GloFAS day
@@ -457,18 +464,28 @@ private class GribMicroBatchStream(
   private var availableNowCap: Option[List[String]] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentListing())
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    if (spec.maxFilesPerTrigger > 0) ReadLimit.maxFiles(spec.maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
 
   /** MONOTONE union of the committed offset and the directory listing: a
     * processed file later deleted by retention must stay in the offset —
     * a listing-only offset would regress below the commit (spurious empty
     * batch, forgotten file) and a next-day drop REUSING the name (the
     * GloFAS per-leadtime convention) would re-ingest as if new. Matches
-    * the built-in file source's append-only seen-files semantics. */
+    * the built-in file source's append-only seen-files semantics.
+    * A maxFiles read limit admits only the first N NEW files (sorted by
+    * path) into this trigger's end offset; under Trigger.AvailableNow the
+    * engine keeps firing batches until the frozen listing drains. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[GribStreamOffset].files
+    val seen = start.asInstanceOf[GribStreamOffset].files.toSet
     val listed = availableNowCap.getOrElse(currentListing())
-    GribStreamOffset((seen.toSet ++ listed).toList.sorted)
+    val admitted = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        listed.filterNot(seen).sorted.take(m.maxFiles())
+      case _ => listed
+    }
+    GribStreamOffset((seen ++ admitted).toList.sorted)
   }
 
   override def initialOffset(): Offset = GribStreamOffset(Nil)

@@ -88,6 +88,31 @@ class GribStreamSpec extends SparkSpec {
     assert(spark.table("grib_stream_empty").count() == 0)
   }
 
+  test("maxFilesPerTrigger drains a backlog in bounded batches under AvailableNow") {
+    val dir = Files.createTempDirectory("gribstream-cap")
+    val checkpoint = Files.createTempDirectory("gribckpt-cap")
+    val outDir = Files.createTempDirectory("gribout-cap").toString
+    for (lt <- Seq("024", "048", "072"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"lt$lt.grib2"))
+    val q = spark.readStream
+      .format(classOf[GribSource].getName)
+      .option("path", s"$dir/*.grib2")
+      .option("numPartitions", "3")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // all three files land, one file per micro-batch (3 committed batches)
+    assert(spark.read.parquet(outDir).count() == 3L * 7 * 48)
+    val commits = new File(checkpoint.toFile, "commits").list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(commits == Set("0", "1", "2"), s"expected 3 commits, got $commits")
+  }
+
   test("stream offsets round-trip through their JSON form") {
     val off = GribStreamOffset(List("/a/b.grib2", "/a/c \"quoted\".grib2"))
     assert(GribStreamOffset.fromJson(off.json()) == off)
