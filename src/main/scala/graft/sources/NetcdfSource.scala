@@ -180,6 +180,7 @@ private[sources] object NcHeaderParser {
 private[sources] final case class NetcdfTableModel(
     path: String,
     numPartitions: Int,
+    maxBytesPerPartition: Long,
     header: NcHeader,
     dataVars: Seq[NcVar],
     gridDimIds: Seq[Int],
@@ -211,6 +212,13 @@ private[sources] object NetcdfTableModel {
     val path = Option(o.get("path")).getOrElse(
       throw new IllegalArgumentException("NetcdfSource requires option 'path'"))
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
+    // per-partition byte ceiling on the LARGEST projected variable's slice
+    // (default 1 GiB): partition count is count-based up to this bound,
+    // then grows so a huge raster never hits the 2 GiB ranged-read limit
+    // (and executor slices stay memory-sized) regardless of numPartitions
+    val maxBytes = Option(o.get("maxbytesperpartition")).map(_.toLong)
+      .getOrElse(1L << 30)
+    require(maxBytes > 0, s"maxBytesPerPartition must be > 0, got $maxBytes")
     val wanted = Option(o.get("variables")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
     val conf = HadoopConf.session()
@@ -245,7 +253,7 @@ private[sources] object NetcdfTableModel {
         s"dimension '${header.dims(id).name}' is the record (unlimited) dimension; " +
           "record variables are not supported by this raster source")
     }
-    NetcdfTableModel(path, numPartitions, header, selected, gridDimIds,
+    NetcdfTableModel(path, numPartitions, maxBytes, header, selected, gridDimIds,
       Map.empty, new SerializableHadoopConf(conf))
   }
 
@@ -386,9 +394,21 @@ private class NetcdfScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val span = math.max(0, outerHi - outerLo)
-    val n = math.max(1, math.min(model.numPartitions, math.max(1, span)))
-    val innerDimIds = model.gridDimIds.tail
-    val innerCount = innerDimIds.map(model.header.dims(_).length.toLong).product
+    // Byte-bounded partitioning: count-based up to the configured ceiling,
+    // then split finer so the WIDEST projected variable's slice stays
+    // under maxBytesPerPartition — a 460×1400 threshold raster reads as 8
+    // ranged slices, a 100 GB raster as however many ~1 GiB slices it
+    // takes, never tripping the Int.MaxValue buffer limit. A single outer
+    // row wider than the ceiling is the floor (inner dims are contiguous
+    // on disk and not splittable without a different layout).
+    val innerCount = model.gridDimIds.tail.map(model.header.dims(_).length.toLong).product
+    val widestVar = readVars.map(v => innerCount * NcHeaderParser.typeSize(v.ncType))
+      .foldLeft(0L)(math.max)
+    val minParts =
+      if (widestVar <= 0 || span <= 0) 1
+      else ((span.toLong * widestVar + model.maxBytesPerPartition - 1) /
+        model.maxBytesPerPartition).toInt
+    val n = math.max(1, math.min(math.max(model.numPartitions, minParts), math.max(1, span)))
     val cols: Array[NcColumnSpec] = required.fields.map { f =>
       val dimPos = model.gridDims.indexWhere(_.name == f.name)
       if (dimPos >= 0) {

@@ -148,6 +148,22 @@ class NetcdfSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("record"))
   }
 
+  test("maxBytesPerPartition splits a scan finer than the requested partition count") {
+    // fixture: 6 outer rows × 8 lons; widest projected var is threshold_5y
+    // (f8 → 64 bytes/outer row). A 100-byte ceiling forces ceil(384/100)=4
+    // partitions even though numPartitions=2; row content is unchanged.
+    val df = spark.read.format(classOf[NetcdfSource].getName)
+      .option("path", fixture)
+      .option("variables", "threshold_5y")
+      .option("numPartitions", "2")
+      .option("maxBytesPerPartition", "100")
+      .load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 48)
+    // and the explicit count still wins when it is the FINER split
+    assert(nc(parts = 3).rdd.getNumPartitions == 3)
+  }
+
   test("corrupt header lengths fail as named errors, not allocation blowups") {
     // header integers are UNTRUSTED: a multi-GB or negative name length
     // must raise the malformed-header error, not NegativeArraySizeException
