@@ -297,6 +297,8 @@ private[sources] object GribModel {
     require(ni.toLong * nj <= Int.MaxValue, // points is an Int; a corrupt
       // grid size must not wrap it
       s"$path: grid $ni x $nj overflows the per-message cell count")
+    require(nPresent <= ni.toLong * nj, // more present cells than grid cells
+      s"$path: section 5 declares $nPresent data points for a $ni x $nj grid")
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
@@ -611,6 +613,17 @@ private class GribReaderFactory extends PartitionReaderFactory {
         bitmap =
           if (current.bitmapOffset < 0) null
           else readBytes(current.bitmapOffset, (current.points + 7) / 8)
+        if (bitmap != null) {
+          // the bitmap popcount and section 5's nPresent both size the
+          // packed payload; a corrupt mismatch must fail naming the file,
+          // not as an index error deep in the emit loop
+          var pc = 0
+          var c = 0
+          while (c < current.points) { if (present(c)) pc += 1; c += 1 }
+          require(pc == current.nPresent,
+            s"${current.path}: bitmap marks $pc present cells but section 5 " +
+              s"declares ${current.nPresent}")
+        }
         values =
           if (!needValue) null
           else {

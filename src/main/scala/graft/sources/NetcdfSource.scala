@@ -404,10 +404,16 @@ private class NetcdfScan(
     val innerCount = model.gridDimIds.tail.map(model.header.dims(_).length.toLong).product
     val widestVar = readVars.map(v => innerCount * NcHeaderParser.typeSize(v.ncType))
       .foldLeft(0L)(math.max)
+    // bound the MAXIMUM partition, not the average: contiguous splitting
+    // hands some partitions ceil(span/n) rows, so derive n from the row
+    // budget per partition (floor) — every partition then reads at most
+    // rowsPerPart·widestVar ≤ maxBytes, not just the mean
     val minParts =
       if (widestVar <= 0 || span <= 0) 1
-      else ((span.toLong * widestVar + model.maxBytesPerPartition - 1) /
-        model.maxBytesPerPartition).toInt
+      else {
+        val rowsPerPart = math.max(1L, model.maxBytesPerPartition / widestVar)
+        ((span + rowsPerPart - 1) / rowsPerPart).toInt
+      }
     val n = math.max(1, math.min(math.max(model.numPartitions, minParts), math.max(1, span)))
     val cols: Array[NcColumnSpec] = required.fields.map { f =>
       val dimPos = model.gridDims.indexWhere(_.name == f.name)

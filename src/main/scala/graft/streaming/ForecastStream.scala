@@ -36,11 +36,16 @@ object ForecastStream {
     * decoded cells in the next batch, removing the reference's separate
     * GRIB→parquet conversion job from the streaming path too. Pair with
     * [[graft.transforms.Normalize.fromGrib]] or [[gribExceedances]]. */
-  def readGrib(spark: SparkSession, pathGlob: String, numPartitions: Int = 8): DataFrame =
+  def readGrib(
+      spark: SparkSession,
+      pathGlob: String,
+      numPartitions: Int = 8,
+      maxFilesPerTrigger: Int = 0): DataFrame =
     spark.readStream
       .format(classOf[graft.sources.GribSource].getName)
       .option("path", pathGlob)
       .option("numPartitions", numPartitions.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load()
 
   /** Normalized stream with per-row threshold-exceedance flags:

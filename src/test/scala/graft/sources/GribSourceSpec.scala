@@ -147,6 +147,21 @@ class GribSourceSpec extends SparkSpec {
     assert(readMini(minute).select("step_hours").head.getInt(0) == 2)
   }
 
+  test("a bitmap/nPresent mismatch is rejected loudly, not an index error") {
+    // the writer derives section 5's data-point count from xs.size, so a
+    // bitmap with MORE set bits than values is exactly the corrupt
+    // undercount that would otherwise blow up as
+    // ArrayIndexOutOfBoundsException deep in the emit loop
+    val f = GribTestWriter.write(tmp("mismatch.grib2"), 2, 2,
+      10000000, 5000000, 500000, scanMode = 0, timeUnit = 1, forecastTime = 1,
+      member = Some(1), r = 0f, e = 0, d = 0, nbits = 8, xs = Seq(7L, 9L),
+      bitmap = Some(Seq(true, true, true, false))) // 3 present, 2 values
+    val e = intercept[org.apache.spark.SparkException](readMini(f).collect())
+    assert(e.getMessage.contains("bitmap marks") ||
+      Option(e.getCause).exists(_.getMessage.contains("bitmap marks")),
+      s"expected the named mismatch error, got: ${e.getMessage}")
+  }
+
   test("a section length overrunning the message end is rejected loudly") {
     // lengths from the file are UNTRUSTED: a corrupt section length past
     // msgEnd must name the file/offset, not read the next message's bytes

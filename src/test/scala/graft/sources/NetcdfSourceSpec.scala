@@ -148,18 +148,28 @@ class NetcdfSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("record"))
   }
 
-  test("maxBytesPerPartition splits a scan finer than the requested partition count") {
+  test("maxBytesPerPartition bounds the LARGEST partition, not the average") {
     // fixture: 6 outer rows × 8 lons; widest projected var is threshold_5y
-    // (f8 → 64 bytes/outer row). A 100-byte ceiling forces ceil(384/100)=4
-    // partitions even though numPartitions=2; row content is unchanged.
+    // (f8 → 64 bytes/outer row). A 100-byte ceiling admits floor(100/64)=1
+    // row per partition → 6 partitions even though numPartitions=2 (an
+    // average-based ceil(384/100)=4 would give ceil(6/4)=2-row partitions
+    // reading 128 > 100 bytes); row content is unchanged.
     val df = spark.read.format(classOf[NetcdfSource].getName)
       .option("path", fixture)
       .option("variables", "threshold_5y")
       .option("numPartitions", "2")
       .option("maxBytesPerPartition", "100")
       .load()
-    assert(df.rdd.getNumPartitions == 4)
+    assert(df.rdd.getNumPartitions == 6)
     assert(df.count() == 48)
+    // a 2-row budget (128 bytes) → 3 partitions of exactly 2 rows each
+    val two = spark.read.format(classOf[NetcdfSource].getName)
+      .option("path", fixture)
+      .option("variables", "threshold_5y")
+      .option("numPartitions", "2")
+      .option("maxBytesPerPartition", "128")
+      .load()
+    assert(two.rdd.getNumPartitions == 3)
     // and the explicit count still wins when it is the FINER split
     assert(nc(parts = 3).rdd.getNumPartitions == 3)
   }
