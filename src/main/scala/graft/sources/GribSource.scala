@@ -546,18 +546,40 @@ private object GribCol {
     case "value" => Value
   }
 
-  /** Contiguous message slices over `numPartitions` — shared by the batch
-    * scan and every streaming micro-batch. */
+  /** Contiguous message slices over `numPartitions`, WEIGHT-balanced by
+    * cell count — shared by the batch scan and every streaming
+    * micro-batch. A count-based split is fine for a homogeneous GloFAS
+    * day (every message the same grid), but a glob mixing small and huge
+    * grids would hand one partition all the big messages and make it the
+    * straggler; balancing by points keeps per-partition emit work even.
+    * Slices stay CONTIGUOUS (file-ordered), preserving the
+    * one-open-stream-per-file reader optimization. */
   def slice(
       messages: Seq[GribMessage], numPartitions: Int, cols: Array[Int],
       conf: SerializableHadoopConf): Array[InputPartition] = {
     if (messages.isEmpty) return Array.empty
     val n = math.max(1, math.min(numPartitions, messages.size))
-    (0 until n).map { p =>
-      val from = (messages.size * p) / n
-      val to = (messages.size * (p + 1)) / n
-      GribPartition(messages.slice(from, to).toArray, cols, conf): InputPartition
-    }.toArray
+    val weights = messages.map(_.points.toLong.max(1L))
+    val total = weights.sum
+    val out = Array.newBuilder[InputPartition]
+    var from = 0
+    var cum = 0L
+    for (p <- 0 until n) {
+      var to = from
+      val target = (total * (p + 1)) / n
+      // take at least one message; keep taking while the cumulative weight
+      // is below this slice's absolute boundary (boundaries are cumulative
+      // fractions of the total, so overshoot does not compound); leave at
+      // least one message per remaining slice
+      val cap = messages.size - (n - 1 - p)
+      while (to < cap && (to == from || cum < target)) {
+        cum += weights(to)
+        to += 1
+      }
+      out += GribPartition(messages.slice(from, to).toArray, cols, conf)
+      from = to
+    }
+    out.result()
   }
 }
 

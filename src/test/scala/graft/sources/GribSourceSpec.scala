@@ -147,6 +147,33 @@ class GribSourceSpec extends SparkSpec {
     assert(readMini(minute).select("step_hours").head.getInt(0) == 2)
   }
 
+  test("partitions balance by CELL COUNT, not message count, on mixed grids") {
+    // 4 tiny (1x1) then 4 big (10x10) messages in one file: a count-based
+    // split would give two partitions ~2 cells and two ~200 (stragglers);
+    // the weight-balanced contiguous split keeps every partition near
+    // total/4 = 101 cells
+    val parts = (0 until 4).map { i =>
+      GribTestWriter.write(tmp(s"mix_t$i.grib2"), 1, 1, 0, 0, 500000,
+        scanMode = 0, timeUnit = 1, forecastTime = i + 1, member = Some(1),
+        r = 0f, e = 0, d = 0, nbits = 8, xs = Seq(9L))
+    } ++ (0 until 4).map { i =>
+      GribTestWriter.write(tmp(s"mix_b$i.grib2"), 10, 10, 0, 0, 500000,
+        scanMode = 0, timeUnit = 1, forecastTime = i + 10, member = Some(1),
+        r = 0f, e = 0, d = 0, nbits = 8, xs = Seq.fill(100)(7L))
+    }
+    val f = tmp("mix_all.grib2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      parts.flatMap(p => java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)).toSeq).toArray)
+    val df = spark.read.format(classOf[GribSource].getName)
+      .option("path", f).option("numPartitions", "4").load()
+    val perPartition = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPartition.length == 4)
+    assert(perPartition.sum == 404)
+    assert(perPartition.forall(s => s >= 100 && s <= 104),
+      s"expected ~101 cells per partition, got ${perPartition.mkString(",")}")
+  }
+
   test("a bitmap/nPresent mismatch is rejected loudly, not an index error") {
     // the writer derives section 5's data-point count from xs.size, so a
     // bitmap with MORE set bits than values is exactly the corrupt
