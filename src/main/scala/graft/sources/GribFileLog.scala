@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** One file admitted into the GRIB stream: where it was, when it was
+  * modified (drives optional `maxFileAge` expiry), and which micro-batch
+  * ingested it (so a compact snapshot can still answer "what did batch N
+  * read" during restart replay). */
+private[sources] final case class GribFileEntry(
+    path: String, modTime: Long, batchId: Long)
+
+/** Compacted seen-file log for [[GribSource]]'s micro-batch stream — the
+  * same shape as Spark's built-in file stream source log. The checkpointed
+  * OFFSET is just a batch id; the file sets live here, under the stream's
+  * checkpoint directory:
+  *
+  *  - batch `N` not on a compaction point → delta file `N` holding only
+  *    the files ADMITTED in batch N;
+  *  - batch `N` on a compaction point (every `compactInterval` batches)
+  *    → snapshot file `N.compact` holding the FULL seen set, each entry
+  *    tagged with its original batch id; older log files beyond one
+  *    compact generation are deleted.
+  *
+  * So the engine's offset WAL stays O(1) per entry forever, and this log's
+  * steady-state size is one snapshot + `compactInterval` deltas — a stream
+  * can outlive years of drops. Writes are atomic (temp + rename) and
+  * idempotent (a crash between the log write and the engine's offset WAL
+  * write re-runs `latestOffset`, which overwrites the same batch id —
+  * safe, because that batch id was never WAL-committed). */
+private[sources] class GribFileLog(
+    logDir: Path, conf: SerializableHadoopConf, compactInterval: Int) {
+  require(compactInterval >= 1,
+    s"compactInterval must be >= 1, got $compactInterval")
+
+  private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+  private val fs: FileSystem = FileSystem.get(logDir.toUri, conf.value)
+  fs.mkdirs(logDir)
+
+  private def isCompactId(id: Long): Boolean = (id + 1) % compactInterval == 0
+  private def fileFor(id: Long): Path =
+    new Path(logDir, if (isCompactId(id)) s"$id.compact" else id.toString)
+
+  /** Batch ids present in the log, ascending. */
+  def listIds(): Seq[Long] = {
+    val sts =
+      try fs.listStatus(logDir)
+      catch { case _: FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    sts.toSeq
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith(".")) // in-flight temp files
+      .flatMap(n => n.stripSuffix(".compact").toLongOption)
+      .sorted
+  }
+
+  private def read(p: Path): Seq[GribFileEntry] = {
+    val in = fs.open(p)
+    try JsonMethods.parse(new String(in.readAllBytes(), UTF_8))
+      .extract[List[GribFileEntry]]
+    finally in.close()
+  }
+
+  private def writeAtomic(p: Path, entries: Seq[GribFileEntry]): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Serialization.write(entries).getBytes(UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // idempotent re-write after a crash
+    require(fs.rename(tmp, p), s"failed to rename $tmp to $p")
+  }
+
+  /** Every entry seen up to and including `batchId` (−1 → none): the
+    * latest snapshot at or before it, plus the deltas after that. The log
+    * must be contiguous over that range — a hole means a corrupted
+    * checkpoint and fails loudly rather than silently re-ingesting. */
+  def seenUpTo(batchId: Long): Seq[GribFileEntry] = {
+    if (batchId < 0) return Nil
+    val ids = listIds().filter(_ <= batchId)
+    val base = ids.filter(isCompactId).maxOption
+    val from = base.getOrElse(-1L)
+    val expect = (from + 1) to batchId
+    val have = ids.filter(_ > from)
+    require(have == expect,
+      s"GRIB stream file log at $logDir is not contiguous: expected batch " +
+        s"files ${expect.mkString(",")} after snapshot $from, found ${have.mkString(",")}")
+    base.map(id => read(fileFor(id))).getOrElse(Nil) ++
+      have.flatMap(id => read(fileFor(id)))
+  }
+
+  /** The files admitted in exactly batch `batchId` — restart replay of a
+    * WAL-logged but uncommitted batch must re-read the identical set. */
+  def filesForBatch(batchId: Long): Seq[GribFileEntry] =
+    read(fileFor(batchId)).filter(_.batchId == batchId)
+
+  /** Record batch `batchId` admitting `newFiles`. On a compaction point
+    * the full seen set is snapshotted instead; entries with
+    * `modTime < expireBefore` are dropped from the snapshot (maxFileAge
+    * expiry — the admission filter excludes the same files, so an expired
+    * path still in the directory is never re-ingested). */
+  def add(batchId: Long, newFiles: Seq[GribFileEntry], expireBefore: Long): Unit = {
+    if (isCompactId(batchId)) {
+      val all = seenUpTo(batchId - 1) ++ newFiles
+      val kept =
+        if (expireBefore > Long.MinValue)
+          all.filter(e => e.modTime >= expireBefore || e.batchId == batchId)
+        else all
+      writeAtomic(fileFor(batchId), kept)
+      // retain one full compact generation before this snapshot (restart
+      // replay only ever needs batches after the last committed one, which
+      // is never that far back); everything older is superseded
+      val keepFrom = batchId - compactInterval
+      listIds().filter(_ < keepFrom).foreach(id => fs.delete(fileFor(id), false))
+    } else writeAtomic(fileFor(batchId), newFiles)
+  }
+}

@@ -60,9 +60,16 @@ class GribSource extends TableProvider {
   * once at scan planning; streaming: per micro-batch over the new files).
   * `maxFilesPerTrigger` (0 = unlimited) bounds each micro-batch — a
   * multi-year backfill drains in controlled chunks instead of one giant
-  * first batch. */
+  * first batch. `maxFileAgeMs` (0 = disabled) makes the stream ignore —
+  * and eventually forget — files older than the newest drop by that much,
+  * bounding the seen-file log on a long-lived stream. `ignoreMissingFiles`
+  * (default false: fail loudly) lets a stream skip a file that was admitted
+  * into a checkpointed offset but deleted before its batch executed — the
+  * listing-to-read race with aggressive retention. `compactInterval` sets
+  * the seen-file log's snapshot cadence. */
 private[sources] final case class GribSpec(
     path: String, numPartitions: Int, maxFilesPerTrigger: Int,
+    maxFileAgeMs: Long, ignoreMissingFiles: Boolean, compactInterval: Int,
     conf: SerializableHadoopConf)
 
 object GribSource {
@@ -106,8 +113,33 @@ private[sources] object GribModel {
     val numPartitions = Option(o.get("numpartitions")).map(_.toInt).getOrElse(8)
     val maxFiles = Option(o.get("maxfilespertrigger")).map(_.toInt).getOrElse(0)
     require(maxFiles >= 0, s"maxFilesPerTrigger must be >= 0, got $maxFiles")
-    GribSpec(path, numPartitions, maxFiles,
-      new SerializableHadoopConf(HadoopConf.session()))
+    val maxAge = Option(o.get("maxfileage")).map(parseDuration).getOrElse(0L)
+    val ignoreMissing = Option(o.get("ignoremissingfiles")).exists(_.toBoolean)
+    val compactInterval =
+      Option(o.get("filelogcompactinterval")).map(_.toInt).getOrElse(10)
+    require(compactInterval >= 1,
+      s"fileLogCompactInterval must be >= 1, got $compactInterval")
+    GribSpec(path, numPartitions, maxFiles, maxAge, ignoreMissing,
+      compactInterval, new SerializableHadoopConf(HadoopConf.session()))
+  }
+
+  /** `"500ms" | "30s" | "10m" | "24h" | "7d"` (bare number = seconds) →
+    * milliseconds. */
+  private[sources] def parseDuration(s: String): Long = {
+    val Pattern = "^([0-9]+)\\s*(ms|s|m|h|d)?$".r
+    s.trim.toLowerCase match {
+      case Pattern(n, unit) =>
+        val mult = unit match {
+          case "ms" => 1L
+          case null | "s" => 1000L
+          case "m" => 60L * 1000
+          case "h" => 3600L * 1000
+          case "d" => 24L * 3600 * 1000
+        }
+        n.toLong * mult
+      case other => throw new IllegalArgumentException(
+        s"cannot parse duration '$other' (use e.g. 500ms, 30s, 10m, 24h, 7d)")
+    }
   }
 
   /** Resolve `spec.path` to files. `path` may be a glob — a GloFAS day
@@ -157,6 +189,46 @@ private[sources] object GribModel {
         files.indices.flatMap(i =>
           try futures(i).get()
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally pool.shutdownNow()
+    }
+  }
+
+  /** Resolve explicit paths to statuses in PARALLEL (same bounded pool
+    * shape as [[indexFiles]]) — a multi-thousand-file backfill batch on an
+    * object store would otherwise serialize one metadata RPC per file and
+    * make planning driver-latency-bound. A vanished path fails loudly by
+    * default (it sits in a checkpointed offset: silence = data loss);
+    * `ignoreMissingFiles` opts into warn-and-skip, mirroring the built-in
+    * file source's escape hatch for aggressive-retention directories. */
+  def resolveStatuses(
+      spec: GribSpec,
+      paths: Seq[String]): Array[org.apache.hadoop.fs.FileStatus] = {
+    val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
+    def resolve(p: String): Option[org.apache.hadoop.fs.FileStatus] =
+      try Some(fs.getFileStatus(new Path(p)))
+      catch {
+        case _: java.io.FileNotFoundException if spec.ignoreMissingFiles =>
+          org.slf4j.LoggerFactory.getLogger(classOf[GribSource])
+            .warn(s"ignoreMissingFiles: skipping vanished GRIB stream file '$p'")
+          None
+        case _: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"GRIB stream file '$p' in checkpointed offset range no longer " +
+            "exists (set ignoreMissingFiles=true to skip it)")
+      }
+    if (paths.length <= 1) paths.flatMap(resolve(_)).toArray
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(paths.length, 16))
+      try {
+        val futures = paths.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Option[org.apache.hadoop.fs.FileStatus]] {
+            override def call(): Option[org.apache.hadoop.fs.FileStatus] = resolve(p)
+          })
+        }
+        futures.flatMap(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        ).toArray
       } finally pool.shutdownNow()
     }
   }
@@ -401,7 +473,8 @@ private class GribScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     streaming = true
-    new GribMicroBatchStream(spec, preds, GribCol.ordinals(required))
+    new GribMicroBatchStream(spec, preds, GribCol.ordinals(required),
+      checkpointLocation)
   }
   override def description(): String =
     if (streaming)
@@ -434,82 +507,99 @@ private class GribScan(
   * shape — a GloFAS day drops one file per leadtime as the CDS fetches
   * complete — consumed incrementally instead of by a daily batch job.
   *
-  * Offset model: the sorted set of file paths seen so far (the same
-  * files-are-immutable contract as Spark's built-in file stream source —
-  * a dropped file must be complete when it appears; write-then-rename).
-  * Each micro-batch indexes ONLY the new files (driver thread pool,
+  * Offset model: the checkpointed offset is a plain BATCH ID; the file
+  * sets live in a compacted seen-file side-log ([[GribFileLog]]) under the
+  * stream's checkpoint directory — the built-in file stream source's
+  * design, so the engine's offset WAL stays O(1) per entry and one stream
+  * can outlive years of drops (the old full-file-list offset grew
+  * O(files ever seen) per WAL entry, ≈1 MB/offset after a year at the
+  * GloFAS 30-files/day cadence). Files are immutable once dropped
+  * (write-then-rename), and the seen set is append-only: a processed file
+  * later deleted by retention stays seen — a next-day drop REUSING the
+  * name (the GloFAS per-leadtime convention) is not re-ingested. Optional
+  * `maxFileAge` additionally ignores-and-forgets files older than the
+  * newest drop by that much, bounding the seen set itself.
+  *
+  * Each micro-batch indexes ONLY its new files (driver thread pool,
   * KB-sized header reads), applies the compiled message predicates, and
   * distributes the surviving messages across `numPartitions` ranged-read
   * partitions — the identical executor path as the batch scan.
-  * `Trigger.AvailableNow` gives catch-up-then-stop daily runs.
-  *
-  * Known scaling bound (deliberate): offsets carry the FULL seen-file
-  * set, so the checkpoint offset log grows O(files ever seen) — at the
-  * GloFAS cadence (30 files/day) that is ~11k paths ≈ 1 MB/offset after
-  * a year. The built-in file source bounds the same contract with
-  * compacted seen-file logs + maxFileAge; the operational mitigation
-  * here is a date-scoped glob (one stream per day/month of drops),
-  * which the daily-run shape already implies. Revisit with a compacted
-  * side-log if a single stream must outlive that. */
+  * `Trigger.AvailableNow` gives catch-up-then-stop daily runs. */
 private class GribMicroBatchStream(
-    spec: GribSpec, preds: Seq[GribMessage => Boolean], cols: Array[Int])
+    spec: GribSpec, preds: Seq[GribMessage => Boolean], cols: Array[Int],
+    checkpointLocation: String)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def currentListing(): List[String] =
-    GribModel.listFiles(spec).map(_.getPath.toString).toList
+  private val log = new GribFileLog(
+    new Path(checkpointLocation, "filelog"), spec.conf, spec.compactInterval)
+
+  private def currentListing(): Seq[(String, Long)] =
+    GribModel.listFiles(spec)
+      .map(st => (st.getPath.toString, st.getModificationTime)).toSeq
 
   // Trigger.AvailableNow contract: the end offset is FROZEN at query start
   // (files landing mid-run belong to the next run), then batches drain up
   // to it and the query stops — the catch-up-then-stop daily shape.
-  private var availableNowCap: Option[List[String]] = None
+  private var availableNowCap: Option[Seq[(String, Long)]] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentListing())
   override def getDefaultReadLimit: ReadLimit =
     if (spec.maxFilesPerTrigger > 0) ReadLimit.maxFiles(spec.maxFilesPerTrigger)
     else ReadLimit.allAvailable()
 
-  /** MONOTONE union of the committed offset and the directory listing: a
-    * processed file later deleted by retention must stay in the offset —
-    * a listing-only offset would regress below the commit (spurious empty
-    * batch, forgotten file) and a next-day drop REUSING the name (the
-    * GloFAS per-leadtime convention) would re-ingest as if new. Matches
-    * the built-in file source's append-only seen-files semantics.
-    * A maxFiles read limit admits only the first N NEW files (sorted by
-    * path) into this trigger's end offset; under Trigger.AvailableNow the
-    * engine keeps firing batches until the frozen listing drains. */
+  /** Admit new files into the next batch: list, drop already-seen paths
+    * and (with `maxFileAge`) stale ones, cap at the read limit, record the
+    * admitted set in the side-log under the NEXT batch id, and return that
+    * id as the offset. No new files → the start offset comes back
+    * unchanged and no batch fires. The log write precedes the engine's
+    * offset WAL write, so a replayed batch always finds its file set; a
+    * crash in between re-runs this method, which idempotently overwrites
+    * the never-committed batch id. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[GribStreamOffset].files.toSet
+    val startId = start.asInstanceOf[GribStreamOffset].batchId
+    val seenEntries = log.seenUpTo(startId)
+    val seen = seenEntries.map(_.path).toSet
     val listed = availableNowCap.getOrElse(currentListing())
+    // age cutoff trails the newest modification time ever observed — wall
+    // clock never enters (immune to clock skew between driver and store)
+    val cutoff =
+      if (spec.maxFileAgeMs <= 0) Long.MinValue
+      else (seenEntries.map(_.modTime) ++ listed.map(_._2))
+        .maxOption.fold(Long.MinValue)(_ - spec.maxFileAgeMs)
+    val fresh = listed
+      .filter { case (p, mt) => !seen(p) && mt >= cutoff }
+      .sortBy(_._1)
     val admitted = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        listed.filterNot(seen).sorted.take(m.maxFiles())
-      case _ => listed
+        fresh.take(m.maxFiles())
+      case _ => fresh
     }
-    GribStreamOffset((seen ++ admitted).toList.sorted)
+    if (admitted.isEmpty) GribStreamOffset(startId)
+    else {
+      val id = startId + 1
+      log.add(id, admitted.map { case (p, mt) => GribFileEntry(p, mt, id) }, cutoff)
+      GribStreamOffset(id)
+    }
   }
 
-  override def initialOffset(): Offset = GribStreamOffset(Nil)
+  override def initialOffset(): Offset = GribStreamOffset(-1L)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
   override def deserializeOffset(json: String): Offset = GribStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GribStreamOffset].files.toSet
-    val newPaths = end.asInstanceOf[GribStreamOffset].files.filterNot(seen)
+    val startId = start.asInstanceOf[GribStreamOffset].batchId
+    val endId = end.asInstanceOf[GribStreamOffset].batchId
+    if (endId <= startId) return Array.empty
+    // the side-log, not a re-glob, names this batch's files: on restart
+    // this batch replays from checkpointed offsets and must read the
+    // identical set; a file that vanished since fails loudly by default
+    // (ignoreMissingFiles=true opts into warn-and-skip)
+    val newPaths = ((startId + 1) to endId).flatMap(log.filesForBatch).map(_.path)
     if (newPaths.isEmpty) return Array.empty
-    // resolve by direct status lookup, not re-glob: on restart this batch
-    // replays from checkpointed offsets, and a file that vanished since
-    // must fail loudly (silent data loss otherwise)
-    val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
-    val files = newPaths.map { p =>
-      try fs.getFileStatus(new Path(p))
-      catch {
-        case _: java.io.FileNotFoundException => throw new IllegalStateException(
-          s"GRIB stream file '$p' in checkpointed offset range no longer exists")
-      }
-    }.toArray
+    val files = GribModel.resolveStatuses(spec, newPaths)
     val msgs = GribModel.indexFiles(spec, files).filter(m => preds.forall(_(m)))
     GribCol.slice(msgs, spec.numPartitions, cols, spec.conf)
   }
@@ -519,16 +609,20 @@ private class GribMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] final case class GribStreamOffset(files: List[String])
+/** The checkpointed stream offset: just the last admitted batch id (−1 =
+  * nothing yet); the corresponding file sets live in [[GribFileLog]]. */
+private[sources] final case class GribStreamOffset(batchId: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    org.json4s.jackson.Serialization.write(files)(org.json4s.DefaultFormats)
+    org.json4s.jackson.Serialization.write(Map("batchId" -> batchId))(
+      org.json4s.DefaultFormats)
 }
 
 private[sources] object GribStreamOffset {
   def fromJson(s: String): GribStreamOffset = {
     implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
-    GribStreamOffset(org.json4s.jackson.JsonMethods.parse(s).extract[List[String]])
+    GribStreamOffset(
+      (org.json4s.jackson.JsonMethods.parse(s) \ "batchId").extract[Long])
   }
 }
 
@@ -544,6 +638,9 @@ private object GribCol {
     case "step_hours" => Step
     case "ref_time" => RefTime
     case "value" => Value
+    case other => throw new IllegalArgumentException(
+      s"column '$other' is not in the GribSource schema " +
+        s"(${GribSource.Schema.fieldNames.mkString(", ")})")
   }
 
   /** Contiguous message slices over `numPartitions`, WEIGHT-balanced by
@@ -632,8 +729,12 @@ private class GribReaderFactory extends PartitionReaderFactory {
         current = p.messages(msgIdx)
         cell = 0
         presentBefore = 0
+        // the bitmap only drives `value` decode and NULL-ing — every grid
+        // cell emits a row either way — so a value-pruned scan (count(),
+        // metadata queries) skips the bitmap read AND its O(points)
+        // consistency walk entirely
         bitmap =
-          if (current.bitmapOffset < 0) null
+          if (!needValue || current.bitmapOffset < 0) null
           else readBytes(current.bitmapOffset, (current.points + 7) / 8)
         if (bitmap != null) {
           // the bitmap popcount and section 5's nPresent both size the

@@ -40,9 +40,11 @@ object ForecastStream {
       spark: SparkSession,
       pathGlob: String,
       numPartitions: Int = 8,
-      maxFilesPerTrigger: Int = 0): DataFrame =
+      maxFilesPerTrigger: Int = 0,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
       .format(classOf[graft.sources.GribSource].getName)
+      .options(options) // e.g. maxFileAge, ignoreMissingFiles
       .option("path", pathGlob)
       .option("numPartitions", numPartitions.toString)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

@@ -114,9 +114,114 @@ class GribStreamSpec extends SparkSpec {
   }
 
   test("stream offsets round-trip through their JSON form") {
-    val off = GribStreamOffset(List("/a/b.grib2", "/a/c \"quoted\".grib2"))
+    val off = GribStreamOffset(42L)
     assert(GribStreamOffset.fromJson(off.json()) == off)
-    assert(GribStreamOffset.fromJson(GribStreamOffset(Nil).json()) == GribStreamOffset(Nil))
+    assert(GribStreamOffset.fromJson(GribStreamOffset(-1L).json()) == GribStreamOffset(-1L))
+  }
+
+  test("seen-file log compacts: restart across a compaction boundary, bounded log size") {
+    val dir = Files.createTempDirectory("gribstream-compact")
+    val checkpoint = Files.createTempDirectory("gribckpt-compact")
+    val outDir = Files.createTempDirectory("gribout-compact").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[GribSource].getName)
+        .option("path", s"$dir/*.grib2")
+        .option("numPartitions", "3")
+        .option("maxFilesPerTrigger", "1")
+        .option("fileLogCompactInterval", "2") // compact at batch ids 1, 3, 5, …
+        .load()
+        .writeStream
+        .format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: three files, one per batch → batches 0,1,2; compact at 1
+    for (lt <- Seq("024", "048", "072"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"lt$lt.grib2"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 3L * 7 * 48)
+
+    // run 2 RESTARTS from a checkpoint whose seen set spans the snapshot
+    // at batch 1 plus the delta at 2 — two more files → batches 3
+    // (compact), 4; nothing re-ingested
+    for (lt <- Seq("096", "120"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"lt$lt.grib2"))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 5L * 7 * 48)
+
+    // run 3: nothing new, nothing appended
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 5L * 7 * 48)
+
+    // the side-log holds snapshots + recent deltas only: batch 0's delta
+    // (superseded by two compactions) is gone, and the engine's offset WAL
+    // entries are O(1) — no full file list in any offset file
+    val logFiles = new File(checkpoint.toFile + "/sources/0/filelog").list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(logFiles("3.compact"), s"expected snapshot 3.compact in $logFiles")
+    assert(!logFiles("0"), s"expected batch-0 delta cleaned up, got $logFiles")
+    val offsetJson = Files.readString(
+      checkpoint.resolve("offsets").resolve("4"))
+    assert(offsetJson.contains("\"batchId\":4"), s"offset WAL entry was: $offsetJson")
+    assert(!offsetJson.contains("lt024"), "offset must not carry file lists")
+  }
+
+  test("maxFileAge ignores files older than the newest drop by more than the age") {
+    val dir = Files.createTempDirectory("gribstream-age")
+    val checkpoint = Files.createTempDirectory("gribckpt-age").toString
+    val outDir = Files.createTempDirectory("gribout-age").toString
+    Files.copy(Paths.get(fixture), dir.resolve("stale.grib2"))
+    Files.copy(Paths.get(fixture), dir.resolve("fresh.grib2"))
+    // stale is 2h older than fresh; maxFileAge=1h → only fresh admitted
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(dir.resolve("stale.grib2"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 2 * 3600 * 1000))
+    Files.setLastModifiedTime(dir.resolve("fresh.grib2"),
+      java.nio.file.attribute.FileTime.fromMillis(now))
+    val q = spark.readStream
+      .format(classOf[GribSource].getName)
+      .option("path", s"$dir/*.grib2")
+      .option("numPartitions", "3")
+      .option("maxFileAge", "1h")
+      .load()
+      .writeStream
+      .format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() == 7L * 48) // fresh only
+  }
+
+  test("resolveStatuses: vanished paths fail loudly by default, skip under ignoreMissingFiles") {
+    val dir = Files.createTempDirectory("gribstream-missing")
+    Files.copy(Paths.get(fixture), dir.resolve("present.grib2"))
+    val present = dir.resolve("present.grib2").toString
+    val gone = dir.resolve("vanished.grib2").toString
+    def spec(ignore: Boolean) = GribSpec(s"$dir/*.grib2", 3, 0, 0L, ignore, 10,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val e = intercept[IllegalStateException] {
+      GribModel.resolveStatuses(spec(ignore = false), Seq(present, gone))
+    }
+    assert(e.getMessage.contains("vanished.grib2"))
+    val kept = GribModel.resolveStatuses(spec(ignore = true), Seq(present, gone))
+    assert(kept.map(_.getPath.getName).toSeq == Seq("present.grib2"))
+  }
+
+  test("durations parse with unit suffixes and reject garbage") {
+    assert(GribModel.parseDuration("500ms") == 500L)
+    assert(GribModel.parseDuration("30s") == 30000L)
+    assert(GribModel.parseDuration("45") == 45000L) // bare = seconds
+    assert(GribModel.parseDuration("10m") == 600000L)
+    assert(GribModel.parseDuration("24h") == 24L * 3600 * 1000)
+    assert(GribModel.parseDuration("7d") == 7L * 24 * 3600 * 1000)
+    intercept[IllegalArgumentException](GribModel.parseDuration("soon"))
+    intercept[IllegalArgumentException](GribModel.parseDuration("-5s"))
   }
 
   test("raw-GRIB alerting path: decode → normalize → threshold flags, no parquet hop") {
