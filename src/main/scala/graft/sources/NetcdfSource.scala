@@ -45,9 +45,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    desc coordinates — GloFAS latitude is descending), so an ROI slice
   *    (P10) reads only the matching stripe of the file.
   *
-  * Record (unlimited-dimension) variables are rejected loudly: the
-  * reference's NetCDF inputs are static rasters; interleaved record data
-  * has a different layout and belongs to a streaming source.
+  * Record (unlimited-dimension) variables — the most common real-world
+  * NetCDF shape (time-series rasters) — are supported as of round 11: the
+  * record dimension is always outermost (spec rule), so it doubles as the
+  * partitioning dimension; record slabs interleave on disk (record r of
+  * variable v at `begin_v + r·recsize`), so an executor's ranged read
+  * becomes one strided read PER RECORD of exactly its variable's slab —
+  * column pruning still never touches an unprojected variable's bytes.
+  * For raster-shaped records (MB slabs) that is the same access pattern
+  * as the fixed layout; a file of scalar record vars (tiny slabs) reads
+  * correctly but seek-bound, which is the format's own trade-off.
   *
   * Usage:
   * {{{
@@ -184,10 +191,18 @@ private[sources] final case class NetcdfTableModel(
     header: NcHeader,
     dataVars: Seq[NcVar],
     gridDimIds: Seq[Int],
+    recSize: Long, // byte stride between records (0 = fixed-layout scan)
     coords: Map[Int, Array[Double]], // dimId → coordinate values (or indices)
     conf: SerializableHadoopConf) {
 
-  def gridDims: Seq[NcDim] = gridDimIds.map(header.dims)
+  /** Dimension length with the record dimension resolved to the record
+    * count — every shape/cardinality computation uses this, never the raw
+    * header length (0 for the record dim). */
+  def dimLength(id: Int): Int =
+    if (header.dims(id).length == 0) header.numRecs else header.dims(id).length
+
+  def gridDims: Seq[NcDim] =
+    gridDimIds.map(id => header.dims(id).copy(length = dimLength(id)))
 
   def sparkType(ncType: Int): DataType = ncType match {
     case 1 => ByteType
@@ -248,12 +263,42 @@ private[sources] object NetcdfTableModel {
           s"'${selected.head.name}' spans ${gridDimIds.map(header.dims(_).name)}; " +
           "select one dimension tuple per scan via option 'variables'")
     }
-    gridDimIds.foreach { id =>
+    // record (unlimited) dimension: header length 0; per spec it may only
+    // be a variable's FIRST dimension
+    gridDimIds.tail.foreach { id =>
       require(header.dims(id).length > 0,
-        s"dimension '${header.dims(id).name}' is the record (unlimited) dimension; " +
-          "record variables are not supported by this raster source")
+        s"$path: dimension '${header.dims(id).name}' is the record dimension " +
+          "but not outermost — malformed classic file")
     }
-    NetcdfTableModel(path, numPartitions, maxBytes, header, selected, gridDimIds,
+
+    // Record stride: one record's interleaved slabs across ALL record
+    // variables in the file (not just the selected ones — unselected vars
+    // still occupy their bytes), each padded to 4; the spec's special case
+    // (exactly one record variable) drops the padding.
+    val recordVars = header.vars
+      .filter(v => v.dimIds.headOption.exists(header.dims(_).length == 0))
+    def slab(v: NcVar): Long =
+      v.dimIds.tail.map(header.dims(_).length.toLong).product *
+        NcHeaderParser.typeSize(v.ncType)
+    val recSize =
+      if (recordVars.isEmpty) 0L
+      else if (recordVars.size == 1) slab(recordVars.head)
+      else recordVars.map { v => val s = slab(v); s + ((4 - s % 4) % 4) }.sum
+
+    // numrecs = 0xFFFFFFFF (STREAMING: the writer was still appending) —
+    // derive the actual count from the file length, like the C library
+    val fixedHeader =
+      if (header.numRecs >= 0) header
+      else {
+        require(recordVars.nonEmpty && recSize > 0,
+          s"$path: STREAMING record count but no record variables")
+        val recStart = recordVars.map(_.begin).min
+        header.copy(numRecs = ((fileLen - recStart) / recSize).toInt)
+      }
+
+    val scanIsRecord = fixedHeader.dims(gridDimIds.head).length == 0
+    NetcdfTableModel(path, numPartitions, maxBytes, fixedHeader, selected,
+      gridDimIds, if (scanIsRecord) recSize else 0L,
       Map.empty, new SerializableHadoopConf(conf))
   }
 
@@ -266,15 +311,27 @@ private[sources] object NetcdfTableModel {
       .filter(v => v.dimIds.size == 1 && header.dims(v.dimIds.head).name == v.name)
       .map(v => v.name -> v).toMap
     // Coordinate values per grid dim: the 1-D coordinate variable if one
-    // exists, else the plain index. 1-D → small → read on the driver.
+    // exists, else the plain index. 1-D → small → read on the driver. A
+    // RECORD coordinate var (time(time)) is interleaved with the other
+    // record slabs, so its values come from one strided pass.
     val coords = model.gridDimIds.map { id =>
       val dim = header.dims(id)
+      val len = model.dimLength(id)
       val arr = coordVars.get(dim.name) match {
+        case Some(cv) if dim.length == 0 =>
+          val size = NcHeaderParser.typeSize(cv.ncType)
+          val in = fs.open(new Path(model.path))
+          try Array.tabulate(len) { r =>
+            in.seek(cv.begin + r * model.recSize)
+            val b = new Array[Byte](size)
+            in.readFully(b)
+            readAs(ByteBuffer.wrap(b), 0, cv.ncType)
+          } finally in.close()
         case Some(cv) =>
           val size = NcHeaderParser.typeSize(cv.ncType)
-          val buf = readRange(fs, model.path, cv.begin, dim.length.toLong * size)
-          Array.tabulate(dim.length)(i => readAs(buf, i * size, cv.ncType))
-        case None => Array.tabulate(dim.length)(_.toDouble)
+          val buf = readRange(fs, model.path, cv.begin, len.toLong * size)
+          Array.tabulate(len)(i => readAs(buf, i * size, cv.ncType))
+        case None => Array.tabulate(len)(_.toDouble)
       }
       id -> arr
     }.toMap
@@ -290,6 +347,29 @@ private[sources] object NetcdfTableModel {
       in.readFully(b)
       ByteBuffer.wrap(b) // big-endian by default, matching the format
     } finally in.close()
+  }
+
+  /** Gather read: one `slabSize`-byte slab every `stride` bytes, for outer
+    * indices [from, to) — the record-variable access pattern — returned as
+    * one contiguous buffer the reader indexes exactly like a fixed range. */
+  def readStrided(fs: FileSystem, path: String, begin: Long, stride: Long,
+      slabSize: Long, from: Int, to: Int): ByteBuffer = {
+    val total = (to - from).toLong * slabSize
+    require(total >= 0 && total <= Int.MaxValue,
+      s"strided read of $total bytes exceeds buffer limit")
+    val out = new Array[Byte](total.toInt)
+    val in = fs.open(new Path(path))
+    try {
+      var r = from
+      var off = 0
+      while (r < to) {
+        in.seek(begin + r * stride)
+        in.readFully(out, off, slabSize.toInt)
+        r += 1
+        off += slabSize.toInt
+      }
+    } finally in.close()
+    ByteBuffer.wrap(out)
   }
 
   def readAs(buf: ByteBuffer, off: Int, ncType: Int): Double = ncType match {
@@ -386,7 +466,7 @@ private class NetcdfScan(
     * threshold raster against a big fact scan instead of shuffling both. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = (outerHi - outerLo).toLong *
-      model.gridDimIds.tail.map(model.header.dims(_).length.toLong).product
+      model.gridDimIds.tail.map(model.dimLength(_).toLong).product
     private val rowBytes = required.fields.map(_.dataType.defaultSize.toLong).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * rowBytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
@@ -401,7 +481,7 @@ private class NetcdfScan(
     // takes, never tripping the Int.MaxValue buffer limit. A single outer
     // row wider than the ceiling is the floor (inner dims are contiguous
     // on disk and not splittable without a different layout).
-    val innerCount = model.gridDimIds.tail.map(model.header.dims(_).length.toLong).product
+    val innerCount = model.gridDimIds.tail.map(model.dimLength(_).toLong).product
     val widestVar = readVars.map(v => innerCount * NcHeaderParser.typeSize(v.ncType))
       .foldLeft(0L)(math.max)
     // bound the MAXIMUM partition, not the average: contiguous splitting
@@ -423,11 +503,15 @@ private class NetcdfScan(
           fillBits = None, coords = model.coords(id))
       } else {
         val v = readVars.find(_.name == f.name).get
+        // outer-step byte stride: the variable's own slab for the fixed
+        // layout, the whole interleaved record for a record scan
+        val slabSize = innerCount * NcHeaderParser.typeSize(v.ncType)
         NcColumnSpec(f.name, isDim = false, dimPos = -1, ncType = v.ncType, begin = v.begin,
+          stride = if (model.recSize > 0) model.recSize else slabSize,
           fillBits = v.fillValue, coords = Array.empty)
       }
     }
-    val dimLengths = model.gridDimIds.map(model.header.dims(_).length).toArray
+    val dimLengths = model.gridDimIds.map(model.dimLength).toArray
     (0 until n).map { p =>
       val from = outerLo + (span * p) / n
       val to = outerLo + (span * (p + 1)) / n
@@ -443,7 +527,8 @@ private class NetcdfScan(
   * or a data variable (file begin offset + fill value for NULL mapping). */
 private final case class NcColumnSpec(
     name: String, isDim: Boolean, dimPos: Int, ncType: Int, begin: Long,
-    fillBits: Option[Double], coords: Array[Double])
+    stride: Long = 0L, fillBits: Option[Double] = None,
+    coords: Array[Double] = Array.empty)
 
 private final case class NetcdfPartition(
     path: String, outerFrom: Int, outerTo: Int, innerCount: Long,
@@ -457,15 +542,22 @@ private class NetcdfReaderFactory extends PartitionReaderFactory {
       private val rows: Long = (p.outerTo - p.outerFrom).toLong * p.innerCount
       private var cell: Long = -1
       // Ranged read per projected variable: [begin + outerFrom·stride,
-      // begin + outerTo·stride) — executors touch only their slice's bytes.
+      // begin + outerTo·stride) — executors touch only their slice's
+      // bytes. A record variable (stride > its own slab: other variables'
+      // records interleave) gathers one slab per record instead; either
+      // way the buffer holds ONLY this variable's cells, contiguous.
       private lazy val buffers: Array[ByteBuffer] = {
         val fs = FileSystem.get(new Path(p.path).toUri, p.conf.value)
         p.cols.map { c =>
           if (c.isDim) null
           else {
-            val stride = p.innerCount * NcHeaderParser.typeSize(c.ncType)
-            NetcdfTableModel.readRange(fs, p.path, c.begin + p.outerFrom * stride,
-              (p.outerTo - p.outerFrom) * stride)
+            val slabSize = p.innerCount * NcHeaderParser.typeSize(c.ncType)
+            if (c.stride == slabSize)
+              NetcdfTableModel.readRange(fs, p.path, c.begin + p.outerFrom * c.stride,
+                (p.outerTo - p.outerFrom) * slabSize)
+            else
+              NetcdfTableModel.readStrided(fs, p.path, c.begin, c.stride, slabSize,
+                p.outerFrom, p.outerTo)
           }
         }
       }

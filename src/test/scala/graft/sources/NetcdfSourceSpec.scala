@@ -141,11 +141,60 @@ class NetcdfSourceSpec extends SparkSpec {
     assert(rows == want)
   }
 
-  test("record (unlimited) dimension variables are rejected loudly") {
-    val f = writeCdf(tmp("rec.nc"), 1, Seq("t" -> 0, "x" -> 2),
-      Seq(V("v", Seq(0, 1), 4, Seq())), numRecs = 3)
+  test("record (unlimited) dimension: committed fixture reads to the mirror, " +
+    "time slicing pushes to record bounds") {
+    val f = new File("data/netcdf/timeseries.nc").getAbsolutePath
+    val mirror = new File("data/netcdf/timeseries_expected.parquet").getAbsolutePath
+    val df = spark.read.format(classOf[NetcdfSource].getName)
+      .option("path", f)
+      .option("variables", "discharge,temp")
+      .option("numPartitions", "3")
+      .load()
+    assert(df.schema.fieldNames.toSeq == Seq("time", "lat", "lon", "discharge", "temp"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), Option(r.get(3)), r.getDouble(4))
+    assert(df.collect().map(key).toSet ==
+      spark.read.parquet(mirror).collect().map(key).toSet)
+    assert(df.count() == 4L * 6 * 8)
+    // record-coordinate range predicate → outer (record) index bounds: the
+    // sliced scan reads records 2..3 only
+    val sliced = df.filter(col("time") >= 86400.0 * 3)
+    assert(sliced.count() == 2L * 6 * 8)
+    val scanDesc = sliced.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("timeIdx=[2,4)"), s"expected pushed record bounds in: $scanDesc")
+  }
+
+  test("record layout: single record variable uses the spec's no-padding special case") {
+    // v(t, x) int16 with x=3 → 6-byte record slab; with ONE record var the
+    // slabs pack WITHOUT padding to 4, so record r starts at begin + r*6 —
+    // a padded-stride reader would misread records past the first
+    val f = writeCdf(tmp("rec1.nc"), 1, Seq("t" -> 0, "x" -> 3),
+      Seq(V("v", Seq(0, 1), 3, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9))), numRecs = 3)
+    val rows = nc(f).collect().map(r => (r.getDouble(0), r.getDouble(1), r.getShort(2))).toSet
+    val want = (for (t <- 0 until 3; x <- 0 until 3)
+      yield (t.toDouble, x.toDouble, (t * 3 + x + 1).toShort)).toSet
+    assert(rows == want)
+  }
+
+  test("record layout: STREAMING numrecs (0xFFFFFFFF) derives the count from the file length") {
+    // two record vars (padded interleave) so the stride math is non-trivial
+    val f = writeCdf(tmp("recstream.nc"), 1, Seq("t" -> 0, "x" -> 2), Seq(
+      V("a", Seq(0, 1), 3, Seq(1, 2, 3, 4, 5, 6)),           // i16, slab 4 → padded 4
+      V("b", Seq(0, 1), 6, Seq(10, 20, 30, 40, 50, 60))),    // f8, slab 16
+      numRecs = 3)
+    // patch numrecs to the STREAMING sentinel
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try { raf.seek(4); raf.writeInt(-1) } finally raf.close()
+    val df = nc(f)
+    assert(df.count() == 3L * 2)
+    assert(df.agg(sum(col("a")), sum(col("b"))).collect().head.toSeq == Seq(21L, 210.0))
+  }
+
+  test("a record dimension that is not outermost is rejected loudly") {
+    val f = writeCdf(tmp("recbad.nc"), 1, Seq("x" -> 2, "t" -> 0),
+      Seq(V("v", Seq(0, 1), 4, Seq(1, 2, 3, 4))), numRecs = 2)
     val e = intercept[IllegalArgumentException] { nc(f).collect() }
-    assert(e.getMessage.contains("record"))
+    assert(e.getMessage.contains("not outermost"))
   }
 
   test("maxBytesPerPartition bounds the LARGEST partition, not the average") {

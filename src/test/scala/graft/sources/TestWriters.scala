@@ -114,10 +114,25 @@ object CdfTestWriter {
     case 6 => out.writeDouble(x)
   }
 
-  /** Header + data for fixed-size vars (CDF-1 or CDF-2); returns `file`. */
+  /** Header + data, CDF-1 or CDF-2. A var whose FIRST dim has length 0 is
+    * a RECORD variable: its `data` holds numRecs records row-major, and on
+    * disk the record vars interleave per record (slabs padded to 4 unless
+    * there is exactly one record variable — the spec's special case).
+    * Returns `file`. */
   def write(file: String, version: Int, dims: Seq[(String, Int)], vars: Seq[V],
       numRecs: Int = 0): String = {
-    def headerBytes(begins: Seq[Long]): Array[Byte] = {
+    def isRec(v: V): Boolean = v.dimIds.headOption.exists(dims(_)._2 == 0)
+    val (recVars, fixedVars) = vars.partition(isRec)
+    // one record's slab in bytes (record vars) / the whole var (fixed)
+    def slabBytes(v: V): Int =
+      if (isRec(v)) v.dimIds.tail.map(dims(_)._2).product * sizes(v.ncType)
+      else v.data.size * sizes(v.ncType)
+    def slabPadded(v: V): Int = { val s = slabBytes(v); s + (4 - s % 4) % 4 }
+    val recStep: Map[String, Int] = // on-disk stride contribution per record var
+      if (recVars.size == 1) Map(recVars.head.name -> slabBytes(recVars.head))
+      else recVars.map(v => v.name -> slabPadded(v)).toMap
+
+    def headerBytes(begins: Map[String, Long]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       out.writeBytes("CDF"); out.writeByte(version); out.writeInt(numRecs)
@@ -126,7 +141,7 @@ object CdfTestWriter {
         dims.foreach { case (n, len) => name(out, n); out.writeInt(len) } }
       out.writeInt(0); out.writeInt(0) // no global atts
       out.writeInt(11); out.writeInt(vars.size)
-      vars.zip(begins).foreach { case (v, begin) =>
+      vars.foreach { v =>
         name(out, v.name); out.writeInt(v.dimIds.size); v.dimIds.foreach(out.writeInt)
         v.fill match {
           case Some(f) =>
@@ -136,26 +151,35 @@ object CdfTestWriter {
           case None => out.writeInt(0); out.writeInt(0)
         }
         out.writeInt(v.ncType)
-        val vsize = v.data.size * sizes(v.ncType)
-        out.writeInt(vsize + (4 - vsize % 4) % 4)
-        if (version == 1) out.writeInt(begin.toInt) else out.writeLong(begin)
+        out.writeInt(slabPadded(v)) // vsize (informational; parser recomputes)
+        if (version == 1) out.writeInt(begins(v.name).toInt)
+        else out.writeLong(begins(v.name))
       }
       out.flush(); bos.toByteArray
     }
-    val hdrLen = headerBytes(vars.map(_ => 0L)).length.toLong
+    val hdrLen = headerBytes(vars.map(_.name -> 0L).toMap).length.toLong
+    // fixed vars contiguous after the header, then the record section
     var off = hdrLen
-    val begins = vars.map { v =>
-      val b = off
-      val vsize = v.data.size * sizes(v.ncType)
-      off += vsize + (4 - vsize % 4) % 4
-      b
-    }
+    val fixedBegins = fixedVars.map { v =>
+      val b = off; off += slabPadded(v); v.name -> b
+    }.toMap
+    var recOff = off
+    val recBegins = recVars.map { v =>
+      val b = recOff; recOff += recStep(v.name); v.name -> b
+    }.toMap
     val out = new DataOutputStream(new FileOutputStream(file))
     try {
-      out.write(headerBytes(begins))
-      vars.foreach { v =>
+      out.write(headerBytes(fixedBegins ++ recBegins))
+      fixedVars.foreach { v =>
         v.data.foreach(writeVal(out, v.ncType, _))
         pad(out, v.data.size * sizes(v.ncType))
+      }
+      (0 until numRecs).foreach { r =>
+        recVars.foreach { v =>
+          val perRec = slabBytes(v) / sizes(v.ncType)
+          v.data.slice(r * perRec, (r + 1) * perRec).foreach(writeVal(out, v.ncType, _))
+          if (recVars.size > 1) pad(out, slabBytes(v))
+        }
       }
     } finally out.close()
     file
