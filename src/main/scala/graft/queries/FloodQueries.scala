@@ -192,6 +192,16 @@ object FloodQueries {
     new java.io.File("data/grib/forecast.grib2").getAbsolutePath
   private lazy val gribExpected =
     new java.io.File("data/grib/forecast_expected.parquet").getAbsolutePath
+  private lazy val gribBigday =
+    new java.io.File("data/grib/bigday.grib2").getAbsolutePath
+  private lazy val gribBigdayExpected =
+    new java.io.File("data/grib/bigday_expected.parquet").getAbsolutePath
+  private lazy val netcdfSparseExpected =
+    new java.io.File("data/netcdf/sparse2g_expected.parquet").getAbsolutePath
+  private lazy val netcdfRecordFixture =
+    new java.io.File("data/netcdf/timeseries.nc").getAbsolutePath
+  private lazy val netcdfRecordExpected =
+    new java.io.File("data/netcdf/timeseries_expected.parquet").getAbsolutePath
 
   // ---------------------------------------------------------------- registry
 
@@ -262,6 +272,50 @@ object FloodQueries {
       .option("numPartitions", "3")
       .load()
       .filter(col("number").isNotNull && col("step_hours") === 24)),
+
+    // The full-ensemble-width day in ONE file: 51 members × 6 steps = 306
+    // messages — past the 255 boundary a byte-sized index field would
+    // silently wrap at, and past one-message-per-member assumptions.
+    // Aggregated per (member, step) so the oracle checks every message
+    // decoded (count + bit-exact sum), 306 rows out.
+    // (sum is over value·20 — an exact integer by the packing parameters
+    // (E=−1, D=1 → multiples of 1/20) — because a float SUM is addition-
+    // order-sensitive and the gate compares exact.)
+    "q_grib_bigday" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribBigday)
+      .option("numPartitions", "5")
+      .load()
+      .groupBy(col("number"), col("step_hours"))
+      .agg(
+        count(lit(1)).as("cells"),
+        sum(round(col("value") * 20).cast("long")).as("sum_scaled"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))),
+
+    // CDF-2 with data variables past 2^31: the sparse fixture is written
+    // on demand (SparseCdf2Fixture — git cannot carry the holes) and the
+    // committed mirror is computed independently by
+    // tools/make_netcdf_sparse_fixture.py. Projection + outer-dim slice +
+    // NA-drop all land at I/O offsets > 2.5 GB.
+    // Record (unlimited) dimension: time-series raster with TWO record
+    // variables (slabs interleave per record — the strided-read path) plus
+    // a record coordinate var; fixture tools/make_netcdf_record_fixture.py.
+    "q_netcdf_record" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdfRecordFixture)
+      .option("variables", "discharge,temp")
+      .option("numPartitions", "3")
+      .load()),
+
+    "q_netcdf_sparse" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", graft.sources.SparseCdf2Fixture.ensure())
+      .option("variables", "discharge,uparea")
+      .option("numPartitions", "3")
+      .load()
+      .filter(col("lat") >= 15.0)
+      .na.drop(Seq("discharge"))),
 
     // U1: control + perturbed ensemble union
     "q_ensemble_union" -> ((s, dir) => {
@@ -494,6 +548,21 @@ object FloodQueries {
     "q_grib_member" ->
       s"""SELECT * FROM read_parquet('$gribExpected')
          |WHERE number IS NOT NULL AND step_hours = 24""".stripMargin,
+
+    "q_grib_bigday" ->
+      s"""SELECT number, step_hours, COUNT(*) AS cells,
+         |  CAST(SUM(CAST(ROUND(value * 20) AS BIGINT)) AS BIGINT) AS sum_scaled,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM read_parquet('$gribBigdayExpected')
+         |GROUP BY number, step_hours""".stripMargin,
+
+    "q_netcdf_record" ->
+      s"SELECT * FROM read_parquet('$netcdfRecordExpected')",
+
+    "q_netcdf_sparse" ->
+      s"""SELECT lat, lon, discharge, uparea
+         |FROM read_parquet('$netcdfSparseExpected')
+         |WHERE lat >= CAST(15.0 AS DOUBLE) AND discharge IS NOT NULL""".stripMargin,
 
     "q_netcdf_raster" ->
       s"SELECT * FROM read_parquet('$netcdfExpected')",
