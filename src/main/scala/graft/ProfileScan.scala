@@ -37,7 +37,12 @@ object ProfileScan {
       .option("path", path).option("numPartitions", cpus).load()
     val valueCol = if (kind == "grib") "value" else scan.columns.last
 
+    // the cold count pays driver indexing (header walk of every file) +
+    // first-job overhead — time it separately so the indexing cost of a
+    // multi-file day is visible, not buried
+    val tCold = System.nanoTime()
     val total = scan.count()
+    println(f"cold count (incl. driver index)  ${(System.nanoTime() - tCold) / 1e9}%6.2f s  $total%,12d cells")
     def time(label: String)(f: => Unit): Unit = {
       val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -58,6 +63,9 @@ object ProfileScan {
         scan.columns.map(c => sum(col(c).cast("double")).as(s"s_$c")).head,
         scan.columns.map(c => sum(col(c).cast("double")).as(s"s_$c")).tail: _*
       ).collect())
+    val rss = scala.io.Source.fromFile("/proc/self/status").getLines()
+      .collectFirst { case l if l.startsWith("VmHWM:") => l.split("\\s+")(1).toLong / 1024 }
+    println(s"driver peak RSS ${rss.getOrElse(-1L)} MB")
     spark.stop()
   }
 }

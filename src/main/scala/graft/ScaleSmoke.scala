@@ -3,40 +3,96 @@ package graft
 import graft.config.FloodConfig
 import graft.pipeline.{ForecastPipeline, Sinks}
 import graft.queries.FloodShaped
-import graft.transforms.ThresholdPercentages
-import org.apache.spark.sql.SparkSession
+import graft.transforms.{Normalize, ThresholdPercentages}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full-size E1 smoke (dev tool, not part of the driver contract): the
-  * whole daily pipeline — flood-shaped inputs → threshold percentages →
-  * control join → summary → geometry → relevance filter → partitioned
-  * parquet sinks — at whatever SF `SPARK_GRAFT_SF_DIR` points to, in the
-  * production configuration (Approx percentile mode, AQE partition
-  * planning). Prints stage row counts and wall time; any stage failing or
-  * returning zero rows exits nonzero. This is the "would the operational
-  * job run end to end at scale" check, distinct from the per-operator
-  * correctness gate (sf0.01 DuckDB hashes) and the bench (min-of-3
-  * timings). */
+  * whole daily pipeline — inputs → threshold percentages → control join →
+  * summary → geometry → relevance filter → partitioned parquet sinks — in
+  * the production configuration (Approx percentile mode, AQE partition
+  * planning). Prints stage row counts, wall time and the driver JVM's peak
+  * RSS; any stage failing or returning zero rows exits nonzero. This is
+  * the "would the operational job run end to end at scale" check, distinct
+  * from the per-operator correctness gate (sf0.01 DuckDB hashes) and the
+  * bench (min-of-3 timings).
+  *
+  * Two input modes:
+  *  - default: flood-shaped parquet at `SPARK_GRAFT_SF_DIR`;
+  *  - with a GRIB glob argument (`runMain graft.ScaleSmoke` on the
+  *    `.grib2` glob under tools/make_glofas_day.py's output): a RAW GRIB
+  *    day (30 files × 51 members × 644k cells ≈ 985 M cells, the
+  *    reference's full operational scale) read straight through
+  *    [[graft.sources.GribSource]] + `Normalize.fromGrib`, with per-cell
+  *    thresholds synthesized on the executors — measuring the reference's
+  *    whole day INCLUDING ingest, no parquet hop.
+  */
 object ScaleSmoke {
+
+  /** Per-cell return-period thresholds for the synthetic GloFAS grid
+    * (tools/make_glofas_day.py geometry), generated distributed — 644k
+    * rows, deterministic in the cell id, spanning the generator's 0..655
+    * value range so the exceedance branches all see traffic. */
+  private def syntheticThresholds(spark: SparkSession, precision: Int): DataFrame = {
+    val ni = 1400L
+    val nj = 460L
+    Normalize.roundKeys(
+      spark.range(ni * nj).select(
+        (lit(17.975) - floor(col("id") / ni) * 0.05).as("latitude"),
+        (lit(-17.975) + (col("id") % ni) * 0.05).as("longitude"),
+        (lit(100.0) + (col("id") % 400).cast("double")).as("threshold_2y"),
+        ((lit(100.0) + (col("id") % 400)) * 1.6).as("threshold_5y"),
+        ((lit(100.0) + (col("id") % 400)) * 3.2).as("threshold_20y")),
+      precision)
+  }
+
+  private def peakRssMb(): Long = {
+    val src = scala.io.Source.fromFile("/proc/self/status")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("VmHWM:") => l.split("\\s+")(1).toLong / 1024
+    }.getOrElse(-1L)
+    finally src.close()
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the per-cell threshold/control tables are dimension-sized (644k
+      // rows ≈ 25 MB at GloFAS scale) — above the 10 MB default, far below
+      // what an executor holds; a production cluster raises this so the
+      // 985M-row fact side never shuffles for those joins
+      .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val cfg = FloodConfig()
     val outDir = java.nio.file.Files.createTempDirectory("e1smoke").toString
     val t0 = System.nanoTime()
-    val out = ForecastPipeline.run(
-      FloodShaped.forecast(spark, sfDir),
-      FloodShaped.thresholds(spark, sfDir),
-      FloodConfig(),
-      mode = ThresholdPercentages.Approx) // the 100 TB default: sketches
+    val (label, forecasts, thresholds) = args.headOption match {
+      case Some(glob) => // raw GRIB day: ingest is part of the measurement
+        val grib = spark.read
+          .format(classOf[graft.sources.GribSource].getName)
+          .option("path", glob)
+          .option("numPartitions", cpus)
+          .load()
+        (glob, Normalize.fromGrib(grib, cfg.precision),
+          syntheticThresholds(spark, cfg.precision))
+      case None =>
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        (sfDir, FloodShaped.forecast(spark, sfDir), FloodShaped.thresholds(spark, sfDir))
+    }
+    // percentile mode: the ensemble group is bounded (≤51 members) so the
+    // one-buffer exact summary is both correct and cheap at any corpus
+    // size; `approx` as arg 2 measures the sketch path instead
+    val mode =
+      if (args.lift(1).contains("approx")) ThresholdPercentages.Approx
+      else ThresholdPercentages.ExactOnePass
+    val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode)
     // both outputs written the way the daily job writes them: detailed
     // partitioned by issue date (hive layout), summary flat
     Sinks.writePartitioned(
@@ -47,7 +103,8 @@ object ScaleSmoke {
     val detailedRows = spark.read.parquet(s"$outDir/detailed").count()
     val summaryRows = spark.read.parquet(s"$outDir/summary").count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"E1 @ $sfDir: detailed=$detailedRows rows, summary=$summaryRows rows, ${secs}%.2f s")
+    println(f"E1 @ $label: detailed=$detailedRows rows, summary=$summaryRows rows, " +
+      f"${secs}%.2f s, driver peak RSS ${peakRssMb()} MB")
     spark.stop()
     require(detailedRows > 0 && summaryRows > 0, "E1 smoke produced an empty output")
   }
