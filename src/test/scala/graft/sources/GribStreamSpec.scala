@@ -254,6 +254,71 @@ class GribStreamSpec extends SparkSpec {
     assert(out.filter(col("exceed_2y") === 1).count() == 7)
   }
 
+  test("E1 alert stream over a full day with a mid-run kill: restart drains the " +
+    "backlog, output == batch run, exactly once") {
+    import graft.streaming.ForecastStream
+    import graft.transforms.Normalize
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gribstream-e1")
+    val checkpoint = Files.createTempDirectory("gribckpt-e1")
+    val outDir = Files.createTempDirectory("gribout-e1").toString
+    // six leadtime drops — the operational day shape in miniature
+    for (lt <- Seq("024", "048", "072", "096", "120", "144"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"lt$lt.grib2"))
+    val thresholds = Seq(
+      (17.975, -17.925, 0.1, 0.2, 1.0e9),
+      (17.975, -17.875, 50.0, 100.0, 200.0))
+      .toDF("latitude", "longitude", "threshold_2y", "threshold_5y", "threshold_20y")
+
+    def startQuery() = ForecastStream.gribExceedances(
+        ForecastStream.readGrib(spark, s"$dir/*.grib2", numPartitions = 3,
+          maxFilesPerTrigger = 1), thresholds)
+      .writeStream
+      .format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow()).start()
+
+    // the first attempt is KILLED as soon as its first batch commits —
+    // mid-run, with most of the day still pending (one file per trigger)
+    val q1 = startQuery()
+    val firstCommit = new File(checkpoint.toFile, "commits/0")
+    val deadline = System.currentTimeMillis() + 60000
+    while (!firstCommit.exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    assert(firstCommit.exists(), "first batch never committed")
+    q1.stop()
+    q1.awaitTermination()
+
+    // a restart from the same checkpoint must drain exactly the remainder
+    val q2 = startQuery()
+    q2.awaitTermination(120000)
+    val commits = new File(checkpoint.toFile, "commits").list()
+      .filterNot(_.startsWith(".")).map(_.toInt).toSet
+    assert(commits == (0 to 5).toSet, s"expected 6 committed batches, got $commits")
+
+    // batch reference: the same glob through the BATCH scan and the same
+    // normalize → broadcast threshold join → indicator chain
+    val batchGrib = spark.read.format(classOf[GribSource].getName)
+      .option("path", s"$dir/*.grib2").option("numPartitions", "3").load()
+    val batch = Seq(2, 5, 20).foldLeft(
+      Normalize.fromGrib(batchGrib, 3)
+        .join(broadcast(Normalize.roundKeys(thresholds, 3)),
+          Seq("latitude", "longitude"), "left")) { (df, n) =>
+      df.withColumn(s"exceed_${n}y",
+        when(col("dis24") >= col(s"threshold_${n}y"), 1).otherwise(0))
+    }
+    // multiset equality (the six identical drops make legitimate duplicate
+    // rows, so a set compare would mask double-ingestion — exceptAll both
+    // ways catches dupes AND losses across the kill/restart boundary)
+    val streamed = spark.read.parquet(outDir) // reads via _spark_metadata:
+    // any orphan part-file from the killed attempt is invisible
+    val cols = batch.columns.map(col).toSeq
+    assert(streamed.count() == 6L * (7 * 48 - 3)) // bitmap-missing cells dropped
+    assert(streamed.select(cols: _*).exceptAll(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).exceptAll(streamed.select(cols: _*)).isEmpty)
+  }
+
   test("downstream transforms run per micro-batch (member filter + aggregation)") {
     val dir = Files.createTempDirectory("gribstream-agg")
     val checkpoint = Files.createTempDirectory("gribckpt-agg").toString
