@@ -40,7 +40,7 @@ object FloodQueries {
   private val detailedMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val pipelineMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ForecastPipeline.Outputs]()
   private def detailed(s: SparkSession, dir: String): DataFrame =
     detailedMemo.computeIfAbsent((s, dir), { case (sess, d) =>
       ThresholdPercentages(
@@ -51,6 +51,24 @@ object FloodQueries {
         // FiveNumberSummarySpec), still matching DuckDB quantile_cont
         ThresholdPercentages.ExactOnePass).cache()
     })
+
+  /** Drop every memoized plan built on `session`, unpersisting its cached
+    * data — the lifecycle hook for a long-lived server embedding this
+    * registry (the per-process bench/Verify mains never need it: their
+    * memo dies with the JVM). Safe to call at any time; the next query
+    * call rebuilds lazily. */
+  def releaseMemos(session: SparkSession): Unit = {
+    detailedMemo.entrySet().removeIf { e =>
+      val hit = e.getKey._1 eq session
+      if (hit) { e.getValue.unpersist(); () }
+      hit
+    }
+    pipelineMemo.entrySet().removeIf { e =>
+      val hit = e.getKey._1 eq session
+      if (hit) e.getValue.release()
+      hit
+    }
+  }
 
   /** Control slice: step-1 median as the control discharge
     * (reference: databricks/glofas-forecast-computation.py:180-182). */
@@ -390,15 +408,17 @@ object FloodQueries {
     // Memoized per (session, dir) like `detailed`: run() caches its
     // fan-out subplan and expects release() after consumption, which a
     // registry entry cannot call — one shared instance per session keeps
-    // the CacheManager at a single pinned entry across bench's 3 runs.
+    // the CacheManager at a single pinned entry across bench's 3 runs;
+    // the memo keeps the whole Outputs so [[releaseMemos]] can call its
+    // release() when an embedding retires the session.
     "q_pipeline_e2e" -> ((s, dir) => pipelineMemo.computeIfAbsent((s, dir), {
       case (sess, d) =>
         ForecastPipeline.run(
           FloodShaped.forecast(sess, d),
           FloodShaped.thresholds(sess, d),
           cfg,
-          mode = ThresholdPercentages.ExactOnePass).detailed
-    })),
+          mode = ThresholdPercentages.ExactOnePass)
+    }).detailed),
 
     // P11: WKT polygon construction
     "q_geometry_wkt" -> ((s, dir) =>
