@@ -63,9 +63,7 @@ object ProfileScan {
         scan.columns.map(c => sum(col(c).cast("double")).as(s"s_$c")).head,
         scan.columns.map(c => sum(col(c).cast("double")).as(s"s_$c")).tail: _*
       ).collect())
-    val rss = scala.io.Source.fromFile("/proc/self/status").getLines()
-      .collectFirst { case l if l.startsWith("VmHWM:") => l.split("\\s+")(1).toLong / 1024 }
-    println(s"driver peak RSS ${rss.getOrElse(-1L)} MB")
+    println(s"driver peak RSS ${ScaleSmoke.peakRssMb()} MB")
     spark.stop()
   }
 }

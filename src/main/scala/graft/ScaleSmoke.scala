@@ -9,24 +9,27 @@ import org.apache.spark.sql.functions._
 
 /** Full-size E1 smoke (dev tool, not part of the driver contract): the
   * whole daily pipeline — inputs → threshold percentages → control join →
-  * summary → geometry → relevance filter → partitioned parquet sinks — in
-  * the production configuration (Approx percentile mode, AQE partition
-  * planning). Prints stage row counts, wall time and the driver JVM's peak
-  * RSS; any stage failing or returning zero rows exits nonzero. This is
-  * the "would the operational job run end to end at scale" check, distinct
-  * from the per-operator correctness gate (sf0.01 DuckDB hashes) and the
-  * bench (min-of-3 timings).
+  * summary → geometry → relevance filter → partitioned parquet sinks.
+  * Prints stage row counts, wall time and the driver JVM's peak RSS; any
+  * stage failing or returning zero rows exits nonzero. This is the "would
+  * the operational job run end to end at scale" check, distinct from the
+  * per-operator correctness gate (sf0.01 DuckDB hashes) and the bench
+  * (min-of-3 timings).
   *
-  * Two input modes:
-  *  - default: flood-shaped parquet at `SPARK_GRAFT_SF_DIR`;
-  *  - with a GRIB glob argument (`runMain graft.ScaleSmoke` on the
-  *    `.grib2` glob under tools/make_glofas_day.py's output): a RAW GRIB
-  *    day (30 files × 51 members × 644k cells ≈ 985 M cells, the
-  *    reference's full operational scale) read straight through
-  *    [[graft.sources.GribSource]] + `Normalize.fromGrib`, with per-cell
-  *    thresholds synthesized on the executors — measuring the reference's
-  *    whole day INCLUDING ingest, no parquet hop.
-  */
+  * Input mode: a GRIB glob argument (the `.grib2` glob under
+  * tools/make_glofas_day.py's output) reads a RAW GRIB day (30 files ×
+  * 51 members × 644k cells ≈ 985 M cells, the reference's full
+  * operational scale) straight through [[graft.sources.GribSource]] +
+  * `Normalize.fromGrib`, with per-cell thresholds synthesized on the
+  * executors — measuring the whole day INCLUDING ingest, no parquet hop.
+  * Without it, flood-shaped parquet at `SPARK_GRAFT_SF_DIR`.
+  *
+  * Percentile mode: `ExactOnePass` by default — the ensemble group is
+  * bounded (≤51 members), so the one-buffer exact summary is both correct
+  * and cheap at ANY corpus size (measured equivalent to sketches on the
+  * full 985 M-cell day, BASELINE.md round-11 note); pass `approx` as any
+  * argument to exercise the `percentile_approx` sketch path instead (the
+  * right mode only when group WIDTH, not group count, grows). */
 object ScaleSmoke {
 
   /** Per-cell return-period thresholds for the synthetic GloFAS grid
@@ -46,7 +49,9 @@ object ScaleSmoke {
       precision)
   }
 
-  private def peakRssMb(): Long = {
+  /** Driver JVM peak RSS (VmHWM) in MB; −1 outside Linux. Shared by the
+    * profiling mains. */
+  private[graft] def peakRssMb(): Long = {
     val src = scala.io.Source.fromFile("/proc/self/status")
     try src.getLines().collectFirst {
       case l if l.startsWith("VmHWM:") => l.split("\\s+")(1).toLong / 1024
@@ -73,7 +78,8 @@ object ScaleSmoke {
     val cfg = FloodConfig()
     val outDir = java.nio.file.Files.createTempDirectory("e1smoke").toString
     val t0 = System.nanoTime()
-    val (label, forecasts, thresholds) = args.headOption match {
+    val (modeArgs, pathArgs) = args.partition(a => a == "approx" || a == "exact")
+    val (label, forecasts, thresholds) = pathArgs.headOption match {
       case Some(glob) => // raw GRIB day: ingest is part of the measurement
         val grib = spark.read
           .format(classOf[graft.sources.GribSource].getName)
@@ -86,11 +92,8 @@ object ScaleSmoke {
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         (sfDir, FloodShaped.forecast(spark, sfDir), FloodShaped.thresholds(spark, sfDir))
     }
-    // percentile mode: the ensemble group is bounded (≤51 members) so the
-    // one-buffer exact summary is both correct and cheap at any corpus
-    // size; `approx` as arg 2 measures the sketch path instead
     val mode =
-      if (args.lift(1).contains("approx")) ThresholdPercentages.Approx
+      if (modeArgs.contains("approx")) ThresholdPercentages.Approx
       else ThresholdPercentages.ExactOnePass
     val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode)
     // both outputs written the way the daily job writes them: detailed

@@ -40,7 +40,35 @@ private[sources] class GribFileLog(
   private val fs: FileSystem = FileSystem.get(logDir.toUri, conf.value)
   fs.mkdirs(logDir)
 
-  private def isCompactId(id: Long): Boolean = (id + 1) % compactInterval == 0
+  /** The interval the log was CREATED with wins over the configured one:
+    * compact snapshots are located by id arithmetic over file names, so
+    * reinterpreting an existing layout under a different interval would
+    * look for snapshots that don't exist (or trip the contiguity check)
+    * and brick the checkpoint. Persisted in `_meta` on first use; a
+    * changed option takes effect only with a fresh checkpoint (warned). */
+  private val effectiveInterval: Int = {
+    val metaFile = new Path(logDir, "_meta")
+    if (fs.exists(metaFile)) {
+      val in = fs.open(metaFile)
+      val persisted =
+        try (JsonMethods.parse(new String(in.readAllBytes(), UTF_8))
+          \ "compactInterval").extract[Int]
+        finally in.close()
+      if (persisted != compactInterval)
+        org.slf4j.LoggerFactory.getLogger(classOf[GribFileLog]).warn(
+          s"fileLogCompactInterval=$compactInterval ignored: the log at " +
+            s"$logDir was created with compactInterval=$persisted, which " +
+            "governs its on-disk layout; restart with a fresh checkpoint " +
+            "to change it")
+      persisted
+    } else {
+      writeBytesAtomic(metaFile,
+        Serialization.write(Map("compactInterval" -> compactInterval)).getBytes(UTF_8))
+      compactInterval
+    }
+  }
+
+  private def isCompactId(id: Long): Boolean = (id + 1) % effectiveInterval == 0
   private def fileFor(id: Long): Path =
     new Path(logDir, if (isCompactId(id)) s"$id.compact" else id.toString)
 
@@ -63,10 +91,13 @@ private[sources] class GribFileLog(
     finally in.close()
   }
 
-  private def writeAtomic(p: Path, entries: Seq[GribFileEntry]): Unit = {
+  private def writeAtomic(p: Path, entries: Seq[GribFileEntry]): Unit =
+    writeBytesAtomic(p, Serialization.write(entries).getBytes(UTF_8))
+
+  private def writeBytesAtomic(p: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(Serialization.write(entries).getBytes(UTF_8))
+    try out.write(bytes)
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false) // idempotent re-write after a crash
     require(fs.rename(tmp, p), s"failed to rename $tmp to $p")
@@ -111,7 +142,7 @@ private[sources] class GribFileLog(
       // retain one full compact generation before this snapshot (restart
       // replay only ever needs batches after the last committed one, which
       // is never that far back); everything older is superseded
-      val keepFrom = batchId - compactInterval
+      val keepFrom = batchId - effectiveInterval
       listIds().filter(_ < keepFrom).foreach(id => fs.delete(fileFor(id), false))
     } else writeAtomic(fileFor(batchId), newFiles)
   }

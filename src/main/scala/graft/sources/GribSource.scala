@@ -60,9 +60,10 @@ class GribSource extends TableProvider {
   * once at scan planning; streaming: per micro-batch over the new files).
   * `maxFilesPerTrigger` (0 = unlimited) bounds each micro-batch — a
   * multi-year backfill drains in controlled chunks instead of one giant
-  * first batch. `maxFileAgeMs` (0 = disabled) makes the stream ignore —
-  * and eventually forget — files older than the newest drop by that much,
-  * bounding the seen-file log on a long-lived stream. `ignoreMissingFiles`
+  * first batch. Option `maxFileAge` (a duration like `30m`/`24h`/`7d`;
+  * absent = disabled) makes the stream ignore — and eventually forget —
+  * files older than the newest drop by that much, bounding the seen-file
+  * log on a long-lived stream. `ignoreMissingFiles`
   * (default false: fail loudly) lets a stream skip a file that was admitted
   * into a checkpointed offset but deleted before its batch executed — the
   * listing-to-read race with aggressive retention. `compactInterval` sets
@@ -173,25 +174,30 @@ private[sources] object GribModel {
       try indexMessages(in, st.getLen, st.getPath.toString)
       finally in.close()
     }
-    if (files.length <= 1) files.toSeq.flatMap(indexFile)
+    // files stay sorted by path: parallelMap preserves input order
+    parallelMap(files.toSeq)(indexFile).flatten
+  }
+
+  /** Bounded-pool (≤16 threads) parallel map over driver-side per-file RPC
+    * work, preserving input order; a task failure rethrows its CAUSE, not
+    * the ExecutionException wrapper, so malformed inputs fail the caller
+    * loudly with the real error. The pool dies with the call. */
+  private def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.length <= 1) items.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(files.length, 16))
+        math.min(items.length, 16))
       try {
-        val futures = files.map { st =>
-          pool.submit(new java.util.concurrent.Callable[Seq[GribMessage]] {
-            override def call(): Seq[GribMessage] = indexFile(st)
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(a)
           })
         }
-        // get() rethrows a task's failure (wrapped) — a malformed file
-        // still fails the load loudly; files stay sorted by path because
-        // futures are joined in submission order
-        files.indices.flatMap(i =>
-          try futures(i).get()
+        futures.map(fu =>
+          try fu.get()
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
       } finally pool.shutdownNow()
     }
-  }
 
   /** Resolve explicit paths to statuses in PARALLEL (same bounded pool
     * shape as [[indexFiles]]) — a multi-thousand-file backfill batch on an
@@ -215,22 +221,7 @@ private[sources] object GribModel {
           s"GRIB stream file '$p' in checkpointed offset range no longer " +
             "exists (set ignoreMissingFiles=true to skip it)")
       }
-    if (paths.length <= 1) paths.flatMap(resolve(_)).toArray
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(paths.length, 16))
-      try {
-        val futures = paths.map { p =>
-          pool.submit(new java.util.concurrent.Callable[Option[org.apache.hadoop.fs.FileStatus]] {
-            override def call(): Option[org.apache.hadoop.fs.FileStatus] = resolve(p)
-          })
-        }
-        futures.flatMap(f =>
-          try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        ).toArray
-      } finally pool.shutdownNow()
-    }
+    parallelMap(paths)(resolve).flatten.toArray
   }
 
   /** Batch index: every file matching the spec; empty matches fail loudly
@@ -557,9 +548,25 @@ private class GribMicroBatchStream(
     * offset WAL write, so a replayed batch always finds its file set; a
     * crash in between re-runs this method, which idempotently overwrites
     * the never-committed batch id. */
+  // Side-log contents cached across triggers: this instance is the log's
+  // only writer, so after one disk read per (re)start the cache is
+  // maintained by its own admissions — without it every trigger re-lists
+  // and re-parses the full seen set, making trigger latency O(files ever
+  // seen) in log I/O on an object store (the built-in file source keeps
+  // the same in-memory map for the same reason).
+  private var seenCache: Option[(Long, Seq[GribFileEntry])] = None
+  private def seenUpToCached(batchId: Long): Seq[GribFileEntry] =
+    seenCache match {
+      case Some((id, entries)) if id == batchId => entries
+      case _ =>
+        val entries = log.seenUpTo(batchId)
+        seenCache = Some((batchId, entries))
+        entries
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startId = start.asInstanceOf[GribStreamOffset].batchId
-    val seenEntries = log.seenUpTo(startId)
+    val seenEntries = seenUpToCached(startId)
     val seen = seenEntries.map(_.path).toSet
     val listed = availableNowCap.getOrElse(currentListing())
     // age cutoff trails the newest modification time ever observed — wall
@@ -579,7 +586,16 @@ private class GribMicroBatchStream(
     if (admitted.isEmpty) GribStreamOffset(startId)
     else {
       val id = startId + 1
-      log.add(id, admitted.map { case (p, mt) => GribFileEntry(p, mt, id) }, cutoff)
+      val entries = admitted.map { case (p, mt) => GribFileEntry(p, mt, id) }
+      log.add(id, entries, cutoff)
+      // mirror the log's expiry (a dropped entry is safe to forget: the
+      // age filter above excludes it from admission forever — cutoff only
+      // ever grows — so it can never be re-ingested)
+      val merged = seenEntries ++ entries
+      seenCache = Some((id,
+        if (cutoff > Long.MinValue)
+          merged.filter(e => e.modTime >= cutoff || e.batchId == id)
+        else merged))
       GribStreamOffset(id)
     }
   }
@@ -619,11 +635,16 @@ private[sources] final case class GribStreamOffset(batchId: Long)
 }
 
 private[sources] object GribStreamOffset {
-  def fromJson(s: String): GribStreamOffset = {
-    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
-    GribStreamOffset(
-      (org.json4s.jackson.JsonMethods.parse(s) \ "batchId").extract[Long])
-  }
+  def fromJson(s: String): GribStreamOffset =
+    org.json4s.jackson.JsonMethods.parse(s) \ "batchId" match {
+      case org.json4s.JInt(id) => GribStreamOffset(id.toLong)
+      case org.json4s.JLong(id) => GribStreamOffset(id)
+      case _ => throw new IllegalStateException(
+        s"unrecognized GRIB stream offset '$s': not a batch-id offset. A " +
+          "checkpoint written by the pre-side-log offset format (offsets " +
+          "carrying the full file list) cannot be resumed by this version " +
+          "— restart the stream with a fresh checkpoint directory.")
+    }
 }
 
 private object GribCol {

@@ -293,7 +293,12 @@ private[sources] object NetcdfTableModel {
         require(recordVars.nonEmpty && recSize > 0,
           s"$path: STREAMING record count but no record variables")
         val recStart = recordVars.map(_.begin).min
-        header.copy(numRecs = ((fileLen - recStart) / recSize).toInt)
+        val derived = (fileLen - recStart) / recSize
+        require(derived >= 0 && derived <= Int.MaxValue,
+          s"$path: STREAMING record count derives to $derived (file length " +
+            s"$fileLen, record section at $recStart, record size $recSize) " +
+            "— file truncated or corrupt")
+        header.copy(numRecs = derived.toInt)
       }
 
     val scanIsRecord = fixedHeader.dims(gridDimIds.head).length == 0

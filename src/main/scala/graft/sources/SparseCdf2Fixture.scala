@@ -23,7 +23,14 @@ import java.io.{ByteArrayOutputStream, DataOutputStream, File, RandomAccessFile}
   * (tools/make_netcdf_fixture.py): value = idx·scale + offset, row-major. */
 object SparseCdf2Fixture {
 
-  val Path: String = "/tmp/graft_fixtures/sparse_cdf2.nc"
+  /** Bump together with any layout/value constant change (and regenerate
+    * the committed mirror): the version in the file name makes a stale
+    * /tmp fixture from an older generator regenerate instead of passing
+    * the length check and failing the gate with a baffling hash
+    * mismatch. */
+  private val LayoutVersion = 1
+
+  val Path: String = s"/tmp/graft_fixtures/sparse_cdf2_v$LayoutVersion.nc"
   private val NLat = 100
   private val NLon = 200
   private val DischargeBegin = 2500000000L // > 2^31 = 2,147,483,648

@@ -171,6 +171,48 @@ class GribStreamSpec extends SparkSpec {
     assert(!offsetJson.contains("lt024"), "offset must not carry file lists")
   }
 
+  test("a changed fileLogCompactInterval cannot reinterpret an existing log") {
+    val dir = Files.createTempDirectory("gribstream-ivl")
+    val checkpoint = Files.createTempDirectory("gribckpt-ivl")
+    val outDir = Files.createTempDirectory("gribout-ivl").toString
+
+    def runOnce(interval: Int): Unit = {
+      val q = spark.readStream
+        .format(classOf[GribSource].getName)
+        .option("path", s"$dir/*.grib2")
+        .option("numPartitions", "3")
+        .option("maxFilesPerTrigger", "1")
+        .option("fileLogCompactInterval", interval.toString)
+        .load()
+        .writeStream
+        .format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // the log is created with interval 2 (snapshots at batch ids 1, 3, …)
+    for (lt <- Seq("024", "048", "072"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"lt$lt.grib2"))
+    runOnce(interval = 2)
+    assert(spark.read.parquet(outDir).count() == 3L * 7 * 48)
+
+    // a restart CONFIGURED with interval 5 must keep reading the layout
+    // with the persisted interval 2 (under 5, seenUpTo(4) would look for a
+    // snapshot '4.compact' that doesn't exist) — warn-and-ignore, stream
+    // lives on, nothing re-ingested, and batch 3 still compacts per the
+    // CREATED interval
+    for (lt <- Seq("096", "120"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"lt$lt.grib2"))
+    runOnce(interval = 5)
+    assert(spark.read.parquet(outDir).count() == 5L * 7 * 48)
+    val logFiles = new File(checkpoint.toFile + "/sources/0/filelog").list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(logFiles("3.compact"),
+      s"expected snapshot 3.compact under the persisted interval, got $logFiles")
+  }
+
   test("maxFileAge ignores files older than the newest drop by more than the age") {
     val dir = Files.createTempDirectory("gribstream-age")
     val checkpoint = Files.createTempDirectory("gribckpt-age").toString
