@@ -71,6 +71,10 @@ object ScaleSmoke {
       // what an executor holds; a production cluster raises this so the
       // 985M-row fact side never shuffles for those joins
       .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
+      // let BatchScanExec surface a DSv2 scan's reported clustering
+      // (GribSource partitionByStep → KeyGroupedPartitioning) so the
+      // percentile aggregation plans with no exchange
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,8 +89,14 @@ object ScaleSmoke {
           .format(classOf[graft.sources.GribSource].getName)
           .option("path", glob)
           .option("numPartitions", cpus)
+          // one partition per leadtime, clustering reported: every (cell,
+          // step) group's 51 members are partition-local, so the 985M-row
+          // pre-aggregation exchange disappears from the plan (the
+          // day-job shape: 30 steps ≈ the core count; a multi-month
+          // corpus would leave this off and keep cell-balanced slices)
+          .option("partitionByStep", "true")
           .load()
-        (glob, Normalize.fromGrib(grib, cfg.precision),
+        (glob, Normalize.fromGrib(grib, cfg.precision, keepStepHours = true),
           syntheticThresholds(spark, cfg.precision))
       case None =>
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,7 +105,11 @@ object ScaleSmoke {
     val mode =
       if (modeArgs.contains("approx")) ThresholdPercentages.Approx
       else ThresholdPercentages.ExactOnePass
-    val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode)
+    // the GRIB path carries step_hours through for the exchange-free agg
+    val extraGroup =
+      if (forecasts.columns.contains("step_hours")) Seq("step_hours") else Nil
+    val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode,
+      extraGroupCols = extraGroup)
     // both outputs written the way the daily job writes them: detailed
     // partitioned by issue date (hive layout), summary flat
     Sinks.writePartitioned(

@@ -64,13 +64,15 @@ object ForecastPipeline {
       thresholds: DataFrame,
       cfg: FloodConfig = FloodConfig(),
       controlForecast: Option[DataFrame] = None,
-      mode: ThresholdPercentages.AccuracyMode = ThresholdPercentages.Approx
+      mode: ThresholdPercentages.AccuracyMode = ThresholdPercentages.Approx,
+      extraGroupCols: Seq[String] = Nil // see ThresholdPercentages.apply
   ): Outputs = {
     val detailed = ThresholdPercentages(
       copartition(forecasts, cfg),
       copartition(thresholds, cfg),
       cfg.thresholdYears,
-      mode
+      mode,
+      extraGroupCols
     ).cache()
 
     val control = controlForecast.getOrElse(

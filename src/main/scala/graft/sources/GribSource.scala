@@ -67,11 +67,19 @@ class GribSource extends TableProvider {
   * (default false: fail loudly) lets a stream skip a file that was admitted
   * into a checkpointed offset but deleted before its batch executed — the
   * listing-to-read race with aggressive retention. `compactInterval` sets
-  * the seen-file log's snapshot cadence. */
+  * the seen-file log's snapshot cadence. `partitionByStep` (batch only)
+  * makes the scan emit ONE partition per distinct `step_hours` and REPORT
+  * that clustering to Catalyst (`KeyGroupedPartitioning`), so a
+  * downstream aggregation or join whose keys include `step_hours` plans
+  * with NO exchange — the ensemble members of every (cell, step) group
+  * are already co-located in the step's partition. Opt-in because it
+  * caps parallelism at the distinct-step count (30 for a GloFAS day —
+  * right for the daily ingest-aggregate job; wrong for a single-file
+  * scan or a multi-month corpus, which want cell-balanced slices). */
 private[sources] final case class GribSpec(
     path: String, numPartitions: Int, maxFilesPerTrigger: Int,
     maxFileAgeMs: Long, ignoreMissingFiles: Boolean, compactInterval: Int,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf, partitionByStep: Boolean = false)
 
 object GribSource {
   val Schema: StructType = StructType(Seq(
@@ -120,8 +128,9 @@ private[sources] object GribModel {
       Option(o.get("filelogcompactinterval")).map(_.toInt).getOrElse(10)
     require(compactInterval >= 1,
       s"fileLogCompactInterval must be >= 1, got $compactInterval")
+    val byStep = Option(o.get("partitionbystep")).exists(_.toBoolean)
     GribSpec(path, numPartitions, maxFiles, maxAge, ignoreMissing,
-      compactInterval, new SerializableHadoopConf(HadoopConf.session()))
+      compactInterval, new SerializableHadoopConf(HadoopConf.session()), byStep)
   }
 
   /** `"500ms" | "30s" | "10m" | "24h" | "7d"` (bare number = seconds) →
@@ -442,7 +451,8 @@ private class GribScanBuilder(spec: GribSpec)
 
 private class GribScan(
     spec: GribSpec, preds: Seq[GribMessage => Boolean], required: StructType)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Batch message index, pruned — computed lazily so a STREAMING scan
     * (which indexes per micro-batch instead) never lists or walks files
@@ -489,8 +499,41 @@ private class GribScan(
     override def numRows(): util.OptionalLong = rows
   }
 
+  /** One partition per distinct `step_hours`, each carrying its key
+    * ([[org.apache.spark.sql.connector.read.HasPartitionKey]]) — the
+    * physical clustering [[outputPartitioning]] declares. Message order
+    * within a step stays file-ordered (one open stream per file). */
+  private lazy val stepSlices: Array[InputPartition] = {
+    val ords = GribCol.ordinals(required)
+    messages.groupBy(_.stepHours).toSeq.sortBy(_._1).map { case (step, ms) =>
+      GribPartition(ms.toArray, ords, spec.conf, stepKey = Some(step))
+        : InputPartition
+    }.toArray
+  }
+
+  /** True only when the clustering is actually reportable: the key column
+    * must survive column pruning for Catalyst to resolve the partition
+    * expression against the scan output. */
+  private def reportsStepClustering: Boolean =
+    spec.partitionByStep && required.fieldNames.contains("step_hours")
+
+  /** Declare the scan's physical clustering so Catalyst drops the
+    * exchange for any aggregation/join keyed on a superset of
+    * `step_hours` (needs `spark.sql.sources.v2.bucketing.enabled`). At
+    * GloFAS day shape this removes the only 985M-row shuffle in the E1
+    * pipeline — the members of a (cell, step) group never leave their
+    * step's partition. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (reportsStepClustering)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("step_hours")),
+        stepSlices.length)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
   override def planInputPartitions(): Array[InputPartition] =
-    GribCol.slice(messages, spec.numPartitions, GribCol.ordinals(required), spec.conf)
+    if (reportsStepClustering) stepSlices
+    else GribCol.slice(messages, spec.numPartitions, GribCol.ordinals(required), spec.conf)
   override def createReaderFactory(): PartitionReaderFactory = new GribReaderFactory
 }
 
@@ -703,7 +746,18 @@ private object GribCol {
 
 private final case class GribPartition(
     messages: Array[GribMessage], cols: Array[Int],
-    conf: SerializableHadoopConf) extends InputPartition
+    conf: SerializableHadoopConf, stepKey: Option[Int] = None)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Consulted by Spark only under a reported KeyGroupedPartitioning, in
+    * which case every partition carries its step. */
+  override def partitionKey(): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    row.setInt(0, stepKey.getOrElse(throw new IllegalStateException(
+      "partitionKey() on a cell-balanced (non step-keyed) GRIB partition")))
+    row
+  }
+}
 
 private class GribReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

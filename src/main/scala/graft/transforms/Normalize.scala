@@ -44,20 +44,31 @@ object Normalize {
     * (flood/etl/raster_converter.py:44-45) — so exceedance averages count
     * only observed members. Works identically on batch and STREAMING
     * DataFrames (all expressions are stateless). */
-  def fromGrib(grib: DataFrame, precision: Int): DataFrame = {
+  def fromGrib(grib: DataFrame, precision: Int): DataFrame =
+    fromGrib(grib, precision, keepStepHours = false)
+
+  /** `keepStepHours = true` passes the raw `step_hours` ATTRIBUTE through
+    * unchanged (not re-derived), so a scan-reported clustering on it
+    * ([[graft.sources.GribSource]] `partitionByStep`) survives this
+    * projection — alias-aware partitioning propagation tracks attributes,
+    * never derived expressions like `step`. Downstream drops the column
+    * after its grouping uses it. */
+  def fromGrib(grib: DataFrame, precision: Int, keepStepHours: Boolean): DataFrame = {
     val issued = to_date(to_timestamp(col("ref_time")))
     // int, matching [[forecast]]'s step type — both producers of the
     // normalized shape must agree or mixed parquet datasets fail to merge
     val stepDays = (col("step_hours") / lit(24)).cast("int")
+    val cols = Seq(
+      col("number").cast("long").as("number"),
+      round(col("latitude"), precision).as("latitude"),
+      round(col("longitude"), precision).as("longitude"),
+      issued.as("issued_on"),
+      stepDays.as("step"),
+      date_add(issued, stepDays - 1).as("valid_for"),
+      col("value").as("dis24")) ++
+      (if (keepStepHours) Seq(col("step_hours")) else Nil)
     grib
       .na.drop(Seq("value"))
-      .select(
-        col("number").cast("long").as("number"),
-        round(col("latitude"), precision).as("latitude"),
-        round(col("longitude"), precision).as("longitude"),
-        issued.as("issued_on"),
-        stepDays.as("step"),
-        date_add(issued, stepDays - 1).as("valid_for"),
-        col("value").as("dis24"))
+      .select(cols: _*)
   }
 }

@@ -36,11 +36,18 @@ object ThresholdPercentages {
     * interpolation), a fifth of the aggregation state. */
   case object ExactOnePass extends AccuracyMode
 
+  /** `extraGroupCols`: RAW attributes appended to the grouping key and
+    * dropped from the output — functionally redundant columns (each must
+    * be constant within a group, e.g. `step_hours` alongside the derived
+    * `step`) that let a scan-reported clustering satisfy the aggregation's
+    * distribution, planning it with NO exchange (see
+    * [[graft.sources.GribSource]] `partitionByStep`). */
   def apply(
       forecast: DataFrame,
       thresholds: DataFrame,
       thresholdYears: Seq[Int] = Seq(2, 5, 20),
-      mode: AccuracyMode = Approx
+      mode: AccuracyMode = Approx,
+      extraGroupCols: Seq[String] = Nil
   ): DataFrame = {
     val joined = forecast.join(thresholds, Seq("latitude", "longitude"), "left")
 
@@ -56,10 +63,11 @@ object ThresholdPercentages {
     }
 
     val pAboves = thresholdYears.map(n => mean(col(s"exceed_${n}y")).as(s"p_above_${n}y"))
-    val grouped = withIndicators
-      .groupBy(col("latitude"), col("longitude"), col("issued_on"), col("valid_for"), col("step"))
+    val groupCols =
+      Seq("latitude", "longitude", "issued_on", "valid_for", "step") ++ extraGroupCols
+    val grouped = withIndicators.groupBy(groupCols.map(col): _*)
 
-    mode match {
+    val aggregated = mode match {
       case ExactOnePass =>
         val aggs = pAboves :+ graft.functions.FiveNumberSummary(col("dis24")).as("fns")
         grouped.agg(aggs.head, aggs.tail: _*)
@@ -78,5 +86,6 @@ object ThresholdPercentages {
           max(col("dis24")).as("max_dis"))
         grouped.agg(aggs.head, aggs.tail: _*)
     }
+    if (extraGroupCols.isEmpty) aggregated else aggregated.drop(extraGroupCols: _*)
   }
 }

@@ -174,6 +174,38 @@ class GribSourceSpec extends SparkSpec {
       s"expected ~101 cells per partition, got ${perPartition.mkString(",")}")
   }
 
+  test("partitionByStep: one keyed partition per step, exchange-free grouped " +
+    "aggregation, identical results") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val byStep = spark.read
+        .format(classOf[GribSource].getName)
+        .option("path", fixture)
+        .option("numPartitions", "3") // superseded by the step clustering
+        .option("partitionByStep", "true")
+        .load()
+      // fixture has steps {24, 48} → exactly two partitions, keyed
+      assert(byStep.rdd.getNumPartitions == 2)
+
+      def groupAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("latitude"), col("longitude"), col("step_hours"))
+        .agg(count(col("value")).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val clustered = groupAgg(byStep)
+      val got = clustered.collect().map(_.toSeq).toSet
+      // order-insensitive aggregates → exact equality vs the cell-balanced scan
+      assert(got == groupAgg(grib()).collect().map(_.toSeq).toSet)
+      // the reported KeyGroupedPartitioning satisfies the aggregation's
+      // distribution: NO exchange anywhere in the executed plan
+      val plan = clustered.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
+
+      // column pruning that drops step_hours falls back to cell-balanced
+      // slices (the clustering would be unresolvable against the output)
+      assert(byStep.select("latitude", "value").rdd.getNumPartitions == 3)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("a bitmap/nPresent mismatch is rejected loudly, not an index error") {
     // the writer derives section 5's data-point count from xs.size, so a
     // bitmap with MORE set bits than values is exactly the corrupt
