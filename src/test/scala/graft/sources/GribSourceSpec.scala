@@ -203,6 +203,24 @@ class GribSourceSpec extends SparkSpec {
       // column pruning that drops step_hours falls back to cell-balanced
       // slices (the clustering would be unresolvable against the output)
       assert(byStep.select("latitude", "value").rdd.getNumPartitions == 3)
+
+      // a step spanning MULTIPLE files still lands in ONE keyed partition
+      // (the day-glob shape with per-leadtime files repeated across drops)
+      val dir = java.nio.file.Files.createTempDirectory("gribstep")
+      for (n <- Seq("a", "b"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(fixture),
+          dir.resolve(s"$n.grib2"))
+      val multi = spark.read
+        .format(classOf[GribSource].getName)
+        .option("path", s"$dir/*.grib2")
+        .option("partitionByStep", "true")
+        .load()
+      assert(multi.rdd.getNumPartitions == 2) // still one per step
+      assert(multi.count() == 2L * 7 * 48)
+      val multiAgg = groupAgg(multi)
+      assert(!multiAgg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(multiAgg.filter(col("step_hours") === 24).agg(sum(col("n")))
+        .collect().head.getLong(0) == 2L * 4 * 48 - 2 * 3) // 4 msgs @24h, bitmap drops 3
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
