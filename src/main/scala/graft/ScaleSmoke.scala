@@ -105,9 +105,23 @@ object ScaleSmoke {
     val mode =
       if (modeArgs.contains("approx")) ThresholdPercentages.Approx
       else ThresholdPercentages.ExactOnePass
-    // the GRIB path carries step_hours through for the exchange-free agg
+    // The GRIB path carries step_hours through for the exchange-free agg.
+    // extraGroupCols contract: constant within each (…, step) group — true
+    // only for DAILY leadtimes (step = step_hours/24 is then 1:1 with
+    // step_hours); reject sub-daily data loudly instead of silently
+    // emitting finer-grained detailed rows (metadata-only distinct: the
+    // value payload is never decoded, ~1% of the e2e wall)
     val extraGroup =
-      if (forecasts.columns.contains("step_hours")) Seq("step_hours") else Nil
+      if (forecasts.columns.contains("step_hours")) {
+        val steps = forecasts.select("step_hours").distinct()
+          .collect().map(_.getInt(0))
+        val subDaily = steps.filter(_ % 24 != 0)
+        require(subDaily.isEmpty,
+          s"step_hours grouping requires daily leadtimes; found sub-daily " +
+            s"steps ${subDaily.sorted.mkString(", ")}h — drop partitionByStep " +
+            "for this input")
+        Seq("step_hours")
+      } else Nil
     val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode,
       extraGroupCols = extraGroup)
     // both outputs written the way the daily job writes them: detailed

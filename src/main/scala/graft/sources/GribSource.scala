@@ -506,16 +506,27 @@ private class GribScan(
   private lazy val stepSlices: Array[InputPartition] = {
     val ords = GribCol.ordinals(required)
     messages.groupBy(_.stepHours).toSeq.sortBy(_._1).map { case (step, ms) =>
-      GribPartition(ms.toArray, ords, spec.conf, stepKey = Some(step))
-        : InputPartition
+      GribStepPartition(ms.toArray, ords, spec.conf, step): InputPartition
     }.toArray
   }
 
-  /** True only when the clustering is actually reportable: the key column
-    * must survive column pruning for Catalyst to resolve the partition
-    * expression against the scan output. */
-  private def reportsStepClustering: Boolean =
-    spec.partitionByStep && required.fieldNames.contains("step_hours")
+  /** True only when the clustering is actually CONSUMABLE: the key column
+    * must survive column pruning (Catalyst resolves the partition
+    * expression against the scan output), and the session must have v2
+    * bucketing on — Spark ignores reported clusterings without it, and
+    * step-sliced partitions would then cap parallelism at the
+    * distinct-step count while still paying the full shuffle. */
+  private def reportsStepClustering: Boolean = {
+    if (!spec.partitionByStep) return false
+    val bucketing = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!bucketing)
+      org.slf4j.LoggerFactory.getLogger(classOf[GribSource]).warn(
+        "partitionByStep=true ignored: set spark.sql.sources.v2.bucketing.enabled=true " +
+          "for Catalyst to consume the reported step clustering; falling back " +
+          "to cell-balanced partitions")
+    bucketing && required.fieldNames.contains("step_hours")
+  }
 
   /** Declare the scan's physical clustering so Catalyst drops the
     * exchange for any aggregation/join keyed on a superset of
@@ -744,24 +755,36 @@ private object GribCol {
   }
 }
 
+/** Common shape of a GRIB executor slice; only the step-keyed variant
+  * implements `HasPartitionKey`, so an unkeyed partition can never be
+  * asked for a key it does not have (the invariant lives in the type). */
+private sealed trait GribPartitionBase extends InputPartition {
+  def messages: Array[GribMessage]
+  def cols: Array[Int]
+  def conf: SerializableHadoopConf
+}
+
 private final case class GribPartition(
     messages: Array[GribMessage], cols: Array[Int],
-    conf: SerializableHadoopConf, stepKey: Option[Int] = None)
-  extends InputPartition
+    conf: SerializableHadoopConf) extends GribPartitionBase
+
+/** A whole-step slice under `partitionByStep`: carries the `step_hours`
+  * key Spark matches against the scan's reported clustering. */
+private final case class GribStepPartition(
+    messages: Array[GribMessage], cols: Array[Int],
+    conf: SerializableHadoopConf, step: Int)
+  extends GribPartitionBase
   with org.apache.spark.sql.connector.read.HasPartitionKey {
-  /** Consulted by Spark only under a reported KeyGroupedPartitioning, in
-    * which case every partition carries its step. */
   override def partitionKey(): InternalRow = {
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-    row.setInt(0, stepKey.getOrElse(throw new IllegalStateException(
-      "partitionKey() on a cell-balanced (non step-keyed) GRIB partition")))
+    row.setInt(0, step)
     row
   }
 }
 
 private class GribReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GribPartition]
+    val p = partition.asInstanceOf[GribPartitionBase]
     new PartitionReader[InternalRow] {
       private val needValue = p.cols.contains(GribCol.Value)
       // ONE stream per FILE, reopened only when the message sequence moves
