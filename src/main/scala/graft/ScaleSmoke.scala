@@ -61,20 +61,18 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Deliberately DEFAULT conf beyond the local-mode basics: the measured
+    // scale plan (dimension broadcasts, one-pass summary, step-clustered
+    // exchange-free aggregation) must come from the LIBRARY — explicit
+    // broadcast() hints in ForecastPipeline.run, readGrib enabling the v2
+    // bucketing flag itself — not from tool-side session tuning. Round-11
+    // carried autoBroadcastJoinThreshold/bucketing conf here; round 12
+    // graduated both into the pipeline, and this smoke proves it.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the per-cell threshold/control tables are dimension-sized (644k
-      // rows ≈ 25 MB at GloFAS scale) — above the 10 MB default, far below
-      // what an executor holds; a production cluster raises this so the
-      // 985M-row fact side never shuffles for those joins
-      .config("spark.sql.autoBroadcastJoinThreshold", (100L * 1024 * 1024).toString)
-      // let BatchScanExec surface a DSv2 scan's reported clustering
-      // (GribSource partitionByStep → KeyGroupedPartitioning) so the
-      // percentile aggregation plans with no exchange
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,19 +82,14 @@ object ScaleSmoke {
     val t0 = System.nanoTime()
     val (modeArgs, pathArgs) = args.partition(a => a == "approx" || a == "exact")
     val (label, forecasts, thresholds) = pathArgs.headOption match {
-      case Some(glob) => // raw GRIB day: ingest is part of the measurement
-        val grib = spark.read
-          .format(classOf[graft.sources.GribSource].getName)
-          .option("path", glob)
-          .option("numPartitions", cpus)
-          // one partition per leadtime, clustering reported: every (cell,
-          // step) group's 51 members are partition-local, so the 985M-row
-          // pre-aggregation exchange disappears from the plan (the
-          // day-job shape: 30 steps ≈ the core count; a multi-month
-          // corpus would leave this off and keep cell-balanced slices)
-          .option("partitionByStep", "true")
-          .load()
-        (glob, Normalize.fromGrib(grib, cfg.precision, keepStepHours = true),
+      case Some(glob) => // raw GRIB day: ingest is part of the measurement.
+        // readGrib = the library's step-clustered default: one partition
+        // per leadtime with the clustering reported, daily-leadtime guard
+        // included; run() groups on the carried step_hours automatically,
+        // so the 985M-row pre-aggregation exchange disappears (the
+        // day-job shape: 30 steps ≈ the core count; a multi-month corpus
+        // would pass clusterByStep = false and keep cell-balanced slices)
+        (glob, ForecastPipeline.readGrib(spark, glob, cfg, numPartitions = cpus.toInt),
           syntheticThresholds(spark, cfg.precision))
       case None =>
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,25 +98,7 @@ object ScaleSmoke {
     val mode =
       if (modeArgs.contains("approx")) ThresholdPercentages.Approx
       else ThresholdPercentages.ExactOnePass
-    // The GRIB path carries step_hours through for the exchange-free agg.
-    // extraGroupCols contract: constant within each (…, step) group — true
-    // only for DAILY leadtimes (step = step_hours/24 is then 1:1 with
-    // step_hours); reject sub-daily data loudly instead of silently
-    // emitting finer-grained detailed rows (metadata-only distinct: the
-    // value payload is never decoded, ~1% of the e2e wall)
-    val extraGroup =
-      if (forecasts.columns.contains("step_hours")) {
-        val steps = forecasts.select("step_hours").distinct()
-          .collect().map(_.getInt(0))
-        val subDaily = steps.filter(_ % 24 != 0)
-        require(subDaily.isEmpty,
-          s"step_hours grouping requires daily leadtimes; found sub-daily " +
-            s"steps ${subDaily.sorted.mkString(", ")}h — drop partitionByStep " +
-            "for this input")
-        Seq("step_hours")
-      } else Nil
-    val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode,
-      extraGroupCols = extraGroup)
+    val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode)
     // both outputs written the way the daily job writes them: detailed
     // partitioned by issue date (hive layout), summary flat
     Sinks.writePartitioned(

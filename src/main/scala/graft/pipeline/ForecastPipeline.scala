@@ -13,21 +13,34 @@ import org.apache.spark.sql.functions._
   * (reference: databricks/glofas-forecast-computation.py:124-280):
   *
   *   read+normalize → detailed = threshold-percentages (cached: the subplan
-  *   fans out into control slice, tendency, intensity, peak timing, and the
-  *   final write) → control join → summary = tendency ⨝ intensity ⨝ peak
+  *   fans out into control slice, the fused summary stage, and the final
+  *   write) → control join → summary = tendency + intensity + peak timing
+  *   in ONE aggregation pass ([[graft.transforms.Summary.onePass]])
   *   → add geometry → relevance filter (intensity ≠ gray) → detailed
   *   semi-joined to the summary's surviving cells.
   *
-  * Scale posture: all joins and aggregations key on the rounded
-  * (latitude, longitude); `cfg.joinPartitions > 0` forces explicit
-  * co-partitioning like the reference's `repartition(100, lat, lon)`
-  * (glofas-forecast-computation.py:138,155,197), the default (0) leaves
-  * partition planning to AQE, which re-plans from runtime shuffle sizes —
-  * the right default for anything from 60k rows to 100 TB. The threshold
-  * dimension table is auto-broadcast by Catalyst when below the broadcast
-  * threshold.
+  * Scale posture — this is the DEFAULT plan, no session conf required:
+  *  - The threshold and control tables are per-cell DIMENSIONS (~1 row per
+  *    grid cell, 644k rows ≈ 25 MB at full GloFAS scale — reference:
+  *    databricks/threshold-data-joining.py:78-81) and carry explicit
+  *    `broadcast()` hints, so the fact side never shuffles for a join no
+  *    matter what `autoBroadcastJoinThreshold` the session runs with.
+  *  - The summary stage is one exchange (one `groupBy(lat, lon)` pass),
+  *    not three aggregations re-joined.
+  *  - When the forecast frame carries the raw `step_hours` attribute (the
+  *    [[readGrib]] step-clustered path), the detailed aggregation groups on
+  *    it too, letting the scan's reported `KeyGroupedPartitioning` delete
+  *    the pipeline's only fact-sized exchange — measured 2.6× on a full
+  *    985 M-cell operational day (BASELINE.md round-11).
+  *  - All remaining joins and aggregations key on the rounded
+  *    (latitude, longitude); `cfg.joinPartitions > 0` forces explicit
+  *    co-partitioning like the reference's `repartition(100, lat, lon)`
+  *    (glofas-forecast-computation.py:138,155,197), the default (0) leaves
+  *    partition planning to AQE.
   */
 object ForecastPipeline {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Pipeline outputs plus a handle to release the cached shared subplan —
     * in a long-lived session repeated runs would otherwise pin storage
@@ -40,6 +53,58 @@ object ForecastPipeline {
 
   def readThresholds(spark: SparkSession, path: String, cfg: FloodConfig): DataFrame =
     Normalize.roundKeys(spark.read.schema(Schemas.thresholds).parquet(path), cfg.precision)
+
+  /** Read a raw GRIB forecast day straight off the drop directory with the
+    * measured scale plan as the default: one partition per leadtime with
+    * the clustering REPORTED to Catalyst (`partitionByStep` →
+    * `KeyGroupedPartitioning(step_hours)`), so [[run]]'s detailed
+    * aggregation plans with no fact-sized exchange — the members of every
+    * (cell, step) group never leave their step's partition.
+    *
+    * Enables `spark.sql.sources.v2.bucketing.enabled` on the session when
+    * off (it is off in a default session, and without it Spark discards
+    * any DSv2-reported clustering): this path's whole point is the
+    * reported clustering, so requiring a manual conf would re-create the
+    * tool-only-plan problem. Logged when toggled.
+    *
+    * Guards: the `step_hours` grouping rides on `step = step_hours/24`
+    * being 1:1, true only for DAILY leadtimes — sub-daily data fails
+    * loudly here (metadata-only check: the distinct pulls message
+    * headers, never values) instead of silently emitting finer-grained
+    * detailed rows. `clusterByStep = false` falls back to cell-balanced
+    * slices (the right shape when a glob spans many days and the distinct
+    * step count would cap parallelism). */
+  def readGrib(
+      spark: SparkSession,
+      glob: String,
+      cfg: FloodConfig,
+      numPartitions: Int = 0,
+      clusterByStep: Boolean = true): DataFrame = {
+    if (clusterByStep) {
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      if (!spark.conf.get(key, "false").toBoolean) {
+        log.info(s"enabling $key: the step-clustered GRIB read reports a " +
+          "KeyGroupedPartitioning that Catalyst otherwise discards")
+        spark.conf.set(key, "true")
+      }
+    }
+    val parts =
+      if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val grib = spark.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", glob)
+      .option("numPartitions", parts)
+      .option("partitionByStep", clusterByStep.toString)
+      .load()
+    if (!clusterByStep) return Normalize.fromGrib(grib, cfg.precision)
+    val subDaily = grib.select("step_hours").distinct()
+      .collect().map(_.getInt(0)).filter(_ % 24 != 0)
+    require(subDaily.isEmpty,
+      s"step-clustered read requires daily leadtimes; found sub-daily steps " +
+        s"${subDaily.sorted.mkString(", ")}h in '$glob' — pass " +
+        "clusterByStep = false for this input")
+    Normalize.fromGrib(grib, cfg.precision, keepStepHours = true)
+  }
 
   /** Control-discharge reader: yesterday's 24 h (step-1) forecast as the
     * per-cell control (reference: databricks/glofas-control-ETL.py:77-79,
@@ -58,7 +123,13 @@ object ForecastPipeline {
 
   /** Run the pipeline on already-normalized inputs. `controlForecast`:
     * None = use the step-1 median as control (USE_FIRST_AS_CONTROL,
-    * reference: glofas-forecast-computation.py:180-191). */
+    * reference: glofas-forecast-computation.py:180-191).
+    *
+    * A forecast frame carrying `step_hours` (the [[readGrib]] clustered
+    * path) automatically appends it to the detailed grouping so the
+    * scan-reported clustering satisfies the aggregation's distribution;
+    * `extraGroupCols` overrides that detection (see
+    * [[ThresholdPercentages.apply]] for the constancy contract). */
   def run(
       forecasts: DataFrame,
       thresholds: DataFrame,
@@ -67,12 +138,16 @@ object ForecastPipeline {
       mode: ThresholdPercentages.AccuracyMode = ThresholdPercentages.Approx,
       extraGroupCols: Seq[String] = Nil // see ThresholdPercentages.apply
   ): Outputs = {
+    val groupExtras =
+      if (extraGroupCols.nonEmpty) extraGroupCols
+      else if (forecasts.columns.contains("step_hours")) Seq("step_hours")
+      else Nil
     val detailed = ThresholdPercentages(
       copartition(forecasts, cfg),
-      copartition(thresholds, cfg),
+      broadcast(thresholds), // per-cell dimension: never shuffle the fact side
       cfg.thresholdYears,
       mode,
-      extraGroupCols
+      groupExtras
     ).cache()
 
     val control = controlForecast.getOrElse(
@@ -82,19 +157,20 @@ object ForecastPipeline {
         .withColumnRenamed("median_dis", "control_dis"))
 
     val detailedWithControl =
-      detailed.join(copartition(control, cfg), Seq("latitude", "longitude"), "left")
+      detailed.join(broadcast(control), Seq("latitude", "longitude"), "left")
 
-    val summary = PeakTiming(detailed)
-      .join(Tendency(detailedWithControl), Seq("latitude", "longitude"), "inner")
-      .join(Intensity(detailed), Seq("latitude", "longitude"), "inner")
+    val summary = Summary.onePass(detailedWithControl)
 
     val summaryGeo =
       Geometry.addWkt(summary, cfg.halfGridSize, cfg.precision)
         .filter(col("intensity") =!= Codes.Intensity.Gray)
 
+    // the surviving-cell set is per-cell (≤ one row per grid cell) —
+    // dimension-sized by construction, so the detailed side stays in place
     val detailedGeo =
       Geometry.addWkt(detailed, cfg.halfGridSize, cfg.precision)
-        .join(summaryGeo.select("latitude", "longitude"), Seq("latitude", "longitude"), "left_semi")
+        .join(broadcast(summaryGeo.select("latitude", "longitude")),
+          Seq("latitude", "longitude"), "left_semi")
 
     Outputs(detailedGeo, summaryGeo, () => { detailed.unpersist(); () })
   }

@@ -381,12 +381,13 @@ object FloodQueries {
     // P4+A4+W1+P7: peak timing
     "q_peak_timing" -> ((s, dir) => PeakTiming(detailed(s, dir))),
 
-    // J4+P11+P5: full summary forecast with geometry + relevance filter
+    // J4+P11+P5: full summary forecast with geometry + relevance filter.
+    // Uses the FUSED one-exchange stage (Summary.onePass) — the pipeline's
+    // default since round 12 — so the oracle gates the fusion, while
+    // q_tendency/q_intensity/q_peak_timing keep gating the standalone
+    // operators it must stay bit-identical to (also pinned by SummarySpec).
     "q_summary_forecast" -> ((s, dir) => {
-      val d = detailed(s, dir)
-      val summary = PeakTiming(d)
-        .join(Tendency(withControl(d)), Seq("latitude", "longitude"), "inner")
-        .join(Intensity(d), Seq("latitude", "longitude"), "inner")
+      val summary = Summary.onePass(withControl(detailed(s, dir)))
       Geometry.addWkt(summary, cfg.halfGridSize, cfg.precision)
         .filter(col("intensity") =!= "G")
     }),

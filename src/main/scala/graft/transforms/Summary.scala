@@ -1,7 +1,7 @@
 package graft.transforms
 
 import graft.config.Codes
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * `min` for full determinism with identical semantics (SURVEY §7.4.4).
   */
 object Tendency {
+  /** The classification CASE over the per-cell aggregates — shared with
+    * the fused [[Summary.onePass]] stage so the two paths cannot drift. */
+  private[transforms] def classify(
+      maxMedian: Column, minMedian: Column, control: Column): Column =
+    when(maxMedian > control * 1.10, Codes.Tendency.Increasing)
+      .when(
+        minMedian <= control * 0.90 && maxMedian <= control * 1.10,
+        Codes.Tendency.Decreasing)
+      .otherwise(Codes.Tendency.Stagnant)
+
   def apply(detailedWithControl: DataFrame, colName: String = "tendency"): DataFrame = {
     val agg = detailedWithControl
       .groupBy("latitude", "longitude")
@@ -26,15 +36,9 @@ object Tendency {
         max("max_dis").as("max_max_dis"),
         min("min_dis").as("min_min_dis"))
 
-    val tendency =
-      when(col("max_median_dis") > col("control_dis") * 1.10, Codes.Tendency.Increasing)
-        .when(
-          col("min_median_dis") <= col("control_dis") * 0.90 &&
-            col("max_median_dis") <= col("control_dis") * 1.10,
-          Codes.Tendency.Decreasing)
-        .otherwise(Codes.Tendency.Stagnant)
-
-    agg.withColumn(colName, tendency)
+    agg.withColumn(
+      colName,
+      classify(col("max_median_dis"), col("min_median_dis"), col("control_dis")))
   }
 }
 
@@ -46,6 +50,13 @@ object Tendency {
   * yellow iff max p_above_2y >= 0.30; else gray.
   */
 object Intensity {
+  /** Shared with [[Summary.onePass]]. */
+  private[transforms] def classify(p20: Column, p5: Column, p2: Column): Column =
+    when(p20 >= 0.30, Codes.Intensity.Purple)
+      .when(p5 >= 0.30, Codes.Intensity.Red)
+      .when(p2 >= 0.30, Codes.Intensity.Yellow)
+      .otherwise(Codes.Intensity.Gray)
+
   def apply(detailed: DataFrame, colName: String = "intensity"): DataFrame = {
     val agg = detailed
       .groupBy("latitude", "longitude")
@@ -54,13 +65,9 @@ object Intensity {
         max("p_above_5y").as("max_p_above_5y"),
         max("p_above_2y").as("max_p_above_2y"))
 
-    val intensity =
-      when(col("max_p_above_20y") >= 0.30, Codes.Intensity.Purple)
-        .when(col("max_p_above_5y") >= 0.30, Codes.Intensity.Red)
-        .when(col("max_p_above_2y") >= 0.30, Codes.Intensity.Yellow)
-        .otherwise(Codes.Intensity.Gray)
-
-    agg.withColumn(colName, intensity)
+    agg.withColumn(
+      colName,
+      classify(col("max_p_above_20y"), col("max_p_above_5y"), col("max_p_above_2y")))
   }
 }
 
@@ -82,19 +89,33 @@ object Intensity {
   * identical results (left join back onto the same keys).
   */
 object PeakTiming {
+  /** Severity rank of one detailed row (1 = worst). Shared with
+    * [[Summary.onePass]]. */
+  private[transforms] def condition: Column =
+    when(col("p_above_20y") >= 0.3, 1)
+      .when(col("p_above_5y") >= 0.3, 2)
+      .when(col("p_above_2y") >= 0.3, 3)
+      .otherwise(4)
+
+  /** First-10-day 2-year exceedance signal — the windowed/grouped max the
+    * grayed_color rule reads. Shared with [[Summary.onePass]]. */
+  private[transforms] def max2yStartAgg: Column =
+    max(when(col("step").between(1, 10), col("p_above_2y")))
+
+  /** The timing CASE over the peak row. A null `max2yStart` (no rows in
+    * steps 1–10) compares null < 0.30 → null → falls through to
+    * gray_border, identical in both the windowed and the fused paths. */
+  private[transforms] def timing(peakStep: Column, max2yStart: Column): Column =
+    when(peakStep.between(1, 3), Codes.PeakTiming.BlackBorder)
+      .when(peakStep > 10 && max2yStart < 0.30, Codes.PeakTiming.GrayedColor)
+      .otherwise(Codes.PeakTiming.GrayBorder)
+
   def apply(detailed: DataFrame, colName: String = "peak_timing"): DataFrame = {
     val cellW = Window.partitionBy("latitude", "longitude")
 
     val withSignals = detailed
-      .withColumn(
-        "max_2y_start",
-        max(when(col("step").between(1, 10), col("p_above_2y"))).over(cellW))
-      .withColumn(
-        "condition",
-        when(col("p_above_20y") >= 0.3, 1)
-          .when(col("p_above_5y") >= 0.3, 2)
-          .when(col("p_above_2y") >= 0.3, 3)
-          .otherwise(4))
+      .withColumn("max_2y_start", max2yStartAgg.over(cellW))
+      .withColumn("condition", condition)
 
     // Final `step` tiebreak beyond the reference's composite key: the
     // reference's ordering is partition-order-dependent when two steps tie
@@ -110,11 +131,94 @@ object PeakTiming {
       .withColumnRenamed("step", "peak_step")
       .withColumnRenamed("valid_for", "peak_day")
 
-    val timing =
-      when(col("peak_step").between(1, 3), Codes.PeakTiming.BlackBorder)
-        .when(col("peak_step") > 10 && col("max_2y_start") < 0.30, Codes.PeakTiming.GrayedColor)
-        .otherwise(Codes.PeakTiming.GrayBorder)
+    peak
+      .withColumn(colName, timing(col("peak_step"), col("max_2y_start")))
+      .drop("max_2y_start")
+  }
+}
 
-    peak.withColumn(colName, timing).drop("max_2y_start")
+/** The WHOLE summary stage — tendency, intensity, and peak timing — in a
+  * single aggregation pass over the detailed forecast.
+  *
+  * [[Tendency]]/[[Intensity]]/[[PeakTiming]] are the stage's operators in
+  * isolation (each individually oracle-checked); composed the obvious way
+  * (`peak ⨝ tendency ⨝ intensity`, the reference's own shape,
+  * flood/spark/transforms.py:4-109) they shuffle the detailed frame three
+  * times on the same (latitude, longitude) key and then join the three
+  * per-cell results back together. At the operational 19.3 M-row detailed
+  * frame — never mind 100× that — two of those exchanges and both joins
+  * are pure waste: every branch partitions identically.
+  *
+  * This fusion computes all three classifications from ONE
+  * `groupBy(latitude, longitude)`:
+  *  - tendency/intensity inputs are plain min/max aggregates;
+  *  - the peak row is an argmax — `max(struct(-condition, median_dis,
+  *    -step, payload))` realizes the windowed ordering (condition asc,
+  *    median_dis desc, step asc) as a struct ordering: negating the int
+  *    keys flips their direction exactly, `median_dis` stays positive so
+  *    its NaN-greatest comparison matches the window sort's NaN-first
+  *    placement under `desc`, and the payload struct is a final
+  *    deterministic tiebreak (unreachable when `step` is unique per cell,
+  *    the daily-forecast invariant);
+  *  - `max_2y_start` is the same conditional max the windowed form
+  *    computes per cell.
+  *
+  * Output schema (names, order, types) is bit-identical to the three-way
+  * inner join of the standalone operators — pinned by SummarySpec — so
+  * the two forms are interchangeable in every oracle query.
+  *
+  * One exchange for the whole stage; with a scan-reported clustering that
+  * already covers the grouping (not the case for (lat, lon) — GRIB
+  * clusters by step) it would be zero. The join-free shape also removes
+  * the three-way sort-merge at the end: per cell the stage is now one
+  * hash-agg row update, the cheapest form that computes these semantics.
+  */
+object Summary {
+
+  /** `detailedWithControl`: the detailed forecast with `control_dis`
+    * joined on (the same frame [[Tendency]] takes — [[Intensity]] and
+    * [[PeakTiming]] ignore the extra column). */
+  def onePass(detailedWithControl: DataFrame): DataFrame = {
+    val peakOrder = struct(
+      (-PeakTiming.condition).as("neg_condition"),
+      col("median_dis").as("peak_median"),
+      (-col("step")).as("neg_step"),
+      struct(col("issued_on"), col("step"), col("valid_for")).as("row"))
+
+    val agg = detailedWithControl
+      .groupBy("latitude", "longitude")
+      .agg(
+        max(peakOrder).as("pk"),
+        PeakTiming.max2yStartAgg.as("max_2y_start"),
+        max("median_dis").as("max_median_dis"),
+        min("median_dis").as("min_median_dis"),
+        min("control_dis").as("control_dis"),
+        max("max_dis").as("max_max_dis"),
+        min("min_dis").as("min_min_dis"),
+        max("p_above_20y").as("max_p_above_20y"),
+        max("p_above_5y").as("max_p_above_5y"),
+        max("p_above_2y").as("max_p_above_2y"))
+
+    // Exact column order of PeakTiming ⨝ Tendency ⨝ Intensity on
+    // (latitude, longitude): key cols, then each operator's payload.
+    agg.select(
+      col("latitude"),
+      col("longitude"),
+      col("pk.row.issued_on").as("issued_on"),
+      col("pk.row.step").as("peak_step"),
+      col("pk.row.valid_for").as("peak_day"),
+      PeakTiming.timing(col("pk.row.step"), col("max_2y_start")).as("peak_timing"),
+      col("max_median_dis"),
+      col("min_median_dis"),
+      col("control_dis"),
+      col("max_max_dis"),
+      col("min_min_dis"),
+      Tendency.classify(
+        col("max_median_dis"), col("min_median_dis"), col("control_dis")).as("tendency"),
+      col("max_p_above_20y"),
+      col("max_p_above_5y"),
+      col("max_p_above_2y"),
+      Intensity.classify(
+        col("max_p_above_20y"), col("max_p_above_5y"), col("max_p_above_2y")).as("intensity"))
   }
 }

