@@ -100,11 +100,12 @@ object ScaleSmoke {
       else ThresholdPercentages.ExactOnePass
     val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode)
     // both outputs written the way the daily job writes them: detailed
-    // partitioned by issue date (hive layout), summary flat
-    Sinks.writePartitioned(
+    // partitioned by issue date (hive layout), summary flat — both
+    // Z-ordered so the serving-side bbox reads prune row groups (O1+)
+    Sinks.writePartitionedZOrdered(
       out.detailed.withColumn("issued_on", col("issued_on").cast("string")),
       s"$outDir/detailed", Seq("issued_on"))
-    out.summary.write.mode("overwrite").parquet(s"$outDir/summary")
+    Sinks.writeZOrdered(out.summary, s"$outDir/summary")
     out.release()
     val detailedRows = spark.read.parquet(s"$outDir/detailed").count()
     val summaryRows = spark.read.parquet(s"$outDir/summary").count()

@@ -112,12 +112,31 @@ object FloodQueries {
       (pmod(col("p_size"), lit(10)).cast("double") * 50000000.0).as("uparea"))
   }
 
+  /** Per-cell thresholds for the bigday GRIB fixture grid (8×6 cells at
+    * 0.05°, lat-first 17.975 descending, lon-first −17.975 ascending —
+    * tools/make_grib_bigday_fixture.py), built shuffle-free from a range.
+    * `50 + 7·id` spans the fixture's 5..~380 value range so every
+    * exceedance branch sees traffic; ×2/×5 for the rarer return periods.
+    * SQL mirror: [[gribThresholdsSql]]. */
+  private def clusteredThresholds(s: SparkSession): DataFrame =
+    Normalize.roundKeys(
+      s.range(8L * 6).select(
+        (lit(17.975) - floor(col("id") / 8) * 0.05).as("latitude"),
+        (lit(-17.975) + (col("id") % 8) * 0.05).as("longitude"),
+        (lit(50.0) + col("id") * 7).as("threshold_2y"),
+        ((lit(50.0) + col("id") * 7) * 2.0).as("threshold_5y"),
+        ((lit(50.0) + col("id") * 7) * 5.0).as("threshold_20y")),
+      cfg.precision)
+
   // ---------------------------------------------------------------- SQL side
 
-  /** Shared CTE preamble mirroring the Spark-side derivations. */
-  private val preamble: String =
-    s"""WITH forecast AS (${FloodShaped.forecastSql}),
-       |thresholds AS (${FloodShaped.thresholdsSql}),
+  /** Shared CTE preamble mirroring the Spark-side derivations,
+    * parameterized over the forecast/thresholds sources so both the
+    * flood-shaped tables and the GRIB-fixture pipeline
+    * (q_pipeline_clustered) share one SQL mirror of the whole stage. */
+  private def pipelineSql(forecastSql: String, thresholdsSql: String): String =
+    s"""WITH forecast AS ($forecastSql),
+       |thresholds AS ($thresholdsSql),
        |detailed AS (
        |  SELECT f.latitude, f.longitude, f.issued_on, f.valid_for, f.step,
        |    AVG(CASE WHEN f.dis24 >= t.threshold_2y THEN 1 ELSE 0 END) AS p_above_2y,
@@ -181,6 +200,35 @@ object FloodQueries {
        |             ELSE 4 END AS condition
        |      FROM detailed))
        |  WHERE rn = 1)""".stripMargin
+
+  private val preamble: String =
+    pipelineSql(FloodShaped.forecastSql, FloodShaped.thresholdsSql)
+
+  /** The GRIB-fixture pipeline's input CTEs: the bigday mirror parquet
+    * normalized exactly as [[graft.transforms.Normalize.fromGrib]]
+    * (timezone-free date arithmetic — ref_time is midnight UTC), and the
+    * same synthetic per-cell thresholds [[clusteredThresholds]] builds
+    * (integer arithmetic on the cell id, exact in double both engines). */
+  private lazy val gribForecastSql: String =
+    s"""SELECT CAST(number AS BIGINT) AS number,
+       |  ROUND(latitude, 3) AS latitude,
+       |  ROUND(longitude, 3) AS longitude,
+       |  DATE '1970-01-01' + CAST(ref_time / 86400 AS INTEGER) AS issued_on,
+       |  CAST(CAST(step_hours AS DOUBLE) / 24 AS INTEGER) AS step,
+       |  DATE '1970-01-01' + CAST(ref_time / 86400 AS INTEGER)
+       |    + CAST(CAST(CAST(step_hours AS DOUBLE) / 24 AS INTEGER) - 1 AS INTEGER) AS valid_for,
+       |  value AS dis24
+       |FROM read_parquet('$gribBigdayExpected')
+       |WHERE value IS NOT NULL""".stripMargin
+
+  private val gribThresholdsSql: String =
+    """SELECT
+      |  ROUND(17.975 - FLOOR(id / 8) * 0.05, 3) AS latitude,
+      |  ROUND(-17.975 + (id % 8) * 0.05, 3) AS longitude,
+      |  50.0 + id * 7 AS threshold_2y,
+      |  (50.0 + id * 7) * 2.0 AS threshold_5y,
+      |  (50.0 + id * 7) * 5.0 AS threshold_20y
+      |FROM (SELECT unnest(generate_series(0, 47)) AS id)""".stripMargin
 
   /** WKT polygon expression over `latitude`/`longitude` columns — mirrors
     * Geometry.addWkt's corner rounding and ring order
@@ -421,6 +469,25 @@ object FloodQueries {
           mode = ThresholdPercentages.ExactOnePass)
     }).detailed),
 
+    // E1 on the STEP-CLUSTERED read path, oracle-gated: the same daily
+    // pipeline but ingesting the 306-message GRIB fixture through
+    // ForecastPipeline.readGrib — the scan reports
+    // KeyGroupedPartitioning(step_hours) and the detailed aggregation
+    // plans with no fact-side exchange (ForecastPipelineSpec asserts the
+    // plan; THIS entry hash-gates the results, so a regression in the
+    // clustering report or the step_hours grouping that changed rows
+    // would fail the driver gate, not just a local spec). Fixture-pathed
+    // like the other q_grib entries (the sf dir has no GRIB).
+    "q_pipeline_clustered" -> ((s, _) =>
+      pipelineMemo.computeIfAbsent((s, s"grib-clustered:$gribBigday"), {
+        case (sess, _) =>
+          ForecastPipeline.run(
+            ForecastPipeline.readGrib(sess, gribBigday, cfg, numPartitions = 4),
+            clusteredThresholds(sess),
+            cfg,
+            mode = ThresholdPercentages.ExactOnePass)
+      }).detailed),
+
     // P11: WKT polygon construction
     "q_geometry_wkt" -> ((s, dir) =>
       Geometry.addWkt(FloodShaped.thresholds(s, dir), cfg.halfGridSize, cfg.precision)),
@@ -547,6 +614,13 @@ object FloodQueries {
     // over the same grouping keys drop nothing).
     "q_pipeline_e2e" ->
       s"""$preamble
+         |SELECT d.*, ${wktSql()} AS wkt FROM detailed d
+         |WHERE EXISTS (SELECT 1 FROM intensity i
+         |  WHERE i.latitude = d.latitude AND i.longitude = d.longitude
+         |    AND i.intensity <> 'G')""".stripMargin,
+
+    "q_pipeline_clustered" ->
+      s"""${pipelineSql(gribForecastSql, gribThresholdsSql)}
          |SELECT d.*, ${wktSql()} AS wkt FROM detailed d
          |WHERE EXISTS (SELECT 1 FROM intensity i
          |  WHERE i.latitude = d.latitude AND i.longitude = d.longitude

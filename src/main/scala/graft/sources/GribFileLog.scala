@@ -94,13 +94,22 @@ private[sources] class GribFileLog(
   private def writeAtomic(p: Path, entries: Seq[GribFileEntry]): Unit =
     writeBytesAtomic(p, Serialization.write(entries).getBytes(UTF_8))
 
+  /** Atomic overwriting write: temp file + `FileContext.rename(OVERWRITE)`,
+    * which is a single atomic metadata operation on HDFS and POSIX local
+    * filesystems — no delete/rename window in which a crash leaves the
+    * batch file missing (the old exists→delete→rename dance had one). On
+    * object stores without atomic rename the log inherits the store's
+    * rename semantics, same as Spark's own HDFSMetadataLog — run the
+    * checkpoint on a real filesystem there. */
+  private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+    logDir.toUri, conf.value)
+
   private def writeBytesAtomic(p: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes)
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false) // idempotent re-write after a crash
-    require(fs.rename(tmp, p), s"failed to rename $tmp to $p")
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Every entry seen up to and including `batchId` (−1 → none): the
@@ -122,9 +131,45 @@ private[sources] class GribFileLog(
   }
 
   /** The files admitted in exactly batch `batchId` — restart replay of a
-    * WAL-logged but uncommitted batch must re-read the identical set. */
+    * WAL-logged but uncommitted batch must re-read the identical set.
+    * Retention keeps one full compact generation, and replay only ever
+    * asks for batches after the last committed one — a miss therefore
+    * means a corrupted or foreign checkpoint, and says so instead of
+    * surfacing a bare FileNotFoundException. */
   def filesForBatch(batchId: Long): Seq[GribFileEntry] =
-    read(fileFor(batchId)).filter(_.batchId == batchId)
+    try read(fileFor(batchId)).filter(_.batchId == batchId)
+    catch {
+      case e: FileNotFoundException => throw new IllegalStateException(
+        s"GRIB stream file log at $logDir has no batch file for batch " +
+          s"$batchId (present ids: ${listIds().mkString(", ")}; retention " +
+          s"is one compact generation = $effectiveInterval batches before " +
+          "the latest snapshot). A replay older than retention means the " +
+          "checkpoint is corrupted or belongs to a different stream.", e)
+    }
+
+  // ---- legacy-offset migration support ----------------------------------
+  // (see GribMicroBatchStream.deserializeOffset: checkpoints written by the
+  // pre-side-log offset format — each offset a full file list — are seeded
+  // into this log instead of bricking the stream)
+
+  private val legacyMarker = new Path(logDir, "_legacy")
+
+  /** True iff this log was seeded from a legacy full-file-list offset. */
+  def legacyMigrated: Boolean = fs.exists(legacyMarker)
+
+  def markLegacyMigrated(): Unit =
+    writeBytesAtomic(legacyMarker, """{"migrated":true}""".getBytes(UTF_8))
+
+  /** Overwrite the two migration batches after the engine reveals the
+    * committed/uncommitted split: batch 0 ← the committed prefix, batch 1
+    * ← the uncommitted tail (entries must already carry batch ids 0/1).
+    * Honors the snapshot layout if an id lands on a compaction point. */
+  def rewriteMigrationSplit(
+      prefix: Seq[GribFileEntry], tail: Seq[GribFileEntry]): Unit = {
+    require(legacyMigrated, "rewriteMigrationSplit outside a legacy migration")
+    writeAtomic(fileFor(0L), prefix)
+    writeAtomic(fileFor(1L), if (isCompactId(1L)) prefix ++ tail else tail)
+  }
 
   /** Record batch `batchId` admitting `newFiles`. On a compaction point
     * the full seen set is snapshotted instead; entries with

@@ -191,7 +191,7 @@ private[sources] object GribModel {
     * work, preserving input order; a task failure rethrows its CAUSE, not
     * the ExecutionException wrapper, so malformed inputs fail the caller
     * loudly with the real error. The pool dies with the call. */
-  private def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+  private[sources] def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.length <= 1) items.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -473,6 +473,14 @@ private class GribScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // fail loudly rather than silently hand back cell-balanced partitions:
+    // a stream's micro-batches are per-file (single-step) anyway, so the
+    // option cannot mean anything there — a user setting it on readStream
+    // almost certainly expected the batch exchange-free plan
+    require(!spec.partitionByStep,
+      "partitionByStep is batch-only (a streaming micro-batch is already " +
+        "per-file, one step per file at the GloFAS cadence) — drop the " +
+        "option for readStream")
     streaming = true
     new GribMicroBatchStream(spec, preds, GribCol.ordinals(required),
       checkpointLocation)
@@ -515,17 +523,26 @@ private class GribScan(
     * expression against the scan output), and the session must have v2
     * bucketing on — Spark ignores reported clusterings without it, and
     * step-sliced partitions would then cap parallelism at the
-    * distinct-step count while still paying the full shuffle. */
-  private def reportsStepClustering: Boolean = {
-    if (!spec.partitionByStep) return false
-    val bucketing = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    if (!bucketing)
-      org.slf4j.LoggerFactory.getLogger(classOf[GribSource]).warn(
-        "partitionByStep=true ignored: set spark.sql.sources.v2.bucketing.enabled=true " +
-          "for Catalyst to consume the reported step clustering; falling back " +
-          "to cell-balanced partitions")
-    bucketing && required.fieldNames.contains("step_hours")
+    * distinct-step count while still paying the full shuffle.
+    *
+    * Evaluated ONCE (first use, on the planning thread, where the session
+    * conf is live) and pinned: `outputPartitioning()` and
+    * `planInputPartitions()` are separate callbacks, and a bucketing flag
+    * flipped between them would otherwise make the declared
+    * KeyGroupedPartitioning and the actual partitions disagree — a
+    * runtime planning failure instead of a consistent plan. */
+  private lazy val reportsStepClustering: Boolean = {
+    if (!spec.partitionByStep) false
+    else {
+      val bucketing = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      if (!bucketing)
+        org.slf4j.LoggerFactory.getLogger(classOf[GribSource]).warn(
+          "partitionByStep=true ignored: set spark.sql.sources.v2.bucketing.enabled=true " +
+            "for Catalyst to consume the reported step clustering; falling back " +
+            "to cell-balanced partitions")
+      bucketing && required.fieldNames.contains("step_hours")
+    }
   }
 
   /** Declare the scan's physical clustering so Catalyst drops the
@@ -657,7 +674,87 @@ private class GribMicroBatchStream(
   override def initialOffset(): Offset = GribStreamOffset(-1L)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
-  override def deserializeOffset(json: String): Offset = GribStreamOffset.fromJson(json)
+
+  override def deserializeOffset(json: String): Offset =
+    GribStreamOffset.parseLegacy(json) match {
+      case None => GribStreamOffset.fromJson(json)
+      case Some(paths) => migrateLegacyOffset(paths)
+    }
+
+  /** Migrate a pre-side-log offset (a full file-path list) onto the
+    * batch-id model instead of bricking the checkpoint: seed the seen set
+    * into [[GribFileLog]] and hand the engine an equivalent batch id, so a
+    * version upgrade resumes in place — no fresh checkpoint directory, no
+    * re-ingesting every file still in the glob into an append sink.
+    *
+    * The engine restores one or two legacy offsets at restart (the last
+    * WAL entry, plus the previous one when the last batch was never
+    * committed), in either order. First legacy list seen → seed batch 0
+    * EMPTY and batch 1 with the list, return 1 (batch 0 is held in
+    * reserve). Each further legacy list L is then mapped:
+    *  - L == the seen set at some batch id → that id (idempotent re-parse);
+    *  - L ⊂ the seeded set, nothing but the seeds in the log → L is the
+    *    committed START below the already-returned END: split the seeds
+    *    (batch 0 ← L, batch 1 ← rest) and return 0, so the engine's
+    *    replay of (0, 1] re-reads exactly the uncommitted tail;
+    *  - L ⊃ everything seen → L is the END above an already-returned
+    *    START: append the difference as the next batch and return its id;
+    *  - anything else → corrupted checkpoint, fail loudly.
+    * All outcomes leave the log consistent for normal operation — offsets
+    * the engine writes from here on are batch-id format. */
+  private def migrateLegacyOffset(paths: List[String]): GribStreamOffset =
+    synchronized {
+      val logger = org.slf4j.LoggerFactory.getLogger(classOf[GribSource])
+      val want = paths.toSet
+      val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
+      def entriesFor(ps: Seq[String], id: Long): Seq[GribFileEntry] =
+        GribModel.parallelMap(ps.sorted) { p =>
+          // modTime drives only maxFileAge expiry; a vanished file can
+          // never be re-listed, so 0 (= expire-eligible) is safe for it
+          val mt =
+            try fs.getFileStatus(new Path(p)).getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L }
+          GribFileEntry(p, mt, id)
+        }
+      if (!log.legacyMigrated) {
+        require(log.listIds().isEmpty,
+          s"legacy full-file-list offset found, but the checkpoint at " +
+            s"'$checkpointLocation' already has a batch-id file log — " +
+            "mixed/corrupted checkpoint state")
+        logger.warn(s"migrating legacy GRIB stream offset (${paths.size} " +
+          s"files) at '$checkpointLocation' to the batch-id side-log format")
+        log.markLegacyMigrated()
+        log.add(0L, Nil, Long.MinValue)
+        log.add(1L, entriesFor(paths, 1L), Long.MinValue)
+        seenCache = None
+        GribStreamOffset(1L)
+      } else {
+        val ids = log.listIds()
+        ids.find(id => log.seenUpTo(id).map(_.path).toSet == want) match {
+          case Some(id) => GribStreamOffset(id)
+          case None =>
+            val maxId = ids.max
+            val all = log.seenUpTo(maxId).map(_.path).toSet
+            if (want.subsetOf(all) && ids == Seq(0L, 1L)) {
+              val tail = (all -- want).toSeq
+              logger.warn(s"legacy offset migration: splitting ${want.size} " +
+                s"committed / ${tail.size} uncommitted files for replay")
+              log.rewriteMigrationSplit(
+                entriesFor(want.toSeq, 0L), entriesFor(tail, 1L))
+              seenCache = None
+              GribStreamOffset(0L)
+            } else if (all.subsetOf(want)) {
+              val id = maxId + 1
+              log.add(id, entriesFor((want -- all).toSeq, id), Long.MinValue)
+              seenCache = None
+              GribStreamOffset(id)
+            } else throw new IllegalStateException(
+              s"legacy GRIB stream offset (${want.size} files) does not " +
+                s"align with the migrated side-log at '$checkpointLocation' " +
+                s"(batch ids ${ids.mkString(", ")}) — corrupted checkpoint")
+        }
+      }
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startId = start.asInstanceOf[GribStreamOffset].batchId
@@ -694,10 +791,17 @@ private[sources] object GribStreamOffset {
       case org.json4s.JInt(id) => GribStreamOffset(id.toLong)
       case org.json4s.JLong(id) => GribStreamOffset(id)
       case _ => throw new IllegalStateException(
-        s"unrecognized GRIB stream offset '$s': not a batch-id offset. A " +
-          "checkpoint written by the pre-side-log offset format (offsets " +
-          "carrying the full file list) cannot be resumed by this version " +
-          "— restart the stream with a fresh checkpoint directory.")
+        s"unrecognized GRIB stream offset '$s': neither a batch-id offset " +
+          "nor a legacy file-list offset")
+    }
+
+  /** The pre-side-log offset format: a bare JSON array of file paths
+    * (the cumulative seen set). Some(paths) iff `s` is that shape —
+    * handled by GribMicroBatchStream.deserializeOffset's migration. */
+  def parseLegacy(s: String): Option[List[String]] =
+    org.json4s.jackson.JsonMethods.parseOpt(s).collect {
+      case org.json4s.JArray(items) if items.forall(_.isInstanceOf[org.json4s.JString]) =>
+        items.collect { case org.json4s.JString(p) => p }
     }
 }
 

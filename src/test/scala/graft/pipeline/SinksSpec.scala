@@ -28,6 +28,77 @@ class SinksSpec extends SparkSpec {
     assert(scan.select("id").as[Long].collect().toSet == Set(4L))
   }
 
+  test("writeZOrdered prunes a bbox read to a fraction of the row groups a lat-sort reads") {
+    // 120×120 grid of 0.05° cells (toy extent of the GloFAS grid), tiny
+    // parquet row groups so one file holds MANY groups with min/max stats
+    // — the pruning unit the Morton layout exists to serve. The same data
+    // is written plain-(lat,lon)-sorted (the reference's layout) and
+    // Z-ordered; a small centered bbox must scan far fewer post-pruning
+    // rows from the Z-ordered copy (a lat-sort clusters only latitude, so
+    // every matching-lat row group straddles ALL longitudes and survives
+    // pruning).
+    val n = 120
+    val cells = spark.range(n.toLong * n).select(
+      round(lit(-3.0) + floor(col("id") / n) * 0.05 + 0.025, 3).as("latitude"),
+      round(lit(25.0) + (col("id") % n) * 0.05 + 0.025, 3).as("longitude"),
+      (col("id") % 97).cast("double").as("v"))
+
+    val zDir = Files.createTempDirectory("z-sink").toString
+    val latDir = Files.createTempDirectory("lat-sink").toString
+    // fine-grained row groups so the layout difference is measurable:
+    // dictionary encoding off (it makes the writer's in-memory size
+    // estimate lag, inflating groups far past the requested block size)
+    val tinyGroups = Map(
+      "parquet.block.size" -> (8 * 1024).toString,
+      "parquet.page.size" -> (1024).toString,
+      "parquet.enable.dictionary" -> "false")
+    Sinks.writeZOrdered(cells.coalesce(1), zDir, options = tinyGroups)
+    cells.coalesce(1).orderBy("latitude", "longitude")
+      .write.mode("overwrite").options(tinyGroups).parquet(latDir)
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec => flatten(s.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    def scannedRows(dir: String): Long = {
+      val bbox = spark.read.parquet(dir)
+        .filter(col("latitude").between(-0.4, 0.4) &&
+          col("longitude").between(27.8, 28.6))
+      assert(bbox.collect().length === 16 * 16) // correctness first: 16×16 cells
+      val scans = flatten(bbox.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val fromZ = scannedRows(zDir)
+    val fromLat = scannedRows(latDir)
+    val total = n.toLong * n
+    assert(fromZ < fromLat,
+      s"z-order scanned $fromZ rows, lat-sort scanned $fromLat — no pruning win")
+    assert(fromZ < total / 4,
+      s"z-order scanned $fromZ of $total rows — row groups not pruned")
+  }
+
+  test("writePartitionedZOrdered keeps the hive layout and the dynamic overwrite contract") {
+    val dir = Files.createTempDirectory("pz-sink").toString
+    def day(d: String, base: Long) = spark.range(base, base + 100).select(
+      round(lit(-3.0) + floor(col("id") % 100 / 10) * 0.05 + 0.025, 3).as("latitude"),
+      round(lit(25.0) + (col("id") % 10) * 0.05 + 0.025, 3).as("longitude"),
+      col("id"),
+      lit(d).as("issued_on"))
+    Sinks.writePartitionedZOrdered(day("2023-10-01", 0).union(day("2023-10-02", 100)),
+      dir, Seq("issued_on"))
+    assert(new java.io.File(s"$dir/issued_on=2023-10-01").isDirectory)
+    // dynamic overwrite: rewriting day 2 must not touch day 1
+    Sinks.writePartitionedZOrdered(day("2023-10-02", 500), dir, Seq("issued_on"))
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(ids === ((0L until 100L) ++ (500L until 600L)).toSet)
+  }
+
   test("writeJdbc round-trips through a real embedded JDBC database (Derby)") {
     // Derby ships on Spark's unmanaged classpath, so this exercises the
     // full E2E path — connection, DDL (Overwrite = drop+create), batched

@@ -70,6 +70,51 @@ class GribFileLogSpec extends AnyFunSuite {
     }
   }
 
+  test("soak: the log stays bounded across many compaction generations and restarts") {
+    // A long-lived stream (years of daily drops) must keep the side-log at
+    // one snapshot + one compact generation of deltas — NOT grow with
+    // files-ever-seen — across restarts landing both ON and OFF compaction
+    // boundaries. 48 batches at interval 4 = 12 generations; a restart
+    // before every batch whose id is 0 mod 3 hits ids 3,7,11,… (on the
+    // boundary: isCompact(id) ⇔ (id+1)%4==0) as well as off-boundary ids.
+    val dir = Files.createTempDirectory("fileloglong")
+    val interval = 4
+    def open() = new GribFileLog(new Path(dir.toString, "filelog"), conf, interval)
+    var log = open()
+    val admittedAt = scala.collection.mutable.Map.empty[Long, Seq[GribFileEntry]]
+    var seen = Vector.empty[GribFileEntry]
+    val batches = 48L
+    (0L until batches).foreach { id =>
+      if (id % 3 == 0) log = open() // restart (cold instance, same dir)
+      val entries = (0 until 3).map(i => GribFileEntry(s"d$id/f$i.grib2", id, id))
+      log.add(id, entries, Long.MinValue)
+      admittedAt(id) = entries
+      seen ++= entries
+
+      // size bound: ids on disk never exceed snapshot + one generation of
+      // deltas behind it + the deltas accumulated since (≤ 2·interval + 1)
+      val ids = log.listIds()
+      assert(ids.size <= 2 * interval + 1,
+        s"log grew to ${ids.size} files at batch $id: ${ids.mkString(", ")}")
+      // and the physical directory carries only those + _meta
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf.value)
+      val onDisk = fs.listStatus(new Path(dir.toString, "filelog"))
+        .map(_.getPath.getName).filterNot(_.startsWith("."))
+      assert(onDisk.length <= ids.size + 1, s"stray files: ${onDisk.mkString(", ")}")
+
+      // full-state correctness survives every generation + restart
+      assert(log.seenUpTo(id).toSet == seen.toSet, s"seen set at batch $id")
+      // replay window: one compact generation back is always answerable
+      ((id - interval + 1).max(0L) to id).foreach { rid =>
+        assert(log.filesForBatch(rid).toSet == admittedAt(rid).toSet,
+          s"replay of $rid at head $id")
+      }
+    }
+    // a pre-retention batch is gone — and says so with context, not a raw FNF
+    val e = intercept[IllegalStateException](log.filesForBatch(0L))
+    assert(e.getMessage.contains("retention"))
+  }
+
   test("seenUpTo fails loudly on a hole in the log") {
     val dir = Files.createTempDirectory("fileloghole")
     val log = new GribFileLog(new Path(dir.toString, "filelog"), conf, 10)
