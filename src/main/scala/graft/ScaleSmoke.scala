@@ -80,7 +80,8 @@ object ScaleSmoke {
     val cfg = FloodConfig()
     val outDir = java.nio.file.Files.createTempDirectory("e1smoke").toString
     val t0 = System.nanoTime()
-    val (modeArgs, pathArgs) = args.partition(a => a == "approx" || a == "exact")
+    val (modeArgs, pathArgs) =
+      args.partition(a => a == "approx" || a == "exact" || a == "plainsink")
     val (label, forecasts, thresholds) = pathArgs.headOption match {
       case Some(glob) => // raw GRIB day: ingest is part of the measurement.
         // readGrib = the library's step-clustered default: one partition
@@ -100,18 +101,29 @@ object ScaleSmoke {
       else ThresholdPercentages.ExactOnePass
     val out = ForecastPipeline.run(forecasts, thresholds, cfg, mode = mode)
     // both outputs written the way the daily job writes them: detailed
-    // partitioned by issue date (hive layout), summary flat — both
-    // Z-ordered so the serving-side bbox reads prune row groups (O1+)
-    Sinks.writePartitionedZOrdered(
-      out.detailed.withColumn("issued_on", col("issued_on").cast("string")),
-      s"$outDir/detailed", Seq("issued_on"))
-    Sinks.writeZOrdered(out.summary, s"$outDir/summary")
+    // partitioned by issue date (hive layout), summary flat — Z-ordered
+    // by default so serving-side bbox reads prune row groups (O1+);
+    // `plainsink` writes unsorted, isolating the serving-layout cost in
+    // the printed per-sink splits
+    val zOrdered = !modeArgs.contains("plainsink")
+    val tPipe = System.nanoTime()
+    val detailedOut =
+      out.detailed.withColumn("issued_on", col("issued_on").cast("string"))
+    if (zOrdered)
+      Sinks.writePartitionedZOrdered(detailedOut, s"$outDir/detailed", Seq("issued_on"))
+    else Sinks.writePartitioned(detailedOut, s"$outDir/detailed", Seq("issued_on"))
+    val tDetailed = System.nanoTime()
+    if (zOrdered) Sinks.writeZOrdered(out.summary, s"$outDir/summary")
+    else out.summary.write.mode("overwrite").parquet(s"$outDir/summary")
+    val tSummary = System.nanoTime()
     out.release()
     val detailedRows = spark.read.parquet(s"$outDir/detailed").count()
     val summaryRows = spark.read.parquet(s"$outDir/summary").count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"E1 @ $label: detailed=$detailedRows rows, summary=$summaryRows rows, " +
-      f"${secs}%.2f s, driver peak RSS ${peakRssMb()} MB")
+      f"${secs}%.2f s (detailed sink ${(tDetailed - tPipe) / 1e9}%.2f s, " +
+      f"summary sink ${(tSummary - tDetailed) / 1e9}%.2f s, zOrdered=$zOrdered), " +
+      f"driver peak RSS ${peakRssMb()} MB")
     spark.stop()
     require(detailedRows > 0 && summaryRows > 0, "E1 smoke produced an empty output")
   }

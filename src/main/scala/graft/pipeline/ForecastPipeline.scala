@@ -175,9 +175,15 @@ object ForecastPipeline {
     Outputs(detailedGeo, summaryGeo, () => { detailed.unpersist(); () })
   }
 
+  /** Persist both outputs in the serving layout: Morton-ordered parquet
+    * ([[Sinks.writeZOrdered]]) — the engine's upgrade of the reference's
+    * plain (lat, lon) sort-before-persist (O1,
+    * threshold-data-joining.py:120), so serving-side bbox reads prune to
+    * O(perimeter) row groups. Daily jobs that hive-partition by issue date
+    * use [[Sinks.writePartitionedZOrdered]] directly (ScaleSmoke shape). */
   def write(out: Outputs, detailedPath: String, summaryPath: String): Unit = {
-    out.detailed.write.mode("overwrite").parquet(detailedPath)
-    out.summary.write.mode("overwrite").parquet(summaryPath)
+    Sinks.writeZOrdered(out.detailed, detailedPath)
+    Sinks.writeZOrdered(out.summary, summaryPath)
     out.release()
   }
 }

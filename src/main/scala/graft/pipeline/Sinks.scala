@@ -107,23 +107,35 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).options(options).parquet(path)
 
   /** Hive-partitioned + Z-ordered: [[writePartitioned]]'s layout (daily
-    * jobs overwrite only their own `issued_on=` partitions) with rows
-    * range-clustered by (partition key, Morton key), so each partition's
-    * files tile space like [[writeZOrdered]]'s. */
+    * jobs overwrite only their own `issued_on=` partitions) with each
+    * task's rows LOCALLY sorted by (partition key, Morton key) — no
+    * shuffle, no range-sampling pass.
+    *
+    * Local, not global, on purpose: a plain parquet reader prunes at ROW
+    * GROUP granularity only (it never skips whole files on data-column
+    * min/max), so per-file z-tiling already yields the full pruning win —
+    * every file's row groups cover compact tiles and a bbox read touches
+    * O(perimeter) groups per file. A global `repartitionByRange` would
+    * additionally cluster FILES (worth it under a table format that
+    * file-skips, e.g. via [[writeZOrdered]]'s global sort for flat
+    * serving tables) but costs a full extra pass (range sampling) plus a
+    * wide-row shuffle of the entire output — measured at ~25% of the E1
+    * day's wall for zero extra pruning on the vanilla reader. */
   def writePartitionedZOrdered(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
       cellMillideg: Int = 50,
-      bits: Int = 16): Unit = {
+      bits: Int = 16,
+      options: Map[String, String] = Map.empty): Unit = {
     val keys = partitionCols.map(col) :+ col("__graft_z")
     df.withColumn("__graft_z", zKey(cellMillideg, bits))
-      .repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__graft_z")
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .options(options)
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }

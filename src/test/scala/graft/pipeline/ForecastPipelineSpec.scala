@@ -83,6 +83,20 @@ class ForecastPipelineSpec extends SparkSpec {
     case other => other.children.flatMap(flatten)
   })
 
+  test("readGrib rejects sub-daily leadtimes loudly (the step_hours grouping contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("subdaily")
+    graft.sources.GribTestWriter.write(s"$dir/lt012.grib2", 2, 2,
+      latFirstMicro = 1000000, lonFirstMicro = 2000000, incMicro = 50000,
+      scanMode = 0, timeUnit = 1, forecastTime = 12, member = Some(1),
+      r = 0f, e = 0, d = 0, nbits = 8, xs = Seq(1L, 2L, 3L, 4L))
+    val e = intercept[IllegalArgumentException](
+      ForecastPipeline.readGrib(spark, s"$dir/*.grib2", FloodConfig()))
+    assert(e.getMessage.contains("sub-daily") && e.getMessage.contains("12h"))
+    // non-clustered mode reads the same file fine (cell-balanced slices)
+    assert(ForecastPipeline.readGrib(spark, s"$dir/*.grib2", FloodConfig(),
+      clusterByStep = false).count() === 4)
+  }
+
   test("dimension joins broadcast from the pipeline's own hints, not session conf") {
     // Auto-broadcast OFF: any BroadcastHashJoin in the plan can only come
     // from the explicit broadcast() hints inside ForecastPipeline.run.

@@ -97,6 +97,21 @@ class SinksSpec extends SparkSpec {
     Sinks.writePartitionedZOrdered(day("2023-10-02", 500), dir, Seq("issued_on"))
     val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
     assert(ids === ((0L until 100L) ++ (500L until 600L)).toSet)
+
+    // and the per-file LOCAL z-sort holds inside every written file: the
+    // derived z key must be non-decreasing in file row order (this is
+    // exactly the property row-group min/max pruning feeds on — no
+    // shuffle was allowed to produce it, so assert it really happened)
+    import graft.transforms.Geometry
+    new java.io.File(s"$dir/issued_on=2023-10-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val z = spark.read.parquet(f.getAbsolutePath).select(
+          Geometry.zOrder(
+            Geometry.cellIndex(col("latitude"), 90, 50),
+            Geometry.cellIndex(col("longitude"), 180, 50)).as("z"))
+          .collect().map(_.getLong(0))
+        assert(z.sameElements(z.sorted), s"file ${f.getName} not z-sorted")
+      }
   }
 
   test("writeJdbc round-trips through a real embedded JDBC database (Derby)") {
