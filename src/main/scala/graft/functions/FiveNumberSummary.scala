@@ -10,7 +10,43 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-import scala.collection.mutable.ArrayBuffer
+/** Growable PRIMITIVE double buffer for [[FiveNumberSummary]].
+  * `ArrayBuffer[Double]` stores boxed `java.lang.Double`s (Scala
+  * collections hold AnyRef), which at fact scale means one heap
+  * allocation per aggregated VALUE — 985 M boxes on a full GloFAS day —
+  * plus 3× the state bytes. This is the unboxed equivalent: an
+  * amortized-doubling `Array[Double]`, sized for the ≤51-member ensemble
+  * groups it usually holds. */
+private[functions] final class DoubleBuffer(
+    private var arr: Array[Double], private var n: Int) {
+  def this() = this(new Array[Double](16), 0)
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+  def apply(i: Int): Double = arr(i)
+
+  def add(v: Double): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+    arr(n) = v
+    n += 1
+  }
+
+  def addAll(o: DoubleBuffer): Unit = {
+    if (n + o.n > arr.length) {
+      var cap = arr.length
+      while (cap < n + o.n) cap <<= 1
+      arr = java.util.Arrays.copyOf(arr, cap)
+    }
+    System.arraycopy(o.arr, 0, arr, n, o.n)
+    n += o.n
+  }
+
+  /** The held values, sorted, as a fresh exact-length array. */
+  def sortedCopy: Array[Double] = {
+    val out = java.util.Arrays.copyOf(arr, n)
+    java.util.Arrays.sort(out)
+    out
+  }
+}
 
 /** Exact five-number summary (min, Q1, median, Q3, max) in ONE aggregation
   * buffer.
@@ -19,10 +55,13 @@ import scala.collection.mutable.ArrayBuffer
   * expressions (flood/spark/transforms.py:138-148); in exact mode that is
   * three independent `Percentile` aggregates, each buffering every group
   * value in its own counts-map, plus min and max. This
-  * `TypedImperativeAggregate` buffers each value once and derives all five
+  * `TypedImperativeAggregate` buffers each value once — in a PRIMITIVE
+  * [[DoubleBuffer]], no per-value boxing — and derives all five
   * statistics from a single sort at eval time — same values
   * (Hyndman–Fan type-7 interpolation, the formula Spark's `percentile`
-  * and DuckDB's `quantile_cont` share), one fifth the aggregation state.
+  * and DuckDB's `quantile_cont` share), a fraction of the aggregation
+  * state (Spark's own `Percentile` buffers an OpenHashMap of boxed
+  * counts per group, ×3 for three quantiles).
   *
   * Like any exact percentile it buffers per-group values — the mergeable
   * `percentile_approx` sketch remains the 100 TB default
@@ -35,7 +74,7 @@ case class FiveNumberSummary(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[Double]] {
+  extends TypedImperativeAggregate[DoubleBuffer] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -47,11 +86,11 @@ case class FiveNumberSummary(
       s"five_number_summary requires a numeric argument, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): ArrayBuffer[Double] = ArrayBuffer.empty[Double]
+  override def createAggregationBuffer(): DoubleBuffer = new DoubleBuffer()
 
-  override def update(buf: ArrayBuffer[Double], input: InternalRow): ArrayBuffer[Double] = {
+  override def update(buf: DoubleBuffer, input: InternalRow): DoubleBuffer = {
     val v = child.eval(input)
-    if (v != null) buf += (v match {
+    if (v != null) buf.add(v match {
       case d: Double => d
       case f: Float => f.toDouble
       case d: Decimal => d.toDouble // Decimal is not a java.lang.Number
@@ -60,15 +99,14 @@ case class FiveNumberSummary(
     buf
   }
 
-  override def merge(buf: ArrayBuffer[Double], other: ArrayBuffer[Double]): ArrayBuffer[Double] = {
-    buf ++= other
+  override def merge(buf: DoubleBuffer, other: DoubleBuffer): DoubleBuffer = {
+    buf.addAll(other)
     buf
   }
 
-  override def eval(buf: ArrayBuffer[Double]): Any = {
+  override def eval(buf: DoubleBuffer): Any = {
     if (buf.isEmpty) return null
-    val sorted = buf.toArray
-    java.util.Arrays.sort(sorted)
+    val sorted = buf.sortedCopy
     // Hyndman–Fan type 7, replicating Spark Percentile.getPercentile's
     // exact FP arithmetic (weighted sum, equal-key short-circuit) so this
     // mode is bit-identical to the three-percentile formulation
@@ -84,21 +122,22 @@ case class FiveNumberSummary(
     new GenericInternalRow(Array[Any](sorted(0), q(0.25), q(0.5), q(0.75), sorted(sorted.length - 1)))
   }
 
-  override def serialize(buf: ArrayBuffer[Double]): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream(buf.length * 8 + 4)
+  override def serialize(buf: DoubleBuffer): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream(buf.size * 8 + 4)
     val out = new DataOutputStream(bytes)
-    out.writeInt(buf.length)
-    buf.foreach(out.writeDouble)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) { out.writeDouble(buf(i)); i += 1 }
     out.flush()
     bytes.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Double] = {
+  override def deserialize(bytes: Array[Byte]): DoubleBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new ArrayBuffer[Double](n)
+    val buf = new DoubleBuffer(new Array[Double](math.max(n, 1)), 0)
     var i = 0
-    while (i < n) { buf += in.readDouble(); i += 1 }
+    while (i < n) { buf.add(in.readDouble()); i += 1 }
     buf
   }
 
