@@ -120,9 +120,12 @@ object ScaleSmoke {
     val detailedRows = spark.read.parquet(s"$outDir/detailed").count()
     val summaryRows = spark.read.parquet(s"$outDir/summary").count()
     val secs = (System.nanoTime() - t0) / 1e9
+    // label honesty: the pipeline is lazy, so the first split is the whole
+    // compute (scan→agg→join→geometry) PLUS the detailed write; only the
+    // summary split is a from-cache stage
     println(f"E1 @ $label: detailed=$detailedRows rows, summary=$summaryRows rows, " +
-      f"${secs}%.2f s (detailed sink ${(tDetailed - tPipe) / 1e9}%.2f s, " +
-      f"summary sink ${(tSummary - tDetailed) / 1e9}%.2f s, zOrdered=$zOrdered), " +
+      f"${secs}%.2f s (compute+detailed write ${(tDetailed - tPipe) / 1e9}%.2f s, " +
+      f"summary stage ${(tSummary - tDetailed) / 1e9}%.2f s, zOrdered=$zOrdered), " +
       f"driver peak RSS ${peakRssMb()} MB")
     spark.stop()
     require(detailedRows > 0 && summaryRows > 0, "E1 smoke produced an empty output")

@@ -65,7 +65,12 @@ object ForecastPipeline {
     * off (it is off in a default session, and without it Spark discards
     * any DSv2-reported clustering): this path's whole point is the
     * reported clustering, so requiring a manual conf would re-create the
-    * tool-only-plan problem. Logged when toggled.
+    * tool-only-plan problem. The flag must still be set when the query
+    * PLANS (action time), so it cannot be save/restored around this call —
+    * it stays on for the session, logged when toggled. Blast radius is
+    * narrow by construction: the flag only changes plans for DSv2 scans
+    * that REPORT a partitioning, which in this library is exactly the
+    * opt-in `partitionByStep` GRIB scan this method creates.
     *
     * Guards: the `step_hours` grouping rides on `step = step_hours/24`
     * being 1:1, true only for DAILY leadtimes — sub-daily data fails
@@ -127,21 +132,39 @@ object ForecastPipeline {
     *
     * A forecast frame carrying `step_hours` (the [[readGrib]] clustered
     * path) automatically appends it to the detailed grouping so the
-    * scan-reported clustering satisfies the aggregation's distribution;
-    * `extraGroupCols` overrides that detection (see
-    * [[ThresholdPercentages.apply]] for the constancy contract). */
+    * scan-reported clustering satisfies the aggregation's distribution —
+    * guarded: the grouping is only sound when `step_hours` is 1:1 with the
+    * derived `step`, so auto-detection VERIFIES that (one narrow distinct
+    * over the (step, step_hours) pairs — header-only on a GRIB scan) and
+    * fails loudly on e.g. sub-daily data, where silently grouping finer
+    * would emit duplicate detailed rows with wrong probabilities.
+    * `extraGroupCols`: `None` = the auto-detection above; `Some(Nil)` =
+    * force NO extra grouping (skips the check and the clustering);
+    * `Some(cols)` = explicit extras, caller owns the constancy contract
+    * (see [[ThresholdPercentages.apply]]). */
   def run(
       forecasts: DataFrame,
       thresholds: DataFrame,
       cfg: FloodConfig = FloodConfig(),
       controlForecast: Option[DataFrame] = None,
       mode: ThresholdPercentages.AccuracyMode = ThresholdPercentages.Approx,
-      extraGroupCols: Seq[String] = Nil // see ThresholdPercentages.apply
+      extraGroupCols: Option[Seq[String]] = None
   ): Outputs = {
-    val groupExtras =
-      if (extraGroupCols.nonEmpty) extraGroupCols
-      else if (forecasts.columns.contains("step_hours")) Seq("step_hours")
-      else Nil
+    val groupExtras = extraGroupCols.getOrElse {
+      if (!forecasts.columns.contains("step_hours")) Nil
+      else {
+        val pairs = forecasts.select(col("step"), col("step_hours"))
+          .distinct().collect()
+        val split = pairs.groupBy(_.get(0)).filter(_._2.length > 1)
+        require(split.isEmpty,
+          s"step_hours is not 1:1 with step (steps ${split.keys.mkString(", ")} " +
+            "each map to several step_hours values — sub-daily leadtimes?); " +
+            "grouping on it would split (cell, step) groups. Pass " +
+            "extraGroupCols = Some(Nil) to run without the step clustering, " +
+            "or ingest via readGrib(clusterByStep = false).")
+        Seq("step_hours")
+      }
+    }
     val detailed = ThresholdPercentages(
       copartition(forecasts, cfg),
       broadcast(thresholds), // per-cell dimension: never shuffle the fact side
@@ -175,14 +198,18 @@ object ForecastPipeline {
     Outputs(detailedGeo, summaryGeo, () => { detailed.unpersist(); () })
   }
 
-  /** Persist both outputs in the serving layout: Morton-ordered parquet
-    * ([[Sinks.writeZOrdered]]) — the engine's upgrade of the reference's
-    * plain (lat, lon) sort-before-persist (O1,
+  /** Persist both outputs in the serving layout — the engine's upgrade of
+    * the reference's plain (lat, lon) sort-before-persist (O1,
     * threshold-data-joining.py:120), so serving-side bbox reads prune to
-    * O(perimeter) row groups. Daily jobs that hive-partition by issue date
-    * use [[Sinks.writePartitionedZOrdered]] directly (ScaleSmoke shape). */
+    * O(perimeter) row groups. The FACT-sized detailed table gets the
+    * shuffle-free local z-sort (per-file tiles — identical row-group
+    * pruning to a global sort on a vanilla reader, measured ~25% of the
+    * full day's wall cheaper, BASELINE.md round 12); the per-cell summary
+    * gets the global sort, cheap at its size. Daily jobs that
+    * hive-partition by issue date use [[Sinks.writePartitionedZOrdered]]
+    * directly (ScaleSmoke shape). */
   def write(out: Outputs, detailedPath: String, summaryPath: String): Unit = {
-    Sinks.writeZOrdered(out.detailed, detailedPath)
+    Sinks.writeZOrderedLocal(out.detailed, detailedPath)
     Sinks.writeZOrdered(out.summary, summaryPath)
     out.release()
   }

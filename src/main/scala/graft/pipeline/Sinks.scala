@@ -106,6 +106,24 @@ object Sinks {
       .drop("__graft_z")
       .write.mode(SaveMode.Overwrite).options(options).parquet(path)
 
+  /** Flat parquet with each task's rows LOCALLY z-sorted — no shuffle, no
+    * range sampling. The right z form for FACT-SIZED outputs: per-file
+    * tiles already give the full row-group pruning a vanilla parquet
+    * reader can use (see [[writePartitionedZOrdered]]'s rationale);
+    * [[writeZOrdered]]'s global sort is for dimension-sized serving
+    * tables, where its extra pass is cheap and whole-file clustering
+    * helps table formats that skip files. */
+  def writeZOrderedLocal(
+      df: DataFrame,
+      path: String,
+      cellMillideg: Int = 50,
+      bits: Int = 16,
+      options: Map[String, String] = Map.empty): Unit =
+    df.withColumn("__graft_z", zKey(cellMillideg, bits))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).options(options).parquet(path)
+
   /** Hive-partitioned + Z-ordered: [[writePartitioned]]'s layout (daily
     * jobs overwrite only their own `issued_on=` partitions) with each
     * task's rows LOCALLY sorted by (partition key, Morton key) — no

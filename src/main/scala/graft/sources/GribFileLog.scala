@@ -94,13 +94,16 @@ private[sources] class GribFileLog(
   private def writeAtomic(p: Path, entries: Seq[GribFileEntry]): Unit =
     writeBytesAtomic(p, Serialization.write(entries).getBytes(UTF_8))
 
-  /** Atomic overwriting write: temp file + `FileContext.rename(OVERWRITE)`,
-    * which is a single atomic metadata operation on HDFS and POSIX local
-    * filesystems — no delete/rename window in which a crash leaves the
-    * batch file missing (the old exists→delete→rename dance had one). On
-    * object stores without atomic rename the log inherits the store's
-    * rename semantics, same as Spark's own HDFSMetadataLog — run the
-    * checkpoint on a real filesystem there. */
+  /** Overwriting write: temp file + `FileContext.rename(OVERWRITE)`.
+    * Atomic on HDFS (a single NameNode op). On the local filesystem
+    * Hadoop's default `renameInternal(overwrite)` still deletes then
+    * renames, so a crash window remains there — harmless for THIS log,
+    * because an overwrite only ever happens when re-writing a batch id
+    * that was never WAL-committed (`latestOffset` re-runs and re-writes
+    * the same id; a missing file is simply re-created), and migration
+    * repair handles its own torn states explicitly. On object stores the
+    * log inherits the store's rename semantics, same as Spark's own
+    * HDFSMetadataLog — run checkpoints on a real filesystem there. */
   private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(
     logDir.toUri, conf.value)
 

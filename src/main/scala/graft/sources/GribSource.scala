@@ -716,11 +716,7 @@ private class GribMicroBatchStream(
             catch { case _: java.io.FileNotFoundException => 0L }
           GribFileEntry(p, mt, id)
         }
-      if (!log.legacyMigrated) {
-        require(log.listIds().isEmpty,
-          s"legacy full-file-list offset found, but the checkpoint at " +
-            s"'$checkpointLocation' already has a batch-id file log — " +
-            "mixed/corrupted checkpoint state")
+      def seed(): GribStreamOffset = {
         logger.warn(s"migrating legacy GRIB stream offset (${paths.size} " +
           s"files) at '$checkpointLocation' to the batch-id side-log format")
         log.markLegacyMigrated()
@@ -728,7 +724,40 @@ private class GribMicroBatchStream(
         log.add(1L, entriesFor(paths, 1L), Long.MinValue)
         seenCache = None
         GribStreamOffset(1L)
+      }
+      val idsAtEntry = log.listIds()
+      if (!log.legacyMigrated) {
+        require(idsAtEntry.isEmpty,
+          s"legacy full-file-list offset found, but the checkpoint at " +
+            s"'$checkpointLocation' already has a batch-id file log — " +
+            "mixed/corrupted checkpoint state")
+        seed()
+      } else if (idsAtEntry.isEmpty) {
+        // crash landed between the marker write and the first seed batch:
+        // nothing was seeded, so re-seeding is the correct (and only)
+        // recovery — without this branch, the match below would die on
+        // `ids.max` of an empty log on every restart, forever
+        seed()
       } else {
+        // Repair a torn split first: rewriteMigrationSplit writes batch 0
+        // then batch 1; a crash in between leaves batch 0 = the committed
+        // prefix while batch 1 still holds the FULL legacy list — replaying
+        // (0, 1] would then silently re-ingest the prefix. The torn state is
+        // detectable (batch 0 non-empty AND overlapping batch 1) and the
+        // repair is the same idempotent rewrite, so finish it here.
+        if (log.listIds() == Seq(0L, 1L)) {
+          val b0 = log.filesForBatch(0L)
+          val b0Paths = b0.map(_.path).toSet
+          val b1 = log.filesForBatch(1L)
+          if (b0Paths.nonEmpty && b1.exists(e => b0Paths(e.path))) {
+            logger.warn("completing a torn legacy-offset split " +
+              s"(${b0Paths.size} committed / ${b1.count(e => !b0Paths(e.path))} " +
+              "uncommitted files)")
+            log.rewriteMigrationSplit(b0,
+              b1.filterNot(e => b0Paths(e.path)).map(_.copy(batchId = 1L)))
+            seenCache = None
+          }
+        }
         val ids = log.listIds()
         ids.find(id => log.seenUpTo(id).map(_.path).toSet == want) match {
           case Some(id) => GribStreamOffset(id)

@@ -97,6 +97,30 @@ class ForecastPipelineSpec extends SparkSpec {
       clusterByStep = false).count() === 4)
   }
 
+  test("run() rejects a step_hours column that is not 1:1 with step; Some(Nil) opts out") {
+    // bypassing readGrib with a hand-built frame must not silently split
+    // (cell, step) groups: 24h and 36h both derive step 1
+    val frame = Seq(
+      (1L, 0.525, 0.475, "2023-10-01", "2023-10-01", 1, 24, 10.0),
+      (1L, 0.525, 0.475, "2023-10-01", "2023-10-01", 1, 36, 12.0)
+    ).toDF("number", "latitude", "longitude", "issued_on", "valid_for",
+      "step", "step_hours", "dis24")
+      .withColumn("issued_on", to_date(col("issued_on")))
+      .withColumn("valid_for", to_date(col("valid_for")))
+    val thresholds = Seq((0.525, 0.475, 5.0, 8.0, 20.0))
+      .toDF("latitude", "longitude", "threshold_2y", "threshold_5y", "threshold_20y")
+    val e = intercept[IllegalArgumentException](
+      ForecastPipeline.run(frame, thresholds, FloodConfig(),
+        mode = ThresholdPercentages.Exact))
+    assert(e.getMessage.contains("not 1:1"))
+    // explicit opt-out: same frame aggregates the two sub-daily rows into
+    // one (cell, step) group, the non-clustered semantics
+    val out = ForecastPipeline.run(frame, thresholds, FloodConfig(),
+      mode = ThresholdPercentages.Exact, extraGroupCols = Some(Nil))
+    try assert(out.detailed.count() === 1)
+    finally out.release()
+  }
+
   test("dimension joins broadcast from the pipeline's own hints, not session conf") {
     // Auto-broadcast OFF: any BroadcastHashJoin in the plan can only come
     // from the explicit broadcast() hints inside ForecastPipeline.run.

@@ -101,6 +101,35 @@ class GribLegacyOffsetSpec extends SparkSpec {
     assert(logAt(ckpt).filesForBatch(nextId).map(_.path) === Seq(d))
   }
 
+  test("crash between marker and seed: restart re-seeds instead of dying on an empty log") {
+    val (stream, ckpt, p, _) = mkStream(Seq("a.grib2", "b.grib2"))
+    // simulate the torn state: the marker landed, the seed batches did not
+    logAt(ckpt).markLegacyMigrated()
+    val off = stream.deserializeOffset(legacyJson(Seq(p("a.grib2"), p("b.grib2"))))
+    val id = off.asInstanceOf[GribStreamOffset].batchId
+    assert(logAt(ckpt).seenUpTo(id).map(_.path).toSet === p.values.toSet)
+  }
+
+  test("crash mid-split: restart completes the torn split, replay stays exactly the tail") {
+    // torn state rewriteMigrationSplit can leave: batch 0 already holds the
+    // committed prefix, batch 1 STILL holds the full legacy list — a naive
+    // restart would replay (0, 1] as the full list and re-ingest the prefix
+    val (stream, ckpt, p, _) = mkStream(Seq("a.grib2", "b.grib2", "c.grib2"))
+    val log = logAt(ckpt)
+    log.markLegacyMigrated()
+    log.add(0L, Seq(p("a.grib2"), p("b.grib2")).sorted.map(GribFileEntry(_, 1L, 0L)),
+      Long.MinValue)
+    log.add(1L, p.values.toSeq.sorted.map(GribFileEntry(_, 1L, 1L)), Long.MinValue)
+
+    val end = stream.deserializeOffset(
+      legacyJson(Seq(p("a.grib2"), p("b.grib2"), p("c.grib2"))))
+    val start = stream.deserializeOffset(legacyJson(Seq(p("a.grib2"), p("b.grib2"))))
+    assert(start === GribStreamOffset(0L) && end === GribStreamOffset(1L))
+    // the repair rewrote batch 1 down to the uncommitted tail
+    assert(logAt(ckpt).filesForBatch(1L).map(_.path) === Seq(p("c.grib2")))
+    assert(stream.planInputPartitions(start, end).nonEmpty)
+  }
+
   test("a legacy offset against an existing batch-id log fails loudly") {
     val (stream, _, p, _) = mkStream(Seq("a.grib2"))
     // normal (new-format) operation first: admit a real batch
