@@ -108,8 +108,17 @@ object ForecastPipeline {
       s"step-clustered read requires daily leadtimes; found sub-daily steps " +
         s"${subDaily.sorted.mkString(", ")}h in '$glob' — pass " +
         "clusterByStep = false for this input")
+    // certify the guard on the column so run() need not re-scan: daily
+    // leadtimes make step = step_hours/24 1:1 by construction
     Normalize.fromGrib(grib, cfg.precision, keepStepHours = true)
+      .withMetadata("step_hours", new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(StepHoursVerifiedKey, true).build())
   }
+
+  /** Column-metadata key certifying `step_hours` was verified 1:1 with the
+    * derived `step` (the [[readGrib]] daily guard) — lets [[run]] trust
+    * the frame without a second verification pass over the fact data. */
+  private[pipeline] val StepHoursVerifiedKey = "graft.stepHoursDaily"
 
   /** Control-discharge reader: yesterday's 24 h (step-1) forecast as the
     * per-cell control (reference: databricks/glofas-control-ETL.py:77-79,
@@ -152,6 +161,8 @@ object ForecastPipeline {
   ): Outputs = {
     val groupExtras = extraGroupCols.getOrElse {
       if (!forecasts.columns.contains("step_hours")) Nil
+      else if (forecasts.schema("step_hours").metadata
+          .contains(StepHoursVerifiedKey)) Seq("step_hours") // readGrib certified
       else {
         val pairs = forecasts.select(col("step"), col("step_hours"))
           .distinct().collect()
