@@ -24,18 +24,30 @@ private[functions] final class DoubleBuffer(
   def isEmpty: Boolean = n == 0
   def apply(i: Int): Double = arr(i)
 
+  /** Grow to hold at least `min` values. Fails loudly near 2^31 values
+    * (a degenerate grouping, e.g. a key bug putting >2 B rows in one
+    * group) instead of the silent spin/negative-size an unchecked
+    * doubling loop produces on Int overflow. */
+  private def ensureCapacity(min: Int): Unit = {
+    require(min >= 0,
+      "five_number_summary buffer exceeds 2^31 values in one group — " +
+        "this group is degenerate; check the grouping keys")
+    if (min > arr.length) {
+      var cap = arr.length.max(1)
+      while (cap < min && cap > 0) cap <<= 1
+      if (cap < min) cap = Int.MaxValue - 8 // last representable step
+      arr = java.util.Arrays.copyOf(arr, cap)
+    }
+  }
+
   def add(v: Double): Unit = {
-    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+    ensureCapacity(n + 1)
     arr(n) = v
     n += 1
   }
 
   def addAll(o: DoubleBuffer): Unit = {
-    if (n + o.n > arr.length) {
-      var cap = arr.length
-      while (cap < n + o.n) cap <<= 1
-      arr = java.util.Arrays.copyOf(arr, cap)
-    }
+    ensureCapacity(n + o.n)
     System.arraycopy(o.arr, 0, arr, n, o.n)
     n += o.n
   }

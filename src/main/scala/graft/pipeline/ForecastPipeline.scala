@@ -117,7 +117,16 @@ object ForecastPipeline {
 
   /** Column-metadata key certifying `step_hours` was verified 1:1 with the
     * derived `step` (the [[readGrib]] daily guard) — lets [[run]] trust
-    * the frame without a second verification pass over the fact data. */
+    * the frame without a second verification pass over the fact data.
+    *
+    * The stamp certifies the SOURCE, not every derived frame: column
+    * metadata survives transformations, so a caller who composes a
+    * certified frame with data that breaks the invariant (e.g. a union
+    * with a sub-daily frame) carries a stale certificate. Such
+    * compositions are out of contract — strip the metadata or pass
+    * `extraGroupCols` explicitly (`Some(Nil)` disables the clustering,
+    * `Some(Seq("step_hours"))` re-asserts it) when deriving frames whose
+    * step mapping you changed. */
   private[pipeline] val StepHoursVerifiedKey = "graft.stepHoursDaily"
 
   /** Control-discharge reader: yesterday's 24 h (step-1) forecast as the
@@ -161,8 +170,9 @@ object ForecastPipeline {
   ): Outputs = {
     val groupExtras = extraGroupCols.getOrElse {
       if (!forecasts.columns.contains("step_hours")) Nil
-      else if (forecasts.schema("step_hours").metadata
-          .contains(StepHoursVerifiedKey)) Seq("step_hours") // readGrib certified
+      else if (forecasts.schema("step_hours").metadata.contains(StepHoursVerifiedKey) &&
+          forecasts.schema("step_hours").metadata.getBoolean(StepHoursVerifiedKey))
+        Seq("step_hours") // readGrib certified — see StepHoursVerifiedKey contract
       else {
         val pairs = forecasts.select(col("step"), col("step_hours"))
           .distinct().collect()

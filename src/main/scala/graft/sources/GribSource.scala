@@ -739,12 +739,27 @@ private class GribMicroBatchStream(
         // `ids.max` of an empty log on every restart, forever
         seed()
       } else {
-        // Repair a torn split first: rewriteMigrationSplit writes batch 0
-        // then batch 1; a crash in between leaves batch 0 = the committed
-        // prefix while batch 1 still holds the FULL legacy list — replaying
-        // (0, 1] would then silently re-ingest the prefix. The torn state is
-        // detectable (batch 0 non-empty AND overlapping batch 1) and the
-        // repair is the same idempotent rewrite, so finish it here.
+        // Torn-state repairs, in write-order of the windows they close
+        // (writeBytesAtomic's overwrite is delete+rename on a local FS, so
+        // every overwrite of an EXISTING batch file has a crash window):
+        //  - batch 0 vanished mid-overwrite (ids == [1]) → re-create it
+        //    empty, restoring the original seed layout; the match/split
+        //    logic below then proceeds exactly as on first migration
+        //    (without this, seenUpTo(1)'s contiguity check bricks the
+        //    checkpoint on every restart);
+        //  - batch 1 vanished mid-overwrite (ids == [0]) needs no special
+        //    case: the superset fallback below re-appends the tail;
+        //  - split interrupted between the two writes → batch 0 holds the
+        //    committed prefix while batch 1 still holds the FULL list;
+        //    replaying (0, 1] would silently re-ingest the prefix. The
+        //    state is detectable (batch 0 non-empty AND overlapping
+        //    batch 1) and the repair is the same idempotent rewrite.
+        if (idsAtEntry == Seq(1L)) {
+          logger.warn("legacy offset migration: re-creating batch 0 lost " +
+            "to an interrupted overwrite")
+          log.add(0L, Nil, Long.MinValue)
+          seenCache = None
+        }
         if (log.listIds() == Seq(0L, 1L)) {
           val b0 = log.filesForBatch(0L)
           val b0Paths = b0.map(_.path).toSet

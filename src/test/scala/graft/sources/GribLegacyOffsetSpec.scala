@@ -130,6 +130,23 @@ class GribLegacyOffsetSpec extends SparkSpec {
     assert(stream.planInputPartitions(start, end).nonEmpty)
   }
 
+  test("crash mid-overwrite of batch 0: restart restores the seed layout and still splits") {
+    // local-FS overwrite is delete+rename; a crash between them during the
+    // split leaves ONLY the full-list batch 1 — previously seenUpTo(1)'s
+    // contiguity check bricked the checkpoint on every restart
+    val (stream, ckpt, p, _) = mkStream(Seq("a.grib2", "b.grib2", "c.grib2"))
+    val log = logAt(ckpt)
+    log.markLegacyMigrated()
+    log.add(1L, p.values.toSeq.sorted.map(GribFileEntry(_, 1L, 1L)), Long.MinValue)
+
+    val end = stream.deserializeOffset(
+      legacyJson(Seq(p("a.grib2"), p("b.grib2"), p("c.grib2"))))
+    val start = stream.deserializeOffset(legacyJson(Seq(p("a.grib2"), p("b.grib2"))))
+    assert(start === GribStreamOffset(0L) && end === GribStreamOffset(1L))
+    assert(logAt(ckpt).filesForBatch(1L).map(_.path) === Seq(p("c.grib2")))
+    assert(stream.planInputPartitions(start, end).nonEmpty)
+  }
+
   test("a legacy offset against an existing batch-id log fails loudly") {
     val (stream, _, p, _) = mkStream(Seq("a.grib2"))
     // normal (new-format) operation first: admit a real batch
