@@ -36,7 +36,7 @@ object ScaleSmoke {
     * (tools/make_glofas_day.py geometry), generated distributed — 644k
     * rows, deterministic in the cell id, spanning the generator's 0..655
     * value range so the exceedance branches all see traffic. */
-  private def syntheticThresholds(spark: SparkSession, precision: Int): DataFrame = {
+  private[graft] def syntheticThresholds(spark: SparkSession, precision: Int): DataFrame = {
     val ni = 1400L
     val nj = 460L
     Normalize.roundKeys(
