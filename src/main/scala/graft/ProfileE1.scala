@@ -112,6 +112,19 @@ object ProfileE1 {
       detailed(ThresholdPercentages.Approx)
         .select(sum("median_dis"), sum("p_above_2y")).collect())
 
+    // 4b. would grouping on the packed cell key (unpacking lat/lon after
+    //     the agg) beat grouping on the two doubles + two dates? measures
+    //     the candidate before any product code changes
+    t("detailed agg, grouped on packed key") {
+      val joined = graft.transforms.CellKey.join(forecasts, broadcast(thresholds), "left")
+        .withColumn("__cell", graft.transforms.CellKey.pack(col("latitude"), col("longitude")))
+      val grouped = joined.groupBy("__cell", "step_hours")
+        .agg(
+          mean(when(col("dis24") >= col("threshold_2y"), 1).otherwise(0)).as("p2"),
+          graft.functions.FiveNumberSummary(col("dis24")).as("fns"))
+      grouped.select(sum("p2"), sum(col("fns.median"))).collect()
+    }
+
     // 5. downstream-of-agg stages, from a materialized detailed frame so
     //    they are measured WITHOUT re-paying the 985M-row aggregation
     val det = t("detailed materialize (cache)") {

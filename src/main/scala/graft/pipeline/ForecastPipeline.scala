@@ -201,7 +201,7 @@ object ForecastPipeline {
         .withColumnRenamed("median_dis", "control_dis"))
 
     val detailedWithControl =
-      detailed.join(broadcast(control), Seq("latitude", "longitude"), "left")
+      CellKey.join(detailed, broadcast(control), "left")
 
     val summary = Summary.onePass(detailedWithControl)
 
@@ -212,9 +212,10 @@ object ForecastPipeline {
     // the surviving-cell set is per-cell (≤ one row per grid cell) —
     // dimension-sized by construction, so the detailed side stays in place
     val detailedGeo =
-      Geometry.addWkt(detailed, cfg.halfGridSize, cfg.precision)
-        .join(broadcast(summaryGeo.select("latitude", "longitude")),
-          Seq("latitude", "longitude"), "left_semi")
+      CellKey.join(
+        Geometry.addWkt(detailed, cfg.halfGridSize, cfg.precision),
+        broadcast(summaryGeo.select("latitude", "longitude")),
+        "left_semi")
 
     Outputs(detailedGeo, summaryGeo, () => { detailed.unpersist(); () })
   }

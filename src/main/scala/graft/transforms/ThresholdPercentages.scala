@@ -36,21 +36,6 @@ object ThresholdPercentages {
     * interpolation), a fifth of the aggregation state. */
   case object ExactOnePass extends AccuracyMode
 
-  /** One packed BIGINT from the two rounded grid coordinates, exact for
-    * coordinates with ≤6 decimal places (the engine normalizes to 3 —
-    * `round(c·10⁶)` recovers the decimal exactly, the same integer-recovery
-    * trick as [[Geometry.cellIndex]]). Joining on ONE long key instead of
-    * the two double keys lets the broadcast build a `LongHashedRelation`
-    * (a primitive-array map) instead of the generic two-field UnsafeRow
-    * relation — measured 10× faster to probe at the 985 M-row operational
-    * day (BASELINE.md round-12 profile: 131 s → 13 s for the identical
-    * join), with identical match semantics: the packing is bijective on
-    * the rounded grid, and a NULL coordinate yields a NULL key, which
-    * never equi-joins — exactly like a NULL in the two-column form. */
-  private def cellKey(lat: Column, lon: Column): Column =
-    (round(lat * 1000000).cast("long") + 90000000L) * 360000001L +
-      (round(lon * 1000000).cast("long") + 180000000L)
-
   /** `extraGroupCols`: RAW attributes appended to the grouping key and
     * dropped from the output — functionally redundant columns (each must
     * be constant within a group, e.g. `step_hours` alongside the derived
@@ -64,16 +49,9 @@ object ThresholdPercentages {
       mode: AccuracyMode = Approx,
       extraGroupCols: Seq[String] = Nil
   ): DataFrame = {
-    // left join on the packed key; the fact side keeps its (lat, lon)
+    // left join on the packed CellKey; the fact side keeps its (lat, lon)
     // columns, so the output is column-identical to the two-key form
-    val joined = forecast
-      .withColumn("__cell", cellKey(col("latitude"), col("longitude")))
-      .join(
-        thresholds
-          .withColumn("__cell", cellKey(col("latitude"), col("longitude")))
-          .drop("latitude", "longitude"),
-        Seq("__cell"), "left")
-      .drop("__cell")
+    val joined = CellKey.join(forecast, thresholds, "left")
 
     val withIndicators = thresholdYears.foldLeft(joined) { (df, n) =>
       df.withColumn(
