@@ -67,15 +67,24 @@ object ScaleSmoke {
     // broadcast() hints in ForecastPipeline.run, readGrib enabling the v2
     // bucketing flag itself — not from tool-side session tuning. Round-11
     // carried autoBroadcastJoinThreshold/bucketing conf here; round 12
-    // graduated both into the pipeline, and this smoke proves it.
+    // graduated both into the pipeline, and this smoke proves it. The one
+    // non-default line is `spark.sql.extensions` — the library's documented
+    // install hook (cluster deployments set the same conf), which carries
+    // the physical rewrites (CollapsePercentiles,
+    // CompleteClusteredAggregate), not tuning values.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B attribution hook for the complete-mode rewrite (dev-only; the
+    // library default is on — see CompleteClusteredAggregate.EnabledKey)
+    sys.env.get("GRAFT_COMPLETE_AGG").foreach(v =>
+      spark.conf.set(graft.plans.CompleteClusteredAggregate.EnabledKey, v))
 
     val cfg = FloodConfig()
     val outDir = java.nio.file.Files.createTempDirectory("e1smoke").toString

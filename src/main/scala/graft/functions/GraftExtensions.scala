@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan rewrite: N exact quartile buffers -> one FiveNumberSummary
     // (on a live session: spark.experimental.extraOptimizations instead)
     ext.injectOptimizerRule(_ => graft.plans.CollapsePercentiles)
+    // physical rewrite: adjacent partial+final aggregate (exchange already
+    // elided by a scan-reported or repartition clustering) -> one
+    // complete-mode pass. Injected on both physical paths: query-stage
+    // prep covers AQE plans, the columnar hook covers non-AQE plans
+    // (idempotent, so double application is a no-op).
+    ext.injectQueryStagePrepRule(_ => graft.plans.CompleteClusteredAggregate)
+    ext.injectColumnar(_ => new org.apache.spark.sql.execution.ColumnarRule {
+      override def preColumnarTransitions = graft.plans.CompleteClusteredAggregate
+    })
   }
 }
 
