@@ -17,19 +17,25 @@ import org.apache.spark.sql.types.LongType
   *    raw `sum(double)` can never hash-compare exactly. Min/max/count stay
   *    exact on doubles.
   *  - timestamps are normalized to epoch microseconds (long) on input and
-  *    output: the testdata parquet carries TIMESTAMP(NANOS), which Spark
-  *    reads as a nanos long under `spark.sql.legacy.parquet.nanosAsLong`
-  *    (set in Verify/Bench sessions), while DuckDB truncates it to a
-  *    microsecond timestamp — integer instants are the representation both
-  *    engines agree on. Window bounds are pure integer arithmetic on the
-  *    micros, which for epoch-aligned tumbling windows is exactly Spark's
-  *    `window()` semantics.
+  *    output. The testdata parquet has carried `ts` as both
+  *    TIMESTAMP(NANOS) (read as a nanos long under
+  *    `spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench
+  *    sessions) and TIMESTAMP(MICROS) (read as timestamp/timestamp_ntz),
+  *    so [[tsMicros]] dispatches on the actual column type — every
+  *    event-time consumer (batch, streaming, registry entries, specs)
+  *    must go through it rather than assume a unit. Integer micro
+  *    instants are the representation Spark and DuckDB agree on. Window
+  *    bounds are pure integer arithmetic on the micros, which for
+  *    epoch-aligned tumbling windows is exactly Spark's `window()`
+  *    semantics.
   */
 object Events {
 
   /** Event time as epoch micros, whatever the physical ts type:
-    * nanos-long (legacy parquet read), timestamp, or timestamp_ntz. */
-  private def tsMicros(events: DataFrame): Column =
+    * nanos-long (legacy parquet read), timestamp, or timestamp_ntz.
+    * The single source of truth for the events `ts` unit — shared by the
+    * streaming surface and the query registry. */
+  private[graft] def tsMicros(events: DataFrame): Column =
     events.schema("ts").dataType match {
       case LongType => expr("ts DIV 1000") // nanos -> micros; integer div (double math would lose precision above 2^53)
       case _ => unix_micros(col("ts").cast("timestamp"))

@@ -447,8 +447,8 @@ object LlmQueries {
 
     // range join: events landing inside 2h windows opened by trigger events
     "q_range_join" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = raw.select(col("event_id"), col("user_id"), Events.tsMicros(raw).as("ts_us"))
       val iv = ev.filter(col("event_id") % 101 === 0)
         .select(col("user_id"), col("event_id").as("interval_id"),
           col("ts_us").as("start_us"), (col("ts_us") + 7200000000L).as("end_us"))
@@ -459,8 +459,9 @@ object LlmQueries {
 
     // as-of join: each event gets its user's latest preceding rate update
     "q_asof_join" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = raw.select(
+        col("event_id"), col("user_id"), Events.tsMicros(raw).as("ts_us"), col("value"))
       val rates = ev.filter(col("event_id") % 97 === 0)
         .groupBy("user_id", "ts_us").agg(max("value").as("rate"))
       graft.operators.AsofJoin(ev, rates, Seq("user_id"), "ts_us", "rate")

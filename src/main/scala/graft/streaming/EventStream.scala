@@ -1,9 +1,9 @@
 package graft.streaming
 
+import graft.llm.Events
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types._
 
 /** Structured Streaming variants of the event analytics in
   * [[graft.llm.Events]]. The reference pipeline is pure batch re-run daily
@@ -19,18 +19,20 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Physical schema of the events parquet under
-    * `spark.sql.legacy.parquet.nanosAsLong` (ts = epoch nanos). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType)))
-
-  /** File-source stream over an events folder. */
+  /** File-source stream over an events folder. File-source streams require
+    * an explicit schema; hardcoding one is how a µs/ns unit swap in the
+    * input becomes silently-wrong windows, so take the schema from a batch
+    * read of the same path (a one-time driver-side footer read) — `ts`
+    * then resolves to whatever the files physically carry (nanos long
+    * under `spark.sql.legacy.parquet.nanosAsLong`, or
+    * timestamp/timestamp_ntz) and [[graft.llm.Events.tsMicros]] dispatches
+    * on it. */
   def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(path)
+    spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+
+  /** Event-time column for watermarking: the shared µs normalization
+    * re-materialized as a TimestampType column. */
+  private def eventTime(events: DataFrame) = timestamp_micros(Events.tsMicros(events))
 
   /** Streaming tumbling-window counts per event type, watermarked.
     * Mirrors [[graft.llm.Events.windowedCounts]]; the one semantic
@@ -42,7 +44,7 @@ object EventStream {
       windowLength: String = "1 hour",
       watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", eventTime(events))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), windowLength).as("w"), col("event_type"))
       .agg(
@@ -67,7 +69,7 @@ object EventStream {
       events: DataFrame,
       withinMinutes: Int = 30,
       watermarkDelay: String = "2 hours"): DataFrame = {
-    val base = events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val base = events.withColumn("event_time", eventTime(events))
     val views = base.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("event_time").as("view_time"))
       .withWatermark("view_time", watermarkDelay)
@@ -143,10 +145,7 @@ object EventStream {
     * or timestamp, same normalization as the batch path). */
   def toEventRows(events: DataFrame): Dataset[EventRow] = {
     import events.sparkSession.implicits._
-    val tsUs = events.schema("ts").dataType match {
-      case LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
-    }
+    val tsUs = Events.tsMicros(events)
     events.select(
       col("user_id"),
       col("event_id"),

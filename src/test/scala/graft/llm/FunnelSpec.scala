@@ -12,7 +12,7 @@ class FunnelSpec extends SparkSpec {
       .select("window_start_us", "event_type", "n_events")
       .as[(Long, String, Long)].collect().toSet
     val native = events
-      .select(timestamp_micros(expr("ts DIV 1000")).as("et"), col("event_type"))
+      .select(timestamp_micros(Events.tsMicros(events)).as("et"), col("event_type"))
       .groupBy(window(col("et"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_micros(col("w.start").cast("timestamp")).as("ws"), col("event_type"), col("n_events"))

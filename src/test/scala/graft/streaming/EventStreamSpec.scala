@@ -76,9 +76,9 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
 
     import org.apache.spark.sql.functions._
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000").as("ts_us"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = raw.select(col("user_id"), col("event_id"), col("event_type"),
+      Events.tsMicros(raw).as("ts_us"))
     val views = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_us"))
     val clicks = e.filter(col("event_type") === "click")
