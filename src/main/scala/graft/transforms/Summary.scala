@@ -152,14 +152,17 @@ object PeakTiming {
   * This fusion computes all three classifications from ONE
   * `groupBy(latitude, longitude)`:
   *  - tendency/intensity inputs are plain min/max aggregates;
-  *  - the peak row is an argmax — `max(struct(-condition, median_dis,
-  *    -step, payload))` realizes the windowed ordering (condition asc,
-  *    median_dis desc, step asc) as a struct ordering: negating the int
-  *    keys flips their direction exactly, `median_dis` stays positive so
-  *    its NaN-greatest comparison matches the window sort's NaN-first
-  *    placement under `desc`, and the payload struct is a final
-  *    deterministic tiebreak (unreachable when `step` is unique per cell,
-  *    the daily-forecast invariant);
+  *  - the peak row is an argmax — [[graft.functions.ArgMaxRow]] over
+  *    (-condition, median_dis, -step, payload) realizes the windowed
+  *    ordering (condition asc, median_dis desc, step asc) as a
+  *    lexicographic ordering: negating the int keys flips their direction
+  *    exactly, `median_dis` stays positive so its NaN-greatest comparison
+  *    matches the window sort's NaN-first placement under `desc`, and the
+  *    payload fields are a final deterministic tiebreak (unreachable when
+  *    `step` is unique per cell, the daily-forecast invariant). ArgMaxRow
+  *    compares exactly like `max(struct(...))` but keeps the aggregation
+  *    buffer scalar, so the stage hash-aggregates instead of falling back
+  *    to a SortAggregate (pinned by SummaryCodegenAuditSpec);
   *  - `max_2y_start` is the same conditional max the windowed form
   *    computes per cell.
   *
@@ -179,16 +182,27 @@ object Summary {
     * joined on (the same frame [[Tendency]] takes — [[Intensity]] and
     * [[PeakTiming]] ignore the extra column). */
   def onePass(detailedWithControl: DataFrame): DataFrame = {
-    val peakOrder = struct(
-      (-PeakTiming.condition).as("neg_condition"),
-      col("median_dis").as("peak_median"),
-      (-col("step")).as("neg_step"),
-      struct(col("issued_on"), col("step"), col("valid_for")).as("row"))
+    // Ordering (condition asc, median_dis desc, step asc, payload
+    // tiebreak) realized as a lexicographic max over negated keys — the
+    // same tuple the windowed PeakTiming sorts by. ArgMaxRow flattens the
+    // aggregation buffer to scalars so the whole stage hash-aggregates
+    // (max(struct(...)) would force a SortAggregate — both sides of the
+    // stage's exchange sorting the full fact input; see ArgMaxRow docs and
+    // SummaryCodegenAuditSpec).
+    val peakArgmax = graft.functions.ArgMaxRow(
+      Seq(
+        -PeakTiming.condition,
+        col("median_dis"),
+        -col("step"),
+        col("issued_on"),
+        col("step"),
+        col("valid_for")),
+      Seq("issued_on" -> 3, "step" -> 4, "valid_for" -> 5))
 
     val agg = detailedWithControl
       .groupBy("latitude", "longitude")
       .agg(
-        max(peakOrder).as("pk"),
+        peakArgmax.as("pk"),
         PeakTiming.max2yStartAgg.as("max_2y_start"),
         max("median_dis").as("max_median_dis"),
         min("median_dis").as("min_median_dis"),
@@ -204,10 +218,10 @@ object Summary {
     agg.select(
       col("latitude"),
       col("longitude"),
-      col("pk.row.issued_on").as("issued_on"),
-      col("pk.row.step").as("peak_step"),
-      col("pk.row.valid_for").as("peak_day"),
-      PeakTiming.timing(col("pk.row.step"), col("max_2y_start")).as("peak_timing"),
+      col("pk.issued_on").as("issued_on"),
+      col("pk.step").as("peak_step"),
+      col("pk.valid_for").as("peak_day"),
+      PeakTiming.timing(col("pk.step"), col("max_2y_start")).as("peak_timing"),
       col("max_median_dis"),
       col("min_median_dis"),
       col("control_dis"),

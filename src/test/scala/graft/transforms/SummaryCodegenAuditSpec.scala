@@ -68,24 +68,27 @@ class SummaryCodegenAuditSpec extends SparkSpec {
     }
   }
 
-  test("peak argmax is an aggregate, not a window") {
+  test("peak argmax hash-aggregates: no window, no join, no sort") {
     withAqeOff {
       val nodes = flatten(summaryGeo.queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
         "fused stage must not plan a Window")
       assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
         "fused stage must not plan a join")
-      // struct max lives in the aggregate expressions of the agg operator.
-      // The struct buffer makes this a SortAggregate (UnsafeRow-immutable
-      // buffer type — no hash aggregation), a documented trade: the sort
-      // is per-partition, the stage still has the single exchange, and
-      // the measured summary-stage cost is ~8 s of a ~100 s day.
-      val aggs = nodes.collect {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
-      assert(aggs.nonEmpty)
-      assert(aggs.exists(_.aggregateExpressions.exists(
-        _.aggregateFunction.children.exists(_.dataType.typeName == "struct"))),
-        "expected a max(struct(...)) argmax inside the aggregate")
+      // ArgMaxRow's flattened scalar buffer is what keeps this a
+      // HashAggregate — max(struct(...)) would carry a struct buffer and
+      // fall back to SortAggregateExec, sorting the full fact input on
+      // both sides of the exchange (the regression this pins against).
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+        "fused stage must hash-aggregate, not sort-aggregate:\n" +
+          summaryGeo.queryExecution.executedPlan.toString)
+      val hashAggs = nodes.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+      assert(hashAggs.nonEmpty)
+      assert(hashAggs.exists(_.aggregateExpressions.exists(
+        _.aggregateFunction.isInstanceOf[graft.functions.ArgMaxRow])),
+        "expected the ArgMaxRow peak argmax inside the hash aggregate")
     }
   }
 
