@@ -112,4 +112,80 @@ object GraftVecOps {
     }
     bucket
   }
+
+  /** Nearest centroid by squared euclidean distance over a row-major
+    * flattened k×dim centroid matrix; returns `[best_index, best_sqdist]`
+    * as doubles (an index is exact in a double far beyond any real k).
+    *
+    * This is the zero-shuffle form of the Lloyd assignment argmin: the
+    * `crossJoin(broadcast(centroids)) → groupBy(vec_id) → min(struct)`
+    * spelling shuffles the corpus every round AND sort-aggregates (struct
+    * and array aggregation buffers are UnsafeRow-immutable, so
+    * HashAggregateExec refuses the plan); a per-row kernel over a literal
+    * matrix needs neither. Tiebreaks: the first strictly-smaller distance
+    * wins, so the caller encodes `min(struct(dist, key))`'s key-asc
+    * tiebreak by ordering the matrix rows; comparison is
+    * `java.lang.Double.compare`, whose NaN-greatest rule is exactly the
+    * ordering Spark applies inside min/max. Per-row fold order matches
+    * [[sqDist]] → bit-identical distances. */
+  def nearestSqDist(v: ArrayData, cents: ArrayData, dim: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"vector kernels need equal-length arrays, got ${v.numElements()} vs $dim")
+    require(dim > 0 && cents.numElements() % dim == 0,
+      s"centroid matrix length ${cents.numElements()} is not a multiple of dim $dim")
+    val k = cents.numElements() / dim
+    var bi = 0
+    var bd = Double.NaN
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = v.getDouble(i) - cents.getDouble(off + i)
+        s += d * d
+        i += 1
+      }
+      if (c == 0 || java.lang.Double.compare(s, bd) < 0) { bd = s; bi = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(bi.toDouble, bd))
+  }
+
+  /** Highest-cosine centroid over a row-major flattened k×dim matrix with
+    * per-centroid norms; returns `[best_index, best_cosine]`. The cosine
+    * is `dot(v, c) / (norm * norms(c))` with [[dot]]'s fold order and the
+    * same multiplication order as the join formulation — bit-identical
+    * values. First strictly-greater cosine wins (caller orders rows for
+    * the key-asc tiebreak); `Double.compare` gives max_by's NaN-greatest
+    * behavior. Zero-shuffle replacement for the IVF cell-assignment
+    * argmax ([[graft.llm.Similarity.ivfTopKWith]]). */
+  def bestCosine(
+      v: ArrayData, norm: Double, cents: ArrayData, norms: ArrayData, dim: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"vector kernels need equal-length arrays, got ${v.numElements()} vs $dim")
+    require(dim > 0 && cents.numElements() % dim == 0,
+      s"centroid matrix length ${cents.numElements()} is not a multiple of dim $dim")
+    val k = norms.numElements()
+    require(cents.numElements() / dim == k,
+      s"centroid matrix holds ${cents.numElements() / dim} rows but ${k} norms given")
+    var bi = 0
+    var bc = Double.NaN
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += v.getDouble(i) * cents.getDouble(off + i)
+        i += 1
+      }
+      val cos = s / (norm * norms.getDouble(c))
+      if (c == 0 || java.lang.Double.compare(cos, bc) > 0) { bc = cos; bi = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(bi.toDouble, bc))
+  }
 }

@@ -96,6 +96,19 @@ object HashFunctions {
   def sigAgreement(a: Column, b: Column): Column =
     invokeVec("sigAgreement", IntegerType, Seq(e(a), e(b)))
 
+  private val doubleArray = ArrayType(DoubleType, containsNull = false)
+
+  /** Compiled nearest-centroid argmin over a flattened literal matrix:
+    * `[best_index, best_sqdist]` (see [[GraftVecOps.nearestSqDist]]). */
+  def nearestSqDist(v: Column, centsFlat: Column, dim: Int): Column =
+    invokeVec("nearestSqDist", doubleArray, Seq(e(v), e(centsFlat), Literal(dim)))
+
+  /** Compiled highest-cosine centroid over a flattened literal matrix:
+    * `[best_index, best_cosine]` (see [[GraftVecOps.bestCosine]]). */
+  def bestCosine(v: Column, norm: Column, centsFlat: Column, norms: Column, dim: Int): Column =
+    invokeVec("bestCosine", doubleArray,
+      Seq(e(v), e(norm), e(centsFlat), e(norms), Literal(dim)))
+
   /** Output schema of [[GraftHashOps.textStats]]; field names become the
     * column names when expanded with `inline`. */
   val TextStatsType: StructType = StructType(Seq(

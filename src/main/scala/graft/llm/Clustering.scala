@@ -42,18 +42,63 @@ object Clustering {
 
   /** One Lloyd assignment: nearest centroid per vector.
     * `centroids`: (cluster, c: array<double>). Returns (vec_id, v, cluster,
-    * dist). Argmin as an AGGREGATION, not a window (the ivfTopK pattern):
-    * `min(struct(dist, cluster))` partial-combines map-side, so the k
-    * scored rows per vector collapse to one before the shuffle — a
-    * row_number window would ship corpus × k rows. The struct's
-    * lexicographic order IS the (dist asc, cluster asc) tiebreak. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cluster"), sqDist(col("v"), col("c")).as("dist"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cluster"))).as("best"), first(col("v")).as("v"))
+    * dist).
+    *
+    * ZERO-SHUFFLE: centroids are k tiny driver rows (the discipline this
+    * file already follows — every round collects them for the movement
+    * check), so the argmin is a per-row compiled kernel over a LITERAL
+    * flattened centroid matrix ([[graft.functions.GraftVecOps
+    * .nearestSqDist]]) plus a broadcast k-row join mapping the matrix
+    * index back to the cluster id — a pure projection of the corpus. The
+    * previous `crossJoin(broadcast) → groupBy(vec_id) → min(struct) +
+    * first(v)` spelling shuffled the whole corpus (with its vectors)
+    * every Lloyd round AND sort-aggregated it (struct/array aggregation
+    * buffers are UnsafeRow-immutable, so HashAggregateExec refuses and
+    * both exchange sides sort corpus×k rows) — per round at 100 TB that
+    * is the difference between a map-only pass and a full-corpus
+    * sort-shuffle. Matrix rows are ordered by cluster id (nulls first),
+    * so the kernel's first-wins rule reproduces `min(struct(dist,
+    * cluster))`'s (dist asc, cluster asc) tiebreak exactly; distances are
+    * bit-identical (same fold order) and the oracle CTE chain still
+    * hash-matches. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    val idType = centroids.schema("cluster").dataType
+    // nulls-first ordering = min(struct)'s null-smallest comparison
+    val rows = centroids.select(col("cluster"), col("c"))
+      .orderBy(col("cluster").asc_nulls_first).collect()
+    if (rows.isEmpty)
+      return vecs
+        .select(col("vec_id"), col("v"),
+          lit(null).cast(idType).as("cluster"), lit(0.0).as("dist"))
+        .filter(lit(false))
+    val cents = rows.map(_.getSeq[Double](1))
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim),
+      s"centroid dimensions differ: ${cents.map(_.length).distinct.mkString(", ")}")
+    val flat = new Array[Double](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      val c = cents(i)
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = c(j); j += 1 }
+      i += 1
+    }
+    val idxToCluster = localDf(spark,
+      rows.toIndexedSeq.zipWithIndex.map { case (r, ix) =>
+        org.apache.spark.sql.Row(ix, r.get(0)) },
+      org.apache.spark.sql.types.StructType(Seq(
+        field("__ci", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cluster", idType, nullable = true))))
+    vecs
       .select(col("vec_id"), col("v"),
-        col("best.cluster").as("cluster"), col("best.dist").as("dist"))
+        graft.functions.HashFunctions.nearestSqDist(col("v"), typedLit(flat), dim).as("__nd"))
+      .select(col("vec_id"), col("v"),
+        col("__nd").getItem(0).cast("int").as("__ci"),
+        col("__nd").getItem(1).as("dist"))
+      .join(broadcast(idxToCluster), Seq("__ci"))
+      .select(col("vec_id"), col("v"), col("cluster"), col("dist"))
+  }
 
   /** Micros-mean centroid update: (cluster, c) with
     * c(d) = sum(round(v(d)*1e6)) / (n*1e6) per dimension. */

@@ -168,9 +168,22 @@ object Similarity {
   /** [[ivfTopK]] against a TRAINED coarse quantizer: `centroids` is any
     * (centroid_id, vc: array&lt;double&gt;) table — in production the
     * [[Clustering.kmeansConvergedCentroids]] output, which places cells
-    * where the vectors actually are. Identical dataflow to [[ivfTopK]]
-    * (broadcast centroids → argmax-as-aggregation assignment → equi-join
-    * probes); only the centroid table changes. */
+    * where the vectors actually are.
+    *
+    * Cell assignment is ZERO-SHUFFLE: the quantizer is k tiny rows (it is
+    * broadcast in any formulation — materializing it on the driver is the
+    * same k-row cost, paid once at plan build), so each corpus vector's
+    * best cell comes from a per-row compiled kernel over the LITERAL
+    * flattened centroid matrix ([[graft.functions.GraftVecOps
+    * .bestCosine]]) plus a broadcast index→id join — a pure projection.
+    * The previous `join(broadcast) → groupBy(vec_id) → max_by +
+    * first(v/norm)` spelling shuffled the corpus (vectors included) and,
+    * because struct/array aggregation buffers are UnsafeRow-immutable,
+    * sort-aggregated corpus×k rows on both exchange sides. Matrix rows
+    * are ordered by centroid_id (nulls last, who lose max_by ties), so
+    * the kernel's first-wins rule reproduces the (c_cos desc, centroid_id
+    * asc) tiebreak exactly; cosines are bit-identical (same fold and
+    * division order) and the q_ann_ivf oracle still hash-matches. */
   def ivfTopKWith(
       vectors: DataFrame,
       idCol: String,
@@ -200,27 +213,56 @@ object Similarity {
       // the whole corpus. Drop it: members re-route to their next cell.
       // Mirrored in the q_ann_ivf oracle SQL (AND nc > 0).
       .filter(col("nc") > 0)
-    val scoredCells = base.join(broadcast(centroids))
+    // k tiny rows, ordered so the kernel's first-wins rule IS the
+    // (c_cos desc, centroid_id asc, null ids lose) max_by tiebreak
+    val centRows = centroids.select(col("centroid_id"), col("vc"), col("nc"))
+      .orderBy(col("centroid_id").asc_nulls_last).collect()
+    if (centRows.isEmpty)
+      return base
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank"))
+        .filter(lit(false))
+    val cvecs = centRows.map(_.getSeq[Double](1))
+    val dim = cvecs.head.length
+    require(cvecs.forall(_.length == dim),
+      s"centroid dimensions differ: ${cvecs.map(_.length).distinct.mkString(", ")}")
+    val flat = new Array[Double](centRows.length * dim)
+    var ci = 0
+    while (ci < centRows.length) {
+      val cv = cvecs(ci)
+      var j = 0
+      while (j < dim) { flat(ci * dim + j) = cv(j); j += 1 }
+      ci += 1
+    }
+    val ncs = centRows.map(_.getDouble(2))
+    val cellType = centroids.schema("centroid_id").dataType
+    val spark = vectors.sparkSession
+    val idxToCell = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        centRows.toIndexedSeq.zipWithIndex.map { case (r, ix) =>
+          org.apache.spark.sql.Row(ix, r.get(0)) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "__ci", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell", cellType, nullable = true))))
+    // corpus side: per-row kernel argmax + broadcast index→id join — a
+    // projection; no corpus shuffle, no aggregate
+    val assigned = base
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vn"), col("norm").as("nn"),
+        graft.functions.HashFunctions.bestCosine(
+          col("v"), col("norm"), typedLit(flat), typedLit(ncs), dim)
+          .getItem(0).cast("int").as("__ci"))
+      .join(broadcast(idxToCell), Seq("__ci"))
+      .select(col("cell"), col("neighbor_id"), col("vn"), col("nn"))
+    // probes: query-set-sized — restrict to the queries FIRST, then the
+    // broadcast centroid join + rank window run over a tiny frame
+    val scoredProbes = base
+      .filter(col("vec_id").isin(queryIds: _*))
+      .join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
         (kdot(col("v"), col("vc")) / (col("norm") * col("nc"))).as("c_cos"))
-    // Corpus assignment as an AGGREGATION, not a window: hash aggregation
-    // partial-combines map-side, so the nCentroids scored rows per vector
-    // collapse to one before the shuffle — a row_number window would ship
-    // corpus × nCentroids rows. max_by's (c_cos desc, centroid_id asc)
-    // tiebreak matches the oracle's ROW_NUMBER ordering exactly;
-    // first(v)/first(norm) are constant per vec_id.
-    val assigned = scoredCells
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("centroid_id"), struct(col("c_cos"), (-col("centroid_id")).as("neg")))
-          .as("cell"),
-        first(col("v")).as("vn"),
-        first(col("norm")).as("nn"))
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("vn"), col("nn"))
-    // probes: query-set-sized input, the rank window is fine here
     val wCell = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id").asc)
-    val probes = scoredCells
-      .filter(col("vec_id").isin(queryIds: _*))
+    val probes = scoredProbes
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= nProbes)
       .select(col("centroid_id").as("cell"),

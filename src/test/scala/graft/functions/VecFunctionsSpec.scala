@@ -77,4 +77,47 @@ class VecFunctionsSpec extends SparkSpec {
       assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("nearestSqDist kernel equals the min(struct(dist, idx)) argmin on real vectors") {
+    // centroid matrix = the first 4 embeddings, in vec_id order
+    val cents = embs.orderBy(col("vec_id")).limit(4).collect().map(_.getSeq[Double](1))
+    val dim = cents.head.length
+    val flat = cents.flatten.toArray
+    val perCent = cents.zipWithIndex.map { case (c, i) =>
+      struct(HashFunctions.sqDist(col("v"), typedLit(c.toArray)).as("d"),
+        lit(i).as("i")).as(s"s$i")
+    }
+    val reference = embs.select(col("vec_id"),
+      least(perCent: _*).getField("i").as("ri"), least(perCent: _*).getField("d").as("rd"))
+    val kernel = embs.select(col("vec_id"),
+      HashFunctions.nearestSqDist(col("v"), typedLit(flat), dim).as("nd"))
+      .select(col("vec_id"),
+        col("nd").getItem(0).cast("int").as("ki"), col("nd").getItem(1).as("kd"))
+    val bad = reference.join(kernel, "vec_id")
+      .filter(col("ri") =!= col("ki") || not(col("rd") === col("kd"))).count()
+    assert(bad == 0)
+  }
+
+  test("bestCosine kernel equals the greatest(struct(cos, -idx)) argmax on real vectors") {
+    val rows = embs.orderBy(col("vec_id")).limit(4).collect().map(_.getSeq[Double](1))
+    val dim = rows.head.length
+    val flat = rows.flatten.toArray
+    val ncs = rows.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+    val norm = sqrt(HashFunctions.dot(col("v"), col("v")))
+    val perCent = rows.zipWithIndex.map { case (c, i) =>
+      struct(
+        (HashFunctions.dot(col("v"), typedLit(c.toArray)) / (norm * ncs(i))).as("cos"),
+        lit(-i).as("ni")).as(s"s$i")
+    }
+    val reference = embs.select(col("vec_id"),
+      (-greatest(perCent: _*).getField("ni")).as("ri"),
+      greatest(perCent: _*).getField("cos").as("rc"))
+    val kernel = embs.select(col("vec_id"),
+      HashFunctions.bestCosine(col("v"), norm, typedLit(flat), typedLit(ncs), dim).as("bc"))
+      .select(col("vec_id"),
+        col("bc").getItem(0).cast("int").as("ki"), col("bc").getItem(1).as("kc"))
+    val bad = reference.join(kernel, "vec_id")
+      .filter(col("ri") =!= col("ki") || not(col("rc") === col("kc"))).count()
+    assert(bad == 0)
+  }
 }
