@@ -102,6 +102,40 @@ class PlanAuditSpec extends SparkSpec {
       s"BNLJ with a non-dimension-sized broadcast side in: ${offenders.mkString(", ")}")
   }
 
+  test("no registry query falls back to SortAggregate outside the audited exceptions") {
+    // SortAggregateExec sorts its whole input by the grouping key on BOTH
+    // sides of the aggregation's exchange — at fact scale two corpus
+    // sorts (plus partial-side spill surface) where a hash aggregate does
+    // O(1) buffer updates. Spark falls back whenever any aggregation
+    // buffer type is UnsafeRow-immutable (structs, arrays, strings), so
+    // an innocent-looking max(struct)/first(array) silently buys the sort
+    // plan — the regression ArgMaxRow and the kernel-projection
+    // assignments (Summary.onePass, Clustering.assign, ivfTopKWith)
+    // removed. Allowed exceptions are aggregations whose sort fallback is
+    // inherent AND whose input is bounded by contract (see each entry).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    // q_scd_merge: SnapshotMerge.latestPerKey max_by's the full row
+    // struct over the UPDATE BATCH (dimension-sized by the operator's
+    // contract); document payloads carry strings, which no buffer layout
+    // makes mutable, so a hash form of that aggregate does not exist.
+    val allowed = Set("q_scd_merge")
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      case other => other.children.flatMap(flatten)
+    })
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val n = flatten(fn(spark, sfDir).queryExecution.executedPlan)
+          .count(_.isInstanceOf[SortAggregateExec])
+        if (n > 0) Some(s"$name($n)") else None
+      }
+    }
+    assert(offenders.isEmpty, s"SortAggregate fallbacks in: ${offenders.mkString(", ")}")
+  }
+
   test("every query with an oracle is registered, and the flagship runs") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle SQL without a query: ${missing.mkString(", ")}")
