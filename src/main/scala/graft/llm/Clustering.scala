@@ -62,31 +62,43 @@ object Clustering {
     * bit-identical (same fold order) and the oracle CTE chain still
     * hash-matches. */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val spark = vecs.sparkSession
     val idType = centroids.schema("cluster").dataType
     // nulls-first ordering = min(struct)'s null-smallest comparison
     val rows = centroids.select(col("cluster"), col("c"))
       .orderBy(col("cluster").asc_nulls_first).collect()
-    if (rows.isEmpty)
+      .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+    assignLocal(vecs, rows, idType)
+  }
+
+  /** [[assign]] from driver-resident centroids already in tiebreak order
+    * (cluster asc, nulls first): [[convergedLoop]] holds them as local
+    * state, so re-collecting the k-row frame per round would be a wasted
+    * Spark job — it sorts locally and calls this directly. */
+  private def assignLocal(
+      vecs: DataFrame,
+      sorted: Seq[(Any, Seq[Double])],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = vecs.sparkSession
+    if (sorted.isEmpty)
       return vecs
         .select(col("vec_id"), col("v"),
           lit(null).cast(idType).as("cluster"), lit(0.0).as("dist"))
         .filter(lit(false))
-    val cents = rows.map(_.getSeq[Double](1))
+    val cents = sorted.map(_._2)
     val dim = cents.head.length
     require(cents.forall(_.length == dim),
       s"centroid dimensions differ: ${cents.map(_.length).distinct.mkString(", ")}")
-    val flat = new Array[Double](rows.length * dim)
+    val flat = new Array[Double](sorted.length * dim)
     var i = 0
-    while (i < rows.length) {
+    while (i < sorted.length) {
       val c = cents(i)
       var j = 0
       while (j < dim) { flat(i * dim + j) = c(j); j += 1 }
       i += 1
     }
     val idxToCluster = localDf(spark,
-      rows.toIndexedSeq.zipWithIndex.map { case (r, ix) =>
-        org.apache.spark.sql.Row(ix, r.get(0)) },
+      sorted.toIndexedSeq.zipWithIndex.map { case ((id, _), ix) =>
+        org.apache.spark.sql.Row(ix, id) },
       org.apache.spark.sql.types.StructType(Seq(
         field("__ci", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("cluster", idType, nullable = true))))
@@ -98,6 +110,47 @@ object Clustering {
         col("__nd").getItem(1).as("dist"))
       .join(broadcast(idxToCluster), Seq("__ci"))
       .select(col("vec_id"), col("v"), col("cluster"), col("dist"))
+  }
+
+  /** Driver-side sort into [[assignLocal]]'s tiebreak order (id asc,
+    * nulls first) for the id types whose local ordering provably matches
+    * Spark's: integral ids naturally, strings by UTF-8 bytes (Spark
+    * compares `UTF8String` binary, NOT Java's UTF-16 `compareTo` — they
+    * diverge on supplementary characters). Returns None for any other
+    * type; callers then pay the k-row collecting [[assign]] instead of
+    * risking a tiebreak divergence. */
+  private def sortForAssign(
+      centroids: Seq[(Any, Seq[Double])],
+      idType: org.apache.spark.sql.types.DataType): Option[Seq[(Any, Seq[Double])]] = {
+    import org.apache.spark.sql.types._
+    val cmp: Option[(Any, Any) => Int] = idType match {
+      case LongType => Some((a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+      case IntegerType => Some((a, b) =>
+        java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]))
+      case ShortType => Some((a, b) =>
+        java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short]))
+      case StringType => Some((a, b) => {
+        val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var r = 0
+        while (r == 0 && i < n) {
+          r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          i += 1
+        }
+        if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+      })
+      case _ => None
+    }
+    cmp.map { c =>
+      centroids.sortWith { case ((x, _), (y, _)) =>
+        if (x == null) y != null
+        else if (y == null) false
+        else c(x, y) < 0
+      }
+    }
   }
 
   /** Micros-mean centroid update: (cluster, c) with
@@ -355,10 +408,19 @@ object Clustering {
         // nullable: a NULL-id corpus row may legitimately seed a cluster
         org.apache.spark.sql.types.StructField("cluster", idType, nullable = true),
         field("c", doubleArray))))
+    // The loop holds the centroids on the driver, so each round sorts them
+    // locally into assign's tiebreak order instead of collecting the k-row
+    // frame back — one Spark job per round (the update collect), same as
+    // the pre-kernel shape. Falls back to the collecting assign for id
+    // types without a driver-side Spark-ordering equivalent.
+    def assignCurrent(): DataFrame = sortForAssign(centroids, idType) match {
+      case Some(s) => assignLocal(vecs, s, idType)
+      case None => assign(vecs, centroidDf)
+    }
     var moved = Double.MaxValue
     var i = 0
     while (moved > eps && i < maxIters) {
-      val updated = update(assign(vecs, centroidDf)).collect()
+      val updated = update(assignCurrent()).collect()
         .map(r => r.get(0) -> r.getSeq[Double](1)).toMap
       val next = centroids.map { case (id, cOld) =>
         val cNew = updated.getOrElse(id, cOld) // empty cluster keeps its centroid

@@ -255,10 +255,23 @@ object Similarity {
       .join(broadcast(idxToCell), Seq("__ci"))
       .select(col("cell"), col("neighbor_id"), col("vn"), col("nn"))
     // probes: query-set-sized — restrict to the queries FIRST, then the
-    // broadcast centroid join + rank window run over a tiny frame
+    // centroid join + rank window run over a tiny frame. The centroid
+    // side is rebuilt from the rows just collected (a local k-row frame):
+    // re-using the `centroids` plan here would re-run its corpus scan.
+    val localCents = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        centRows.toIndexedSeq.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](1), r.getDouble(2)))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id", cellType, nullable = true),
+        org.apache.spark.sql.types.StructField("vc",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false),
+        org.apache.spark.sql.types.StructField("nc",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
     val scoredProbes = base
       .filter(col("vec_id").isin(queryIds: _*))
-      .join(broadcast(centroids))
+      .join(broadcast(localCents))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
         (kdot(col("v"), col("vc")) / (col("norm") * col("nc"))).as("c_cos"))
     val wCell = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id").asc)
