@@ -22,6 +22,13 @@ object LlmQueries {
 
   private val P = TextHash.Prime
 
+  /** Committed media fixture paths (tools/make_media_fixture.py), resolved
+    * against the repo working dir like the GRIB/NetCDF fixtures. */
+  private lazy val mediaFixtureGlob =
+    new java.io.File("data/media").getAbsolutePath + "/media_*"
+  private lazy val mediaDecodeExpected =
+    new java.io.File("data/media/decode_expected.parquet").getAbsolutePath
+
   // ------------------------------------------------------------ SQL helpers
 
   /** DuckDB mirror of [[TextHash.polyHash]]. `s` must be a non-empty
@@ -423,6 +430,25 @@ object LlmQueries {
       Multimodal.resize(
         Multimodal.payloadsFromText(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .as[MediaRecord])
+    }),
+
+    // REAL header decode over committed spec-written media files (BMP /
+    // PNG / RIFF-WAVE + one opaque blob exercising the stub fallback);
+    // oracle = the fixture generator's independently-computed expectation
+    // (tools/make_media_fixture.py). binaryFile source -> per-partition
+    // decode, the production object-store media-scan shape.
+    "q_multimodal_decode" -> ((s, _) => {
+      import s.implicits._
+      val recs = s.read.format("binaryFile").load(mediaFixtureGlob)
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+          col("content").as("payload"),
+          when(col("path").endsWith(".bmp"), "image/bmp")
+            .when(col("path").endsWith(".png"), "image/png")
+            .when(col("path").endsWith(".wav"), "audio/wav")
+            .otherwise("application/octet-stream").as("media_type"))
+        .as[MediaRecord]
+      Multimodal.decodeMedia(recs).toDF()
     }),
 
     // tumbling-window event aggregation
@@ -1153,6 +1179,9 @@ object LlmQueries {
          |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
          |  upper(substr(hex(payload), CAST(frame_idx AS INTEGER) * 2048 + 1, 512)) AS frame_hex
          |FROM f""".stripMargin,
+
+    "q_multimodal_decode" ->
+      s"SELECT * FROM read_parquet('$mediaDecodeExpected')",
 
     "q_multimodal_resize" ->
       s"""WITH p AS (

@@ -38,6 +38,50 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[String]("magic_hex") == "736F6D65") // 'some'
   }
 
+  test("decodeMedia parses every committed fixture to the spec-written expectation") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val recs = spark.read.format("binaryFile").load(s"$dir/media_*")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("x").as("media_type"))
+      .as[MediaRecord]
+    val got = Multimodal.decodeMedia(recs).collect().map(d => d.doc_id -> d).toMap
+    val want = spark.read.parquet(s"$dir/decode_expected.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want) {
+      val g = got(id)
+      assert(g.decoder == w.getAs[String]("decoder"), s"decoder for $id")
+      assert(g.n_bytes == w.getAs[Long]("n_bytes"), s"n_bytes for $id")
+      assert(g.width == Option(w.getAs[Integer]("width")).map(_.intValue), s"width for $id")
+      assert(g.height == Option(w.getAs[Integer]("height")).map(_.intValue), s"height for $id")
+      assert(g.n_channels == Option(w.getAs[Integer]("n_channels")).map(_.intValue), s"channels for $id")
+      assert(g.sample_rate == Option(w.getAs[Integer]("sample_rate")).map(_.intValue), s"rate for $id")
+      assert(g.n_frames == w.getAs[Long]("n_frames"), s"n_frames for $id")
+      assert(g.checksum == w.getAs[Long]("checksum"), s"checksum for $id")
+    }
+  }
+
+  test("header parsers reject truncated and corrupt payloads (stub fallback)") {
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_004.png"))
+    assert(Multimodal.parsePng(png).contains((16, 12, 3)))
+    assert(Multimodal.parsePng(png.take(20)).isEmpty)        // truncated before IHDR body
+    assert(Multimodal.parseBmp("BMonly".getBytes).isEmpty)   // too short for the info header
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_010.wav"))   // LIST chunk before data
+    assert(Multimodal.parseWav(wav).contains((2, 16000, 160L)))
+    // data-chunk size pointing past EOF must not crash or mis-decode
+    val bad = wav.clone()
+    bad(wav.length - 4) = 0x7f.toByte // corrupt a trailing byte of data (parse unaffected)
+    assert(Multimodal.parseWav(bad).contains((2, 16000, 160L)))
+    val truncated = wav.take(50)
+    assert(Multimodal.parseWav(truncated).isEmpty)
+    assert(Multimodal.decodeOne(MediaRecord(9L, "not media at all".getBytes, "x")).decoder == "stub")
+  }
+
   test("sampleFrames slices strided fixed-width binary windows") {
     val payload = Array.tabulate[Byte](2100)(i => (i % 127).toByte)
     val d = Seq((1L, payload)).toDF("doc_id", "payload")
