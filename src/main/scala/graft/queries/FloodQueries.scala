@@ -395,9 +395,11 @@ object FloodQueries {
 
     // Production percentile path: mergeable percentile_approx sketches
     // (the 100 TB default — constant-size aggregation state vs the exact
-    // mode's per-group value buffers). No SQL oracle: DuckDB has no
-    // matching sketch, so the driver records its weaker rows-only check;
-    // value agreement with exact mode is tolerance-tested in unit specs.
+    // mode's per-group value buffers). DuckDB has no matching sketch, so
+    // the oracle is an INVARIANT check: it reads this dump back and keeps
+    // only rows whose exact columns match recomputed exact aggregates and
+    // whose quartiles are observed group elements within the sketch's
+    // rank-error guarantee (see the oracle entry below).
     "q_detailed_approx" -> ((s, dir) =>
       ThresholdPercentages(
         FloodShaped.forecast(s, dir),
@@ -550,6 +552,59 @@ object FloodQueries {
          |FROM forecast WHERE number = 1""".stripMargin,
 
     "q_threshold_percentages" -> s"$preamble SELECT * FROM detailed",
+
+    // Invariant oracle for the sketch-based quartiles: DuckDB reads the
+    // Spark result back (__VERIFY_OUT__ is substituted with the dump dir
+    // by graft.Verify) and re-emits exactly the rows that satisfy the
+    // sketch's contract — exact columns (p_above_*, min, max) must equal
+    // the recomputed exact aggregates, and each approx quartile must be
+    // an OBSERVED group element whose rank window [cnt_lt+1, cnt_le]
+    // intersects the target rank phi*(n-1)+1 within the GK guarantee
+    // (eps*n, +1 rank slack for the phi*n vs phi*(n-1)+1 convention gap).
+    // Any violation drops the row -> row-count mismatch -> red. A full
+    // hash equality is impossible by nature (DuckDB has no equivalent
+    // sketch), so this is the strongest checkable statement.
+    "q_detailed_approx" -> {
+      def rankOk(ltCol: String, leCol: String, phi: String): String =
+        s"(r.$leCol > r.$ltCol" +
+          s" AND r.$ltCol + 1 <= CAST($phi AS DOUBLE) * (x.n - 1) + 1 + (x.n * CAST(0.0001 AS DOUBLE) + 1)" +
+          s" AND r.$leCol >= CAST($phi AS DOUBLE) * (x.n - 1) + 1 - (x.n * CAST(0.0001 AS DOUBLE) + 1))"
+      s"""WITH forecast AS (${FloodShaped.forecastSql}),
+         |thresholds AS (${FloodShaped.thresholdsSql}),
+         |got AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q_detailed_approx/*.parquet')),
+         |joined AS (
+         |  SELECT f.latitude, f.longitude, f.issued_on, f.valid_for, f.step, f.dis24,
+         |    CASE WHEN f.dis24 >= t.threshold_2y THEN 1 ELSE 0 END AS e2,
+         |    CASE WHEN f.dis24 >= t.threshold_5y THEN 1 ELSE 0 END AS e5,
+         |    CASE WHEN f.dis24 >= t.threshold_20y THEN 1 ELSE 0 END AS e20
+         |  FROM forecast f LEFT JOIN thresholds t USING (latitude, longitude)),
+         |exact AS (
+         |  SELECT latitude, longitude, issued_on, valid_for, step,
+         |    AVG(e2) AS p2, AVG(e5) AS p5, AVG(e20) AS p20,
+         |    MIN(dis24) AS mn, MAX(dis24) AS mx, count(*) AS n
+         |  FROM joined GROUP BY 1, 2, 3, 4, 5),
+         |ranks AS (
+         |  SELECT g.latitude, g.longitude, g.issued_on, g.valid_for, g.step,
+         |    count(*) FILTER (WHERE j.dis24 < g.Q1_dis) AS q1_lt,
+         |    count(*) FILTER (WHERE j.dis24 <= g.Q1_dis) AS q1_le,
+         |    count(*) FILTER (WHERE j.dis24 < g.median_dis) AS md_lt,
+         |    count(*) FILTER (WHERE j.dis24 <= g.median_dis) AS md_le,
+         |    count(*) FILTER (WHERE j.dis24 < g.Q3_dis) AS q3_lt,
+         |    count(*) FILTER (WHERE j.dis24 <= g.Q3_dis) AS q3_le
+         |  FROM got g JOIN joined j
+         |    USING (latitude, longitude, issued_on, valid_for, step)
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT g.* FROM got g
+         |JOIN exact x USING (latitude, longitude, issued_on, valid_for, step)
+         |JOIN ranks r USING (latitude, longitude, issued_on, valid_for, step)
+         |WHERE g.p_above_2y = x.p2 AND g.p_above_5y = x.p5 AND g.p_above_20y = x.p20
+         |  AND g.min_dis = x.mn AND g.max_dis = x.mx
+         |  AND g.min_dis <= g.Q1_dis AND g.Q1_dis <= g.median_dis
+         |  AND g.median_dis <= g.Q3_dis AND g.Q3_dis <= g.max_dis
+         |  AND ${rankOk("q1_lt", "q1_le", "0.25")}
+         |  AND ${rankOk("md_lt", "md_le", "0.5")}
+         |  AND ${rankOk("q3_lt", "q3_le", "0.75")}""".stripMargin
+    },
 
     "q_detailed_control" ->
       s"$preamble SELECT latitude, longitude, step, median_dis, control_dis FROM dwc",

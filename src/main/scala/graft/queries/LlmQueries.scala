@@ -112,6 +112,85 @@ object LlmQueries {
   private val embCte: String =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  private def sqDistSql(v: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+
+  /** Unrolled farthest-first seed chain (mirrors
+    * [[graft.llm.Clustering.farthestFirstSeeds]], generalized from the
+    * q_kmeans_pp_seeds oracle): requires CTE `e`, yields `cs0` =
+    * (cluster, c) with the k seeds. */
+  private def farthestFirstSeedSql(k: Int): String = {
+    val steps = (2 to k).map { j =>
+      s"""sp$j AS MATERIALIZED (
+         |  SELECT e.vec_id, min(${sqDistSql("e.v", "s.c")}) AS dmin
+         |  FROM e, s${j - 1} s
+         |  WHERE e.vec_id NOT IN (SELECT cluster FROM s${j - 1})
+         |  GROUP BY e.vec_id
+         |  ORDER BY dmin DESC, e.vec_id ASC LIMIT 1),
+         |sn$j AS MATERIALIZED (
+         |  SELECT e.vec_id AS cluster, e.v AS c
+         |  FROM e, sp$j WHERE e.vec_id = sp$j.vec_id),
+         |s$j AS MATERIALIZED (SELECT * FROM s${j - 1} UNION ALL SELECT * FROM sn$j)""".stripMargin
+    }.mkString(",\n")
+    s"""s1 AS MATERIALIZED (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 1),
+       |$steps,
+       |cs0 AS (SELECT cluster, c FROM s$k)""".stripMargin
+  }
+
+  /** Guarded unrolled Lloyd chain mirroring
+    * [[graft.llm.Clustering.kmeansConverged]]'s
+    * `while (moved > eps && i < maxIters)` loop: every round's
+    * micros-mean update is adopted, but once a round's total squared
+    * centroid movement drops to `eps` the remaining unrolled rounds pass
+    * the centroids through untouched — the SQL equivalent of the loop
+    * exiting early, which makes the DATA-DEPENDENT loop length exactly
+    * expressible as a FIXED `maxIters`-deep CTE chain. Empty clusters
+    * keep their previous centroid (COALESCE), as the Scala loop does.
+    *
+    * All round arithmetic is bit-exact across engines (integer micros
+    * sums; sequential-fold distances); the one epsilon-sensitive scalar
+    * is the movement sum over k clusters, whose float addition order is
+    * engine-dependent — a divergence needs |moved - eps| within ulps,
+    * i.e. measure-zero (and movement is EXACTLY 0.0 once assignments
+    * stabilize, the common exit).
+    *
+    * Requires CTEs `e` (corpus) and `cs0` (seed (cluster, c) table);
+    * yields `c$rounds` as the final centroid table. */
+  private def lloydConvergedSql(rounds: Int, eps: Double): String = {
+    val init =
+      s"""c0 AS MATERIALIZED (SELECT cluster, c FROM cs0),
+         |f0 AS MATERIALIZED (SELECT false AS done)""".stripMargin
+    val steps = (1 to rounds).map { j =>
+      val p = j - 1
+      s"""d$j AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, c.cluster, ${sqDistSql("e.v", "c.c")} AS dist FROM e, c$p c),
+         |a$j AS MATERIALIZED (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM d$j) WHERE rn = 1),
+         |u$j AS MATERIALIZED (
+         |  SELECT cluster, g.dim,
+         |    CAST(sum(CAST(round(v[g.dim] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM a$j, (SELECT unnest(generate_series(1, 64)) AS dim) g
+         |  GROUP BY 1, 2),
+         |n$j AS MATERIALIZED (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / (n * 1000000) ORDER BY dim) AS c
+         |  FROM u$j GROUP BY 1),
+         |c$j AS MATERIALIZED (
+         |  SELECT p.cluster,
+         |    CASE WHEN f.done THEN p.c ELSE COALESCE(n.c, p.c) END AS c
+         |  FROM c$p p LEFT JOIN n$j n USING (cluster) CROSS JOIN f$p f),
+         |f$j AS MATERIALIZED (
+         |  SELECT f.done OR (
+         |    SELECT sum(${sqDistSql("p.c", "q.c")})
+         |    FROM c$p p JOIN c$j q USING (cluster)
+         |  ) <= CAST($eps AS DOUBLE) AS done FROM f$p f)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   /** DuckDB mirror of [[graft.llm.Similarity.hyperplaneBucket]] over the
     * double-list column `v` (dim 64). */
   private def bucketSql(nPlanes: Int): String =
@@ -191,9 +270,9 @@ object LlmQueries {
 
     // the PRODUCTION IVF path: coarse quantizer = k-means centroids (a few
     // refinement rounds suffice for a quantizer), then the same
-    // bucket-join search. No SQL oracle (the training loop length is
-    // data-dependent) — rows-only gate + bench tracking; the search
-    // dataflow itself is oracle-checked via q_ann_ivf.
+    // bucket-join search. Exact-hash oracle: the data-dependent training
+    // loop is a GUARDED unrolled CTE chain (lloydConvergedSql) feeding
+    // the q_ann_ivf search SQL.
     "q_ann_ivf_trained" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       // first-k seeding: farthest-first's k-1 sequential rounds buy seed
@@ -305,10 +384,10 @@ object LlmQueries {
         .select("cluster", "dmin_micros")),
 
     // the PRODUCTION k-means path: farthest-first seeds + movement-eps
-    // convergence loop. No oracle (the loop length is data-dependent, not
-    // expressible as a fixed CTE chain) — registered so the bench tracks
-    // its cost and the driver rows-only-checks it; the fixed-iters kernel
-    // and the seeding each have exact oracles above.
+    // convergence loop. Exact-hash oracle: the data-dependent loop length
+    // is expressible after all — a guarded unrolled CTE chain whose
+    // rounds become pass-throughs once movement drops to eps
+    // (lloydConvergedSql), maxIters deep.
     "q_kmeans_converged" -> ((s, dir) =>
       Clustering.kmeansConverged(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8, eps = 1e-6, maxIters = 10)),
@@ -924,11 +1003,11 @@ object LlmQueries {
            |  WHERE e.vec_id NOT IN (SELECT cluster FROM s${j - 1})
            |  GROUP BY e.vec_id
            |  ORDER BY dmin DESC, e.vec_id ASC LIMIT 1),
-           |n$j AS (
+           |n$j AS MATERIALIZED (
            |  SELECT e.vec_id AS cluster, e.v AS c,
            |    CAST(round(p$j.dmin * 1000000) AS BIGINT) AS dmin_micros
            |  FROM e, p$j WHERE e.vec_id = p$j.vec_id),
-           |s$j AS (SELECT * FROM s${j - 1} UNION ALL SELECT * FROM n$j)""".stripMargin
+           |s$j AS MATERIALIZED (SELECT * FROM s${j - 1} UNION ALL SELECT * FROM n$j)""".stripMargin
       }.mkString(",\n")
       s"""WITH $embCte,
          |s1 AS (
@@ -936,6 +1015,63 @@ object LlmQueries {
          |  FROM e ORDER BY vec_id LIMIT 1),
          |$steps
          |SELECT cluster, dmin_micros FROM s4""".stripMargin
+    },
+
+    "q_kmeans_converged" -> {
+      // farthest-first seeds (k=8) + the GUARDED 10-round Lloyd unroll
+      // (see lloydConvergedSql): a full exact-hash oracle for the
+      // movement-eps production loop, not a rows-only check
+      s"""WITH $embCte,
+         |${farthestFirstSeedSql(8)},
+         |${lloydConvergedSql(rounds = 10, eps = 1e-6)},
+         |fin AS (
+         |  SELECT e.vec_id, c.cluster, ${sqDistSql("e.v", "c.c")} AS dist
+         |  FROM e, c10 c)
+         |SELECT vec_id, cluster,
+         |  CAST(round(dist * 1000000) AS BIGINT) AS dist_micros
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cluster ASC) AS rn
+         |  FROM fin) WHERE rn = 1""".stripMargin
+    },
+
+    "q_ann_ivf_trained" -> {
+      // trained coarse quantizer = first-16 seeds + 3 guarded Lloyd
+      // rounds (mirrors kmeansConvergedModel(k=16, eps=1e-6, maxIters=3,
+      // farthestFirst=false)), then the exact q_ann_ivf search SQL over
+      // the trained centroid table
+      s"""WITH $embCte,
+         |cs0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 16),
+         |${lloydConvergedSql(rounds = 3, eps = 1e-6)},
+         |b AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm
+         |      FROM e WHERE sqrt(${dotSql("v", "v", 64)}) > 0),
+         |cent AS (SELECT cluster AS centroid_id, c AS vc,
+         |           sqrt(${dotSql("c", "c", 64)}) AS nc
+         |         FROM c3 WHERE sqrt(${dotSql("c", "c", 64)}) > 0),
+         |scored AS (
+         |  SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+         |    (${dotSql("b.v", "c.vc", 64)} / (b.norm * c.nc)) AS c_cos
+         |  FROM b, cent c),
+         |assigned AS (
+         |  SELECT centroid_id AS cell, vec_id AS neighbor_id, v AS vn, norm AS nn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c_cos DESC, centroid_id ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (
+         |  SELECT centroid_id AS cell, vec_id AS query_id, v AS vq, norm AS nq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c_cos DESC, centroid_id ASC) AS rn
+         |    FROM scored WHERE vec_id < 8) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    (${dotSql("p.vq", "a.vn", 64)} / (p.nq * a.nn)) AS cosine
+         |  FROM probes p JOIN assigned a USING (cell)
+         |  WHERE a.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin
     },
 
     "q_mixture_rollup" ->
