@@ -36,17 +36,23 @@ object SnapshotMerge {
     * `Trigger.AvailableNow` catching up after a crash) fans the join out
     * and a stale insert can resurrect a tombstoned key.
     *
-    * Ties on the FULL ordering key — two update rows with the same
-    * (version, deleted) but different payloads — resolve arbitrarily
-    * (`max_by` keeps whichever it sees last). That is only sound when
-    * same-version redeliveries carry identical payloads (idempotent CDC);
-    * producers that reuse version numbers for different payloads are
-    * broken upstream. A NULL `versionCol` is rejected loudly (runtime
-    * error) rather than sorted to the bottom: silently losing to every
-    * versioned row would mask bad CDC input.
+    * Ties on (version, deleted) break by the lexicographically GREATEST
+    * payload (the full row participates as trailing ordering positions),
+    * so the pick is deterministic even when same-version redeliveries
+    * carry different payloads — though producers that do that are still
+    * broken upstream (idempotent CDC redelivers identical payloads). A
+    * NULL `versionCol` is rejected loudly (runtime error) rather than
+    * sorted to the bottom: silently losing to every versioned row would
+    * mask bad CDC input.
     *
     * One map-side-combining aggregation on the key; its output is already
     * hash-partitioned on the key, so the merge join reuses the exchange.
+    * The aggregate is [[graft.functions.ArgMaxRow]] when every column is
+    * UnsafeRow-mutable (scalar buffer slots → `HashAggregateExec`), else
+    * [[graft.functions.ArgMaxRowAny]] (object buffer →
+    * `ObjectHashAggregateExec`) — never the `max_by(struct)` spelling,
+    * whose struct buffer sort-aggregates the batch on BOTH exchange
+    * sides.
     */
   def latestPerKey(
       updates: DataFrame,
@@ -54,15 +60,22 @@ object SnapshotMerge {
       versionCol: String,
       deletedCol: Option[String] = None): DataFrame = {
     val cols = updates.columns.toSeq
-    val ord = deletedCol.fold(struct(col(versionCol)))(d =>
-      struct(col(versionCol), coalesce(col(d), lit(false))))
+    val schema = updates.schema
+    val ordCols = Seq(col(versionCol),
+      deletedCol.fold(lit(false))(d => coalesce(col(d), lit(false)))) ++ cols.map(col)
+    val outF = cols.zipWithIndex.map { case (c, i) => c -> (i + 2) }
+    val allMutable = cols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow.isMutable(schema(c).dataType))
+    val agg =
+      if (allMutable) graft.functions.ArgMaxRow(ordCols, outF)
+      else graft.functions.ArgMaxRowAny(ordCols, outF)
     updates
       // assert_true evaluates to NULL for every valid row (so the filter
       // keeps everything) and raises on the first NULL version
       .filter(assert_true(col(versionCol).isNotNull,
         lit(s"SnapshotMerge: NULL $versionCol in update batch")).isNull)
       .groupBy(col(keyCol))
-      .agg(max_by(struct(cols.map(col): _*), ord).as("__row"))
+      .agg(agg.as("__row"))
       .select(col("__row.*"))
   }
 

@@ -116,11 +116,10 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.SortAggregateExec
-    // q_scd_merge: SnapshotMerge.latestPerKey max_by's the full row
-    // struct over the UPDATE BATCH (dimension-sized by the operator's
-    // contract); document payloads carry strings, which no buffer layout
-    // makes mutable, so a hash form of that aggregate does not exist.
-    val allowed = Set("q_scd_merge")
+    // No exceptions left: the last one (q_scd_merge's string-payload
+    // latest-per-key) now aggregates through ArgMaxRowAny's object
+    // buffer (ObjectHashAggregateExec) instead of sort-falling-back.
+    val allowed = Set.empty[String]
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
       case other => other.children.flatMap(flatten)
