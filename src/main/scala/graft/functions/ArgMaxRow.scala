@@ -74,6 +74,16 @@ case class ArgMaxRow(ordering: Seq[Expression], outFields: Seq[(String, Int)])
   override lazy val initialValues: Seq[Expression] =
     ordering.map(e => Literal.create(null, e.dataType)) :+ Literal(false)
 
+  // The same `better` predicate expression tree is repeated in each of the
+  // N buffer-slot update expressions. Under whole-stage codegen, common
+  // subexpression elimination evaluates it ONCE per input row (the
+  // intended cost); interpreted paths or runs with
+  // spark.sql.subexpressionElimination.enabled=false pay the struct
+  // comparison N times per row — slower, never incorrect. A dedicated
+  // boolean buffer slot would make the single evaluation structural, but
+  // update expressions see the PRE-update buffer, so the flag could not be
+  // both written and read in one pass without reordering guarantees the
+  // DeclarativeAggregate contract doesn't give.
   override lazy val updateExpressions: Seq[Expression] = {
     val better = Or(Not(setBuf), GreaterThan(CreateStruct(ordering), CreateStruct(fieldBuf)))
     fieldBuf.zip(ordering).map { case (b, e) => If(better, e, b) } :+ Literal(true)

@@ -44,6 +44,18 @@ object Clustering {
     * `centroids`: (cluster, c: array<double>). Returns (vec_id, v, cluster,
     * dist).
     *
+    * Input contract (shared by every public entry point in this file):
+    *  - `vec_id` is UNIQUE. The assignment is a per-row projection, so a
+    *    duplicate id yields one output row PER input row (each weighted
+    *    separately in the centroid update) — there is no per-id collapse.
+    *  - A NULL vector is kept with a NULL cluster and NULL dist (the
+    *    kernel null-propagates and the index join is a left join) — it
+    *    never reaches the centroid update (`posexplode` of NULL emits
+    *    nothing) and never silently disappears from the output. Callers
+    *    wanting Similarity's norm>0 discipline filter before calling.
+    *  - A vector whose length differs from the centroid dimension is an
+    *    ERROR (the kernel raises), not a silent drop.
+    *
     * ZERO-SHUFFLE: centroids are k tiny driver rows (the discipline this
     * file already follows — every round collects them for the movement
     * check), so the argmin is a per-row compiled kernel over a LITERAL
@@ -108,7 +120,10 @@ object Clustering {
       .select(col("vec_id"), col("v"),
         col("__nd").getItem(0).cast("int").as("__ci"),
         col("__nd").getItem(1).as("dist"))
-      .join(broadcast(idxToCluster), Seq("__ci"))
+      // left join: a NULL vector null-propagates to a NULL __ci, and an
+      // inner join would silently drop the row — the documented contract
+      // keeps it with cluster = NULL, dist = NULL
+      .join(broadcast(idxToCluster), Seq("__ci"), "left")
       .select(col("vec_id"), col("v"), col("cluster"), col("dist"))
   }
 
@@ -171,6 +186,11 @@ object Clustering {
 
   /** Lloyd's k-means: `iters` rounds from the first-k-by-id seeds.
     * Returns (vec_id, cluster, dist_micros) of the final assignment.
+    *
+    * EAGER: like every iterative trainer here, constructing the returned
+    * frame RUNS the training jobs (per-round `localCheckpoint`s plus the
+    * final centroid collect) — the result is a plan over frozen centroids,
+    * not a lazy recipe that retrains on each action.
     *
     * @param vectors (idCol, vecCol: array<float>) input
     * @param k       cluster count; seeds = the k smallest ids

@@ -183,7 +183,18 @@ object Similarity {
     * are ordered by centroid_id (nulls last, who lose max_by ties), so
     * the kernel's first-wins rule reproduces the (c_cos desc, centroid_id
     * asc) tiebreak exactly; cosines are bit-identical (same fold and
-    * division order) and the q_ann_ivf oracle still hash-matches. */
+    * division order) and the q_ann_ivf oracle still hash-matches.
+    *
+    * EAGER: building the returned frame `collect()`s the centroid table —
+    * Spark jobs run at CONSTRUCTION time, and the quantizer is frozen as
+    * of that moment (a centroid table that changes between construction
+    * and execution is not re-read, unlike the old fully-lazy broadcast-
+    * join plan). Callers building plans ahead of execution should call
+    * this at execution time.
+    *
+    * Input contract: corpus ids are UNIQUE — assignment is a per-row
+    * projection with no per-id collapse, so a duplicate id indexes once
+    * per row and can appear multiply in one result list. */
   def ivfTopKWith(
       vectors: DataFrame,
       idCol: String,

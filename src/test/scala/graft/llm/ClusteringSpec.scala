@@ -132,4 +132,19 @@ class ClusteringSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("a NULL vector keeps its row with a NULL cluster, never silently drops") {
+    val withNull = Seq(
+      (0L, Some(Array(0.0f, 0.0f))),
+      (1L, Some(Array(0.2f, 0.0f))),
+      (2L, Some(Array(10.0f, 10.0f))),
+      (9L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(withNull, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // cardinality preserved: the null-vector row surfaces as cluster NULL
+    assert(out.keySet == Set(0L, 1L, 2L, 9L))
+    assert(out(9L).isEmpty)
+    assert(Seq(0L, 1L, 2L).forall(out(_).nonEmpty))
+  }
 }
