@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   *  - metadata-only (value pruned → payload never read),
   *  - aggregation over the decoded field (the pipeline's first real op).
   *
-  * Usage: sbt 'runMain graft.ProfileScan /tmp/big.grib2 grib [runs]'
+  * Usage: sbt 'runMain graft.ProfileScan /tmp/big.grib2 grib [runs] [indexCacheDir]'
+  *
+  * With the 4th arg (GRIB only), scans pass `indexCacheDir`: the first
+  * cold count pays the header walk AND writes the sidecars; the re-index
+  * line then re-plans a FRESH scan so its driver indexing goes through the
+  * sidecar-hit path — the delta between the two isolates what the sidecar
+  * saves a warm repeated query (the stream path shares it per batch).
   */
 object ProfileScan {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ProfileScan <path> grib|netcdf [runs]")
+    require(args.length >= 2, "usage: ProfileScan <path> grib|netcdf [runs] [indexCacheDir]")
     val (path, kind) = (args(0), args(1))
     val runs = if (args.length > 2) args(2).toInt else 3
+    val idxCache = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,8 +40,12 @@ object ProfileScan {
       case "netcdf" => classOf[graft.sources.NetcdfSource].getName
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
-    def scan = spark.read.format(fmt)
-      .option("path", path).option("numPartitions", cpus).load()
+    def scan = {
+      val r = spark.read.format(fmt)
+        .option("path", path).option("numPartitions", cpus)
+      idxCache.filter(_ => kind == "grib")
+        .fold(r)(d => r.option("indexCacheDir", d)).load()
+    }
     val valueCol = if (kind == "grib") "value" else scan.columns.last
 
     // the cold count pays driver indexing (header walk of every file) +
@@ -43,6 +54,15 @@ object ProfileScan {
     val tCold = System.nanoTime()
     val total = scan.count()
     println(f"cold count (incl. driver index)  ${(System.nanoTime() - tCold) / 1e9}%6.2f s  $total%,12d cells")
+    if (idxCache.isDefined && kind == "grib") {
+      // fresh plan → driver re-index, now through the sidecars just written
+      val t = System.nanoTime()
+      scan.count()
+      val (h, m) = (graft.sources.GribIndexCache.hits.get(),
+        graft.sources.GribIndexCache.misses.get())
+      println(f"re-plan count (sidecar hit)      ${(System.nanoTime() - t) / 1e9}%6.2f s  " +
+        f"(cache hits=$h misses=$m)")
+    }
     def time(label: String)(f: => Unit): Unit = {
       val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

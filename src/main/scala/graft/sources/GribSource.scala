@@ -75,11 +75,16 @@ class GribSource extends TableProvider {
   * are already co-located in the step's partition. Opt-in because it
   * caps parallelism at the distinct-step count (30 for a GloFAS day —
   * right for the daily ingest-aggregate job; wrong for a single-file
-  * scan or a multi-month corpus, which want cell-balanced slices). */
+  * scan or a multi-month corpus, which want cell-balanced slices).
+  * `indexCacheDir` (absent = off) persists each file's driver-side
+  * message index as a (path, length, mtime)-keyed sidecar in that
+  * directory — repeated scans/streams of an immutable drop read KBs
+  * instead of re-walking every message header (see [[GribIndexCache]]). */
 private[sources] final case class GribSpec(
     path: String, numPartitions: Int, maxFilesPerTrigger: Int,
     maxFileAgeMs: Long, ignoreMissingFiles: Boolean, compactInterval: Int,
-    conf: SerializableHadoopConf, partitionByStep: Boolean = false)
+    conf: SerializableHadoopConf, partitionByStep: Boolean = false,
+    indexCacheDir: Option[String] = None)
 
 object GribSource {
   val Schema: StructType = StructType(Seq(
@@ -129,8 +134,10 @@ private[sources] object GribModel {
     require(compactInterval >= 1,
       s"fileLogCompactInterval must be >= 1, got $compactInterval")
     val byStep = Option(o.get("partitionbystep")).exists(_.toBoolean)
+    val idxCache = Option(o.get("indexcachedir")).map(_.trim).filter(_.nonEmpty)
     GribSpec(path, numPartitions, maxFiles, maxAge, ignoreMissing,
-      compactInterval, new SerializableHadoopConf(HadoopConf.session()), byStep)
+      compactInterval, new SerializableHadoopConf(HadoopConf.session()), byStep,
+      idxCache)
   }
 
   /** `"500ms" | "30s" | "10m" | "24h" | "7d"` (bare number = seconds) →
@@ -178,11 +185,22 @@ private[sources] object GribModel {
       spec: GribSpec,
       files: Array[org.apache.hadoop.fs.FileStatus]): Seq[GribMessage] = {
     val fs = FileSystem.get(new Path(spec.path).toUri, spec.conf.value)
-    def indexFile(st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] = {
+    def walkFile(st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] = {
       val in = fs.open(st.getPath) // FileStatus carries the length
       try indexMessages(in, st.getLen, st.getPath.toString)
       finally in.close()
     }
+    // sidecar cache (`indexCacheDir`): a GRIB day is immutable once
+    // dropped, but the header walk is a seek+read RPC per section per
+    // message — years of history at backfill scale re-pay it on EVERY
+    // query. With the option set, each file's index round-trips through a
+    // (path, len, mtime)-keyed sidecar: first reader writes, every later
+    // scan or stream batch reads KBs instead of re-walking.
+    def indexFile(st: org.apache.hadoop.fs.FileStatus): Seq[GribMessage] =
+      spec.indexCacheDir match {
+        case Some(dir) => GribIndexCache.readThrough(spec, dir, st)(() => walkFile(st))
+        case None => walkFile(st)
+      }
     // files stay sorted by path: parallelMap preserves input order
     parallelMap(files.toSeq)(indexFile).flatten
   }
@@ -375,6 +393,120 @@ private[sources] object GribModel {
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
       nPresent, bitmapOffset, dataOffset)
+  }
+}
+
+/** Persistent sidecar store for a GRIB file's driver-side message index
+  * (the `indexCacheDir` option): one compact binary file per data file,
+  * keyed by (path, length, mtime) — any re-drop of the data invalidates by
+  * key, no TTL logic. Writes are tmp+rename so concurrent drivers race
+  * benignly (both write identical content; rename is atomic-or-overwrites
+  * on HDFS-like stores). A sidecar that fails to parse for ANY reason —
+  * truncation, version bump, foreign bytes — falls back to a fresh header
+  * walk and is rewritten; the cache can never poison a scan, only skip
+  * RPCs. Hit/miss counters are exposed for tests and ops.
+  */
+private[graft] object GribIndexCache {
+  private val Magic = 0x47524958 // "GRIX"
+  private val Version = 1
+  val hits = new java.util.concurrent.atomic.AtomicLong
+  val misses = new java.util.concurrent.atomic.AtomicLong
+
+  /** `<name>.<sha of (path,len,mtime)>.gribidx` — the name survives for
+    * humans; the digest is the actual key, so path moves or rewrites in
+    * place never read a stale index. */
+  private[sources] def sidecarPath(
+      dir: String, st: org.apache.hadoop.fs.FileStatus): Path = {
+    val key = s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+    new Path(dir, s"${st.getPath.getName}.$sha.gribidx")
+  }
+
+  def readThrough(
+      spec: GribSpec, dir: String, st: org.apache.hadoop.fs.FileStatus)(
+      walk: () => Seq[GribMessage]): Seq[GribMessage] = {
+    val fs = FileSystem.get(new Path(dir).toUri, spec.conf.value)
+    val sidecar = sidecarPath(dir, st)
+    read(fs, sidecar, st.getPath.toString) match {
+      case Some(msgs) => hits.incrementAndGet(); msgs
+      case None =>
+        val msgs = walk()
+        misses.incrementAndGet()
+        try write(fs, sidecar, st.getPath.toString, msgs)
+        catch { case e: java.io.IOException =>
+          // a read-only or full cache volume must not fail the scan
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"could not write GRIB index sidecar $sidecar: $e")
+        }
+        msgs
+    }
+  }
+
+  private def read(
+      fs: FileSystem, sidecar: Path, expectPath: String): Option[Seq[GribMessage]] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(sidecar)))
+      try {
+        if (in.readInt() != Magic || in.readInt() != Version) return None
+        if (in.readUTF() != expectPath) return None
+        val n = in.readInt()
+        if (n < 0) return None
+        val out = Vector.newBuilder[GribMessage]
+        var i = 0
+        while (i < n) {
+          out += GribMessage(expectPath,
+            ni = in.readInt(), nj = in.readInt(),
+            latFirstMicro = in.readLong(), lonFirstMicro = in.readLong(),
+            diMicro = in.readLong(), djMicro = in.readLong(),
+            jAscending = in.readBoolean(),
+            number = { val has = in.readBoolean(); val v = in.readInt()
+              if (has) Some(v) else None },
+            stepHours = in.readInt(), refEpoch = in.readLong(),
+            refValue = in.readFloat(), binScale = in.readInt(),
+            decScale = in.readInt(), nbits = in.readInt(),
+            nPresent = in.readInt(),
+            bitmapOffset = in.readLong(), dataOffset = in.readLong())
+          i += 1
+        }
+        Some(out.result())
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def write(
+      fs: FileSystem, sidecar: Path, path: String, msgs: Seq[GribMessage]): Unit = {
+    val tmp = new Path(sidecar.getParent,
+      s".${sidecar.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    fs.mkdirs(sidecar.getParent)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, true)))
+    try {
+      out.writeInt(Magic); out.writeInt(Version)
+      out.writeUTF(path)
+      out.writeInt(msgs.length)
+      msgs.foreach { m =>
+        out.writeInt(m.ni); out.writeInt(m.nj)
+        out.writeLong(m.latFirstMicro); out.writeLong(m.lonFirstMicro)
+        out.writeLong(m.diMicro); out.writeLong(m.djMicro)
+        out.writeBoolean(m.jAscending)
+        out.writeBoolean(m.number.isDefined); out.writeInt(m.number.getOrElse(0))
+        out.writeInt(m.stepHours); out.writeLong(m.refEpoch)
+        out.writeFloat(m.refValue); out.writeInt(m.binScale)
+        out.writeInt(m.decScale); out.writeInt(m.nbits)
+        out.writeInt(m.nPresent)
+        out.writeLong(m.bitmapOffset); out.writeLong(m.dataOffset)
+      }
+    } finally out.close()
+    // some filesystems (LocalFileSystem among them) refuse to rename onto
+    // an existing destination — e.g. a corrupt sidecar being repaired:
+    // clear it and retry once; a still-failing rename means a concurrent
+    // writer won with identical content, so just drop the tmp
+    if (!fs.rename(tmp, sidecar)) {
+      fs.delete(sidecar, false)
+      if (!fs.rename(tmp, sidecar)) fs.delete(tmp, false)
+    }
   }
 }
 

@@ -16,7 +16,11 @@ Values are seeded per (member, step) and span 0..655.35 (R=0, E=0, D=2,
 Y = X/100) — plausible discharge magnitudes so threshold joins downstream
 have realistic selectivity.
 
-  python3 tools/make_glofas_day.py [outdir]   # default /tmp/glofas_day
+  python3 tools/make_glofas_day.py [outdir] [ni] [nj] [days]
+  # defaults: /tmp/glofas_day 1400 460 1  (one full-size operational day)
+  # days > 1 emits a multi-day backfill drop (one ref_time per day,
+  # 30 files/day in the same directory) for streaming soak runs —
+  # shrink ni/nj to keep a week tractable on a dev box
 """
 import os
 import struct
@@ -41,10 +45,10 @@ def section(num: int, body: bytes) -> bytes:
     return struct.pack(">IB", 5 + len(body), num) + body
 
 
-def message(member: int, step_hours: int, x: np.ndarray) -> bytes:
+def message(member: int, step_hours: int, x: np.ndarray, ref=REF) -> bytes:
     npts = NI * NJ
     sec1 = section(1, struct.pack(">HHBBB", 98, 0, 2, 1, 1)
-                   + struct.pack(">H", REF[0]) + struct.pack(">BBBBB", *REF[1:])
+                   + struct.pack(">H", ref[0]) + struct.pack(">BBBBB", *ref[1:])
                    + struct.pack(">BB", 0, 1))
     sec3 = section(3,
         struct.pack(">B", 0)
@@ -84,21 +88,32 @@ def message(member: int, step_hours: int, x: np.ndarray) -> bytes:
 
 
 def main() -> None:
+    global NI, NJ
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/glofas_day"
+    if len(sys.argv) > 2:
+        NI = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        NJ = int(sys.argv[3])
+    days = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.makedirs(outdir, exist_ok=True)
     total_bytes = 0
-    for step in STEPS:
-        parts = []
-        for member in range(MEMBERS):
-            rng = np.random.default_rng(step * 1000 + member)
-            x = rng.integers(0, 2 ** NBITS, NI * NJ, dtype=np.uint32)
-            parts.append(message(member, step, x))
-        path = os.path.join(outdir, f"glofas_lt{step:03d}.grib2")
-        with open(path, "wb") as fh:
-            fh.write(b"".join(parts))
-        total_bytes += sum(len(p) for p in parts)
-    cells = len(STEPS) * MEMBERS * NI * NJ
-    print(f"wrote {len(STEPS)} files, {len(STEPS) * MEMBERS} messages, "
+    nfiles = 0
+    for day in range(days):
+        ref = (REF[0], REF[1], REF[2] + day) + REF[3:]
+        for step in STEPS:
+            parts = []
+            for member in range(MEMBERS):
+                rng = np.random.default_rng((day * 31 + step) * 1000 + member)
+                x = rng.integers(0, 2 ** NBITS, NI * NJ, dtype=np.uint32)
+                parts.append(message(member, step, x, ref))
+            name = (f"glofas_lt{step:03d}.grib2" if days == 1
+                    else f"glofas_d{day:02d}_lt{step:03d}.grib2")
+            with open(os.path.join(outdir, name), "wb") as fh:
+                fh.write(b"".join(parts))
+            nfiles += 1
+            total_bytes += sum(len(p) for p in parts)
+    cells = days * len(STEPS) * MEMBERS * NI * NJ
+    print(f"wrote {nfiles} files, {nfiles * MEMBERS} messages, "
           f"{cells:,} cells, {total_bytes / 1e9:.2f} GB -> {outdir}")
 
 
