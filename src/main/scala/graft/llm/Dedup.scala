@@ -267,6 +267,141 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Cross-document duplicated-span signal (the span-granular counterpart
+    * of whole-document near-dup): for each document, how much of it is made
+    * of word n-grams that also occur in at least one OTHER document, and in
+    * how many contiguous runs. This is the per-document aggregate of
+    * exact-substring dedup ("dedup by duplicated spans of >= n tokens"):
+    * a high `dup_fraction` with few long spans marks boilerplate /
+    * copied passages that whole-document MinHash misses.
+    *
+    * Dataflow (designed for a corpus-sized input):
+    *  1. positional n-gram hashes, exploded → (doc_id, pos, gram) — O(tokens)
+    *     rows, 8-byte gram keys ([[TextHash.posNgramHashes]]);
+    *  2. gram document frequency: distinct (doc_id, gram) → count per gram
+    *     (two map-side-combining aggregations, never a collect);
+    *  3. positions re-join their gram's frequency (shuffle on the 8-byte
+    *     gram hash; a boilerplate gram is a hot join key — AQE skew-join
+    *     splits it, and the output stays O(tokens) because each position
+    *     matches exactly one frequency row);
+    *  4. per-document span merge: ONE window partitioned by doc_id (running
+    *     duplicated-position count; `pos - running` is constant exactly on a
+    *     contiguous duplicated run), and both downstream aggregations group
+    *     on supersets of doc_id, so they reuse the window's partitioning —
+    *     no further exchange.
+    *
+    * Returns one row per input document (docs shorter than n tokens get
+    * zeros): (doc_id, n_grams, dup_grams, n_spans, max_span, dup_fraction)
+    * where n_spans counts maximal contiguous duplicated runs and
+    * dup_fraction = dup_grams / n_grams (0.0 when n_grams = 0).
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), posexplode(posNgramHashes(wordTokens(col(textCol)), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dfreq = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
+    val marked = grams.join(dfreq, Seq("gram"))
+      .select(col("doc_id"), col("pos"), (col("gram_docs") >= 2).as("is_dup"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = marked
+      .withColumn("run_key",
+        when(col("is_dup"), col("pos") - sum(when(col("is_dup"), 1L).otherwise(0L)).over(byDoc)))
+    val runLens = runs
+      .groupBy(col("doc_id"), col("is_dup"), col("run_key"))
+      .agg(count(lit(1)).as("run_len"))
+    val perDoc = runLens
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("run_len")).as("n_grams"),
+        sum(when(col("is_dup"), col("run_len")).otherwise(0L)).as("dup_grams"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_spans"),
+        max(when(col("is_dup"), col("run_len")).otherwise(0L)).as("max_span"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("dup_grams").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
+  /** Incremental MinHash near-dup: near-duplicate pairs between a NEW batch
+    * and the HISTORICAL corpus — the daily-ingest shape of [[minhashPairs]]
+    * (whose exact-hash counterpart is [[incremental]]). The history side is
+    * never pair-expanded against itself: candidates come from a BIPARTITE
+    * equi-join of the two sides' band digests, so per-batch cost is
+    * O(new-batch bands) joined against the (persistable) historical band
+    * posting table, not a re-dedup of the whole corpus. Buckets whose
+    * combined membership exceeds `maxBucket` are dropped, exactly like the
+    * batch operator (a band that hot is a degenerate duplicate cluster that
+    * exact dedup collapses). Verification is the same two-stage screen
+    * (signature agreement, then exact Jaccard on the hashed shingle sets).
+    *
+    * On a corpus split into (new, history), the result equals
+    * `minhashPairs(new ++ history)` restricted to cross-side pairs —
+    * pinned by spec. Returns (new_id, hist_id, jaccard).
+    */
+  def minhashIncrementalPairs(
+      newDocs: DataFrame,
+      histDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = MaxBucket,
+      estSlack: Double = 0.15): DataFrame = {
+    require(nBands * rowsPerBand == perms, "perms must equal nBands * rowsPerBand")
+    // per-side (id, hs, sig), materialized once: each side feeds banding,
+    // screening, and verification (same rationale as lshVerifiedPairs)
+    def side(df: DataFrame, idAlias: String): DataFrame = df
+      .select(col(idCol).as(idAlias), HashFunctions.shingleHashes(col(textCol), shingleK).as("hs"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("hs"), perms))
+      .localCheckpoint()
+    def banded(sh: DataFrame, idAlias: String): DataFrame = sh
+      .select(col(idAlias), explode(bandDigests(col("sig"), nBands, rowsPerBand)).as("bd"))
+      .select(col(idAlias), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
+    val shNew = side(newDocs, "new_id")
+    val shHist = side(histDocs, "hist_id")
+    val bNew = banded(shNew, "new_id")
+    val bHist = banded(shHist, "hist_id")
+    // combined-membership bucket cap (identical to minhashPairs' semantics:
+    // the bucket is the union of both sides; a 1-member bucket cannot pair,
+    // so no lower bound is needed)
+    val okKeys = bNew.select(col("band"), col("band_hash"))
+      .unionByName(bHist.select(col("band"), col("band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_hash"))
+    val cand = bNew
+      .join(okKeys, Seq("band", "band_hash"), "left_semi")
+      .join(bHist, Seq("band", "band_hash"))
+      .select(col("new_id"), col("hist_id"))
+      .distinct() // a pair may collide in several bands; verify once
+    val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
+    val screened = cand
+      .join(shNew.select(col("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(shHist.select(col("hist_id"), col("sig").as("sig_b")), Seq("hist_id"))
+      .filter(HashFunctions.sigAgreement(col("sig_a"), col("sig_b")) >= minAgree)
+      .select(col("new_id"), col("hist_id"))
+    screened
+      .join(shNew.select(col("new_id"), col("hs").as("hs_a")), Seq("new_id"))
+      .join(shHist.select(col("hist_id"), col("hs").as("hs_b")), Seq("hist_id"))
+      .select(col("new_id"), col("hist_id"),
+        HashFunctions.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Per-document SimHash fingerprint: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame =
     docs.select(

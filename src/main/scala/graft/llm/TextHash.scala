@@ -68,6 +68,17 @@ object TextHash {
   /** Map an array of strings to their [[polyHash]]es. */
   def hashAll(strings: Column): Column = transform(strings, s => polyHash(s))
 
+  /** POSITIONAL word n-gram hashes — one hash per start offset, duplicates
+    * kept, array index = token position (the cross-document span-detection
+    * input; [[wordNgrams]] is the distinct-set variant). Grams are joined
+    * with single spaces before hashing, exactly like [[wordNgrams]], so the
+    * hash values agree between the two forms. */
+  def posNgramHashes(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
+        polyHash(concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))))
+      .otherwise(array().cast("array<long>"))
+
   /** POSITIONAL k-gram hashes (one per start offset, duplicates kept) —
     * the winnowing input; [[charShingles]] is the distinct-set variant. */
   def gramHashes(s: Column, k: Int): Column =

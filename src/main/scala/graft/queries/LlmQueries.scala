@@ -52,6 +52,34 @@ object LlmQueries {
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** The sh/sig/bands CTE prefix shared by [[lshPairsSql]] and the
+    * incremental (bipartite) variant: distinct element-hash sets, MinHash
+    * signature, band digests. */
+  private def lshBandsCte(
+      elementsExpr: String,
+      perms: Int,
+      nBands: Int,
+      rowsPerBand: Int,
+      source: String): String = {
+    val bandFold = (0 until rowsPerBand)
+      .map(r => s"sig[$rowsPerBand*b.band+${r + 1}]")
+      .mkString("[", ", ", "]")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($elementsExpr, s -> ${polyHashSql("s", "ci")})) AS hs
+       |  FROM $source),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${perms - 1}), j ->
+       |      list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+1)) % $P))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b.band,
+       |    list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT), $bandFold),
+       |      (a, c) -> (a * 31 + c) % $P) AS bh
+       |  FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS band) b)""".stripMargin
+  }
+
   /** DuckDB mirror of the LSH-verified-pairs skeleton in
     * [[graft.llm.Dedup]]: distinct element-hash sets → MinHash signature →
     * band digests → capped bucket groupBy → in-bucket pair expansion →
@@ -66,25 +94,9 @@ object LlmQueries {
       maxBucket: Int,
       estSlack: Double = 0.15,
       source: String = "documents"): String = {
-    val bandFold = (0 until rowsPerBand)
-      .map(r => s"sig[$rowsPerBand*b.band+${r + 1}]")
-      .mkString("[", ", ", "]")
     // mirror of Dedup.lshVerifiedPairs' integer screening threshold
     val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
-    s"""WITH sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform($elementsExpr, s -> ${polyHashSql("s", "ci")})) AS hs
-       |  FROM $source),
-       |sig AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(0, ${perms - 1}), j ->
-       |      list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+1)) % $P))) AS sig
-       |  FROM sh),
-       |bands AS (
-       |  SELECT doc_id, b.band,
-       |    list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT), $bandFold),
-       |      (a, c) -> (a * 31 + c) % $P) AS bh
-       |  FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS band) b),
+    s"""${lshBandsCte(elementsExpr, perms, nBands, rowsPerBand, source)},
        |buckets AS (
        |  SELECT band, bh, list(doc_id) AS ids FROM bands GROUP BY 1, 2),
        |pairs AS (
@@ -233,6 +245,19 @@ object LlmQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         bits = 24, bandBits = 6, maxHamming = 2)),
+
+    // incremental MinHash near-dup: new batch (doc_id >= 250) vs history,
+    // bipartite band join — history is never pair-expanded against itself
+    "q_minhash_incr" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashIncrementalPairs(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250), "doc_id", "text",
+        shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5)
+    }),
+
+    // cross-document duplicated-span signal (span-granular dedup aggregate)
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)),
 
     // word-3-gram Jaccard near-dup pairs via inverted-index join
     "q_dedup_ngram" -> ((s, dir) =>
@@ -628,6 +653,78 @@ object LlmQueries {
          |          hamming := CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)))))) AS p
          |    FROM buckets WHERE len(ids) BETWEEN 2 AND 256))
          |SELECT * FROM pairs WHERE hamming <= 2""".stripMargin,
+
+    // bipartite mirror of lshPairsSql: candidates cross sides only, bucket
+    // cap over the combined membership (both sides together cover the whole
+    // documents table, so `bands` is the union Dedup builds)
+    "q_minhash_incr" -> {
+      val minAgree = math.ceil((0.5 - 0.15) * 64).toInt
+      s"""${lshBandsCte(shinglesSql("text", 5), perms = 64, nBands = 16, rowsPerBand = 4, source = "documents")},
+         |okk AS (
+         |  SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+         |  FROM bands n
+         |  JOIN bands h ON n.band = h.band AND n.bh = h.bh
+         |  JOIN okk k ON k.band = n.band AND k.bh = n.bh
+         |  WHERE n.doc_id >= 250 AND h.doc_id < 250),
+         |screened AS (
+         |  SELECT c.new_id, c.hist_id FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.new_id
+         |  JOIN sig sb ON sb.doc_id = c.hist_id
+         |  WHERE len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i]))
+         |    >= $minAgree)
+         |SELECT new_id, hist_id, jaccard FROM (
+         |  SELECT c.new_id, c.hist_id,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+         |  FROM screened c
+         |  JOIN sh x ON x.doc_id = c.new_id
+         |  JOIN sh y ON y.doc_id = c.hist_id)
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
+    },
+
+    // gaps-and-islands over positions whose word 5-gram occurs in >= 2 docs
+    "q_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 5 THEN list_transform(generate_series(1, len(t) - 4), i ->
+         |      ${polyHashSql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]", "ci")})
+         |    ELSE CAST([] AS BIGINT[]) END AS gh
+         |  FROM toks),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(gh)), i -> {pos: i, gram: gh[i]}),
+         |      recursive := true)
+         |  FROM g),
+         |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM pos GROUP BY 1),
+         |marked AS (
+         |  SELECT p.doc_id, p.pos, (f.gram_docs >= 2) AS is_dup
+         |  FROM pos p JOIN dfreq f USING (gram)),
+         |runs AS (
+         |  SELECT doc_id, is_dup,
+         |    CASE WHEN is_dup THEN
+         |      pos - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY pos) END AS run_key
+         |  FROM marked),
+         |rl AS (SELECT doc_id, is_dup, run_key, count(*) AS run_len FROM runs GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(sum(run_len) AS BIGINT) AS n_grams,
+         |    CAST(coalesce(sum(run_len) FILTER (is_dup), 0) AS BIGINT) AS dup_grams,
+         |    CAST(coalesce(count(*) FILTER (is_dup), 0) AS BIGINT) AS n_spans,
+         |    CAST(coalesce(max(run_len) FILTER (is_dup), 0) AS BIGINT) AS max_span
+         |  FROM rl GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_grams, 0) AS n_grams,
+         |  coalesce(p.dup_grams, 0) AS dup_grams,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.max_span, 0) AS max_span,
+         |  CASE WHEN coalesce(p.n_grams, 0) > 0
+         |    THEN CAST(p.dup_grams AS DOUBLE) / p.n_grams
+         |    ELSE CAST(0 AS DOUBLE) END AS dup_fraction
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     "q_dedup_ngram" -> lshPairsSql(
       s"list_distinct(list_transform(generate_series(1, len($tokensSql) - 2), " +

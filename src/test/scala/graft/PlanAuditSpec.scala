@@ -135,6 +135,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"SortAggregate fallbacks in: ${offenders.mkString(", ")}")
   }
 
+  test("dupSpans: the span merge adds no exchange after its doc-partitioned window") {
+    // Dedup.dupSpans claims its gaps-and-islands merge costs ONE window
+    // partitioned by doc_id, with both downstream aggregations reusing the
+    // window's hash(doc_id) partitioning — i.e. above the WindowExec sit
+    // the four HashAggregates (two partial/final pairs) and the final
+    // universe join, but NO further ShuffleExchange on the span path.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.llm.Dedup.dupSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    def root(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val plan = root(df.queryExecution.executedPlan)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(flatten)
+    val windows = flatten(plan).collect { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected exactly one window, got ${windows.size}")
+    assert(windows.head.partitionSpec.nonEmpty, "span window must be doc-partitioned")
+    // path from the root to the window: the post-window span path
+    def pathTo(p: SparkPlan): Option[Seq[SparkPlan]] = p match {
+      case w: WindowExec => Some(Seq(w))
+      case other => other.children.flatMap(pathTo).headOption.map(other +: _)
+    }
+    val path = pathTo(plan).getOrElse(fail("window not reachable"))
+    val shufflesAbove = path.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shufflesAbove == 0,
+      s"span path re-shuffles after the window: ${path.map(_.nodeName).mkString(" <- ")}")
+  }
+
   test("every query with an oracle is registered, and the flagship runs") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle SQL without a query: ${missing.mkString(", ")}")

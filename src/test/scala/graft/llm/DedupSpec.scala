@@ -92,4 +92,64 @@ class DedupSpec extends SparkSpec {
     val expected = grams(a).intersect(grams(b)).size.toDouble / grams(a).union(grams(b)).size
     assert(math.abs(j - expected) < 1e-12)
   }
+
+  test("dupSpans merges adjacent shared grams into one span, hand-computed") {
+    val d = docs(
+      1L -> "a b c d e f g h",  // grams 1-4; grams 1,2 shared with doc 2
+      2L -> "a b c d e f z z",  // grams 1,2 shared with doc 1
+      3L -> "q r s t",          // shorter than n=5: zero grams
+      4L -> "u v w x y z2 u v") // 4 grams, none shared
+    val got = Dedup.dupSpans(d, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((4L, 2L, 1L, 2L, 0.5)))
+    assert(got(2L) == ((4L, 2L, 1L, 2L, 0.5)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans counts non-adjacent shared grams as separate spans") {
+    val d = docs(
+      5L -> "a b c d e x1 x2 x3 x4 p q r s t",
+      6L -> "a b c d e y1 y2 y3 y4 p q r s t")
+    // shared 5-grams: "a b c d e" (pos 1) and "p q r s t" (pos 10); 10 grams total
+    val got = Dedup.dupSpans(d, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(5L) == ((10L, 2L, 2L, 1L, 0.2)))
+    assert(got(6L) == ((10L, 2L, 2L, 1L, 0.2)))
+  }
+
+  test("minhashIncrementalPairs finds cross-side near-dups only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val hist = docs(
+      1L -> base,
+      2L -> base.replace("today", "tonite"), // hist-internal near-dup: must NOT pair
+      3L -> "completely different content with zero overlapping shingles here")
+    val fresh = docs(
+      10L -> base.replace("today", "tomoro"), // near-dup of hist 1 and 2
+      11L -> "nothing in common with the historical corpus whatsoever at all")
+    val pairs = Dedup.minhashIncrementalPairs(fresh, hist, "doc_id", "text", minJaccard = 0.5)
+      .select("new_id", "hist_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L)))
+  }
+
+  test("minhashIncrementalPairs equals batch minhashPairs restricted to cross-side pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val all = docs(
+      1L -> base,
+      2L -> base.replace("today", "tonite"),
+      3L -> "completely different content with zero overlapping shingles here",
+      10L -> base.replace("today", "tomoro"),
+      11L -> "nothing in common with the historical corpus whatsoever at all")
+    val hist = all.filter(col("doc_id") < 10)
+    val fresh = all.filter(col("doc_id") >= 10)
+    val incr = Dedup.minhashIncrementalPairs(fresh, hist, "doc_id", "text", minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.minhashPairs(all, "doc_id", "text", minJaccard = 0.0)
+      .filter(col("doc_a") < 10 && col("doc_b") >= 10)
+      .select(col("doc_b"), col("doc_a"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr == batch)
+  }
 }
