@@ -36,12 +36,28 @@ object Bench {
     }.toMap
     // The driver parses the JSON line out of the last ~2000 chars of stdout;
     // with 75 queries full-precision doubles overflow that window (r5's
-    // BENCH parsed:null). Centisecond precision keeps the line well inside it.
-    def fmt(v: Double): String = f"$v%.2f"
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // BENCH parsed:null), and at 90 queries even centisecond precision no
+    // longer fits with full key names (r14's 87-query line measured 1970
+    // chars). Keep the line minimal: no runs field, sf as basename, query
+    // keys without their uniform "q_" prefix (declared via "keyprefix" so
+    // the line stays self-describing; also noted in BASELINE.md), trailing
+    // zeros trimmed. Should the registry outgrow even that, degrade
+    // per-query precision to one decimal rather than letting the front of
+    // the JSON fall off the parse window.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    // "0.20" -> "0.2", "1.00" -> "1": valid JSON numbers, ~20 chars/line
+    def trim(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    def line(qDecimals: Int): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k.stripPrefix("q_") + "\":" + trim(s"%.${qDecimals}f".format(v)) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","keyprefix":"q_","queries":$qs,"sf":"$sfName"}"""
+    }
+    val full = line(2)
+    println(if (full.length <= 1990) full else line(1))
     spark.stop()
   }
 }
