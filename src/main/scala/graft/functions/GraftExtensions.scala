@@ -113,6 +113,13 @@ object GraftExtensions {
         arity("graft_sig_agreement", 2, args)
         invoke(GraftVecOps.getClass, "sigAgreement", IntegerType, args)
       }),
+    ("graft_pos_ngram_hashes",
+      info("graft_pos_ngram_hashes",
+        "positional word-n-gram hashes of a string, duplicates kept: (text, n)"),
+      (args: Seq[Expression]) => {
+        arity("graft_pos_ngram_hashes", 2, args)
+        invoke(GraftHashOps.getClass, "posNgramHashes", longArray, args)
+      }),
     ("graft_winnow",
       info("graft_winnow", "winnowing fingerprints of a string: (text, k, w)"),
       (args: Seq[Expression]) => {

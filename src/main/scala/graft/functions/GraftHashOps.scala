@@ -125,6 +125,36 @@ object GraftHashOps {
     toArrayData(seen)
   }
 
+  /** POSITIONAL word n-gram hashes — duplicates kept, array index =
+    * gram start position; identical to
+    * `TextHash.posNgramHashes(wordTokens(s), n)` ([[ngramHashes]] is the
+    * distinct-set variant). */
+  def posNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val ts = tokens(s)
+    val m = ts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = Seed
+      var t = 0
+      while (t < n) {
+        if (t > 0) acc = (acc * 31 + ' ') % Prime
+        val w = ts(i + t)
+        var c = 0
+        while (c < w.length) {
+          val cp = w.codePointAt(c)
+          acc = (acc * 31 + cp) % Prime
+          c += Character.charCount(cp)
+        }
+        t += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature — identical to
     * [[graft.llm.TextHash.minhashSignature]]. */
   def minhashSig(hashes: ArrayData, perms: Int): ArrayData = {

@@ -49,6 +49,11 @@ object HashFunctions {
   def ngramHashes(s: Column, n: Int): Column =
     invoke("ngramHashes", longArray, Seq(e(s), Literal(n)))
 
+  /** Compiled `TextHash.posNgramHashes(wordTokens(s), n)` (positional,
+    * duplicates kept). */
+  def posNgramHashes(s: Column, n: Int): Column =
+    invoke("posNgramHashes", longArray, Seq(e(s), Literal(n)))
+
   /** Compiled [[graft.llm.TextHash.minhashSignature]]. */
   def minhashSignature(hashes: Column, perms: Int): Column =
     invoke("minhashSig", longArray, Seq(e(hashes), Literal(perms)))

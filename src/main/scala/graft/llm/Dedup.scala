@@ -298,7 +298,8 @@ object Dedup {
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs
-      .select(col(idCol).as("doc_id"), posexplode(posNgramHashes(wordTokens(col(textCol)), n)).as(Seq("pos0", "gram")))
+      .select(col(idCol).as("doc_id"),
+        posexplode(HashFunctions.posNgramHashes(col(textCol), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
     val dfreq = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))

@@ -34,6 +34,12 @@ class HashFunctionsSpec extends SparkSpec {
         TextHash.hashAll(TextHash.wordTokens(col("text")))).as("ok")))
   }
 
+  test("posNgramHashes kernel == positional HOF word-5-gram hashes (ordered)") {
+    assertAllEqual(docs.select(
+      (HashFunctions.posNgramHashes(col("text"), 5) ===
+        TextHash.posNgramHashes(TextHash.wordTokens(col("text")), 5)).as("ok")))
+  }
+
   test("ngramHashes kernel == distinct HOF word-3-gram hashes (as sets)") {
     assertAllEqual(docs.select(
       (array_sort(HashFunctions.ngramHashes(col("text"), 3)) ===

@@ -55,6 +55,12 @@ class HashPropertySpec extends SparkSpec {
         TextHash.hashAll(TextHash.wordTokens(col("s")))).as("ok")))
   }
 
+  test("posNgramHashes kernel == positional HOF n-gram hashes on arbitrary strings") {
+    assertAllOk(samples.toDF("s").select(
+      (HashFunctions.posNgramHashes(col("s"), 3) ===
+        TextHash.posNgramHashes(TextHash.wordTokens(col("s")), 3)).as("ok")))
+  }
+
   test("simhash kernel == HOF simhash on arbitrary strings") {
     assertAllOk(samples.toDF("s").select(
       (HashFunctions.simhash(col("s"), 24) ===
