@@ -294,6 +294,10 @@ object Dedup {
     * zeros): (doc_id, n_grams, dup_grams, n_spans, max_span, dup_fraction)
     * where n_spans counts maximal contiguous duplicated runs and
     * dup_fraction = dup_grams / n_grams (0.0 when n_grams = 0).
+    *
+    * Contract: `idCol` must be unique (duplicate ids would merge their
+    * position sequences into one island computation); a NULL `textCol`
+    * contributes zero grams and surfaces as an all-zeros row.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -348,6 +352,12 @@ object Dedup {
     * On a corpus split into (new, history), the result equals
     * `minhashPairs(new ++ history)` restricted to cross-side pairs —
     * pinned by spec. Returns (new_id, hist_id, jaccard).
+    *
+    * Contract: ids must be unique within each side (shared across sides is
+    * fine — the output keys are side-qualified); a NULL text yields no
+    * band rows, so the document simply cannot pair. Both sides are
+    * materialized (localCheckpoint) at construction, like the batch
+    * operator.
     */
   def minhashIncrementalPairs(
       newDocs: DataFrame,
