@@ -372,17 +372,44 @@ object Dedup {
       maxBucket: Int = MaxBucket,
       estSlack: Double = 0.15): DataFrame = {
     require(nBands * rowsPerBand == perms, "perms must equal nBands * rowsPerBand")
-    // per-side (id, hs, sig), materialized once: each side feeds banding,
-    // screening, and verification (same rationale as lshVerifiedPairs)
-    def side(df: DataFrame, idAlias: String): DataFrame = df
-      .select(col(idCol).as(idAlias), HashFunctions.shingleHashes(col(textCol), shingleK).as("hs"))
-      .withColumn("sig", HashFunctions.minhashSignature(col("hs"), perms))
-      .localCheckpoint()
+    minhashIncrementalPairsFromSignatures(
+      signatureTable(newDocs, idCol, textCol, shingleK, perms)
+        .withColumnRenamed("doc_id", "new_id").localCheckpoint(),
+      signatureTable(histDocs, idCol, textCol, shingleK, perms)
+        .withColumnRenamed("doc_id", "hist_id").localCheckpoint(),
+      nBands, rowsPerBand, minJaccard, maxBucket, estSlack)
+  }
+
+  /** The (doc_id, hs, sig) relation of a corpus — the persistable signature
+    * store the incremental operators join against (32 B/band + ~8 B/shingle
+    * per doc; the corpus text never needs to be re-read). */
+  def signatureTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      perms: Int = 64): DataFrame = docs
+    .select(col(idCol).as("doc_id"), HashFunctions.shingleHashes(col(textCol), shingleK).as("hs"))
+    .withColumn("sig", HashFunctions.minhashSignature(col("hs"), perms))
+
+  /** Signature-level core of [[minhashIncrementalPairs]]: both sides given
+    * as precomputed signature tables — `shNew` with (new_id, hs, sig),
+    * `shHist` with (hist_id, hs, sig) (see [[signatureTable]]) — so a
+    * persisted history store joins directly with no text re-hash. Each
+    * side should be materialized by the caller (it feeds banding,
+    * screening, and verification; the text form localCheckpoints both). */
+  def minhashIncrementalPairsFromSignatures(
+      shNew: DataFrame,
+      shHist: DataFrame,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = MaxBucket,
+      estSlack: Double = 0.15): DataFrame = {
+    val perms = nBands * rowsPerBand
     def banded(sh: DataFrame, idAlias: String): DataFrame = sh
       .select(col(idAlias), explode(bandDigests(col("sig"), nBands, rowsPerBand)).as("bd"))
       .select(col(idAlias), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
-    val shNew = side(newDocs, "new_id")
-    val shHist = side(histDocs, "hist_id")
     val bNew = banded(shNew, "new_id")
     val bHist = banded(shHist, "hist_id")
     // combined-membership bucket cap (identical to minhashPairs' semantics:

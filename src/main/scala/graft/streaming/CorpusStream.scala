@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.Dedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming corpus ingestion: continuous exact dedup over a document
@@ -47,4 +50,102 @@ object CorpusStream {
       .withColumn("text_md5", md5(col("text")))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Streaming NEAR-duplicate gate — the MinHash counterpart of
+    * [[streamingExactDedup]], for a corpus arriving drop-by-drop. Each
+    * micro-batch is (1) clustered against itself with the batch MinHash
+    * operator and collapsed to one representative (minimum id) per
+    * near-dup cluster, then (2) checked against the persisted signature
+    * store of everything previously kept via the BIPARTITE incremental
+    * join ([[graft.llm.Dedup.minhashIncrementalPairsFromSignatures]] —
+    * history is never re-hashed or pair-expanded against itself).
+    * Survivors append to `corpusPath`; their `(doc_id, hs, sig)` rows
+    * append to `storePath` so the next batch sees them as history. A doc
+    * whose in-batch representative is rejected by history is dropped too
+    * (transitive near-dup semantics, as in batch curation).
+    *
+    * Exactly-once without swap machinery: both sinks write hive-style
+    * `batch=<id>/` directories with per-directory overwrite, and the
+    * history read EXCLUDES the current batch id — a crash-replayed batch
+    * overwrites its own partial output and recomputes against the same
+    * history, landing on identical results (spec-pinned).
+    *
+    * Scale posture: per trigger the store is one O(history signatures)
+    * scan re-banded into the join — signatures are ~0.5 KB/doc, 100–1000×
+    * smaller than the corpus. When even that dominates, persist band
+    * postings bucketed by (band, band_hash) in the
+    * [[SnapshotStream.bucketedMergeSink]] layout so a batch joins only
+    * its touched buckets; this single-store form is the right trade up to
+    * ~1 B kept docs per store.
+    *
+    * Contract: `doc_id` must be globally unique across the stream's
+    * lifetime (it keys the store). */
+  def nearDupGateSink(
+      docs: DataFrame,
+      corpusPath: String,
+      storePath: String,
+      checkpointDir: String,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupGateBatch(batch, batchId, corpusPath, storePath,
+          shingleK, perms, nBands, rowsPerBand, minJaccard)
+      }
+
+  /** One micro-batch of [[nearDupGateSink]], callable directly (the spec
+    * drives it batch-by-batch; the sink wires it to foreachBatch). */
+  def nearDupGateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      corpusPath: String,
+      storePath: String,
+      shingleK: Int,
+      perms: Int,
+      nBands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint() // feeds pairing, clustering, and both sinks
+    // (1) in-batch: near-dup clusters -> keep the minimum id per cluster
+    val inBatchPairs = Dedup.minhashPairs(b, "doc_id", "text",
+      shingleK, perms, nBands, rowsPerBand, minJaccard)
+    val reps = Dedup.clusters(b.select(col("doc_id")), inBatchPairs)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+    val repDocs = b.join(reps, Seq("doc_id"), "left_semi")
+    val shBatch = Dedup.signatureTable(repDocs, "doc_id", "text", shingleK, perms)
+      .localCheckpoint()
+    // (2) vs history: signature store of previously KEPT docs, excluding
+    // any partial output of a crash-replayed run of THIS batch id
+    val fs = new Path(storePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val histDupIds =
+      if (fs.exists(new Path(storePath))) {
+        val hist = spark.read.parquet(storePath)
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id").as("hist_id"), col("hs"), col("sig"))
+        Dedup.minhashIncrementalPairsFromSignatures(
+          shBatch.withColumnRenamed("doc_id", "new_id"), hist,
+          nBands, rowsPerBand, minJaccard)
+          .select(col("new_id").as("doc_id")).distinct()
+      } else shBatch.select(col("doc_id")).limit(0)
+    val keptIds = shBatch.select(col("doc_id"))
+      .join(histDupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds both sink writes below
+    // idempotent per-batch landing: overwrite exactly this batch's dir
+    b.join(keptIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    shBatch.join(keptIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+  }
+
+  /** Kept documents of a corpus maintained by [[nearDupGateSink]] (the
+    * hive `batch` partition column is internal bookkeeping — dropped). */
+  def readKept(spark: SparkSession, corpusPath: String): DataFrame =
+    spark.read.parquet(corpusPath).drop("batch")
 }

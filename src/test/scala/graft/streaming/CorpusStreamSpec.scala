@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The streaming near-dup gate must implement exactly the batch dedup
+  * semantics it composes: in-batch MinHash clustering to one
+  * representative, then the bipartite incremental check against the
+  * signature store of everything previously kept — idempotent under
+  * crash-replay of a batch. */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val other = "completely different content with zero overlapping shingles here"
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+
+  private def freshDirs(): (String, String) = {
+    val root = Files.createTempDirectory("neardup-gate")
+    (s"$root/corpus", s"$root/store")
+  }
+
+  private def runBatch(df: DataFrame, id: Long, corpus: String, store: String): Unit =
+    CorpusStream.nearDupGateBatch(df, id, corpus, store,
+      shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5)
+
+  test("gate keeps cluster representatives and rejects history near-dups") {
+    val (corpus, store) = freshDirs()
+    // batch 0: 2 is a near-dup of 1 (in-batch collapse); 3 is unique
+    runBatch(docs(1L -> base, 2L -> base.replace("today", "tonite"), 3L -> other), 0L, corpus, store)
+    assert(CorpusStream.readKept(spark, corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // batch 1: 10 near-dups HISTORY (doc 1) -> rejected; 11 unique -> kept;
+    // 12 near-dups 11 in-batch -> collapsed into 11
+    val novel = "entirely novel passage speaking about completely unrelated topics indeed"
+    runBatch(docs(
+      10L -> base.replace("today", "tomoro"),
+      11L -> novel,
+      12L -> novel.replace("indeed", "inword")), 1L, corpus, store)
+    assert(CorpusStream.readKept(spark, corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 11L))
+    // the store holds signatures for exactly the kept docs
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 11L))
+  }
+
+  test("a crash-replayed batch lands on identical results") {
+    val (corpus, store) = freshDirs()
+    runBatch(docs(1L -> base, 3L -> other), 0L, corpus, store)
+    val b1 = docs(10L -> base.replace("today", "tomoro"), 11L -> "some wholly fresh text body")
+    runBatch(b1, 1L, corpus, store)
+    val firstKept = CorpusStream.readKept(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    runBatch(b1, 1L, corpus, store) // replay: must exclude its own partial output
+    assert(CorpusStream.readKept(spark, corpus).select("doc_id").as[Long].collect().toSet
+      == firstKept)
+    assert(firstKept == Set(1L, 3L, 11L))
+    assert(spark.read.parquet(store).filter(col("batch") === 1).count() == 1) // just 11
+  }
+
+  test("the sink end-to-end over a two-drop file stream matches the direct batches") {
+    val (corpus, store) = freshDirs()
+    val dropDir = Files.createTempDirectory("drops")
+    docs(1L -> base, 2L -> base.replace("today", "tonite"), 3L -> other)
+      .coalesce(1).write.parquet(s"$dropDir/d0")
+    // file source lists files, not dirs: flatten the part files into dropDir
+    val fs = new org.apache.hadoop.fs.Path(dropDir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0
+    for (d <- Seq("d0")) {
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/$d"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$dropDir/drop_$n.parquet")); n += 1
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dropDir/$d"), true)
+    }
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val stream = spark.readStream.schema(CorpusStream.documentsSchema)
+      .parquet(dropDir.toString)
+    val q = CorpusStream.nearDupGateSink(stream, corpus, store, checkpoint).start()
+    q.awaitTermination(120000)
+    assert(CorpusStream.readKept(spark, corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // second drop arrives; AvailableNow catches up from the checkpoint
+    docs(10L -> base.replace("today", "tomoro"), 11L -> "some wholly fresh text body")
+      .coalesce(1).write.parquet(s"$dropDir/d1")
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dropDir/d1"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$dropDir/drop_$n.parquet")); n += 1
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dropDir/d1"), true)
+    val q2 = CorpusStream.nearDupGateSink(stream, corpus, store, checkpoint).start()
+    q2.awaitTermination(120000)
+    assert(CorpusStream.readKept(spark, corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 11L))
+  }
+}
