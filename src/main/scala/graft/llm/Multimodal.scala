@@ -35,6 +35,35 @@ final case class DecodedMedia(
     n_frames: Long,
     checksum: Long)
 
+/** Pixel/sample-decoded media features (see [[Multimodal.pixelStats]]):
+  * images carry dims/channels with pixel-byte stats over the normalized
+  * top-down RGB/gray/RGBA array; audio carries channel/rate with
+  * canonical-sample stats; unsupported payloads fall back to raw-byte
+  * stats with `decoder = "stub"`. */
+final case class MediaPixels(
+    doc_id: Long,
+    decoder: String,
+    width: Option[Int],
+    height: Option[Int],
+    n_channels: Option[Int],
+    sample_rate: Option[Int],
+    n_units: Long,
+    sum_abs: Long,
+    peak: Int,
+    checksum_px: Long)
+
+/** A really-resampled image (see [[Multimodal.resizePixels]]): output
+  * dims plus sum/checksum of the nearest-neighbor-resampled pixel
+  * array. */
+final case class ResizedMedia(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    out_width: Int,
+    out_height: Int,
+    sum_resized: Long,
+    checksum_resized: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition.
   *
@@ -163,6 +192,270 @@ object Multimodal {
     if (channels > 0 && blockAlign > 0 && dataBytes >= 0)
       Some((channels, sampleRate, dataBytes / blockAlign))
     else None
+  }
+
+  // ------------------------------------------------- full pixel/sample decode
+  //
+  // Pure-JVM decoders from the public specs — no native codec: BMP pixel
+  // rows are raw BGR with 4-byte padding, PNG inflates with the JDK's
+  // zlib (java.util.zip.Inflater) and defilters per the W3C spec, WAV PCM
+  // samples are fixed-layout integers. Each returns None for any layout
+  // it does not fully support (compressed BMP, palette/16-bit/interlaced
+  // PNG, non-PCM WAV), and [[pixelStatsOne]] degrades to raw-byte stats —
+  // decode is total, never wrong.
+
+  /** 24-bit uncompressed BMP → (w, h, 3, top-down row-major RGB bytes).
+    * Bottom-up storage (positive biHeight) is row-reversed; BGR→RGB. */
+  private[llm] def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M')) return None
+    val dataOff = i32le(b, 10)
+    val w = i32le(b, 18)
+    val hRaw = i32le(b, 22)
+    val h = math.abs(hRaw)
+    val bits = u16le(b, 28)
+    val comp = i32le(b, 30)
+    if (bits != 24 || comp != 0 || w <= 0 || h == 0) return None
+    val stride = (w * 3 + 3) & ~3
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (hRaw < 0) y else h - 1 - y // normalize to top-down
+      val ro = dataOff + srcRow * stride
+      var o = y * w * 3
+      var x = 0
+      while (x < w) {
+        out(o) = b(ro + x * 3 + 2)     // R
+        out(o + 1) = b(ro + x * 3 + 1) // G
+        out(o + 2) = b(ro + x * 3)     // B
+        o += 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, 3, out))
+  }
+
+  /** 8-bit-depth non-interlaced gray/RGB/gray+alpha/RGBA PNG →
+    * (w, h, channels, row-major channel bytes): IDAT chunks concatenated,
+    * inflated with the JDK zlib, rows reconstructed through the five
+    * standard filters (None/Sub/Up/Average/Paeth). Palette images need a
+    * PLTE lookup → None (stub fallback). */
+  private[llm] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val (w, h, channels) = parsePng(b).getOrElse(return None)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    if (bitDepth != 8 || colorType == 3 || interlace != 0) return None
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var sawEnd = false
+    while (!sawEnd && off + 12 <= b.length) {
+      val len = i32be(b, off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val tag = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag == "IDAT") idat.write(b, off + 8, len)
+      if (tag == "IEND") sawEnd = true
+      off += 12 + len
+    }
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var filled = 0
+      while (filled < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        filled += n
+      }
+      if (filled < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val out = new Array[Byte](h * stride)
+    val bpp = channels // 8-bit depth: one byte per channel
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      val ro = y * (1 + stride) + 1
+      val oo = y * stride
+      val po = oo - stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(ro + i) & 0xff
+        val a = if (i >= bpp) out(oo + i - bpp) & 0xff else 0
+        val up = if (y > 0) out(po + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) out(po + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - ul
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(oo + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, out))
+  }
+
+  /** PCM WAV → (channels, sampleRate, interleaved canonical samples):
+    * 16-bit little-endian signed as stored; 8-bit unsigned shifted to
+    * signed (stored − 128). Non-PCM or other depths → None. */
+  private[llm] def decodeWavSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val isRiff = b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    if (!isRiff) return None
+    var off = 12
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataBytes = -1
+    while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val size = i32le(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      val tag = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag == "fmt " && size >= 16) {
+        if (u16le(b, off + 8) != 1) return None // PCM only
+        channels = u16le(b, off + 10)
+        rate = i32le(b, off + 12)
+        bits = u16le(b, off + 22)
+      } else if (tag == "data") {
+        dataOff = off + 8
+        dataBytes = size
+      }
+      off += 8 + size + (size & 1) // RIFF chunks pad to even length
+    }
+    if (channels <= 0 || dataOff < 0) return None
+    bits match {
+      case 16 =>
+        val n = dataBytes / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (u16le(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+          i += 1
+        }
+        Some((channels, rate, out))
+      case 8 =>
+        val out = new Array[Int](dataBytes)
+        var i = 0
+        while (i < dataBytes) {
+          out(i) = (b(dataOff + i) & 0xff) - 128
+          i += 1
+        }
+        Some((channels, rate, out))
+      case _ => None
+    }
+  }
+
+  /** Image-pixel dispatch (magic-sniffed, like [[decodeOne]]). */
+  private[llm] def decodeImagePixels(b: Array[Byte]): Option[(String, Int, Int, Int, Array[Byte])] =
+    decodeBmpPixels(b).map { case (w, h, c, px) => ("bmp", w, h, c, px) }
+      .orElse(decodePngPixels(b).map { case (w, h, c, px) => ("png", w, h, c, px) })
+
+  private def byteSum(a: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i) & 0xff; i += 1 }
+    s
+  }
+
+  private def byteMax(a: Array[Byte]): Int = {
+    var m = 0
+    var i = 0
+    while (i < a.length) { val v = a(i) & 0xff; if (v > m) m = v; i += 1 }
+    m
+  }
+
+  /** Canonical-sample checksum: the polynomial fold over `s + 32768`
+    * (well-defined for both 8- and 16-bit domains). */
+  private def sampleChecksum(samples: Array[Int]): Long = {
+    var c = 7L
+    var i = 0
+    while (i < samples.length) {
+      c = (c * 31 + (samples(i) + 32768)) % TextHash.Prime
+      i += 1
+    }
+    c
+  }
+
+  /** Full pixel/sample decode of one payload — REAL bytes out: images
+    * report stats over the decoded pixel array, audio over the canonical
+    * PCM samples, anything unsupported over the raw payload bytes
+    * (`decoder = "stub"`). */
+  def pixelStatsOne(r: MediaRecord): MediaPixels =
+    decodeImagePixels(r.payload).map { case (dec, w, h, c, px) =>
+      MediaPixels(r.doc_id, dec, Some(w), Some(h), Some(c), None,
+        w.toLong * h, byteSum(px), byteMax(px), byteChecksum(px))
+    }.orElse(decodeWavSamples(r.payload).map { case (ch, rate, samples) =>
+      var sum = 0L
+      var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i))
+        sum += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      MediaPixels(r.doc_id, "wav", None, None, Some(ch), Some(rate),
+        samples.length.toLong / ch, sum, peak, sampleChecksum(samples))
+    }).getOrElse(
+      MediaPixels(r.doc_id, "stub", None, None, None, None,
+        r.payload.length.toLong, byteSum(r.payload), byteMax(r.payload),
+        byteChecksum(r.payload)))
+
+  /** Partition-wise full pixel/sample decode (same per-partition context
+    * shape as [[decodeMedia]]). */
+  def pixelStats(records: Dataset[MediaRecord]): Dataset[MediaPixels] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(pixelStatsOne))
+  }
+
+  /** REAL nearest-neighbor resample of one decodable image: integer
+    * percent scale bounded to `maxDim` (same arithmetic as [[resize]]),
+    * output dims clamped to >= 1, source index `(out · src) DIV out`.
+    * Returns stats of the actually-resampled pixel array. */
+  def resizePixelsOne(r: MediaRecord, maxDim: Int): Option[ResizedMedia] =
+    decodeImagePixels(r.payload).map { case (_, w, h, c, px) =>
+      val ms = math.max(w, h)
+      val pct = if (ms <= maxDim) 100L else maxDim * 100L / ms
+      val ow = math.max(1, (w * pct / 100).toInt)
+      val oh = math.max(1, (h * pct / 100).toInt)
+      val out = new Array[Byte](ow * oh * c)
+      var y = 0
+      while (y < oh) {
+        val sy = math.min(h - 1, y * h / oh)
+        var x = 0
+        while (x < ow) {
+          val sx = math.min(w - 1, x * w / ow)
+          var ch = 0
+          while (ch < c) {
+            out((y * ow + x) * c + ch) = px((sy * w + sx) * c + ch)
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      ResizedMedia(r.doc_id, w, h, ow, oh, byteSum(out), byteChecksum(out))
+    }
+
+  /** Partition-wise real resample; non-image payloads drop out (the
+    * metadata-level [[resize]] covers the planning-only path). */
+  def resizePixels(records: Dataset[MediaRecord], maxDim: Int = 32): Dataset[ResizedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap(r => resizePixelsOne(r, maxDim)))
   }
 
   /** Sniff-and-parse one payload (magic bytes, not the declared

@@ -28,6 +28,25 @@ object LlmQueries {
     new java.io.File("data/media").getAbsolutePath + "/media_*"
   private lazy val mediaDecodeExpected =
     new java.io.File("data/media/decode_expected.parquet").getAbsolutePath
+  private lazy val mediaPixelExpected =
+    new java.io.File("data/media/pixel_expected.parquet").getAbsolutePath
+  private lazy val mediaResizeExpected =
+    new java.io.File("data/media/resize_expected.parquet").getAbsolutePath
+
+  /** The committed media fixture as MediaRecords (binaryFile source — the
+    * production object-store media-scan shape). */
+  private def mediaRecords(s: SparkSession): org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.format("binaryFile").load(mediaFixtureGlob)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        when(col("path").endsWith(".bmp"), "image/bmp")
+          .when(col("path").endsWith(".png"), "image/png")
+          .when(col("path").endsWith(".wav"), "audio/wav")
+          .otherwise("application/octet-stream").as("media_type"))
+      .as[MediaRecord]
+  }
 
   // ------------------------------------------------------------ SQL helpers
 
@@ -543,16 +562,21 @@ object LlmQueries {
     // decode, the production object-store media-scan shape.
     "q_multimodal_decode" -> ((s, _) => {
       import s.implicits._
-      val recs = s.read.format("binaryFile").load(mediaFixtureGlob)
-        .select(
-          regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
-          col("content").as("payload"),
-          when(col("path").endsWith(".bmp"), "image/bmp")
-            .when(col("path").endsWith(".png"), "image/png")
-            .when(col("path").endsWith(".wav"), "audio/wav")
-            .otherwise("application/octet-stream").as("media_type"))
-        .as[MediaRecord]
-      Multimodal.decodeMedia(recs).toDF()
+      Multimodal.decodeMedia(mediaRecords(s)).toDF()
+    }),
+
+    // FULL pixel/sample decode: BMP pixel rows, PNG inflate+defilter (JDK
+    // zlib), WAV PCM samples — stats over the actually-decoded arrays,
+    // oracle = the generator's independently-computed pixel ground truth
+    "q_media_pixels" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.pixelStats(mediaRecords(s)).toDF()
+    }),
+
+    // REAL nearest-neighbor resample of the decodable fixture images
+    "q_media_resize" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.resizePixels(mediaRecords(s)).toDF()
     }),
 
     // tumbling-window event aggregation
@@ -1415,6 +1439,12 @@ object LlmQueries {
 
     "q_multimodal_decode" ->
       s"SELECT * FROM read_parquet('$mediaDecodeExpected')",
+
+    "q_media_pixels" ->
+      s"SELECT * FROM read_parquet('$mediaPixelExpected')",
+
+    "q_media_resize" ->
+      s"SELECT * FROM read_parquet('$mediaResizeExpected')",
 
     "q_multimodal_resize" ->
       s"""WITH p AS (

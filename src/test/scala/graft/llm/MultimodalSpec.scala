@@ -64,6 +64,79 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pixelStats decodes every committed fixture to the generator's pixel ground truth") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val recs = spark.read.format("binaryFile").load(s"$dir/media_*")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("x").as("media_type"))
+      .as[MediaRecord]
+    val got = Multimodal.pixelStats(recs).collect().map(d => d.doc_id -> d).toMap
+    val want = spark.read.parquet(s"$dir/pixel_expected.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want) {
+      val g = got(id)
+      assert(g.decoder == w.getAs[String]("decoder"), s"decoder for $id")
+      assert(g.width == Option(w.getAs[Integer]("width")).map(_.intValue), s"width for $id")
+      assert(g.height == Option(w.getAs[Integer]("height")).map(_.intValue), s"height for $id")
+      assert(g.n_channels == Option(w.getAs[Integer]("n_channels")).map(_.intValue), s"channels for $id")
+      assert(g.sample_rate == Option(w.getAs[Integer]("sample_rate")).map(_.intValue), s"rate for $id")
+      assert(g.n_units == w.getAs[Long]("n_units"), s"n_units for $id")
+      assert(g.sum_abs == w.getAs[Long]("sum_abs"), s"sum_abs for $id")
+      assert(g.peak == w.getAs[Int]("peak"), s"peak for $id")
+      assert(g.checksum_px == w.getAs[Long]("checksum_px"), s"checksum_px for $id")
+    }
+    // the filtered PNGs (12, 13) are the Sub/Up/Average/Paeth proof: their
+    // ground truth is the UNfiltered pixel pattern, so a defilter bug
+    // cannot hash-match
+    assert(got(12L).decoder == "png" && got(13L).decoder == "png")
+  }
+
+  test("resizePixels resamples every decodable image to the generator's resize ground truth") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val recs = spark.read.format("binaryFile").load(s"$dir/media_*")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("x").as("media_type"))
+      .as[MediaRecord]
+    val got = Multimodal.resizePixels(recs).collect().map(d => d.doc_id -> d).toMap
+    val want = spark.read.parquet(s"$dir/resize_expected.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == want.keySet) // images only: WAV/blob drop out
+    for ((id, w) <- want) {
+      val g = got(id)
+      assert((g.width, g.height) ==
+        ((w.getAs[Int]("width"), w.getAs[Int]("height"))), s"dims for $id")
+      assert((g.out_width, g.out_height) ==
+        ((w.getAs[Int]("out_width"), w.getAs[Int]("out_height"))), s"out dims for $id")
+      assert(g.sum_resized == w.getAs[Long]("sum_resized"), s"sum for $id")
+      assert(g.checksum_resized == w.getAs[Long]("checksum_resized"), s"checksum for $id")
+    }
+    // the 640x2 strip must clamp its scaled height to 1, not 0
+    assert(got(7L).out_height == 1 && got(7L).out_width == 32)
+  }
+
+  test("pixel decoders degrade to stub stats on unsupported or corrupt payloads") {
+    // palette PNG (color type 3) would need a PLTE lookup -> stub
+    val png4 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_004.png"))
+    val palette = png4.clone()
+    palette(25) = 3 // rewrite the IHDR color type (CRC is not checked)
+    assert(Multimodal.pixelStatsOne(MediaRecord(1L, palette, "x")).decoder == "stub")
+    // truncated IDAT (inflate cannot fill the raster) -> stub
+    val truncated = png4.take(png4.length - 30)
+    assert(Multimodal.pixelStatsOne(MediaRecord(2L, truncated, "x")).decoder == "stub")
+    // non-media payload -> raw-byte stats
+    val blob = MediaRecord(3L, Array[Byte](1, 2, 3), "x")
+    val stats = Multimodal.pixelStatsOne(blob)
+    assert(stats.decoder == "stub" && stats.n_units == 3 && stats.sum_abs == 6 && stats.peak == 3)
+  }
+
   test("header parsers reject truncated and corrupt payloads (stub fallback)") {
     val png = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("data/media/media_004.png"))

@@ -124,9 +124,128 @@ def make_blob(n: int) -> bytes:
     return bytes(((i * 197 + 11) % 256) for i in range(n))
 
 
+# ------------------------------------------- pixel/sample ground truth
+# Independent computation of what a pixel-level decoder must produce:
+# top-down row-major RGB/gray/RGBA bytes for images, canonical signed
+# samples for PCM audio. Mirrors the construction above, NOT the Scala
+# decoder under test.
+
+def bmp_norm_pixels(width: int, height: int, top_down: bool = False) -> bytes:
+    rows = []
+    for y in range(height):  # stored order; stored bytes are (B, G, R)
+        row = bytearray()
+        for x in range(width):
+            b0, b1, b2 = (x * 7 + y * 13) % 256, (x * 3 + y) % 256, (x + y * 5) % 256
+            row += bytes((b2, b1, b0))  # normalized to RGB
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()  # bottom-up storage: first stored row is the bottom
+    return b"".join(rows)
+
+
+def png_norm_pixels(width: int, height: int, color_type: int) -> bytes:
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            for c in range(channels):
+                out.append((x * 11 + y * 17 + c * 29) % 256)
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png_filtered(width: int, height: int, color_type: int) -> bytes:
+    """Same pixel pattern as make_png, but row y uses filter type y % 5 —
+    exercises Sub/Up/Average/Paeth reconstruction in decoders (make_png
+    emits only filter 0). Filtering per the W3C spec, independent of the
+    decoder under test."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp = channels  # 8-bit depth
+    stream = bytearray()
+    prev = bytes(width * channels)
+    for y in range(height):
+        row = bytes((x * 11 + y * 17 + c * 29) % 256
+                    for x in range(width) for c in range(channels))
+        ft = y % 5
+        stream.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = (x - a) & 0xFF
+            elif ft == 2:
+                v = (x - b) & 0xFF
+            elif ft == 3:
+                v = (x - (a + b) // 2) & 0xFF
+            else:
+                v = (x - _paeth(a, b, c)) & 0xFF
+            stream.append(v)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + png_chunk(b"IHDR", ihdr)
+            + png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+            + png_chunk(b"IEND", b""))
+
+
+def wav_canonical_samples(channels: int, n_frames: int, bits: int = 16,
+                          odd_data: bool = False) -> list:
+    """Signed canonical samples: 16-bit as stored; 8-bit as stored - 128."""
+    out = []
+    for i in range(n_frames):
+        for c in range(channels):
+            v = ((i * 37 + c * 101) % 65536) - 32768
+            out.append(v if bits == 16 else ((v >> 8) + 128) - 128)
+    if odd_data:
+        out.append(0x7F - 128)
+    return out
+
+
+def sample_checksum(samples: list) -> int:
+    c = 7
+    for s in samples:
+        c = (c * 31 + (s + 32768)) % PRIME
+    return c
+
+
+RESIZE_MAX_DIM = 32
+
+
+def resize_expect(width: int, height: int, channels: int, px: bytes):
+    """Nearest-neighbor resize mirror of Multimodal.resizePixels: integer
+    percent scale bounded to RESIZE_MAX_DIM, out dims clamped to >= 1,
+    source index = (out_idx * src_dim) // out_dim."""
+    ms = max(width, height)
+    pct = 100 if ms <= RESIZE_MAX_DIM else (RESIZE_MAX_DIM * 100) // ms
+    ow = max(1, (width * pct) // 100)
+    oh = max(1, (height * pct) // 100)
+    out = bytearray()
+    for y in range(oh):
+        sy = min(height - 1, (y * height) // oh)
+        for x in range(ow):
+            sx = min(width - 1, (x * width) // ow)
+            for c in range(channels):
+                out.append(px[(sy * width + sx) * channels + c])
+    return ow, oh, bytes(out)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = []
+    pixel_rows = []
+    resize_rows = []
 
     def emit(doc_id, ext, media_type, payload, decoder,
              width=None, height=None, n_channels=None, sample_rate=None,
@@ -140,27 +259,73 @@ def main():
                          sample_rate=sample_rate, n_frames=n_frames,
                          checksum=checksum(payload)))
 
+    def expect_image(doc_id, decoder, width, height, channels, px):
+        pixel_rows.append(dict(
+            doc_id=doc_id, decoder=decoder, width=width, height=height,
+            n_channels=channels, sample_rate=None, n_units=width * height,
+            sum_abs=sum(px), peak=max(px), checksum_px=checksum(px)))
+        ow, oh, rpx = resize_expect(width, height, channels, px)
+        resize_rows.append(dict(
+            doc_id=doc_id, width=width, height=height,
+            out_width=ow, out_height=oh,
+            sum_resized=sum(rpx), checksum_resized=checksum(rpx)))
+
+    def expect_audio(doc_id, channels, rate, samples):
+        pixel_rows.append(dict(
+            doc_id=doc_id, decoder="wav", width=None, height=None,
+            n_channels=channels, sample_rate=rate,
+            n_units=len(samples) // channels,
+            sum_abs=sum(abs(s) for s in samples),
+            peak=max(abs(s) for s in samples),
+            checksum_px=sample_checksum(samples)))
+
+    def expect_stub(doc_id, payload):
+        pixel_rows.append(dict(
+            doc_id=doc_id, decoder="stub", width=None, height=None,
+            n_channels=None, sample_rate=None, n_units=len(payload),
+            sum_abs=sum(payload), peak=max(payload),
+            checksum_px=checksum(payload)))
+
     # BMPs (decoder reports channels from bit depth)
     emit(0, "bmp", "image/bmp", make_bmp(13, 7), "bmp", 13, 7, 3)
+    expect_image(0, "bmp", 13, 7, 3, bmp_norm_pixels(13, 7))
     emit(1, "bmp", "image/bmp", make_bmp(64, 64), "bmp", 64, 64, 3)
+    expect_image(1, "bmp", 64, 64, 3, bmp_norm_pixels(64, 64))
     emit(2, "bmp", "image/bmp", make_bmp(21, 9, top_down=True), "bmp", 21, 9, 3)
+    expect_image(2, "bmp", 21, 9, 3, bmp_norm_pixels(21, 9, top_down=True))
     emit(3, "bmp", "image/bmp", make_bmp(1, 1), "bmp", 1, 1, 3)
+    expect_image(3, "bmp", 1, 1, 3, bmp_norm_pixels(1, 1))
 
     # PNGs
     emit(4, "png", "image/png", make_png(16, 12, 2), "png", 16, 12, 3)
+    expect_image(4, "png", 16, 12, 3, png_norm_pixels(16, 12, 2))
     emit(5, "png", "image/png", make_png(33, 1, 0), "png", 33, 1, 1)
+    expect_image(5, "png", 33, 1, 1, png_norm_pixels(33, 1, 0))
     emit(6, "png", "image/png", make_png(8, 8, 6), "png", 8, 8, 4)
+    expect_image(6, "png", 8, 8, 4, png_norm_pixels(8, 8, 6))
     emit(7, "png", "image/png", make_png(640, 2, 2), "png", 640, 2, 3)
+    expect_image(7, "png", 640, 2, 3, png_norm_pixels(640, 2, 2))
 
     # WAVs (width/height null; n_frames = PCM sample frames)
     emit(8, "wav", "audio/wav", make_wav(1, 8000, 800), "wav",
          n_channels=1, sample_rate=8000, n_frames=800)
+    expect_audio(8, 1, 8000, wav_canonical_samples(1, 800))
     emit(9, "wav", "audio/wav", make_wav(2, 44100, 441), "wav",
          n_channels=2, sample_rate=44100, n_frames=441)
+    expect_audio(9, 2, 44100, wav_canonical_samples(2, 441))
     emit(10, "wav", "audio/wav", make_wav(2, 16000, 160, with_list_chunk=True),
          "wav", n_channels=2, sample_rate=16000, n_frames=160)
+    expect_audio(10, 2, 16000, wav_canonical_samples(2, 160))
     emit(11, "wav", "audio/wav", make_wav(1, 22050, 99, bits=8, odd_data=True),
          "wav", n_channels=1, sample_rate=22050, n_frames=100)
+    expect_audio(11, 1, 22050, wav_canonical_samples(1, 99, bits=8, odd_data=True))
+
+    # filtered PNGs: every row uses filter y % 5 — pins Sub/Up/Average/Paeth
+    # reconstruction against this independent implementation
+    emit(12, "png", "image/png", make_png_filtered(24, 10, 2), "png", 24, 10, 3)
+    expect_image(12, "png", 24, 10, 3, png_norm_pixels(24, 10, 2))
+    emit(13, "png", "image/png", make_png_filtered(9, 6, 0), "png", 9, 6, 1)
+    expect_image(13, "png", 9, 6, 1, png_norm_pixels(9, 6, 0))
 
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
@@ -168,6 +333,7 @@ def main():
     emit(15, "bin", "application/octet-stream", blob, "stub",
          width=int(64 + c % 512), height=int(64 + (c // 512) % 512),
          n_frames=1000 // 256 + 1)
+    expect_stub(15, blob)
 
     schema = pa.schema([
         ("doc_id", pa.int64()), ("media_type", pa.string()),
@@ -178,7 +344,25 @@ def main():
     ])
     table = pa.Table.from_pylist(rows, schema=schema)
     pq.write_table(table, os.path.join(OUT, "decode_expected.parquet"))
-    print(f"wrote {len(rows)} media files + decode_expected.parquet under {OUT}")
+
+    pixel_schema = pa.schema([
+        ("doc_id", pa.int64()), ("decoder", pa.string()),
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("n_channels", pa.int32()), ("sample_rate", pa.int32()),
+        ("n_units", pa.int64()), ("sum_abs", pa.int64()),
+        ("peak", pa.int32()), ("checksum_px", pa.int64()),
+    ])
+    pq.write_table(pa.Table.from_pylist(pixel_rows, schema=pixel_schema),
+                   os.path.join(OUT, "pixel_expected.parquet"))
+
+    resize_schema = pa.schema([
+        ("doc_id", pa.int64()), ("width", pa.int32()), ("height", pa.int32()),
+        ("out_width", pa.int32()), ("out_height", pa.int32()),
+        ("sum_resized", pa.int64()), ("checksum_resized", pa.int64()),
+    ])
+    pq.write_table(pa.Table.from_pylist(resize_rows, schema=resize_schema),
+                   os.path.join(OUT, "resize_expected.parquet"))
+    print(f"wrote {len(rows)} media files + decode/pixel/resize expectations under {OUT}")
 
 
 if __name__ == "__main__":
