@@ -337,6 +337,57 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the actionable form of
+    * [[dupSpans]] (C4/Lee-style hard span dedup): rebuilds each document's
+    * text with every token covered by a cross-document duplicated n-gram
+    * removed. ALL occurrences are removed (the deterministic, order-free
+    * policy — keeping exactly one copy would make the output depend on a
+    * global document order); whitespace is canonicalized to single spaces
+    * by the rebuild. Dataflow = [[dupSpans]]' gram-frequency join plus a
+    * bounded explode (factor n) of the duplicated positions into a token
+    * drop set, an anti-join on (doc, token index), and one ordered
+    * rebuild aggregation (`collect_list` → ObjectHashAggregate, sorted
+    * per group post-hoc — never a SortAggregate).
+    *
+    * Returns (doc_id, n_tokens, kept_tokens, text_clean); a fully
+    * duplicated document keeps 0 tokens and an empty string. Same
+    * unique-id contract as [[dupSpans]].
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(wordTokens(col(textCol))).as(Seq("tok0", "token")))
+      .select(col("doc_id"), (col("tok0") + 1).as("tok_idx"), col("token"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(HashFunctions.posNgramHashes(col(textCol), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dfreq = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
+    val dropSet = grams
+      .join(dfreq.filter(col("gram_docs") >= 2), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
+      .distinct()
+    val rebuilt = toks
+      .join(dropSet, Seq("doc_id", "tok_idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("tok_idx"), col("token")))),
+            x => x.getField("token"))).as("text_clean"))
+    docs
+      .select(col(idCol).as("doc_id"), size(wordTokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Incremental MinHash near-dup: near-duplicate pairs between a NEW batch
     * and the HISTORICAL corpus — the daily-ingest shape of [[minhashPairs]]
     * (whose exact-hash counterpart is [[incremental]]). The history side is

@@ -278,6 +278,10 @@ object LlmQueries {
     "q_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)),
 
+    // duplicated-span REMOVAL: text rebuilt with shared spans excised
+    "q_dup_remove" -> ((s, dir) =>
+      Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)),
+
     // word-3-gram Jaccard near-dup pairs via inverted-index join
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -749,6 +753,45 @@ object LlmQueries {
          |    THEN CAST(p.dup_grams AS DOUBLE) / p.n_grams
          |    ELSE CAST(0 AS DOUBLE) END AS dup_fraction
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // drop every token covered by a cross-doc duplicated 5-gram, rebuild
+    // the text from the ordered survivors
+    "q_dup_remove" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(t)), i -> {tok_idx: i, token: t[i]}),
+         |      recursive := true)
+         |  FROM toks),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 5 THEN list_transform(generate_series(1, len(t) - 4), i ->
+         |      ${polyHashSql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]", "ci")})
+         |    ELSE CAST([] AS BIGINT[]) END AS gh
+         |  FROM toks),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(gh)), i -> {pos: i, gram: gh[i]}),
+         |      recursive := true)
+         |  FROM g),
+         |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM pos GROUP BY 1),
+         |drop_set AS (
+         |  SELECT DISTINCT doc_id, tok_idx FROM (
+         |    SELECT p.doc_id, unnest(generate_series(p.pos, p.pos + 4)) AS tok_idx
+         |    FROM pos p JOIN dfreq f USING (gram) WHERE f.gram_docs >= 2)),
+         |kept AS (
+         |  SELECT k.doc_id, k.tok_idx, k.token
+         |  FROM tok k ANTI JOIN drop_set d USING (doc_id, tok_idx)),
+         |rebuilt AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |    string_agg(token, ' ' ORDER BY tok_idx) AS text_clean
+         |  FROM kept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(r.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "q_dedup_ngram" -> lshPairsSql(
       s"list_distinct(list_transform(generate_series(1, len($tokensSql) - 2), " +

@@ -120,6 +120,30 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == ((10L, 2L, 2L, 1L, 0.2)))
   }
 
+  test("removeDupSpans excises shared spans and rebuilds the survivors in order") {
+    val d = docs(
+      1L -> "a b c d e f g h",  // grams 1,2 shared -> tokens 1..6 dropped
+      2L -> "a b c d e f z z",
+      3L -> "q r s t",          // shorter than n: untouched
+      4L -> "u v w x y z2 u v") // no shared grams: untouched
+    val got = Dedup.removeDupSpans(d, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 2L, "g h")))
+    assert(got(2L) == ((8L, 2L, "z z")))
+    assert(got(3L) == ((4L, 4L, "q r s t")))
+    assert(got(4L) == ((8L, 8L, "u v w x y z2 u v")))
+  }
+
+  test("removeDupSpans empties a fully duplicated document") {
+    val d = docs(5L -> "p q r s t", 6L -> "p q r s t")
+    val got = Dedup.removeDupSpans(d, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(5L) == ((5L, 0L, "")))
+    assert(got(6L) == ((5L, 0L, "")))
+  }
+
   test("minhashIncrementalPairs finds cross-side near-dups only") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val hist = docs(
