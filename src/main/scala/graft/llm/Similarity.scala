@@ -165,6 +165,105 @@ object Similarity {
     ivfTopKWith(vectors, idCol, vecCol, centroids, queryIds, k, nProbes)
   }
 
+  /** (vec_id, v, norm) with zero-norm vectors excluded — the shared
+    * corpus entry of the IVF operators. An all-zero vector has no cosine
+    * to anything (0/0 = NaN, which ranks ABOVE every real cosine in the
+    * top-k window) — excluded from the index rather than letting it head
+    * every result list; mirrored in the q_ann_ivf oracle (WHERE norm > 0).
+    * asDouble mirrors the corpus/vector entry points: a raw float-array
+    * embedding column must not misread as array&lt;float&gt; at kdot
+    * time. */
+  private def normedVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"),
+      sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"))
+      .filter(col("norm") > 0)
+
+  /** EAGERLY materialized quantizer rows (centroid_id, vc, nc), ordered
+    * so the kernel's first-wins rule IS the (c_cos desc, centroid_id asc,
+    * null ids lose) max_by tiebreak. Zero-norm centroids are dropped (a
+    * trained quantizer can emit one when opposing vectors cancel; its
+    * NaN cosine would swallow the whole corpus — members re-route to
+    * their next cell; mirrored in the q_ann_ivf oracle, AND nc > 0). */
+  private def quantizerRows(
+      centroidTable: DataFrame): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.DataType) = {
+    val centroids = centroidTable.select(
+      col("centroid_id"), asDouble(col("vc")).as("vc"),
+      sqrt(kdot(asDouble(col("vc")), asDouble(col("vc")))).as("nc"))
+      .filter(col("nc") > 0)
+    val rows = centroids.select(col("centroid_id"), col("vc"), col("nc"))
+      .orderBy(col("centroid_id").asc_nulls_last).collect()
+    (rows, centroids.schema("centroid_id").dataType)
+  }
+
+  /** (cell, vec_id, vn, nn, c_cos): per-row compiled-kernel argmax over
+    * the LITERAL flattened centroid matrix plus a broadcast index→cell
+    * join — a pure projection; no corpus shuffle, no aggregate. */
+  private def kernelAssigned(
+      base: DataFrame,
+      centRows: Array[org.apache.spark.sql.Row],
+      cellType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val cvecs = centRows.map(_.getSeq[Double](1))
+    val dim = cvecs.head.length
+    require(cvecs.forall(_.length == dim),
+      s"centroid dimensions differ: ${cvecs.map(_.length).distinct.mkString(", ")}")
+    val flat = new Array[Double](centRows.length * dim)
+    var ci = 0
+    while (ci < centRows.length) {
+      val cv = cvecs(ci)
+      var j = 0
+      while (j < dim) { flat(ci * dim + j) = cv(j); j += 1 }
+      ci += 1
+    }
+    val ncs = centRows.map(_.getDouble(2))
+    val spark = base.sparkSession
+    val idxToCell = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        centRows.toIndexedSeq.zipWithIndex.map { case (r, ix) =>
+          org.apache.spark.sql.Row(ix, r.get(0)) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "__ci", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell", cellType, nullable = true))))
+    base
+      .select(col("vec_id"), col("v").as("vn"), col("norm").as("nn"),
+        graft.functions.HashFunctions.bestCosine(
+          col("v"), col("norm"), typedLit(flat), typedLit(ncs), dim).as("__best"))
+      .select(col("vec_id"), col("vn"), col("nn"),
+        col("__best").getItem(0).cast("int").as("__ci"),
+        col("__best").getItem(1).as("c_cos"))
+      .join(broadcast(idxToCell), Seq("__ci"))
+      .select(col("cell"), col("vec_id"), col("vn"), col("nn"), col("c_cos"))
+  }
+
+  /** IVF index postings for a vector batch against a quantizer — the
+    * INCREMENTAL-maintenance form of the IVF index build: a new embedding
+    * drop is assigned to its cells in ONE map-only pass (the zero-shuffle
+    * kernel argmax of [[ivfTopKWith]]'s corpus side, factored out) and
+    * the resulting rows append to a persisted posting table; nothing
+    * existing is rewritten, and search reads postings ∪ new rows through
+    * the identical (cell)-keyed join. Same EAGER centroid materialization,
+    * unique-id contract, and zero-norm exclusions as [[ivfTopKWith]].
+    * `c_cos` (the vector's cosine to its own cell centroid) rides along
+    * as the standard index-quality signal — a falling batch mean says the
+    * quantizer no longer fits the drift and it is time to retrain.
+    * Returns (cell, vec_id, c_cos). */
+  def ivfAssign(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidTable: DataFrame): DataFrame = {
+    val base = normedVectors(vectors, idCol, vecCol)
+    val (centRows, cellType) = quantizerRows(centroidTable)
+    if (centRows.isEmpty)
+      return base
+        .select(lit(null).cast(cellType).as("cell"), col("vec_id"), lit(0.0).as("c_cos"))
+        .filter(lit(false))
+    kernelAssigned(base, centRows, cellType)
+      .select(col("cell"), col("vec_id"), col("c_cos"))
+  }
+
   /** [[ivfTopK]] against a TRAINED coarse quantizer: `centroids` is any
     * (centroid_id, vc: array&lt;double&gt;) table — in production the
     * [[Clustering.kmeansConvergedCentroids]] output, which places cells
@@ -203,68 +302,16 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nProbes: Int = 4): DataFrame = {
-    val base = vectors.select(
-      col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"),
-      sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("norm"))
-      // an all-zero corpus vector has no cosine to anything (0/0 = NaN,
-      // which ranks ABOVE every real cosine in the top-k window) — exclude
-      // it from the index rather than let it head every result list.
-      // Mirrored in the q_ann_ivf oracle SQL (WHERE norm > 0).
-      .filter(col("norm") > 0)
-    // asDouble mirrors the corpus/vector entry points: a trained quantizer
-    // built from the raw float-array embedding column (the natural input)
-    // must not misread as array<float> at kdot time.
-    val centroids = centroidTable.select(
-      col("centroid_id"), asDouble(col("vc")).as("vc"),
-      sqrt(kdot(asDouble(col("vc")), asDouble(col("vc")))).as("nc"))
-      // a trained quantizer can emit an exact-zero centroid (opposing
-      // vectors in one cluster cancel); its cosine is NaN, and NaN sorts
-      // ABOVE every double in max_by — one degenerate cell would swallow
-      // the whole corpus. Drop it: members re-route to their next cell.
-      // Mirrored in the q_ann_ivf oracle SQL (AND nc > 0).
-      .filter(col("nc") > 0)
-    // k tiny rows, ordered so the kernel's first-wins rule IS the
-    // (c_cos desc, centroid_id asc, null ids lose) max_by tiebreak
-    val centRows = centroids.select(col("centroid_id"), col("vc"), col("nc"))
-      .orderBy(col("centroid_id").asc_nulls_last).collect()
+    val base = normedVectors(vectors, idCol, vecCol)
+    val (centRows, cellType) = quantizerRows(centroidTable)
     if (centRows.isEmpty)
       return base
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(0.0).as("cosine"), lit(0).as("rank"))
         .filter(lit(false))
-    val cvecs = centRows.map(_.getSeq[Double](1))
-    val dim = cvecs.head.length
-    require(cvecs.forall(_.length == dim),
-      s"centroid dimensions differ: ${cvecs.map(_.length).distinct.mkString(", ")}")
-    val flat = new Array[Double](centRows.length * dim)
-    var ci = 0
-    while (ci < centRows.length) {
-      val cv = cvecs(ci)
-      var j = 0
-      while (j < dim) { flat(ci * dim + j) = cv(j); j += 1 }
-      ci += 1
-    }
-    val ncs = centRows.map(_.getDouble(2))
-    val cellType = centroids.schema("centroid_id").dataType
     val spark = vectors.sparkSession
-    val idxToCell = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(
-        centRows.toIndexedSeq.zipWithIndex.map { case (r, ix) =>
-          org.apache.spark.sql.Row(ix, r.get(0)) }).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "__ci", org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("cell", cellType, nullable = true))))
-    // corpus side: per-row kernel argmax + broadcast index→id join — a
-    // projection; no corpus shuffle, no aggregate
-    val assigned = base
-      .select(col("vec_id").as("neighbor_id"), col("v").as("vn"), col("norm").as("nn"),
-        graft.functions.HashFunctions.bestCosine(
-          col("v"), col("norm"), typedLit(flat), typedLit(ncs), dim)
-          .getItem(0).cast("int").as("__ci"))
-      .join(broadcast(idxToCell), Seq("__ci"))
-      .select(col("cell"), col("neighbor_id"), col("vn"), col("nn"))
+    val assigned = kernelAssigned(base, centRows, cellType)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("vn"), col("nn"))
     // probes: query-set-sized — restrict to the queries FIRST, then the
     // centroid join + rank window run over a tiny frame. The centroid
     // side is rebuilt from the rows just collected (a local k-row frame):

@@ -316,6 +316,17 @@ object LlmQueries {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         queryIds = 0L until 8L, k = 10, nCentroids = 16, nProbes = 4)),
 
+    // incremental IVF maintenance: a persisted quantizer (the q_ann_ivf
+    // cells, trained on the historical half) assigns a NEW embedding drop
+    // in one map-only kernel pass — the appendable posting rows
+    "q_ann_ivf_append" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("vc")))
+    }),
+
     // the PRODUCTION IVF path: coarse quantizer = k-means centroids (a few
     // refinement rounds suffice for a quantizer), then the same
     // bucket-join search. Exact-hash oracle: the data-dependent training
@@ -1016,6 +1027,23 @@ object LlmQueries {
          |SELECT vec_id, CAST(g.j - 1 AS INTEGER) AS dim_idx,
          |  CAST(round(v[g.j] * scale) AS INTEGER) AS q, scale
          |FROM s, (SELECT unnest(generate_series(1, 64)) AS j) g""".stripMargin,
+
+    // best-cell assignment of the fresh half against the seed quantizer;
+    // same tiebreak and zero-norm exclusions as the q_ann_ivf assignment
+    "q_ann_ivf_append" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm
+         |      FROM e WHERE sqrt(${dotSql("v", "v", 64)}) > 0),
+         |cent AS (SELECT vec_id AS centroid_id, v AS vc, norm AS nc
+         |         FROM b WHERE vec_id < 16 AND norm > 0),
+         |scored AS (
+         |  SELECT b.vec_id, c.centroid_id,
+         |    (${dotSql("b.v", "c.vc", 64)} / (b.norm * c.nc)) AS c_cos
+         |  FROM b, cent c WHERE b.vec_id >= 250)
+         |SELECT centroid_id AS cell, vec_id, c_cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, centroid_id ASC) AS rn
+         |  FROM scored) WHERE rn = 1""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH $embCte,

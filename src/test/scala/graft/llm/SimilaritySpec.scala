@@ -98,4 +98,49 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
     assert(a.values.forall(bk => bk >= 0 && bk < 64))
   }
+
+  test("ivfAssign matches the naive best-cosine argmax on random vectors") {
+    val rnd = new scala.util.Random(99)
+    val dim = 8
+    val corpus = (10L until 40L).map(i => i -> Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+    val cents = (0L until 4L).map(i => i -> Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+    val got = Similarity.ivfAssign(
+      vecs(corpus: _*), "vec_id", "embedding",
+      vecs(cents: _*).select(col("vec_id").as("centroid_id"), col("embedding").as("vc")))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      d / (math.sqrt(ad.foldLeft(0.0)((s, x) => s + x * x)) *
+        math.sqrt(bd.foldLeft(0.0)((s, x) => s + x * x)))
+    }
+    for ((id, v) <- corpus) {
+      val want = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.head._1
+      assert(got(id) == want, s"vector $id assigned to ${got(id)}, naive argmax $want")
+    }
+  }
+
+  test("ivfAssign appends: batch-by-batch union equals the one-shot assignment") {
+    val rnd = new scala.util.Random(7)
+    val dim = 6
+    val all = (10L until 50L).map(i => i -> Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+    val quant = vecs((0L until 3L).map(i => i -> Seq.fill(dim)(rnd.nextFloat() - 0.5f)): _*)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("vc"))
+    val oneShot = Similarity.ivfAssign(vecs(all: _*), "vec_id", "embedding", quant)
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    val (a, b) = all.partition(_._1 < 30)
+    val byBatch = Similarity.ivfAssign(vecs(a: _*), "vec_id", "embedding", quant)
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet ++
+      Similarity.ivfAssign(vecs(b: _*), "vec_id", "embedding", quant)
+        .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    assert(byBatch == oneShot)
+  }
+
+  test("ivfAssign with an all-zero-norm quantizer is empty") {
+    val corpus = vecs(1L -> Seq(1f, 2f), 2L -> Seq(3f, 4f))
+    val zeroQuant = vecs(0L -> Seq(0f, 0f))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("vc"))
+    assert(Similarity.ivfAssign(corpus, "vec_id", "embedding", zeroQuant).count() == 0)
+  }
 }
