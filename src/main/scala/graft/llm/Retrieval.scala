@@ -72,9 +72,54 @@ object Retrieval {
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     // corpus stats: N and total token count (for avgdl) — one row, broadcast
-    val stats = docs.agg(
+    score(postings, corpusStats(docs, idCol, textCol), k, k1, b, logIdf)
+  }
+
+  /** One-row corpus statistics (n_docs, total_tokens) — the mergeable
+    * side table of a persisted index: each appended drop contributes its
+    * own row, and [[bm25OverIndex]] sums them. */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(wordTokens(col(textCol)))).as("total_tokens"))
+
+  /** BM25 top-k over a PERSISTED index — the incremental-ingest shape of
+    * [[bm25TopK]]: `postings` is any [[invertedIndex]]-schema table (the
+    * union of separately-built drops; doc ids must be unique across
+    * drops, so (token, doc_id) stays a key and per-term df is exact), and
+    * `stats` any number of [[corpusStats]] rows, summed here. No text is
+    * re-tokenized and nothing existing is rewritten when a drop arrives —
+    * the drop's postings and stats row are appended, and the query-term
+    * filter on the token column prunes the posting scan (at scale the
+    * store is laid out sorted/partitioned by token, so the filter is a
+    * file skip, the direct analogue of bm25TopK's pre-shuffle filter).
+    * Produces bit-identically the ranking bm25TopK computes from the full
+    * corpus — pinned by spec and by the driver oracle reusing q_bm25's
+    * SQL. */
+  def bm25OverIndex(
+      postings: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val restricted = postings.filter(col("token").isin(queryTerms: _*))
+    val merged = stats.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("total_tokens")).as("total_tokens"))
+    score(restricted, merged, k, k1, b, logIdf)
+  }
+
+  /** Shared BM25 scoring core over query-term postings + one stats row. */
+  private def score(
+      postings: DataFrame,
+      stats: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
+      logIdf: Boolean): DataFrame = {
     // df per query term — at most |queryTerms| rows, broadcast
     val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val avgdl = col("total_tokens").cast("double") / col("n_docs")

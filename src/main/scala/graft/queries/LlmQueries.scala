@@ -139,6 +139,43 @@ object LlmQueries {
        |WHERE jaccard >= CAST($minJaccard AS DOUBLE)""".stripMargin
   }
 
+  /** Mirror of Retrieval.bm25TopK with logIdf = false: rational idf
+    * (N - df + 0.5)/(df + 0.5), tf saturation with k1=1.2 b=0.75,
+    * per-term micros rounding, long sum, (score desc, doc_id) top-20.
+    * Shared verbatim by q_bm25 and q_bm25_incr — the incremental index
+    * build is value-identical to the direct computation. */
+  private lazy val bm25OracleSql: String = {
+    val terms = Bm25QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, len($tokensSql) AS dl, unnest($tokensSql) AS token FROM documents),
+       |post AS (
+       |  SELECT token, doc_id, count(*) AS tf, min(dl) AS dl
+       |  FROM toks WHERE token IN ($terms) GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
+       |  FROM documents),
+       |dfs AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    CAST(round(
+       |      ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+       |      * ((p.tf * CAST(2.2 AS DOUBLE))
+       |         / (p.tf + CAST(1.2 AS DOUBLE)
+       |            * (CAST(0.25 AS DOUBLE)
+       |               + CAST(0.75 AS DOUBLE) * p.dl
+       |                 / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+       |      * 1000000) AS BIGINT) AS term_score_micros
+       |  FROM post p JOIN dfs d USING (token), stats s),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_matched_terms,
+       |    CAST(sum(term_score_micros) AS BIGINT) AS score_micros
+       |  FROM scored GROUP BY 1)
+       |SELECT doc_id, n_matched_terms, score_micros,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id ASC) AS INTEGER) AS rank
+       |FROM agg ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   /** Shared CTE: embeddings as double lists. */
   private val embCte: String =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -425,6 +462,18 @@ object LlmQueries {
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         Bm25QueryTerms, k = 20, logIdf = false)),
+
+    // incremental BM25: the index is built drop-by-drop (postings +
+    // mergeable stats rows appended per half, no re-tokenization) and
+    // searched over the union — must rank identically to q_bm25
+    "q_bm25_incr" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val drops = Seq(d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250))
+      Retrieval.bm25OverIndex(
+        drops.map(Retrieval.invertedIndex(_, "doc_id", "text")).reduce(_ unionByName _),
+        drops.map(Retrieval.corpusStats(_, "doc_id", "text")).reduce(_ unionByName _),
+        Bm25QueryTerms, k = 20, logIdf = false)
+    }),
 
     // TF-IDF weights over the full (doc, term) postings table
     "q_tfidf" -> ((s, dir) =>
@@ -1098,40 +1147,12 @@ object LlmQueries {
          |  max(value) AS value_max
          |FROM events GROUP BY 1""".stripMargin,
 
-    "q_bm25" -> {
-      val terms = Bm25QueryTerms.map("'" + _ + "'").mkString(", ")
-      // mirrors Retrieval.bm25TopK with logIdf = false: rational idf
-      // (N - df + 0.5)/(df + 0.5), tf saturation with k1=1.2 b=0.75,
-      // per-term micros rounding, long sum, (score desc, doc_id) top-20
-      s"""WITH toks AS (
-         |  SELECT doc_id, len($tokensSql) AS dl, unnest($tokensSql) AS token FROM documents),
-         |post AS (
-         |  SELECT token, doc_id, count(*) AS tf, min(dl) AS dl
-         |  FROM toks WHERE token IN ($terms) GROUP BY 1, 2),
-         |stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens
-         |  FROM documents),
-         |dfs AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
-         |scored AS (
-         |  SELECT p.doc_id,
-         |    CAST(round(
-         |      ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
-         |      * ((p.tf * CAST(2.2 AS DOUBLE))
-         |         / (p.tf + CAST(1.2 AS DOUBLE)
-         |            * (CAST(0.25 AS DOUBLE)
-         |               + CAST(0.75 AS DOUBLE) * p.dl
-         |                 / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
-         |      * 1000000) AS BIGINT) AS term_score_micros
-         |  FROM post p JOIN dfs d USING (token), stats s),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_matched_terms,
-         |    CAST(sum(term_score_micros) AS BIGINT) AS score_micros
-         |  FROM scored GROUP BY 1)
-         |SELECT doc_id, n_matched_terms, score_micros,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id ASC) AS INTEGER) AS rank
-         |FROM agg ORDER BY score_micros DESC, doc_id ASC LIMIT 20""".stripMargin
-    },
+    "q_bm25" -> bm25OracleSql,
+
+    // the incremental index build is value-identical to the direct
+    // computation (unique ids across drops keep (token, doc_id) a key and
+    // df/stats exact) — the oracle IS q_bm25's: same SQL, same hashes
+    "q_bm25_incr" -> bm25OracleSql,
 
     "q_tfidf" ->
       s"""WITH toks AS (

@@ -53,4 +53,22 @@ class RetrievalSpec extends SparkSpec {
     assert(w((2L, "engine")) == 666667L)
     assert(Retrieval.tfidf(docs, "doc_id", "text").count() == w.size)
   }
+
+  test("bm25OverIndex on a drop-by-drop index equals bm25TopK on the full corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("the", "flood", "model", "data")
+    val direct = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 20, logIdf = false)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val drops = Seq(
+      corpus.filter(col("doc_id") % 3 === 0),
+      corpus.filter(col("doc_id") % 3 === 1),
+      corpus.filter(col("doc_id") % 3 === 2))
+    val incremental = Retrieval.bm25OverIndex(
+      drops.map(Retrieval.invertedIndex(_, "doc_id", "text")).reduce(_ unionByName _),
+      drops.map(Retrieval.corpusStats(_, "doc_id", "text")).reduce(_ unionByName _),
+      terms, k = 20, logIdf = false)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(incremental == direct)
+    assert(direct.nonEmpty)
+  }
 }
