@@ -132,6 +132,14 @@ object GraftExtensions {
         arity("graft_top_run", 1, args)
         invoke(GraftHashOps.getClass, "topRunCount", IntegerType, args)
       }),
+    ("graft_media_meta",
+      info("graft_media_meta",
+        "sniff-and-parse media header metadata of a binary payload: " +
+          "struct(decoder, width, height, n_channels, sample_rate, n_frames, checksum)"),
+      (args: Seq[Expression]) => {
+        arity("graft_media_meta", 1, args)
+        invoke(GraftMediaOps.getClass, "mediaMeta", MediaMetaType, args)
+      }),
     ("graft_five_num",
       info("graft_five_num",
         "aggregate: exact five-number summary (min, q1, median, q3, max) in one buffer"),
@@ -139,6 +147,16 @@ object GraftExtensions {
         arity("graft_five_num", 1, args)
         FiveNumberSummary(args.head).toAggregateExpression()
       }))
+
+  /** Output schema of [[GraftMediaOps.mediaMeta]]. */
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("decoder", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
 
   /** Register on an already-built session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -29,6 +29,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("nw") >= 1)
   }
 
+  test("graft_media_meta decodes real media headers from SQL") {
+    GraftExtensions.register(spark)
+    val dir = new java.io.File("data/media").getAbsolutePath
+    spark.read.format("binaryFile").load(s"$dir/media_004.png")
+      .createOrReplaceTempView("png_payloads")
+    val r = spark.sql(
+      """SELECT m.decoder, m.width, m.height, m.n_channels, m.sample_rate
+        |FROM (SELECT graft_media_meta(content) AS m FROM png_payloads)""".stripMargin).head()
+    assert(r.getAs[String]("decoder") == "png")
+    assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 12)
+    assert(r.getAs[Int]("n_channels") == 3)
+    assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    // WAV branch: rate/frames populated, dims null
+    spark.read.format("binaryFile").load(s"$dir/media_008.wav")
+      .createOrReplaceTempView("wav_payloads")
+    val w = spark.sql(
+      """SELECT m.decoder, m.width, m.sample_rate, m.n_frames
+        |FROM (SELECT graft_media_meta(content) AS m FROM wav_payloads)""".stripMargin).head()
+    assert(w.getAs[String]("decoder") == "wav")
+    assert(w.isNullAt(w.fieldIndex("width")))
+    assert(w.getAs[Int]("sample_rate") == 8000 && w.getAs[Long]("n_frames") == 800L)
+  }
+
   test("graft_five_num aggregates through SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
