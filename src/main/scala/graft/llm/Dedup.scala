@@ -301,10 +301,15 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized once: the positional-gram relation feeds both the
+    // frequency aggregation and the frequency join's probe side, and
+    // hashing the corpus is the operator's dominant CPU stage (same
+    // rationale as lshVerifiedPairs' sh checkpoint)
     val grams = docs
       .select(col(idCol).as("doc_id"),
         posexplode(HashFunctions.posNgramHashes(col(textCol), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      .localCheckpoint()
     val dfreq = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
     val marked = grams.join(dfreq, Seq("gram"))
@@ -358,17 +363,21 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         posexplode(wordTokens(col(textCol))).as(Seq("tok0", "token")))
       .select(col("doc_id"), (col("tok0") + 1).as("tok_idx"), col("token"))
+    // materialized once (feeds dfreq and the drop-set join) — see dupSpans
     val grams = docs
       .select(col(idCol).as("doc_id"),
         posexplode(HashFunctions.posNgramHashes(col(textCol), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      .localCheckpoint()
     val dfreq = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("gram_docs"))
+    // materialized: feeds the anti-join AND the dropped-count arithmetic
     val dropSet = grams
       .join(dfreq.filter(col("gram_docs") >= 2), Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
       .distinct()
+      .localCheckpoint()
     val rebuilt = toks
       .join(dropSet, Seq("doc_id", "tok_idx"), "left_anti")
       .groupBy(col("doc_id"))
@@ -378,12 +387,16 @@ object Dedup {
           transform(
             array_sort(collect_list(struct(col("tok_idx"), col("token")))),
             x => x.getField("token"))).as("text_clean"))
-    docs
-      .select(col(idCol).as("doc_id"), size(wordTokens(col(textCol))).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+    // every token is either kept or dropped (and every doc has >= 1 token:
+    // split of "" is [""]), so n_tokens = kept + dropped — no third scan
+    // of the corpus text for a separate count projection
+    val dropped = dropSet.groupBy(col("doc_id")).agg(count(lit(1)).as("dropped_tokens"))
+    rebuilt
+      .join(dropped, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        col("n_tokens"),
+        (coalesce(col("kept_tokens"), lit(0L)) + coalesce(col("dropped_tokens"), lit(0L)))
+          .as("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }

@@ -178,7 +178,8 @@ object Multimodal {
     var dataBytes = -1L
     while (off + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
       val size = i32le(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // subtraction form — the addition overflows for sizes near Int.MaxValue
+      if (size < 0 || size > b.length - off - 8) return None
       val tag = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (tag == "fmt " && size >= 16) {
         channels = u16le(b, off + 10)
@@ -211,17 +212,24 @@ object Multimodal {
     val dataOff = i32le(b, 10)
     val w = i32le(b, 18)
     val hRaw = i32le(b, 22)
-    val h = math.abs(hRaw)
+    // Long abs: math.abs(Int.MinValue) is negative
+    val hL = math.abs(hRaw.toLong)
     val bits = u16le(b, 28)
     val comp = i32le(b, 30)
-    if (bits != 24 || comp != 0 || w <= 0 || h == 0) return None
-    val stride = (w * 3 + 3) & ~3
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None
+    if (bits != 24 || comp != 0 || w <= 0 || hL == 0) return None
+    // all size arithmetic in Long: corrupt headers with w ~ 800M overflow
+    // the Int forms, wrap negative, and bypass the bounds check below
+    val stride = (w.toLong * 3 + 3) & ~3L
+    if (dataOff < 54 || dataOff > b.length ||
+        stride * hL > b.length - dataOff ||
+        w.toLong * hL * 3 > Int.MaxValue) return None
+    val h = hL.toInt
+    val strideI = stride.toInt // bounded by b.length above
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
       val srcRow = if (hRaw < 0) y else h - 1 - y // normalize to top-down
-      val ro = dataOff + srcRow * stride
+      val ro = dataOff + srcRow * strideI
       var o = y * w * 3
       var x = 0
       while (x < w) {
@@ -243,16 +251,26 @@ object Multimodal {
     * PLTE lookup → None (stub fallback). */
   private[llm] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val (w, h, channels) = parsePng(b).getOrElse(return None)
+    // parsePng guarantees 26 bytes; the interlace byte at 28 needs more —
+    // a PNG truncated inside IHDR must stub-fall-back, not crash
+    if (b.length < 29) return None
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
     if (bitDepth != 8 || colorType == 3 || interlace != 0) return None
+    // corrupt IHDR dims: negative, zero, or raster sizes whose Int
+    // arithmetic would overflow (or whose allocation a 4-byte header
+    // edit could bomb to gigabytes) all degrade to the stub
+    if (w <= 0 || h <= 0 ||
+        h.toLong * (1L + w.toLong * channels) > Int.MaxValue) return None
     val idat = new java.io.ByteArrayOutputStream()
     var off = 8
     var sawEnd = false
     while (!sawEnd && off + 12 <= b.length) {
       val len = i32be(b, off)
-      if (len < 0 || off + 12 + len > b.length) return None
+      // subtraction form: `off + 12 + len` overflows Int for len near
+      // Int.MaxValue and would bypass this check
+      if (len < 0 || len > b.length - off - 12) return None
       val tag = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (tag == "IDAT") idat.write(b, off + 8, len)
       if (tag == "IEND") sawEnd = true
@@ -266,7 +284,9 @@ object Multimodal {
       var filled = 0
       while (filled < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, filled, raw.length - filled)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // any stall — truncated stream (needsInput) or a preset-dictionary
+        // demand (needsDictionary, FDICT bit) — must bail, not spin
+        if (n == 0) return None
         filled += n
       }
       if (filled < raw.length) return None
@@ -323,7 +343,9 @@ object Multimodal {
     var dataBytes = -1
     while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
       val size = i32le(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // subtraction form: `off + 8 + size` overflows Int for sizes near
+      // Int.MaxValue and would bypass this check, then wrap off negative
+      if (size < 0 || size > b.length - off - 8) return None
       val tag = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (tag == "fmt " && size >= 16) {
         if (u16le(b, off + 8) != 1) return None // PCM only
@@ -334,7 +356,8 @@ object Multimodal {
         dataOff = off + 8
         dataBytes = size
       }
-      off += 8 + size + (size & 1) // RIFF chunks pad to even length
+      off += 8 + size + (size & 1) // RIFF chunks pad to even length; the
+      // bound above keeps off + 8 + size <= b.length, so no overflow
     }
     if (channels <= 0 || dataOff < 0) return None
     bits match {
@@ -359,10 +382,18 @@ object Multimodal {
     }
   }
 
+  /** Decoder calls answer corrupt input with None, never an exception —
+    * the targeted guards above handle every corruption the specs model,
+    * and this boundary backstops the contract ("decode is total") against
+    * any residual adversarial byte pattern: a decode failure must cost a
+    * stub row, not a Spark task. */
+  private def safely[T](f: => Option[T]): Option[T] =
+    try f catch { case scala.util.control.NonFatal(_) => None }
+
   /** Image-pixel dispatch (magic-sniffed, like [[decodeOne]]). */
   private[llm] def decodeImagePixels(b: Array[Byte]): Option[(String, Int, Int, Int, Array[Byte])] =
-    decodeBmpPixels(b).map { case (w, h, c, px) => ("bmp", w, h, c, px) }
-      .orElse(decodePngPixels(b).map { case (w, h, c, px) => ("png", w, h, c, px) })
+    safely(decodeBmpPixels(b)).map { case (w, h, c, px) => ("bmp", w, h, c, px) }
+      .orElse(safely(decodePngPixels(b)).map { case (w, h, c, px) => ("png", w, h, c, px) })
 
   private def byteSum(a: Array[Byte]): Long = {
     var s = 0L
@@ -398,7 +429,7 @@ object Multimodal {
     decodeImagePixels(r.payload).map { case (dec, w, h, c, px) =>
       MediaPixels(r.doc_id, dec, Some(w), Some(h), Some(c), None,
         w.toLong * h, byteSum(px), byteMax(px), byteChecksum(px))
-    }.orElse(decodeWavSamples(r.payload).map { case (ch, rate, samples) =>
+    }.orElse(safely(decodeWavSamples(r.payload)).map { case (ch, rate, samples) =>
       var sum = 0L
       var peak = 0
       var i = 0
@@ -463,11 +494,11 @@ object Multimodal {
   def decodeOne(r: MediaRecord): DecodedMedia = {
     val checksum = byteChecksum(r.payload)
     val n = r.payload.length.toLong
-    parseBmp(r.payload).map { case (w, h, c) =>
+    safely(parseBmp(r.payload)).map { case (w, h, c) =>
       DecodedMedia(r.doc_id, r.media_type, "bmp", n, Some(w), Some(h), Some(c), None, 1L, checksum)
-    }.orElse(parsePng(r.payload).map { case (w, h, c) =>
+    }.orElse(safely(parsePng(r.payload)).map { case (w, h, c) =>
       DecodedMedia(r.doc_id, r.media_type, "png", n, Some(w), Some(h), Some(c), None, 1L, checksum)
-    }).orElse(parseWav(r.payload).map { case (ch, rate, frames) =>
+    }).orElse(safely(parseWav(r.payload)).map { case (ch, rate, frames) =>
       DecodedMedia(r.doc_id, r.media_type, "wav", n, None, None, Some(ch), Some(rate), frames, checksum)
     }).getOrElse {
       val f = fakeDecode(r)

@@ -137,6 +137,61 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.decoder == "stub" && stats.n_units == 3 && stats.sum_abs == 6 && stats.peak == 3)
   }
 
+  test("decode is total: truncations and byte flips of every fixture never throw") {
+    val dir = java.nio.file.Paths.get("data/media")
+    val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.contains("media_")).sorted
+    val rnd = new scala.util.Random(1234)
+    for (f <- files) {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      // truncations at awkward places (mid-header, mid-chunk, mid-IDAT)
+      for (cut <- Seq(0, 1, 8, 20, 26, 28, 40, 54, bytes.length / 2, bytes.length - 1)
+           if cut >= 0 && cut <= bytes.length) {
+        val t = bytes.take(cut)
+        Multimodal.pixelStatsOne(MediaRecord(1L, t, "x"))
+        Multimodal.decodeOne(MediaRecord(1L, t, "x"))
+        Multimodal.resizePixelsOne(MediaRecord(1L, t, "x"), 32)
+      }
+      // random byte flips (headers and bodies): any result is fine, a
+      // throw or hang is not
+      for (_ <- 0 until 40) {
+        val m = bytes.clone()
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        Multimodal.pixelStatsOne(MediaRecord(2L, m, "x"))
+        Multimodal.decodeOne(MediaRecord(2L, m, "x"))
+      }
+    }
+    // targeted adversarial headers from the hardening review:
+    // FDICT zlib header in IDAT (would spin the inflate loop forever)
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_004.png"))
+    val fdict = png.clone()
+    // first IDAT payload byte: signature(8) + IHDR(25) + len/tag(8) = 41
+    fdict(41) = 0x78.toByte; fdict(42) = 0xbb.toByte
+    assert(Multimodal.pixelStatsOne(MediaRecord(3L, fdict, "x")).decoder == "stub")
+    // negative IHDR height
+    val negH = png.clone(); negH(20) = 0x80.toByte
+    assert(Multimodal.pixelStatsOne(MediaRecord(4L, negH, "x")).decoder == "stub")
+    // huge chunk length (Int overflow in the walk)
+    val hugeChunk = png.clone(); hugeChunk(33) = 0x7f.toByte
+    assert(Multimodal.pixelStatsOne(MediaRecord(5L, hugeChunk, "x")).decoder == "stub")
+    // BMP with an overflowing width / Int.MinValue height
+    val bmp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_000.bmp"))
+    val hugeW = bmp.clone(); hugeW(21) = 0x30.toByte
+    assert(Multimodal.pixelStatsOne(MediaRecord(6L, hugeW, "x")).decoder == "stub")
+    val minH = bmp.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Multimodal.pixelStatsOne(MediaRecord(7L, minH, "x")).decoder == "stub")
+    // WAV with a chunk size near Int.MaxValue
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_008.wav"))
+    val hugeSize = wav.clone(); hugeSize(19) = 0x7f.toByte
+    assert(Multimodal.pixelStatsOne(MediaRecord(8L, hugeSize, "x")).decoder == "stub")
+    Multimodal.decodeOne(MediaRecord(8L, hugeSize, "x")) // header path too
+  }
+
   test("header parsers reject truncated and corrupt payloads (stub fallback)") {
     val png = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("data/media/media_004.png"))
