@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Trainable multinomial naive-Bayes document classifier — the classic
+  * fasttext/CCNet-style curation filter: train per-label token
+  * likelihoods on a labeled corpus (language, source domain, quality
+  * tier), then score every document with a pure projection. The
+  * reference pipeline has no trained classifier; this is part of the
+  * beyond-parity LLM-curation surface (cf. `flood/spark/transforms.py`'s
+  * fixed-rule filters, which [[TextAnalysis.qualityScore]] mirrors).
+  *
+  * Scale shape:
+  *  - '''train''' — ONE corpus explode shuffled on (label, token) with
+  *    map-side combine (the partial-agg collapses each partition to its
+  *    distinct (label, token) pairs before anything ships), then
+  *    dimension-sized re-aggregations (vocab top-V, label marginals,
+  *    priors). Nothing corpus-sized crosses the wire twice.
+  *  - '''score''' — ZERO shuffle: the trained model is dimension-sized
+  *    (V×L likelihood entries + L priors), so scoring is a per-row fold
+  *    over the document's tokens against a literal token→likelihood map,
+  *    exactly the broadcast-kernel discipline of [[Clustering.assign]] /
+  *    [[Similarity.ivfTopKWith]].
+  *
+  * Determinism (what lets the driver's DuckDB gate hash-check a trained
+  * model): all likelihoods are quantized to integer micro-logs
+  * (`round(ln((cnt+1)/(T_l+V)) * 1e6)`) at train time, so every document
+  * score is an INTEGER sum — order-insensitive where double summation is
+  * not — and the argmax tiebreak is (score desc, label asc). The only
+  * float op is one `ln` per model entry, rounded at 1e-6 (the same
+  * micros-quantization every distance query here uses).
+  *
+  * Input contract: labels must be non-null strings ([[nbTrain]] filters
+  * null labels; document ids follow the corpus-wide uniqueness contract).
+  * ASCII labels sort identically as Scala Strings and UTF8String bytes;
+  * non-ASCII labels would need the UTF-8 byte-order sort of
+  * [[Clustering]]'s id tiebreak.
+  */
+object Classify {
+
+  /** Per-label token-count model with add-one smoothing, restricted to
+    * the top-`vocabSize` tokens by corpus frequency (count desc, token
+    * asc — deterministic at the cap boundary).
+    *
+    * Output: `(label, token, cnt, loglik_micros)` — a DENSE grid (every
+    * label × every vocab token, zero-filled), so scoring never misses a
+    * lookup: `loglik_micros = round(ln((cnt+1)/(T_l+V)) * 1e6)` where
+    * `T_l` is the label's in-vocab token total and `V` the realized
+    * vocabulary size.
+    */
+  def nbTrain(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      vocabSize: Int = 64): DataFrame = {
+    val tokCounts = docs
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    // top-V vocabulary, derived from the ALREADY-aggregated counts (a
+    // dimension-sized re-agg, not a second corpus pass)
+    val vocab = tokCounts.groupBy("token").agg(sum("cnt").as("tot"))
+      .orderBy(col("tot").desc, col("token").asc).limit(vocabSize)
+      .select("token")
+    val inVocab = tokCounts.join(broadcast(vocab), "token")
+    // label universe comes from the corpus, NOT from inVocab — a label
+    // whose every token misses the vocab cap still gets grid rows (t_l=0)
+    val labels = docs.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val labelTotals = labels.join(
+      inVocab.groupBy("label").agg(sum("cnt").as("t_l_raw")), Seq("label"), "left")
+      .select(col("label"), coalesce(col("t_l_raw"), lit(0L)).as("t_l"))
+    val vSize = vocab.agg(count(lit(1)).as("v_size"))
+    labelTotals
+      .crossJoin(broadcast(vocab)) // L×V dimension-sized grid
+      .join(inVocab, Seq("label", "token"), "left")
+      .crossJoin(broadcast(vSize)) // 1-row totals frame
+      .select(
+        col("label"), col("token"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_l") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("loglik_micros"))
+  }
+
+  /** Label priors: `(label, n_docs, prior_micros)` with
+    * `prior_micros = round(ln(n_docs / total_docs) * 1e6)`. */
+  def nbPriors(docs: DataFrame, labelCol: String): DataFrame = {
+    val labels = docs.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    labels
+      .crossJoin(broadcast(labels.agg(sum("n_docs").as("n_total"))))
+      .select(col("label"), col("n_docs"),
+        round(log(col("n_docs").cast("double") / col("n_total").cast("double")) * 1e6)
+          .cast("long").as("prior_micros"))
+  }
+
+  /** Score every document against a trained model: ZERO-shuffle pure
+    * projection. `score_micros(doc, l) = prior_micros(l) +
+    * Σ_{t ∈ tokens(doc) ∩ vocab} loglik_micros(l, t)` (multiplicity
+    * counted, out-of-vocab tokens skipped), predicted = argmax with
+    * (score desc, label asc) ties.
+    *
+    * EAGER: the dimension-sized model frames are collected at
+    * DataFrame-construction time (same documented posture as
+    * [[Similarity.ivfTopKWith]]) and baked in as a literal token →
+    * per-label-likelihood map. Lookups against a literal map are a
+    * linear scan (O(V) per token) — fine for curation-sized
+    * vocabularies; a hashed kernel is the upgrade path if V grows past
+    * a few thousand.
+    *
+    * `passThrough` carries source columns (e.g. the ground-truth label)
+    * so a confusion matrix downstream stays a pure re-aggregation —
+    * same rationale as [[TextAnalysis.langId]].
+    */
+  def nbScoreWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenModel: DataFrame,
+      priors: DataFrame,
+      passThrough: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("doc_id", "predicted_label", "score_micros")
+    val clashes = passThrough.intersect(reserved) ++
+      passThrough.diff(passThrough.distinct)
+    require(clashes.isEmpty,
+      s"nbScoreWith passThrough collides with generated/duplicate columns: ${clashes.mkString(", ")}")
+    val pr = priors.select("label", "prior_micros").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    require(pr.nonEmpty, "nbScoreWith: empty prior table (no labels)")
+    val labels = pr.map(_._1)
+    val labelIx = labels.zipWithIndex.toMap
+    val nL = labels.length
+    val lik = scala.collection.mutable.Map.empty[String, Array[Long]]
+    tokenModel.select("label", "token", "loglik_micros").collect().foreach { r =>
+      val arr = lik.getOrElseUpdate(r.getString(1), new Array[Long](nL))
+      // a model label absent from the prior table is a caller error
+      val ix = labelIx.getOrElse(r.getString(0),
+        sys.error(s"nbScoreWith: model label '${r.getString(0)}' missing from priors"))
+      arr(ix) = r.getLong(2)
+    }
+    val likMap = typedlit(lik.map { case (k, v) => k -> v.toSeq }.toMap)
+    val priorsLit = typedlit(pr.map(_._2))
+    val zeros = typedlit(Seq.fill(nL)(0L))
+    docs.select(
+      (col(idCol).as("doc_id") +: passThrough.map(col)) :+
+        bindOnce(wordTokens(col(textCol)), toks =>
+          bindOnce(
+            aggregate(toks, priorsLit, (acc, t) =>
+              zip_with(acc, coalesce(element_at(likMap, t), zeros), (a, b) => a + b)),
+            scores => {
+              // argmax with declaration-order (= label asc) ties: a chain
+              // of strict > comparisons, same shape as langId
+              val best = (1 until nL).foldLeft(
+                (lit(labels.head): Column, element_at(scores, 1))) {
+                case ((bestLabel, bestScore), i) =>
+                  val s = element_at(scores, i + 1)
+                  (when(s > bestScore, lit(labels(i))).otherwise(bestLabel),
+                    when(s > bestScore, s).otherwise(bestScore))
+              }
+              struct(best._1.as("predicted_label"), best._2.as("score_micros"))
+            })).as("p"): _*)
+      .select((("doc_id" +: passThrough) :+ "p.*").map(col): _*)
+  }
+
+  /** Self-train-and-score in one frame (the registry/eval shape): train
+    * on the corpus's own labels, then score every document — the
+    * held-in fit whose confusion against the true label measures model
+    * separability. Production callers persist [[nbTrain]]/[[nbPriors]]
+    * once and fan [[nbScoreWith]] over each new corpus drop. */
+  def nbClassify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      vocabSize: Int = 64,
+      passThrough: Seq[String] = Nil): DataFrame =
+    nbScoreWith(docs, idCol, textCol,
+      nbTrain(docs, idCol, textCol, labelCol, vocabSize),
+      nbPriors(docs, labelCol), passThrough)
+}

@@ -683,7 +683,20 @@ object LlmQueries {
       val rates = ev.filter(col("event_id") % 97 === 0)
         .groupBy("user_id", "ts_us").agg(max("value").as("rate"))
       graft.operators.AsofJoin(ev, rates, Seq("user_id"), "ts_us", "rate")
-    })
+    }),
+
+    // trained naive-Bayes token-likelihood model (dense label×vocab grid,
+    // add-one smoothing, micro-log quantization)
+    "q_nb_train" -> ((s, dir) =>
+      Classify.nbTrain(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang")),
+
+    // self-train-and-score naive-Bayes classification: integer score sums
+    // against the trained model, argmax (score desc, label asc); the true
+    // label rides through for downstream confusion
+    "q_nb_classify" -> ((s, dir) =>
+      Classify.nbClassify(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang", passThrough = Seq("lang")))
   )
 
   // -------------------------------------------------------------- oracles
@@ -1654,8 +1667,69 @@ object LlmQueries {
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
          |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS value_micros
-         |FROM g GROUP BY 1, 2""".stripMargin
+         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "q_nb_train" ->
+      s"""WITH $nbModelCte
+         |SELECT label, token, cnt, loglik_micros FROM model""".stripMargin,
+
+    "q_nb_classify" ->
+      s"""WITH $nbModelCte,
+         |priors AS (
+         |  SELECT label,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS prior_micros
+         |  FROM labels, (SELECT sum(n_docs) AS n FROM labels)),
+         |doctok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |docsum AS (
+         |  SELECT dt.doc_id, m.label, CAST(sum(m.loglik_micros) AS BIGINT) AS s
+         |  FROM doctok dt JOIN model m USING (token) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, p.label,
+         |    p.prior_micros + coalesce(ds.s, 0) AS score
+         |  FROM documents d CROSS JOIN priors p
+         |  LEFT JOIN docsum ds ON ds.doc_id = d.doc_id AND ds.label = p.label),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, label ASC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, lang, label AS predicted_label,
+         |  CAST(score AS BIGINT) AS score_micros
+         |FROM r WHERE rn = 1""".stripMargin
   )
+
+  /** Naive-Bayes model CTE chain (mirror of [[graft.llm.Classify.nbTrain]]
+    * with vocabSize=64 over documents.lang): top-64 vocab (count desc,
+    * token asc), dense label×vocab grid, add-one smoothing over the
+    * in-vocab label totals, micro-log quantization. Exposes `labels`
+    * (label, n_docs) and `model` (label, token, cnt, loglik_micros);
+    * embed as `WITH $nbModelCte`. */
+  private lazy val nbModelCte: String =
+    s"""tc AS (
+       |  SELECT lang AS label, unnest($tokensSql) AS token
+       |  FROM documents WHERE lang IS NOT NULL),
+       |cnts AS (SELECT label, token, count(*) AS cnt FROM tc GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token FROM (SELECT token, sum(cnt) AS tot FROM cnts GROUP BY 1)
+       |  ORDER BY tot DESC, token ASC LIMIT 64),
+       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+       |iv AS (SELECT c.* FROM cnts c JOIN vocab USING (token)),
+       |labels AS (
+       |  SELECT lang AS label, count(*) AS n_docs
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+       |lt AS (
+       |  SELECT l.label, coalesce(s.t_l, 0) AS t_l
+       |  FROM labels l
+       |  LEFT JOIN (SELECT label, sum(cnt) AS t_l FROM iv GROUP BY 1) s USING (label)),
+       |grid AS (
+       |  SELECT lt.label, vv.token, coalesce(i.cnt, 0) AS cnt, lt.t_l
+       |  FROM lt CROSS JOIN vocab vv
+       |  LEFT JOIN iv i ON i.label = lt.label AND i.token = vv.token),
+       |model AS (
+       |  SELECT label, token, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS loglik_micros
+       |  FROM grid, vs)""".stripMargin
 
   /** Quality-score CTE chain (tok → f → sc); mirror of
     * [[graft.llm.TextAnalysis.qualityScore]]. End with `SELECT ... FROM sc`. */
