@@ -201,6 +201,21 @@ object Clustering {
       idCol: String,
       vecCol: String,
       k: Int,
+      iters: Int = 2): DataFrame =
+    kmeansAssigned(vectors, idCol, vecCol, k, iters)
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist") * 1e6).cast("long").as("dist_micros"))
+
+  /** [[kmeans]] keeping the prepared double vector alongside each
+    * assignment — (vec_id, v, cluster, dist): the input shape for
+    * operators that consume both the cell structure and the vectors
+    * (e.g. [[Dedup.semantic]]'s within-cell cosine pruning), saving
+    * those callers a corpus self-join to recover `v`. */
+  def kmeansAssigned(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
       iters: Int = 2): DataFrame = {
     require(k > 0 && iters > 0, "need k > 0 and iters > 0")
     val vecs = vectors
@@ -221,8 +236,6 @@ object Clustering {
       i += 1
     }
     assign(vecs, centroids)
-      .select(col("vec_id"), col("cluster"),
-        round(col("dist") * 1e6).cast("long").as("dist_micros"))
   }
 
   /** Deterministic farthest-first (Gonzalez) seeding — the derandomized

@@ -544,4 +544,71 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SemDeDup — semantic near-duplicate removal over an embedding column
+    * (Abbas et al. 2023, arXiv:2303.09540): k-means partitions the corpus
+    * into semantic cells, and ONLY within a cell are pairwise cosines
+    * computed; a document is dropped when a smaller-id cell-mate sits at
+    * or above `tau`. Output: (vec_id, cluster, dup_of, keep) — one row
+    * per input, `dup_of` = the smallest matching cell-mate id (NULL when
+    * kept).
+    *
+    * Scale shape — the whole point of the construction is that pair
+    * expansion is CELL-BOUNDED: at 100 TB you size k ≈ corpus/10³ so the
+    * quadratic term is ~10⁶ per cell, never corpus². Mechanically it is
+    * this file's LSH-bucket skeleton: one aggregation collects each
+    * cell's sorted id list, pairs expand via nested `transform` (no
+    * self-join), and cells above `cellCap` are dropped from expansion —
+    * a cell that large means k is mis-sized, and its members are all
+    * KEPT (the conservative failure mode, same posture as [[MaxBucket]]).
+    * Candidate pairs then recover their vectors through two hash joins on
+    * 8-byte ids, so full vectors ship only for in-cell candidates. The
+    * clustering itself is the zero-shuffle-assignment Lloyd of
+    * [[Clustering.kmeansAssigned]].
+    *
+    * Contracts: ids unique/non-null ([[Clustering]]'s contract); NULL
+    * vectors (NULL cluster) and zero-norm vectors are never compared —
+    * cosine is undefined for them — and are always kept. Dot/norm follow
+    * [[Similarity]]'s sequential-fold arithmetic, so the operator is
+    * exactly oracle-checkable. */
+  def semantic(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      tau: Double = 0.3,
+      cellCap: Int = 10000): DataFrame = {
+    // reused thrice (cell lists, pair-side vectors, final output) — same
+    // materialize-once discipline as the MinHash signature checkpoint
+    val assigned = Clustering
+      .kmeansAssigned(embeddings, idCol, vecCol, k, iters)
+      .select(col("vec_id"), col("v"), col("cluster"))
+      .localCheckpoint()
+    val sides = assigned
+      .select(col("vec_id"), col("v"),
+        sqrt(HashFunctions.dot(col("v"), col("v"))).as("norm"))
+      .filter(col("norm") > 0)
+    val cells = assigned
+      .filter(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+    val pairs = bucketPairs(cells, cellCap, (x, y) =>
+      struct(x.as("vec_a"), y.as("vec_b")))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+    val matches = pairs
+      .join(sides.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")),
+        Seq("vec_a"))
+      .join(sides.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")),
+        Seq("vec_b"))
+      .filter(HashFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("vec_a"), col("vec_b"))
+    val removed = matches
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
 }

@@ -696,7 +696,13 @@ object LlmQueries {
     // label rides through for downstream confusion
     "q_nb_classify" -> ((s, dir) =>
       Classify.nbClassify(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", "lang", passThrough = Seq("lang")))
+        "doc_id", "text", "lang", passThrough = Seq("lang"))),
+
+    // SemDeDup: k-means cells bound the pairwise-cosine near-dup search;
+    // drop a doc when a smaller-id cell-mate's cosine >= tau
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semantic(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 2, tau = 0.3))
   )
 
   // -------------------------------------------------------------- oracles
@@ -1695,7 +1701,52 @@ object LlmQueries {
          |  FROM scored)
          |SELECT doc_id, lang, label AS predicted_label,
          |  CAST(score AS BIGINT) AS score_micros
-         |FROM r WHERE rn = 1""".stripMargin
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_semantic_dedup" -> {
+      // mirror of Dedup.semantic(k=8, iters=2, tau=0.3): the q_kmeans
+      // 2-round Lloyd chain keeping v in the final assignment, then
+      // in-cell pairs (a < b) at cosine >= tau, dup_of = min matching a
+      s"""WITH $embCte,
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 8),
+         |d1 AS (
+         |  SELECT e.vec_id, e.v, c0.cluster, ${sqDistSql("e.v", "c0.c")} AS dist
+         |  FROM e, c0),
+         |a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |u1 AS (
+         |  SELECT cluster, g.dim,
+         |    CAST(sum(CAST(round(v[g.dim] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS dim) g
+         |  GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / (n * 1000000) ORDER BY dim) AS c
+         |  FROM u1 GROUP BY 1),
+         |d2 AS (
+         |  SELECT e.vec_id, e.v, c1.cluster, ${sqDistSql("e.v", "c1.c")} AS dist
+         |  FROM e, c1),
+         |a2 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |nrm AS (
+         |  SELECT vec_id, v, cluster, sqrt(${dotSql("v", "v", 64)}) AS norm FROM a2),
+         |p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM nrm x JOIN nrm y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE x.norm > 0 AND y.norm > 0
+         |    AND (${dotSql("x.v", "y.v", 64)} / (x.norm * y.norm)) >= CAST(0.3 AS DOUBLE)),
+         |rem AS (SELECT b AS vec_id, min(a) AS dup_of FROM p GROUP BY 1)
+         |SELECT a2.vec_id, a2.cluster, rem.dup_of,
+         |  (rem.dup_of IS NULL) AS keep
+         |FROM a2 LEFT JOIN rem USING (vec_id)""".stripMargin
+    }
   )
 
   /** Naive-Bayes model CTE chain (mirror of [[graft.llm.Classify.nbTrain]]

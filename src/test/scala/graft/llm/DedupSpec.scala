@@ -144,6 +144,40 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == ((5L, 0L, "")))
   }
 
+  test("semantic: removes higher-id near-cosine cell-mates, keeps cross-cell twins") {
+    // k=2, seeds = ids 0 and 1 (x-axis vs y-axis); iters=1 keeps the seed
+    // centroids, so the cells are exactly {x-ish} and {y-ish}
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)),   // seed cell A
+      (1L, Seq(0f, 1f)),   // seed cell B
+      (2L, Seq(2f, 0.1f)), // cell A, cosine~1 vs 0 -> removed, dup_of 0
+      (3L, Seq(0.1f, 3f)), // cell B, cosine~1 vs 1 -> removed, dup_of 1
+      (4L, Seq(1f, 1.2f)), // cell B, cosine vs 1 = .77, vs 3 = .80 -> removed at tau .7
+      (5L, Seq(0f, 0f))    // zero norm: never compared, kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semantic(vecs, "vec_id", "embedding", k = 2, iters = 1, tau = 0.7)
+      .as[(Long, Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6)
+    assert(out(0L)._4 && out(1L)._4 && out(5L)._4)
+    assert(!out(2L)._4 && out(2L)._3.contains(0L))
+    assert(!out(3L)._4 && out(3L)._3.contains(1L))
+    assert(!out(4L)._4 && out(4L)._3.contains(1L)) // min matching cell-mate
+    // cross-cell twins survive: 2 is near-parallel to nothing in cell B
+    assert(out(2L)._2 == 0L && out(3L)._2 == 1L && out(4L)._2 == 1L)
+  }
+
+  test("semantic: cells above cellCap are dropped from pair expansion (all kept)") {
+    val vecs = (0L to 5L).map(i => (i, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    // one degenerate cell of 6 identical vectors; cap 5 -> no pairs at all
+    val out = Dedup.semantic(vecs, "vec_id", "embedding", k = 1, iters = 1,
+      tau = 0.5, cellCap = 5)
+    assert(out.filter(col("keep")).count() == 6)
+    // without the cap the same cell collapses to one survivor
+    val uncapped = Dedup.semantic(vecs, "vec_id", "embedding", k = 1, iters = 1, tau = 0.5)
+    assert(uncapped.filter(col("keep")).as[(Long, Long, Option[Long], Boolean)]
+      .collect().map(_._1).toSeq == Seq(0L))
+  }
+
   test("minhashIncrementalPairs finds cross-side near-dups only") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val hist = docs(
