@@ -146,6 +146,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_five_num", 1, args)
         FiveNumberSummary(args.head).toAggregateExpression()
+      }),
+    ("graft_topk_freq",
+      info("graft_topk_freq",
+        "aggregate: SpaceSaving heavy hitters — (item, k, capacity) -> array<struct<item, est, err>>"),
+      (args: Seq[Expression]) => {
+        arity("graft_topk_freq", 3, args)
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_freq: $name must be an integer literal, got $other")
+        }
+        TopKFreq(args.head, intLit(args(1), "k"), intLit(args(2), "capacity"))
+          .toAggregateExpression()
       }))
 
   /** Output schema of [[GraftMediaOps.mediaMeta]]. */

@@ -702,7 +702,20 @@ object LlmQueries {
     // drop a doc when a smaller-id cell-mate's cosine >= tau
     "q_semantic_dedup" -> ((s, dir) =>
       Dedup.semantic(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", k = 8, iters = 2, tau = 0.3))
+        "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
+
+    // SpaceSaving heavy hitters over the corpus token stream: mergeable
+    // <=1024-counter sketches, top-16 by (est desc, token asc). EXACT
+    // (err=0) here because per-buffer distinct counts fit the capacity —
+    // the eviction/truncation sketch path is property-pinned in
+    // TopKFreqSpec, the exactness precondition by the oracle itself
+    "q_heavy_hitters" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextHash.wordTokens(col("text"))).as("token"))
+        .agg(graft.functions.TopKFreq(col("token"), 16, 1024).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("token"), col("h.est").as("est"),
+          col("h.err").as("err")))
   )
 
   // -------------------------------------------------------------- oracles
@@ -1746,7 +1759,20 @@ object LlmQueries {
          |SELECT a2.vec_id, a2.cluster, rem.dup_of,
          |  (rem.dup_of IS NULL) AS keep
          |FROM a2 LEFT JOIN rem USING (vec_id)""".stripMargin
-    }
+    },
+
+    "q_heavy_hitters" ->
+      // exact mirror valid because the corpus vocabulary fits the sketch
+      // capacity (no eviction -> est = true count, err = 0); same
+      // (est desc, token asc) ranking tiebreak as the sketch's eval
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS token FROM documents),
+         |agg AS (SELECT token, count(*) AS est FROM tok GROUP BY 1),
+         |r AS (
+         |  SELECT token, est,
+         |    ROW_NUMBER() OVER (ORDER BY est DESC, token ASC) AS rn
+         |  FROM agg)
+         |SELECT token, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+         |FROM r WHERE rn <= 16""".stripMargin
   )
 
   /** Naive-Bayes model CTE chain (mirror of [[graft.llm.Classify.nbTrain]]
