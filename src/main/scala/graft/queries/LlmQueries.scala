@@ -704,6 +704,20 @@ object LlmQueries {
       Dedup.semantic(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
 
+    // trainable BPE: 8 merges from the word histogram (driver-side merge
+    // loop over ONE corpus pass), emitted as the ranked merge table
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.trainDf(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", merges = 8, maxWords = 1000)),
+
+    // BPE encode with the trained merges: compiled kernel projection;
+    // per-doc token count + order-sensitive token-sequence hash
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Bpe.encode(d, "doc_id", "text",
+        Bpe.train(d, "doc_id", "text", merges = 8, maxWords = 1000))
+    }),
+
     // SpaceSaving heavy hitters over the corpus token stream: mergeable
     // <=1024-counter sketches, top-16 by (est desc, token asc). EXACT
     // (err=0) here because per-buffer distinct counts fit the capacity —
@@ -1772,8 +1786,89 @@ object LlmQueries {
          |    ROW_NUMBER() OVER (ORDER BY est DESC, token ASC) AS rn
          |  FROM agg)
          |SELECT token, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
-         |FROM r WHERE rn <= 16""".stripMargin
+         |FROM r WHERE rn <= 16""".stripMargin,
+
+    "q_bpe_train" -> {
+      val union = (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS rank, l, r FROM b$i").mkString("\n  UNION ALL ")
+      s"""WITH ${bpeCte(BpeMerges, 1000)}
+         |SELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM (
+         |  $union)
+         |WHERE l <> chr(2)""".stripMargin
+    },
+
+    "q_bpe_encode" -> {
+      // every distinct word encodes ONCE through the nested rank-order
+      // merge folds, docs re-join by word, token lists concatenate in
+      // word order, and the sequence folds to the portable hash
+      val sym0 = "list_transform(generate_series(1, len(word)), ce -> substr(word, ce, 1))"
+      val nested = (1 to BpeMerges).foldLeft(sym0) { (acc, i) =>
+        bpeApplySql(acc, s"m$i.l", s"m$i.r", s"e$i")
+      }
+      val mergeTables = (1 to BpeMerges).map(i => s"b$i m$i").mkString(", ")
+      s"""WITH ${bpeCte(BpeMerges, 1000)},
+         |doc0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |dt AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM doc0),
+         |dw AS (SELECT doc_id, pos, t[pos] AS word FROM dt),
+         |uw AS (SELECT DISTINCT word FROM dw),
+         |ue AS (SELECT word, $nested AS toks FROM uw, $mergeTables),
+         |enc AS (SELECT dw.doc_id, dw.pos, ue.toks FROM dw JOIN ue USING (word)),
+         |agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS at FROM enc GROUP BY 1)
+         |SELECT doc_id, CAST(len(at) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(${TextHash.Seed} AS BIGINT),
+         |    list_transform(at, tk -> ${polyHashSql("tk", "ci")})),
+         |    (a, h) -> (a * 31 + h) % $P) AS tokens_hash
+         |FROM agg""".stripMargin
+    }
   )
+
+  /** Merge count shared by the BPE registry queries and their oracles
+    * (`final val` of a literal: a compile-time constant, so it is safe to
+    * reference from the eagerly-initialized maps declared above). */
+  private final val BpeMerges = 8
+
+  /** One BPE merge application as a DuckDB fold: left-to-right
+    * non-overlapping replacement of adjacent (l, r) with l||r — the
+    * exact mirror of [[graft.functions.GraftBpeOps.applyMerge]]. `lvl`
+    * uniquifies the lambda variables for nesting. */
+  private def bpeApplySql(syms: String, l: String, r: String, lvl: String): String =
+    s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($syms, s$lvl -> [s$lvl])),
+       |  (acc$lvl, x$lvl) -> CASE
+       |    WHEN len(acc$lvl) > 0 AND acc$lvl[-1] = $l AND x$lvl[1] = $r
+       |    THEN list_append(acc$lvl[1:len(acc$lvl)-1], $l || $r)
+       |    ELSE list_append(acc$lvl, x$lvl[1]) END)""".stripMargin
+
+  /** BPE training CTE chain (mirror of [[graft.llm.Bpe.train]]): capped
+    * word histogram `bh`, symbolized `w0`, then per round `p$i` (weighted
+    * adjacent-pair counts, overlaps included), `b$i` (adopted merge —
+    * count desc, left asc, right asc; chr(2) sentinel once pairs
+    * exhaust) and `w$i` (re-segmented histogram). */
+  private def bpeCte(m: Int, maxWords: Int): String = {
+    val rounds = (1 to m).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT string_split(pair, chr(1))[1] AS l, string_split(pair, chr(1))[2] AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      j$i -> syms[j$i] || chr(1) || syms[j$i + 1])) AS pair
+         |    FROM w${i - 1})
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT * FROM (SELECT l, r FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+         |  UNION ALL
+         |  SELECT chr(2), chr(2) WHERE (SELECT count(*) FROM p$i) = 0),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, cnt, ${bpeApplySql("syms", "b.l", "b.r", i.toString)} AS syms
+         |  FROM w${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""bh AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+       |  GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT $maxWords),
+       |w0 AS (SELECT word, cnt,
+       |  list_transform(generate_series(1, len(word)), c0 -> substr(word, c0, 1)) AS syms
+       |  FROM bh),
+       |$rounds""".stripMargin
+  }
 
   /** Naive-Bayes model CTE chain (mirror of [[graft.llm.Classify.nbTrain]]
     * with vocabSize=64 over documents.lang): top-64 vocab (count desc,
