@@ -57,7 +57,11 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","keyprefix":"q_","queries":$qs,"sf":"$sfName"}"""
     }
     val full = line(2)
-    println(if (full.length <= 1990) full else line(1))
+    val one = if (full.length <= 1990) full else line(1)
+    // final guard: a line whose FRONT falls off the driver's 2000-char
+    // stdout window is invalid JSON (parsed:null), strictly worse than
+    // integer-second per-query precision (total keeps 2 decimals)
+    println(if (one.length <= 1990) one else line(0))
     spark.stop()
   }
 }
