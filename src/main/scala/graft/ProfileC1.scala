@@ -1,0 +1,158 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C1 — the LLM-side analog of [[ScaleSmoke]]'s E1: one "corpus drop"
+  * through the WHOLE curation stack at profile scale, timed per stage
+  * (dev tool, not part of the driver contract). The corpus and the
+  * embedding table are generated ON EXECUTORS as pure column expressions
+  * over `spark.range` — zero input I/O, zero driver materialization —
+  * with planted structure so every stage has real work:
+  *
+  *  - ~2.7% exact duplicates (`id % 37 == 0` copies a base-1000 doc);
+  *  - ~1.9% near duplicates (`id % 53 == 0` appends a tail to one);
+  *  - per-language vocabulary segments (separable naive-Bayes signal);
+  *  - embedding near-dup groups (shared base vector per 17 ids + 1e-3
+  *    jitter) for the SemDeDup stage.
+  *
+  * Stages: exact dedup → quality gate → MinHash LSH pairs + clusters →
+  * NB train/score (accuracy vs the generator's labels) → BPE train(64) +
+  * encode → heavy-hitters sketch → SemDeDup over embeddings. Prints
+  * per-stage seconds, stage row counts, total wall and driver peak RSS;
+  * exits nonzero if any stage returns zero rows.
+  *
+  * Sizes via `GRAFT_C1_DOCS` (default 500k docs ≈ 60M tokens) and
+  * `GRAFT_C1_VECS` (default 200k × 64-dim). Measured pins live in
+  * BASELINE.md.
+  */
+object ProfileC1 {
+
+  private val V = 2000
+  private val Langs = Seq("en", "de", "fr", "es", "zh")
+
+  /** Deterministic synthetic corpus: (doc_id, text, lang). */
+  private[graft] def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    // varied suffixes give BPE non-trivial merges; 400 words per language
+    // segment give the classifier separable likelihoods
+    val vocab = typedlit((0 until V).map(i => s"w$i${"abcdefgh".take(1 + i % 5)}"))
+    val langsLit = typedlit(Langs)
+    def langIx(seed: Column): Column = pmod(seed, lit(5L)).cast("int")
+    def baseText(seed: Column): Column = {
+      val len = (lit(40) + pmod(seed, lit(80))).cast("int")
+      concat_ws(" ", transform(sequence(lit(1), len), i => {
+        val u = pmod(abs(xxhash64(seed, i)), lit(1000L))
+        // Zipf-ish skew: squaring a uniform concentrates mass on low ranks
+        val r = ((u * u) / lit(2500L)).cast("int") // 0..399
+        element_at(vocab, langIx(seed) * 400 + r + 1)
+      }))
+    }
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 37 === 0, pmod(col("id"), lit(1000L)))
+        .when(col("id") % 53 === 0, pmod(col("id"), lit(1000L)))
+        .otherwise(col("id")).as("seed"),
+      (col("id") % 53 === 0 && col("id") % 37 =!= 0).as("near"))
+      .select(
+        col("doc_id"),
+        when(col("near"), concat(baseText(col("seed")), lit(" zz near tail")))
+          .otherwise(baseText(col("seed"))).as("text"),
+        element_at(typedlit(Langs), langIx(col("seed")) + 1).as("lang"))
+  }
+
+  /** Deterministic synthetic embeddings: (vec_id, embedding float[64])
+    * in near-dup groups of 17. */
+  private[graft] def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => ((pmod(abs(xxhash64(floor(col("id") / 17).cast("long"), i)), lit(2000L)) - 1000L) / 1000.0
+          + (pmod(abs(xxhash64(col("id"), i)), lit(11L)) - 5L) * 0.001)
+          .cast("float")).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nDocs = sys.env.getOrElse("GRAFT_C1_DOCS", "500000").toLong
+    val nVecs = sys.env.getOrElse("GRAFT_C1_VECS", "200000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    var failed = false
+    def stage(name: String)(body: => Seq[(String, Long)]): Unit = {
+      val s0 = System.nanoTime()
+      val counts = body
+      val secs = (System.nanoTime() - s0) / 1e9
+      counts.foreach { case (k, v) => if (v == 0) failed = true }
+      println(f"[c1] $name%-16s ${secs}%7.2f s  " +
+        counts.map { case (k, v) => s"$k=$v" }.mkString("  "))
+    }
+
+    // generation is part of no stage: materialize the corpus once, like
+    // a real drop landing in object storage (the curation stack re-reads
+    // it per stage exactly as the registry queries re-read parquet)
+    val docs = syntheticDocs(spark, nDocs).localCheckpoint()
+    val embs = syntheticEmbeddings(spark, nVecs).localCheckpoint()
+    println(s"[c1] corpus: $nDocs docs, $nVecs vectors, ${cpus} threads")
+
+    stage("exact_dedup") {
+      val d = Dedup.exact(docs, "doc_id", "text")
+      val groups = d.count()
+      val copies = d.agg(sum(col("n_copies") - 1)).head().getLong(0)
+      Seq("groups" -> groups, "extra_copies" -> copies)
+    }
+    stage("quality_gate") {
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      Seq("scored" -> q.count(),
+        "kept" -> q.filter(col("quality_bucket") =!= "low").count())
+    }
+    var pairsCount = 0L
+    stage("minhash_lsh") {
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5)
+        .localCheckpoint()
+      pairsCount = pairs.count()
+      val clusters = Dedup.clusters(docs.select(col("doc_id")), pairs)
+      Seq("pairs" -> pairsCount,
+        "non_singleton" -> clusters.filter(col("cluster_id") =!= col("doc_id")).count())
+    }
+    stage("nb_classifier") {
+      val scored = Classify.nbClassify(docs, "doc_id", "text", "lang",
+        vocabSize = 256, passThrough = Seq("lang"))
+      val agree = scored.filter(col("predicted_label") === col("lang")).count()
+      Seq("scored" -> nDocs, "label_agreement" -> agree)
+    }
+    stage("bpe") {
+      val merges = Bpe.train(docs, "doc_id", "text", merges = 64, maxWords = 100000)
+      val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      Seq("merges" -> merges.size.toLong,
+        "total_tokens" -> enc.agg(sum("n_tokens")).head().getLong(0))
+    }
+    stage("heavy_hitters") {
+      val hh = docs
+        .select(explode(TextHash.wordTokens(col("text"))).as("token"))
+        .agg(graft.functions.TopKFreq(col("token"), 100, 4096).as("hh"))
+        .select(explode(col("hh")).as("h")).select("h.item", "h.est", "h.err")
+        .collect()
+      Seq("reported" -> hh.length.toLong,
+        "exact" -> (if (hh.forall(_.getLong(2) == 0L)) 1L else 0L))
+    }
+    stage("semantic_dedup") {
+      val sd = Dedup.semantic(embs, "vec_id", "embedding",
+        k = 512, iters = 2, tau = 0.97)
+      Seq("kept" -> sd.filter(col("keep")).count(),
+        "removed" -> sd.filter(!col("keep")).count())
+    }
+
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[c1] TOTAL ${wall}%.1f s  peakRss=${ScaleSmoke.peakRssMb()} MB  " +
+      s"docs=$nDocs vecs=$nVecs")
+    spark.stop()
+    if (failed) { System.err.println("[c1] FAILED: a stage returned zero rows"); sys.exit(1) }
+  }
+}

@@ -188,4 +188,72 @@ object GraftVecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array(bi.toDouble, bc))
   }
+
+  /** Cell-local SemDeDup scan: `ids` (long, ASCENDING — the caller sorts)
+    * and `vecs` (double arrays, positionally aligned) are one k-means
+    * cell's members; returns `array<struct<vec_id, dup_of>>` — every
+    * member that has an EARLIER member at cosine ≥ `tau`, paired with the
+    * smallest such id. The ascending scan takes the first (= smallest)
+    * match and breaks, so `dup_of = min matching smaller id` exactly as
+    * the pair-join formulation computes with `groupBy(vec_b).min(vec_a)`.
+    * Zero-norm members never match on either side.
+    *
+    * This is the shuffle-shape fix for [[graft.llm.Dedup.semantic]]: the
+    * pair-join spelling ships both vectors for EVERY candidate pair
+    * (O(m²·dim) bytes per cell through two exchanges — measured 39 GB /
+    * 157 s on the 200k-vector C1 profile); grouping members per cell
+    * ships each vector ONCE (O(m·dim)) and runs the same quadratic scan
+    * as a tight in-row loop. Dot/norm fold order matches [[dot]], so the
+    * cosines — and the oracle hashes — are bit-identical. */
+  def semDup(ids: ArrayData, vecs: ArrayData, tau: Double): ArrayData = {
+    val m = ids.numElements()
+    require(vecs.numElements() == m,
+      s"semDup needs aligned ids/vecs, got $m vs ${vecs.numElements()}")
+    if (m < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // materialize member vectors + norms once: ArrayData.getArray on an
+    // UnsafeArrayData re-slices per access, and the scan is O(m^2) reads
+    val vs = new Array[Array[Double]](m)
+    val norms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val a = vecs.getArray(i)
+      val dim = a.numElements()
+      val v = new Array[Double](dim)
+      var d = 0
+      var s = 0.0
+      while (d < dim) { v(d) = a.getDouble(d); s += v(d) * v(d); d += 1 }
+      vs(i) = v
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    var j = 1
+    while (j < m) {
+      if (norms(j) > 0) {
+        val vj = vs(j)
+        val dim = vj.length
+        var found = -1
+        var p = 0
+        while (p < j && found < 0) {
+          if (norms(p) > 0) {
+            val vp = vs(p)
+            require(vp.length == dim,
+              s"semDup: vector dims differ within a cell ($dim vs ${vp.length})")
+            var s = 0.0
+            var d = 0
+            while (d < dim) { s += vp(d) * vj(d); d += 1 }
+            if (s / (norms(p) * norms(j)) >= tau) found = p
+          }
+          p += 1
+        }
+        if (found >= 0) {
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids.getLong(j), ids.getLong(found))))
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

@@ -114,6 +114,17 @@ object HashFunctions {
     invokeVec("bestCosine", doubleArray,
       Seq(e(v), e(norm), e(centsFlat), e(norms), Literal(dim)))
 
+  /** Output type of [[GraftVecOps.semDup]]. */
+  val SemDupType: ArrayType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("dup_of", LongType, nullable = false))), containsNull = false)
+
+  /** Compiled cell-local SemDeDup scan (see [[GraftVecOps.semDup]]):
+    * (sorted member ids, aligned vectors, tau) →
+    * `array<struct<vec_id, dup_of>>` of removed members. */
+  def semDupPairs(ids: Column, vecs: Column, tau: Double): Column =
+    invokeVec("semDup", SemDupType, Seq(e(ids), e(vecs), Literal(tau)))
+
   /** Output schema of [[GraftHashOps.textStats]]; field names become the
     * column names when expanded with `inline`. */
   val TextStatsType: StructType = StructType(Seq(

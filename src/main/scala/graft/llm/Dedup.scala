@@ -553,18 +553,22 @@ object Dedup {
     * per input, `dup_of` = the smallest matching cell-mate id (NULL when
     * kept).
     *
-    * Scale shape — the whole point of the construction is that pair
-    * expansion is CELL-BOUNDED: at 100 TB you size k ≈ corpus/10³ so the
-    * quadratic term is ~10⁶ per cell, never corpus². Mechanically it is
-    * this file's LSH-bucket skeleton: one aggregation collects each
-    * cell's sorted id list, pairs expand via nested `transform` (no
-    * self-join), and cells above `cellCap` are dropped from expansion —
-    * a cell that large means k is mis-sized, and its members are all
-    * KEPT (the conservative failure mode, same posture as [[MaxBucket]]).
-    * Candidate pairs then recover their vectors through two hash joins on
-    * 8-byte ids, so full vectors ship only for in-cell candidates. The
-    * clustering itself is the zero-shuffle-assignment Lloyd of
-    * [[Clustering.kmeansAssigned]].
+    * Scale shape — the whole point of the construction is that the
+    * quadratic work is CELL-BOUNDED: at 100 TB you size k ≈ corpus/10³ so
+    * the pairwise term is ~10⁶ per cell, never corpus². One aggregation
+    * collects each cell's (id, vector) members — each vector crosses the
+    * exchange exactly ONCE (O(m·dim) bytes per cell) — and the quadratic
+    * cosine scan runs as a compiled in-row kernel
+    * ([[graft.functions.GraftVecOps.semDup]]) that returns only the
+    * removed (id, dup_of) pairs. Cells above `cellCap` are dropped from
+    * the scan — a cell that large means k is mis-sized, and its members
+    * are all KEPT (the conservative failure mode, same posture as
+    * [[MaxBucket]]). The clustering itself is the zero-shuffle-assignment
+    * Lloyd of [[Clustering.kmeansAssigned]]. (Non-long id types take the
+    * LSH-bucket pair-expansion fallback: nested-transform pairs + two
+    * vector-recovery joins — value-identical, but it ships both vectors
+    * per CANDIDATE pair, O(m²·dim) exchange bytes; measured 157 s vs ~4 s
+    * for the kernel path on C1's 200k vectors.)
     *
     * Contracts: ids unique/non-null ([[Clustering]]'s contract); NULL
     * vectors (NULL cluster) and zero-norm vectors are never compared —
@@ -579,33 +583,56 @@ object Dedup {
       iters: Int = 2,
       tau: Double = 0.3,
       cellCap: Int = 10000): DataFrame = {
-    // reused thrice (cell lists, pair-side vectors, final output) — same
-    // materialize-once discipline as the MinHash signature checkpoint
+    // reused twice (cell members, final output) — same materialize-once
+    // discipline as the MinHash signature checkpoint
     val assigned = Clustering
       .kmeansAssigned(embeddings, idCol, vecCol, k, iters)
       .select(col("vec_id"), col("v"), col("cluster"))
       .localCheckpoint()
-    val sides = assigned
-      .select(col("vec_id"), col("v"),
-        sqrt(HashFunctions.dot(col("v"), col("v"))).as("norm"))
-      .filter(col("norm") > 0)
-    val cells = assigned
-      .filter(col("cluster").isNotNull)
-      .groupBy(col("cluster"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-    val pairs = bucketPairs(cells, cellCap, (x, y) =>
-      struct(x.as("vec_a"), y.as("vec_b")))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-    val matches = pairs
-      .join(sides.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")),
-        Seq("vec_a"))
-      .join(sides.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")),
-        Seq("vec_b"))
-      .filter(HashFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
-      .select(col("vec_a"), col("vec_b"))
-    val removed = matches
-      .groupBy(col("vec_b").as("vec_id"))
-      .agg(min(col("vec_a")).as("dup_of"))
+    val idIsLong =
+      assigned.schema("vec_id").dataType == org.apache.spark.sql.types.LongType
+    val removed =
+      if (idIsLong) {
+        // compiled cell-local scan: each member's vector ships ONCE into
+        // its cell row (O(m·dim) per cell), the quadratic cosine scan
+        // runs as a tight in-row loop, and only the removed (id, dup_of)
+        // pairs come back. The pair-join spelling below ships BOTH
+        // vectors per candidate pair — O(m²·dim) exchange bytes, 39 GB /
+        // 157 s on C1's 200k vectors vs ~4 s for this path (BASELINE.md).
+        // sort_array on (vec_id, v) structs orders by the unique id, so
+        // the kernel's first-match = min dup_of exactly.
+        assigned
+          .filter(col("cluster").isNotNull)
+          .groupBy(col("cluster"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("members"))
+          .filter(size(col("members")).between(2, cellCap))
+          .select(explode(HashFunctions.semDupPairs(
+            col("members.vec_id"), col("members.v"), tau)).as("p"))
+          .select(col("p.vec_id").as("vec_id"), col("p.dup_of").as("dup_of"))
+      } else {
+        // generic-id fallback: in-cell pair expansion (the LSH bucket
+        // skeleton) + vector recovery joins; value-identical, pinned by
+        // DedupSpec's path-equivalence test
+        val sides = assigned
+          .select(col("vec_id"), col("v"),
+            sqrt(HashFunctions.dot(col("v"), col("v"))).as("norm"))
+          .filter(col("norm") > 0)
+        val cells = assigned
+          .filter(col("cluster").isNotNull)
+          .groupBy(col("cluster"))
+          .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        val pairs = bucketPairs(cells, cellCap, (x, y) =>
+          struct(x.as("vec_a"), y.as("vec_b")))
+          .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+        pairs
+          .join(sides.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")),
+            Seq("vec_a"))
+          .join(sides.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")),
+            Seq("vec_b"))
+          .filter(HashFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+          .groupBy(col("vec_b").as("vec_id"))
+          .agg(min(col("vec_a")).as("dup_of"))
+      }
     assigned.select(col("vec_id"), col("cluster"))
       .join(removed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_of"),

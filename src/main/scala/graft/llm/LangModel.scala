@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Trainable bigram language model for perplexity-style quality scoring —
+  * the CCNet/KenLM-shaped curation filter: train n-gram statistics on a
+  * reference corpus, score every document by its summed per-bigram
+  * log-probability; low-probability documents are gibberish, boilerplate,
+  * or out-of-domain. ([[TextAnalysis.qualityScore]] is the fixed-rule
+  * filter; [[Classify]] the supervised one; this is the distributional
+  * one — together the standard curation triad.)
+  *
+  * Model: add-one-smoothed bigram probabilities over a top-`vocabSize`
+  * vocabulary, `P(t2|t1) = (c(t1,t2) + 1) / (c(t1) + V)`. The stored
+  * table is SPARSE (observed bigrams only): an unobserved bigram of
+  * in-vocab tokens needs nothing beyond its left token's unigram count —
+  * `log(1 / (c(t1) + V))` — so the fallback rides in the unigram table.
+  * Pairs with an out-of-vocab token on either side are skipped (same
+  * OOV contract as [[Classify.nbScoreWith]]).
+  *
+  * Scale shape: training is one corpus pass for unigrams and one for
+  * adjacent bigrams, both (token)-shuffled with map-side combine; the
+  * capped vocabulary keeps both model tables dimension-sized (natural-
+  * language bigram tables grow ~linearly in corpus vocab, not V²).
+  * Scoring is a ZERO-shuffle projection: both tables collect driver-side
+  * (the [[Similarity.ivfTopKWith]] eager posture) and the document folds
+  * its adjacent token pairs over two literal maps with integer micro-log
+  * sums — order-insensitive, exactly hash-checkable.
+  */
+object LangModel {
+
+  /** Unigram table over the capped vocab:
+    * (token, cnt, fallback_micros = round(ln(1/(cnt+V))·1e6)). */
+  def lmUnigrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 64): DataFrame = {
+    val toks = docs.select(explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = toks
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    vocab
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("v_size"))))
+      .select(col("token"), col("cnt"),
+        round(log(lit(1.0) / (col("cnt") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("fallback_micros"))
+  }
+
+  /** Sparse bigram table restricted to the vocab:
+    * (t1, t2, cnt, loglik_micros = round(ln((cnt+1)/(c1+V))·1e6)). */
+  def lmBigrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 64): DataFrame = {
+    val uni = lmUnigrams(docs, idCol, textCol, vocabSize)
+    val pairs = docs
+      .select(bindOnce(wordTokens(col(textCol)), t =>
+        // size guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+        // being empty — same trap TextHash.wordNgrams documents
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1), i =>
+            struct(element_at(t, i).as("t1"), element_at(t, i + 1).as("t2"))))
+          .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+    pairs
+      .join(broadcast(uni.select(col("token").as("t1"), col("cnt").as("c1"))), Seq("t1"))
+      .join(broadcast(uni.select(col("token").as("t2"))), Seq("t2"))
+      .crossJoin(broadcast(uni.agg(count(lit(1)).as("v_size"))))
+      .select(col("t1"), col("t2"), col("cnt"),
+        round(log((col("cnt") + lit(1L)).cast("double") /
+          (col("c1") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("loglik_micros"))
+  }
+
+  /** Score every document against trained tables: (doc_id, n_pairs,
+    * lp_micros) — `n_pairs` counts the adjacent token pairs with both
+    * sides in vocab, `lp_micros` their integer micro-log-prob sum
+    * (unobserved in-vocab bigrams take the left token's fallback).
+    * EAGER dimension-sized collect of both model tables. */
+  def lmScoreWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      unigrams: DataFrame,
+      bigrams: DataFrame): DataFrame = {
+    val uni = unigrams.select("token", "fallback_micros").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = bigrams.select("t1", "t2", "loglik_micros").collect()
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val uniLit = typedlit(uni)
+    val biLit = typedlit(bi)
+    docs.select(
+      col(idCol).as("doc_id"),
+      bindOnce(wordTokens(col(textCol)), t =>
+        bindOnce(
+          filter(
+            // size guard: sequence(1, 0) descends, it is not empty
+            when(size(t) >= 2,
+              transform(sequence(lit(1), size(t) - 1), i =>
+                struct(
+                  element_at(uniLit, element_at(t, i)).as("f1"),
+                  element_at(uniLit, element_at(t, i + 1)).as("f2"),
+                  element_at(biLit,
+                    concat(element_at(t, i), lit(" "), element_at(t, i + 1))).as("b"))))
+              .otherwise(array().cast("array<struct<f1:bigint,f2:bigint,b:bigint>>")),
+            p => p.getField("f1").isNotNull && p.getField("f2").isNotNull),
+          scored => struct(
+            size(scored).cast("long").as("n_pairs"),
+            aggregate(scored, lit(0L), (acc, p) =>
+              acc + coalesce(p.getField("b"), p.getField("f1")))
+              .as("lp_micros")))).as("s"))
+      .select(col("doc_id"), col("s.n_pairs").as("n_pairs"),
+        col("s.lp_micros").as("lp_micros"))
+  }
+
+  /** Self-train-and-score (the registry/eval shape); production persists
+    * [[lmUnigrams]]/[[lmBigrams]] once and scores each drop. */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 64): DataFrame =
+    lmScoreWith(docs, idCol, textCol,
+      lmUnigrams(docs, idCol, textCol, vocabSize),
+      lmBigrams(docs, idCol, textCol, vocabSize))
+}

@@ -704,6 +704,18 @@ object LlmQueries {
       Dedup.semantic(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
 
+    // trainable bigram LM: sparse add-one-smoothed bigram table over the
+    // capped vocab (the CCNet/KenLM-style distributional quality model)
+    "q_lm_train" -> ((s, dir) =>
+      LangModel.lmBigrams(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+
+    // per-doc summed bigram log-prob: zero-shuffle fold over the two
+    // collected model maps, integer micros sums
+    "q_lm_score" -> ((s, dir) =>
+      LangModel.lmScore(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
+
     // trainable BPE: 8 merges from the word histogram (driver-side merge
     // loop over ONE corpus pass), emitted as the ranked merge table
     "q_bpe_train" -> ((s, dir) =>
@@ -1788,6 +1800,35 @@ object LlmQueries {
          |SELECT token, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
          |FROM r WHERE rn <= 16""".stripMargin,
 
+    "q_lm_train" ->
+      s"""WITH $lmCte
+         |SELECT t1, t2, cnt, loglik_micros FROM lbi""".stripMargin,
+
+    "q_lm_score" ->
+      // every adjacent pair with both sides in vocab scores
+      // coalesce(observed bigram, left token's fallback); docs with no
+      // scorable pair keep a (0, 0) row via the left join
+      s"""WITH $lmCte,
+         |sp AS (
+         |  SELECT lbp.doc_id,
+         |    u1.fallback_micros AS f1, u2.token AS tok2, bi.loglik_micros AS b
+         |  FROM lbp
+         |  LEFT JOIN luni u1 ON lbp.t[lbp.x] = u1.token
+         |  LEFT JOIN luni u2 ON lbp.t[lbp.x + 1] = u2.token
+         |  LEFT JOIN lbi bi ON bi.t1 = lbp.t[lbp.x] AND bi.t2 = lbp.t[lbp.x + 1]),
+         |sagg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL) AS BIGINT)
+         |      AS n_pairs,
+         |    CAST(coalesce(sum(coalesce(b, f1))
+         |      FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL), 0) AS BIGINT)
+         |      AS lp_micros
+         |  FROM sp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(s.n_pairs, 0) AS n_pairs,
+         |  coalesce(s.lp_micros, 0) AS lp_micros
+         |FROM documents d LEFT JOIN sagg s USING (doc_id)""".stripMargin,
+
     "q_bpe_train" -> {
       val union = (1 to BpeMerges).map(i =>
         s"SELECT CAST($i AS INTEGER) AS rank, l, r FROM b$i").mkString("\n  UNION ALL ")
@@ -1826,6 +1867,34 @@ object LlmQueries {
     * (`final val` of a literal: a compile-time constant, so it is safe to
     * reference from the eagerly-initialized maps declared above). */
   private final val BpeMerges = 8
+
+  /** Bigram-LM model CTE chain (mirror of [[graft.llm.LangModel]] with
+    * vocabSize=64): top-64 vocab `lv`, unigram fallback table `luni`,
+    * per-doc positional pairs `lbp` (DuckDB's generate_series(1, 0) is
+    * empty, matching the Scala size guard), sparse smoothed bigram table
+    * `lbi`. Embed as `WITH $lmCte`. */
+  private lazy val lmCte: String =
+    s"""lt AS (SELECT unnest($tokensSql) AS token FROM documents),
+       |lu AS (SELECT token, count(*) AS cnt FROM lt GROUP BY 1),
+       |lv AS (SELECT token, cnt FROM lu ORDER BY cnt DESC, token ASC LIMIT 64),
+       |lvs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lv),
+       |luni AS (
+       |  SELECT token, cnt,
+       |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cnt + v AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS fallback_micros
+       |  FROM lv, lvs),
+       |ldt AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |lbp AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS x, t FROM ldt),
+       |lbg AS (
+       |  SELECT t[x] AS t1, t[x + 1] AS t2, count(*) AS cnt
+       |  FROM lbp GROUP BY 1, 2),
+       |lbi AS (
+       |  SELECT b.t1, b.t2, b.cnt,
+       |    CAST(round(ln(CAST(b.cnt + 1 AS DOUBLE) / CAST(u1.cnt + v AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS loglik_micros
+       |  FROM lbg b
+       |  JOIN lv u1 ON b.t1 = u1.token
+       |  JOIN lv u2 ON b.t2 = u2.token, lvs)""".stripMargin
 
   /** One BPE merge application as a DuckDB fold: left-to-right
     * non-overlapping replacement of adjacent (l, r) with l||r — the

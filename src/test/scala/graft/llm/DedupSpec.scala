@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, format_string}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -176,6 +176,21 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.semantic(vecs, "vec_id", "embedding", k = 1, iters = 1, tau = 0.5)
     assert(uncapped.filter(col("keep")).as[(Long, Long, Option[Long], Boolean)]
       .collect().map(_._1).toSeq == Seq(0L))
+  }
+
+  test("semantic: kernel path equals the pair-join fallback on the real corpus") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kernel = Dedup.semantic(embs, "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    // string ids force the generic fallback; map back to longs to compare
+    val viaFallback = Dedup.semantic(
+      embs.select(format_string("%09d", col("vec_id")).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)
+      .select(col("vec_id").cast("long"), col("cluster").cast("long"),
+        col("dup_of").cast("long"), col("keep"))
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(kernel == viaFallback)
+    assert(kernel.exists(!_._4) && kernel.exists(_._4))
   }
 
   test("minhashIncrementalPairs finds cross-side near-dups only") {
