@@ -78,17 +78,26 @@ object LangModel {
           .cast("long").as("loglik_micros"))
   }
 
-  /** Score every document against trained tables: (doc_id, n_pairs,
-    * lp_micros) — `n_pairs` counts the adjacent token pairs with both
-    * sides in vocab, `lp_micros` their integer micro-log-prob sum
-    * (unobserved in-vocab bigrams take the left token's fallback).
-    * EAGER dimension-sized collect of both model tables. */
+  /** Score every document against trained tables: (doc_id,
+    * [passThrough...], n_pairs, lp_micros) — `n_pairs` counts the
+    * adjacent token pairs with both sides in vocab, `lp_micros` their
+    * integer micro-log-prob sum (unobserved in-vocab bigrams take the
+    * left token's fallback). EAGER dimension-sized collect of both model
+    * tables. `passThrough` carries source columns so downstream gating
+    * stays a pure projection (same rationale as
+    * [[Classify.nbScoreWith]]). */
   def lmScoreWith(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       unigrams: DataFrame,
-      bigrams: DataFrame): DataFrame = {
+      bigrams: DataFrame,
+      passThrough: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("doc_id", "n_pairs", "lp_micros")
+    val clashes = passThrough.intersect(reserved) ++
+      passThrough.diff(passThrough.distinct)
+    require(clashes.isEmpty,
+      s"lmScoreWith passThrough collides with generated/duplicate columns: ${clashes.mkString(", ")}")
     val uni = unigrams.select("token", "fallback_micros").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bi = bigrams.select("t1", "t2", "loglik_micros").collect()
@@ -96,7 +105,7 @@ object LangModel {
     val uniLit = typedlit(uni)
     val biLit = typedlit(bi)
     docs.select(
-      col(idCol).as("doc_id"),
+      (col(idCol).as("doc_id") +: passThrough.map(col)) :+
       bindOnce(wordTokens(col(textCol)), t =>
         bindOnce(
           filter(
@@ -114,9 +123,8 @@ object LangModel {
             size(scored).cast("long").as("n_pairs"),
             aggregate(scored, lit(0L), (acc, p) =>
               acc + coalesce(p.getField("b"), p.getField("f1")))
-              .as("lp_micros")))).as("s"))
-      .select(col("doc_id"), col("s.n_pairs").as("n_pairs"),
-        col("s.lp_micros").as("lp_micros"))
+              .as("lp_micros")))).as("s"): _*)
+      .select((("doc_id" +: passThrough) :+ "s.*").map(col): _*)
   }
 
   /** Self-train-and-score (the registry/eval shape); production persists

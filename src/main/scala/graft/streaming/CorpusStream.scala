@@ -148,4 +148,77 @@ object CorpusStream {
     * hive `batch` partition column is internal bookkeeping — dropped). */
   def readKept(spark: SparkSession, corpusPath: String): DataFrame =
     spark.read.parquet(corpusPath).drop("batch")
+
+  /** Streaming MODEL gate — "train once, score every drop": each arriving
+    * micro-batch is scored against PRE-TRAINED model tables
+    * ([[graft.llm.Classify.nbTrain]]/[[graft.llm.Classify.nbPriors]] and
+    * [[graft.llm.LangModel.lmUnigrams]]/[[graft.llm.LangModel.lmBigrams]],
+    * persisted once by a batch training job) and routed: a document is
+    * KEPT when its predicted label is in `acceptLabels` AND its bigram
+    * log-prob clears the per-pair floor (`lp_micros >= minAvgLpMicros *
+    * n_pairs` — the integer form of "average log-prob ≥ threshold";
+    * zero-pair docs pass the LM test vacuously). Both routes land as
+    * idempotent `batch=<id>/` overwrites, the [[nearDupGateBatch]]
+    * exactly-once discipline.
+    *
+    * Scale posture: scoring is the batch operators' ZERO-shuffle
+    * projection, so a trigger costs one corpus-scan projection plus two
+    * partitioned writes — no state store, no joins, nothing grows with
+    * stream lifetime. The dimension-sized model tables are re-collected
+    * per trigger (the eager [[graft.llm.Classify.nbScoreWith]] posture);
+    * cache them (`.cache()`) in long-running streams to make that a
+    * driver-memory read. */
+  def scoreGateSink(
+      docs: DataFrame,
+      keptPath: String,
+      rejectedPath: String,
+      checkpointDir: String,
+      nbTokenModel: DataFrame,
+      nbPriors: DataFrame,
+      lmUnigramModel: DataFrame,
+      lmBigramModel: DataFrame,
+      acceptLabels: Set[String],
+      minAvgLpMicros: Long): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreGateBatch(batch, batchId, keptPath, rejectedPath,
+          nbTokenModel, nbPriors, lmUnigramModel, lmBigramModel,
+          acceptLabels, minAvgLpMicros)
+      }
+
+  /** One micro-batch of [[scoreGateSink]], callable directly. */
+  def scoreGateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keptPath: String,
+      rejectedPath: String,
+      nbTokenModel: DataFrame,
+      nbPriors: DataFrame,
+      lmUnigramModel: DataFrame,
+      lmBigramModel: DataFrame,
+      acceptLabels: Set[String],
+      minAvgLpMicros: Long): Unit = {
+    require(acceptLabels.nonEmpty, "scoreGateBatch needs at least one accept label")
+    val b = batch.localCheckpoint() // feeds one scoring pass + two writes
+    val dataCols = b.columns.filterNot(_ == "doc_id").toSeq
+    // both scorers CHAIN as projections (the data columns ride through as
+    // passThrough), so routing never joins or shuffles the batch
+    val scored = graft.llm.LangModel.lmScoreWith(
+      graft.llm.Classify.nbScoreWith(b, "doc_id", "text",
+        nbTokenModel, nbPriors, passThrough = dataCols),
+      "doc_id", "text", lmUnigramModel, lmBigramModel,
+      passThrough = dataCols :+ "predicted_label")
+    val routed = scored
+      .withColumn("pass",
+        col("predicted_label").isin(acceptLabels.toSeq: _*) &&
+          col("lp_micros") >= lit(minAvgLpMicros) * col("n_pairs"))
+      .localCheckpoint()
+    val outCols = ("doc_id" +: dataCols).map(col)
+    routed.filter(col("pass")).select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    routed.filter(!col("pass")).select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
+  }
 }

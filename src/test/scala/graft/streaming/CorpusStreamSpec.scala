@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
@@ -102,5 +102,70 @@ class CorpusStreamSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(CorpusStream.readKept(spark, corpus).select("doc_id").as[Long].collect().toSet
       == Set(1L, 3L, 11L))
+  }
+
+  test("score gate routes by trained classifier label and LM floor; replay is idempotent") {
+    import graft.llm.{Classify, LangModel}
+    // train on a reference corpus where labels follow disjoint vocab
+    val ref = Seq(
+      (1L, "good text about tables and rows", "keep"),
+      (2L, "good text about rows and values", "keep"),
+      (3L, "zz qq spam spam spam zz", "drop"),
+      (4L, "qq zz spam zz qq spam", "drop")).toDF("doc_id", "text", "lang")
+    val nbM = Classify.nbTrain(ref, "doc_id", "text", "lang")
+    val nbP = Classify.nbPriors(ref, "lang")
+    val lmU = LangModel.lmUnigrams(ref, "doc_id", "text")
+    val lmB = LangModel.lmBigrams(ref, "doc_id", "text")
+    val root = Files.createTempDirectory("score-gate")
+    val (kept, rejected) = (s"$root/kept", s"$root/rejected")
+    def gate(df: DataFrame, id: Long): Unit =
+      CorpusStream.scoreGateBatch(df, id, kept, rejected, nbM, nbP, lmU, lmB,
+        acceptLabels = Set("keep"), minAvgLpMicros = -3500000L)
+    // 20 looks like 'keep' vocab; 21 like 'drop'; 22 is OOV gibberish
+    // (classifies by priors alone -> smallest-label tiebreak risk is
+    // avoided: priors are equal, so 'drop' < 'keep' wins -> rejected)
+    val b0 = docs(20L -> "good text about tables and values",
+      21L -> "spam zz qq spam", 22L -> "xxxx yyyy zzzz wwww")
+    gate(b0, 0L)
+    def ids(path: String) = spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
+    assert(ids(kept) == Set(20L))
+    assert(ids(rejected) == Set(21L, 22L))
+    // the decision matches scoring the same batch directly
+    val direct = LangModel.lmScoreWith(
+      Classify.nbScoreWith(b0, "doc_id", "text", nbM, nbP, passThrough = Seq("text")),
+      "doc_id", "text", lmU, lmB, passThrough = Seq("predicted_label"))
+      .select(col("doc_id"),
+        (col("predicted_label") === "keep" &&
+          col("lp_micros") >= lit(-3500000L) * col("n_pairs")).as("pass"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(direct(20L) && !direct(21L) && !direct(22L))
+    // crash-replay of batch 0 lands identically (per-batch dir overwrite)
+    gate(b0, 0L)
+    assert(ids(kept) == Set(20L) && ids(rejected) == Set(21L, 22L))
+    // second batch appends its own dir
+    gate(docs(30L -> "good text about tables and rows and values"), 1L)
+    assert(ids(kept) == Set(20L, 30L))
+  }
+
+  test("an LM floor rejects improbable token sequences even for the accepted label") {
+    import graft.llm.{Classify, LangModel}
+    val ref = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "keep"),
+      (2L, "alpha beta alpha beta", "keep")).toDF("doc_id", "text", "lang")
+    val nbM = Classify.nbTrain(ref, "doc_id", "text", "lang")
+    val nbP = Classify.nbPriors(ref, "lang")
+    val lmU = LangModel.lmUnigrams(ref, "doc_id", "text")
+    val lmB = LangModel.lmBigrams(ref, "doc_id", "text")
+    val root = Files.createTempDirectory("lm-floor")
+    // (beta,alpha)/(alpha,beta) observed; (beta,beta)/(alpha,alpha) only
+    // have the smoothed fallback -> a scrambled doc scores far lower
+    CorpusStream.scoreGateBatch(
+      docs(40L -> "alpha beta alpha beta", 41L -> "beta beta beta alpha alpha"),
+      0L, s"$root/kept", s"$root/rejected", nbM, nbP, lmU, lmB,
+      acceptLabels = Set("keep"), minAvgLpMicros = -800000L)
+    assert(spark.read.parquet(s"$root/kept").select("doc_id").as[Long].collect().toSet
+      == Set(40L))
+    assert(spark.read.parquet(s"$root/rejected").select("doc_id").as[Long].collect().toSet
+      == Set(41L))
   }
 }
