@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Principal-component analysis over an embedding corpus — the standard
+  * dimensionality-reduction / decorrelation step before clustering,
+  * indexing, or whitening embeddings at scale.
+  *
+  * Scale shape (the Spark-ML covariance-PCA pattern, re-derived):
+  *  - ONE distributed aggregation computes the d first moments and the
+  *    d(d+1)/2 upper-triangle second moments: each row explodes to its
+  *    moment contributions and the map-side partial aggregation collapses
+  *    every partition to ≤ d(d+3)/2 rows before anything ships — the
+  *    shuffle is O(d²) per partition, never O(corpus) (the same
+  *    posexplode-micro-sum discipline as [[Clustering]]'s centroid
+  *    update);
+  *  - the d×d covariance is DIMENSION-sized, so the eigendecomposition
+  *    runs on the driver: a deterministic cyclic Jacobi sweep (the
+  *    classic symmetric-matrix solver) — O(d³) per sweep, microseconds
+  *    at embedding dimensionalities;
+  *  - projection is a ZERO-shuffle kernel: mean and loadings bake in as
+  *    literals and each row folds its (x−μ)·vᶜ dot products in place.
+  *
+  * Determinism: the moment sums are micros-quantized EXACT decimal
+  * integer sums (order- and partitioning-independent — see [[moments]]),
+  * and Jacobi is a fixed deterministic sweep, so the trained model is
+  * bit-reproducible. DuckDB has no eigensolver, so the model is checked
+  * by INVARIANT oracle (the q_detailed_approx self-referential pattern):
+  * the gate recomputes the covariance TO THE BIT from the same integer
+  * sums in HUGEINT and asserts the eigen equation `C·v = λ·v` (residual
+  * covers only Jacobi convergence), orthonormality `VᵀV = I`, exact mean
+  * equality, and descending eigenvalues against the dumped model. The
+  * PROJECTION is exact-hash-checkable: both engines fold the same
+  * doubles in the same order against the same dumped model values.
+  * Eigenvector sign is normalized (largest-|component| positive, ties to
+  * the lower dim) so the basis is unique.
+  */
+object Pca {
+
+  /** Trained model as one table:
+    * comp ≥ 0 → loading rows (comp, dim, loading, eigval);
+    * comp = −1 → mean rows (−1, dim, μ_dim, 0.0).
+    * `dim` is 0-based; exactly `k` components, eigenvalues descending. */
+  def pcaModel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val spark = embeddings.sparkSession
+    val (n, mean, cov) = moments(embeddings, vecCol, dim)
+    require(n >= 2, s"PCA needs at least 2 vectors, got $n")
+    val (eigvals, eigvecs) = jacobiEigen(cov)
+    // order (eigval desc, then by original index for exact ties);
+    // normalize sign: largest-|component| positive, ties to lower dim
+    val order = eigvals.indices.sortBy(i => (-eigvals(i), i)).take(k)
+    val rows = order.zipWithIndex.flatMap { case (src, c) =>
+      val v = eigvecs.map(_(src))
+      var best = 0
+      var j = 1
+      while (j < dim) {
+        if (math.abs(v(j)) > math.abs(v(best))) best = j
+        j += 1
+      }
+      val s = if (v(best) < 0) -1.0 else 1.0
+      (0 until dim).map(d => Row(c, d, s * v(d), eigvals(src)))
+    } ++ (0 until dim).map(d => Row(-1, d, mean(d), 0.0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("loading",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("eigval",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Project every vector onto a trained model: (vec_id, comp,
+    * proj_micros) — `proj = Σ_j (x_j − μ_j)·v_cj` folded in ascending
+    * dim order (the exact fold the oracle mirrors), reported in micros.
+    * Zero-shuffle: mean and loadings are literals. NULL vectors are
+    * dropped (nothing to project); a wrong-length vector errors. */
+  def pcaProject(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame): DataFrame = {
+    val m = model.collect()
+    val dim = m.count(_.getInt(0) == -1)
+    val k = m.map(_.getInt(0)).max + 1
+    require(dim > 0 && k > 0, "pcaProject: malformed model")
+    val mu = new Array[Double](dim)
+    val load = Array.ofDim[Double](k, dim)
+    m.foreach { r =>
+      if (r.getInt(0) == -1) mu(r.getInt(1)) = r.getDouble(2)
+      else load(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    val muLit = typedlit(mu.toSeq)
+    val comps = (0 until k).map { c =>
+      val vLit = typedlit(load(c).toSeq)
+      struct(lit(c).as("comp"),
+        round(aggregate(
+          transform(sequence(lit(1), lit(dim)), i =>
+            (element_at(col("__v"), i) - element_at(muLit, i)) * element_at(vLit, i)),
+          lit(0.0), (acc, x) => acc + x) * 1e6).cast("long").as("proj_micros"))
+    }
+    embeddings
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("__v"))
+      .select(col("vec_id"), explode(array(comps: _*)).as("p"))
+      .select(col("vec_id"), col("p.comp").as("comp"),
+        col("p.proj_micros").as("proj_micros"))
+  }
+
+  /** One-pass moments: (n, mean, covariance). The aggregation ships
+    * O(d²) rows per partition (map-side combine over the exploded
+    * (i, j, xq_i·xq_j) triples).
+    *
+    * Determinism: per-row components quantize to micros longs and the
+    * moment sums run in decimal(38,0) — EXACT integer sums, independent
+    * of partitioning and merge order (double sums are not), so the
+    * trained model is bit-reproducible run to run and the oracle can
+    * recompute the covariance to the BIT in HUGEINT before checking the
+    * eigen equation. mean = S1/(n·1e6), cov = S2/(n·1e12) − mean·meanᵀ,
+    * evaluated in doubles with exactly this operation order. */
+  private def moments(
+      embeddings: DataFrame,
+      vecCol: String,
+      dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val vecs = embeddings
+      .filter(col(vecCol).isNotNull)
+      .select(transform(Similarity.asDouble(col(vecCol)),
+        x => round(x * 1e6).cast("long")).as("q"))
+    val n = vecs.count()
+    // upper triangle (i <= j) plus the first moments as j = -1 rows;
+    // micros products stay far inside Long (1e7·1e7 = 1e14), the decimal
+    // sums are exact at any corpus size
+    val contrib = vecs.select(explode(
+      flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        concat(
+          array(struct(i.as("i"), lit(-1).as("j"),
+            element_at(col("q"), i + 1).as("x"))),
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("x"))))))).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.x").cast("decimal(38,0)").as("x"))
+      .groupBy("i", "j").agg(sum("x").as("s"))
+      .collect()
+    val s1 = new Array[Double](dim)
+    val s2 = Array.ofDim[Double](dim, dim)
+    contrib.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val s = r.getDecimal(2).doubleValue()
+      if (j == -1) s1(i) = s else { s2(i)(j) = s; s2(j)(i) = s }
+    }
+    val mean = s1.map(_ / (n * 1e6))
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      s2(i)(j) / (n * 1e12) - mean(i) * mean(j))
+    (n, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix with vectors in COLUMNS). Plain
+    * deterministic sweeps to machine precision — d is dimension-sized,
+    * so O(d³) per sweep is driver noise. */
+  private[llm] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-14 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case x => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) { if (i != j) s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}
