@@ -127,6 +127,18 @@ object ProfileC1 {
       val agree = scored.filter(col("predicted_label") === col("lang")).count()
       Seq("scored" -> nDocs, "label_agreement" -> agree)
     }
+    stage("lm_score") {
+      val scored = LangModel.lmScore(docs, "doc_id", "text", vocabSize = 256)
+      // the generator's text is drawn from the trained distribution, so
+      // most documents clear a loose per-pair floor
+      val kept = scored.filter(col("lp_micros") >= lit(-8000000L) * col("n_pairs")).count()
+      Seq("scored" -> scored.count(), "above_floor" -> kept)
+    }
+    stage("pca") {
+      val model = Pca.pcaModel(embs, "vec_id", "embedding", dim = 64, k = 8)
+      val proj = Pca.pcaProject(embs, "vec_id", "embedding", model)
+      Seq("model_rows" -> model.count(), "projections" -> proj.count())
+    }
     stage("bpe") {
       val merges = Bpe.train(docs, "doc_id", "text", merges = 64, maxWords = 100000)
       val enc = Bpe.encode(docs, "doc_id", "text", merges)

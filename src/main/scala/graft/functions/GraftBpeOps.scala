@@ -89,7 +89,9 @@ object GraftBpeOps {
     * order; token arrays concatenate in word order. */
   def encode(text: UTF8String, merges: ArrayData): ArrayData = {
     val ms = parsed(merges)
-    val words = text.toString.trim.split("\\s+", -1)
+    // UTF8String.trim = Spark's `trim` (spaces only) — NOT Java
+    // String.trim, which also strips control characters
+    val words = text.trim().toString.split("\\s+", -1)
     val out = new java.util.ArrayList[Any]()
     var w = 0
     while (w < words.length) {

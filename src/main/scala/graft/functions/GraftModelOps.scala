@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled scoring kernels for the trained curation models
+  * ([[graft.llm.Classify]] naive Bayes, [[graft.llm.LangModel]] bigram
+  * LM).
+  *
+  * Why kernels: both scorers look tokens up in a model passed as a
+  * literal, and Catalyst's `GetMapValue` on a literal map is a LINEAR
+  * scan — O(|model|) string compares per lookup. Fine for a 64-entry
+  * vocabulary; catastrophic for a bigram table (the C1 profile measured
+  * 254 s for 500k docs at a ~27k-entry bigram map ≈ 5·10¹² compares).
+  * Here the model literals parse ONCE per thread into real hash maps
+  * (memoized on the literal's object identity — one shared instance per
+  * plan), so every lookup is O(1) and the 500k-doc scoring pass drops to
+  * seconds. Integer sums in the exact order of the HOF formulations —
+  * bit-identical outputs, same oracles.
+  */
+object GraftModelOps {
+
+  // per-thread memos keyed on the literal key-array's object identity
+  private val longMapMemo = ThreadLocal.withInitial[
+    java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]](
+    () => new java.util.IdentityHashMap())
+  private val indexMapMemo = ThreadLocal.withInitial[
+    java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, java.lang.Integer]]](
+    () => new java.util.IdentityHashMap())
+
+  private def longMap(keys: ArrayData, vals: ArrayData): java.util.HashMap[String, java.lang.Long] = {
+    val memo = longMapMemo.get()
+    val hit = memo.get(keys)
+    if (hit != null) return hit
+    val n = keys.numElements()
+    require(vals.numElements() == n, s"model keys/vals length mismatch: $n vs ${vals.numElements()}")
+    val m = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { m.put(keys.getUTF8String(i).toString, vals.getLong(i)); i += 1 }
+    memo.put(keys, m)
+    m
+  }
+
+  private def indexMap(keys: ArrayData): java.util.HashMap[String, java.lang.Integer] = {
+    val memo = indexMapMemo.get()
+    val hit = memo.get(keys)
+    if (hit != null) return hit
+    val n = keys.numElements()
+    val m = new java.util.HashMap[String, java.lang.Integer](n * 2)
+    var i = 0
+    while (i < n) { m.put(keys.getUTF8String(i).toString, i); i += 1 }
+    memo.put(keys, m)
+    m
+  }
+
+  /** Spark `split(trim(s), "\\s+")` semantics — UTF8String.trim (spaces
+    * only, exactly Spark's `trim`), NOT Java String.trim (which also
+    * strips control chars). Shared contract with [[GraftBpeOps.encode]]
+    * and [[graft.llm.TextHash.wordTokens]]. */
+  private def tokens(s: UTF8String): Array[String] =
+    s.trim().toString.split("\\s+", -1)
+
+  /** Bigram-LM document score (mirror of the
+    * [[graft.llm.LangModel.lmScoreWith]] contract): over adjacent token
+    * pairs with BOTH sides in the unigram table, sum the observed bigram
+    * micro-log or the left token's fallback. Returns
+    * (n_pairs, lp_micros). */
+  def lmScore(
+      text: UTF8String,
+      uniKeys: ArrayData, uniVals: ArrayData,
+      biKeys: ArrayData, biVals: ArrayData): InternalRow = {
+    val uni = longMap(uniKeys, uniVals)
+    val bi = longMap(biKeys, biVals)
+    val ts = tokens(text)
+    var n = 0L
+    var lp = 0L
+    var i = 0
+    while (i < ts.length - 1) {
+      val f1 = uni.get(ts(i))
+      if (f1 != null && uni.containsKey(ts(i + 1))) {
+        n += 1
+        val b = bi.get(ts(i) + " " + ts(i + 1))
+        lp += (if (b != null) b.longValue() else f1.longValue())
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, lp))
+  }
+
+  /** Naive-Bayes per-label scores (mirror of the
+    * [[graft.llm.Classify.nbScoreWith]] fold): start from the priors,
+    * add each in-vocab token's per-label micro-log likelihood row
+    * (`likFlat` is token-major: token index × nLabels + label index).
+    * Returns the score array in label order. */
+  def nbScores(
+      text: UTF8String,
+      tokKeys: ArrayData, likFlat: ArrayData, priors: ArrayData): ArrayData = {
+    val ix = indexMap(tokKeys)
+    val nL = priors.numElements()
+    require(nL > 0 && likFlat.numElements() == tokKeys.numElements() * nL,
+      s"nbScores: likFlat length ${likFlat.numElements()} != ${tokKeys.numElements()} tokens x $nL labels")
+    val scores = new Array[Long](nL)
+    var l = 0
+    while (l < nL) { scores(l) = priors.getLong(l); l += 1 }
+    val ts = tokens(text)
+    var i = 0
+    while (i < ts.length) {
+      val t = ix.get(ts(i))
+      if (t != null) {
+        val off = t.intValue() * nL
+        var j = 0
+        while (j < nL) { scores(j) += likFlat.getLong(off + j); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(scores)
+  }
+
+  // ------------------------------------------------------------ wrappers
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+  private val stringArray = ArrayType(StringType, containsNull = false)
+
+  /** Output schema of [[lmScore]]. */
+  val LmScoreType: StructType = StructType(Seq(
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("lp_micros", LongType, nullable = false)))
+
+  private def invoke(name: String, dt: DataType, args: Seq[Expression]): Column =
+    ColumnBridge.column(StaticInvoke(
+      GraftModelOps.getClass, dt, name, args,
+      propagateNull = true, returnNullable = false))
+
+  /** Compiled LM scoring over literal model tables. */
+  def lmScoreKernel(
+      s: Column,
+      uni: Seq[(String, Long)],
+      bi: Seq[(String, Long)]): Column =
+    invoke("lmScore", LmScoreType, Seq(
+      ColumnBridge.expression(s),
+      Literal.create(uni.map(_._1), stringArray),
+      Literal.create(uni.map(_._2), longArray),
+      Literal.create(bi.map(_._1), stringArray),
+      Literal.create(bi.map(_._2), longArray)))
+
+  /** Compiled NB scoring over literal model tables: `lik` maps each
+    * token (in `toks` order) to its label-ordered likelihood row. */
+  def nbScoresKernel(
+      s: Column,
+      toks: Seq[String],
+      likFlat: Seq[Long],
+      priors: Seq[Long]): Column =
+    invoke("nbScores", longArray, Seq(
+      ColumnBridge.expression(s),
+      Literal.create(toks, stringArray),
+      Literal.create(likFlat, longArray),
+      Literal.create(priors, longArray)))
+}

@@ -109,11 +109,10 @@ object Classify {
     *
     * EAGER: the dimension-sized model frames are collected at
     * DataFrame-construction time (same documented posture as
-    * [[Similarity.ivfTopKWith]]) and baked in as a literal token →
-    * per-label-likelihood map. Lookups against a literal map are a
-    * linear scan (O(V) per token) — fine for curation-sized
-    * vocabularies; a hashed kernel is the upgrade path if V grows past
-    * a few thousand.
+    * [[Similarity.ivfTopKWith]]) and baked in as literal model arrays
+    * consumed by the compiled [[graft.functions.GraftModelOps.nbScores]]
+    * kernel — hashed O(1) lookups per token at any vocabulary size (a
+    * Catalyst literal-map lookup is a linear scan).
     *
     * `passThrough` carries source columns (e.g. the ground-truth label)
     * so a confusion matrix downstream stays a pure re-aggregation —
@@ -137,7 +136,7 @@ object Classify {
     val labels = pr.map(_._1)
     val labelIx = labels.zipWithIndex.toMap
     val nL = labels.length
-    val lik = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val lik = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
     tokenModel.select("label", "token", "loglik_micros").collect().foreach { r =>
       val arr = lik.getOrElseUpdate(r.getString(1), new Array[Long](nL))
       // a model label absent from the prior table is a caller error
@@ -145,16 +144,17 @@ object Classify {
         sys.error(s"nbScoreWith: model label '${r.getString(0)}' missing from priors"))
       arr(ix) = r.getLong(2)
     }
-    val likMap = typedlit(lik.map { case (k, v) => k -> v.toSeq }.toMap)
-    val priorsLit = typedlit(pr.map(_._2))
-    val zeros = typedlit(Seq.fill(nL)(0L))
+    // compiled kernel: literal-map lookups in Catalyst are LINEAR scans
+    // (O(V) per token); the kernel hashes the model once per thread —
+    // see GraftModelOps. Same integer sums, same outputs.
+    val toks = lik.keys.toSeq
+    val likFlat = toks.flatMap(t => lik(t).toSeq)
     docs.select(
       (col(idCol).as("doc_id") +: passThrough.map(col)) :+
-        bindOnce(wordTokens(col(textCol)), toks =>
-          bindOnce(
-            aggregate(toks, priorsLit, (acc, t) =>
-              zip_with(acc, coalesce(element_at(likMap, t), zeros), (a, b) => a + b)),
-            scores => {
+        bindOnce(
+          graft.functions.GraftModelOps.nbScoresKernel(
+            col(textCol), toks, likFlat, pr.map(_._2)),
+          scores => {
               // argmax with declaration-order (= label asc) ties: a chain
               // of strict > comparisons, same shape as langId
               val best = (1 until nL).foldLeft(
@@ -165,7 +165,7 @@ object Classify {
                     when(s > bestScore, s).otherwise(bestScore))
               }
               struct(best._1.as("predicted_label"), best._2.as("score_micros"))
-            })).as("p"): _*)
+            }).as("p"): _*)
       .select((("doc_id" +: passThrough) :+ "p.*").map(col): _*)
   }
 

@@ -99,31 +99,16 @@ object LangModel {
     require(clashes.isEmpty,
       s"lmScoreWith passThrough collides with generated/duplicate columns: ${clashes.mkString(", ")}")
     val uni = unigrams.select("token", "fallback_micros").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
     val bi = bigrams.select("t1", "t2", "loglik_micros").collect()
-      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
-    val uniLit = typedlit(uni)
-    val biLit = typedlit(bi)
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toSeq
+    // compiled kernel: a bigram table as a literal map would pay a
+    // LINEAR scan per lookup (C1 measured 254 s for 500k docs); the
+    // kernel hashes both tables once per thread — see GraftModelOps.
+    // Same integer sums, same outputs.
     docs.select(
       (col(idCol).as("doc_id") +: passThrough.map(col)) :+
-      bindOnce(wordTokens(col(textCol)), t =>
-        bindOnce(
-          filter(
-            // size guard: sequence(1, 0) descends, it is not empty
-            when(size(t) >= 2,
-              transform(sequence(lit(1), size(t) - 1), i =>
-                struct(
-                  element_at(uniLit, element_at(t, i)).as("f1"),
-                  element_at(uniLit, element_at(t, i + 1)).as("f2"),
-                  element_at(biLit,
-                    concat(element_at(t, i), lit(" "), element_at(t, i + 1))).as("b"))))
-              .otherwise(array().cast("array<struct<f1:bigint,f2:bigint,b:bigint>>")),
-            p => p.getField("f1").isNotNull && p.getField("f2").isNotNull),
-          scored => struct(
-            size(scored).cast("long").as("n_pairs"),
-            aggregate(scored, lit(0L), (acc, p) =>
-              acc + coalesce(p.getField("b"), p.getField("f1")))
-              .as("lp_micros")))).as("s"): _*)
+        graft.functions.GraftModelOps.lmScoreKernel(col(textCol), uni, bi).as("s"): _*)
       .select((("doc_id" +: passThrough) :+ "s.*").map(col): _*)
   }
 
