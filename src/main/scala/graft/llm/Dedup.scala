@@ -120,14 +120,36 @@ object Dedup {
     // sd is ~0.06 near j=0.5, so the default 0.15 is ~2.5 sd — a pair at
     // the decision boundary is overwhelmingly likely to survive).
     val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
-    val screened = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+    // Candidate-restriction before the verify joins. The verify joins
+    // only need sh rows for ids that actually appear in a candidate
+    // pair. With broadcastable candidates (the common case — AQE
+    // broadcasts the pair side) the OLD direct-join shape already
+    // avoided corpus shuffles, but it STREAMED the full cached
+    // (doc_id, hs, sig) relation through four broadcast joins — 4×
+    // corpus-payload scan+probe passes (2.4 GB each at C1's 500k docs;
+    // shuffle-byte A/B: ~90 MB either way, so the cost is the streaming,
+    // not the exchange — min wall 87 → 42 s on a storm-noisy host). So:
+    // ONE left_semi of sh against the candidate id set, MATERIALIZED
+    // once (all four join sides read it; an unmaterialized semi would
+    // re-execute per side), carrying both payloads — one corpus-wide
+    // pass total, and the verify joins stream only O(candidates). In the
+    // non-broadcastable-candidates regime (adversarial corpora at 100 TB)
+    // this also caps every verify exchange at O(candidate payloads)
+    // instead of O(corpus payloads).
+    val pairsM = pairs.localCheckpoint() // feeds the id set + both joins
+    val shCand = sh
+      .join(
+        pairsM.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val screened = pairsM
+      .join(shCand.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(shCand.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .filter(HashFunctions.sigAgreement(col("sig_a"), col("sig_b")) >= minAgree)
       .select(col("doc_a"), col("doc_b"))
     screened
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .join(shCand.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(shCand.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         HashFunctions.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
