@@ -114,6 +114,16 @@ object HashFunctions {
     invokeVec("bestCosine", doubleArray,
       Seq(e(v), e(norm), e(centsFlat), e(norms), Literal(dim)))
 
+  /** Output type of [[GraftVecOps.pcaMoments]]. */
+  val PcaMomentsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("x", LongType, nullable = false))), containsNull = false)
+
+  /** Compiled PCA moment contributions of a micros-quantized vector. */
+  def pcaMoments(q: Column): Column =
+    invokeVec("pcaMoments", PcaMomentsType, Seq(e(q)))
+
   /** Output type of [[GraftVecOps.semDup]]. */
   val SemDupType: ArrayType = ArrayType(StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
