@@ -118,6 +118,36 @@ object Pca {
         col("p.proj_micros").as("proj_micros"))
   }
 
+  /** PCA-whitened projections (Su et al. 2021-style embedding
+    * whitening — the standard decorrelation step before cosine
+    * similarity/dedup): [[pcaProject]] scaled per component by
+    * `1/sqrt(eigval)`, so whitened components have unit variance.
+    * (vec_id, comp, white_micros); components with eigval ≤ `minVar`
+    * are DROPPED (no variance to whiten — dividing by ~0 amplifies
+    * noise; the standard guard). Zero-shuffle, same exact-fold
+    * determinism as [[pcaProject]]. */
+  def pcaWhiten(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      minVar: Double = 1e-12): DataFrame = {
+    val eig = model.filter(col("comp") >= 0)
+      .select("comp", "eigval").distinct().collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val keep = eig.filter(_._2 > minVar).keys.toSeq.sorted
+    require(keep.nonEmpty, s"pcaWhiten: no component has variance > $minVar")
+    // proj_micros / 1e6 recovers the projection; scale and re-quantize
+    // (micros-in, micros-out keeps the whole chain integer-checkable)
+    val scaleMap = typedlit(keep.map(c => c -> 1.0 / math.sqrt(eig(c))).toMap)
+    pcaProject(embeddings, idCol, vecCol, model)
+      .filter(col("comp").isin(keep: _*))
+      .select(col("vec_id"), col("comp"),
+        round((col("proj_micros").cast("double") / 1e6) *
+          element_at(scaleMap, col("comp")) * 1e6)
+          .cast("long").as("white_micros"))
+  }
+
   /** One-pass moments: (n, mean, covariance). The aggregation ships
     * O(d²) rows per partition (map-side combine over the exploded
     * (i, j, xq_i·xq_j) triples).

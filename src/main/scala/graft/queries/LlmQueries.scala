@@ -717,6 +717,13 @@ object LlmQueries {
         Pca.pcaModel(e, "vec_id", "embedding", dim = 64, k = 8))
     }),
 
+    // PCA-whitened projections: per-component 1/sqrt(eigval) scaling
+    "q_pca_whiten" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Pca.pcaWhiten(e, "vec_id", "embedding",
+        Pca.pcaModel(e, "vec_id", "embedding", dim = 64, k = 8))
+    }),
+
     // trainable bigram LM: sparse add-one-smoothed bigram table over the
     // capped vocab (the CCNet/KenLM-style distributional quality model)
     "q_lm_train" -> ((s, dir) =>
@@ -1885,6 +1892,32 @@ object LlmQueries {
          |      list_transform(generate_series(1, 64), pi -> (e.v[pi] - mu.lm[pi]) * m.lv[pi])),
          |    (pa, pb) -> pa + pb) * 1000000) AS BIGINT) AS proj_micros
          |FROM e, m, mu""".stripMargin,
+
+    "q_pca_whiten" ->
+      // q_pca_project's fold, then per-component 1/sqrt(eigval) scaling
+      // of the ROUNDED micros (exactly Spark's op order); eigval-floor
+      // components drop. sqrt/division are IEEE-correctly-rounded in
+      // both engines, so the scale factors match the baked literals bit
+      // for bit.
+      s"""WITH m AS (
+         |  SELECT comp, list(loading ORDER BY dim) AS lv, min(eigval) AS eigval
+         |  FROM read_parquet('__VERIFY_OUT__/q_pca_train/*.parquet')
+         |  WHERE comp >= 0 GROUP BY 1),
+         |mu AS (
+         |  SELECT list(loading ORDER BY dim) AS lm
+         |  FROM read_parquet('__VERIFY_OUT__/q_pca_train/*.parquet')
+         |  WHERE comp = -1),
+         |$embCte,
+         |p AS (
+         |  SELECT e.vec_id, m.comp, m.eigval,
+         |    CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, 64), pi -> (e.v[pi] - mu.lm[pi]) * m.lv[pi])),
+         |      (pa, pb) -> pa + pb) * 1000000) AS BIGINT) AS pm
+         |  FROM e, m, mu)
+         |SELECT vec_id, comp,
+         |  CAST(round(((CAST(pm AS DOUBLE) / 1000000)
+         |    * (CAST(1 AS DOUBLE) / sqrt(eigval))) * 1000000) AS BIGINT) AS white_micros
+         |FROM p WHERE eigval > CAST(0.000000000001 AS DOUBLE)""".stripMargin,
 
     "q_lm_train" ->
       s"""WITH $lmCte

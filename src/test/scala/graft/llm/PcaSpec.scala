@@ -72,4 +72,18 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(variances(0) >= variances(1) - 1e-6 && variances(1) >= variances(3) - 1e-6)
   }
+
+  test("pcaWhiten: every kept component has ~unit variance") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val white = Pca.pcaWhiten(embs, "vec_id", "embedding", modelOf(embs))
+    val variances = white.groupBy("comp")
+      .agg(variance(col("white_micros") / 1e6).as("s2"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(variances.nonEmpty)
+    variances.foreach { case (c, s2) =>
+      // population eigval vs sample variance: n/(n-1) correction + micros
+      // rounding keep it within a percent at 500 vectors
+      assert(math.abs(s2 - 1.0) < 0.05, s"comp $c whitened variance $s2")
+    }
+  }
 }
