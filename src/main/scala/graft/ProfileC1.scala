@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *    jitter) for the SemDeDup stage.
   *
   * Stages: exact dedup → quality gate → MinHash LSH pairs + clusters →
-  * NB train/score (accuracy vs the generator's labels) → BPE train(64) +
-  * encode → heavy-hitters sketch → SemDeDup over embeddings. Prints
-  * per-stage seconds, stage row counts, total wall and driver peak RSS;
-  * exits nonzero if any stage returns zero rows.
+  * NB train/score (accuracy vs the generator's labels) → bigram-LM
+  * scoring → PCA (model + projections) → BPE train(64) + encode →
+  * heavy-hitters sketch → SemDeDup over embeddings. Prints per-stage
+  * seconds, stage row counts, total wall and driver peak RSS; exits
+  * nonzero if any stage returns zero rows.
   *
   * Sizes via `GRAFT_C1_DOCS` (default 500k docs ≈ 60M tokens) and
   * `GRAFT_C1_VECS` (default 200k × 64-dim). Measured pins live in
