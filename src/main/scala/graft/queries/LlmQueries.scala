@@ -704,6 +704,12 @@ object LlmQueries {
       Dedup.semantic(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
 
+    // the complete five-gate curation recipe: exact dup -> quality ->
+    // trained classifier -> LM floor -> near-dup representative
+    "q_curate_v2" -> ((s, dir) =>
+      Curation.curateV2(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang", acceptLabels = Set("en", "de", "fr"))),
+
     // PCA over the embedding corpus: one exact-decimal moment pass ->
     // driver Jacobi -> (comp, dim, loading, eigval) model (+ mean rows)
     "q_pca_train" -> ((s, dir) =>
@@ -1919,6 +1925,78 @@ object LlmQueries {
          |    * (CAST(1 AS DOUBLE) / sqrt(eigval))) * 1000000) AS BIGINT) AS white_micros
          |FROM p WHERE eigval > CAST(0.000000000001 AS DOUBLE)""".stripMargin,
 
+    "q_curate_v2" ->
+      // all five gate oracles composed into ONE exact verdict: the
+      // nb/lm/quality/exact/cluster CTE chains are the same proven
+      // mirrors their standalone queries use (CTE names disjoint by
+      // construction; lshPairsSql's internals scope inside pairs_q)
+      s"""WITH RECURSIVE $nbModelCte,
+         |priors AS (
+         |  SELECT label,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS prior_micros
+         |  FROM labels, (SELECT sum(n_docs) AS n FROM labels)),
+         |doctok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |docsum AS (
+         |  SELECT dt.doc_id, m.label, CAST(sum(m.loglik_micros) AS BIGINT) AS s
+         |  FROM doctok dt JOIN model m USING (token) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, p.label, p.prior_micros + coalesce(ds.s, 0) AS score
+         |  FROM documents d CROSS JOIN priors p
+         |  LEFT JOIN docsum ds ON ds.doc_id = d.doc_id AND ds.label = p.label),
+         |rnb AS (
+         |  SELECT doc_id, label AS predicted_label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label ASC) AS rn FROM scored) WHERE rn = 1),
+         |$lmCte,
+         |sp AS (
+         |  SELECT lbp.doc_id,
+         |    u1.fallback_micros AS f1, u2.token AS tok2, bi.loglik_micros AS b
+         |  FROM lbp
+         |  LEFT JOIN luni u1 ON lbp.t[lbp.x] = u1.token
+         |  LEFT JOIN luni u2 ON lbp.t[lbp.x + 1] = u2.token
+         |  LEFT JOIN lbi bi ON bi.t1 = lbp.t[lbp.x] AND bi.t2 = lbp.t[lbp.x + 1]),
+         |sagg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL) AS BIGINT)
+         |      AS n_pairs,
+         |    CAST(coalesce(sum(coalesce(b, f1))
+         |      FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL), 0) AS BIGINT)
+         |      AS lp_micros
+         |  FROM sp GROUP BY 1),
+         |${qualityCte.stripPrefix("WITH ")},
+         |ex AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM documents),
+         |pairs_q AS (
+         |${lshPairsSql(shinglesSql("text", 5),
+              perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs_q
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs_q),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |verdict AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id <> ex.keep_id THEN 'exact_dup'
+         |         WHEN sc.quality_score < CAST(0.4 AS DOUBLE) THEN 'low_quality'
+         |         WHEN rnb.predicted_label NOT IN ('en', 'de', 'fr') THEN 'off_label'
+         |         WHEN coalesce(sg.lp_micros, 0) < -3450000 * coalesce(sg.n_pairs, 0)
+         |           THEN 'low_lp'
+         |         WHEN d.doc_id <> clus.cluster_id THEN 'near_duplicate'
+         |         ELSE 'kept' END AS reason
+         |  FROM documents d
+         |  JOIN ex USING (doc_id)
+         |  JOIN sc USING (doc_id)
+         |  JOIN rnb USING (doc_id)
+         |  LEFT JOIN sagg sg USING (doc_id)
+         |  JOIN clus USING (doc_id))
+         |SELECT doc_id, (reason = 'kept') AS keep, reason FROM verdict""".stripMargin,
+
     "q_lm_train" ->
       s"""WITH $lmCte
          |SELECT t1, t2, cnt, loglik_micros FROM lbi""".stripMargin,
@@ -2077,14 +2155,14 @@ object LlmQueries {
        |labels AS (
        |  SELECT lang AS label, count(*) AS n_docs
        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
-       |lt AS (
+       |nlt AS (
        |  SELECT l.label, coalesce(s.t_l, 0) AS t_l
        |  FROM labels l
        |  LEFT JOIN (SELECT label, sum(cnt) AS t_l FROM iv GROUP BY 1) s USING (label)),
        |grid AS (
-       |  SELECT lt.label, vv.token, coalesce(i.cnt, 0) AS cnt, lt.t_l
-       |  FROM lt CROSS JOIN vocab vv
-       |  LEFT JOIN iv i ON i.label = lt.label AND i.token = vv.token),
+       |  SELECT nlt.label, vv.token, coalesce(i.cnt, 0) AS cnt, nlt.t_l
+       |  FROM nlt CROSS JOIN vocab vv
+       |  LEFT JOIN iv i ON i.label = nlt.label AND i.token = vv.token),
        |model AS (
        |  SELECT label, token, CAST(cnt AS BIGINT) AS cnt,
        |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)) * 1000000)
