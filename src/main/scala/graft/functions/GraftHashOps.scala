@@ -95,6 +95,25 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  /** Feature-hashing vectorizer (Spark MLlib's HashingTF re-derived on
+    * the portable hash): a `dim`-bucket token-count vector,
+    * `v[polyHash(token) % dim] += 1` — the classic trick that turns raw
+    * text into a FIXED-width dense vector with no vocabulary pass at
+    * all, so the whole vector stack (k-means, PCA, ANN, SemDeDup)
+    * applies to text corpora directly. Counts as doubles (the vector
+    * operators' input type). One pass over the tokens. */
+  def hashedFeatures(s: UTF8String, dim: Int): ArrayData = {
+    require(dim > 0, s"hashedFeatures needs dim > 0, got $dim")
+    val ts = tokens(s)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < ts.length) {
+      out((hashString(ts(i)) % dim).toInt) += 1.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word-n-gram hashes — identical value set to
     * `array_distinct(hashAll(wordNgrams(wordTokens(s), n)))` (the gram
     * hash folds token chars with single separating spaces, which is

@@ -54,6 +54,12 @@ object HashFunctions {
   def posNgramHashes(s: Column, n: Int): Column =
     invoke("posNgramHashes", longArray, Seq(e(s), Literal(n)))
 
+  /** Compiled feature-hashing vectorizer (see
+    * [[GraftHashOps.hashedFeatures]]): dim-bucket token-count vector. */
+  def hashedFeatures(s: Column, dim: Int): Column =
+    invoke("hashedFeatures", ArrayType(DoubleType, containsNull = false),
+      Seq(e(s), Literal(dim)))
+
   /** Compiled [[graft.llm.TextHash.minhashSignature]]. */
   def minhashSignature(hashes: Column, perms: Int): Column =
     invoke("minhashSig", longArray, Seq(e(hashes), Literal(perms)))

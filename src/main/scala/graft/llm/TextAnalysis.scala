@@ -37,6 +37,16 @@ object TextAnalysis {
   def bpeishTokens(s: Column): Column =
     regexp_extract_all(s, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
+  /** Feature-hashed document vectors: (vec_id, features double[dim]) —
+    * the no-vocabulary text vectorizer (HashingTF shape) that feeds raw
+    * text corpora into the vector operators ([[Clustering]], [[Pca]],
+    * [[Similarity]], [[Dedup.semantic]]). A zero-shuffle compiled
+    * projection; counts are integers in doubles, so every downstream
+    * micros-quantized pipeline stays exactly oracle-checkable. */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
+    docs.select(col(idCol).as("vec_id"),
+      graft.functions.HashFunctions.hashedFeatures(col(textCol), dim).as("features"))
+
   /** Per-document statistics:
     * (doc_id, n_chars, n_tokens, n_distinct_tokens, n_bpeish_tokens,
     *  token_chars, distinct_ratio, stopword_ratio, alpha_ratio).

@@ -704,6 +704,14 @@ object LlmQueries {
       Dedup.semantic(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
 
+    // k-means over feature-HASHED text vectors: raw documents into the
+    // vector stack with no vocabulary pass (HashingTF shape, dim=16)
+    "q_kmeans_text" -> ((s, dir) =>
+      Clustering.kmeans(
+        TextAnalysis.hashedFeatures(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", dim = 16),
+        "vec_id", "features", k = 4, iters = 2)),
+
     // the complete five-gate curation recipe: exact dup -> quality ->
     // trained classifier -> LM floor -> near-dup representative
     "q_curate_v2" -> ((s, dir) =>
@@ -1996,6 +2004,47 @@ object LlmQueries {
          |  LEFT JOIN sagg sg USING (doc_id)
          |  JOIN clus USING (doc_id))
          |SELECT doc_id, (reason = 'kept') AS keep, reason FROM verdict""".stripMargin,
+
+    "q_kmeans_text" -> {
+      // the q_kmeans 2-round unrolled Lloyd chain over feature-hashed
+      // 16-dim text vectors (e = HashingTF mirror: count per hash%16
+      // bucket, counts as doubles)
+      def d16(v: String, c: String) =
+        s"list_reduce(list_transform(generate_series(1, 16), di -> ($v[di] - $c[di]) * ($v[di] - $c[di])), (x, y) -> x + y)"
+      s"""WITH e AS (
+         |  SELECT doc_id AS vec_id,
+         |    list_transform(generate_series(0, 15), fb ->
+         |      CAST(len(list_filter(
+         |        list_transform($tokensSql, tk -> ${polyHashSql("tk", "ci")}),
+         |        hb -> hb % 16 = fb)) AS DOUBLE)) AS v
+         |  FROM documents),
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 4),
+         |d1 AS (
+         |  SELECT e.vec_id, e.v, c0.cluster, ${d16("e.v", "c0.c")} AS dist
+         |  FROM e, c0),
+         |a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |u1 AS (
+         |  SELECT cluster, g.dim,
+         |    CAST(sum(CAST(round(v[g.dim] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM a1, (SELECT unnest(generate_series(1, 16)) AS dim) g
+         |  GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / (n * 1000000) ORDER BY dim) AS c
+         |  FROM u1 GROUP BY 1),
+         |d2 AS (
+         |  SELECT e.vec_id, c1.cluster, ${d16("e.v", "c1.c")} AS dist
+         |  FROM e, c1)
+         |SELECT vec_id, cluster, CAST(round(dist * 1000000) AS BIGINT) AS dist_micros
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cluster ASC) AS rn
+         |  FROM d2) WHERE rn = 1""".stripMargin
+    },
 
     "q_lm_train" ->
       s"""WITH $lmCte

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -69,5 +70,32 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "text")
       .select("doc_id", "content_hash").as[(Long, Long)].collect().toMap
     assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+
+  test("hashedFeatures: counts land in polyHash%dim buckets; vector sums to token count") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedFeatures(docs, "doc_id", "text", dim = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    def bucket(w: String): Int = (TextHash.Prime + 0) match { case _ =>
+      // recompute the portable hash in-test
+      (w.foldLeft(7L)((a, c) => (a * 31 + c.toInt) % 1000000007L) % 8).toInt
+    }
+    val v1 = got(1L)
+    assert(v1.sum == 3.0 && v1.length == 8)
+    assert(v1(bucket("aa")) >= 2.0 && v1(bucket("bb")) >= 1.0)
+    // empty text tokenizes to [""] -> one count in ""'s bucket
+    assert(got(2L).sum == 1.0)
+    // equals the HOF formulation bucket-for-bucket on the real corpus
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val kernel = TextAnalysis.hashedFeatures(real, "doc_id", "text", dim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    val hof = real.select(col("doc_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(15)),
+        b => org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+          graft.functions.HashFunctions.tokenHashes(col("text")),
+          h => h % 16 === b)).cast("double")).as("f"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(kernel == hof)
   }
 }
