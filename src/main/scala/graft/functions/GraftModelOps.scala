@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftModelOps {
 
-  // per-thread memos keyed on the literal key-array's object identity
+  // Per-thread memos keyed on the literal key-array's object identity.
+  // BOUNDED: tasks deserialize their own literal instances, so a
+  // long-running stream (scoreGateSink scores every trigger through
+  // these kernels) would otherwise add one parsed model per task per
+  // thread forever — the memo clears past MemoCap entries (a handful of
+  // live models at any moment; a clear merely re-parses on next use).
+  private val MemoCap = 64
   private val longMapMemo = ThreadLocal.withInitial[
     java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]](
     () => new java.util.IdentityHashMap())
@@ -43,6 +49,7 @@ object GraftModelOps {
     val m = new java.util.HashMap[String, java.lang.Long](n * 2)
     var i = 0
     while (i < n) { m.put(keys.getUTF8String(i).toString, vals.getLong(i)); i += 1 }
+    if (memo.size() >= MemoCap) memo.clear()
     memo.put(keys, m)
     m
   }
@@ -55,6 +62,7 @@ object GraftModelOps {
     val m = new java.util.HashMap[String, java.lang.Integer](n * 2)
     var i = 0
     while (i < n) { m.put(keys.getUTF8String(i).toString, i); i += 1 }
+    if (memo.size() >= MemoCap) memo.clear()
     memo.put(keys, m)
     m
   }

@@ -195,9 +195,12 @@ object GraftVecOps {
     * compiled form of the nested-transform explode in
     * [[graft.llm.Pca.moments]] (interpreted HOF struct-building measured
     * 2.7 s of the 4.2 s sf0.1 model build; the kernel is one tight
-    * loop). Products stay far inside Long (micros ≤ 1e7 → ≤ 1e14). */
-  def pcaMoments(q: ArrayData): ArrayData = {
+    * loop). Products stay far inside Long (micros ≤ 1e7 → ≤ 1e14). A
+    * vector whose length differs from `dim` is an ERROR — a silent
+    * truncation or short vector would train a garbage covariance. */
+  def pcaMoments(q: ArrayData, dim: Int): ArrayData = {
     val d = q.numElements()
+    require(d == dim, s"pcaMoments: expected $dim-dim vector, got $d")
     val qs = new Array[Long](d)
     var i = 0
     while (i < d) { qs(i) = q.getLong(i); i += 1 }

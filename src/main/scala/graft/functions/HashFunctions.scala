@@ -126,9 +126,10 @@ object HashFunctions {
     StructField("j", IntegerType, nullable = false),
     StructField("x", LongType, nullable = false))), containsNull = false)
 
-  /** Compiled PCA moment contributions of a micros-quantized vector. */
-  def pcaMoments(q: Column): Column =
-    invokeVec("pcaMoments", PcaMomentsType, Seq(e(q)))
+  /** Compiled PCA moment contributions of a micros-quantized vector
+    * (errors on a length != dim). */
+  def pcaMoments(q: Column, dim: Int): Column =
+    invokeVec("pcaMoments", PcaMomentsType, Seq(e(q), Literal(dim)))
 
   /** Output type of [[GraftVecOps.semDup]]. */
   val SemDupType: ArrayType = ArrayType(StructType(Seq(

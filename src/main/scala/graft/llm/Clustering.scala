@@ -220,12 +220,17 @@ object Clustering {
     require(k > 0 && iters > 0, "need k > 0 and iters > 0")
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
-    // seed centroids: the k smallest ids (deterministic, engine-portable,
-    // and robust to sparse/offset id spaces where `vec_id < k` would
-    // silently yield fewer than k seeds; k-means++ would sharpen quality
-    // but needs sequential randomized passes). orderBy+limit compiles to
-    // TakeOrderedAndProject — a per-partition top-k, no global sort.
+    // seed centroids: the k smallest ids AMONG NON-NULL VECTORS
+    // (deterministic, engine-portable, and robust to sparse/offset id
+    // spaces where `vec_id < k` would silently yield fewer than k seeds;
+    // k-means++ would sharpen quality but needs sequential randomized
+    // passes). The not-null filter honors the NULL-vector contract above:
+    // a NULL vector can be ASSIGNED (to a NULL cluster) but never SEED —
+    // a NULL centroid would crash the assignment kernel. orderBy+limit
+    // compiles to TakeOrderedAndProject — per-partition top-k, no global
+    // sort.
     var centroids = vecs
+      .filter(col("v").isNotNull)
       .orderBy(col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
@@ -309,7 +314,11 @@ object Clustering {
     // <=> removes all NULL rows once one wins — which is the only coherent
     // reading of "distinct seeds" over an id column that cannot
     // distinguish its NULLs.
-    val first = vecs.orderBy(col("vec_id").asc_nulls_last).limit(1).collect()
+    // the first seed must have a vector (a NULL seed centroid would crash
+    // the assignment kernel); later rounds exclude NULL-v rows naturally
+    // (their dmin is NULL, ordered after every real distance)
+    val first = vecs.filter(col("v").isNotNull)
+      .orderBy(col("vec_id").asc_nulls_last).limit(1).collect()
     if (first.isEmpty) return Nil
     val seeds = scala.collection.mutable.ArrayBuffer[(Any, Seq[Double], Long)](
       (first.head.get(0), first.head.getSeq[Double](1), 0L))
@@ -331,6 +340,7 @@ object Clustering {
       // max_by(-id) tiebreak, never negates the id, so string doc_id
       // corpora order lexicographically instead of failing analysis.
       val rows = state
+        .filter(col("dmin").isNotNull) // NULL-v rows never seed
         .orderBy(col("dmin").desc, col("vec_id").asc_nulls_last)
         .limit(1)
         .collect()
@@ -431,9 +441,11 @@ object Clustering {
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
       .localCheckpoint()
+    // seeds come from NON-NULL vectors only (same contract note as
+    // kmeansAssigned: NULL vectors assign, they never seed)
     var centroids: Seq[(Any, Seq[Double])] =
       if (farthestFirst) farthestFirstSeedsDriver(vecs, k).map(s => (s._1, s._2))
-      else vecs.orderBy(col("vec_id")).limit(k).collect()
+      else vecs.filter(col("v").isNotNull).orderBy(col("vec_id")).limit(k).collect()
         .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
     def centroidDf: DataFrame = localDf(spark,
       centroids.map { case (id, c) => org.apache.spark.sql.Row(id, c) },

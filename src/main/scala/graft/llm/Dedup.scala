@@ -409,15 +409,23 @@ object Dedup {
           transform(
             array_sort(collect_list(struct(col("tok_idx"), col("token")))),
             x => x.getField("token"))).as("text_clean"))
-    // every token is either kept or dropped (and every doc has >= 1 token:
-    // split of "" is [""]), so n_tokens = kept + dropped — no third scan
-    // of the corpus text for a separate count projection
+    // every token is either kept or dropped (and every non-NULL doc has
+    // >= 1 token: split of "" is [""]), so n_tokens = kept + dropped — no
+    // third scan of the corpus text for a separate count projection. The
+    // output universe is the DOCS table, not the token table: a NULL-text
+    // doc has no token rows at all and must still surface (n_tokens NULL,
+    // nothing kept — exactly the oracle's LEFT JOIN semantics) rather
+    // than silently vanish from the verdict.
     val dropped = dropSet.groupBy(col("doc_id")).agg(count(lit(1)).as("dropped_tokens"))
-    rebuilt
-      .join(dropped, Seq("doc_id"), "full_outer")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).isNull.as("__null_text"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        (coalesce(col("kept_tokens"), lit(0L)) + coalesce(col("dropped_tokens"), lit(0L)))
+        when(col("__null_text"), lit(null).cast("long"))
+          .otherwise(
+            coalesce(col("kept_tokens"), lit(0L)) + coalesce(col("dropped_tokens"), lit(0L)))
           .as("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))

@@ -112,7 +112,14 @@ object Pca {
     embeddings
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"),
-        Similarity.asDouble(col(vecCol)).as("__v"))
+        Similarity.asDouble(col(vecCol)).as("__v0"))
+      // a wrong-length vector must ERROR (the doc contract): element_at
+      // past the end silently yields NULL projections otherwise
+      .select(col("vec_id"),
+        when(size(col("__v0")) === lit(dim), col("__v0"))
+          .otherwise(raise_error(concat(
+            lit(s"pcaProject: expected $dim-dim vector, got "),
+            size(col("__v0")).cast("string")))).as("__v"))
       .select(col("vec_id"), explode(array(comps: _*)).as("p"))
       .select(col("vec_id"), col("p.comp").as("comp"),
         col("p.proj_micros").as("proj_micros"))
@@ -174,7 +181,7 @@ object Pca {
     // stay far inside Long (1e7·1e7 = 1e14), the decimal sums are exact
     // at any corpus size
     val contrib = vecs
-      .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"))).as("c"))
+      .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"),
         col("c.x").cast("decimal(38,0)").as("x"))
       .groupBy("i", "j").agg(sum("x").as("s"))

@@ -61,22 +61,39 @@ object SnapshotMerge {
       deletedCol: Option[String] = None): DataFrame = {
     val cols = updates.columns.toSeq
     val schema = updates.schema
-    val ordCols = Seq(col(versionCol),
-      deletedCol.fold(lit(false))(d => coalesce(col(d), lit(false)))) ++ cols.map(col)
+    val deletedNorm = deletedCol.fold(lit(false))(d => coalesce(col(d), lit(false)))
+    val ordCols = Seq(col(versionCol), deletedNorm) ++ cols.map(col)
     val outF = cols.zipWithIndex.map { case (c, i) => c -> (i + 2) }
     val allMutable = cols.forall(c =>
       org.apache.spark.sql.catalyst.expressions.UnsafeRow.isMutable(schema(c).dataType))
-    val agg =
-      if (allMutable) graft.functions.ArgMaxRow(ordCols, outF)
-      else graft.functions.ArgMaxRowAny(ordCols, outF)
-    updates
+    val allOrderable = cols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(schema(c).dataType))
+    val valid = updates
       // assert_true evaluates to NULL for every valid row (so the filter
       // keeps everything) and raises on the first NULL version
       .filter(assert_true(col(versionCol).isNotNull,
         lit(s"SnapshotMerge: NULL $versionCol in update batch")).isNull)
-      .groupBy(col(keyCol))
-      .agg(agg.as("__row"))
-      .select(col("__row.*"))
+    if (!allOrderable) {
+      // UNORDERABLE payload types (maps) cannot join the ordering tuple:
+      // fall back to max_by, whose VALUE side needs no ordering. Ties
+      // beyond (version, deleted) are then arbitrary — callers with map
+      // payloads must make version a total key per id. The struct value
+      // buffer sort-aggregates; acceptable for the contractually
+      // dimension-sized update batch.
+      valid
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(cols.map(col): _*),
+          struct(col(versionCol), deletedNorm)).as("__row"))
+        .select(col("__row.*"))
+    } else {
+      val agg =
+        if (allMutable) graft.functions.ArgMaxRow(ordCols, outF)
+        else graft.functions.ArgMaxRowAny(ordCols, outF)
+      valid
+        .groupBy(col(keyCol))
+        .agg(agg.as("__row"))
+        .select(col("__row.*"))
+    }
   }
 
   /** Merge `updates` into `current`. Schemas must match exactly.

@@ -200,7 +200,7 @@ object LlmQueries {
          |  FROM e, sp$j WHERE e.vec_id = sp$j.vec_id),
          |s$j AS MATERIALIZED (SELECT * FROM s${j - 1} UNION ALL SELECT * FROM sn$j)""".stripMargin
     }.mkString(",\n")
-    s"""s1 AS MATERIALIZED (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 1),
+    s"""s1 AS MATERIALIZED (SELECT vec_id AS cluster, v AS c FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 1),
        |$steps,
        |cs0 AS (SELECT cluster, c FROM s$k)""".stripMargin
   }
@@ -1266,7 +1266,7 @@ object LlmQueries {
       def distSql(v: String, c: String) =
         s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
       s"""WITH $embCte,
-         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8 AND v IS NOT NULL),
          |d1 AS (
          |  SELECT e.vec_id, e.v, c0.cluster, ${distSql("e.v", "c0.c")} AS dist
          |  FROM e, c0),
@@ -1317,7 +1317,7 @@ object LlmQueries {
       s"""WITH $embCte,
          |s1 AS (
          |  SELECT vec_id AS cluster, v AS c, CAST(0 AS BIGINT) AS dmin_micros
-         |  FROM e ORDER BY vec_id LIMIT 1),
+         |  FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 1),
          |$steps
          |SELECT cluster, dmin_micros FROM s4""".stripMargin
     },
@@ -1346,7 +1346,7 @@ object LlmQueries {
       // farthestFirst=false)), then the exact q_ann_ivf search SQL over
       // the trained centroid table
       s"""WITH $embCte,
-         |cs0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 16),
+         |cs0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 16),
          |${lloydConvergedSql(rounds = 3, eps = 1e-6)},
          |b AS (SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm
          |      FROM e WHERE sqrt(${dotSql("v", "v", 64)}) > 0),
@@ -1781,7 +1781,7 @@ object LlmQueries {
       // 2-round Lloyd chain keeping v in the final assignment, then
       // in-cell pairs (a < b) at cosine >= tau, dup_of = min matching a
       s"""WITH $embCte,
-         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 8),
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 8),
          |d1 AS (
          |  SELECT e.vec_id, e.v, c0.cluster, ${sqDistSql("e.v", "c0.c")} AS dist
          |  FROM e, c0),
@@ -2018,7 +2018,7 @@ object LlmQueries {
          |        list_transform($tokensSql, tk -> ${polyHashSql("tk", "ci")}),
          |        hb -> hb % 16 = fb)) AS DOUBLE)) AS v
          |  FROM documents),
-         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT 4),
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 4),
          |d1 AS (
          |  SELECT e.vec_id, e.v, c0.cluster, ${d16("e.v", "c0.c")} AS dist
          |  FROM e, c0),
