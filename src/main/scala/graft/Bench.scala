@@ -33,45 +33,21 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (1 to runs).map(_ => timeOnce(fn)).min
-    }.toMap
-    // The driver parses the JSON line out of the last ~2000 chars of stdout;
-    // with 75 queries full-precision doubles overflow that window (r5's
-    // BENCH parsed:null), and at 90 queries even centisecond precision no
-    // longer fits with full key names (r14's 87-query line measured 1970
-    // chars). Keep the line minimal: no runs field, sf as basename, query
-    // keys without their uniform "q_" prefix (declared via "keyprefix" so
-    // the line stays self-describing; also noted in BASELINE.md), trailing
-    // zeros trimmed. Should the registry outgrow even that, degrade
-    // per-query precision to one decimal rather than letting the front of
-    // the JSON fall off the parse window.
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    }
+    val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    // "0.20" -> "0.2", "1.00" -> "1": valid JSON numbers, ~20 chars/line
-    def trim(s: String): String =
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    def line(qDecimals: Int): String = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) =>
-          "\"" + k.stripPrefix("q_") + "\":" + trim(s"%.${qDecimals}f".format(v)) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","keyprefix":"q_","queries":$qs,"sf":"$sfName"}"""
-    }
-    // integer-centisecond fallback: STRICTLY shorter than the 1-decimal
-    // seconds form for any value under 100 s ("0.3"->"32", "0.1"->"7")
-    // while restoring 2-decimal precision; declared via "qunit":"cs"
-    // (noted in BASELINE.md like the keyprefix change)
-    def lineCs: String = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","keyprefix":"q_","qunit":"cs","queries":$qs,"sf":"$sfName"}"""
-    }
-    val full = line(2)
-    val cs = if (full.length <= 1990) full else lineCs
-    // final guard: a line whose FRONT falls off the driver's 2000-char
-    // stdout window is invalid JSON (parsed:null), strictly worse than
-    // integer-second per-query precision (total keeps 2 decimals)
-    println(if (cs.length <= 1990) cs else line(0))
+    // Two outputs (see BenchFormat for the budget rationale): the FULL
+    // per-query table lands in the committed BENCH_DETAIL.json artifact,
+    // and the stdout line — the only thing the driver's ~2000-char tail
+    // window sees — degrades 2-dec -> centiseconds -> bounded totals+
+    // digest form, so it stays parseable JSON at ANY registry size.
+    val (line, detail) = BenchFormat.render(results, total, sfName, cpus.toInt)
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.print(detail) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH_DETAIL.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

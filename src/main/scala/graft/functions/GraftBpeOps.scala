@@ -51,6 +51,27 @@ object GraftBpeOps {
     }
   }
 
+  /** Initial symbolization of a word: one symbol per Unicode CODE POINT.
+    * The DuckDB oracle's `substr(word, i, 1)` unit is the code point, so
+    * splitting by UTF-16 code unit (`charAt`) would diverge on
+    * supplementary-plane text (emoji, rare CJK): a surrogate pair would
+    * become two lone-surrogate "symbols" whose merges and token counts
+    * the oracle never sees. Shared by the trainer ([[graft.llm.Bpe]])
+    * and the encode kernel so both sides segment identically. */
+  def codePointSymbols(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val syms = new Array[String](n)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      val step = Character.charCount(word.codePointAt(i))
+      syms(k) = word.substring(i, i + step)
+      i += step
+      k += 1
+    }
+    syms
+  }
+
   /** One left-to-right non-overlapping application of merge (l, r). */
   def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
     if (syms.length < 2) return syms
@@ -74,9 +95,7 @@ object GraftBpeOps {
     val key = (memoKey, word)
     val hit = memo.get(key)
     if (hit != null) return hit
-    var syms = new Array[String](word.length)
-    var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var syms = codePointSymbols(word)
     var j = 0
     while (j < ms.length) { syms = applyMerge(syms, ms(j)._1, ms(j)._2); j += 1 }
     if (memo.size() >= WordMemoCap) memo.clear()

@@ -83,6 +83,11 @@ object GraftModelOps {
       text: UTF8String,
       uniKeys: ArrayData, uniVals: ArrayData,
       biKeys: ArrayData, biVals: ArrayData): InternalRow = {
+    // NULL text scores as the empty token sequence -> (0, 0), matching
+    // the DuckDB oracle (unnest of a NULL token list yields no rows) and
+    // keeping the streaming gate's exactly-once routing well-defined
+    // (a NULL score would make BOTH pass and !pass filters drop the doc).
+    if (text == null) return new GenericInternalRow(Array[Any](0L, 0L))
     val uni = longMap(uniKeys, uniVals)
     val bi = longMap(biKeys, biVals)
     val ts = tokens(text)
@@ -116,6 +121,10 @@ object GraftModelOps {
     val scores = new Array[Long](nL)
     var l = 0
     while (l < nL) { scores(l) = priors.getLong(l); l += 1 }
+    // NULL text scores as the empty token sequence -> priors only, so
+    // the downstream argmax yields the prior-argmax label exactly as the
+    // DuckDB oracle does for a NULL-text document.
+    if (text == null) return new GenericArrayData(scores)
     val ts = tokens(text)
     var i = 0
     while (i < ts.length) {
@@ -140,10 +149,14 @@ object GraftModelOps {
     StructField("n_pairs", LongType, nullable = false),
     StructField("lp_micros", LongType, nullable = false)))
 
+  // propagateNull=false: a NULL text argument reaches the method (which
+  // maps it to the empty token sequence) instead of nulling the whole
+  // score — the model-table literals are never null, so the only null
+  // that can arrive is the text itself.
   private def invoke(name: String, dt: DataType, args: Seq[Expression]): Column =
     ColumnBridge.column(StaticInvoke(
       GraftModelOps.getClass, dt, name, args,
-      propagateNull = true, returnNullable = false))
+      propagateNull = false, returnNullable = false))
 
   /** Compiled LM scoring over literal model tables. */
   def lmScoreKernel(

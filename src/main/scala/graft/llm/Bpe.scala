@@ -52,7 +52,9 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc).limit(maxWords)
       .collect()
-      .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+      // symbolize by CODE POINT (the oracle's substr unit), not UTF-16
+      // code unit — see GraftBpeOps.codePointSymbols
+      .map(r => (graft.functions.GraftBpeOps.codePointSymbols(r.getString(0)), r.getLong(1)))
     var words = hist
     val adopted = Seq.newBuilder[(String, String)]
     var round = 0
@@ -70,6 +72,13 @@ object Bpe {
       }
       if (pairCounts.isEmpty) exhausted = true
       else {
+        // tie-break in UTF-8 BYTE order, the collation of both the
+        // oracle's ORDER BY and Spark's own string sort — Java String <
+        // is UTF-16 order, which disagrees for code points in
+        // [U+E000, U+FFFF] vs supplementary-plane symbols
+        def u8Lt(a: String, b: String): Boolean =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
         var best: (String, String) = null
         var bestCnt = -1L
         val it = pairCounts.entrySet().iterator()
@@ -78,7 +87,7 @@ object Bpe {
           val c = e.getValue()(0)
           val k = e.getKey
           if (c > bestCnt || (c == bestCnt &&
-            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+            (u8Lt(k._1, best._1) || (k._1 == best._1 && u8Lt(k._2, best._2))))) {
             best = k; bestCnt = c
           }
         }

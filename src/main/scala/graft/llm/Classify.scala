@@ -32,6 +32,17 @@ import TextHash._
   * float op is one `ln` per model entry, rounded at 1e-6 (the same
   * micros-quantization every distance query here uses).
   *
+  * Residual cross-engine hazard, acknowledged: `ln` is NOT correctly
+  * rounded in either engine (JVM `Math.log` vs DuckDB's libm), so a
+  * model entry whose `ln(x)·1e6` lands within an ulp of a `.5` micros
+  * boundary could quantize off-by-one between engines and flip the
+  * exact-hash gate. `LnBoundaryMarginSpec` MEASURES the margin of every
+  * trained entry on the gate corpora (sf0.001/sf0.01): the closest
+  * entry sits orders of magnitude beyond any plausible libm
+  * disagreement (~1e-9), so the hash gate is safe for these corpora by
+  * measurement, not hope — and a future corpus change that lands near a
+  * boundary fails that spec loudly instead of flaking the driver gate.
+  *
   * Input contract: labels must be non-null strings ([[nbTrain]] filters
   * null labels; document ids follow the corpus-wide uniqueness contract).
   * ASCII labels sort identically as Scala Strings and UTF8String bytes;

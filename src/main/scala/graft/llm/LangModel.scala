@@ -28,6 +28,11 @@ import TextHash._
   * (the [[Similarity.ivfTopKWith]] eager posture) and the document folds
   * its adjacent token pairs over two literal maps with integer micro-log
   * sums — order-insensitive, exactly hash-checkable.
+  *
+  * The `round(ln(·)·1e6)` model quantization shares [[Classify]]'s
+  * acknowledged cross-engine `ln` ulp hazard; `LnBoundaryMarginSpec`
+  * measures every trained unigram/bigram entry's distance from its `.5`
+  * rounding boundary on the gate corpora.
   */
 object LangModel {
 

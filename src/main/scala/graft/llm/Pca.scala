@@ -91,9 +91,14 @@ object Pca {
       vecCol: String,
       model: DataFrame): DataFrame = {
     val m = model.collect()
+    // validate BEFORE deriving k: empty.max on an empty model would
+    // throw an opaque UnsupportedOperationException instead of this
+    // diagnostic (same for dim=0 reaching the array sizing below)
     val dim = m.count(_.getInt(0) == -1)
+    require(m.nonEmpty && dim > 0,
+      "pcaProject: malformed model (empty or missing comp=-1 mean rows)")
     val k = m.map(_.getInt(0)).max + 1
-    require(dim > 0 && k > 0, "pcaProject: malformed model")
+    require(k > 0, "pcaProject: malformed model")
     val mu = new Array[Double](dim)
     val load = Array.ofDim[Double](k, dim)
     m.foreach { r =>

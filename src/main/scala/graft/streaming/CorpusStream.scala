@@ -157,9 +157,12 @@ object CorpusStream {
     * KEPT when its predicted label is in `acceptLabels` AND its bigram
     * log-prob clears the per-pair floor (`lp_micros >= minAvgLpMicros *
     * n_pairs` — the integer form of "average log-prob ≥ threshold";
-    * zero-pair docs pass the LM test vacuously). Both routes land as
-    * idempotent `batch=<id>/` overwrites, the [[nearDupGateBatch]]
-    * exactly-once discipline.
+    * zero-pair docs pass the LM test vacuously). NULL-text documents are
+    * always routed to REJECTED (explicit policy: no text means nothing
+    * to train on; the scorers themselves treat NULL as the empty token
+    * sequence so the routing predicate can never be NULL). Both routes
+    * land as idempotent `batch=<id>/` overwrites, the
+    * [[nearDupGateBatch]] exactly-once discipline.
     *
     * Scale posture: scoring is the batch operators' ZERO-shuffle
     * projection, so a trigger costs one corpus-scan projection plus two
@@ -210,10 +213,19 @@ object CorpusStream {
         nbTokenModel, nbPriors, passThrough = dataCols),
       "doc_id", "text", lmUnigramModel, lmBigramModel,
       passThrough = dataCols :+ "predicted_label")
+    // NULL-text semantics, decided explicitly: the scorers map NULL text
+    // to the empty token sequence (prior-argmax label, n_pairs=0), so a
+    // NULL-text doc would pass both gates vacuously. A doc with no text
+    // is not trainable content — route it to REJECTED. coalesce keeps
+    // the routing total even if a future scorer reintroduces NULL: a
+    // NULL pass would drop the doc from kept AND rejected.
     val routed = scored
       .withColumn("pass",
-        col("predicted_label").isin(acceptLabels.toSeq: _*) &&
-          col("lp_micros") >= lit(minAvgLpMicros) * col("n_pairs"))
+        coalesce(
+          col("text").isNotNull &&
+            col("predicted_label").isin(acceptLabels.toSeq: _*) &&
+            col("lp_micros") >= lit(minAvgLpMicros) * col("n_pairs"),
+          lit(false)))
       .localCheckpoint()
     val outCols = ("doc_id" +: dataCols).map(col)
     routed.filter(col("pass")).select(outCols: _*)

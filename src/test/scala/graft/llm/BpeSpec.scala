@@ -62,6 +62,31 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane text symbolizes by code point, ties break in UTF-8 order") {
+    // 𝄞 (U+1D11E) is a surrogate pair in UTF-16: charAt-splitting would
+    // produce two lone-surrogate "symbols" the DuckDB oracle (substr by
+    // code point) never sees
+    assert(GraftBpeOps.codePointSymbols("a𝄞b").toSeq ==
+      Seq("a", "𝄞", "b"))
+    assert(GraftBpeOps.codePointSymbols("").toSeq == Seq())
+    val g = "𝄞" // 𝄞
+    val docs = Seq((1L, s"$g$g$g$g ${g}x")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "doc_id", "text", merges = 1)
+    // the one possible pair is (𝄞, 𝄞) as CODE POINTS, not surrogates
+    assert(m == Seq((g, g)))
+    val enc = Bpe.encode(docs, "doc_id", "text", m)
+      .as[(Long, Long, Long)].collect().head
+    // 𝄞𝄞𝄞𝄞 -> [𝄞𝄞][𝄞𝄞]; 𝄞x -> [𝄞][x] => 4 tokens
+    assert(enc._2 == 4L)
+    // tie-break: count ties between a private-use BMP char (U+E000,
+    // UTF-8 ee 80 80) and 𝄞 (UTF-8 f0 9d 84 9e) must adopt the BMP char
+    // first — UTF-8 byte order, where Java UTF-16 order would pick 𝄞
+    // (surrogate D834 < E000)
+    val e = "\uE000"
+    val tie = Seq((1L, s"$e$e"), (2L, s"$g$g")).toDF("doc_id", "text")
+    assert(Bpe.train(tie, "doc_id", "text", merges = 1) == Seq((e, e)))
+  }
+
   test("trainDf emits the ranked merge table") {
     val docs = Seq((1L, "abab abx"), (2L, "abab")).toDF("doc_id", "text")
     val rows = Bpe.trainDf(docs, "doc_id", "text", merges = 2)

@@ -147,6 +147,40 @@ class CorpusStreamSpec extends SparkSpec {
     assert(ids(kept) == Set(20L, 30L))
   }
 
+  test("NULL-text docs route to rejected, never silently vanish") {
+    import graft.llm.{Classify, LangModel}
+    val ref = Seq(
+      (1L, "good text about tables and rows", "keep"),
+      (2L, "good text about rows and values", "keep")).toDF("doc_id", "text", "lang")
+    val nbM = Classify.nbTrain(ref, "doc_id", "text", "lang")
+    val nbP = Classify.nbPriors(ref, "lang")
+    val lmU = LangModel.lmUnigrams(ref, "doc_id", "text")
+    val lmB = LangModel.lmBigrams(ref, "doc_id", "text")
+    val root = Files.createTempDirectory("null-text")
+    // doc 51 has NULL text: its prior-argmax label IS the accept label
+    // and its LM score is the vacuous (0, 0) — so without the explicit
+    // NULL policy it would pass both gates; the policy sends it to
+    // REJECTED, and routing stays total (kept ∪ rejected = batch)
+    val b = Seq((50L, "good text about tables"), (51L, null: String))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(coalesce(length(text), 0) AS LONG) AS n_chars")
+    CorpusStream.scoreGateBatch(b, 0L, s"$root/kept", s"$root/rejected",
+      nbM, nbP, lmU, lmB, acceptLabels = Set("keep"), minAvgLpMicros = -3500000L)
+    def ids(p: String) = spark.read.parquet(p).select("doc_id").as[Long].collect().toSet
+    assert(ids(s"$root/kept") == Set(50L))
+    assert(ids(s"$root/rejected") == Set(51L))
+    // and the scorers themselves emit the oracle's NULL-text rows
+    // (prior-argmax label; n_pairs = 0, lp_micros = 0), not NULLs
+    val scored = LangModel.lmScoreWith(
+      Classify.nbScoreWith(b, "doc_id", "text", nbM, nbP, passThrough = Seq("text")),
+      "doc_id", "text", lmU, lmB, passThrough = Seq("predicted_label"))
+      .where(col("doc_id") === 51L)
+      .select("predicted_label", "n_pairs", "lp_micros")
+      .as[(String, Long, Long)].collect()
+    assert(scored.toSeq == Seq(("keep", 0L, 0L)))
+  }
+
   test("an LM floor rejects improbable token sequences even for the accepted label") {
     import graft.llm.{Classify, LangModel}
     val ref = Seq(
