@@ -258,6 +258,10 @@ object FloodQueries {
     new java.io.File("data/grib/forecast.grib2").getAbsolutePath
   private lazy val gribExpected =
     new java.io.File("data/grib/forecast_expected.parquet").getAbsolutePath
+  private lazy val gribComplex =
+    new java.io.File("data/grib/complex.grib2").getAbsolutePath
+  private lazy val gribComplexExpected =
+    new java.io.File("data/grib/complex_expected.parquet").getAbsolutePath
   private lazy val gribBigday =
     new java.io.File("data/grib/bigday.grib2").getAbsolutePath
   private lazy val gribBigdayExpected =
@@ -338,6 +342,19 @@ object FloodQueries {
       .option("numPartitions", "3")
       .load()
       .filter(col("number").isNotNull && col("step_hours") === 24)),
+
+    // Complex packing (DRS 5.2) and complex packing with spatial
+    // differencing (5.3) — the encodings operational CDS/GloFAS GRIB2
+    // commonly ships where the base fixture uses simple packing. The
+    // fixture (tools/make_grib_complex_fixture.py, independent python
+    // implementation of WMO FM 92 §5.2/5.3/7.2/7.3) covers first/second
+    // order differencing, 2/3/4-octet descriptors, bitmaps, a constant
+    // field (all group widths 0) and a short last group.
+    "q_grib_complex" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribComplex)
+      .option("numPartitions", "3")
+      .load()),
 
     // The full-ensemble-width day in ONE file: 51 members × 6 steps = 306
     // messages — past the 255 boundary a byte-sized index field would
@@ -698,6 +715,9 @@ object FloodQueries {
     "q_grib_member" ->
       s"""SELECT * FROM read_parquet('$gribExpected')
          |WHERE number IS NOT NULL AND step_hours = 24""".stripMargin,
+
+    "q_grib_complex" ->
+      s"SELECT * FROM read_parquet('$gribComplexExpected')",
 
     "q_grib_bigday" ->
       s"""SELECT number, step_hours, COUNT(*) AS cells,

@@ -25,12 +25,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Built from the public WMO FM 92 GRIB edition 2 specification only:
   * sections 0–8, grid definition template 3.0 (regular lat/lon), product
   * definition templates 4.0 (deterministic; `number` NULL) and 4.1
-  * (individual ensemble member), data representation template 5.0 (simple
-  * packing, `Y = (R + X·2^E) / 10^D`), optional section-6 bitmap (absent
-  * cells surface as SQL NULL values). Sign-and-magnitude integers and
-  * MSB-first bit packing per spec. Anything outside that envelope —
-  * edition 1, spectral/complex/JPEG packings, non-lat/lon grids — is
-  * rejected loudly rather than mis-read.
+  * (individual ensemble member), data representation templates 5.0
+  * (simple packing, `Y = (R + X·2^E) / 10^D`), 5.2 (complex packing —
+  * grouped values with per-group reference/width, the encoding
+  * operational CDS/GloFAS drops commonly use) and 5.3 (complex packing
+  * with first/second-order spatial differencing), optional section-6
+  * bitmap (absent cells surface as SQL NULL values). Sign-and-magnitude
+  * integers and MSB-first bit packing per spec. Anything outside that
+  * envelope — edition 1, spectral/JPEG/CCSDS packings, embedded
+  * missing-value management, non-lat/lon grids — is rejected loudly
+  * rather than mis-read.
   *
   * Scale shape:
   *  - the driver INDEXES the file (walks section headers, skipping data
@@ -110,9 +114,22 @@ private[sources] final case class GribMessage(
     refValue: Float, binScale: Int, decScale: Int, nbits: Int,
     nPresent: Int,
     bitmapOffset: Long, // -1 = no bitmap (all cells present)
-    dataOffset: Long) {
+    dataOffset: Long,
+    dataLen: Int = -1, // section-7 body length (needed for complex packing)
+    complex: Option[ComplexParams] = None) { // None = simple packing (5.0)
   def points: Int = ni * nj
 }
+
+/** Data representation templates 5.2/5.3 (complex packing [+ spatial
+  * differencing]) parameters — WMO FM 92 GRIB2 DRS templates, octets
+  * 22-49 of section 5. `spatialOrder` 0 means template 5.2 (no
+  * differencing); 1/2 are the 5.3 orders. `extraOctets` is the byte
+  * width of the section-7 spatial-differencing descriptors (octet 49). */
+private[sources] final case class ComplexParams(
+    ng: Int, // number of groups (octets 32-35)
+    refGroupWidth: Int, groupWidthBits: Int, // octets 36, 37
+    refGroupLen: Int, lenInc: Int, lastGroupLen: Int, groupLenBits: Int, // 38-41, 42, 43-46, 47
+    spatialOrder: Int, extraOctets: Int) // octets 48, 49 (5.3 only)
 
 private[sources] object GribModel {
 
@@ -273,6 +290,12 @@ private[sources] object GribModel {
         s"$path: no GRIB indicator at offset $offset")
       require(ind(7) == 2, s"$path: GRIB edition ${ind(7)} unsupported (edition 2 only)")
       val msgLen = java.nio.ByteBuffer.wrap(ind, 8, 8).getLong
+      require(msgLen >= 16 && offset + msgLen <= fileLen,
+        // a partially-copied drop must fail HERE, at index time — a
+        // value-pruned scan (count, metadata queries) never touches the
+        // payload and would otherwise read a truncated file as complete
+        s"$path: message at offset $offset declares $msgLen bytes but the " +
+          s"file ends at $fileLen (truncated drop?)")
       out += indexOne(in, offset, offset + msgLen, path)
       offset += msgLen
     }
@@ -292,6 +315,8 @@ private[sources] object GribModel {
     var nPresent = 0
     var bitmapOffset = -1L
     var dataOffset = -1L
+    var dataLen = -1
+    var complex: Option[ComplexParams] = None
 
     var at = msgStart + 16
     while (at < msgEnd - 4) {
@@ -361,15 +386,52 @@ private[sources] object GribModel {
           require(nPresent >= 0, // untrusted; drives payload-buffer sizing
             s"$path: negative data-point count $nPresent in section 5 at offset $at")
           val template = b.getShort(4) & 0xFFFF
-          require(template == 0,
-            s"$path: data representation template 5.$template unsupported (5.0 simple packing)")
           refValue = b.getFloat(6)
           binScale = sm16(b.getShort(10) & 0xFFFF)
           decScale = sm16(b.getShort(12) & 0xFFFF)
           nbits = b.get(14) & 0xFF
           require(nbits <= 32, // 0 = constant field; >32 would overflow the
             // 64-bit unpack accumulator and is unheard-of for real data
-            s"$path: simple packing with $nbits bits per value unsupported")
+            s"$path: packing with $nbits bits per value unsupported")
+          template match {
+            case 0 => // simple packing: octets 12-21 above are the whole story
+            case 2 | 3 => // complex packing (5.2) / + spatial differencing (5.3)
+              val split = b.get(16) & 0xFF
+              require(split == 1,
+                s"$path: group splitting method $split unsupported (1 = general splitting)")
+              val missing = b.get(17) & 0xFF
+              require(missing == 0, // missing cells ride the section-6 bitmap;
+                // embedded missing-value substitution is a different encoding
+                s"$path: missing-value management $missing unsupported (0; use a bitmap)")
+              val ng = b.getInt(26)
+              require(ng >= 0 && ng <= 2 * nPresent + 8, // untrusted: sizes three
+                // driver/executor arrays; a corrupt count must not OOM
+                s"$path: implausible group count $ng for $nPresent data points")
+              val refW = b.get(30) & 0xFF
+              val wBits = b.get(31) & 0xFF
+              val refL = b.getInt(32)
+              val lInc = b.get(36) & 0xFF
+              val lastL = b.getInt(37)
+              val lBits = b.get(41) & 0xFF
+              require(refL >= 0 && lastL >= 0 && wBits <= 32 && lBits <= 32,
+                s"$path: malformed complex-packing group descriptors " +
+                  s"(refLen=$refL lastLen=$lastL widthBits=$wBits lenBits=$lBits)")
+              val (order, extraOct) =
+                if (template == 3) {
+                  val o = b.get(42) & 0xFF
+                  val eo = b.get(43) & 0xFF
+                  require(o == 1 || o == 2,
+                    s"$path: spatial differencing order $o unsupported (1 or 2)")
+                  require(eo >= 1 && eo <= 4,
+                    s"$path: $eo-octet spatial-differencing descriptors unsupported (1-4)")
+                  (o, eo)
+                } else (0, 0)
+              complex = Some(ComplexParams(ng, refW, wBits, refL, lInc, lastL,
+                lBits, order, extraOct))
+            case t => throw new IllegalArgumentException(
+              s"$path: data representation template 5.$t unsupported " +
+                "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing)")
+          }
         case 6 =>
           val indicator = { val x = new Array[Byte](1); in.readFully(x); x(0) & 0xFF }
           indicator match {
@@ -378,7 +440,7 @@ private[sources] object GribModel {
             case other => throw new IllegalArgumentException(
               s"$path: bitmap indicator $other unsupported (0 or 255)")
           }
-        case 7 => dataOffset = at + 5
+        case 7 => dataOffset = at + 5; dataLen = secLen - 5
         case other => throw new IllegalArgumentException(s"$path: unexpected section $other")
       }
       at += secLen
@@ -392,8 +454,47 @@ private[sources] object GribModel {
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
-      nPresent, bitmapOffset, dataOffset)
+      nPresent, bitmapOffset, dataOffset, dataLen, complex)
   }
+}
+
+/** MSB-first bit reader over a section-7 body (the complex-packing
+  * decode path; the simple-packing hot loop keeps its inline
+  * accumulator). `align()` discards the remainder of a partially
+  * consumed byte — each descriptor sequence in templates 7.2/7.3 is
+  * zero-padded to a byte boundary. Bounds-checked: a corrupt header
+  * whose group descriptors overrun the payload fails naming the file,
+  * not as an opaque ArrayIndexOutOfBoundsException. */
+private[sources] final class GribBitReader(b: Array[Byte], path: String) {
+  private var bytePos = 0
+  private var acc = 0L
+  private var accBits = 0
+
+  def read(nbits: Int): Long = {
+    if (nbits == 0) return 0L
+    while (accBits < nbits) {
+      require(bytePos < b.length,
+        s"$path: packed data exhausted at byte $bytePos (corrupt group descriptors?)")
+      acc = (acc << 8) | (b(bytePos) & 0xFFL)
+      accBits += 8
+      bytePos += 1
+    }
+    val v = (acc >>> (accBits - nbits)) & ((1L << nbits) - 1)
+    accBits -= nbits
+    v
+  }
+
+  /** GRIB2 signed field over whole octets: MSB is the sign bit
+    * (sign-and-magnitude, like the section-3/5 scaled integers). */
+  def readSignMagnitude(octets: Int): Long = {
+    val raw = read(octets * 8)
+    val signBit = 1L << (octets * 8 - 1)
+    if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
+  }
+
+  /** Drop to the next byte boundary (leftover is always < 8 bits: bytes
+    * are loaded only on demand). */
+  def align(): Unit = { acc = 0L; accBits = 0 }
 }
 
 /** Persistent sidecar store for a GRIB file's driver-side message index
@@ -408,7 +509,9 @@ private[sources] object GribModel {
   */
 private[graft] object GribIndexCache {
   private val Magic = 0x47524958 // "GRIX"
-  private val Version = 1
+  // v2: + dataLen and the optional complex-packing (5.2/5.3) parameters.
+  // A version bump benignly invalidates v1 sidecars (fresh walk + rewrite).
+  private val Version = 2
   val hits = new java.util.concurrent.atomic.AtomicLong
   val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -468,7 +571,17 @@ private[graft] object GribIndexCache {
             refValue = in.readFloat(), binScale = in.readInt(),
             decScale = in.readInt(), nbits = in.readInt(),
             nPresent = in.readInt(),
-            bitmapOffset = in.readLong(), dataOffset = in.readLong())
+            bitmapOffset = in.readLong(), dataOffset = in.readLong(),
+            dataLen = in.readInt(),
+            complex = {
+              if (!in.readBoolean()) None
+              else Some(ComplexParams(
+                ng = in.readInt(),
+                refGroupWidth = in.readInt(), groupWidthBits = in.readInt(),
+                refGroupLen = in.readInt(), lenInc = in.readInt(),
+                lastGroupLen = in.readInt(), groupLenBits = in.readInt(),
+                spatialOrder = in.readInt(), extraOctets = in.readInt()))
+            })
           i += 1
         }
         Some(out.result())
@@ -497,6 +610,15 @@ private[graft] object GribIndexCache {
         out.writeInt(m.decScale); out.writeInt(m.nbits)
         out.writeInt(m.nPresent)
         out.writeLong(m.bitmapOffset); out.writeLong(m.dataOffset)
+        out.writeInt(m.dataLen)
+        out.writeBoolean(m.complex.isDefined)
+        m.complex.foreach { cp =>
+          out.writeInt(cp.ng)
+          out.writeInt(cp.refGroupWidth); out.writeInt(cp.groupWidthBits)
+          out.writeInt(cp.refGroupLen); out.writeInt(cp.lenInc)
+          out.writeInt(cp.lastGroupLen); out.writeInt(cp.groupLenBits)
+          out.writeInt(cp.spatialOrder); out.writeInt(cp.extraOctets)
+        }
       }
     } finally out.close()
     // some filesystems (LocalFileSystem among them) refuse to rename onto
@@ -1127,10 +1249,17 @@ private class GribReaderFactory extends PartitionReaderFactory {
         }
         values =
           if (!needValue) null
-          else {
-            val packed = readBytes(current.dataOffset,
-              (current.nPresent.toLong * current.nbits + 7) / 8)
-            decode(packed, current)
+          else current.complex match {
+            case Some(cp) =>
+              // complex packing has a variable-length payload (group
+              // descriptors + per-group widths): read the whole
+              // section-7 body as indexed
+              decodeComplex(readBytes(current.dataOffset, current.dataLen.toLong),
+                current, cp)
+            case None =>
+              val packed = readBytes(current.dataOffset,
+                (current.nPresent.toLong * current.nbits + 7) / 8)
+              decode(packed, current)
           }
         // message-invariant columns are written ONCE here, not per cell
         var c = 0
@@ -1182,6 +1311,92 @@ private class GribReaderFactory extends PartitionReaderFactory {
           out(i) = (r + x * twoE) / tenD
           i += 1
         }
+        out
+      }
+
+      /** Complex packing (DRS 5.2) and complex packing with spatial
+        * differencing (5.3), WMO FM 92 §7.2/7.3 — the encoding
+        * operational CDS/GloFAS GRIB2 commonly ships where the fixture
+        * path uses simple packing. Layout of the section-7 body:
+        * (5.3 only) sign-magnitude initial value(s) + overall minimum,
+        * `extraOctets` bytes each; then NG group reference values
+        * (`nbits` each), NG group widths (`groupWidthBits` each, offset
+        * by `refGroupWidth`), NG scaled group lengths (`groupLenBits`
+        * each, `refGroupLen + lenInc·x`, last group overridden by
+        * `lastGroupLen`) — each sequence zero-padded to a byte
+        * boundary — then each group's values at its own width, added to
+        * its reference. 5.3 then reconstructs first/second-order
+        * differences (the first `order` field values are the literal
+        * initial values) before the shared Y=(R+X·2^E)/10^D scaling. */
+      private def decodeComplex(
+          packed: Array[Byte], m: GribMessage, cp: ComplexParams): Array[Double] = {
+        val n = m.nPresent
+        val out = new Array[Double](n)
+        if (n == 0) return out
+        val br = new GribBitReader(packed, m.path)
+        var iv1, iv2, dmin = 0L
+        if (cp.spatialOrder > 0) {
+          iv1 = br.readSignMagnitude(cp.extraOctets)
+          if (cp.spatialOrder == 2) iv2 = br.readSignMagnitude(cp.extraOctets)
+          dmin = br.readSignMagnitude(cp.extraOctets)
+          // descriptors are whole octets — already byte-aligned
+        }
+        val ng = cp.ng
+        val refs = new Array[Long](ng)
+        var g = 0
+        while (g < ng) { refs(g) = br.read(m.nbits); g += 1 }
+        br.align()
+        val widths = new Array[Int](ng)
+        g = 0
+        while (g < ng) {
+          widths(g) = cp.refGroupWidth + br.read(cp.groupWidthBits).toInt
+          require(widths(g) <= 32,
+            s"${m.path}: group $g width ${widths(g)} bits unsupported")
+          g += 1
+        }
+        br.align()
+        val lens = new Array[Long](ng)
+        g = 0
+        while (g < ng) {
+          lens(g) = cp.refGroupLen + cp.lenInc.toLong * br.read(cp.groupLenBits)
+          g += 1
+        }
+        br.align()
+        if (ng > 0) lens(ng - 1) = cp.lastGroupLen.toLong
+        var totalLen = 0L
+        g = 0
+        while (g < ng) { totalLen += lens(g); g += 1 }
+        require(totalLen == n, // group lengths and section 5/bitmap must agree
+          s"${m.path}: complex-packing group lengths sum $totalLen but " +
+            s"$n data points are present")
+        val fld = new Array[Long](n)
+        var i = 0
+        g = 0
+        while (g < ng) {
+          val w = widths(g)
+          val ref = refs(g)
+          var k = 0L
+          while (k < lens(g)) { fld(i) = ref + br.read(w); i += 1; k += 1 }
+          g += 1
+        }
+        if (cp.spatialOrder == 1) {
+          fld(0) = iv1
+          i = 1
+          while (i < n) { fld(i) = fld(i) + dmin + fld(i - 1); i += 1 }
+        } else if (cp.spatialOrder == 2) {
+          fld(0) = iv1
+          if (n > 1) fld(1) = iv2
+          i = 2
+          while (i < n) {
+            fld(i) = fld(i) + dmin + 2 * fld(i - 1) - fld(i - 2)
+            i += 1
+          }
+        }
+        val r = m.refValue.toDouble
+        val twoE = math.pow(2.0, m.binScale)
+        val tenD = math.pow(10.0, m.decScale)
+        i = 0
+        while (i < n) { out(i) = (r + fld(i) * twoE) / tenD; i += 1 }
         out
       }
 

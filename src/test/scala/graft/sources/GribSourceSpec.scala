@@ -41,6 +41,22 @@ class GribSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 3)
   }
 
+  test("decodes the complex-packing fixture bit-exactly (DRS 5.2/5.3)") {
+    // tools/make_grib_complex_fixture.py: 7 messages — plain 5.2, 5.2 +
+    // bitmap, 5.3 order 1/2 (2/3/4-octet descriptors), constant field
+    // (group widths 0, nbits 0), differencing + bitmap, short last group
+    val df = spark.read
+      .format(classOf[GribSource].getName)
+      .option("path", new File("data/grib/complex.grib2").getAbsolutePath)
+      .option("numPartitions", "3")
+      .load()
+    val mirror = spark.read.parquet(
+      new File("data/grib/complex_expected.parquet").getAbsolutePath)
+    assert(asTuples(df) == asTuples(mirror))
+    assert(df.count() == 7L * 45)
+    assert(df.filter(col("value").isNull).count() == 8) // 2 bitmap messages x 4
+  }
+
   test("bitmap-missing cells surface as SQL NULL values") {
     assert(grib().filter(col("value").isNull).count() == 3)
     // the deterministic message has no `number`
