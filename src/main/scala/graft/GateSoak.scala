@@ -16,19 +16,33 @@ import graft.streaming.CorpusStream
   *
   * Prints wall, per-batch drain rate, kept/total docs, and the signature
   * store's row count and byte size (the thing that must stay ~0.5 KB/doc
-  * for the 100 TB posture to hold).
+  * for the 100 TB posture to hold). Each trigger also reports its INPUT
+  * BYTES READ (SparkListener task metrics): in `plain` mode that grows
+  * with the store (the whole signature history is re-scanned per
+  * trigger); in `bucketed` mode ([[CorpusStream.nearDupGateBucketedBatch]],
+  * hive-bucketed postings + signature stores with partition-pruned
+  * reads) it must scale with the drop.
   *
   * Usage:
   *   SPARK_GRAFT_CPUS=32 sbt 'runMain graft.GateSoak
-  *     /root/testdata/sf0.1/documents.parquet /tmp/gate_soak 10'
+  *     /root/testdata/sf0.1/documents.parquet /tmp/gate_soak 10 bucketed'
   */
 object GateSoak {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GateSoak <documentsParquet> <workDir> [nDrops]")
+    require(args.length >= 2,
+      "usage: GateSoak <documentsParquet> <workDir> [nDrops] [plain|bucketed]")
     val docsPath = args(0)
     val work = args(1)
     val nDrops = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "plain"
+    require(mode == "plain" || mode == "bucketed", s"unknown mode $mode")
+    // The sf testdata documents are short (~45 words -> hs ≈ 350 B/doc);
+    // production curation corpora run 500+ words, where the shingle
+    // arrays dominate the signature store and the bucketed layout's
+    // candidates-only hs reads pay off. `inflate` repeats each text so
+    // the soak can measure at a realistic bytes-per-doc.
+    val inflate = if (args.length > 4) args(4).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -38,7 +52,18 @@ object GateSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = spark.read.parquet(docsPath)
+    val rawDocs = spark.read.parquet(docsPath)
+    // inflate with alphabet-rotated copies: each copy contributes its own
+    // distinct shingle space while preserving every pair's jaccard, so
+    // the dedup structure is unchanged and only bytes/doc grows
+    val docs = if (inflate <= 1) rawDocs else {
+      val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      val copies = (0 until inflate).map { k =>
+        val rot = alphabet.drop(k % 26) + alphabet.take(k % 26)
+        if (k == 0) col("text") else translate(col("text"), alphabet, rot)
+      }
+      rawDocs.withColumn("text", concat_ws(" ", copies: _*))
+    }
     val (minId, maxId, total) = {
       val r = docs.agg(min("doc_id"), max("doc_id"), count(lit(1))).head
       (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -60,24 +85,133 @@ object GateSoak {
     val corpus = s"$work/corpus"
     val store = s"$work/store"
     val ckpt = s"$work/ckpt"
-    val stream = spark.readStream.schema(CorpusStream.documentsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropDir)
+
+    // per-trigger input-bytes accounting (what must scale with the DROP,
+    // not the history, for the bucketed form)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    })
+
     val t0 = System.nanoTime()
-    val q = CorpusStream.nearDupGateSink(stream, corpus, store, ckpt).start()
-    q.awaitTermination()
+    if (mode == "bucketed") {
+      // drive batches directly (same body the sink wires to foreachBatch)
+      // so each trigger's bytes are attributable
+      val postings = s"$work/postings"
+      for (i <- 0 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        CorpusStream.nearDupGateBucketedBatch(drop, i.toLong, corpus, postings, store)
+        println(f"  trigger $i%2d: ${(bytesRead.get() - b0) / 1024} KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      }
+    } else {
+      for (i <- 0 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        CorpusStream.nearDupGateBatch(drop, i.toLong, corpus, store,
+          shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5)
+        println(f"  trigger $i%2d: ${(bytesRead.get() - b0) / 1024} KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      }
+      // the stream wiring itself (checkpoint + AvailableNow drain) is
+      // exercised by CorpusStreamSpec; rerunning it here on the already-
+      // landed batches would double-gate the same ids
+      val _ = ckpt
+    }
     val wall = (System.nanoTime() - t0) / 1e9
+
+    if (mode == "bucketed") {
+      // Isolated history-join probe: the per-trigger numbers above are
+      // dominated by in-batch clustering I/O (checkpoint block reads), so
+      // the store-layout claim — join bytes scale with the DROP against a
+      // bucketed store, with the HISTORY against the single store — is
+      // measured here on bare joins, no clustering in the loop.
+      import graft.llm.Dedup
+      val postings = s"$work/postings"
+      val merged = s"$work/store_merged"
+      spark.read.parquet(store).select("doc_id", "hs", "sig")
+        .write.mode("overwrite").parquet(merged) // single-store twin
+      for (probeN <- Seq(50, 500)) {
+        // realistic drop: ~10% exact re-crawls of history, ~90% genuinely
+        // new content (unique token streams -> no shared shingles)
+        val probe = docs.orderBy(col("doc_id")).limit(probeN)
+          .withColumn("doc_id", col("doc_id") + 1000000L) // fresh ids
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0, col("text"))
+              .otherwise(concat_ws(" ",
+                transform(sequence(lit(1), lit(40)),
+                  i => concat(lit("w"), (col("doc_id") * 100 + i).cast("string"))))))
+        val shProbe = Dedup.signatureTable(probe, "doc_id", "text")
+          .withColumnRenamed("doc_id", "new_id").localCheckpoint()
+        val bProbe = Dedup.bandPostings(shProbe, "new_id", 16, 4).localCheckpoint()
+        def measure(label: String)(job: => Long): Unit = {
+          val b0 = bytesRead.get()
+          val t1 = System.nanoTime()
+          val n = job
+          println(f"  probe $probeN%4d docs, $label%-12s: " +
+            f"${(bytesRead.get() - b0) / 1024}%6d KB read, " +
+            f"${(System.nanoTime() - t1) / 1e9}%.2f s, $n dup-hits")
+        }
+        measure("single-store") {
+          val hist = spark.read.parquet(merged)
+            .select(col("doc_id").as("hist_id"), col("hs"), col("sig"))
+          Dedup.minhashIncrementalPairsFromSignatures(shProbe, hist)
+            .select("new_id").distinct().count()
+        }
+        measure("bucketed") {
+          val touched = bProbe
+            .select(pmod(hash(col("band"), col("band_hash")), lit(64)).as("bk"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val postHist = spark.read.parquet(postings)
+            .filter(col(CorpusStream.PostingsBucketCol).isin(touched: _*))
+            .select(col("hist_id"), col("band"), col("band_hash"))
+          val okKeys = bProbe.select(col("band"), col("band_hash"))
+            .unionByName(postHist.select(col("band"), col("band_hash")))
+            .groupBy(col("band"), col("band_hash"))
+            .agg(count(lit(1)).as("n")).filter(col("n") <= Dedup.MaxBucket)
+            .select(col("band"), col("band_hash"))
+          val cand = bProbe.join(okKeys, Seq("band", "band_hash"), "left_semi")
+            .join(postHist, Seq("band", "band_hash"))
+            .select(col("new_id"), col("hist_id")).distinct().localCheckpoint()
+          val candBuckets = cand
+            .select(pmod(hash(col("hist_id")), lit(64)).as("sb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          if (candBuckets.isEmpty) 0L
+          else {
+            val shHist = spark.read.parquet(store)
+              .filter(col(CorpusStream.SigBucketCol).isin(candBuckets: _*))
+              .select(col("doc_id").as("hist_id"), col("hs"), col("sig"))
+            Dedup.minhashVerifyCandidates(cand, shProbe, shHist, 64, 0.5)
+              .select("new_id").distinct().count()
+          }
+        }
+      }
+    }
 
     val kept = CorpusStream.readKept(spark, corpus).count()
     val storeRows = spark.read.parquet(store).count()
-    val storeBytes = Files.walk(java.nio.file.Paths.get(store)).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(Files.size).sum
-    println(f"GATE SOAK: $nDrops drops, $total docs -> $kept kept " +
+    def parquetBytes(dir: String): Long =
+      Files.walk(java.nio.file.Paths.get(dir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    val storeBytes = parquetBytes(store)
+    val postingsLine =
+      if (mode == "bucketed")
+        f", postings ${parquetBytes(s"$work/postings") / 1024} KB"
+      else ""
+    println(f"GATE SOAK[$mode]: $nDrops drops, $total docs -> $kept kept " +
       f"(${total - kept} near-dups gated), wall $wall%.1f s " +
       f"(${wall / nDrops}%.2f s/drop), store $storeRows rows / " +
-      f"${storeBytes / 1024} KB (${storeBytes.toDouble / math.max(1, storeRows)}%.0f B/doc)")
+      f"${storeBytes / 1024} KB (${storeBytes.toDouble / math.max(1, storeRows)}%.0f B/doc)" +
+      postingsLine)
     spark.stop()
   }
 }

@@ -500,12 +500,8 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucket: Int = MaxBucket,
       estSlack: Double = 0.15): DataFrame = {
-    val perms = nBands * rowsPerBand
-    def banded(sh: DataFrame, idAlias: String): DataFrame = sh
-      .select(col(idAlias), explode(bandDigests(col("sig"), nBands, rowsPerBand)).as("bd"))
-      .select(col(idAlias), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
-    val bNew = banded(shNew, "new_id")
-    val bHist = banded(shHist, "hist_id")
+    val bNew = bandPostings(shNew, "new_id", nBands, rowsPerBand)
+    val bHist = bandPostings(shHist, "hist_id", nBands, rowsPerBand)
     // combined-membership bucket cap (identical to minhashPairs' semantics:
     // the bucket is the union of both sides; a 1-member bucket cannot pair,
     // so no lower bound is needed)
@@ -520,6 +516,32 @@ object Dedup {
       .join(bHist, Seq("band", "band_hash"))
       .select(col("new_id"), col("hist_id"))
       .distinct() // a pair may collide in several bands; verify once
+    minhashVerifyCandidates(cand, shNew, shHist,
+      nBands * rowsPerBand, minJaccard, estSlack)
+  }
+
+  /** Banded postings of a [[signatureTable]]: one row per (id, band) with
+    * that band's digest — the LSH candidate-join key, and the unit the
+    * bucketed streaming store ([[graft.streaming.CorpusStream]]
+    * `nearDupGateBucketedBatch`) hive-partitions by so a drop's join
+    * reads only the buckets its own digests touch. */
+  def bandPostings(sh: DataFrame, idCol: String, nBands: Int, rowsPerBand: Int): DataFrame =
+    sh.select(col(idCol), explode(bandDigests(col("sig"), nBands, rowsPerBand)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
+
+  /** Screen-and-verify tail shared by the signature-level incremental
+    * joins: candidate (new_id, hist_id) pairs → signature-agreement
+    * screen (cheap, fixed-width) → exact shingle jaccard ≥ `minJaccard`.
+    * `shNew`/`shHist` need (id, hs, sig); only CANDIDATE rows are
+    * touched, so a caller with a partitioned store can hand a
+    * partition-pruned history frame here. */
+  def minhashVerifyCandidates(
+      cand: DataFrame,
+      shNew: DataFrame,
+      shHist: DataFrame,
+      perms: Int,
+      minJaccard: Double,
+      estSlack: Double = 0.15): DataFrame = {
     val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
     val screened = cand
       .join(shNew.select(col("new_id"), col("sig").as("sig_a")), Seq("new_id"))

@@ -72,11 +72,14 @@ object CorpusStream {
     *
     * Scale posture: per trigger the store is one O(history signatures)
     * scan re-banded into the join — signatures are ~0.5 KB/doc, 100–1000×
-    * smaller than the corpus. When even that dominates, persist band
-    * postings bucketed by (band, band_hash) in the
-    * [[SnapshotStream.bucketedMergeSink]] layout so a batch joins only
-    * its touched buckets; this single-store form is the right trade up to
-    * ~1 B kept docs per store.
+    * smaller than the corpus, and parquet column pruning plus Spark's
+    * runtime join filtering keep the bytes actually read well below the
+    * store's footprint (measured in GateSoak). The irreducible cost is
+    * the banding scan: the full `sig` column of ALL history, every
+    * trigger. When that dominates (≳10⁹ kept docs), switch to
+    * [[nearDupGateBucketedSink]], whose precomputed postings + bucketed
+    * stores bound per-trigger reads by touched buckets and candidates;
+    * this single-store form is the right trade below that.
     *
     * Contract: `doc_id` must be globally unique across the stream's
     * lifetime (it keys the store). */
@@ -148,6 +151,220 @@ object CorpusStream {
     * hive `batch` partition column is internal bookkeeping — dropped). */
   def readKept(spark: SparkSession, corpusPath: String): DataFrame =
     spark.read.parquet(corpusPath).drop("batch")
+
+  /** Partition column of the bucketed postings store:
+    * `pmod(hash(band, band_hash), postingsBuckets)`. */
+  val PostingsBucketCol = "bucket"
+
+  /** Partition column of the bucketed signature store:
+    * `pmod(hash(doc_id), sigBuckets)`. */
+  val SigBucketCol = "sbucket"
+
+  /** PRUNED-STORE near-dup gate — [[nearDupGateSink]] for corpora whose
+    * signature history outgrows a per-trigger full scan (the single-store
+    * form reads the whole `(doc_id, hs, sig)` history every micro-batch:
+    * ~429 B/doc measured, ≈400 GB/trigger at 10⁹ kept docs). The history
+    * lives in TWO hive-bucketed stores so a trigger's I/O scales with the
+    * DROP, not the history:
+    *
+    *  - `postingsPath` — `batch=<id>/bucket=<b>/` with narrow rows
+    *    `(hist_id, band, band_hash)`, bucketed by
+    *    `pmod(hash(band, band_hash), postingsBuckets)`. A batch reads
+    *    ONLY the buckets its own band digests touch (partition pruning;
+    *    collected driver-side, bounded by `postingsBuckets`).
+    *  - `storePath` — `batch=<id>/sbucket=<s>/` with the full
+    *    `(doc_id, hs, sig)` rows, bucketed by `pmod(hash(doc_id),
+    *    sigBuckets)`. Read ONLY for the sbuckets holding CANDIDATE
+    *    hist ids (the capped postings join's output) — the heavy `hs`
+    *    shingle arrays never leave disk for non-candidate history.
+    *
+    * Same exactly-once discipline as [[nearDupGateBatch]]: both stores
+    * land under per-batch directories, history reads exclude the current
+    * batch id, and a crash-replayed batch overwrites its own output and
+    * recomputes against identical history. Gate DECISIONS are identical
+    * to the single-store form (spec-pinned): the bucket layout changes
+    * where rows live, not which pairs are candidates.
+    *
+    * `postingsBuckets`/`sigBuckets` must stay constant for the life of a
+    * store (they define row→directory placement). Size them so one
+    * bucket ≈ one HDFS block at the target corpus; the defaults suit the
+    * soak harness. */
+  def nearDupGateBucketedSink(
+      docs: DataFrame,
+      corpusPath: String,
+      postingsPath: String,
+      storePath: String,
+      checkpointDir: String,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5,
+      postingsBuckets: Int = 64,
+      sigBuckets: Int = 64,
+      compactEvery: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupGateBucketedBatch(batch, batchId, corpusPath, postingsPath,
+          storePath, shingleK, perms, nBands, rowsPerBand, minJaccard,
+          postingsBuckets, sigBuckets, compactEvery)
+      }
+
+  /** Fold finalized per-batch directories of a bucketed store into the
+    * `batch=-1` base partition — one file per bucket — so the store's
+    * file count stays O(buckets + compactEvery), not O(buckets ×
+    * stream lifetime). Only batches strictly below `uptoExclusive` are
+    * folded (the current batch's replay discipline must keep seeing its
+    * own id excluded, and a batch folded into base BEFORE its checkpoint
+    * committed would poison its own replay). Crash-safe via the
+    * [[SnapshotStream.mergeSink]] staging two-step: a committed staging
+    * with no base is finished on the next call; an uncommitted one is
+    * discarded; a crash between base swap steps at worst leaves
+    * duplicate rows across base and an unfolded batch dir, which the
+    * gate's `.distinct()` candidate/dup-id steps make decision-neutral. */
+  private[streaming] def compactBucketedStore(
+      spark: SparkSession, path: String, bucketCol: String,
+      uptoExclusive: Long): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val staging = new Path(root, ".compact_staging")
+    val base = new Path(root, "batch=-1")
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, "_SUCCESS")) && !fs.exists(base)) {
+        require(fs.rename(staging, base),
+          s"compactBucketedStore: could not finish crashed swap at $path")
+        return // the crashed compaction folded everything it saw
+      } else fs.delete(staging, true)
+    }
+    val batchDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter { p =>
+        val v = p.getName.stripPrefix("batch=").toLong
+        v >= 0 && v < uptoExclusive
+      }
+    if (batchDirs.isEmpty) return
+    spark.read.parquet(path)
+      .filter(col("batch") < uptoExclusive) // base (-1) + finalized batches
+      .drop("batch")
+      .repartition(col(bucketCol))
+      .sortWithinPartitions(
+        if (bucketCol == PostingsBucketCol) col("band_hash") else col("doc_id"))
+      .write.partitionBy(bucketCol)
+      .mode("overwrite").parquet(staging.toString)
+    batchDirs.foreach(d => fs.delete(d, true))
+    fs.delete(base, true)
+    require(fs.rename(staging, base),
+      s"compactBucketedStore: could not move staging into place at $path")
+  }
+
+  /** One micro-batch of [[nearDupGateBucketedSink]], callable directly.
+    * `compactEvery` > 0 folds finalized batch directories into the
+    * `batch=-1` base every that-many batches (see
+    * [[compactBucketedStore]]); 0 disables. */
+  def nearDupGateBucketedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      corpusPath: String,
+      postingsPath: String,
+      storePath: String,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5,
+      postingsBuckets: Int = 64,
+      sigBuckets: Int = 64,
+      compactEvery: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactBucketedStore(spark, postingsPath, PostingsBucketCol, batchId)
+      compactBucketedStore(spark, storePath, SigBucketCol, batchId)
+    }
+    val b = batch.localCheckpoint()
+    // (1) in-batch clustering — identical to nearDupGateBatch
+    val inBatchPairs = Dedup.minhashPairs(b, "doc_id", "text",
+      shingleK, perms, nBands, rowsPerBand, minJaccard)
+    val reps = Dedup.clusters(b.select(col("doc_id")), inBatchPairs)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+    val repDocs = b.join(reps, Seq("doc_id"), "left_semi")
+    val shBatch = Dedup.signatureTable(repDocs, "doc_id", "text", shingleK, perms)
+      .localCheckpoint()
+    val bNew = Dedup.bandPostings(shBatch, "doc_id", nBands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .localCheckpoint() // feeds touched-bucket collect + candidate join
+    // (2) vs history, partition-pruned on both stores
+    val fs = new Path(postingsPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val histDupIds =
+      if (fs.exists(new Path(postingsPath))) {
+        // touched postings buckets: bounded driver collect (≤ postingsBuckets)
+        val touched = bNew
+          .select(pmod(hash(col("band"), col("band_hash")), lit(postingsBuckets)).as("bk"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val postHist = spark.read.parquet(postingsPath)
+          .filter(col("batch") =!= batchId &&
+            col(PostingsBucketCol).isin(touched: _*))
+          .select(col("hist_id"), col("band"), col("band_hash"))
+          .localCheckpoint() // feeds the cap count AND the candidate join:
+          // one pruned read instead of two full passes over the partitions
+        // combined-membership bucket cap, same semantics as the
+        // single-store join (Dedup.minhashIncrementalPairsFromSignatures)
+        val okKeys = bNew.select(col("band"), col("band_hash"))
+          .unionByName(postHist.select(col("band"), col("band_hash")))
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= Dedup.MaxBucket)
+          .select(col("band"), col("band_hash"))
+        val cand = bNew
+          .join(okKeys, Seq("band", "band_hash"), "left_semi")
+          .join(postHist, Seq("band", "band_hash"))
+          .select(col("new_id"), col("hist_id"))
+          .distinct()
+          .localCheckpoint() // feeds sbucket collect + screen + verify
+        // candidate signature buckets: bounded driver collect (≤ sigBuckets)
+        val candBuckets = cand
+          .select(pmod(hash(col("hist_id")), lit(sigBuckets)).as("sb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (candBuckets.isEmpty) shBatch.select(col("doc_id")).limit(0)
+        else {
+          val shHist = spark.read.parquet(storePath)
+            .filter(col("batch") =!= batchId &&
+              col(SigBucketCol).isin(candBuckets: _*))
+            .select(col("doc_id").as("hist_id"), col("hs"), col("sig"))
+          Dedup.minhashVerifyCandidates(cand,
+            shBatch.withColumnRenamed("doc_id", "new_id"), shHist,
+            nBands * rowsPerBand, minJaccard)
+            .select(col("new_id").as("doc_id")).distinct()
+        }
+      } else shBatch.select(col("doc_id")).limit(0)
+    val keptIds = shBatch.select(col("doc_id"))
+      .join(histDupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // idempotent per-batch landing; one file per touched bucket
+    b.join(keptIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    val keptSh = shBatch.join(keptIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds both store writes
+    keptSh
+      .withColumn(SigBucketCol, pmod(hash(col("doc_id")), lit(sigBuckets)))
+      .repartition(col(SigBucketCol))
+      .sortWithinPartitions(col("doc_id")) // tight row-group id stats
+      .write.partitionBy(SigBucketCol)
+      .mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    Dedup.bandPostings(keptSh, "doc_id", nBands, rowsPerBand)
+      .withColumnRenamed("doc_id", "hist_id")
+      .withColumn(PostingsBucketCol,
+        pmod(hash(col("band"), col("band_hash")), lit(postingsBuckets)))
+      .repartition(col(PostingsBucketCol))
+      .sortWithinPartitions(col("band"), col("band_hash")) // row-group
+      // min/max stats stay tight, so digest-range skipping works at scale
+      .write.partitionBy(PostingsBucketCol)
+      .mode("overwrite").parquet(s"$postingsPath/batch=$batchId")
+  }
 
   /** Streaming MODEL gate — "train once, score every drop": each arriving
     * micro-batch is scored against PRE-TRAINED model tables

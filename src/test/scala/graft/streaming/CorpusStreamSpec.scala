@@ -147,6 +147,53 @@ class CorpusStreamSpec extends SparkSpec {
     assert(ids(kept) == Set(20L, 30L))
   }
 
+  test("bucketed gate decides identically to the single-store gate and prunes partitions") {
+    val (corpusA, storeA) = freshDirs()
+    val rootB = Files.createTempDirectory("neardup-bucketed")
+    val (corpusB, postingsB, storeB) = (s"$rootB/corpus", s"$rootB/postings", s"$rootB/store")
+    def runBucketed(df: DataFrame, id: Long): Unit =
+      CorpusStream.nearDupGateBucketedBatch(df, id, corpusB, postingsB, storeB,
+        shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5,
+        postingsBuckets = 16, sigBuckets = 8)
+    // drop 1: two near-dups + one distinct; drop 2: a history near-dup,
+    // an in-batch pair, and a fresh doc; drop 3: replay of drop 2
+    val d1 = docs(1L -> base, 2L -> (base + " x"), 3L -> other)
+    val d2 = docs(11L -> (base + " y"), 12L -> (other + " almost same tail z"),
+      13L -> (other + " almost same tail z w"), 14L -> "entirely new content nothing shared")
+    for ((df, id) <- Seq((d1, 0L), (d2, 1L))) {
+      runBatch(df, id, corpusA, storeA)
+      runBucketed(df, id)
+    }
+    def kept(p: String) = CorpusStream.readKept(spark, p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept(corpusB) == kept(corpusA), "bucketed gate diverged from single-store")
+    // crash-replay of batch 1 is idempotent
+    runBucketed(d2, 1L)
+    assert(kept(corpusB) == kept(corpusA))
+    // partition pruning is REAL: a pruned postings read selects fewer
+    // hive partitions than the store holds
+    val post = spark.read.parquet(postingsB)
+    val allParts = selectedPartitions(post)
+    val somePruned = selectedPartitions(
+      post.filter(col(CorpusStream.PostingsBucketCol).isin(0, 1)))
+    assert(somePruned < allParts,
+      s"bucket filter did not prune ($somePruned vs $allParts partitions)")
+    val sig = spark.read.parquet(storeB)
+    assert(selectedPartitions(
+      sig.filter(col(CorpusStream.SigBucketCol) === 0)) < selectedPartitions(sig))
+    // and the pruned read path is what the gate itself issues: a 1-doc
+    // drop touches at most nBands postings buckets of the 16
+    val d3 = docs(21L -> "one more unique doc to measure touched buckets")
+    runBucketed(d3, 2L)
+    assert(kept(corpusB) == kept(corpusA) + 21L)
+  }
+
+  private def selectedPartitions(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+
   test("NULL-text docs route to rejected, never silently vanish") {
     import graft.llm.{Classify, LangModel}
     val ref = Seq(
