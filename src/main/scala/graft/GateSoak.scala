@@ -36,7 +36,8 @@ object GateSoak {
     val work = args(1)
     val nDrops = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "plain"
-    require(mode == "plain" || mode == "bucketed", s"unknown mode $mode")
+    require(mode == "plain" || mode == "bucketed" || mode == "curate",
+      s"unknown mode $mode")
     // The sf testdata documents are short (~45 words -> hs ≈ 350 B/doc);
     // production curation corpora run 500+ words, where the shingle
     // arrays dominate the signature store and the bucketed layout's
@@ -96,6 +97,52 @@ object GateSoak {
     })
 
     val t0 = System.nanoTime()
+    if (mode == "curate") {
+      // Drop-by-drop PRODUCTION curation (Curation.curateV2With): models
+      // train ONCE on the first drop (the reference corpus); every later
+      // drop is scored against the fixed models + the accumulated
+      // exact-digest and signature stores, which grow only by kept rows.
+      import graft.llm.{Curation, CurationArtifacts, Dedup}
+      val exactStore = s"$work/exact_index"
+      val sigStore = s"$work/sig_store"
+      val verdicts = s"$work/verdicts"
+      val ref = spark.read.schema(CorpusStream.documentsSchema)
+        .parquet(f"$dropDir/drop_000.parquet")
+      val models = CurationArtifacts.build(ref, "doc_id", "text", "lang")
+      // seed history with the reference corpus itself
+      models.exactIndex.write.mode("overwrite").parquet(s"$exactStore/batch=0")
+      models.signatures.write.mode("overwrite").parquet(s"$sigStore/batch=0")
+      var keptTotal = ref.count()
+      for (i <- 1 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        val artifacts = models.copy(
+          exactIndex = spark.read.parquet(exactStore)
+            .groupBy("text_md5").agg(min("keep_id").as("keep_id")),
+          signatures = spark.read.parquet(sigStore).drop("batch"))
+        val v = Curation.curateV2With(drop, "doc_id", "text", artifacts,
+          acceptLabels = Set("en", "de", "fr")).localCheckpoint()
+        v.write.mode("overwrite").parquet(s"$verdicts/batch=$i")
+        val keptIds = v.filter(col("keep")).select("doc_id")
+        val keptDocs = drop.join(keptIds, Seq("doc_id"), "left_semi")
+        keptDocs.select(md5(col("text")).as("text_md5"), col("doc_id").as("keep_id"))
+          .write.mode("overwrite").parquet(s"$exactStore/batch=$i")
+        Dedup.signatureTable(keptDocs, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$sigStore/batch=$i")
+        val nKept = keptIds.count()
+        keptTotal += nKept
+        val reasons = v.groupBy("reason").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(f"  drop $i%2d: ${(bytesRead.get() - b0) / 1024}%6d KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s, $nKept kept [$reasons]")
+      }
+      println(f"CURATE SOAK: $nDrops drops, $total docs -> $keptTotal kept, " +
+        f"wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
     if (mode == "bucketed") {
       // drive batches directly (same body the sink wires to foreachBatch)
       // so each trigger's bytes are attributable

@@ -3,6 +3,54 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Persisted inputs of the PRODUCTION five-gate verdict
+  * ([[Curation.curateV2With]]): train/build once, gate every corpus
+  * drop. The four model tables are dimension-sized and fixed between
+  * retrains; the two history stores grow by each drop's kept rows:
+  *
+  *  - `nbTokenModel`/`nbPriors` — [[Classify.nbTrain]]/[[Classify.nbPriors]]
+  *  - `lmUnigrams`/`lmBigrams` — [[LangModel.lmUnigrams]]/[[LangModel.lmBigrams]]
+  *  - `exactIndex` — `(text_md5, keep_id)`: minimum doc id seen per
+  *    exact-text digest (the incremental form of curateV2's md5 window)
+  *  - `signatures` — `(doc_id, hs, sig)` [[Dedup.signatureTable]] rows of
+  *    history (the bipartite near-dup side; lay it out as the
+  *    [[graft.streaming.CorpusStream]] bucketed store when it outgrows a
+  *    full read)
+  */
+final case class CurationArtifacts(
+    nbTokenModel: DataFrame,
+    nbPriors: DataFrame,
+    lmUnigrams: DataFrame,
+    lmBigrams: DataFrame,
+    exactIndex: DataFrame,
+    signatures: DataFrame)
+
+object CurationArtifacts {
+
+  /** Build every artifact from one reference corpus (the batch-training
+    * job a production pipeline runs once per model refresh; the history
+    * stores then accumulate drop-by-drop from each gated batch). */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      vocabSize: Int = 64,
+      shingleK: Int = 5,
+      perms: Int = 64): CurationArtifacts = {
+    val d = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(labelCol).cast("string").as("__label"))
+    CurationArtifacts(
+      nbTokenModel = Classify.nbTrain(d, "doc_id", "text", "__label", vocabSize),
+      nbPriors = Classify.nbPriors(d, "__label"),
+      lmUnigrams = LangModel.lmUnigrams(d, "doc_id", "text", vocabSize),
+      lmBigrams = LangModel.lmBigrams(d, "doc_id", "text", vocabSize),
+      exactIndex = d.groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id")),
+      signatures = Dedup.signatureTable(d, "doc_id", "text", shingleK, perms))
+  }
+}
+
 /** End-to-end corpus curation: the composition a training-data pipeline
   * actually runs — quality gate, then near-duplicate clustering over the
   * survivors, then a per-document keep/drop decision with a reason.
@@ -104,6 +152,105 @@ object Curation {
           .when(!col("predicted_label").isin(acceptLabels.toSeq: _*), lit("off_label"))
           .when(col("lp_micros") < lit(minAvgLpMicros) * col("n_pairs"), lit("low_lp"))
           .when(col("doc_id") =!= col("cluster_id"), lit("near_duplicate"))
+          .otherwise(lit("kept")).as("reason"))
+      .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
+  }
+
+  /** The PRODUCTION shape of [[curateV2]]: score one corpus DROP against
+    * persisted [[CurationArtifacts]] — models trained once, history
+    * stores accumulated from previously gated drops — instead of
+    * self-training on the corpus per run. Same five gates, same
+    * first-failing-gate verdict vocabulary:
+    *
+    *  1. exact_dup — drop-internal md5 window combined with the
+    *     history `exactIndex` (a doc is a dup unless it IS the overall
+    *     minimum id for its digest);
+    *  2. low_quality — kernel projection (no model);
+    *  3. off_label — [[Classify.nbScoreWith]] against the persisted NB;
+    *  4. low_lp — [[LangModel.lmScoreWith]] against the persisted LM;
+    *  5. near_duplicate — in-drop MinHash clustering plus the BIPARTITE
+    *     incremental check of cluster representatives against the
+    *     history `signatures` store
+    *     ([[Dedup.minhashIncrementalPairsFromSignatures]]); a cluster
+    *     whose representative matches history drops transitively, the
+    *     [[graft.streaming.CorpusStream]] gate semantics.
+    *
+    * Equivalence: on a fixed corpus split (history ‖ drop, artifacts
+    * built on the full corpus), the verdict equals
+    * `curateV2(corpus)` restricted to the drop — spec-pinned — PROVIDED
+    * no near-dup chain crosses the split through a drop-internal link
+    * (drop docs A~B, B~history, A≁history: the global clustering pulls A
+    * into the history cluster, the incremental check sees only B's
+    * match). That chain needs two docs at ~0.5 jaccard to a third but
+    * not each other AND split placement between them; batch re-curation
+    * remains the periodic reconciliation, exactly as for the streaming
+    * gate.
+    *
+    * Scale shape: gates 2–4 stay zero-shuffle kernel projections; gate 1
+    * is one drop-keyed window plus a broadcastable digest join; gate 5
+    * pairs the DROP against itself and its representatives against
+    * history — history is never self-paired or re-hashed. */
+  def curateV2With(
+      drop: DataFrame,
+      idCol: String,
+      textCol: String,
+      artifacts: CurationArtifacts,
+      acceptLabels: Set[String],
+      minQuality: Double = 0.4,
+      minAvgLpMicros: Long = -3450000L,
+      minJaccard: Double = 0.5,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(acceptLabels.nonEmpty, "curateV2With needs at least one accept label")
+    val d = drop.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint() // feeds all five gates
+    // gate 1: drop-window min combined with the history digest index
+    val exact = d
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .withColumn("drop_min", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text_md5"))))
+      .join(broadcast(artifacts.exactIndex
+        .select(col("text_md5"), col("keep_id").as("hist_min"))), Seq("text_md5"), "left")
+      .select(col("doc_id"),
+        least(col("drop_min"), coalesce(col("hist_min"), col("drop_min"))).as("keep_id"))
+    val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .select("doc_id", "quality_score")
+    val nb = Classify.nbScoreWith(d, "doc_id", "text",
+      artifacts.nbTokenModel, artifacts.nbPriors)
+      .select("doc_id", "predicted_label")
+    val lm = LangModel.lmScoreWith(d, "doc_id", "text",
+      artifacts.lmUnigrams, artifacts.lmBigrams)
+    // gate 5: in-drop clusters, then representatives vs history
+    val clusters = Dedup.clusters(d.select(col("doc_id")),
+      Dedup.minhashPairs(d, "doc_id", "text",
+        shingleK, perms, nBands, rowsPerBand, minJaccard))
+      .localCheckpoint() // feeds rep selection + the verdict join
+    val repSh = Dedup.signatureTable(
+      d.join(clusters.filter(col("cluster_id") === col("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", shingleK, perms)
+    val histDupReps = Dedup.minhashIncrementalPairsFromSignatures(
+      repSh.withColumnRenamed("doc_id", "new_id"),
+      artifacts.signatures.select(col("doc_id").as("hist_id"), col("hs"), col("sig")),
+      nBands, rowsPerBand, minJaccard)
+      .select(col("new_id").as("cluster_id")).distinct()
+      .withColumn("rep_hist_dup", lit(true))
+    d.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(nb, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(histDupReps, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("quality_score") < minQuality, lit("low_quality"))
+          .when(!col("predicted_label").isin(acceptLabels.toSeq: _*), lit("off_label"))
+          .when(col("lp_micros") < lit(minAvgLpMicros) * col("n_pairs"), lit("low_lp"))
+          .when(col("doc_id") =!= col("cluster_id") ||
+            coalesce(col("rep_hist_dup"), lit(false)), lit("near_duplicate"))
           .otherwise(lit("kept")).as("reason"))
       .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
   }

@@ -59,4 +59,58 @@ class CurateV2Spec extends SparkSpec {
     assert(v.select("doc_id").distinct().count() == docs.count())
     assert(v.filter(col("keep") =!= (col("reason") === "kept")).count() == 0)
   }
+
+  test("curateV2With(drop, artifacts) ≡ curateV2(corpus) restricted to the drop") {
+    // fixed corpus split: artifacts carry models trained on the FULL
+    // corpus (curateV2 self-trains on everything) while the history
+    // stores hold only the pre-drop docs — the production posture
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val splitId = corpus.selectExpr("percentile(doc_id, 0.8)").head.getDouble(0).toLong
+    val history = corpus.filter(col("doc_id") <= splitId)
+    val drop = corpus.filter(col("doc_id") > splitId)
+    assert(drop.count() > 0 && history.count() > 0)
+    val full = CurationArtifacts.build(corpus, "doc_id", "text", "lang")
+    val hist = CurationArtifacts.build(history, "doc_id", "text", "lang")
+    val artifacts = full.copy(
+      exactIndex = hist.exactIndex, signatures = hist.signatures)
+    val accept = Set("en", "de", "fr")
+    val expected = Curation.curateV2(corpus, "doc_id", "text", "lang", accept)
+      .join(drop.select("doc_id"), Seq("doc_id"), "left_semi")
+      .as[(Long, Boolean, String)].collect().toSet
+    val got = Curation.curateV2With(drop, "doc_id", "text", artifacts, accept)
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(got == expected,
+      s"drop-scored verdicts diverge from batch curation:\n" +
+        s"only-batch: ${(expected -- got).take(5)}\nonly-drop: ${(got -- expected).take(5)}")
+  }
+
+  test("curateV2With gates a drop against history across every gate") {
+    val history = Seq(
+      (1L, good, "en"),
+      (2L, "some other perfectly healthy reference document content here", "en"))
+      .toDF("doc_id", "text", "lang")
+    // models trained on a corpus where 'en' dominates and good-bigrams rule
+    val trainCorpus = Seq(
+      (1L, good, "en"), (2L, good + " north", "en"),
+      (3L, "zonk blip zork vex nim quux zonk blip zork vex nim", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val a = CurationArtifacts.build(trainCorpus, "doc_id", "text", "lang").copy(
+      exactIndex = CurationArtifacts.build(history, "doc_id", "text", "lang").exactIndex,
+      signatures = CurationArtifacts.build(history, "doc_id", "text", "lang").signatures)
+    val drop = Seq(
+      (10L, good, "en"), // exact dup of history doc 1
+      (11L, good + " tail", "en"), // near-dup of history doc 1
+      (12L, "aa aa aa aa aa aa aa aa aa aa", "en"), // low quality
+      (13L, "zonk blip zork vex nim quux zonk blip zork vex nim", "zz"), // off label
+      (14L, "fresh healthy unique content about rivers and valleys flowing north", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curateV2With(drop, "doc_id", "text", a, Set("en"),
+      minAvgLpMicros = -5000000L)
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(10L) == "exact_dup")
+    assert(out(11L) == "near_duplicate")
+    assert(out(12L) == "low_quality")
+    assert(out(13L) == "off_label")
+    assert(out(14L) == "kept")
+  }
 }
