@@ -154,13 +154,50 @@ object Multimodal {
       val channels = (b(25) & 0xff) match {
         case 0 => 1 // grayscale
         case 2 => 3 // truecolor
-        case 3 => 1 // palette
+        case 3 => 3 // palette: indices DECODE to RGB triples
         case 4 => 2 // gray + alpha
         case 6 => 4 // truecolor + alpha
         case _ => return None
       }
       Some((i32be(b, 16), i32be(b, 20), channels))
     }
+  }
+
+  /** JPEG: marker walk from SOI to the first frame header (SOF0–SOF15,
+    * excluding the DHT/DAC/JPG markers that share the range) — width,
+    * height and component count come from the SOF payload; no entropy
+    * decode (pixel paths fall back to the stub — a from-spec DCT is out
+    * of scope, the metadata walk is what a corpus scan needs).
+    * Returns (width, height, components). */
+  private[llm] def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xFF) return None // lost marker sync
+      var mOff = off + 1
+      while (mOff < b.length && (b(mOff) & 0xff) == 0xFF) mOff += 1 // fill bytes
+      if (mOff >= b.length) return None
+      val marker = b(mOff) & 0xff
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) off = mOff + 1
+      else if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS before any SOF
+      else {
+        if (mOff + 2 >= b.length) return None
+        val len = ((b(mOff + 1) & 0xff) << 8) | (b(mOff + 2) & 0xff)
+        if (len < 2 || mOff + 1 + len > b.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 8) return None
+          val h = ((b(mOff + 4) & 0xff) << 8) | (b(mOff + 5) & 0xff)
+          val w = ((b(mOff + 6) & 0xff) << 8) | (b(mOff + 7) & 0xff)
+          val nc = b(mOff + 8) & 0xff
+          if (w <= 0 || h <= 0 || nc <= 0) return None
+          return Some((w, h, nc))
+        }
+        off = mOff + 1 + len
+      }
+    }
+    None
   }
 
   /** RIFF/WAVE PCM: walks chunks (chunks are even-padded per RIFF) to the
@@ -244,26 +281,44 @@ object Multimodal {
     Some((w, h, 3, out))
   }
 
-  /** 8-bit-depth non-interlaced gray/RGB/gray+alpha/RGBA PNG →
-    * (w, h, channels, row-major channel bytes): IDAT chunks concatenated,
-    * inflated with the JDK zlib, rows reconstructed through the five
-    * standard filters (None/Sub/Up/Average/Paeth). Palette images need a
-    * PLTE lookup → None (stub fallback). */
+  /** Non-interlaced PNG → (w, h, channels, row-major channel bytes):
+    * IDAT chunks concatenated, inflated with the JDK zlib, rows
+    * reconstructed through the five standard filters
+    * (None/Sub/Up/Average/Paeth). 8-bit gray/RGB/gray+alpha/RGBA, plus
+    * PALETTE images at index depths 1/2/4/8 — packed indices defilter at
+    * byte granularity (bpp = 1 per spec) and expand through the PLTE
+    * table to RGB. tRNS palette alpha is not applied (decodes as
+    * opaque RGB); 16-bit depths and interlacing → None (stub). */
   private[llm] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
-    val (w, h, channels) = parsePng(b).getOrElse(return None)
+    val (w, h, _) = parsePng(b).getOrElse(return None)
     // parsePng guarantees 26 bytes; the interlace byte at 28 needs more —
     // a PNG truncated inside IHDR must stub-fall-back, not crash
     if (b.length < 29) return None
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (bitDepth != 8 || colorType == 3 || interlace != 0) return None
+    if (interlace != 0) return None
+    val palette = colorType == 3
+    if (!palette && bitDepth != 8) return None
+    if (palette && bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
+      return None
+    // storage layout: palette rows pack indices at bitDepth; others are
+    // one byte per channel
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    val stride =
+      if (palette) ((w.toLong * bitDepth + 7) / 8).toInt
+      else w * channels
     // corrupt IHDR dims: negative, zero, or raster sizes whose Int
     // arithmetic would overflow (or whose allocation a 4-byte header
     // edit could bomb to gigabytes) all degrade to the stub
     if (w <= 0 || h <= 0 ||
-        h.toLong * (1L + w.toLong * channels) > Int.MaxValue) return None
+        h.toLong * (1L + w.toLong * math.max(channels, 3)) > Int.MaxValue ||
+        (palette && (w.toLong * bitDepth + 7) / 8 > Int.MaxValue)) return None
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var off = 8
     var sawEnd = false
     while (!sawEnd && off + 12 <= b.length) {
@@ -273,10 +328,11 @@ object Multimodal {
       if (len < 0 || len > b.length - off - 12) return None
       val tag = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (tag == "IDAT") idat.write(b, off + 8, len)
+      if (tag == "PLTE") plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
       if (tag == "IEND") sawEnd = true
       off += 12 + len
     }
-    val stride = w * channels
+    if (palette && (plte == null || plte.length % 3 != 0 || plte.isEmpty)) return None
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
     try {
@@ -325,7 +381,28 @@ object Multimodal {
       }
       y += 1
     }
-    Some((w, h, channels, out))
+    if (!palette) return Some((w, h, channels, out))
+    // expand the defiltered packed indices through the PLTE table
+    val nColors = plte.length / 3
+    val rgb = new Array[Byte](h * w * 3)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val bitPos = xx.toLong * bitDepth
+        val byteI = yy * stride + (bitPos >> 3).toInt
+        val shift = 8 - bitDepth - (bitPos & 7).toInt
+        val idx = (out(byteI) >> shift) & ((1 << bitDepth) - 1)
+        if (idx >= nColors) return None // index past the palette: corrupt
+        val o = (yy * w + xx) * 3
+        rgb(o) = plte(idx * 3)
+        rgb(o + 1) = plte(idx * 3 + 1)
+        rgb(o + 2) = plte(idx * 3 + 2)
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((w, h, 3, rgb))
   }
 
   /** PCM WAV → (channels, sampleRate, interleaved canonical samples):
@@ -498,6 +575,8 @@ object Multimodal {
       DecodedMedia(r.doc_id, r.media_type, "bmp", n, Some(w), Some(h), Some(c), None, 1L, checksum)
     }.orElse(safely(parsePng(r.payload)).map { case (w, h, c) =>
       DecodedMedia(r.doc_id, r.media_type, "png", n, Some(w), Some(h), Some(c), None, 1L, checksum)
+    }).orElse(safely(parseJpeg(r.payload)).map { case (w, h, c) =>
+      DecodedMedia(r.doc_id, r.media_type, "jpeg", n, Some(w), Some(h), Some(c), None, 1L, checksum)
     }).orElse(safely(parseWav(r.payload)).map { case (ch, rate, frames) =>
       DecodedMedia(r.doc_id, r.media_type, "wav", n, None, None, Some(ch), Some(rate), frames, checksum)
     }).getOrElse {

@@ -43,6 +43,7 @@ object LlmQueries {
         col("content").as("payload"),
         when(col("path").endsWith(".bmp"), "image/bmp")
           .when(col("path").endsWith(".png"), "image/png")
+          .when(col("path").endsWith(".jpg"), "image/jpeg")
           .when(col("path").endsWith(".wav"), "audio/wav")
           .otherwise("application/octet-stream").as("media_type"))
       .as[MediaRecord]

@@ -210,6 +210,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeOne(MediaRecord(9L, "not media at all".getBytes, "x")).decoder == "stub")
   }
 
+  test("JPEG marker walk: dimensions from SOF; malformed streams reject") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_019.jpg"))
+    assert(Multimodal.parseJpeg(good).contains((320, 200, 3)))
+    // progressive (SOF2) and a tall 1-component frame
+    val prog = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_020.jpg"))
+    assert(Multimodal.parseJpeg(prog).contains((17, 4096, 1)))
+    // pixel decode must STUB (no entropy decode), never misread
+    assert(Multimodal.decodeImagePixels(good).isEmpty)
+    // truncated before the SOF marker
+    assert(Multimodal.parseJpeg(good.take(20)).isEmpty)
+    // SOS reached before any SOF (frame header missing)
+    val noSof = good.clone()
+    noSof(good.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte)) + 1) = 0xFE.toByte // SOF0 -> COM
+    assert(Multimodal.parseJpeg(noSof).isEmpty)
+    // not a JPEG at all
+    assert(Multimodal.parseJpeg("GIF89a whatever".getBytes).isEmpty)
+  }
+
+  test("palette PNG: PLTE expansion; corrupt palettes stub-fall-back") {
+    val pal = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_016.png"))
+    val decoded = Multimodal.decodePngPixels(pal)
+    assert(decoded.exists { case (w, h, c, px) =>
+      w == 19 && h == 11 && c == 3 && px.length == 19 * 11 * 3 })
+    // drop the PLTE chunk: indices have nothing to expand through
+    val noPlte = {
+      val i = pal.indexOfSlice("PLTE".getBytes)
+      val len = java.nio.ByteBuffer.wrap(pal, i - 4, 4).getInt
+      pal.take(i - 4) ++ pal.drop(i + 8 + len)
+    }
+    assert(Multimodal.decodePngPixels(noPlte).isEmpty)
+    // metadata still parses (IHDR intact, palette reports RGB channels)
+    assert(Multimodal.parsePng(noPlte).contains((19, 11, 3)))
+    // a 4-bit short-palette image whose indices stay in range
+    val p17 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_017.png"))
+    assert(Multimodal.decodePngPixels(p17).exists(_._3 == 3))
+  }
+
   test("sampleFrames slices strided fixed-width binary windows") {
     val payload = Array.tabulate[Byte](2100)(i => (i % 127).toByte)
     val d = Seq((1L, payload)).toDF("doc_id", "payload")

@@ -19,6 +19,11 @@ Coverage notes:
     (RIFF pads chunks to even length)
   - media_15.bin is an opaque payload (no known magic) — decoders fall
     back to the documented checksum stub
+  - palette (color-type-3) PNGs cover index depths 8/4/1, a short
+    (non-power-of-two) PLTE, and per-row filters over the packed bytes
+  - JPEGs (baseline SOF0 and progressive SOF2) carry real dimensions in
+    the frame header; their entropy stream is junk — the fixture pins
+    the marker walk, and pixel decoders must STUB, never misread
 
 Run once, commit outputs:
   python3 tools/make_media_fixture.py
@@ -83,6 +88,93 @@ def make_png(width: int, height: int, color_type: int) -> bytes:
             + png_chunk(b"IHDR", ihdr)
             + png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + png_chunk(b"IEND", b""))
+
+
+def _palette(n: int) -> bytes:
+    return bytes(byte for i in range(n)
+                 for byte in ((i * 37) % 256, (i * 73 + 11) % 256, (i * 11 + 5) % 256))
+
+
+def _palette_idx(x: int, y: int, n: int) -> int:
+    return (x * 3 + y * 7) % n
+
+
+def make_png_palette(width: int, height: int, bit_depth: int,
+                     filtered: bool = False, n_colors: int = None) -> bytes:
+    """Color-type-3 PNG: packed indices at bit_depth 1/2/4/8 into a PLTE
+    table; filtered=True runs row y through filter y % 5 on the PACKED
+    bytes (bpp = 1 per spec)."""
+    n = min(n_colors or (1 << bit_depth), 1 << bit_depth, 256)
+    stride = (width * bit_depth + 7) // 8
+    rows = []
+    for y in range(height):
+        packed = bytearray(stride)
+        for x in range(width):
+            v = _palette_idx(x, y, n)
+            bitpos = x * bit_depth
+            packed[bitpos // 8] |= v << (8 - bit_depth - (bitpos % 8))
+        rows.append(bytes(packed))
+    stream = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        ft = (y % 5) if filtered else 0
+        stream.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = (x - a) & 0xFF
+            elif ft == 2:
+                v = (x - b) & 0xFF
+            elif ft == 3:
+                v = (x - (a + b) // 2) & 0xFF
+            else:
+                v = (x - _paeth(a, b, c)) & 0xFF
+            stream.append(v)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 3, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + png_chunk(b"IHDR", ihdr)
+            + png_chunk(b"PLTE", _palette(n))
+            + png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+            + png_chunk(b"IEND", b""))
+
+
+def png_palette_norm_pixels(width: int, height: int, bit_depth: int,
+                            n_colors: int = None) -> bytes:
+    n = min(n_colors or (1 << bit_depth), 1 << bit_depth, 256)
+    pal = _palette(n)
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            i = _palette_idx(x, y, n)
+            out += pal[i * 3:i * 3 + 3]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- JPEG
+
+def make_jpeg(width: int, height: int, ncomp: int = 3,
+              progressive: bool = False) -> bytes:
+    """Minimal marker-valid JPEG: SOI, JFIF APP0, a DQT, SOF0 (baseline)
+    or SOF2 (progressive) carrying the dimensions, a DHT, SOS, token
+    entropy bytes, EOI. Dimension metadata is real per the JPEG marker
+    spec; the entropy stream is junk (metadata walkers never reach it)."""
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0]) + bytes((i * 7 + 3) % 255 + 1 for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    dht = bytes([0x00]) + bytes(16)
+    sos = struct.pack(">B", ncomp) + b"".join(
+        struct.pack(">BB", i + 1, 0) for i in range(ncomp)) + bytes((0, 63, 0))
+    return (b"\xFF\xD8" + seg(0xE0, app0) + seg(0xDB, dqt)
+            + seg(0xC2 if progressive else 0xC0, sof)
+            + seg(0xC4, dht) + seg(0xDA, sos) + b"\x12\x34\x56" + b"\xFF\xD9")
 
 
 # ---------------------------------------------------------------- WAV
@@ -326,6 +418,27 @@ def main():
     expect_image(12, "png", 24, 10, 3, png_norm_pixels(24, 10, 2))
     emit(13, "png", "image/png", make_png_filtered(9, 6, 0), "png", 9, 6, 1)
     expect_image(13, "png", 9, 6, 1, png_norm_pixels(9, 6, 0))
+
+    # palette (color type 3) PNGs: PLTE expansion at index depths 8/4/1,
+    # incl. per-row filters on the PACKED bytes and a short palette
+    emit(16, "png", "image/png", make_png_palette(19, 11, 8, filtered=True),
+         "png", 19, 11, 3)
+    expect_image(16, "png", 19, 11, 3, png_palette_norm_pixels(19, 11, 8))
+    emit(17, "png", "image/png", make_png_palette(22, 7, 4, n_colors=13),
+         "png", 22, 7, 3)
+    expect_image(17, "png", 22, 7, 3, png_palette_norm_pixels(22, 7, 4, n_colors=13))
+    emit(18, "png", "image/png", make_png_palette(30, 5, 1, filtered=True),
+         "png", 30, 5, 3)
+    expect_image(18, "png", 30, 5, 3, png_palette_norm_pixels(30, 5, 1))
+
+    # JPEGs: SOF marker walk yields real dimensions; pixel decode is out
+    # of scope (no from-spec DCT), so the pixel table records the stub
+    jb = make_jpeg(320, 200, 3)
+    emit(19, "jpg", "image/jpeg", jb, "jpeg", 320, 200, 3)
+    expect_stub(19, jb)
+    jp = make_jpeg(17, 4096, 1, progressive=True)
+    emit(20, "jpg", "image/jpeg", jp, "jpeg", 17, 4096, 1)
+    expect_stub(20, jp)
 
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
