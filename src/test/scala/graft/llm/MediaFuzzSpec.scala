@@ -1,0 +1,81 @@
+package graft.llm
+
+import java.io.File
+import java.nio.file.Files
+import scala.sys.process._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Differential fuzz of the media pixel/sample decoders against the
+  * INDEPENDENT generator (`tools/make_media_fixture.py --fuzz`):
+  * randomized BMP dims/orientation, PNG color types including palette
+  * depths 1/2/4/8 with per-row filters, and PCM WAV layouts — the
+  * decoders must reproduce the generator's own pixel/sample counts,
+  * sums, peaks and checksums, plus survive truncation of every file
+  * without a wrong answer (stub or loud failure, never misread). */
+class MediaFuzzSpec extends SparkSpec {
+
+  private val generator = new File("tools/make_media_fixture.py").getAbsolutePath
+
+  private def generate(dir: String, seed: Int): Seq[(Long, Long, Long, Int, Long)] = {
+    val buf = new StringBuilder
+    val rc = Process(Seq("python3", generator, "--fuzz", dir, seed.toString))
+      .!(ProcessLogger(l => buf.append(l).append('\n')))
+    assert(rc == 0, s"generator failed:\n$buf")
+    "EXPECT (\\d+) (\\d+) (\\d+) (\\d+) (\\d+)".r.findAllMatchIn(buf.toString)
+      .map(m => (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toInt, m.group(5).toLong)).toSeq
+  }
+
+  private def records(dir: String) = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/media_*")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("fuzz").as("media_type"))
+      .as[MediaRecord]
+  }
+
+  test("seeded random media files decode to the generator's ground truth") {
+    for (seed <- Seq(11, 47, 8080)) {
+      val dir = Files.createTempDirectory(s"media-fuzz-$seed").toString
+      val expects = generate(dir, seed)
+      assert(expects.nonEmpty)
+      val got = Multimodal.pixelStats(records(dir)).collect()
+        .map(p => p.doc_id -> p).toMap
+      for ((id, n, sumAbs, peak, chk) <- expects) {
+        val p = got(id)
+        assert(p.n_units == n && p.sum_abs == sumAbs &&
+          p.peak == peak && p.checksum_px == chk,
+          s"seed=$seed doc=$id: got (${p.n_units}, ${p.sum_abs}, ${p.peak}, " +
+            s"${p.checksum_px}), expected ($n, $sumAbs, $peak, $chk)")
+        assert(p.decoder != "stub", s"seed=$seed doc=$id fell back to stub")
+      }
+    }
+  }
+
+  test("truncations of every fuzz file never misread (stub or loud, not wrong)") {
+    val dir = Files.createTempDirectory("media-fuzz-trunc").toString
+    generate(dir, 3)
+    val files = new File(dir).listFiles().filter(_.getName.startsWith("media_"))
+    assert(files.nonEmpty)
+    for (f <- files; frac <- Seq(0.3, 0.8)) {
+      val b = Files.readAllBytes(f.toPath)
+      val cut = java.util.Arrays.copyOf(b, math.max(8, (b.length * frac).toInt))
+      // decodeOne/pixelStatsOne are total: a truncated payload either
+      // stubs or (for payloads whose headers still parse but whose data
+      // is short) must NOT produce pixel stats claiming full dimensions
+      val r = MediaRecord(0L, cut, "x")
+      val d = Multimodal.pixelStatsOne(r)
+      if (d.decoder != "stub") {
+        // header parsed: the decode only succeeds if the payload's data
+        // section was complete — i.e. the cut landed after the data
+        val full = Multimodal.pixelStatsOne(MediaRecord(0L, b, "x"))
+        assert(d == full.copy(doc_id = 0L),
+          s"${f.getName} at $frac: truncated decode diverged without stubbing")
+      }
+    }
+  }
+}

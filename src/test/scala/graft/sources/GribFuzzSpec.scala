@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+import scala.sys.process._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Differential fuzz of the simple-packing GRIB2 decode path against the
+  * INDEPENDENT python generator (`tools/make_grib_fuzz.py`): randomized
+  * grid dims (incl. 1-wide), ±j scan direction, bit widths 0–20 (0 =
+  * constant field), binary scales, bitmaps, deterministic vs ensemble
+  * product templates. Values are exact dyadics so `round(value·8)` is
+  * engine-exact; each message's present-count and checksum must match
+  * the generator's own expectation (keyed by the unique step). The
+  * complex-packing twin is [[GribComplexFuzzSpec]]. */
+class GribFuzzSpec extends SparkSpec {
+
+  private val generator = new File("tools/make_grib_fuzz.py").getAbsolutePath
+
+  private def generate(out: String, seed: Int): Seq[(Int, Long, Long)] = {
+    val buf = new StringBuilder
+    val rc = Process(Seq("python3", generator, out, seed.toString))
+      .!(ProcessLogger(l => buf.append(l).append('\n')))
+    assert(rc == 0, s"generator failed:\n$buf")
+    "EXPECT \\S+ (\\d+) (\\d+) (-?\\d+)".r.findAllMatchIn(buf.toString)
+      .map(m => (m.group(1).toInt, m.group(2).toLong, m.group(3).toLong)).toSeq
+  }
+
+  test("seeded random simple-packed files decode to the generator's checksums") {
+    val dir = Files.createTempDirectory("grib-splfuzz").toString
+    for (seed <- Seq(3, 17, 2024, 777)) {
+      val f = s"$dir/fuzz_$seed.grib2"
+      val expects = generate(f, seed)
+      assert(expects.nonEmpty)
+      val byStep = spark.read
+        .format(classOf[GribSource].getName)
+        .option("path", f).option("numPartitions", "3").load()
+        .groupBy("step_hours")
+        .agg(count(col("value")).as("n"),
+          coalesce(sum(round(col("value") * 8).cast("long")), lit(0L)).as("s"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for ((step, n, chk) <- expects) {
+        assert(byStep.get(step).contains((n, chk)),
+          s"seed=$seed step=$step: got ${byStep.get(step)}, expected ($n, $chk)")
+      }
+      assert(byStep.size == expects.size)
+    }
+  }
+}

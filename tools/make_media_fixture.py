@@ -478,5 +478,63 @@ def main():
     print(f"wrote {len(rows)} media files + decode/pixel/resize expectations under {OUT}")
 
 
+def fuzz(outdir: str, seed: int):
+    """Seeded randomized media files + EXPECT lines for the differential
+    MediaFuzzSpec: random BMP dims/orientation, PNG color types (incl.
+    palette depths 1/2/4/8) with per-row random filters, and PCM WAV
+    layouts. Each line:
+      EXPECT <doc_id> <n_units> <sum_abs> <peak> <checksum_px>
+    """
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    os.makedirs(outdir, exist_ok=True)
+    doc_id = 0
+
+    def out(ext, payload, n_units, sum_abs, peak, chk):
+        nonlocal doc_id
+        with open(os.path.join(outdir, f"media_{doc_id:03d}.{ext}"), "wb") as f:
+            f.write(payload)
+        print(f"EXPECT {doc_id} {n_units} {sum_abs} {peak} {chk}")
+        doc_id += 1
+
+    for _ in range(int(rng.integers(2, 5))):  # BMPs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        td = bool(rng.integers(0, 2))
+        px = bmp_norm_pixels(w, h, td)
+        out("bmp", make_bmp(w, h, td), w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # non-palette PNGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        ct = int(rng.choice([0, 2, 4, 6]))
+        filt = bool(rng.integers(0, 2))
+        payload = (make_png_filtered if filt else make_png)(w, h, ct)
+        px = png_norm_pixels(w, h, ct)
+        out("png", payload, w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # palette PNGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        depth = int(rng.choice([1, 2, 4, 8]))
+        ncol = int(rng.integers(1, (1 << depth) + 1))
+        filt = bool(rng.integers(0, 2))
+        payload = make_png_palette(w, h, depth, filtered=filt, n_colors=ncol)
+        px = png_palette_norm_pixels(w, h, depth, n_colors=ncol)
+        out("png", payload, w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # WAVs
+        ch = int(rng.integers(1, 3))
+        bits = int(rng.choice([8, 16]))
+        nf = int(rng.integers(1, 400))
+        rate = int(rng.choice([8000, 16000, 44100]))
+        lst = bool(rng.integers(0, 2))
+        odd = bits == 8 and ch == 1 and bool(rng.integers(0, 2))
+        payload = make_wav(ch, rate, nf, bits=bits, with_list_chunk=lst, odd_data=odd)
+        samples = wav_canonical_samples(ch, nf, bits=bits, odd_data=odd)
+        out("wav", payload, len(samples) // ch,
+            sum(abs(s) for s in samples), max(abs(s) for s in samples),
+            sample_checksum(samples))
+    print(f"WROTE {doc_id} files to {outdir}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
+        fuzz(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()
