@@ -49,10 +49,16 @@ object ProfileC1 {
         element_at(vocab, langIx(seed) * 400 + r + 1)
       }))
     }
+    // base-seed count scales with n (1000 at the 500k default) so
+    // planted dup-GROUP sizes stay constant as the corpus grows — real
+    // corpora grow in group COUNT, not group size, and a linearly
+    // growing group would just saturate the LSH bucket cap (the 10x
+    // stretch measured exactly that before this fix: pairs=0 at 5M)
+    val nBases = math.max(1000L, n / 500L)
     spark.range(n).select(
       col("id").as("doc_id"),
-      when(col("id") % 37 === 0, pmod(col("id"), lit(1000L)))
-        .when(col("id") % 53 === 0, pmod(col("id"), lit(1000L)))
+      when(col("id") % 37 === 0, pmod(col("id"), lit(nBases)))
+        .when(col("id") % 53 === 0, pmod(col("id"), lit(nBases)))
         .otherwise(col("id")).as("seed"),
       (col("id") % 53 === 0 && col("id") % 37 =!= 0).as("near"))
       .select(

@@ -98,4 +98,42 @@ object Mixture {
       .filter(col("rank") <= perStratum)
       .drop("rank")
   }
+
+  /** TOKEN-BUDGET mixture sampling — the Dolma/Pile-style mixing step
+    * that [[report]] only measures: draw documents per source in
+    * deterministic hash-priority order until each source's token budget
+    * is exhausted. A doc is admitted iff the tokens taken BEFORE it (in
+    * priority order within its source) are still under `budget` — so
+    * every source contributes ≥1 doc when it has any, budgets are
+    * overshot by at most one document (the standard greedy cut), and the
+    * result is a pure function of the data: stable across partitioning,
+    * retries, and engines, like every sampler here.
+    *
+    * Output: (doc_id, source, n_tokens, take_order, cum_before) for the
+    * ADMITTED docs — `take_order` the 1-based priority rank inside the
+    * source, `cum_before` the source's tokens before this doc.
+    *
+    * Scale shape: one window over (source) — the same single shuffle as
+    * [[stratifiedSample]]; Spark's WindowGroupLimit cannot prune here
+    * (the cut depends on the running sum, not a row count), so the full
+    * source partitions sort once; at 100 TB pre-bucket the corpus by
+    * source to make that sort partition-local. */
+  def budgetSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budgetSample needs a positive budget, got $budget")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Sampling.hashBucket(col(idCol), 100), col(idCol))
+    docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("take_order", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
 }

@@ -434,6 +434,24 @@ object LlmQueries {
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
         "doc_id", "source", perStratum = 10)),
 
+    // token-budget mixture sampling: per-source hash-priority draws until
+    // the budget is exhausted (running-sum cut, deterministic)
+    "q_budget_sample" -> ((s, dir) =>
+      Mixture.budgetSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "source", "n_chars", budget = 3000L)),
+
+    // KMV distinct-count sketch: per-lang distinct-token estimates — the
+    // k-minimum-values bottom-k is a pure function of the value set, so
+    // even the ESTIMATE path is bit-deterministic and exactly mirrored
+    "q_distinct_kmv" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), explode(TextHash.wordTokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(graft.functions.KmvDistinct(col("token"), 64).as("d"))
+        .select(col("lang"), col("d.n_distinct").as("n_distinct"),
+          col("d.is_exact").as("is_exact"))),
+
     // JSON metadata extraction from the events props column
     "q_json_extract" -> ((s, dir) =>
       Events.extractProps(s.read.parquet(s"$dir/events.parquet"))),
@@ -1096,6 +1114,38 @@ object LlmQueries {
          |               doc_id ASC) AS rn
          |  FROM documents)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_budget_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tokens,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ((doc_id * 1000003 + 17) % $P) % 100 ASC, doc_id ASC)
+         |      AS INTEGER) AS take_order,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+         |      ORDER BY ((doc_id * 1000003 + 17) % $P) % 100 ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens, take_order, cum_before
+         |FROM r WHERE cum_before < 3000""".stripMargin,
+
+    // exact mirror of the KMV sketch INCLUDING the estimate path: the
+    // bottom-64 distinct hashes are partition-invariant, so the
+    // (k-1)*M // kth integer estimator reproduces to the bit
+    "q_distinct_kmv" ->
+      s"""WITH tok AS (SELECT lang, unnest($tokensSql) AS token FROM documents),
+         |h0 AS (SELECT DISTINCT lang, ${polyHashSql("token")} AS h FROM tok),
+         |h AS (SELECT lang, ((h * 1000003 + 17) % $P * 1000003 + 17) % $P AS h FROM h0),
+         |r AS (SELECT lang, h,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC) AS rn FROM h),
+         |a AS (SELECT lang, COUNT(*) AS nd,
+         |  MAX(CASE WHEN rn = 64 THEN h END) AS kth
+         |  FROM r WHERE rn <= 64 GROUP BY lang)
+         |SELECT lang,
+         |  CAST(CASE WHEN nd < 64 THEN nd ELSE (63 * CAST($P AS BIGINT)) // kth END
+         |    AS BIGINT) AS n_distinct,
+         |  nd < 64 AS is_exact
+         |FROM a""".stripMargin,
 
     "q_json_extract" ->
       s"""SELECT event_id, event_type,

@@ -73,6 +73,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Mixture.stratifiedSample(tiny, "doc_id", "source", 5).count() == 1)
   }
 
+  test("budgetSample admits docs per source until the token budget, deterministically") {
+    val docs = (0L until 60L).map(id => (id, s"src${id % 2}", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Mixture.budgetSample(docs, "doc_id", "source", "n_tokens", budget = 450L)
+    val rows = out.as[(Long, String, Long, Int, Long)].collect()
+    // 100-token docs against a 450 budget: cum_before < 450 admits the
+    // first FIVE per source (the fifth starts at 400 — budgets overshoot
+    // by at most one doc, the greedy cut)
+    assert(rows.groupBy(_._2).forall(_._2.length == 5))
+    // take_order is 1..5 and cum_before is its prefix sum
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      g.foreach { case (_, _, _, ord, cum) => assert(cum == (ord - 1) * 100L) }
+    }
+    // partitioning-invariant, and a tiny source keeps everything
+    val again = Mixture.budgetSample(docs.repartition(7), "doc_id", "source",
+      "n_tokens", budget = 450L).as[(Long, String, Long, Int, Long)].collect()
+    assert(again.toSet == rows.toSet)
+    val tiny = Seq((1L, "only", 999999L)).toDF("doc_id", "source", "n_tokens")
+    assert(Mixture.budgetSample(tiny, "doc_id", "source", "n_tokens", 10L).count() == 1)
+  }
+
   test("mixture report shares sum to 1") {
     val docs = (0L until 60L).map(id => (id, s"src${id % 3}", s"l${id % 2}", 10L + id))
       .toDF("doc_id", "source", "lang", "n_chars")
