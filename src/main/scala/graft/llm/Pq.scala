@@ -1,0 +1,197 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011) — the memory-bound
+  * end of the ANN ladder ([[Similarity]]: brute → sign-LSH → IVF →
+  * IVF-trained; PQ compresses each vector to `m` sub-codes so a
+  * 10⁹-vector index fits executor memory: 64 float32 dims = 256 B become
+  * m bytes). Each of the `m` subspaces trains its own k-codeword
+  * codebook by the SAME deterministic Lloyd discipline as
+  * [[Clustering.kmeans]] (first-k-by-id seeds, micros-integer centroid
+  * means, (dist asc, code asc) argmin ties), so the trained codebook,
+  * the encoding, and the asymmetric-distance search are all exactly
+  * mirrorable by the driver's DuckDB gate — an unusual property for an
+  * ANN index, and the reason the registry can hash-check it.
+  *
+  * Scale shape:
+  *  - '''train''' — ONE corpus pass per Lloyd round for ALL subspaces
+  *    together (not m passes): the per-subspace argmin codes are m
+  *    compiled-kernel columns in a single projection over literal
+  *    centroid matrices, and the update explodes each vector's dims ONCE
+  *    (every dim belongs to exactly one subspace) into a
+  *    (sub, code, dim)-keyed aggregation — map-side combine collapses
+  *    each partition to ≤ k·dim rows, and the driver collects the
+  *    k·dim-row result per round (the [[Clustering]] posture).
+  *  - '''encode''' — zero-shuffle projection: m kernel argmins over
+  *    literal matrices.
+  *  - '''search (ADC)''' — the query precomputes its m×k distance table
+  *    DRIVER-side (integer micros); scoring a vector is a fold over its
+  *    m codes against the literal table — zero shuffle, integer sums;
+  *    top-k via orderBy+limit (TakeOrderedAndProject).
+  *
+  * Determinism: centroid components are `sum(round(x·1e6)) / (n·1e6)`
+  * (integer numerators — order-independent); all squared-distance folds
+  * run in ascending dim order (IEEE mult/add are exactly rounded, so
+  * both engines produce bit-identical doubles); ADC table entries are
+  * rounded to integer micros before the (integer) score sum.
+  *
+  * Contract: vectors are non-null, length `dim`, and `dim % m == 0`
+  * (callers filter; a wrong-length vector errors in the kernel). */
+object Pq {
+
+  /** Driver-resident codebook: `cents(sub)(code)(j)` over the subspace's
+    * `dim/m` dims. */
+  final case class PqModel(dim: Int, m: Int, k: Int,
+      cents: Array[Array[Array[Double]]]) {
+    def subDim: Int = dim / m
+  }
+
+  private def flat(sub: Array[Array[Double]]): Array[Double] = {
+    val sd = sub.head.length
+    val out = new Array[Double](sub.length * sd)
+    var i = 0
+    while (i < sub.length) {
+      System.arraycopy(sub(i), 0, out, i * sd, sd)
+      i += 1
+    }
+    out
+  }
+
+  /** Per-subspace argmin code columns over the model's literal matrices:
+    * `__c0 … __c(m-1)`. */
+  private def codeCols(v: Column, model: PqModel): Seq[Column] =
+    (0 until model.m).map { s =>
+      graft.functions.HashFunctions.nearestSqDist(
+        slice(v, s * model.subDim + 1, model.subDim),
+        typedlit(flat(model.cents(s)).toSeq), model.subDim)
+        .getItem(0).cast("int").as(s"__c$s")
+    }
+
+  /** Train an m×k codebook with `iters` Lloyd rounds (seeds: each
+    * subspace of the k smallest-id non-null vectors). */
+  def pqTrain(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int = 2): PqModel = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(k > 0 && iters > 0, "need k > 0 and iters > 0")
+    val sd = dim / m
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val seeds = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"pqTrain: only ${seeds.length} non-null vectors for k=$k")
+    seeds.foreach(s => require(s.length == dim,
+      s"pqTrain: expected $dim-dim vectors, got ${s.length}"))
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((s, c) => java.util.Arrays.copyOfRange(seeds(c), s * sd, (s + 1) * sd))
+    var it = 0
+    while (it < iters - 1) {
+      val model = PqModel(dim, m, k, cents)
+      // one corpus pass: codes for all subspaces, dims exploded once
+      val rows = vecs
+        .select(col("v"), array(codeCols(col("v"), model): _*).as("codes"))
+        .select(col("codes"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(
+          (col("dim") / sd).cast("int").as("sub"),
+          element_at(col("codes"), (col("dim") / sd).cast("int") + 1).as("code"),
+          col("dim"), col("x"))
+        .groupBy("sub", "code", "dim")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ k·dim rows, the Clustering per-round posture
+      val next = Array.tabulate(m, k)((s, c) => cents(s)(c).clone())
+      rows.foreach { r =>
+        val sub = r.getInt(0)
+        val code = r.getInt(1)
+        val d = r.getInt(2)
+        next(sub)(code)(d - sub * sd) =
+          r.getLong(3).toDouble / (r.getLong(4) * 1000000L)
+      }
+      cents = next
+      it += 1
+    }
+    PqModel(dim, m, k, cents)
+  }
+
+  /** Codebook as a frame for persistence and the oracle:
+    * (sub, code, dim, c) with GLOBAL dim indices. */
+  def modelDf(spark: org.apache.spark.sql.SparkSession, model: PqModel): DataFrame = {
+    import spark.implicits._
+    (for {
+      s <- 0 until model.m
+      c <- 0 until model.k
+      j <- 0 until model.subDim
+    } yield (s, c, s * model.subDim + j, model.cents(s)(c)(j)))
+      .toDF("sub", "code", "dim", "c")
+  }
+
+  /** Encode every vector: (vec_id, sub, code) exploded rows — the
+    * compressed index a serving tier persists (m small ints per vector).
+    * Zero shuffle. */
+  def pqEncode(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel): DataFrame = {
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    vecs
+      .select(col("vec_id"), array(codeCols(col("v"), model): _*).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+  }
+
+  /** Asymmetric-distance top-k: the query's m×k table of
+    * `round(sqDist(query_sub, codeword)·1e6)` entries is computed on the
+    * driver; every vector's score is the integer sum of its m table
+    * entries. Returns (vec_id, dist_micros), the k nearest by
+    * (dist asc, vec_id asc). */
+  def pqTopKWith(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      query: Array[Double],
+      k: Int): DataFrame = {
+    require(query.length == model.dim,
+      s"pqTopKWith: query has ${query.length} dims, model ${model.dim}")
+    val sd = model.subDim
+    // ascending-dim fold: same order as the SQL mirror -> same bits
+    val table = new Array[Long](model.m * model.k)
+    var s = 0
+    while (s < model.m) {
+      var c = 0
+      while (c < model.k) {
+        var acc = 0.0
+        var j = 0
+        while (j < sd) {
+          val dlt = query(s * sd + j) - model.cents(s)(c)(j)
+          acc += dlt * dlt
+          j += 1
+        }
+        table(s * model.k + c) = math.round(acc * 1e6)
+        c += 1
+      }
+      s += 1
+    }
+    val tableLit = typedlit(table.toSeq)
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    vecs
+      .select(col("vec_id") +: codeCols(col("v"), model): _*)
+      .select(col("vec_id"),
+        (0 until model.m)
+          .map(s2 => element_at(tableLit, col(s"__c$s2") + lit(s2 * model.k) + 1))
+          .reduce(_ + _).as("dist_micros"))
+      .orderBy(col("dist_micros").asc, col("vec_id").asc)
+      .limit(k)
+  }
+}

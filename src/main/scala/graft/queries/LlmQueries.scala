@@ -184,6 +184,46 @@ object LlmQueries {
   private def sqDistSql(v: String, c: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
 
+  private def sq32Sql(v: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, 32), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+
+  /** Unrolled PQ trainer mirror of [[graft.llm.Pq.pqTrain]] (m=2
+    * subspaces of 32 dims, k=4, iters=2 = one update round): requires
+    * CTE `e`; yields `pqsv` (per-vector subspace slices), `pqfinal` =
+    * (sub, code, dim, c) and `pqfc` = (sub, code, c as a list). Empty
+    * codes keep their seed centroid (the Scala clone-then-overwrite). */
+  private val pqTrainCte: String =
+    s"""pqsubs AS (SELECT unnest(generate_series(0, 1)) AS sub),
+       |pqseeds AS (SELECT vec_id, v,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code
+       |  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 4)),
+       |pqc0 AS (SELECT s.sub, d.code, d.v[s.sub*32+1:(s.sub+1)*32] AS c
+       |  FROM pqsubs s, pqseeds d),
+       |pqsv AS (SELECT e.vec_id, s.sub, e.v[s.sub*32+1:(s.sub+1)*32] AS sv
+       |  FROM e, pqsubs s WHERE e.v IS NOT NULL),
+       |pqd1 AS (SELECT sv.vec_id, sv.sub, c.code, ${sq32Sql("sv.sv", "c.c")} AS dist
+       |  FROM pqsv sv JOIN pqc0 c ON c.sub = sv.sub),
+       |pqa1 AS (SELECT vec_id, sub, code FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY dist ASC, code ASC) AS rn FROM pqd1) WHERE rn = 1),
+       |pqu1 AS (SELECT a.sub, a.code, g.j,
+       |    CAST(sum(CAST(round(sv.sv[g.j] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM pqa1 a
+       |  JOIN pqsv sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
+       |       (SELECT unnest(generate_series(1, 32)) AS j) g
+       |  GROUP BY 1, 2, 3),
+       |pqgrid AS (SELECT c.sub, c.code, g.j, c.c[g.j] AS seed_c
+       |  FROM pqc0 c, (SELECT unnest(generate_series(1, 32)) AS j) g),
+       |pqfinal AS (SELECT CAST(grid.sub AS INTEGER) AS sub,
+       |    CAST(grid.code AS INTEGER) AS code,
+       |    CAST(grid.sub*32 + grid.j - 1 AS INTEGER) AS dim,
+       |    COALESCE(CAST(u.s AS DOUBLE) / (u.n * 1000000), grid.seed_c) AS c
+       |  FROM pqgrid grid LEFT JOIN pqu1 u
+       |    ON u.sub = grid.sub AND u.code = grid.code AND u.j = grid.j),
+       |pqfc AS (SELECT sub, code, list(c ORDER BY dim) AS c
+       |  FROM pqfinal GROUP BY 1, 2)""".stripMargin
+
   /** Unrolled farthest-first seed chain (mirrors
     * [[graft.llm.Clustering.farthestFirstSeeds]], generalized from the
     * q_kmeans_pp_seeds oracle): requires CTE `e`, yields `cs0` =
@@ -736,6 +776,23 @@ object LlmQueries {
     "q_curate_v2" -> ((s, dir) =>
       Curation.curateV2(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "lang", acceptLabels = Set("en", "de", "fr"))),
+
+    // product-quantization codebook: per-subspace deterministic Lloyd
+    // (fused one-pass-per-round trainer), emitted as (sub, code, dim, c)
+    "q_pq_train" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Pq.modelDf(s, Pq.pqTrain(e, "vec_id", "embedding", dim = 64, m = 2, k = 4))
+    }),
+
+    // asymmetric-distance (ADC) top-10 against the trained codebook:
+    // integer micros table sums, zero-shuffle scoring
+    "q_pq_search" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val model = Pq.pqTrain(e, "vec_id", "embedding", dim = 64, m = 2, k = 4)
+      val q = e.orderBy(col("vec_id")).limit(1)
+        .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+      Pq.pqTopKWith(e, "vec_id", "embedding", model, q, k = 10)
+    }),
 
     // PCA over the embedding corpus: one exact-decimal moment pass ->
     // driver Jacobi -> (comp, dim, loading, eigval) model (+ mean rows)
@@ -1884,6 +1941,31 @@ object LlmQueries {
          |  FROM agg)
          |SELECT token, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
          |FROM r WHERE rn <= 16""".stripMargin,
+
+    "q_pq_train" ->
+      s"""WITH $embCte,
+         |$pqTrainCte
+         |SELECT sub, code, dim, c FROM pqfinal""".stripMargin,
+
+    "q_pq_search" ->
+      s"""WITH $embCte,
+         |$pqTrainCte,
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |qsv AS (SELECT s.sub, q.v[s.sub*32+1:(s.sub+1)*32] AS qv
+         |  FROM pqsubs s, q),
+         |qt AS (SELECT fc.sub, fc.code,
+         |    CAST(round(1000000 * ${sq32Sql("qsv.qv", "fc.c")}) AS BIGINT) AS t
+         |  FROM pqfc fc JOIN qsv ON qsv.sub = fc.sub),
+         |pqd2 AS (SELECT sv.vec_id, sv.sub, fc.code, ${sq32Sql("sv.sv", "fc.c")} AS dist
+         |  FROM pqsv sv JOIN pqfc fc ON fc.sub = sv.sub),
+         |pqa2 AS (SELECT vec_id, sub, code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dist ASC, code ASC) AS rn FROM pqd2) WHERE rn = 1),
+         |scores AS (SELECT a.vec_id, CAST(SUM(qt.t) AS BIGINT) AS dist_micros
+         |  FROM pqa2 a JOIN qt ON qt.sub = a.sub AND qt.code = a.code
+         |  GROUP BY 1)
+         |SELECT vec_id, dist_micros FROM scores
+         |ORDER BY dist_micros ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_pca_train" -> {
       // invariant oracle (DuckDB has no eigensolver): recompute the

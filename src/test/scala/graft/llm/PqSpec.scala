@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: deterministic codebooks, exact ADC scoring,
+  * partitioning invariance. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def vecs(n: Int, parts: Int = 3) =
+    spark.range(n).repartition(parts).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => (pmod(abs(xxhash64(col("id"), i)), lit(1000L)) / 250.0 - 2.0)
+          .cast("float")).as("embedding"))
+
+  test("codebook and codes are deterministic under repartitioning") {
+    val m1 = Pq.pqTrain(vecs(200, 1), "vec_id", "embedding", dim, m = 2, k = 4, iters = 3)
+    val m2 = Pq.pqTrain(vecs(200, 13), "vec_id", "embedding", dim, m = 2, k = 4, iters = 3)
+    assert(m1.cents.flatten.flatten.toSeq == m2.cents.flatten.flatten.toSeq)
+    val c1 = Pq.pqEncode(vecs(200), "vec_id", "embedding", m1)
+      .as[(Long, Int, Int)].collect().toSet
+    val c2 = Pq.pqEncode(vecs(200, 7), "vec_id", "embedding", m2)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(c1 == c2)
+    assert(c1.forall { case (_, s, c) => s >= 0 && s < 2 && c >= 0 && c < 4 })
+    assert(c1.size == 200 * 2) // m codes per vector
+  }
+
+  test("ADC top-k scores are the integer table sums, ranked (dist, id)") {
+    val df = vecs(100, 5)
+    val model = Pq.pqTrain(df, "vec_id", "embedding", dim, m = 2, k = 4)
+    val query = df.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val top = Pq.pqTopKWith(df, "vec_id", "embedding", model, query, k = 10)
+      .as[(Long, Long)].collect()
+    assert(top.length == 10)
+    // ranked ascending with id tiebreak
+    assert(top.sortBy(t => (t._2, t._1)).toSeq == top.toSeq)
+    // recompute one score by hand from codes + driver table
+    val codes = Pq.pqEncode(df, "vec_id", "embedding", model)
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3) }
+    val sd = model.subDim
+    def tableEntry(s: Int, c: Int): Long = {
+      var acc = 0.0
+      var j = 0
+      while (j < sd) {
+        val d = query(s * sd + j) - model.cents(s)(c)(j)
+        acc += d * d
+        j += 1
+      }
+      math.round(acc * 1e6)
+    }
+    top.foreach { case (id, dist) =>
+      val manual = codes(id).zipWithIndex.map { case (c, s) => tableEntry(s, c) }.sum
+      assert(dist == manual, s"vec $id: ADC $dist != manual $manual")
+    }
+  }
+
+  test("guards: bad subspace split and wrong-dim query are loud") {
+    val df = vecs(20)
+    intercept[IllegalArgumentException] {
+      Pq.pqTrain(df, "vec_id", "embedding", dim, m = 3, k = 2)
+    }
+    val model = Pq.pqTrain(df, "vec_id", "embedding", dim, m = 2, k = 2)
+    intercept[IllegalArgumentException] {
+      Pq.pqTopKWith(df, "vec_id", "embedding", model, new Array[Double](dim + 1), 5)
+    }
+  }
+}
