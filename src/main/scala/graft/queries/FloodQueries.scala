@@ -262,6 +262,10 @@ object FloodQueries {
     new java.io.File("data/grib/complex.grib2").getAbsolutePath
   private lazy val gribComplexExpected =
     new java.io.File("data/grib/complex_expected.parquet").getAbsolutePath
+  private lazy val gribPng =
+    new java.io.File("data/grib/png.grib2").getAbsolutePath
+  private lazy val gribPngExpected =
+    new java.io.File("data/grib/png_expected.parquet").getAbsolutePath
   private lazy val gribBigday =
     new java.io.File("data/grib/bigday.grib2").getAbsolutePath
   private lazy val gribBigdayExpected =
@@ -353,6 +357,20 @@ object FloodQueries {
     "q_grib_complex" -> ((s, _) => s.read
       .format(classOf[graft.sources.GribSource].getName)
       .option("path", gribComplex)
+      .option("numPartitions", "3")
+      .load()),
+
+    // PNG packing (DRS 5.41) — the NCEP-side encoding (g2clib pngpack)
+    // where CDS ships complex/simple. The fixture
+    // (tools/make_grib_png_fixture.py, independent python implementation
+    // of WMO FM 92 §5.41 + the PNG spec, deflate via CPython zlib vs the
+    // JDK Inflater under test) covers 8/16-bit gray + 24-bit RGB +
+    // 32-bit RGBA samples, 1-row-strip and grid raster layouts, all five
+    // PNG filters, split IDAT with an ancillary chunk, a bitmap, and a
+    // constant field.
+    "q_grib_png" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribPng)
       .option("numPartitions", "3")
       .load()),
 
@@ -718,6 +736,9 @@ object FloodQueries {
 
     "q_grib_complex" ->
       s"SELECT * FROM read_parquet('$gribComplexExpected')",
+
+    "q_grib_png" ->
+      s"SELECT * FROM read_parquet('$gribPngExpected')",
 
     "q_grib_bigday" ->
       s"""SELECT number, step_hours, COUNT(*) AS cells,

@@ -29,12 +29,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (simple packing, `Y = (R + X·2^E) / 10^D`), 5.2 (complex packing —
   * grouped values with per-group reference/width, the encoding
   * operational CDS/GloFAS drops commonly use) and 5.3 (complex packing
-  * with first/second-order spatial differencing), optional section-6
-  * bitmap (absent cells surface as SQL NULL values). Sign-and-magnitude
-  * integers and MSB-first bit packing per spec. Anything outside that
-  * envelope — edition 1, spectral/JPEG/CCSDS packings, embedded
-  * missing-value management, non-lat/lon grids — is rejected loudly
-  * rather than mis-read.
+  * with first/second-order spatial differencing), 5.41 (PNG packing —
+  * the packed stream rides a PNG raster; NCEP products ship it),
+  * optional section-6 bitmap (absent cells surface as SQL NULL values).
+  * Sign-and-magnitude integers and MSB-first bit packing per spec.
+  * Anything outside that envelope — edition 1, spectral/JPEG2000
+  * packings, embedded missing-value management, non-lat/lon grids — is
+  * rejected loudly rather than mis-read.
   *
   * Scale shape:
   *  - the driver INDEXES the file (walks section headers, skipping data
@@ -116,7 +117,8 @@ private[sources] final case class GribMessage(
     bitmapOffset: Long, // -1 = no bitmap (all cells present)
     dataOffset: Long,
     dataLen: Int = -1, // section-7 body length (needed for complex packing)
-    complex: Option[ComplexParams] = None) { // None = simple packing (5.0)
+    complex: Option[ComplexParams] = None, // None = simple packing (5.0)
+    png: Boolean = false) { // DRS 5.41: section 7 is a PNG raster
   def points: Int = ni * nj
 }
 
@@ -317,6 +319,7 @@ private[sources] object GribModel {
     var dataOffset = -1L
     var dataLen = -1
     var complex: Option[ComplexParams] = None
+    var png = false
 
     var at = msgStart + 16
     while (at < msgEnd - 4) {
@@ -428,9 +431,24 @@ private[sources] object GribModel {
                 } else (0, 0)
               complex = Some(ComplexParams(ng, refW, wBits, refL, lInc, lastL,
                 lBits, order, extraOct))
+            case 41 => // PNG packing: the packed-integer stream rides a PNG
+              // raster in section 7; octets 12-21 above are the only
+              // template parameters (octet 22 is the original-type code,
+              // unused — values reconstruct from R/E/D regardless).
+              // Practical encoders (NCEP g2clib pngpack, ecCodes
+              // grib_accessor_data_png_packing) round the packed width to
+              // a whole-byte PNG sample: 8/16-bit grayscale, 24-bit RGB,
+              // 32-bit RGBA. Sub-byte grayscale depths never appear on
+              // the wire from those encoders and are rejected loudly.
+              require(nbits == 0 || nbits == 8 || nbits == 16 ||
+                  nbits == 24 || nbits == 32,
+                s"$path: PNG packing with $nbits bits per value unsupported " +
+                  "(whole-byte PNG sample widths 8/16/24/32, or 0 = constant)")
+              png = true
             case t => throw new IllegalArgumentException(
               s"$path: data representation template 5.$t unsupported " +
-                "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing)")
+                "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing, " +
+                "5.41 PNG)")
           }
         case 6 =>
           val indicator = { val x = new Array[Byte](1); in.readFully(x); x(0) & 0xFF }
@@ -454,7 +472,7 @@ private[sources] object GribModel {
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
-      nPresent, bitmapOffset, dataOffset, dataLen, complex)
+      nPresent, bitmapOffset, dataOffset, dataLen, complex, png)
   }
 }
 
@@ -510,8 +528,9 @@ private[sources] final class GribBitReader(b: Array[Byte], path: String) {
 private[graft] object GribIndexCache {
   private val Magic = 0x47524958 // "GRIX"
   // v2: + dataLen and the optional complex-packing (5.2/5.3) parameters.
-  // A version bump benignly invalidates v1 sidecars (fresh walk + rewrite).
-  private val Version = 2
+  // v3: + the PNG-packing (5.41) flag.
+  // A version bump benignly invalidates older sidecars (fresh walk + rewrite).
+  private val Version = 3
   val hits = new java.util.concurrent.atomic.AtomicLong
   val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -581,7 +600,8 @@ private[graft] object GribIndexCache {
                 refGroupLen = in.readInt(), lenInc = in.readInt(),
                 lastGroupLen = in.readInt(), groupLenBits = in.readInt(),
                 spatialOrder = in.readInt(), extraOctets = in.readInt()))
-            })
+            },
+            png = in.readBoolean())
           i += 1
         }
         Some(out.result())
@@ -619,6 +639,7 @@ private[graft] object GribIndexCache {
           out.writeInt(cp.lastGroupLen); out.writeInt(cp.groupLenBits)
           out.writeInt(cp.spatialOrder); out.writeInt(cp.extraOctets)
         }
+        out.writeBoolean(m.png)
       }
     } finally out.close()
     // some filesystems (LocalFileSystem among them) refuse to rename onto
@@ -1249,6 +1270,12 @@ private class GribReaderFactory extends PartitionReaderFactory {
         }
         values =
           if (!needValue) null
+          else if (current.png && current.nbits > 0)
+            // PNG packing (5.41): the whole section-7 body is one PNG
+            // stream whose raster bytes ARE the packed value stream
+            decode(decodePngRaster(
+              readBytes(current.dataOffset, current.dataLen.toLong), current),
+              current)
           else current.complex match {
             case Some(cp) =>
               // complex packing has a variable-length payload (group
@@ -1310,6 +1337,137 @@ private class GribReaderFactory extends PartitionReaderFactory {
           accBits -= m.nbits
           out(i) = (r + x * twoE) / tenD
           i += 1
+        }
+        out
+      }
+
+      /** PNG packing (DRS 5.41): section 7 is one complete PNG stream;
+        * the defiltered raster bytes, scanlines concatenated, are the
+        * MSB-first packed value stream `decode` already reads. Practical
+        * encoders map the packed width to a whole-byte PNG sample
+        * (8/16-bit grayscale, 24-bit RGB, 32-bit RGBA — one sample per
+        * data point), and lay the points out as either a 1-row strip
+        * (g2clib: width = nPresent) or the grid raster (ecCodes:
+        * Ni × Nj); both satisfy the one-pixel-per-point contract checked
+        * here. Inflate is the JDK zlib; filters are the five standard
+        * reconstructions (shared spec with the media decoder at
+        * Multimodal.decodePngPixels, but THIS path must reject corrupt
+        * input loudly naming the file — the GRIB posture — where the
+        * media path degrades to a stub). Interlace, palette, and
+        * ancillary-chunk dependence are rejected: no GRIB PNG encoder
+        * emits them. */
+      private def decodePngRaster(body: Array[Byte], m: GribMessage): Array[Byte] = {
+        val path = m.path
+        def fail(why: String): Nothing =
+          throw new IllegalArgumentException(s"$path: PNG-packed section 7 $why")
+        if (body.length < 33 ||
+            body(0) != 0x89.toByte || body(1) != 'P' || body(2) != 'N' ||
+            body(3) != 'G' || body(4) != 0x0D || body(5) != 0x0A ||
+            body(6) != 0x1A || body(7) != 0x0A) fail("lacks a PNG signature")
+        def i32(o: Int): Int = java.nio.ByteBuffer.wrap(body, o, 4).getInt
+        if (i32(8) != 13 || body(12) != 'I' || body(13) != 'H' ||
+            body(14) != 'D' || body(15) != 'R') fail("does not start with IHDR")
+        val w = i32(16)
+        val h = i32(20)
+        val bitDepth = body(24) & 0xFF
+        val colorType = body(25) & 0xFF
+        if ((body(26) & 0xFF) != 0 || (body(27) & 0xFF) != 0)
+          fail("uses a non-zero compression/filter method")
+        if ((body(28) & 0xFF) != 0) fail("is interlaced (unsupported)")
+        val channels = colorType match {
+          case 0 => 1
+          case 2 => 3
+          case 6 => 4
+          case t => fail(s"has PNG color type $t (grayscale/RGB/RGBA only)")
+        }
+        if (bitDepth != 8 && bitDepth != 16)
+          fail(s"has PNG bit depth $bitDepth (8 or 16 only)")
+        if (channels * bitDepth != m.nbits)
+          fail(s"carries ${channels * bitDepth}-bit samples but section 5 " +
+            s"declares ${m.nbits} bits per value")
+        if (w <= 0 || h <= 0 || w.toLong * h != m.nPresent)
+          fail(s"raster is $w x $h pixels for ${m.nPresent} data points")
+        val bytesPerPx = channels * (bitDepth / 8)
+        val stride = w * bytesPerPx
+        if (h.toLong * (1L + stride) > Int.MaxValue)
+          fail(s"raster $w x $h overflows the decode buffer")
+        // chunk walk: concatenate IDAT, stop at IEND
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 8
+        var sawEnd = false
+        while (!sawEnd) {
+          if (off + 12 > body.length) fail("is truncated mid-chunk")
+          val len = i32(off)
+          if (len < 0 || len > body.length - off - 12)
+            fail(s"chunk at offset $off overruns the section body")
+          val tag = new String(body, off + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          tag match {
+            case "IDAT" => idat.write(body, off + 8, len)
+            case "IEND" => sawEnd = true
+            case "PLTE" => fail("is palette-indexed (unsupported)")
+            case _ => () // ancillary chunks carry no raster bytes
+          }
+          off += 12 + len
+        }
+        val raw = new Array[Byte](h * (1 + stride))
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(idat.toByteArray)
+          var filled = 0
+          while (filled < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, filled, raw.length - filled)
+            if (n == 0) fail("has a truncated or dictionary-demanding " +
+              "zlib stream")
+            filled += n
+          }
+          if (filled < raw.length)
+            fail(s"inflates to $filled of ${raw.length} raster bytes")
+          // drive the stream to its end: verifies the zlib adler32
+          // trailer (a flipped byte in the compressed data must surface
+          // as a loud DataFormatException here, not as wrong values) and
+          // rejects streams longer than the declared raster
+          if (!inf.finished()) {
+            val scratch = new Array[Byte](1)
+            val extra = inf.inflate(scratch, 0, 1)
+            if (extra > 0 || !inf.finished())
+              fail("does not terminate cleanly at the declared raster size")
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException =>
+            fail("has a corrupt zlib stream")
+        } finally inf.end()
+        // reconstruct the five standard filters; emit scanlines packed
+        val out = new Array[Byte](h * stride)
+        var y = 0
+        while (y < h) {
+          val ft = raw(y * (1 + stride)) & 0xFF
+          val ro = y * (1 + stride) + 1
+          val oo = y * stride
+          val po = oo - stride
+          var i = 0
+          while (i < stride) {
+            val x = raw(ro + i) & 0xFF
+            val a = if (i >= bytesPerPx) out(oo + i - bytesPerPx) & 0xFF else 0
+            val up = if (y > 0) out(po + i) & 0xFF else 0
+            val ul = if (y > 0 && i >= bytesPerPx) out(po + i - bytesPerPx) & 0xFF else 0
+            val v = ft match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + up
+              case 3 => x + ((a + up) >> 1)
+              case 4 =>
+                val p = a + up - ul
+                val pa = math.abs(p - a)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+              case t => fail(s"row $y uses unknown PNG filter type $t")
+            }
+            out(oo + i) = (v & 0xFF).toByte
+            i += 1
+          }
+          y += 1
         }
         out
       }

@@ -57,6 +57,70 @@ class GribSourceSpec extends SparkSpec {
     assert(df.filter(col("value").isNull).count() == 8) // 2 bitmap messages x 4
   }
 
+  test("decodes the PNG-packing fixture bit-exactly (DRS 5.41)") {
+    // tools/make_grib_png_fixture.py: 7 messages — 8/16-bit gray, 24-bit
+    // RGB, 32-bit RGBA samples, strip and grid raster layouts, all five
+    // PNG filters, split IDAT + ancillary chunk, bitmap, constant field
+    val df = spark.read
+      .format(classOf[GribSource].getName)
+      .option("path", new File("data/grib/png.grib2").getAbsolutePath)
+      .option("numPartitions", "3")
+      .load()
+    val mirror = spark.read.parquet(
+      new File("data/grib/png_expected.parquet").getAbsolutePath)
+    assert(asTuples(df) == asTuples(mirror))
+    assert(df.count() == 7L * 45)
+    assert(df.filter(col("value").isNull).count() == 4) // 1 bitmap message x 4
+  }
+
+  test("a corrupt PNG-packed payload is rejected loudly, not decoded wrong") {
+    // flip one byte inside the first message's IDAT compressed data: the
+    // zlib adler32 trailer must catch it (the decode drives the stream to
+    // its end even when the raster fills first), naming the file — wrong
+    // values are never emitted
+    val src = java.nio.file.Paths.get("data/grib/png.grib2")
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    def secAt(off: Int): (Int, Int) =
+      (java.nio.ByteBuffer.wrap(bytes, off, 4).getInt, bytes(off + 4) & 0xFF)
+    // walk the first message's sections to its section 7
+    var at = 16
+    var sec7 = -1
+    var sec7Len = -1
+    while (sec7 < 0) {
+      val (len, num) = secAt(at)
+      if (num == 7) { sec7 = at; sec7Len = len } else at += len
+    }
+    // section-7 body: PNG sig (8) + IHDR chunk (25) + IDAT header (8)
+    val idatData = sec7 + 5 + 8 + 25 + 8
+    val corrupt = bytes.clone()
+    corrupt(idatData + 6) = (corrupt(idatData + 6) ^ 0x5A).toByte
+    val p = java.nio.file.Paths.get(tmp("png_corrupt.grib2"))
+    java.nio.file.Files.write(p, corrupt)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(classOf[GribSource].getName)
+        .option("path", p.toString).load().collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("PNG-packed") || msg.contains("zlib"),
+      s"expected a loud PNG decode rejection, got: $msg")
+
+    // and a patched IHDR width breaks the one-pixel-per-point contract
+    val badDims = bytes.clone()
+    val ihdrW = sec7 + 5 + 8 + 8 // IHDR data: width at its first 4 bytes
+    java.nio.ByteBuffer.wrap(badDims, ihdrW, 4).putInt(7)
+    val p2 = java.nio.file.Paths.get(tmp("png_baddims.grib2"))
+    java.nio.file.Files.write(p2, badDims)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format(classOf[GribSource].getName)
+        .option("path", p2.toString).load().collect()
+    }
+    val msg2 = e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("data points") || msg2.contains("raster"),
+      s"expected the raster/point-count mismatch error, got: $msg2")
+  }
+
   test("bitmap-missing cells surface as SQL NULL values") {
     assert(grib().filter(col("value").isNull).count() == 3)
     // the deterministic message has no `number`
