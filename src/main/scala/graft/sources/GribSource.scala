@@ -30,8 +30,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * grouped values with per-group reference/width, the encoding
   * operational CDS/GloFAS drops commonly use) and 5.3 (complex packing
   * with first/second-order spatial differencing), 5.41 (PNG packing —
-  * the packed stream rides a PNG raster; NCEP products ship it),
-  * optional section-6 bitmap (absent cells surface as SQL NULL values).
+  * the packed stream rides a PNG raster; NCEP products ship it), 5.42
+  * (CCSDS/AEC lossless compression — the ecCodes-side default for many
+  * operational ECMWF products; see [[CcsdsDecoder]]), optional
+  * section-6 bitmap (absent cells surface as SQL NULL values).
   * Sign-and-magnitude integers and MSB-first bit packing per spec.
   * Anything outside that envelope — edition 1, spectral/JPEG2000
   * packings, embedded missing-value management, non-lat/lon grids — is
@@ -118,9 +120,16 @@ private[sources] final case class GribMessage(
     dataOffset: Long,
     dataLen: Int = -1, // section-7 body length (needed for complex packing)
     complex: Option[ComplexParams] = None, // None = simple packing (5.0)
-    png: Boolean = false) { // DRS 5.41: section 7 is a PNG raster
+    png: Boolean = false, // DRS 5.41: section 7 is a PNG raster
+    ccsds: Option[CcsdsParams] = None) { // DRS 5.42: CCSDS/AEC stream
   def points: Int = ni * nj
 }
+
+/** DRS template 5.42 (CCSDS lossless compression) parameters — octets
+  * 22 (options mask), 23 (block size), 24-25 (reference sample
+  * interval) of section 5. */
+private[sources] final case class CcsdsParams(
+    flags: Int, blockSize: Int, rsi: Int)
 
 /** Data representation templates 5.2/5.3 (complex packing [+ spatial
   * differencing]) parameters — WMO FM 92 GRIB2 DRS templates, octets
@@ -320,6 +329,7 @@ private[sources] object GribModel {
     var dataLen = -1
     var complex: Option[ComplexParams] = None
     var png = false
+    var ccsds: Option[CcsdsParams] = None
 
     var at = msgStart + 16
     while (at < msgEnd - 4) {
@@ -445,10 +455,23 @@ private[sources] object GribModel {
                 s"$path: PNG packing with $nbits bits per value unsupported " +
                   "(whole-byte PNG sample widths 8/16/24/32, or 0 = constant)")
               png = true
+            case 42 => // CCSDS/AEC lossless compression: octets 12-21 as
+              // simple packing, then the three AEC parameters. The
+              // stream-shape validation (flags, block size, RSI bounds)
+              // lives in CcsdsDecoder so index-time and decode-time agree.
+              val ccsdsFlags = b.get(16) & 0xFF
+              val block = b.get(17) & 0xFF
+              val rsi = b.getShort(18) & 0xFFFF
+              require(nbits == 0 || (block == 8 || block == 16 ||
+                  block == 32 || block == 64),
+                s"$path: CCSDS block size $block unsupported (8/16/32/64)")
+              require(nbits == 0 || (rsi >= 1 && rsi <= 4096),
+                s"$path: CCSDS reference sample interval $rsi out of range")
+              ccsds = Some(CcsdsParams(ccsdsFlags, block, rsi))
             case t => throw new IllegalArgumentException(
               s"$path: data representation template 5.$t unsupported " +
                 "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing, " +
-                "5.41 PNG)")
+                "5.41 PNG, 5.42 CCSDS)")
           }
         case 6 =>
           val indicator = { val x = new Array[Byte](1); in.readFully(x); x(0) & 0xFF }
@@ -472,7 +495,7 @@ private[sources] object GribModel {
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
-      nPresent, bitmapOffset, dataOffset, dataLen, complex, png)
+      nPresent, bitmapOffset, dataOffset, dataLen, complex, png, ccsds)
   }
 }
 
@@ -513,6 +536,39 @@ private[sources] final class GribBitReader(b: Array[Byte], path: String) {
   /** Drop to the next byte boundary (leftover is always < 8 bits: bytes
     * are loaded only on demand). */
   def align(): Unit = { acc = 0L; accBits = 0 }
+
+  /** Unary / fundamental-sequence read: the count of 0 bits before the
+    * next 1 (which is consumed). Byte-at-a-time via highest-set-bit
+    * arithmetic — the CCSDS decode hot path calls this per sample, and a
+    * bit-at-a-time loop was its dominant cost. `max` bounds a corrupt
+    * all-zeros stream (fails loudly instead of walking to the buffer
+    * end one byte at a time for gigabytes). */
+  def readUnary(max: Long): Long = {
+    var z = 0L
+    while (true) {
+      if (accBits == 0) {
+        require(bytePos < b.length,
+          s"$path: packed data exhausted at byte $bytePos (unterminated " +
+            "fundamental sequence?)")
+        acc = b(bytePos) & 0xFFL
+        accBits = 8
+        bytePos += 1
+      }
+      val window = acc & ((1L << accBits) - 1)
+      if (window == 0L) {
+        z += accBits
+        accBits = 0
+      } else {
+        val highest = 63 - java.lang.Long.numberOfLeadingZeros(window)
+        z += accBits - 1 - highest
+        accBits = highest // zeros and the terminating 1 consumed
+        return z
+      }
+      require(z <= max,
+        s"$path: fundamental-sequence codeword exceeds $max")
+    }
+    z // unreachable
+  }
 }
 
 /** Persistent sidecar store for a GRIB file's driver-side message index
@@ -529,8 +585,9 @@ private[graft] object GribIndexCache {
   private val Magic = 0x47524958 // "GRIX"
   // v2: + dataLen and the optional complex-packing (5.2/5.3) parameters.
   // v3: + the PNG-packing (5.41) flag.
+  // v4: + the optional CCSDS (5.42) parameters.
   // A version bump benignly invalidates older sidecars (fresh walk + rewrite).
-  private val Version = 3
+  private val Version = 4
   val hits = new java.util.concurrent.atomic.AtomicLong
   val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -601,7 +658,12 @@ private[graft] object GribIndexCache {
                 lastGroupLen = in.readInt(), groupLenBits = in.readInt(),
                 spatialOrder = in.readInt(), extraOctets = in.readInt()))
             },
-            png = in.readBoolean())
+            png = in.readBoolean(),
+            ccsds = {
+              if (!in.readBoolean()) None
+              else Some(CcsdsParams(flags = in.readInt(),
+                blockSize = in.readInt(), rsi = in.readInt()))
+            })
           i += 1
         }
         Some(out.result())
@@ -640,6 +702,11 @@ private[graft] object GribIndexCache {
           out.writeInt(cp.spatialOrder); out.writeInt(cp.extraOctets)
         }
         out.writeBoolean(m.png)
+        out.writeBoolean(m.ccsds.isDefined)
+        m.ccsds.foreach { cc =>
+          out.writeInt(cc.flags); out.writeInt(cc.blockSize)
+          out.writeInt(cc.rsi)
+        }
       }
     } finally out.close()
     // some filesystems (LocalFileSystem among them) refuse to rename onto
@@ -1276,7 +1343,25 @@ private class GribReaderFactory extends PartitionReaderFactory {
             decode(decodePngRaster(
               readBytes(current.dataOffset, current.dataLen.toLong), current),
               current)
-          else current.complex match {
+          else if (current.ccsds.isDefined && current.nbits > 0) {
+            // CCSDS/AEC (5.42): entropy-decode to the packed X stream,
+            // then the shared Y = (R + X·2^E) / 10^D scaling
+            val cp = current.ccsds.get
+            val xs = CcsdsDecoder.decode(
+              readBytes(current.dataOffset, current.dataLen.toLong),
+              current.nPresent, current.nbits, cp.flags, cp.blockSize,
+              cp.rsi, current.path)
+            val out = new Array[Double](current.nPresent)
+            val r = current.refValue.toDouble
+            val twoE = math.pow(2.0, current.binScale)
+            val tenD = math.pow(10.0, current.decScale)
+            var i = 0
+            while (i < out.length) {
+              out(i) = (r + xs(i) * twoE) / tenD
+              i += 1
+            }
+            out
+          } else current.complex match {
             case Some(cp) =>
               // complex packing has a variable-length payload (group
               // descriptors + per-group widths): read the whole

@@ -73,6 +73,23 @@ class GribSourceSpec extends SparkSpec {
     assert(df.filter(col("value").isNull).count() == 4) // 1 bitmap message x 4
   }
 
+  test("decodes the CCSDS-packing fixture bit-exactly (DRS 5.42)") {
+    // tools/make_grib_ccsds_fixture.py: 9 messages — 6/8/12/16-bit
+    // samples, preprocessor on/off, references at RSI 1-8, zero runs
+    // incl. remainder-of-segment, second-extension, splitting,
+    // uncompressed, bitmap, constant field
+    val df = spark.read
+      .format(classOf[GribSource].getName)
+      .option("path", new File("data/grib/ccsds.grib2").getAbsolutePath)
+      .option("numPartitions", "3")
+      .load()
+    val mirror = spark.read.parquet(
+      new File("data/grib/ccsds_expected.parquet").getAbsolutePath)
+    assert(asTuples(df) == asTuples(mirror))
+    assert(df.count() == 9L * 45)
+    assert(df.filter(col("value").isNull).count() == 4) // 1 bitmap message x 4
+  }
+
   test("a corrupt PNG-packed payload is rejected loudly, not decoded wrong") {
     // flip one byte inside the first message's IDAT compressed data: the
     // zlib adler32 trailer must catch it (the decode drives the stream to
