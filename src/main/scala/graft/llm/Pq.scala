@@ -148,6 +148,131 @@ object Pq {
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
   }
 
+  /** Flattened centroid matrix of an m=1 (full-space) model — the coarse
+    * quantizer of [[ivfPqSearch]]. */
+  private def coarseFlat(coarse: PqModel): Seq[Double] = {
+    require(coarse.m == 1, s"coarse quantizer must be m=1, got m=${coarse.m}")
+    flat(coarse.cents(0)).toSeq
+  }
+
+  /** Per-row coarse cell + residual columns: `__cell` (argmin cell by the
+    * kernel's (dist asc, code asc) rule) and `__res` (v − centroid,
+    * element-wise exact IEEE subtraction — deterministic and exactly
+    * mirrorable). Zero shuffle. */
+  private def withResidual(vecs: DataFrame, coarse: PqModel): DataFrame = {
+    val flatLit = typedlit(coarseFlat(coarse))
+    vecs
+      .withColumn("__cell", codeCols(col("v"), coarse).head)
+      .withColumn("__res", transform(sequence(lit(1), lit(coarse.dim)),
+        j => element_at(col("v"), j) -
+          element_at(flatLit, col("__cell") * coarse.dim + j)))
+  }
+
+  /** Train the two-stage IVF-PQ index (Jégou et al. 2011 §III): a coarse
+    * full-space quantizer of `cells` centroids (an m=1 [[pqTrain]] — the
+    * same deterministic Lloyd), then a product quantizer over the
+    * RESIDUALS v − c(v) (where the actual information is once the cell
+    * is known). Both trainings are corpus passes with ≤ k·dim rows
+    * through each exchange; everything else is zero-shuffle projection. */
+  def ivfPqTrain(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      cells: Int,
+      m: Int,
+      k: Int,
+      coarseIters: Int = 2,
+      pqIters: Int = 2): (PqModel, PqModel) = {
+    val coarse = pqTrain(vectors, idCol, vecCol, dim, m = 1, k = cells,
+      iters = coarseIters)
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val residuals = withResidual(vecs, coarse)
+      .select(col("vec_id"), col("__res").as("res"))
+    val pq = pqTrain(residuals, "vec_id", "res", dim, m, k, pqIters)
+    (coarse, pq)
+  }
+
+  /** IVF-PQ search: probe the `nProbes` cells nearest the query (exact
+    * driver-side distances over `cells` centroids), then ADC-score ONLY
+    * the vectors assigned to those cells with a per-cell residual
+    * distance table (qr = q − c_cell). The scan shape at 10⁹ vectors:
+    * the un-probed cells' vectors are filtered by an integer equality on
+    * the kernel-computed cell — with a persisted (cell)-partitioned
+    * encode table this is partition pruning; here it is a zero-shuffle
+    * filter+projection per probe, unioned, then TakeOrderedAndProject.
+    * Returns (vec_id, cell, dist_micros), top `topK` by
+    * (dist asc, vec_id asc). */
+  def ivfPqSearch(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: PqModel,
+      pq: PqModel,
+      query: Array[Double],
+      nProbes: Int,
+      topK: Int): DataFrame = {
+    require(query.length == coarse.dim,
+      s"ivfPqSearch: query has ${query.length} dims, model ${coarse.dim}")
+    require(nProbes >= 1 && nProbes <= coarse.k, s"nProbes $nProbes out of range")
+    val cents = coarse.cents(0)
+    // probe order: exact squared distance, (dist asc, cell asc) ties
+    val probed = cents.indices
+      .map { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < coarse.dim) {
+          val d = query(j) - cents(c)(j)
+          acc += d * d
+          j += 1
+        }
+        (math.round(acc * 1e6), c)
+      }
+      .sorted.take(nProbes).map(_._2)
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val assigned = withResidual(vecs, coarse)
+    val sd = pq.subDim
+    val perCell = probed.map { c =>
+      // residual query and its ADC table for THIS cell
+      val qr = new Array[Double](coarse.dim)
+      var j = 0
+      while (j < coarse.dim) { qr(j) = query(j) - cents(c)(j); j += 1 }
+      val table = new Array[Long](pq.m * pq.k)
+      var s = 0
+      while (s < pq.m) {
+        var cc = 0
+        while (cc < pq.k) {
+          var acc = 0.0
+          var jj = 0
+          while (jj < sd) {
+            val d = qr(s * sd + jj) - pq.cents(s)(cc)(jj)
+            acc += d * d
+            jj += 1
+          }
+          table(s * pq.k + cc) = math.round(acc * 1e6)
+          cc += 1
+        }
+        s += 1
+      }
+      val tableLit = typedlit(table.toSeq)
+      assigned
+        .filter(col("__cell") === c)
+        .select((col("vec_id") +: lit(c).as("cell") +:
+          codeCols(col("__res"), pq)): _*)
+        .select(col("vec_id"), col("cell"),
+          (0 until pq.m)
+            .map(s2 => element_at(tableLit, col(s"__c$s2") + lit(s2 * pq.k) + 1))
+            .reduce(_ + _).as("dist_micros"))
+    }
+    perCell.reduce(_.unionAll(_))
+      .orderBy(col("dist_micros").asc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Asymmetric-distance top-k: the query's m×k table of
     * `round(sqDist(query_sub, codeword)·1e6)` entries is computed on the
     * driver; every vector's score is the integer sum of its m table

@@ -266,6 +266,10 @@ object FloodQueries {
     new java.io.File("data/grib/png.grib2").getAbsolutePath
   private lazy val gribPngExpected =
     new java.io.File("data/grib/png_expected.parquet").getAbsolutePath
+  private lazy val gribCcsds =
+    new java.io.File("data/grib/ccsds.grib2").getAbsolutePath
+  private lazy val gribCcsdsExpected =
+    new java.io.File("data/grib/ccsds_expected.parquet").getAbsolutePath
   private lazy val gribBigday =
     new java.io.File("data/grib/bigday.grib2").getAbsolutePath
   private lazy val gribBigdayExpected =
@@ -371,6 +375,19 @@ object FloodQueries {
     "q_grib_png" -> ((s, _) => s.read
       .format(classOf[graft.sources.GribSource].getName)
       .option("path", gribPng)
+      .option("numPartitions", "3")
+      .load()),
+
+    // CCSDS/AEC lossless compression (DRS 5.42) — the ecCodes-side
+    // default many operational ECMWF products ship. The fixture
+    // (tools/make_grib_ccsds_fixture.py, from-spec CCSDS 121.0-B-2
+    // encoder) covers 6/8/12/16-bit samples, preprocessor on/off,
+    // references at RSI 1-8, zero-block runs incl. remainder-of-segment,
+    // second-extension, sample-splitting and uncompressed blocks,
+    // bitmap, and a constant field.
+    "q_grib_ccsds" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribCcsds)
       .option("numPartitions", "3")
       .load()),
 
@@ -739,6 +756,9 @@ object FloodQueries {
 
     "q_grib_png" ->
       s"SELECT * FROM read_parquet('$gribPngExpected')",
+
+    "q_grib_ccsds" ->
+      s"SELECT * FROM read_parquet('$gribCcsdsExpected')",
 
     "q_grib_bigday" ->
       s"""SELECT number, step_hours, COUNT(*) AS cells,

@@ -184,45 +184,51 @@ object LlmQueries {
   private def sqDistSql(v: String, c: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
 
-  private def sq32Sql(v: String, c: String): String =
-    s"list_reduce(list_transform(generate_series(1, 32), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+  private def sqNSql(n: Int, v: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
 
-  /** Unrolled PQ trainer mirror of [[graft.llm.Pq.pqTrain]] (m=2
-    * subspaces of 32 dims, k=4, iters=2 = one update round): requires
-    * CTE `e`; yields `pqsv` (per-vector subspace slices), `pqfinal` =
-    * (sub, code, dim, c) and `pqfc` = (sub, code, c as a list). Empty
-    * codes keep their seed centroid (the Scala clone-then-overwrite). */
-  private val pqTrainCte: String =
-    s"""pqsubs AS (SELECT unnest(generate_series(0, 1)) AS sub),
-       |pqseeds AS (SELECT vec_id, v,
+  private def sq32Sql(v: String, c: String): String = sqNSql(32, v, c)
+
+  /** Unrolled PQ trainer mirror of [[graft.llm.Pq.pqTrain]] over source
+    * CTE `src` (vec_id, v) — `m` subspaces of `sub` dims, `k` codes,
+    * iters=2 = one update round. Yields `${p}sv` (per-vector subspace
+    * slices), `${p}final` = (sub, code, dim, c) and `${p}fc` = (sub,
+    * code, c as a list). Empty codes keep their seed centroid (the Scala
+    * clone-then-overwrite). An m=1 instance is the deterministic
+    * full-space Lloyd — the IVF-PQ coarse quantizer. */
+  private def pqCte(p: String, src: String, m: Int, sub: Int, k: Int): String =
+    s"""${p}subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |${p}seeds AS (SELECT vec_id, v,
        |  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code
-       |  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 4)),
-       |pqc0 AS (SELECT s.sub, d.code, d.v[s.sub*32+1:(s.sub+1)*32] AS c
-       |  FROM pqsubs s, pqseeds d),
-       |pqsv AS (SELECT e.vec_id, s.sub, e.v[s.sub*32+1:(s.sub+1)*32] AS sv
-       |  FROM e, pqsubs s WHERE e.v IS NOT NULL),
-       |pqd1 AS (SELECT sv.vec_id, sv.sub, c.code, ${sq32Sql("sv.sv", "c.c")} AS dist
-       |  FROM pqsv sv JOIN pqc0 c ON c.sub = sv.sub),
-       |pqa1 AS (SELECT vec_id, sub, code FROM (
+       |  FROM (SELECT vec_id, v FROM $src WHERE v IS NOT NULL ORDER BY vec_id LIMIT $k)),
+       |${p}c0 AS (SELECT s.sub, d.code, d.v[s.sub*$sub+1:(s.sub+1)*$sub] AS c
+       |  FROM ${p}subs s, ${p}seeds d),
+       |${p}sv AS (SELECT $src.vec_id, s.sub, $src.v[s.sub*$sub+1:(s.sub+1)*$sub] AS sv
+       |  FROM $src, ${p}subs s WHERE $src.v IS NOT NULL),
+       |${p}d1 AS (SELECT sv.vec_id, sv.sub, c.code, ${sqNSql(sub, "sv.sv", "c.c")} AS dist
+       |  FROM ${p}sv sv JOIN ${p}c0 c ON c.sub = sv.sub),
+       |${p}a1 AS (SELECT vec_id, sub, code FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-       |    ORDER BY dist ASC, code ASC) AS rn FROM pqd1) WHERE rn = 1),
-       |pqu1 AS (SELECT a.sub, a.code, g.j,
+       |    ORDER BY dist ASC, code ASC) AS rn FROM ${p}d1) WHERE rn = 1),
+       |${p}u1 AS (SELECT a.sub, a.code, g.j,
        |    CAST(sum(CAST(round(sv.sv[g.j] * 1000000) AS BIGINT)) AS BIGINT) AS s,
        |    count(*) AS n
-       |  FROM pqa1 a
-       |  JOIN pqsv sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
-       |       (SELECT unnest(generate_series(1, 32)) AS j) g
+       |  FROM ${p}a1 a
+       |  JOIN ${p}sv sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
+       |       (SELECT unnest(generate_series(1, $sub)) AS j) g
        |  GROUP BY 1, 2, 3),
-       |pqgrid AS (SELECT c.sub, c.code, g.j, c.c[g.j] AS seed_c
-       |  FROM pqc0 c, (SELECT unnest(generate_series(1, 32)) AS j) g),
-       |pqfinal AS (SELECT CAST(grid.sub AS INTEGER) AS sub,
+       |${p}grid AS (SELECT c.sub, c.code, g.j, c.c[g.j] AS seed_c
+       |  FROM ${p}c0 c, (SELECT unnest(generate_series(1, $sub)) AS j) g),
+       |${p}final AS (SELECT CAST(grid.sub AS INTEGER) AS sub,
        |    CAST(grid.code AS INTEGER) AS code,
-       |    CAST(grid.sub*32 + grid.j - 1 AS INTEGER) AS dim,
+       |    CAST(grid.sub*$sub + grid.j - 1 AS INTEGER) AS dim,
        |    COALESCE(CAST(u.s AS DOUBLE) / (u.n * 1000000), grid.seed_c) AS c
-       |  FROM pqgrid grid LEFT JOIN pqu1 u
+       |  FROM ${p}grid grid LEFT JOIN ${p}u1 u
        |    ON u.sub = grid.sub AND u.code = grid.code AND u.j = grid.j),
-       |pqfc AS (SELECT sub, code, list(c ORDER BY dim) AS c
-       |  FROM pqfinal GROUP BY 1, 2)""".stripMargin
+       |${p}fc AS (SELECT sub, code, list(c ORDER BY dim) AS c
+       |  FROM ${p}final GROUP BY 1, 2)""".stripMargin
+
+  private val pqTrainCte: String = pqCte("pq", "e", 2, 32, 4)
 
   /** Unrolled farthest-first seed chain (mirrors
     * [[graft.llm.Clustering.farthestFirstSeeds]], generalized from the
@@ -792,6 +798,20 @@ object LlmQueries {
       val q = e.orderBy(col("vec_id")).limit(1)
         .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
       Pq.pqTopKWith(e, "vec_id", "embedding", model, q, k = 10)
+    }),
+
+    // the full two-stage IVF-PQ index (coarse quantizer + residual
+    // product codes), probed at 2 of 4 cells — every stage (coarse
+    // Lloyd, residual PQ, encode, probe order, per-cell ADC) exactly
+    // mirrored by the composed oracle
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (coarse, pq) = Pq.ivfPqTrain(e, "vec_id", "embedding",
+        dim = 64, cells = 4, m = 2, k = 4)
+      val q = e.orderBy(col("vec_id")).limit(1)
+        .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+      Pq.ivfPqSearch(e, "vec_id", "embedding", coarse, pq, q,
+        nProbes = 2, topK = 10)
     }),
 
     // PCA over the embedding corpus: one exact-decimal moment pass ->
@@ -1965,6 +1985,44 @@ object LlmQueries {
          |  FROM pqa2 a JOIN qt ON qt.sub = a.sub AND qt.code = a.code
          |  GROUP BY 1)
          |SELECT vec_id, dist_micros FROM scores
+         |ORDER BY dist_micros ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      s"""WITH $embCte,
+         |${pqCte("cg", "e", 1, 64, 4)},
+         |cgd AS (SELECT sv.vec_id, c.code, ${sqNSql(64, "sv.sv", "c.c")} AS dist
+         |  FROM cgsv sv JOIN cgfc c ON c.sub = sv.sub),
+         |asg AS (SELECT vec_id, code AS cell FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, code ASC) AS rn FROM cgd) WHERE rn = 1),
+         |e2 AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, 64), j -> e.v[j] - fc.c[j]) AS v
+         |  FROM e JOIN asg ON asg.vec_id = e.vec_id
+         |  JOIN cgfc fc ON fc.code = asg.cell AND fc.sub = 0
+         |  WHERE e.v IS NOT NULL),
+         |${pqCte("pq", "e2", 2, 32, 4)},
+         |pqd2 AS (SELECT sv.vec_id, sv.sub, fc.code, ${sq32Sql("sv.sv", "fc.c")} AS dist
+         |  FROM pqsv sv JOIN pqfc fc ON fc.sub = sv.sub),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dist ASC, code ASC) AS rn FROM pqd2) WHERE rn = 1),
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |qprobe AS (SELECT fc.code AS cell,
+         |    CAST(round(1000000 * ${sqNSql(64, "q.v", "fc.c")}) AS BIGINT) AS d
+         |  FROM cgfc fc, q ORDER BY d ASC, cell ASC LIMIT 2),
+         |qres AS (SELECT p.cell,
+         |    list_transform(generate_series(1, 64), j -> q.v[j] - fc.c[j]) AS qv
+         |  FROM qprobe p JOIN cgfc fc ON fc.code = p.cell AND fc.sub = 0, q),
+         |qsv2 AS (SELECT r.cell, s.sub, r.qv[s.sub*32+1:(s.sub+1)*32] AS qv
+         |  FROM qres r, pqsubs s),
+         |qt AS (SELECT q2.cell, q2.sub, fc.code,
+         |    CAST(round(1000000 * ${sq32Sql("q2.qv", "fc.c")}) AS BIGINT) AS t
+         |  FROM qsv2 q2 JOIN pqfc fc ON fc.sub = q2.sub),
+         |scores AS (SELECT a.vec_id, a.cell, CAST(SUM(qt.t) AS BIGINT) AS dist_micros
+         |  FROM asg a JOIN enc ON enc.vec_id = a.vec_id
+         |  JOIN qt ON qt.cell = a.cell AND qt.sub = enc.sub AND qt.code = enc.code
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, cell, dist_micros FROM scores
          |ORDER BY dist_micros ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_pca_train" -> {

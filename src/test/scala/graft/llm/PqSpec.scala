@@ -60,6 +60,31 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: deterministic under repartitioning, probes restrict the scan") {
+    val df = vecs(200, 4)
+    val (c1, p1) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    val (c2, p2) = Pq.ivfPqTrain(vecs(200, 11), "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    assert(c1.cents.flatten.flatten.toSeq == c2.cents.flatten.flatten.toSeq)
+    assert(p1.cents.flatten.flatten.toSeq == p2.cents.flatten.flatten.toSeq)
+    val query = df.filter(col("vec_id") === 3L)
+      .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val r1 = Pq.ivfPqSearch(df, "vec_id", "embedding", c1, p1, query, nProbes = 2, topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    val r2 = Pq.ivfPqSearch(vecs(200, 9), "vec_id", "embedding", c2, p2, query, nProbes = 2, topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(r1 == r2)
+    assert(r1.size == 10)
+    // results come only from the probed cells
+    assert(r1.map(_._2).toSet.size <= 2)
+    // ranked (dist asc, id asc)
+    assert(r1.sortBy(t => (t._3, t._1)) == r1)
+    // probing ALL cells with enough k degenerates to full-corpus ADC
+    // over residuals: every vector scored exactly once
+    val all = Pq.ivfPqSearch(df, "vec_id", "embedding", c1, p1, query,
+      nProbes = 4, topK = 1000).as[(Long, Int, Long)].collect()
+    assert(all.map(_._1).distinct.length == 200)
+  }
+
   test("guards: bad subspace split and wrong-dim query are loud") {
     val df = vecs(20)
     intercept[IllegalArgumentException] {
