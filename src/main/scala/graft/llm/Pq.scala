@@ -273,6 +273,93 @@ object Pq {
       .limit(topK)
   }
 
+  /** The persisted IVF-PQ index rows: (vec_id, cell, c0..c(m-1)) — one
+    * row per vector, the coarse cell plus the m residual codes as small
+    * ints. THIS is what a serving tier stores (hive-partitioned by
+    * `cell`, the index is mutated by appending new drops' rows — the
+    * [[Similarity.ivfAssign]] maintenance discipline) and what
+    * [[ivfPqSearchOverIndex]] probes with partition pruning. Zero
+    * shuffle: cell assignment, residuals and codes are all kernel/HOF
+    * projections in one pass. */
+  def ivfPqEncode(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: PqModel,
+      pq: PqModel): DataFrame = {
+    val vecs = vectors
+      .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    withResidual(vecs, coarse)
+      .select((col("vec_id") +: col("__cell").as("cell") +:
+        codeCols(col("__res"), pq)): _*)
+  }
+
+  /** [[ivfPqSearch]] over a PERSISTED index (the [[ivfPqEncode]] rows)
+    * instead of the raw vectors: the corpus pass needs only the
+    * m-small-int code rows — at 10⁹ vectors the float vectors never
+    * load, and with the index laid out cell-partitioned the un-probed
+    * cells' files are never read (partition pruning on `cell = c`).
+    * Bit-identical to [[ivfPqSearch]] (spec-pinned): the ADC tables are
+    * the same driver-side integer-micros tables. */
+  def ivfPqSearchOverIndex(
+      index: DataFrame,
+      coarse: PqModel,
+      pq: PqModel,
+      query: Array[Double],
+      nProbes: Int,
+      topK: Int): DataFrame = {
+    require(query.length == coarse.dim,
+      s"ivfPqSearchOverIndex: query has ${query.length} dims, model ${coarse.dim}")
+    require(nProbes >= 1 && nProbes <= coarse.k, s"nProbes $nProbes out of range")
+    val cents = coarse.cents(0)
+    val probed = cents.indices
+      .map { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < coarse.dim) {
+          val d = query(j) - cents(c)(j)
+          acc += d * d
+          j += 1
+        }
+        (math.round(acc * 1e6), c)
+      }
+      .sorted.take(nProbes).map(_._2)
+    val sd = pq.subDim
+    val perCell = probed.map { c =>
+      val qr = new Array[Double](coarse.dim)
+      var j = 0
+      while (j < coarse.dim) { qr(j) = query(j) - cents(c)(j); j += 1 }
+      val table = new Array[Long](pq.m * pq.k)
+      var s = 0
+      while (s < pq.m) {
+        var cc = 0
+        while (cc < pq.k) {
+          var acc = 0.0
+          var jj = 0
+          while (jj < sd) {
+            val d = qr(s * sd + jj) - pq.cents(s)(cc)(jj)
+            acc += d * d
+            jj += 1
+          }
+          table(s * pq.k + cc) = math.round(acc * 1e6)
+          cc += 1
+        }
+        s += 1
+      }
+      val tableLit = typedlit(table.toSeq)
+      index
+        .filter(col("cell") === c)
+        .select(col("vec_id"), col("cell"),
+          (0 until pq.m)
+            .map(s2 => element_at(tableLit, col(s"__c$s2") + lit(s2 * pq.k) + 1))
+            .reduce(_ + _).as("dist_micros"))
+    }
+    perCell.reduce(_.unionAll(_))
+      .orderBy(col("dist_micros").asc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Asymmetric-distance top-k: the query's m×k table of
     * `round(sqDist(query_sub, codeword)·1e6)` entries is computed on the
     * driver; every vector's score is the integer sum of its m table

@@ -85,6 +85,36 @@ class PqSpec extends SparkSpec {
     assert(all.map(_._1).distinct.length == 200)
   }
 
+  test("persisted IVF-PQ index: search is bit-identical and prunes partitions") {
+    val df = vecs(200, 4)
+    val (c, p) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    val query = df.filter(col("vec_id") === 3L)
+      .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val direct = Pq.ivfPqSearch(df, "vec_id", "embedding", c, p, query,
+      nProbes = 2, topK = 10).as[(Long, Int, Long)].collect().toSeq
+
+    // drop-by-drop build: two appends land the same rows a one-shot
+    // encode would (encode is a per-row projection)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.ivfPqEncode(df.filter(col("vec_id") < 120), "vec_id", "embedding", c, p)
+      .write.partitionBy("cell").mode("append").parquet(dir)
+    Pq.ivfPqEncode(df.filter(col("vec_id") >= 120), "vec_id", "embedding", c, p)
+      .write.partitionBy("cell").mode("append").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val over = Pq.ivfPqSearchOverIndex(index, c, p, query, nProbes = 2, topK = 10)
+    assert(over.as[(Long, Int, Long)].collect().toSeq == direct)
+
+    // the un-probed cells' files are never read: every scanned partition
+    // filter pins cell to one probed value
+    val plan = over.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell".take(30)) ||
+      plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    val scans = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("cell")),
+      s"expected cell partition filters, got: $scans")
+  }
+
   test("guards: bad subspace split and wrong-dim query are loud") {
     val df = vecs(20)
     intercept[IllegalArgumentException] {
