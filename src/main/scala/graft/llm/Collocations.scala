@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** PMI collocation mining — the word2phrase/phrase-detection pass of a
+  * training-data pipeline (Mikolov et al. 2013 §4; Church & Hanks 1990):
+  * score every adjacent token pair by pointwise mutual information,
+  * `PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )`, so high-PMI pairs ("new
+  * york") can be joined into phrase tokens before tokenizer training
+  * (complementing [[Bpe]], which merges by raw frequency) and corpus
+  * statistics ([[TextAnalysis.pairVocabulary]] counts pairs; this ranks
+  * their ASSOCIATION, which frequency alone cannot — "of the" is
+  * frequent but not associated).
+  *
+  * Scale shape (the [[LangModel]] posture): one (token)-shuffled corpus
+  * pass for unigram counts, one (pair)-shuffled pass for adjacent-pair
+  * counts, both with map-side combine; corpus totals T (tokens) and P
+  * (pairs) reduce from the ALREADY-aggregated tables, not the corpus;
+  * the emitted table is capped to pairs with both sides in the
+  * top-`vocabSize` vocabulary and `cnt ≥ minCount` (the standard
+  * collocation support floor), so every join side is dimension-sized and
+  * broadcast.
+  *
+  * Determinism: PMI is quantized to integer micros over a fixed
+  * left-associated double fold — `(cnt·T·T) / (P·c1·c2)` with each
+  * factor cast to double, IEEE mult/div exactly rounded, then
+  * `round(ln(·)·1e6)` — the same acknowledged cross-engine `ln` ulp
+  * hazard as [[Classify]]/[[LangModel]] (measured by
+  * `LnBoundaryMarginSpec`).
+  *
+  * Returns (t1, t2, cnt, c1, c2, pmi_micros). */
+object Collocations {
+
+  def pmi(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 64,
+      minCount: Int = 2): DataFrame = {
+    require(vocabSize > 0 && minCount >= 1, "need vocabSize > 0 and minCount >= 1")
+    val uni = docs.select(explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = uni.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    val tTot = uni.agg(sum(col("cnt")).as("t_total"))
+    val pairs = docs
+      .select(bindOnce(wordTokens(col(textCol)), t =>
+        // size guard: sequence(1, 0) DESCENDS instead of being empty —
+        // the trap TextHash.wordNgrams documents
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1), i =>
+            struct(element_at(t, i).as("t1"), element_at(t, i + 1).as("t2"))))
+          .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+    val pTot = pairs.agg(sum(col("cnt")).as("p_total"))
+    pairs
+      .filter(col("cnt") >= minCount)
+      .join(broadcast(vocab.select(col("token").as("t1"), col("cnt").as("c1"))), Seq("t1"))
+      .join(broadcast(vocab.select(col("token").as("t2"), col("cnt").as("c2"))), Seq("t2"))
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(pTot))
+      .select(col("t1"), col("t2"), col("cnt"), col("c1"), col("c2"),
+        round(log(
+          (col("cnt").cast("double") * col("t_total") * col("t_total")) /
+            (col("p_total").cast("double") * col("c1") * col("c2"))) * 1e6)
+          .cast("long").as("pmi_micros"))
+  }
+}

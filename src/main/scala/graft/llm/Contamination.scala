@@ -57,4 +57,60 @@ object Contamination {
           .otherwise(coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_grams"))
           >= maxRatio).as("contaminated"))
   }
+
+  /** Semantic (embedding-space) decontamination — the modern complement
+    * to [[overlap]]'s n-gram test: an eval answer paraphrased into
+    * training data shares no 3-grams but sits at high cosine to the eval
+    * embedding. Flags every corpus vector whose cosine to ANY benchmark
+    * vector reaches `minCosine`.
+    *
+    * Shape at scale (the [[Similarity.nearDupPairs]] bipartite form):
+    * both sides take sign-LSH buckets in a zero-shuffle kernel
+    * projection; the benchmark side (eval suites are dimension-sized) is
+    * exploded to its `multiprobe`+1 probe buckets and BROADCAST, so the
+    * corpus never shuffles — candidates are a broadcast equi-join on the
+    * bucket id, exact cosines rank them, and one (vec_id)-keyed
+    * aggregation (map-side combinable) lands the per-document verdict.
+    * Recall dials: fewer planes → bigger buckets; `multiprobe` flips
+    * low-order sign bits (the [[Similarity.lshTopK]] dial).
+    *
+    * Zero-norm vectors have no cosine to anything and are excluded from
+    * BOTH sides (the [[Similarity]] `normedVectors` contract); an
+    * excluded corpus vector still reports, with zero hits.
+    *
+    * Returns (vec_id, n_bench_hits, max_cosine — 0.0 when no hit,
+    * contaminated). */
+  def semantic(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 4,
+      minCosine: Double = 0.8,
+      multiprobe: Int = 0): DataFrame = {
+    val c = Similarity.withBuckets(corpus, idCol, vecCol, nPlanes)
+      .filter(col("norm") > 0)
+    val probes =
+      array((col("bucket") +: (0 until multiprobe).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val bench = Similarity.withBuckets(benchmark, idCol, vecCol, nPlanes)
+      .filter(col("norm") > 0)
+      .select(explode(probes).as("bucket"),
+        col("vec_id").as("bench_id"), col("v").as("vb"), col("norm").as("nb"))
+    val hits = c
+      .join(broadcast(bench), Seq("bucket"))
+      .select(col("vec_id"),
+        (graft.functions.HashFunctions.dot(col("v"), col("vb")) /
+          (col("norm") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cosine"))
+    corpus.select(col(idCol).as("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
+        col("n_bench_hits").isNotNull.as("contaminated"))
+  }
 }

@@ -72,7 +72,7 @@ object Similarity {
   /** (id, v, norm, bucket) projection shared by the LSH paths. Uses the
     * compiled kernels ([[graft.functions.GraftVecOps]]) — bit-identical to
     * the HOF forms above, pinned by VecFunctionsSpec. */
-  private def withBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+  private[llm] def withBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
     vectors.select(
       col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"),

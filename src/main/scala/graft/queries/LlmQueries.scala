@@ -498,6 +498,11 @@ object LlmQueries {
         .select(col("lang"), col("d.n_distinct").as("n_distinct"),
           col("d.is_exact").as("is_exact"))),
 
+    // one-pass table profile: per-column completeness/cardinality/range
+    // report (all columns in a single scan of mergeable aggregates)
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(s.read.parquet(s"$dir/documents.parquet"))),
+
     // JSON metadata extraction from the events props column
     "q_json_extract" -> ((s, dir) =>
       Events.extractProps(s.read.parquet(s"$dir/events.parquet"))),
@@ -520,6 +525,16 @@ object LlmQueries {
     "q_decontaminate" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Contamination.overlap(d, d.filter(col("doc_id") < 50), "doc_id", "text")
+    }),
+
+    // embedding-space decontamination: bipartite LSH bucket join of the
+    // corpus against a broadcast eval set (vec_id < 50), exact-cosine
+    // per-document verdict — catches paraphrased leakage n-grams miss
+    "q_decontam_semantic" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Contamination.semantic(
+        e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", nPlanes = 4, minCosine = 0.8, multiprobe = 1)
     }),
 
     // corpus vocabulary: token tf/df, top 100 (tokenizer-training input)
@@ -833,6 +848,12 @@ object LlmQueries {
       Pca.pcaWhiten(e, "vec_id", "embedding",
         Pca.pcaModel(e, "vec_id", "embedding", dim = 64, k = 8))
     }),
+
+    // PMI collocation mining: adjacent-pair pointwise mutual information
+    // over the capped vocab (the word2phrase phrase-detection pass)
+    "q_collocations" -> ((s, dir) =>
+      Collocations.pmi(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
 
     // trainable bigram LM: sparse add-one-smoothed bigram table over the
     // capped vocab (the CCNet/KenLM-style distributional quality model)
@@ -1206,6 +1227,46 @@ object LlmQueries {
          |SELECT doc_id, source, n_tokens, take_order, cum_before
          |FROM r WHERE cum_before < 3000""".stripMargin,
 
+    // mirror of Profile.profile over documents: per-column UNION ALL,
+    // each with its own KMV bottom-64 chain (the q_distinct_kmv mirror
+    // applied per column; numerics hash their canonical decimal string)
+    "q_profile" -> {
+      val cols = Seq(
+        ("doc_id", true), ("text", false), ("lang", false),
+        ("source", false), ("n_chars", true))
+      val ctes = cols.map { case (c, numeric) =>
+        val sexpr = if (numeric) s"CAST($c AS VARCHAR)" else c
+        s"""pk_$c AS (
+           |  SELECT DISTINCT
+           |    ((${polyHashSql(sexpr)} * 1000003 + 17) % $P * 1000003 + 17) % $P AS h
+           |  FROM documents WHERE $c IS NOT NULL),
+           |pr_$c AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM pk_$c),
+           |pa_$c AS (SELECT COUNT(*) AS nd, MAX(CASE WHEN rn = 64 THEN h END) AS kth
+           |  FROM pr_$c WHERE rn <= 64)""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.map { case (c, numeric) =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM documents) AS n_nulls,
+           |  (SELECT CAST(CASE WHEN nd < 64 THEN nd
+           |     ELSE (63 * CAST($P AS BIGINT)) // kth END AS BIGINT) FROM pa_$c)
+           |    AS n_distinct,
+           |  (SELECT nd < 64 FROM pa_$c) AS is_exact,
+           |  ${if (numeric) s"(SELECT CAST(min($c) AS DOUBLE) FROM documents)"
+              else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |  ${if (numeric) s"(SELECT CAST(max($c) AS DOUBLE) FROM documents)"
+              else "CAST(NULL AS DOUBLE)"} AS max_num,
+           |  ${if (numeric) "CAST(NULL AS VARCHAR)"
+              else s"(SELECT min($c) FROM documents)"} AS min_str,
+           |  ${if (numeric) "CAST(NULL AS VARCHAR)"
+              else s"(SELECT max($c) FROM documents)"} AS max_str,
+           |  ${if (numeric) "CAST(NULL AS BIGINT)"
+              else s"(SELECT CAST(sum(length($c)) AS BIGINT) FROM documents)"}
+           |    AS total_len""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$rows"
+    },
+
     // exact mirror of the KMV sketch INCLUDING the estimate path: the
     // bottom-64 distinct hashes are partition-invariant, so the
     // (k-1)*M // kth integer estimator reproduces to the bit
@@ -1283,6 +1344,35 @@ object LlmQueries {
          |FROM documents d2
          |LEFT JOIN tot USING (doc_id)
          |LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // mirror of Contamination.semantic (nPlanes=4, minCosine=0.8,
+    // multiprobe=1): the q_dedup_embedding bucket/cosine machinery,
+    // restricted to corpus (>= 50) × bench (< 50) with probe unnest
+    "q_decontam_semantic" ->
+      s"""WITH $embCte,
+         |b AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v", 64)}) AS norm,
+         |    ${bucketSql(4)} AS bucket
+         |  FROM e),
+         |be AS (
+         |  SELECT p.probe AS bucket, vec_id AS bench_id, v AS vb, norm AS nb
+         |  FROM b, unnest([bucket, xor(bucket, 1)]) AS p(probe)
+         |  WHERE vec_id < 50 AND norm > 0),
+         |cand AS (
+         |  SELECT c.vec_id,
+         |    (${dotSql("c.v", "be.vb", 64)} / (c.norm * be.nb)) AS cs
+         |  FROM b c JOIN be ON c.bucket = be.bucket
+         |  WHERE c.vec_id >= 50 AND c.norm > 0),
+         |hits AS (
+         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |    max(cs) AS max_cosine
+         |  FROM cand WHERE cs >= CAST(0.8 AS DOUBLE) GROUP BY 1)
+         |SELECT ev.vec_id,
+         |  COALESCE(h.n_bench_hits, 0) AS n_bench_hits,
+         |  COALESCE(h.max_cosine, CAST(0 AS DOUBLE)) AS max_cosine,
+         |  h.n_bench_hits IS NOT NULL AS contaminated
+         |FROM e ev LEFT JOIN hits h USING (vec_id)
+         |WHERE ev.vec_id >= 50""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH $embCte,
@@ -2240,6 +2330,24 @@ object LlmQueries {
     "q_lm_train" ->
       s"""WITH $lmCte
          |SELECT t1, t2, cnt, loglik_micros FROM lbi""".stripMargin,
+
+    // mirror of Collocations.pmi (vocabSize=64, minCount=2): the lmCte
+    // already builds the unigram counts (lu), top-64 vocab (lv) and
+    // adjacent-pair counts (lbg); totals reduce from those tables and the
+    // PMI fold matches the Scala left-associated double arithmetic
+    "q_collocations" ->
+      s"""WITH $lmCte,
+         |ctt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM lu),
+         |cpt AS (SELECT CAST(sum(cnt) AS BIGINT) AS p_total FROM lbg)
+         |SELECT b.t1, b.t2, b.cnt, v1.cnt AS c1, v2.cnt AS c2,
+         |  CAST(round(ln(
+         |    (CAST(b.cnt AS DOUBLE) * t_total * t_total) /
+         |      (CAST(p_total AS DOUBLE) * v1.cnt * v2.cnt)) * 1000000) AS BIGINT)
+         |    AS pmi_micros
+         |FROM lbg b
+         |JOIN lv v1 ON b.t1 = v1.token
+         |JOIN lv v2 ON b.t2 = v2.token, ctt, cpt
+         |WHERE b.cnt >= 2""".stripMargin,
 
     "q_lm_score" ->
       // every adjacent pair with both sides in vocab scores

@@ -132,4 +132,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2) == ((3L, 4L, 0L, 0.0, false)))
     assert(got(3) == ((4L, 0L, 0L, 0.0, false)))
   }
+
+  test("semantic: exact copy and scaled copy flag, orthogonal and zero stay clean") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact copy: cosine 1
+      (2L, Seq(5.0f, 0.0f, 0.0f, 0.0f)),   // scaled copy: cosine 1
+      (3L, Seq(1.0f, 0.2f, 0.0f, 0.0f)),   // near copy, same half-space
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),  // antipode: cosine -1
+      (5L, Seq(0.0f, 0.0f, 0.0f, 0.0f))    // zero norm: excluded, clean
+    ).toDF("vec_id", "embedding")
+    val got = Contamination.semantic(corpus, bench, "vec_id", "embedding",
+      nPlanes = 2, minCosine = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 5)
+    assert(got(0) == ((1L, 1L, 1.0, true)))
+    assert(got(1) == ((2L, 1L, 1.0, true)))
+    assert(got(2)._4 && got(2)._2 == 1L && got(2)._3 > 0.9 && got(2)._3 < 1.0)
+    assert(got(3) == ((4L, 0L, 0.0, false)))
+    assert(got(4) == ((5L, 0L, 0.0, false)))
+  }
+
+  test("semantic: multiprobe recovers a neighbor split across buckets") {
+    // vectors on either side of hyperplane 0 land in buckets differing in
+    // bit 0; multiprobe=1 flips that bit on the bench side
+    val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val base = Contamination.semantic(corpus, bench, "vec_id", "embedding",
+      nPlanes = 4, minCosine = 0.5, multiprobe = 0)
+      .as[(Long, Long, Double, Boolean)].head()
+    val probed = Contamination.semantic(corpus, bench, "vec_id", "embedding",
+      nPlanes = 4, minCosine = 0.5, multiprobe = 2)
+      .as[(Long, Long, Double, Boolean)].head()
+    // identical vectors share a bucket, so both find it; probed must not
+    // double-count across probes
+    assert(base._2 == 1L && probed._2 == 1L)
+  }
 }
