@@ -196,6 +196,62 @@ def field_for(member, step, kind, scale=1.0):
     return np.round(base * scale * 20) / 20.0  # snap to the 0.05 grid
 
 
+def fuzz_main(out: str, seed: int, n_msgs: int = 6):
+    """PNG_FUZZ mode (GribPngFuzzSpec drives this): seeded random
+    messages with randomized grid dims, all four sample widths (plus
+    constants), random per-scanline filter types, random raster
+    factorizations of the present-point count (the decoder's contract is
+    one pixel per point, ANY w x h), sparse bitmaps, split IDAT, and
+    negative reference values. Offsets keep |tmin| < 2^23 so R is an
+    exact float32 and sum(round(value*20)) is an exact integer — the
+    same whole-file checksum line the complex/CCSDS fuzz modes print."""
+    global NI, NJ
+    rng = np.random.default_rng(seed)
+    msgs, checks = [], []
+    for mi in range(n_msgs):
+        NI = int(rng.integers(1, 41))
+        NJ = int(rng.integers(1, 31))
+        npts = NI * NJ
+        nbits = int(rng.choice([0, 8, 16, 24, 32]))
+        lo = int(rng.integers(-8_000_000, 8_000_000))
+        if nbits == 0:
+            S = np.full(npts, lo, np.int64)
+        else:
+            span = min((1 << nbits) - 1, 10_000_000)
+            S = lo + rng.integers(0, span + 1, npts, dtype=np.int64)
+        field = (S.astype(np.float64) / 20.0).reshape(NJ, NI)
+        mask = None
+        if rng.integers(0, 3) == 0 and npts > 4:
+            mask = rng.random((NJ, NI)) < 0.1
+            if mask.all():
+                mask[0, 0] = False
+        n_present = npts if mask is None else int((~mask).sum())
+        if nbits == 0:
+            wh, filters = None, None
+        else:
+            divs = [d for d in range(1, n_present + 1) if n_present % d == 0]
+            w = int(rng.choice(divs))
+            h = n_present // w
+            wh = (w, h)
+            filters = [int(f) for f in rng.integers(0, 5, h)]
+        member = None if mi == 0 else mi
+        msg, present, decoded = message(
+            member, 24 * (1 + mi % 3), field, nbits, wh, filters, mask,
+            split_idat=bool(rng.integers(0, 2)))
+        msgs.append(msg)
+        checks.append(int(np.round(decoded * 20).astype(np.int64).sum()))
+    with open(out, "wb") as fh:
+        fh.write(b"".join(msgs))
+    print(f"expected sum_scaled over file: {sum(checks)}")
+    print(f"wrote {len(msgs)} PNG-packed messages to {out}")
+
+
+if __import__("os").environ.get("PNG_FUZZ"):
+    import sys
+    fuzz_main(sys.argv[1], int(sys.argv[2]))
+    raise SystemExit(0)
+
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
