@@ -68,4 +68,55 @@ object Collocations {
             (col("p_total").cast("double") * col("c1") * col("c2"))) * 1e6)
           .cast("long").as("pmi_micros"))
   }
+
+  /** Apply a trained phrase table (the word2phrase second half): greedy
+    * LEFT-TO-RIGHT single-pass merge of adjacent token pairs that appear
+    * in `phrases` — "new york" becomes the single token "new_york" before
+    * tokenizer training. A token produced by a merge never re-merges
+    * (single pass over ORIGINAL pairs — the word2phrase contract; phrase
+    * chains come from re-running with the merged corpus), enforced by
+    * the joiner-freedom precondition, so a source token that already
+    * contains U+0001 is never merged either (deterministic on both
+    * engines; real tokenizer corpora do not carry control chars).
+    *
+    * Zero shuffle: the phrase table is dimension-sized (vocab² at most,
+    * in practice the high-PMI head) and folds as a literal array inside
+    * one sequential `aggregate` HOF per document — the [[Bpe.encode]]
+    * application posture without the per-word memo (documents fold once;
+    * there is no word histogram to exploit).
+    *
+    * Returns (doc_id, n_tokens, n_after, text_merged) — merged tokens
+    * joined by '_', docs re-joined by ' '; NULL text yields (0, 0, ''). */
+  def mergePhrases(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[(String, String)]): DataFrame = {
+    val J = "\u0001"
+    val plit = typedlit(phrases.map { case (a, b) => a + J + b })
+    val toks = wordTokens(col(textCol))
+    val folded = aggregate(
+      toks,
+      array().cast("array<string>"),
+      (acc, x) => {
+        // branch order guards element_at against the empty accumulator
+        // (ANSI-safe: CASE WHEN conditions evaluate sequentially)
+        val last = element_at(acc, -1)
+        when(size(acc) === 0, array(x))
+          .when(!last.contains(J) &&
+              array_contains(plit, concat(last, lit(J), x)),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(last, lit(J), x))))
+          .otherwise(concat(acc, array(x)))
+      })
+    docs.select(
+      col(idCol).as("doc_id"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(toks).cast("long")).as("n_tokens"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(folded).cast("long")).as("n_after"),
+      when(col(textCol).isNull, lit(""))
+        .otherwise(array_join(transform(folded, x => translate(x, J, "_")), " "))
+        .as("text_merged"))
+  }
 }

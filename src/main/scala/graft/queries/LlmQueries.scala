@@ -855,6 +855,17 @@ object LlmQueries {
       Collocations.pmi(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
 
+    // phrase application: greedy left-to-right merge of the positively-
+    // associated PMI pairs into joined tokens (word2phrase second half)
+    "q_phrase_merge" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val phrases = Collocations.pmi(d, "doc_id", "text")
+        .filter(col("pmi_micros") > 0)
+        .select("t1", "t2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Collocations.mergePhrases(d, "doc_id", "text", phrases)
+    }),
+
     // trainable bigram LM: sparse add-one-smoothed bigram table over the
     // capped vocab (the CCNet/KenLM-style distributional quality model)
     "q_lm_train" -> ((s, dir) =>
@@ -2348,6 +2359,47 @@ object LlmQueries {
          |JOIN lv v1 ON b.t1 = v1.token
          |JOIN lv v2 ON b.t2 = v2.token, ctt, cpt
          |WHERE b.cnt >= 2""".stripMargin,
+
+    // mirror of Collocations.mergePhrases over the positive-PMI phrase
+    // table: the q_collocations chain filtered to pmi > 0, collapsed to
+    // a chr(1)-joined phrase list, applied per doc by the bpeApplySql
+    // list-of-lists fold generalized to set membership
+    "q_phrase_merge" ->
+      s"""WITH $lmCte,
+         |ctt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM lu),
+         |cpt AS (SELECT CAST(sum(cnt) AS BIGINT) AS p_total FROM lbg),
+         |ph AS (
+         |  SELECT b.t1 || chr(1) || b.t2 AS p
+         |  FROM lbg b
+         |  JOIN lv v1 ON b.t1 = v1.token
+         |  JOIN lv v2 ON b.t2 = v2.token, ctt, cpt
+         |  WHERE b.cnt >= 2 AND
+         |    CAST(round(ln(
+         |      (CAST(b.cnt AS DOUBLE) * t_total * t_total) /
+         |        (CAST(p_total AS DOUBLE) * v1.cnt * v2.cnt)) * 1000000)
+         |      AS BIGINT) > 0),
+         |plc AS (SELECT coalesce(list(p), CAST([] AS VARCHAR[])) AS pl FROM ph),
+         |pdt AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL ELSE $tokensSql END AS t
+         |  FROM documents),
+         |pf AS (
+         |  SELECT doc_id, t,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+         |        list_transform(t, sm -> [sm])),
+         |      (accm, xm) -> CASE
+         |        WHEN len(accm) = 0 THEN [xm[1]]
+         |        WHEN NOT contains(accm[-1], chr(1))
+         |          AND list_contains(pl, accm[-1] || chr(1) || xm[1])
+         |        THEN list_append(accm[1:len(accm)-1], accm[-1] || chr(1) || xm[1])
+         |        ELSE list_append(accm, xm[1]) END) AS m
+         |  FROM pdt, plc)
+         |SELECT doc_id,
+         |  CASE WHEN t IS NULL THEN 0 ELSE CAST(len(t) AS BIGINT) END AS n_tokens,
+         |  CASE WHEN t IS NULL THEN 0 ELSE CAST(len(m) AS BIGINT) END AS n_after,
+         |  CASE WHEN t IS NULL THEN ''
+         |       ELSE array_to_string(list_transform(m, ym ->
+         |         replace(ym, chr(1), '_')), ' ') END AS text_merged
+         |FROM pf""".stripMargin,
 
     "q_lm_score" ->
       // every adjacent pair with both sides in vocab scores

@@ -43,6 +43,40 @@ class CollocationsSpec extends SparkSpec {
     assert(out == Set(("x", "y"), ("y", "x")))
   }
 
+  test("mergePhrases: greedy left-to-right, no re-merge, overlap resolution") {
+    val docs = Seq(
+      (1L, "new york city hall"),      // (new,york) and (york,city) overlap
+      (2L, "a a a"),                   // (a,a): merge 1-2, token 3 stays
+      (3L, "new new york"),            // greedy: (new,new) not a phrase →
+                                       // new stays, then (new,york) merges
+      (4L, "solo"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Collocations.mergePhrases(docs, "doc_id", "text",
+      Seq(("new", "york"), ("york", "city"), ("a", "a")))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 3L, "new_york city hall")))
+    assert(got(1) == ((2L, 3L, 2L, "a_a a")))
+    assert(got(2) == ((3L, 3L, 2L, "new new_york")))
+    assert(got(3) == ((4L, 1L, 1L, "solo")))
+    assert(got(4) == ((5L, 0L, 0L, "")))
+  }
+
+  test("mergePhrases composes with pmi output") {
+    val docs = Seq(
+      (1L, "san francisco bay"),
+      (2L, "san francisco fog"),
+      (3L, "san diego bay")
+    ).toDF("doc_id", "text")
+    val phrases = Collocations.pmi(docs, "doc_id", "text", vocabSize = 16, minCount = 2)
+      .filter(col("pmi_micros") > 0)
+      .select("t1", "t2").as[(String, String)].collect().toSeq
+    assert(phrases.contains(("san", "francisco")))
+    val merged = Collocations.mergePhrases(docs, "doc_id", "text", phrases)
+      .filter(col("doc_id") === 1).as[(Long, Long, Long, String)].head()
+    assert(merged._4.startsWith("san_francisco"))
+  }
+
   test("guards are loud") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
