@@ -167,6 +167,27 @@ object ProfileC1 {
       Seq("kept" -> sd.filter(col("keep")).count(),
         "removed" -> sd.filter(!col("keep")).count())
     }
+    stage("ivfpq_index") {
+      // the L55 production path end to end: two-stage train, one
+      // zero-shuffle encode pass persisted cell-partitioned (the serving
+      // layout), then a pruned probe search that reads only its probed
+      // cells' files and never loads a float vector. The planted 17-id
+      // near-dup groups give a recall signal: vec 0's group should head
+      // its own top-k.
+      val (coarse, pq) = Pq.ivfPqTrain(embs, "vec_id", "embedding",
+        dim = 64, cells = 64, m = 8, k = 16)
+      val dir = java.nio.file.Files.createTempDirectory("c1_ivfpq").toString
+      Pq.ivfPqEncode(embs, "vec_id", "embedding", coarse, pq)
+        .write.partitionBy("cell").mode("overwrite").parquet(dir)
+      val index = spark.read.parquet(dir)
+      val q = embs.filter(col("vec_id") === 0L)
+        .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+      val top = Pq.ivfPqSearchOverIndex(index, coarse, pq, q,
+        nProbes = 8, topK = 100).localCheckpoint()
+      Seq("index_rows" -> index.count(),
+        "top_k" -> top.count(),
+        "group_recall" -> top.filter(col("vec_id") < 17).count())
+    }
 
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[c1] TOTAL ${wall}%.1f s  peakRss=${ScaleSmoke.peakRssMb()} MB  " +

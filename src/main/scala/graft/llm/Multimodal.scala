@@ -64,6 +64,16 @@ final case class ResizedMedia(
     sum_resized: Long,
     checksum_resized: Long)
 
+/** Perceptual image hash (see [[Multimodal.pHash]]): integer grayscale
+  * mean plus aHash/dHash bits as signed longs. */
+final case class MediaPHash(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    gray_mean: Int,
+    ahash: Long,
+    dhash: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition.
   *
@@ -564,6 +574,47 @@ object Multimodal {
   def resizePixels(records: Dataset[MediaRecord], maxDim: Int = 32): Dataset[ResizedMedia] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.flatMap(r => resizePixelsOne(r, maxDim)))
+  }
+
+  /** Perceptual hash of one decodable image — the image-side near-dup
+    * feature (aHash: each cell of an 8×8 grayscale thumbnail vs its
+    * mean; dHash: horizontal gradient signs on a 9×8 grid — Krawetz's
+    * average/difference hashes). All arithmetic is INTEGER (floor-mean
+    * grayscale, the [[resizePixelsOne]] nearest-neighbor index rule,
+    * floor mean-of-64) so the hash is bit-deterministic and mirrorable;
+    * a near-dup image pair then differs by small hamming distance —
+    * `bit_count(ahash ^ ahash2)` — which rides the same bucket-join
+    * machinery as SimHash (L3). Bit (y*8+x); packed as signed longs. */
+  def pHashOne(r: MediaRecord): Option[MediaPHash] =
+    decodeImagePixels(r.payload).map { case (_, w, h, c, px) =>
+      def grayAt(sx: Int, sy: Int): Int = {
+        val base = (sy * w + sx) * c
+        var s = 0
+        var ch = 0
+        while (ch < c) { s += px(base + ch) & 0xFF; ch += 1 }
+        s / c
+      }
+      def grid(gw: Int, gh: Int): Array[Array[Int]] =
+        Array.tabulate(gh, gw)((y, x) =>
+          grayAt(math.min(w - 1, x * w / gw), math.min(h - 1, y * h / gh)))
+      val g8 = grid(8, 8)
+      var sum = 0
+      for (y <- 0 until 8; x <- 0 until 8) sum += g8(y)(x)
+      val mean = sum / 64
+      var ah = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (g8(y)(x) > mean) ah |= 1L << (y * 8 + x)
+      val g9 = grid(9, 8)
+      var dh = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (g9(y)(x + 1) > g9(y)(x)) dh |= 1L << (y * 8 + x)
+      MediaPHash(r.doc_id, w, h, mean, ah, dh)
+    }
+
+  /** Partition-wise perceptual hashing; non-image payloads drop out. */
+  def pHash(records: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap(pHashOne))
   }
 
   /** Sniff-and-parse one payload (magic bytes, not the declared

@@ -32,6 +32,8 @@ object LlmQueries {
     new java.io.File("data/media/pixel_expected.parquet").getAbsolutePath
   private lazy val mediaResizeExpected =
     new java.io.File("data/media/resize_expected.parquet").getAbsolutePath
+  private lazy val mediaPhashExpected =
+    new java.io.File("data/media/phash_expected.parquet").getAbsolutePath
 
   /** The committed media fixture as MediaRecords (binaryFile source — the
     * production object-store media-scan shape). */
@@ -715,6 +717,13 @@ object LlmQueries {
     "q_media_pixels" -> ((s, _) => {
       import s.implicits._
       Multimodal.pixelStats(mediaRecords(s)).toDF()
+    }),
+
+    // perceptual image hashes (aHash/dHash) over the really-decoded
+    // pixels — the image-side near-dup feature, fully integer
+    "q_media_phash" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.pHash(mediaRecords(s)).toDF()
     }),
 
     // REAL nearest-neighbor resample of the decodable fixture images
@@ -1855,6 +1864,9 @@ object LlmQueries {
 
     "q_media_pixels" ->
       s"SELECT * FROM read_parquet('$mediaPixelExpected')",
+
+    "q_media_phash" ->
+      s"SELECT * FROM read_parquet('$mediaPhashExpected')",
 
     "q_media_resize" ->
       s"SELECT * FROM read_parquet('$mediaResizeExpected')",

@@ -95,6 +95,53 @@ class MultimodalSpec extends SparkSpec {
     assert(got(12L).decoder == "png" && got(13L).decoder == "png")
   }
 
+  test("pHash matches the generator's mirror; duplicates collide, structure separates") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val recs = spark.read.format("binaryFile").load(s"$dir/media_*")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("x").as("media_type"))
+      .as[MediaRecord]
+    val got = Multimodal.pHash(recs).collect().map(d => d.doc_id -> d).toMap
+    val want = spark.read.parquet(s"$dir/phash_expected.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want) {
+      val g = got(id)
+      assert(g.width == w.getAs[Int]("width") && g.height == w.getAs[Int]("height"), s"dims for $id")
+      assert(g.gray_mean == w.getAs[Int]("gray_mean"), s"gray_mean for $id")
+      assert(g.ahash == w.getAs[Long]("ahash"), s"ahash for $id")
+      assert(g.dhash == w.getAs[Long]("dhash"), s"dhash for $id")
+    }
+    // behavioral sanity on synthetic BMPs: an exact duplicate hashes
+    // identically; a flat image has no above-mean cell and no gradient
+    def bmp(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val b = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+        .putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rowBytes * h).putInt(0).putInt(0).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w) { val v = f(x, y); b.put(v.toByte).put(v.toByte).put(v.toByte) }
+        b.position(b.position() + (rowBytes - w * 3))
+      }
+      b.array()
+    }
+    val flat = Multimodal.pHashOne(MediaRecord(1L, bmp(16, 16, (_, _) => 77), "x")).get
+    assert(flat.ahash == 0L && flat.dhash == 0L && flat.gray_mean == 77)
+    val grad = bmp(16, 16, (x, _) => x * 16)
+    val a = Multimodal.pHashOne(MediaRecord(2L, grad, "x")).get
+    val b2 = Multimodal.pHashOne(MediaRecord(3L, grad.clone(), "x")).get
+    assert(a.ahash == b2.ahash && a.dhash == b2.dhash)
+    assert(a.dhash == -1L, "a strict left-to-right gradient sets all 64 dHash bits")
+    assert(java.lang.Long.bitCount(a.ahash ^ flat.ahash) > 16,
+      "structurally different images must be far in hamming space")
+  }
+
   test("resizePixels resamples every decodable image to the generator's resize ground truth") {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File("data/media").getAbsolutePath

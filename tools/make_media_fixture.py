@@ -333,11 +333,46 @@ def resize_expect(width: int, height: int, channels: int, px: bytes):
     return ow, oh, bytes(out)
 
 
+def phash_expect(width: int, height: int, channels: int, px: bytes):
+    """Perceptual-hash mirror of Multimodal.pHashOne: integer grayscale
+    (floor mean over channels), nearest-neighbor grids with the SAME
+    index arithmetic as the resize mirror, aHash = each 8x8 cell vs the
+    floor mean, dHash = horizontal gradient sign on a 9x8 grid. Bit
+    (y*8+x), emitted as signed int64."""
+    def gray_at(sx, sy):
+        base = (sy * width + sx) * channels
+        return sum(px[base + c] for c in range(channels)) // channels
+
+    def grid(gw, gh):
+        return [[gray_at(min(width - 1, (x * width) // gw),
+                         min(height - 1, (y * height) // gh))
+                 for x in range(gw)] for y in range(gh)]
+
+    g8 = grid(8, 8)
+    mean = sum(v for row in g8 for v in row) // 64
+    ah = 0
+    for y in range(8):
+        for x in range(8):
+            if g8[y][x] > mean:
+                ah |= 1 << (y * 8 + x)
+    g9 = grid(9, 8)
+    dh = 0
+    for y in range(8):
+        for x in range(8):
+            if g9[y][x + 1] > g9[y][x]:
+                dh |= 1 << (y * 8 + x)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    return mean, signed(ah), signed(dh)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = []
     pixel_rows = []
     resize_rows = []
+    phash_rows = []
 
     def emit(doc_id, ext, media_type, payload, decoder,
              width=None, height=None, n_channels=None, sample_rate=None,
@@ -361,6 +396,10 @@ def main():
             doc_id=doc_id, width=width, height=height,
             out_width=ow, out_height=oh,
             sum_resized=sum(rpx), checksum_resized=checksum(rpx)))
+        mean, ah, dh = phash_expect(width, height, channels, px)
+        phash_rows.append(dict(
+            doc_id=doc_id, width=width, height=height,
+            gray_mean=mean, ahash=ah, dhash=dh))
 
     def expect_audio(doc_id, channels, rate, samples):
         pixel_rows.append(dict(
@@ -475,7 +514,14 @@ def main():
     ])
     pq.write_table(pa.Table.from_pylist(resize_rows, schema=resize_schema),
                    os.path.join(OUT, "resize_expected.parquet"))
-    print(f"wrote {len(rows)} media files + decode/pixel/resize expectations under {OUT}")
+
+    phash_schema = pa.schema([
+        ("doc_id", pa.int64()), ("width", pa.int32()), ("height", pa.int32()),
+        ("gray_mean", pa.int32()), ("ahash", pa.int64()), ("dhash", pa.int64()),
+    ])
+    pq.write_table(pa.Table.from_pylist(phash_rows, schema=phash_schema),
+                   os.path.join(OUT, "phash_expected.parquet"))
+    print(f"wrote {len(rows)} media files + decode/pixel/resize/phash expectations under {OUT}")
 
 
 def fuzz(outdir: str, seed: int):
