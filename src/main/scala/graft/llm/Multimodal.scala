@@ -74,6 +74,15 @@ final case class MediaPHash(
     ahash: Long,
     dhash: Long)
 
+/** Energy-envelope audio fingerprint (see
+  * [[Multimodal.audioFingerprint]]). */
+final case class AudioFingerprint(
+    doc_id: Long,
+    n_frames: Long,
+    sample_rate: Int,
+    energy_total: Long,
+    afp: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition.
   *
@@ -615,6 +624,51 @@ object Multimodal {
   def pHash(records: Dataset[MediaRecord]): Dataset[MediaPHash] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.flatMap(pHashOne))
+  }
+
+  /** Energy-envelope fingerprint of one PCM payload — the audio-side
+    * near-dup feature ([[pHashOne]]'s dHash idea on the time axis, the
+    * envelope-delta family Shazam-style fingerprints coarsen): the
+    * sample frames split into 65 equal windows by the nearest-neighbor
+    * boundary rule, per-window energy = Σ|sample| over ALL channels
+    * (integer — channel mixing would only rescale the envelope), bit k
+    * of the 64-bit fingerprint = energy rises from window k to k+1.
+    * Amplitude-scale-sensitive only at sign boundaries; time-shift
+    * tolerance comes from the coarse windows. Bit-deterministic and
+    * mirrored by the independent Python implementation. */
+  def audioFingerprintOne(r: MediaRecord): Option[AudioFingerprint] =
+    safely(decodeWavSamples(r.payload)).map { case (ch, rate, samples) =>
+      val nf = samples.length / ch
+      val F = 65
+      val energies = new Array[Long](F)
+      var k = 0
+      while (k < F) {
+        val s0 = k.toLong * nf / F
+        val s1 = (k + 1).toLong * nf / F
+        var i = s0
+        while (i < s1) {
+          var c = 0
+          while (c < ch) {
+            energies(k) += math.abs(samples((i * ch + c).toInt).toLong)
+            c += 1
+          }
+          i += 1
+        }
+        k += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (energies(b + 1) > energies(b)) fp |= 1L << b
+        b += 1
+      }
+      AudioFingerprint(r.doc_id, nf.toLong, rate, energies.sum, fp)
+    }
+
+  /** Partition-wise audio fingerprinting; non-audio payloads drop out. */
+  def audioFingerprint(records: Dataset[MediaRecord]): Dataset[AudioFingerprint] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap(audioFingerprintOne))
   }
 
   /** Sniff-and-parse one payload (magic bytes, not the declared

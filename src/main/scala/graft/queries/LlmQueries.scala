@@ -34,6 +34,8 @@ object LlmQueries {
     new java.io.File("data/media/resize_expected.parquet").getAbsolutePath
   private lazy val mediaPhashExpected =
     new java.io.File("data/media/phash_expected.parquet").getAbsolutePath
+  private lazy val mediaAfpExpected =
+    new java.io.File("data/media/afp_expected.parquet").getAbsolutePath
 
   /** The committed media fixture as MediaRecords (binaryFile source — the
     * production object-store media-scan shape). */
@@ -724,6 +726,13 @@ object LlmQueries {
     "q_media_phash" -> ((s, _) => {
       import s.implicits._
       Multimodal.pHash(mediaRecords(s)).toDF()
+    }),
+
+    // energy-envelope audio fingerprints over the decoded PCM — the
+    // audio-side near-dup feature (envelope delta signs, 65 windows)
+    "q_media_afp" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.audioFingerprint(mediaRecords(s)).toDF()
     }),
 
     // REAL nearest-neighbor resample of the decodable fixture images
@@ -1867,6 +1876,9 @@ object LlmQueries {
 
     "q_media_phash" ->
       s"SELECT * FROM read_parquet('$mediaPhashExpected')",
+
+    "q_media_afp" ->
+      s"SELECT * FROM read_parquet('$mediaAfpExpected')",
 
     "q_media_resize" ->
       s"SELECT * FROM read_parquet('$mediaResizeExpected')",

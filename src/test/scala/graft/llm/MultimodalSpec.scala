@@ -142,6 +142,41 @@ class MultimodalSpec extends SparkSpec {
       "structurally different images must be far in hamming space")
   }
 
+  test("audioFingerprint matches the generator's mirror; silence is flat") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val recs = spark.read.format("binaryFile").load(s"$dir/media_*")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("x").as("media_type"))
+      .as[MediaRecord]
+    val got = Multimodal.audioFingerprint(recs).collect().map(d => d.doc_id -> d).toMap
+    val want = spark.read.parquet(s"$dir/afp_expected.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    for ((id, w) <- want) {
+      val g = got(id)
+      assert(g.n_frames == w.getAs[Long]("n_frames"), s"n_frames for $id")
+      assert(g.sample_rate == w.getAs[Int]("sample_rate"), s"rate for $id")
+      assert(g.energy_total == w.getAs[Long]("energy_total"), s"energy for $id")
+      assert(g.afp == w.getAs[Long]("afp"), s"afp for $id")
+    }
+    // silence: every window energy 0 → no rising deltas
+    def silentWav(frames: Int): Array[Byte] = {
+      val data = new Array[Byte](frames * 2)
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(data.length).put(data)
+      b.array()
+    }
+    val s0 = Multimodal.audioFingerprintOne(MediaRecord(99L, silentWav(400), "x")).get
+    assert(s0.afp == 0L && s0.energy_total == 0L && s0.n_frames == 400L)
+  }
+
   test("resizePixels resamples every decodable image to the generator's resize ground truth") {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File("data/media").getAbsolutePath

@@ -367,12 +367,36 @@ def phash_expect(width: int, height: int, channels: int, px: bytes):
     return mean, signed(ah), signed(dh)
 
 
+def afp_expect(channels: int, samples: list):
+    """Energy-envelope fingerprint mirror of
+    Multimodal.audioFingerprintOne: 65 nearest-neighbor windows over the
+    sample frames, per-window sum of |sample| over all channels, bit k =
+    energy rises from window k to k+1. Signed int64."""
+    nf = len(samples) // channels
+    F = 65
+    energies = [0] * F
+    for k in range(F):
+        s0 = (k * nf) // F
+        s1 = ((k + 1) * nf) // F
+        for i in range(s0, s1):
+            for c in range(channels):
+                energies[k] += abs(samples[i * channels + c])
+    fp = 0
+    for b in range(64):
+        if energies[b + 1] > energies[b]:
+            fp |= 1 << b
+    if fp >= (1 << 63):
+        fp -= 1 << 64
+    return nf, sum(energies), fp
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = []
     pixel_rows = []
     resize_rows = []
     phash_rows = []
+    afp_rows = []
 
     def emit(doc_id, ext, media_type, payload, decoder,
              width=None, height=None, n_channels=None, sample_rate=None,
@@ -409,6 +433,10 @@ def main():
             sum_abs=sum(abs(s) for s in samples),
             peak=max(abs(s) for s in samples),
             checksum_px=sample_checksum(samples)))
+        nf, etot, fp = afp_expect(channels, samples)
+        afp_rows.append(dict(
+            doc_id=doc_id, n_frames=nf, sample_rate=rate,
+            energy_total=etot, afp=fp))
 
     def expect_stub(doc_id, payload):
         pixel_rows.append(dict(
@@ -521,6 +549,14 @@ def main():
     ])
     pq.write_table(pa.Table.from_pylist(phash_rows, schema=phash_schema),
                    os.path.join(OUT, "phash_expected.parquet"))
+
+    afp_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_frames", pa.int64()),
+        ("sample_rate", pa.int32()), ("energy_total", pa.int64()),
+        ("afp", pa.int64()),
+    ])
+    pq.write_table(pa.Table.from_pylist(afp_rows, schema=afp_schema),
+                   os.path.join(OUT, "afp_expected.parquet"))
     print(f"wrote {len(rows)} media files + decode/pixel/resize/phash expectations under {OUT}")
 
 
