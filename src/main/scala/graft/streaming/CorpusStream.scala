@@ -450,4 +450,58 @@ object CorpusStream {
     routed.filter(!col("pass")).select(outCols: _*)
       .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
   }
+
+  /** Streaming DECONTAMINATION gate — "protect the eval set from every
+    * drop": each arriving micro-batch of embedded documents is checked
+    * against a FIXED benchmark embedding table
+    * ([[graft.llm.Contamination.semantic]]) and routed — a document is
+    * REJECTED when its cosine to any benchmark vector reaches
+    * `minCosine`. The benchmark side is dimension-sized (eval suites)
+    * and broadcast, so a trigger costs one zero-shuffle bucket/cosine
+    * projection over the drop plus one drop-sized verdict join — no
+    * state store, nothing grows with stream lifetime (the benchmark is
+    * immutable by definition: that is what makes it a benchmark). Routes
+    * land as idempotent `batch=<id>/` overwrites, the
+    * [[nearDupGateBatch]] exactly-once discipline. */
+  def decontamGateSink(
+      docs: DataFrame,
+      keptPath: String,
+      rejectedPath: String,
+      checkpointDir: String,
+      benchmark: DataFrame,
+      nPlanes: Int = 4,
+      minCosine: Double = 0.8,
+      multiprobe: Int = 1): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontamGateBatch(batch, batchId, keptPath, rejectedPath,
+          benchmark, nPlanes, minCosine, multiprobe)
+      }
+
+  /** One micro-batch of [[decontamGateSink]], callable directly. */
+  def decontamGateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keptPath: String,
+      rejectedPath: String,
+      benchmark: DataFrame,
+      nPlanes: Int,
+      minCosine: Double,
+      multiprobe: Int): Unit = {
+    val b = batch.localCheckpoint() // feeds the verdict pass + two writes
+    val dataCols = b.columns.filterNot(_ == "doc_id").toSeq
+    // semantic() covers every corpus id (left join inside), so the
+    // verdict join is total: no doc can vanish from both routes
+    val verdict = graft.llm.Contamination.semantic(
+      b, benchmark, "doc_id", "embedding", nPlanes, minCosine, multiprobe)
+      .select(col("vec_id").as("doc_id"), col("contaminated"))
+    val routed = b.join(verdict, Seq("doc_id")).localCheckpoint()
+    val outCols = ("doc_id" +: dataCols).map(col)
+    routed.filter(!col("contaminated")).select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    routed.filter(col("contaminated")).select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
+  }
 }

@@ -249,4 +249,36 @@ class CorpusStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/rejected").select("doc_id").as[Long].collect().toSet
       == Set(41L))
   }
+
+  test("decontamination gate rejects embedding-space eval leakage; replay is idempotent") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    def drop(rows: (Long, Seq[Float])*): DataFrame =
+      rows.toDF("doc_id", "embedding")
+        .selectExpr("doc_id", "embedding", "'web' AS source")
+    val root = Files.createTempDirectory("decontam-gate")
+    val (kept, rejected) = (s"$root/kept", s"$root/rejected")
+    def gate(df: DataFrame, id: Long): Unit =
+      CorpusStream.decontamGateBatch(df, id, kept, rejected, bench,
+        nPlanes = 2, minCosine = 0.9, multiprobe = 1)
+    // 1 is a paraphrase-level copy (scaled), 2 is orthogonal, 3 has zero
+    // norm (excluded from the check -> kept, nothing to compare)
+    gate(drop(
+      1L -> Seq(3.0f, 0.1f, 0.0f, 0.0f),
+      2L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      3L -> Seq(0.0f, 0.0f, 0.0f, 0.0f)), 0L)
+    def ids(path: String) = spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
+    assert(ids(kept) == Set(2L, 3L))
+    assert(ids(rejected) == Set(1L))
+    // data columns ride through both routes (+ the hive batch id)
+    assert(spark.read.parquet(kept).columns.toSet ==
+      Set("doc_id", "embedding", "source", "batch"))
+    // crash-replay of batch 0 lands identically
+    gate(drop(1L -> Seq(3.0f, 0.1f, 0.0f, 0.0f), 2L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      3L -> Seq(0.0f, 0.0f, 0.0f, 0.0f)), 0L)
+    assert(ids(kept) == Set(2L, 3L) && ids(rejected) == Set(1L))
+    // second batch appends its own dir; benchmark state never grows
+    gate(drop(10L -> Seq(0.99f, 0.01f, 0.0f, 0.0f), 11L -> Seq(0.0f, 0.0f, 1.0f, 0.0f)), 1L)
+    assert(ids(rejected) == Set(1L, 10L) && ids(kept) == Set(2L, 3L, 11L))
+  }
 }
