@@ -251,6 +251,85 @@ object Multimodal {
     else None
   }
 
+  /** ISO BMFF (MP4, ISO 14496-12) metadata: walk the top-level boxes to
+    * `moov`, read `mvhd` (timescale + movie duration, versions 0 and 1,
+    * incl. the 64-bit largesize box form) and each `trak`'s `tkhd`
+    * (16.16 fixed-point presentation dims — the first track with nonzero
+    * dims supplies width/height; audio-only movies carry none). Returns
+    * (dims, trackCount, timescale, duration) with the WAV invariant
+    * `duration / timescale = seconds` riding the (sample_rate, n_frames)
+    * columns. Malformed box trees (overrunning sizes, missing mvhd)
+    * return None — decode stays total, never wrong. */
+  private[llm] def parseMp4(
+      b: Array[Byte]): Option[(Option[(Int, Int)], Int, Int, Long)] = {
+    if (b.length < 16) return None
+    def u32(o: Long): Long = (i32be(b, o.toInt).toLong) & 0xFFFFFFFFL
+    def u64(o: Long): Long =
+      (u32(o) << 32) | u32(o + 4)
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+
+    /** (payloadStart, boxEnd, type) of the box at `off`, or None. */
+    def box(off: Long, limit: Long): Option[(Long, Long, String)] = {
+      if (off + 8 > limit) return None
+      var size = u32(off)
+      var hdr = 8L
+      if (size == 1L) {
+        if (off + 16 > limit) return None
+        size = u64(off + 8); hdr = 16L
+      } else if (size == 0L) size = limit - off
+      if (size < hdr || size > limit - off) return None
+      Some((off + hdr, off + size, new String(b, off.toInt + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)))
+    }
+
+    var timescale = -1
+    var duration = -1L
+    var tracks = 0
+    var dims: Option[(Int, Int)] = None
+    var off = 0L
+    while (off < b.length) {
+      val (p, end, tpe) = box(off, b.length.toLong).getOrElse(return None)
+      if (tpe == "moov") {
+        var o = p
+        while (o < end) {
+          val (cp, cend, ct) = box(o, end).getOrElse(return None)
+          ct match {
+            case "mvhd" if cend - cp >= 20 =>
+              val v = b(cp.toInt) & 0xFF
+              if (v == 1 && cend - cp >= 32) {
+                timescale = u32(cp + 20).toInt
+                duration = u64(cp + 24)
+              } else if (v == 0) {
+                timescale = u32(cp + 12).toInt
+                duration = u32(cp + 16)
+              }
+            case "trak" =>
+              tracks += 1
+              var t = cp
+              while (t < cend) {
+                val (tp, tend, tt) = box(t, cend).getOrElse(return None)
+                if (tt == "tkhd") {
+                  val v = b(tp.toInt) & 0xFF
+                  val woff = tp + (if (v == 1) 88 else 76)
+                  if (woff + 8 <= tend) {
+                    val w = (u32(woff) >> 16).toInt
+                    val h = (u32(woff + 4) >> 16).toInt
+                    if (dims.isEmpty && w > 0 && h > 0) dims = Some((w, h))
+                  }
+                }
+                t = tend
+              }
+            case _ => ()
+          }
+          o = cend
+        }
+      }
+      off = end
+    }
+    if (timescale > 0 && duration >= 0) Some((dims, tracks, timescale, duration))
+    else None
+  }
+
   // ------------------------------------------------- full pixel/sample decode
   //
   // Pure-JVM decoders from the public specs — no native codec: BMP pixel
@@ -684,6 +763,12 @@ object Multimodal {
       DecodedMedia(r.doc_id, r.media_type, "jpeg", n, Some(w), Some(h), Some(c), None, 1L, checksum)
     }).orElse(safely(parseWav(r.payload)).map { case (ch, rate, frames) =>
       DecodedMedia(r.doc_id, r.media_type, "wav", n, None, None, Some(ch), Some(rate), frames, checksum)
+    }).orElse(safely(parseMp4(r.payload)).map { case (dims, tracks, ts, dur) =>
+      // video: n_channels = track count, (sample_rate, n_frames) =
+      // (timescale, duration) so n_frames / sample_rate = seconds, the
+      // same invariant the WAV rows carry
+      DecodedMedia(r.doc_id, r.media_type, "mp4", n, dims.map(_._1), dims.map(_._2),
+        Some(tracks), Some(ts), dur, checksum)
     }).getOrElse {
       val f = fakeDecode(r)
       DecodedMedia(r.doc_id, r.media_type, "stub", n, Some(f.width), Some(f.height),

@@ -49,6 +49,7 @@ object LlmQueries {
           .when(col("path").endsWith(".png"), "image/png")
           .when(col("path").endsWith(".jpg"), "image/jpeg")
           .when(col("path").endsWith(".wav"), "audio/wav")
+          .when(col("path").endsWith(".mp4"), "video/mp4")
           .otherwise("application/octet-stream").as("media_type"))
       .as[MediaRecord]
   }

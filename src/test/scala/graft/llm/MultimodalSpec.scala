@@ -142,6 +142,33 @@ class MultimodalSpec extends SparkSpec {
       "structurally different images must be far in hamming space")
   }
 
+  test("MP4 box walk: dims/timescale/duration; malformed trees reject to stub") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_021.mp4"))
+    val p = Multimodal.parseMp4(good).get
+    assert(p == ((Some((320, 240)), 2, 1000, 5400L)))
+    val v1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_022.mp4"))
+    assert(Multimodal.parseMp4(v1).get == ((Some((1920, 1080)), 1, 90000, 630123L)))
+    // box size overrunning the file: loud None, not a wrong row
+    val bad = good.clone()
+    val moovAt = {
+      var o = 0
+      var found = -1
+      while (found < 0 && o + 8 <= bad.length) {
+        if (new String(bad, o + 4, 4, "US-ASCII") == "moov") found = o
+        else o += java.nio.ByteBuffer.wrap(bad, o, 4).getInt
+      }
+      found
+    }
+    java.nio.ByteBuffer.wrap(bad, moovAt, 4).putInt(Int.MaxValue)
+    assert(Multimodal.parseMp4(bad).isEmpty)
+    // not BMFF at all
+    assert(Multimodal.parseMp4("RIFFxxxxWAVE".getBytes).isEmpty)
+    // the stub fallback takes over in decodeOne for the malformed tree
+    assert(Multimodal.decodeOne(MediaRecord(1L, bad, "video/mp4")).decoder == "stub")
+  }
+
   test("audioFingerprint matches the generator's mirror; silence is flat") {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File("data/media").getAbsolutePath

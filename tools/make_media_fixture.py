@@ -177,6 +177,52 @@ def make_jpeg(width: int, height: int, ncomp: int = 3,
             + seg(0xC4, dht) + seg(0xDA, sos) + b"\x12\x34\x56" + b"\xFF\xD9")
 
 
+# ---------------------------------------------------------------- MP4
+
+def mp4_box(tag: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    """ISO BMFF box; largesize=True uses the size==1 64-bit form."""
+    if largesize:
+        return struct.pack(">I", 1) + tag + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def mp4_tkhd(width: int, height: int, track_id: int, v1: bool = False) -> bytes:
+    """tkhd payload: 16.16 fixed-point presentation dims at the end of
+    the fixed layout (ISO 14496-12 §8.3.2)."""
+    head = (bytes([1, 0, 0, 0]) + struct.pack(">QQI", 0, 0, track_id)
+            + bytes(4) + struct.pack(">Q", 0)) if v1 else \
+           (bytes([0, 0, 0, 0]) + struct.pack(">III", 0, 0, track_id)
+            + bytes(4) + struct.pack(">I", 0))
+    tail = (bytes(8)                      # reserved
+            + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # layer/alt/volume/res
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16))
+    return mp4_box(b"tkhd", head + tail)
+
+
+def make_mp4(timescale: int, duration: int, track_dims: list,
+             v1: bool = False, large_mdat: bool = False) -> bytes:
+    """Minimal ISO BMFF movie: ftyp + moov{mvhd, trak{tkhd}...} + mdat.
+    track_dims is [(w, h)] per track; (0, 0) marks a non-visual track."""
+    ftyp = mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mvhd_tail = (struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                 + bytes(10) + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                           0, 0, 0, 0x40000000)
+                 + bytes(24) + struct.pack(">I", len(track_dims) + 1))
+    if v1:
+        mvhd = mp4_box(b"mvhd", bytes([1, 0, 0, 0])
+                       + struct.pack(">QQIQ", 0, 0, timescale, duration) + mvhd_tail)
+    else:
+        mvhd = mp4_box(b"mvhd", bytes([0, 0, 0, 0])
+                       + struct.pack(">IIII", 0, 0, timescale, duration) + mvhd_tail)
+    traks = b"".join(
+        mp4_box(b"trak", mp4_tkhd(w, h, i + 1, v1=(v1 and i == 0)))
+        for i, (w, h) in enumerate(track_dims))
+    mdat = mp4_box(b"mdat", bytes((i * 31 + 7) % 256 for i in range(48)),
+                   largesize=large_mdat)
+    return ftyp + mp4_box(b"moov", mvhd + traks) + mdat
+
+
 # ---------------------------------------------------------------- WAV
 
 def make_wav(channels: int, sample_rate: int, n_frames: int,
@@ -506,6 +552,20 @@ def main():
     jp = make_jpeg(17, 4096, 1, progressive=True)
     emit(20, "jpg", "image/jpeg", jp, "jpeg", 17, 4096, 1)
     expect_stub(20, jp)
+
+    # MP4s: real ISO BMFF box walk — moov/mvhd timescale+duration, tkhd
+    # 16.16 dims, track count; pixel decode is out of scope (no entropy
+    # decode), so the pixel table records the stub. 21: v0 boxes, a video
+    # and a non-visual track. 22: v1 (64-bit) mvhd/tkhd + largesize mdat.
+    m21 = make_mp4(1000, 5400, [(320, 240), (0, 0)])
+    emit(21, "mp4", "video/mp4", m21, "mp4", 320, 240,
+         n_channels=2, sample_rate=1000, n_frames=5400)
+    expect_stub(21, m21)
+    m22 = make_mp4(90000, 90000 * 7 + 123, [(1920, 1080)], v1=True,
+                   large_mdat=True)
+    emit(22, "mp4", "video/mp4", m22, "mp4", 1920, 1080,
+         n_channels=1, sample_rate=90000, n_frames=90000 * 7 + 123)
+    expect_stub(22, m22)
 
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
