@@ -23,10 +23,18 @@ class MediaFuzzSpec extends SparkSpec {
     val rc = Process(Seq("python3", generator, "--fuzz", dir, seed.toString))
       .!(ProcessLogger(l => buf.append(l).append('\n')))
     assert(rc == 0, s"generator failed:\n$buf")
-    "EXPECT (\\d+) (\\d+) (\\d+) (\\d+) (\\d+)".r.findAllMatchIn(buf.toString)
+    lastMeta = "MEXPECT (\\d+) (-?\\d+) (-?\\d+) (\\d+) (\\d+) (\\d+)".r
+      .findAllMatchIn(buf.toString)
+      .map(m => (m.group(1).toLong, m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toInt, m.group(5).toInt, m.group(6).toLong)).toSeq
+    "(?m)^EXPECT (\\d+) (\\d+) (\\d+) (\\d+) (\\d+)".r.findAllMatchIn(buf.toString)
       .map(m => (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
         m.group(4).toInt, m.group(5).toLong)).toSeq
   }
+
+  /** MEXPECT lines of the last [[generate]]: MP4 metadata ground truth
+    * (doc_id, width | -1, height | -1, tracks, timescale, duration). */
+  private var lastMeta: Seq[(Long, Int, Int, Int, Int, Long)] = Nil
 
   private def records(dir: String) = {
     import spark.implicits._
@@ -42,7 +50,9 @@ class MediaFuzzSpec extends SparkSpec {
     for (seed <- Seq(11, 47, 8080)) {
       val dir = Files.createTempDirectory(s"media-fuzz-$seed").toString
       val expects = generate(dir, seed)
-      assert(expects.nonEmpty)
+      val meta = lastMeta
+      assert(expects.nonEmpty && meta.nonEmpty)
+      val mp4Ids = meta.map(_._1).toSet
       val got = Multimodal.pixelStats(records(dir)).collect()
         .map(p => p.doc_id -> p).toMap
       for ((id, n, sumAbs, peak, chk) <- expects) {
@@ -51,7 +61,24 @@ class MediaFuzzSpec extends SparkSpec {
           p.peak == peak && p.checksum_px == chk,
           s"seed=$seed doc=$id: got (${p.n_units}, ${p.sum_abs}, ${p.peak}, " +
             s"${p.checksum_px}), expected ($n, $sumAbs, $peak, $chk)")
-        assert(p.decoder != "stub", s"seed=$seed doc=$id fell back to stub")
+        // MP4 pixel stats ARE the documented stub path (no entropy
+        // decode); everything else must really decode
+        if (mp4Ids(id)) assert(p.decoder == "stub")
+        else assert(p.decoder != "stub", s"seed=$seed doc=$id fell back to stub")
+      }
+      // MP4 METADATA decode is real: box walk vs the generator's truth
+      val decoded = Multimodal.decodeMedia(records(dir)).collect()
+        .map(d => d.doc_id -> d).toMap
+      for ((id, w, h, tracks, ts, dur) <- meta) {
+        val d = decoded(id)
+        assert(d.decoder == "mp4", s"seed=$seed doc=$id: ${d.decoder}")
+        assert(d.width == (if (w < 0) None else Some(w)) &&
+          d.height == (if (h < 0) None else Some(h)),
+          s"seed=$seed doc=$id dims: ${d.width}x${d.height} vs $w x $h")
+        assert(d.n_channels.contains(tracks) && d.sample_rate.contains(ts) &&
+          d.n_frames == dur,
+          s"seed=$seed doc=$id: (${d.n_channels}, ${d.sample_rate}, " +
+            s"${d.n_frames}) vs ($tracks, $ts, $dur)")
       }
     }
   }

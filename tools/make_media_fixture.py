@@ -671,6 +671,22 @@ def fuzz(outdir: str, seed: int):
         out("wav", payload, len(samples) // ch,
             sum(abs(s) for s in samples), max(abs(s) for s in samples),
             sample_checksum(samples))
+    for _ in range(int(rng.integers(2, 5))):  # MP4s (metadata decode)
+        ts = int(rng.choice([600, 1000, 90000]))
+        dur = int(rng.integers(0, 10 ** 7))
+        v1 = bool(rng.integers(0, 2))
+        large = bool(rng.integers(0, 2))
+        ntr = int(rng.integers(1, 4))
+        dims = [((int(rng.integers(1, 4000)), int(rng.integers(1, 4000)))
+                 if rng.integers(0, 2) else (0, 0)) for _ in range(ntr)]
+        payload = make_mp4(ts, dur, dims, v1=v1, large_mdat=large)
+        first = next(((w, h) for w, h in dims if w > 0 and h > 0), None)
+        w, h = first if first else (-1, -1)
+        # the pixel sweep sees the stub path (raw payload stats); the
+        # MEXPECT line pins the real metadata decode
+        out("mp4", payload, len(payload), sum(payload), max(payload),
+            checksum(payload))
+        print(f"MEXPECT {doc_id - 1} {w} {h} {ntr} {ts} {dur}")
     print(f"WROTE {doc_id} files to {outdir}")
 
 
