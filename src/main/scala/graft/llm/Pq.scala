@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou, Douze, Schmid 2011) — the memory-bound
@@ -358,6 +359,81 @@ object Pq {
     perCell.reduce(_.unionAll(_))
       .orderBy(col("dist_micros").asc, col("vec_id").asc)
       .limit(topK)
+  }
+
+  /** Batch [[ivfPqSearchOverIndex]] — the SERVING shape for retrieval
+    * workloads: ONE scan of the code index answers the whole
+    * (dimension-sized, eagerly collected) query set instead of one scan
+    * per query. Each query's probe cells and per-cell residual ADC
+    * tables are driver math (Q·nProbes·m·k integer-micros entries); the
+    * (query_id, cell, table) probe frame BROADCASTS against the index's
+    * cell column — at scale with a cell-partitioned store the scan reads
+    * only the UNION of probed cells — and per-row scoring is the same
+    * m-code integer fold, table now a joined column instead of a
+    * literal. Top-k per query is one window over candidate rows
+    * (bounded by probed-cell membership), ties (dist asc, vec_id asc).
+    * Single-query agreement with [[ivfPqSearchOverIndex]] is
+    * spec-pinned. Returns (query_id, vec_id, cell, dist_micros, rank). */
+  def ivfPqSearchBatchOverIndex(
+      index: DataFrame,
+      coarse: PqModel,
+      pq: PqModel,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbes: Int,
+      topK: Int): DataFrame = {
+    require(nProbes >= 1 && nProbes <= coarse.k, s"nProbes $nProbes out of range")
+    val spark = index.sparkSession
+    val qs = queries
+      .select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    qs.foreach { case (id, q) => require(q.length == coarse.dim,
+      s"ivfPqSearchBatchOverIndex: query $id has ${q.length} dims, model ${coarse.dim}") }
+    val cents = coarse.cents(0)
+    val sd = pq.subDim
+    val probeRows = qs.flatMap { case (qid, q) =>
+      val probed = cents.indices.map { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < coarse.dim) { val d = q(j) - cents(c)(j); acc += d * d; j += 1 }
+        (math.round(acc * 1e6), c)
+      }.sorted.take(nProbes).map(_._2)
+      probed.map { c =>
+        val table = new Array[Long](pq.m * pq.k)
+        var s = 0
+        while (s < pq.m) {
+          var cc = 0
+          while (cc < pq.k) {
+            var acc = 0.0
+            var jj = 0
+            while (jj < sd) {
+              val d = (q(s * sd + jj) - cents(c)(s * sd + jj)) - pq.cents(s)(cc)(jj)
+              acc += d * d
+              jj += 1
+            }
+            table(s * pq.k + cc) = math.round(acc * 1e6)
+            cc += 1
+          }
+          s += 1
+        }
+        (qid, c, table.toSeq)
+      }
+    }
+    import spark.implicits._
+    val probes = probeRows.toSeq.toDF("query_id", "cell", "qt")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_micros").asc, col("vec_id").asc)
+    index
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        (0 until pq.m)
+          .map(s2 => element_at(col("qt"), col(s"__c$s2") + lit(s2 * pq.k) + 1))
+          .reduce(_ + _).as("dist_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
   }
 
   /** Asymmetric-distance top-k: the query's m×k table of

@@ -115,6 +115,25 @@ class PqSpec extends SparkSpec {
       s"expected cell partition filters, got: $scans")
   }
 
+  test("batch search over the index agrees with per-query search") {
+    val df = vecs(200, 4)
+    val (c, p) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    val index = Pq.ivfPqEncode(df, "vec_id", "embedding", c, p).localCheckpoint()
+    val queries = df.filter(col("vec_id") < 3)
+    val batch = Pq.ivfPqSearchBatchOverIndex(index, c, p, queries,
+      "vec_id", "embedding", nProbes = 2, topK = 10)
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (qid <- 0L until 3L) {
+      val q = df.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+      val single = Pq.ivfPqSearchOverIndex(index, c, p, q, nProbes = 2, topK = 10)
+        .as[(Long, Int, Long)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid diverged from the single-query path")
+    }
+  }
+
   test("guards: bad subspace split and wrong-dim query are loud") {
     val df = vecs(20)
     intercept[IllegalArgumentException] {
