@@ -147,3 +147,102 @@ object KmvDistinct {
     ColumnBridge.column(
       new KmvDistinct(ColumnBridge.expression(item), k).toAggregateExpression())
 }
+
+/** The KMV sketch's STATE as a value: the sorted bottom-k distinct
+  * hashes themselves (ascending), rather than the finished
+  * `(n_distinct, is_exact)` verdict. This is what makes the
+  * [[graft.llm.Profile]] report INCREMENTAL: a per-drop profile persists
+  * these arrays, and because the bottom-k of a union is the bottom-k of
+  * the united bottom-k sets (the defining KMV merge identity), merging
+  * per-drop states reproduces the single-pass sketch over the union TO
+  * THE BIT — no re-scan of any prior drop. Same hashing/scatter
+  * discipline as [[KmvDistinct]], so the merged result stays mirrorable
+  * by the DuckDB gate. */
+case class KmvHashes(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  require(k >= 4, s"kmv_hashes needs k >= 4, got $k")
+
+  private val M = graft.llm.TextHash.Prime
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_hashes expects a string column, got ${child.dataType.catalogString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvState = new KmvState()
+
+  private def add(buf: KmvState, h: Long): Unit = {
+    if (buf.mins.size < k) { buf.mins.add(h); () }
+    else if (h < buf.mins.last()) {
+      if (buf.mins.add(h)) buf.mins.remove(buf.mins.last())
+    }
+  }
+
+  private def scatter(h: Long): Long =
+    ((h * 1000003L + 17L) % M * 1000003L + 17L) % M
+
+  override def update(buf: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null)
+      add(buf, scatter(GraftHashOps.polyHash(v.asInstanceOf[UTF8String])))
+    buf
+  }
+
+  override def merge(buf: KmvState, other: KmvState): KmvState = {
+    val it = other.mins.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: KmvState): Any = {
+    val out = new Array[Any](buf.mins.size)
+    val it = buf.mins.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: KmvState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.mins.size)
+    val it = buf.mins.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new KmvState()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { st.mins.add(in.readLong()); i += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvHashes =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvHashes =
+    copy(inputAggBufferOffset = offset)
+}
+
+object KmvHashes {
+  /** Column-API wrapper. */
+  def apply(item: Column, k: Int)(implicit d: DummyImplicit): Column =
+    ColumnBridge.column(
+      new KmvHashes(ColumnBridge.expression(item), k).toAggregateExpression())
+}

@@ -310,6 +310,48 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       explode(graft.functions.HashFunctions.winnowHashes(col(textCol), k, w)).as("fingerprint"))
 
+  /** Taxonomy/domain tagging — count each topic's keyword occurrences per
+    * document in ONE text scan ([[graft.functions.GraftKeywordOps]]
+    * Aho–Corasick kernel over the literal keyword set; a per-keyword SQL
+    * formulation scans the text once PER keyword). Zero shuffle: the
+    * count vector is a projection, the per-topic sums are column
+    * arithmetic over it, and the topic rows come from exploding a
+    * bounded literal-sized struct array. A keyword may serve several
+    * topics (counted for each); matches are all-start-position
+    * (overlapping) substring occurrences over code points — the exact
+    * semantics the DuckDB mirror reproduces.
+    *
+    * Returns (doc_id, topic, n_matches, n_keywords) — `n_keywords` =
+    * how many of the topic's keywords matched at least once. */
+  def tagTaxonomy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      taxonomy: Seq[(String, Seq[String])]): DataFrame = {
+    require(taxonomy.nonEmpty && taxonomy.forall(_._2.nonEmpty),
+      "tagTaxonomy: every topic needs at least one keyword")
+    require(taxonomy.map(_._1).distinct.length == taxonomy.length,
+      "tagTaxonomy: duplicate topic names")
+    val kws = taxonomy.flatMap(_._2).distinct
+    val kwIdx = kws.zipWithIndex.toMap
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.GraftKeywordOps
+          .keywordCountsKernel(col(textCol), kws).as("__kc"))
+      .select(col("doc_id"),
+        explode(array(taxonomy.map { case (topic, tkws) =>
+          val cnts = tkws.map(k => element_at(col("__kc"), kwIdx(k) + 1))
+          struct(
+            lit(topic).as("topic"),
+            cnts.reduce(_ + _).as("n_matches"),
+            cnts.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _)
+              .as("n_keywords"))
+        }: _*)).as("t"))
+      .select(col("doc_id"), col("t.topic"), col("t.n_matches"),
+        col("t.n_keywords"))
+  }
+
   /** Content fingerprints: full-text polynomial hash plus min/max 8-gram
     * rolling hashes (a 1-permutation MinHash sketch — the winnowing
     * building block). Returns (doc_id, content_hash, min_gram_hash,

@@ -508,6 +508,27 @@ object LlmQueries {
     "q_profile" -> ((s, dir) =>
       Profile.profile(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // taxonomy/domain tagging: per-topic keyword-occurrence counts in one
+    // Aho-Corasick scan; the "fragments" topic deliberately uses short
+    // substrings ("a", "or", "ta") so overlapping all-start-position
+    // counting inside longer tokens is exercised, not just token hits
+    "q_tag_taxonomy" -> ((s, dir) =>
+      TextAnalysis.tagTaxonomy(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        taxonomyV)),
+
+    // incremental profile: the corpus arrives as two "drops" (even/odd
+    // doc_id, NULL ids routed to the first so the union is exact), each
+    // profiled ONCE into a mergeable state table; the merge must equal
+    // the one-pass profile of everything to the bit (shared oracle)
+    "q_profile_incr" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val even = coalesce(pmod(col("doc_id"), lit(2)) === 0, lit(true))
+      Profile.merge(Seq(
+        Profile.state(d.filter(even)),
+        Profile.state(d.filter(!even))))
+    }),
+
     // JSON metadata extraction from the events props column
     "q_json_extract" -> ((s, dir) =>
       Events.extractProps(s.read.parquet(s"$dir/events.parquet"))),
@@ -940,6 +961,63 @@ object LlmQueries {
 
   // -------------------------------------------------------------- oracles
 
+  /** The q_tag_taxonomy topic→keywords table (shared by query and
+    * oracle so the two can never drift). */
+  private val taxonomyV: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Seq("join", "table", "scan"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "fragments" -> Seq("a", "or", "ta"))
+
+  /** DuckDB mirror of one keyword's all-start-position (overlapping)
+    * occurrence count in `text` — the [[graft.functions.GraftKeywordOps]]
+    * contract. */
+  private def kwCountSql(kw: String): String =
+    s"COALESCE(len(list_filter(generate_series(1, len(text) - ${kw.length} + 1), " +
+      s"i -> substr(text, i, ${kw.length}) = '$kw')), 0)"
+
+  /** Mirror of [[Profile.profile]] over documents: per-column UNION ALL,
+    * each with its own KMV bottom-64 chain (the q_distinct_kmv mirror
+    * applied per column; numerics hash their canonical decimal string).
+    * Shared verbatim by `q_profile` (one-pass) and `q_profile_incr`
+    * (per-drop states merged) — the two plans must land on the same
+    * report to the bit. */
+  private def profileOracleSql: String = {
+    val cols = Seq(
+      ("doc_id", true), ("text", false), ("lang", false),
+      ("source", false), ("n_chars", true))
+    val ctes = cols.map { case (c, numeric) =>
+      val sexpr = if (numeric) s"CAST($c AS VARCHAR)" else c
+      s"""pk_$c AS (
+         |  SELECT DISTINCT
+         |    ((${polyHashSql(sexpr)} * 1000003 + 17) % $P * 1000003 + 17) % $P AS h
+         |  FROM documents WHERE $c IS NOT NULL),
+         |pr_$c AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM pk_$c),
+         |pa_$c AS (SELECT COUNT(*) AS nd, MAX(CASE WHEN rn = 64 THEN h END) AS kth
+         |  FROM pr_$c WHERE rn <= 64)""".stripMargin
+    }.mkString(",\n")
+    val rows = cols.map { case (c, numeric) =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+         |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM documents) AS n_nulls,
+         |  (SELECT CAST(CASE WHEN nd < 64 THEN nd
+         |     ELSE (63 * CAST($P AS BIGINT)) // kth END AS BIGINT) FROM pa_$c)
+         |    AS n_distinct,
+         |  (SELECT nd < 64 FROM pa_$c) AS is_exact,
+         |  ${if (numeric) s"(SELECT CAST(min($c) AS DOUBLE) FROM documents)"
+            else "CAST(NULL AS DOUBLE)"} AS min_num,
+         |  ${if (numeric) s"(SELECT CAST(max($c) AS DOUBLE) FROM documents)"
+            else "CAST(NULL AS DOUBLE)"} AS max_num,
+         |  ${if (numeric) "CAST(NULL AS VARCHAR)"
+            else s"(SELECT min($c) FROM documents)"} AS min_str,
+         |  ${if (numeric) "CAST(NULL AS VARCHAR)"
+            else s"(SELECT max($c) FROM documents)"} AS max_str,
+         |  ${if (numeric) "CAST(NULL AS BIGINT)"
+            else s"(SELECT CAST(sum(length($c)) AS BIGINT) FROM documents)"}
+         |    AS total_len""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows"
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, md5(text) AS text_md5, count(*) AS n_copies
@@ -1273,42 +1351,24 @@ object LlmQueries {
     // mirror of Profile.profile over documents: per-column UNION ALL,
     // each with its own KMV bottom-64 chain (the q_distinct_kmv mirror
     // applied per column; numerics hash their canonical decimal string)
-    "q_profile" -> {
-      val cols = Seq(
-        ("doc_id", true), ("text", false), ("lang", false),
-        ("source", false), ("n_chars", true))
-      val ctes = cols.map { case (c, numeric) =>
-        val sexpr = if (numeric) s"CAST($c AS VARCHAR)" else c
-        s"""pk_$c AS (
-           |  SELECT DISTINCT
-           |    ((${polyHashSql(sexpr)} * 1000003 + 17) % $P * 1000003 + 17) % $P AS h
-           |  FROM documents WHERE $c IS NOT NULL),
-           |pr_$c AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM pk_$c),
-           |pa_$c AS (SELECT COUNT(*) AS nd, MAX(CASE WHEN rn = 64 THEN h END) AS kth
-           |  FROM pr_$c WHERE rn <= 64)""".stripMargin
-      }.mkString(",\n")
-      val rows = cols.map { case (c, numeric) =>
-        s"""SELECT '$c' AS col_name,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
-           |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM documents) AS n_nulls,
-           |  (SELECT CAST(CASE WHEN nd < 64 THEN nd
-           |     ELSE (63 * CAST($P AS BIGINT)) // kth END AS BIGINT) FROM pa_$c)
-           |    AS n_distinct,
-           |  (SELECT nd < 64 FROM pa_$c) AS is_exact,
-           |  ${if (numeric) s"(SELECT CAST(min($c) AS DOUBLE) FROM documents)"
-              else "CAST(NULL AS DOUBLE)"} AS min_num,
-           |  ${if (numeric) s"(SELECT CAST(max($c) AS DOUBLE) FROM documents)"
-              else "CAST(NULL AS DOUBLE)"} AS max_num,
-           |  ${if (numeric) "CAST(NULL AS VARCHAR)"
-              else s"(SELECT min($c) FROM documents)"} AS min_str,
-           |  ${if (numeric) "CAST(NULL AS VARCHAR)"
-              else s"(SELECT max($c) FROM documents)"} AS max_str,
-           |  ${if (numeric) "CAST(NULL AS BIGINT)"
-              else s"(SELECT CAST(sum(length($c)) AS BIGINT) FROM documents)"}
-           |    AS total_len""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"WITH $ctes\n$rows"
-    },
+    // per-topic keyword tallies: each topic a UNION ALL branch, each
+    // keyword the generate_series/substr all-occurrence count (the
+    // kernel's overlapping-substring contract, mirrored per code point)
+    "q_tag_taxonomy" -> taxonomyV.map { case (topic, kws) =>
+      s"""SELECT doc_id, '$topic' AS topic,
+         |  CAST(${kws.map(kwCountSql).mkString(" + ")} AS BIGINT) AS n_matches,
+         |  CAST(${kws.map(k => s"CASE WHEN ${kwCountSql(k)} > 0 THEN 1 ELSE 0 END")
+                .mkString(" + ")} AS BIGINT) AS n_keywords
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
+    "q_profile" -> profileOracleSql,
+
+    // the INCREMENTAL profile (per-drop KMV/min/max/sum states merged)
+    // is bit-identical to the one-pass profile of the union by
+    // construction, so it shares the q_profile mirror verbatim — the
+    // strongest possible check of the merge algebra
+    "q_profile_incr" -> profileOracleSql,
 
     // exact mirror of the KMV sketch INCLUDING the estimate path: the
     // bottom-64 distinct hashes are partition-invariant, so the

@@ -45,6 +45,54 @@ class ProfileSpec extends SparkSpec {
     assert(r1.getLong(3) > 2500 && r1.getLong(3) < 10000)
   }
 
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("merged per-drop states equal the one-pass profile — exact path") {
+    val df = Seq(
+      (1L, Some("aa"), Some(10L)),
+      (2L, Some("bb"), None),
+      (3L, None, Some(30L)),
+      (4L, Some("aa"), Some(10L)),
+      (5L, Some("cc"), Some(-2L))
+    ).toDF("id", "s", "v")
+    val drops = Seq(
+      df.filter($"id" <= 2), df.filter($"id" === 3), df.filter($"id" >= 4))
+    val merged = Profile.merge(drops.map(Profile.state(_)))
+    assert(canon(merged) == canon(Profile.profile(df)))
+  }
+
+  test("merged states equal the one-pass profile — estimate path, any split") {
+    val df = (0 until 5000).map(i => (i.toLong, s"tok_${i % 997}")).toDF("id", "t")
+    val whole = canon(Profile.profile(df, kmvK = 64))
+    for (nDrops <- Seq(2, 5)) {
+      val states = (0 until nDrops).map(d =>
+        Profile.state(df.filter(pmod($"id", lit(nDrops)) === d), kmvK = 64))
+      assert(canon(Profile.merge(states, kmvK = 64)) == whole,
+        s"merge of $nDrops drops must be bit-identical to the one-pass profile")
+    }
+  }
+
+  test("merge absorbs an empty drop and is order-insensitive") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
+    val empty = Profile.state(df.filter($"id" < 0))
+    val s1 = Profile.state(df.filter($"id" === 1))
+    val s2 = Profile.state(df.filter($"id" === 2))
+    val whole = canon(Profile.profile(df))
+    assert(canon(Profile.merge(Seq(empty, s1, s2))) == whole)
+    assert(canon(Profile.merge(Seq(s2, s1, empty))) == whole)
+  }
+
+  test("state round-trips through parquet (the persisted-drop shape)") {
+    val df = (0 until 300).map(i => (i.toLong, s"w${i % 41}")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("profstate").toString
+    Profile.state(df.filter($"id" < 150)).write.parquet(s"$dir/d0")
+    Profile.state(df.filter($"id" >= 150)).write.parquet(s"$dir/d1")
+    val merged = Profile.merge(Seq(
+      spark.read.parquet(s"$dir/d0"), spark.read.parquet(s"$dir/d1")))
+    assert(canon(merged) == canon(Profile.profile(df)))
+  }
+
   test("column subset and guards") {
     val df = Seq((1L, "x", Seq(1.0))).toDF("id", "s", "arr")
     assert(Profile.profile(df, columns = Seq("id", "s")).count() == 2)
