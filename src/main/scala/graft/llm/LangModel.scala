@@ -127,4 +127,68 @@ object LangModel {
     lmScoreWith(docs, idCol, textCol,
       lmUnigrams(docs, idCol, textCol, vocabSize),
       lmBigrams(docs, idCol, textCol, vocabSize))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    * language, split the corpus into head/middle/tail THIRDS by
+    * per-token LM score — the standard recipe for keeping a quality
+    * dial on web data without a supervised filter.
+    *
+    * Shape chosen for scale: NOT a per-lang `ntile` window (one reducer
+    * per language — the 100 TB killer); instead per-lang tercile
+    * CUTOFFS from one aggregation, broadcast back over the unshuffled
+    * scored scan (the [[Events.outliers]] posture). `exact = true` uses
+    * exact interpolated percentiles (the oracle mode, mirrored by
+    * DuckDB `quantile_cont` to the bit); production flips to the
+    * mergeable `percentile_approx` sketch — CCNet itself thresholds on
+    * a sample, so approximate cutoffs are the faithful production
+    * semantics.
+    *
+    * Per-token score = `round(1e6 · lp_micros / n_pairs)` as an integer
+    * (the IEEE division of engine-identical integers is exactly
+    * rounded, and the micros quantization keeps every comparison an
+    * INTEGER compare — no floor-division sign hazard, no ulp-sensitive
+    * double ordering). The interpolated cutoffs round to micros too, so
+    * the only cross-engine exposure is a percentile landing within an
+    * ulp of a .5 micros boundary — the same acknowledged risk class as
+    * the `ln` quantization ([[Classify]] scaladoc). Docs with no
+    * scorable pair have NULL score and land in `tail`; ties at a
+    * cutoff bucket upward (`>=`). Buckets are value-thresholded, so
+    * sizes are only approximately N/3 under ties — exactly CCNet's
+    * behavior.
+    *
+    * Returns (doc_id, lang, n_pairs, lp_micros, tok_lp_micros, bucket). */
+  def ccnetBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      vocabSize: Int = 64,
+      exact: Boolean = true): DataFrame = {
+    val scored = lmScoreWith(docs, idCol, textCol,
+        lmUnigrams(docs, idCol, textCol, vocabSize),
+        lmBigrams(docs, idCol, textCol, vocabSize),
+        passThrough = Seq(langCol))
+      .withColumn("tok_lp_micros",
+        when(col("n_pairs") === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1000000.0) * col("lp_micros").cast("double")
+            / col("n_pairs")).cast("long")))
+    val cuts =
+      if (exact)
+        scored.groupBy(langCol).agg(
+          round(percentile(col("tok_lp_micros"), lit(1.0 / 3))).cast("long").as("__c_lo"),
+          round(percentile(col("tok_lp_micros"), lit(2.0 / 3))).cast("long").as("__c_hi"))
+      else
+        scored.groupBy(langCol).agg(
+          round(percentile_approx(col("tok_lp_micros"), lit(1.0 / 3), lit(10000)))
+            .cast("long").as("__c_lo"),
+          round(percentile_approx(col("tok_lp_micros"), lit(2.0 / 3), lit(10000)))
+            .cast("long").as("__c_hi"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .select(col("doc_id"), col(langCol), col("n_pairs"), col("lp_micros"),
+        col("tok_lp_micros"),
+        when(col("tok_lp_micros").isNull, "tail")
+          .when(col("tok_lp_micros") >= col("__c_hi"), "head")
+          .when(col("tok_lp_micros") >= col("__c_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -931,6 +931,13 @@ object LlmQueries {
       LangModel.lmScore(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
 
+    // CCNet head/middle/tail perplexity terciles per language:
+    // broadcast per-lang cutoffs over the unshuffled scored scan (no
+    // per-lang ntile window), integer-micros comparisons throughout
+    "q_ccnet_buckets" -> ((s, dir) =>
+      LangModel.ccnetBuckets(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang")),
+
     // trainable BPE: 8 merges from the word histogram (driver-side merge
     // loop over ONE corpus pass), emitted as the ranked merge table
     "q_bpe_train" -> ((s, dir) =>
@@ -2573,6 +2580,47 @@ object LlmQueries {
          |  coalesce(s.n_pairs, 0) AS n_pairs,
          |  coalesce(s.lp_micros, 0) AS lp_micros
          |FROM documents d LEFT JOIN sagg s USING (doc_id)""".stripMargin,
+
+    // the q_lm_score chain extended by per-lang tercile cutoffs
+    // (quantile_cont rounded to micros — the pinned percentile mirror)
+    // and integer threshold bucketing
+    "q_ccnet_buckets" ->
+      s"""WITH $lmCte,
+         |sp AS (
+         |  SELECT lbp.doc_id,
+         |    u1.fallback_micros AS f1, u2.token AS tok2, bi.loglik_micros AS b
+         |  FROM lbp
+         |  LEFT JOIN luni u1 ON lbp.t[lbp.x] = u1.token
+         |  LEFT JOIN luni u2 ON lbp.t[lbp.x + 1] = u2.token
+         |  LEFT JOIN lbi bi ON bi.t1 = lbp.t[lbp.x] AND bi.t2 = lbp.t[lbp.x + 1]),
+         |sagg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL) AS BIGINT)
+         |      AS n_pairs,
+         |    CAST(coalesce(sum(coalesce(b, f1))
+         |      FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL), 0) AS BIGINT)
+         |      AS lp_micros
+         |  FROM sp GROUP BY 1),
+         |sc AS (
+         |  SELECT d.doc_id, d.lang,
+         |    coalesce(s.n_pairs, 0) AS n_pairs,
+         |    coalesce(s.lp_micros, 0) AS lp_micros
+         |  FROM documents d LEFT JOIN sagg s USING (doc_id)),
+         |r AS (
+         |  SELECT *, CASE WHEN n_pairs = 0 THEN NULL
+         |    ELSE CAST(round(1000000 * CAST(lp_micros AS DOUBLE) / n_pairs) AS BIGINT)
+         |    END AS tok_lp_micros FROM sc),
+         |cq AS (
+         |  SELECT lang,
+         |    CAST(round(quantile_cont(tok_lp_micros, CAST(1 AS DOUBLE) / 3)) AS BIGINT) AS c_lo,
+         |    CAST(round(quantile_cont(tok_lp_micros, CAST(2 AS DOUBLE) / 3)) AS BIGINT) AS c_hi
+         |  FROM r GROUP BY 1)
+         |SELECT r.doc_id, r.lang, r.n_pairs, r.lp_micros, r.tok_lp_micros,
+         |  CASE WHEN r.tok_lp_micros IS NULL THEN 'tail'
+         |       WHEN r.tok_lp_micros >= cq.c_hi THEN 'head'
+         |       WHEN r.tok_lp_micros >= cq.c_lo THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r JOIN cq USING (lang)""".stripMargin,
 
     "q_bpe_train" -> {
       val union = (1 to BpeMerges).map(i =>

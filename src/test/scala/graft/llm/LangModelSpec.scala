@@ -60,4 +60,44 @@ class LangModelSpec extends SparkSpec {
     // both pairs touch OOV 'zzz' -> nothing scored
     assert(s(11L)._2 == 0L && s(11L)._3 == 0L)
   }
+
+  test("ccnetBuckets: thirds by per-token score, zero-pair docs in tail") {
+    // 9 docs per lang with clearly separated per-token scores via
+    // repetition counts, plus a pairless doc
+    val cs = (1 to 9).flatMap { i =>
+      Seq((i.toLong, ("a b " * i).trim + " " + ("zz " * (9 - i)).trim, "en"))
+    } :+ ((100L, "solo", "en")) :+ ((101L, "a b a b", "fr"))
+    val df = cs.toDF("doc_id", "text", "lang")
+    val out = LangModel.ccnetBuckets(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(100L) == "tail", "pairless doc must land in tail")
+    val en = (1 to 9).map(i => out(i.toLong))
+    assert(en.count(_ == "head") >= 2 && en.count(_ == "tail") >= 2,
+      s"expected a spread across buckets, got $en")
+    // monotone: a doc in head never has a lower-scored doc above it
+    val scored = LangModel.ccnetBuckets(df, "doc_id", "text", "lang")
+      .filter($"lang" === "en" && $"tok_lp_micros".isNotNull)
+      .select("tok_lp_micros", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for (w <- scored.sortBy(-_._1).toSeq.sliding(2) if w.size == 2)
+      assert(rank(w(0)._2) <= rank(w(1)._2),
+        s"bucket order violates score order: ${scored.toSeq}")
+    // single-doc lang: quantiles degenerate to its own score -> head
+    assert(out(101L) == "head")
+  }
+
+  test("ccnetBuckets is partition-invariant and never windows per lang") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("a b").mkString(" "), if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val a = LangModel.ccnetBuckets(df, "doc_id", "text", "lang")
+      .collect().map(_.toString).sorted.toSeq
+    val b = LangModel.ccnetBuckets(df.repartition(13), "doc_id", "text", "lang")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    val plan = LangModel.ccnetBuckets(df, "doc_id", "text", "lang")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-lang window in plan:\n$plan")
+  }
 }
