@@ -310,6 +310,61 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       explode(graft.functions.HashFunctions.winnowHashes(col(textCol), k, w)).as("fingerprint"))
 
+  /** Vocabulary-growth (Heaps'-law) curve — "after the first `c` tokens
+    * of the corpus, how many distinct tokens have appeared?" at
+    * `nCheckpoints` evenly spaced prefixes. The curve is what sizes a
+    * tokenizer vocabulary / estimates OOV decay before committing to a
+    * vocab budget (Heaps 1978: V(n) ≈ K·n^β).
+    *
+    * Dataflow (all corpus-sized steps shuffle once each):
+    *  1. global token positions via the range-parallel two-phase prefix
+    *     sum over doc order ([[graft.scale.Prefix]] — never the
+    *     single-partition global window); the token arrays ride the one
+    *     range exchange (the L42 sequence-packing posture);
+    *  2. `min(global_pos)` per token — ONE token-keyed shuffle with
+    *     map-side combine;
+    *  3. checkpoint counts as conditional sums in a single aggregation
+    *     over the (vocabulary-sized) first-occurrence table, checkpoints
+    *     derived from the broadcast 1-row total (integer `DIV`, so both
+    *     engines cut identically).
+    *
+    * Returns (checkpoint_no, checkpoint_tokens, n_distinct), one row per
+    * checkpoint: distinct tokens whose first occurrence lies strictly
+    * before the checkpoint position. Doc ids must be unique (the prefix
+    * order). */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nCheckpoints: Int = 8): DataFrame = {
+    require(nCheckpoints >= 1, "vocabGrowth: need at least one checkpoint")
+    val tokList = split(trim(col(textCol)), "\\s+")
+    val counts = docs.select(
+      col(idCol).as("doc_id"),
+      when(col(textCol).isNull, lit(0L)).otherwise(size(tokList).cast("long"))
+        .as("n_t"),
+      tokList.as("__t"))
+    val offs = graft.scale.Prefix
+      .exclusiveRunningTotal(counts, "doc_id", "n_t", "off")
+    val firsts = offs
+      .select(col("off"), posexplode(col("__t")).as(Seq("pos", "token")))
+      .groupBy("token")
+      .agg(min(col("off") + col("pos")).as("first_pos"))
+    val totals = counts.agg(sum("n_t").as("__n"))
+    val aggs = max(col("__n")).as("__n") +:
+      (1 to nCheckpoints).map(i =>
+        sum(when(col("first_pos") < expr(s"__n * $i DIV $nCheckpoints"), 1L)
+          .otherwise(0L)).as(s"__nd_$i"))
+    firsts.crossJoin(broadcast(totals))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to nCheckpoints).map(i =>
+        struct(
+          lit(i).as("checkpoint_no"),
+          expr(s"__n * $i DIV $nCheckpoints").as("checkpoint_tokens"),
+          coalesce(col(s"__nd_$i"), lit(0L)).as("n_distinct"))): _*)).as("c"))
+      .select("c.*")
+  }
+
   /** Taxonomy/domain tagging — count each topic's keyword occurrences per
     * document in ONE text scan ([[graft.functions.GraftKeywordOps]]
     * Aho–Corasick kernel over the literal keyword set; a per-keyword SQL

@@ -508,6 +508,13 @@ object LlmQueries {
     "q_profile" -> ((s, dir) =>
       Profile.profile(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // Heaps'-law vocabulary-growth curve: distinct tokens seen after each
+    // eighth of the global token stream (doc_id order, prefix-sum global
+    // positions) — the tokenizer-vocab sizing signal
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // taxonomy/domain tagging: per-topic keyword-occurrence counts in one
     // Aho-Corasick scan; the "fragments" topic deliberately uses short
     // substrings ("a", "or", "ta") so overlapping all-start-position
@@ -1358,6 +1365,29 @@ object LlmQueries {
     // mirror of Profile.profile over documents: per-column UNION ALL,
     // each with its own KMV bottom-64 chain (the q_distinct_kmv mirror
     // applied per column; numerics hash their canonical decimal string)
+    // global token positions via a running-sum window over doc order,
+    // first occurrence per token, strict-before counts at each N*i/8 cut
+    "q_vocab_growth" ->
+      s"""WITH tok0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |cnt AS (SELECT doc_id,
+         |  CASE WHEN t IS NULL THEN 0 ELSE CAST(len(t) AS BIGINT) END AS n_t
+         |  FROM tok0),
+         |o AS (SELECT doc_id, CAST(COALESCE(SUM(n_t) OVER (ORDER BY doc_id ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM cnt),
+         |tk AS (SELECT t0.doc_id, unnest(generate_series(1, len(t0.t))) AS x, t0.t
+         |  FROM tok0 t0),
+         |tg AS (SELECT tk.t[tk.x] AS token, o.off + tk.x - 1 AS gpos
+         |  FROM tk JOIN o USING (doc_id)),
+         |fs AS (SELECT token, MIN(gpos) AS first_pos FROM tg GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM cnt),
+         |ck AS (SELECT unnest(generate_series(1, 8)) AS i)
+         |SELECT CAST(ck.i AS INTEGER) AS checkpoint_no,
+         |  CAST((nn.n * ck.i) // 8 AS BIGINT) AS checkpoint_tokens,
+         |  CAST((SELECT count(*) FROM fs
+         |        WHERE fs.first_pos < (nn.n * ck.i) // 8) AS BIGINT) AS n_distinct
+         |FROM ck, nn""".stripMargin,
+
     // per-topic keyword tallies: each topic a UNION ALL branch, each
     // keyword the generate_series/substr all-occurrence count (the
     // kernel's overlapping-substring contract, mirrored per code point)

@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     //  - the explicitly audited two-phase prefix sums (graft.scale.Prefix),
     //    where the global window runs over exactly one pre-aggregated row
     //    per partition.
-    val allowed = Set("q_seq_pack", "q_pack_shards")
+    val allowed = Set("q_seq_pack", "q_pack_shards", "q_vocab_growth")
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec

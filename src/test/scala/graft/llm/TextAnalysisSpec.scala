@@ -98,4 +98,31 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toMap
     assert(kernel == hof)
   }
+
+  test("vocabGrowth: hand-computed curve over a tiny ordered corpus") {
+    // global stream (doc order): a b | a c | d d  -> N=6
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d d")).toDF("doc_id", "text")
+    // first_pos: a=0 b=1 c=3 d=4; checkpoints i*6/4 = 1,3,4,6 (strict <)
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", nCheckpoints = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1) == ((1L, 1L)))   // before pos 1: {a}
+    assert(out(2) == ((3L, 2L)))   // before pos 3: {a,b}
+    assert(out(3) == ((4L, 3L)))   // before pos 4: {a,b,c}
+    assert(out(4) == ((6L, 4L)))   // full corpus
+  }
+
+  test("vocabGrowth: monotone, partition-invariant, NULL text contributes nothing") {
+    val docs = ((1 to 60).map(i => (i.toLong, s"w${i % 13} w${i % 7} common"))
+      :+ (61L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val a = TextAnalysis.vocabGrowth(docs, "doc_id", "text").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2)))
+    val b = TextAnalysis.vocabGrowth(docs.repartition(7), "doc_id", "text")
+      .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.last._1 == 180L, "NULL text must add no tokens")
+    for (w <- a.toSeq.sliding(2) if w.size == 2) {
+      assert(w(0)._1 <= w(1)._1 && w(0)._2 <= w(1)._2, s"curve not monotone: ${a.toSeq}")
+    }
+    assert(a.last._2 == 14L) // w0..w12 (13) + common; w{i%7} are dupes
+  }
 }
