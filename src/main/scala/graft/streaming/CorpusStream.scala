@@ -504,4 +504,56 @@ object CorpusStream {
     routed.filter(col("contaminated")).select(outCols: _*)
       .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
   }
+
+  /** Streaming ANN-INDEX maintenance — "train the quantizer once, index
+    * every drop": each arriving micro-batch of embeddings is IVF-PQ
+    * encoded against the FIXED trained quantizer pair
+    * ([[graft.llm.Pq.ivfPqEncode]], the L55 production shape) and lands
+    * as cell-partitioned posting rows under `batch=<id>/cell=<c>/`.
+    *
+    * Scale posture: encode is a zero-shuffle kernel projection (m
+    * argmins over literal centroid matrices), so a trigger costs one
+    * projection over the drop plus one partitioned write — no state
+    * store, no joins, and nothing about the trigger grows with index
+    * lifetime. The quantizer is immutable by contract (retrain drift is
+    * what [[graft.llm.Similarity.ivfAssign]]'s own-centroid-cosine
+    * signal monitors); per-directory overwrite keeps crash-replayed
+    * batches idempotent. Searches over the accumulated index
+    * ([[graft.llm.Pq.ivfPqSearchOverIndex]] /
+    * `ivfPqSearchBatchOverIndex`) filter on `cell`, which partition
+    * discovery prunes across every `batch=*` directory — a probe reads
+    * only the probed cells' files regardless of how many drops have
+    * landed. */
+  def annIndexSink(
+      vectors: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      coarse: graft.llm.Pq.PqModel,
+      pq: graft.llm.Pq.PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annIndexBatch(batch, batchId, indexPath, coarse, pq, idCol, vecCol)
+      }
+
+  /** One micro-batch of [[annIndexSink]], callable directly. */
+  def annIndexBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      coarse: graft.llm.Pq.PqModel,
+      pq: graft.llm.Pq.PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    graft.llm.Pq.ivfPqEncode(batch, idCol, vecCol, coarse, pq)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$indexPath/batch=$batchId")
+
+  /** The accumulated streamed index (`batch` and `cell` become partition
+    * columns; search helpers ignore the extra `batch`). */
+  def readAnnIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
 }
