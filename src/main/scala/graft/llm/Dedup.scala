@@ -289,6 +289,40 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Near-dup cluster REPRESENTATIVE selection by quality — the keep
+    * policy upgrade over min-id: within each [[clusters]] component,
+    * keep the member with the highest [[TextAnalysis.qualityScore]]
+    * (doc-id tiebreak), so dedup keeps the best copy of a duplicated
+    * passage rather than the accidentally-lowest id (the policy FineWeb
+    * and Dolma use when a cluster spans pages of differing quality).
+    *
+    * Shape: the LSH/cluster machinery is L2+L14 unchanged; quality is a
+    * zero-shuffle projection; the argmax is ONE window over the 8-byte
+    * cluster key (cluster sizes are the duplicate minority — bounded).
+    * Quality scores are engine-identical doubles (q_quality_score's
+    * pinned formula), and the (score desc, doc_id asc) order is total,
+    * so `is_rep` is exactly mirrorable.
+    *
+    * Returns (doc_id, cluster_id, quality_score, is_rep) — every input
+    * doc appears; singletons are their own representative. */
+  def clusterRepresentatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(
+      docs.select(col(idCol).as("doc_id")),
+      minhashPairs(docs, idCol, textCol, minJaccard = minJaccard))
+    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    cl.join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (row_number().over(w) === 1).as("is_rep"))
+  }
+
   /** Cross-document duplicated-span signal (the span-granular counterpart
     * of whole-document near-dup): for each document, how much of it is made
     * of word n-grams that also occur in at least one OTHER document, and in

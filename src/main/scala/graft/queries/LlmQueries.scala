@@ -345,6 +345,12 @@ object LlmQueries {
         Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5))
     }),
 
+    // quality-argmax representative per near-dup cluster (keep the best
+    // copy, not the lowest id)
+    "q_cluster_rep" -> ((s, dir) =>
+      Dedup.clusterRepresentatives(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
     // SimHash fingerprints (per-doc 24-bit)
     "q_simhash_fingerprint" -> ((s, dir) =>
       Dedup.simhashFingerprints(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -1065,6 +1071,27 @@ object LlmQueries {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
          |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // the q_dedup_clusters closure + the qualityCte score + a ranked
+    // window: the three proven chains composed
+    "q_cluster_rep" ->
+      s"""WITH RECURSIVE ${qualityCte.stripPrefix("WITH ")},
+         |pairs_q AS (
+         |${lshPairsSql(shinglesSql("text", 5),
+              perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs_q
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs_q),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT cl.doc_id, cl.cluster_id, sc.quality_score,
+         |  (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |    ORDER BY sc.quality_score DESC, cl.doc_id ASC)) = 1 AS is_rep
+         |FROM cl JOIN sc USING (doc_id)""".stripMargin,
 
     "q_simhash_fingerprint" -> (simhashSql + " SELECT doc_id, simhash FROM sim"),
 

@@ -20,4 +20,25 @@ class ClustersSpec extends SparkSpec {
     val got = Dedup.clusters(docs, pairs).as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(1L))
   }
+
+  test("clusterRepresentatives keeps the highest-quality member, not the min id") {
+    // 10 & 11 are near-dups; 11 carries the richer (higher-quality) text;
+    // 20 is a singleton
+    val rich = "the quick brown fox jumps over a lazy dog near the quiet river bank today"
+    val docs = Seq(
+      (10L, rich + " zz zz zz zz zz zz zz zz zz zz"),       // degraded diversity
+      (11L, rich + " while birds sing over distant green hills this morning"),
+      (20L, "wholly unrelated text body")).toDF("doc_id", "text")
+    val out = Dedup.clusterRepresentatives(docs, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size == 3, "every doc appears")
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L, "near-dups share a cluster")
+    assert(out(20L)._3, "singleton is its own representative")
+    assert(out(11L)._2 > out(10L)._2, "doc 11 should score higher")
+    assert(out(11L)._3 && !out(10L)._3, "higher quality wins over lower id")
+    // exactly one rep per cluster
+    val reps = out.toSeq.groupBy(_._2._1).view.mapValues(_.count(_._2._3)).toMap
+    assert(reps.values.forall(_ == 1), s"rep counts per cluster: $reps")
+  }
 }
