@@ -556,4 +556,44 @@ object CorpusStream {
     * columns; search helpers ignore the extra `batch`). */
   def readAnnIndex(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(indexPath)
+
+  /** Streaming PROFILE accumulation — corpus health without corpus
+    * re-scans: each arriving micro-batch is profiled ONCE into its
+    * mergeable [[graft.llm.Profile.state]] table (counts, min/max, sums,
+    * KMV bottom-k hash arrays) landed under `batch=<id>/`;
+    * [[profileSoFar]] then answers "profile of everything that has ever
+    * arrived" by folding the dimension-sized state tables — bit-identical
+    * to a one-pass profile over the concatenated drops (the KMV merge
+    * identity), at O(batches × columns) driver-sized cost per read.
+    * Per-directory overwrite keeps crash-replayed batches idempotent; no
+    * state store, and a trigger costs exactly one scan of its own drop. */
+  def profileSink(
+      docs: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      columns: Seq[String] = Nil,
+      kmvK: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        profileBatch(batch, batchId, statePath, columns, kmvK)
+      }
+
+  /** One micro-batch of [[profileSink]], callable directly. */
+  def profileBatch(
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      columns: Seq[String] = Nil,
+      kmvK: Int = 64): Unit =
+    graft.llm.Profile.state(batch, columns, kmvK)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+
+  /** The merged profile over every batch landed so far. */
+  def profileSoFar(
+      spark: SparkSession,
+      statePath: String,
+      kmvK: Int = 64): DataFrame =
+    graft.llm.Profile.merge(Seq(spark.read.parquet(statePath)), kmvK)
 }
