@@ -137,6 +137,41 @@ object SnapshotMerge {
     }
   }
 
+  /** Audit diff between two snapshot versions of a keyed table — the
+    * "what changed in this corpus release" report run before promoting
+    * a rebuilt snapshot: every key is classified `added` (new side
+    * only), `removed` (old side only), `changed` (both sides, any
+    * compared column differs) or `unchanged`. Comparison is NULL-safe
+    * per column (`<=>` over the packed struct), so a NULL→value edit
+    * counts as a change and NULL==NULL does not.
+    *
+    * Scale shape: one co-partitioned full-outer equi-join on the key
+    * (the [[merge]] posture) over two narrow struct-packed projections;
+    * no window, no skew-prone keys beyond the snapshots' own. Returns
+    * (key, status). */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: no columns to compare")
+    val missing = compareCols.filterNot(c =>
+      oldSnap.columns.contains(c) && newSnap.columns.contains(c))
+    require(missing.isEmpty,
+      s"snapshotDiff: column(s) absent from a side: ${missing.mkString(", ")}")
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(col(keyCol).as("__key"),
+        struct(compareCols.map(col): _*).as(as),
+        lit(true).as(s"${as}_present"))
+    packed(oldSnap, "__o")
+      .join(packed(newSnap, "__n"), Seq("__key"), "full_outer")
+      .select(col("__key").as(keyCol),
+        when(col("__o_present").isNull, "added")
+          .when(col("__n_present").isNull, "removed")
+          .when(col("__o") <=> col("__n"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Reclaim retained tombstones once they can no longer be contradicted:
     * drops tombstone rows whose version is <= `versionWatermark`. Safe
     * when the CDC source guarantees no update older than the watermark

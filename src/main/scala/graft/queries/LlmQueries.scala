@@ -663,6 +663,22 @@ object LlmQueries {
         cur, upserts.unionByName(inserts), "doc_id", "version", Some("deleted"))
     }),
 
+    // snapshot-version audit diff: old = docs without the 7-multiples,
+    // new = docs without the 11-multiples with 5-multiples' text edited
+    // -> added/removed/changed/unchanged per key
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val oldSnap = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val newSnap = d.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      graft.operators.SnapshotMerge.snapshotDiff(
+        oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+    }),
+
     // bloom-prefiltered exact semi-join: events of high-value purchasers
     "q_bloom_join" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -1830,6 +1846,24 @@ object LlmQueries {
          |  (start_offset + n_tokens - 1) // 128 AS last_seq,
          |  (start_offset + n_tokens - 1) // 128 - start_offset // 128 + 1 AS n_seqs
          |FROM o""".stripMargin,
+
+    // FULL OUTER on doc_id over the same old/new construction; per-column
+    // IS NOT DISTINCT FROM mirrors the null-safe struct compare
+    "q_snapshot_diff" ->
+      s"""WITH o AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0),
+         |n AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+         |    lang
+         |  FROM documents WHERE doc_id % 11 <> 0)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.text IS NOT DISTINCT FROM n.text
+         |        AND o.lang IS NOT DISTINCT FROM n.lang THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     "q_scd_merge" -> {
       // per-column latest-wins pick of the full-outer merge

@@ -100,4 +100,28 @@ class SnapshotMergeSpec extends SparkSpec {
       SnapshotMerge.merge(snap((1L, "a", 1L, false)), bad, "id", "version", None)
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val oldS = Seq(
+      (1L, Some("a"), "en"),   // unchanged
+      (2L, Some("b"), "en"),   // changed (text)
+      (3L, None, "en"),        // changed: NULL -> value
+      (4L, Some("d"), "en"),   // removed
+      (6L, None, "fr")         // unchanged with NULL text (NULL <=> NULL)
+    ).toDF("id", "text", "lang")
+    val newS = Seq(
+      (1L, Some("a"), "en"),
+      (2L, Some("b2"), "en"),
+      (3L, Some("c"), "en"),
+      (5L, Some("e"), "en"),   // added
+      (6L, None, "fr")
+    ).toDF("id", "text", "lang")
+    val got = SnapshotMerge.snapshotDiff(oldS, newS, "id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added", 6L -> "unchanged"))
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.snapshotDiff(oldS, newS, "id", Seq("nope"))
+    }
+  }
 }
