@@ -372,6 +372,16 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector (ids in `queryIds`), the k
     * nearest corpus vectors (self excluded), ties broken by neighbor id.
+    *
+    * Exchange shape: the corpus never shuffles — queries broadcast, and
+    * the per-query best-k is the mergeable
+    * [[graft.functions.TopKByScore]] aggregate, so only k rows per
+    * (partition, query) cross the wire instead of the whole scored scan
+    * (the window spelling would move corpus × queries rows into
+    * per-query partitions before discarding all but k). Row-for-row
+    * equal to the window form — same (cosine desc, neighbor_id asc)
+    * total order — pinned by spec.
+    *
     * Returns (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(
       vectors: DataFrame,
@@ -389,12 +399,15 @@ object Similarity {
         col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("vq"),
         sqrt(kdot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("nq"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (kdot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cosine"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("query_id"), col("__t.id").as("neighbor_id"),
+        col("__t.score").as("cosine"), (col("__r") + 1).cast("int").as("rank"))
   }
 }

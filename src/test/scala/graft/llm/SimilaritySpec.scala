@@ -137,6 +137,44 @@ class SimilaritySpec extends SparkSpec {
     assert(byBatch == oneShot)
   }
 
+  test("bruteForceTopK agg form == window form, partition-invariant, no Window node") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = 120
+    val dim = 6
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => (pmod(abs(xxhash64(col("id"), i)), lit(997L)) / 250.0 - 2.0)
+          .cast("float")).as("embedding"))
+    val qids = Seq(0L, 7L, 33L)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val agg = Similarity.bruteForceTopK(df, "vec_id", "embedding", qids, k = 10)
+    // reference: the window spelling over the identical scored join
+    val corpus = df.select(col("vec_id").as("neighbor_id"),
+      Similarity.asDouble(col("embedding")).as("vn"))
+    val queries = df.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("vq"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val win = corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vq"), col("vn"))
+          / (sqrt(dot(col("vq"), col("vq"))) * sqrt(dot(col("vn"), col("vn")))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    assert(canon(agg) == canon(win))
+    assert(canon(Similarity.bruteForceTopK(df.repartition(11), "vec_id", "embedding",
+      qids, k = 10)) == canon(agg))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in brute-force plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object agg:\n$plan")
+  }
+
   test("ivfAssign with an all-zero-norm quantizer is empty") {
     val corpus = vecs(1L -> Seq(1f, 2f), 2L -> Seq(3f, 4f))
     val zeroQuant = vecs(0L -> Seq(0f, 0f))
