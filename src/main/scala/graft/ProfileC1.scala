@@ -189,6 +189,44 @@ object ProfileC1 {
         "group_recall" -> top.filter(col("vec_id") < 17).count())
     }
 
+    stage("profile_incr") {
+      // two "drops" profiled once each into mergeable states; the merge
+      // must equal the one-pass profile (both frames are dimension-sized,
+      // so the equality check is a driver compare)
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val merged = Profile.merge(Seq(
+        Profile.state(docs.filter(even)),
+        Profile.state(docs.filter(!even)))).collect().map(_.toString).sorted.toSeq
+      val onePass = Profile.profile(docs).collect().map(_.toString).sorted.toSeq
+      Seq("cols" -> merged.length.toLong,
+        "match_onepass" -> (if (merged == onePass) 1L else 0L))
+    }
+    stage("taxonomy_tag") {
+      // topics over the generator's vocabulary (suffix cycle abcdefgh)
+      val tags = TextAnalysis.tagTaxonomy(docs, "doc_id", "text", Seq(
+        "short" -> Seq("w0a", "w5a", "w10a"),
+        "long" -> Seq("w4abcde", "w9abcde"),
+        "frag" -> Seq("abcd")))
+      Seq("rows" -> tags.count(),
+        "docs_tagged" -> tags.filter(col("n_matches") > 0)
+          .select("doc_id").distinct().count())
+    }
+    stage("ccnet_buckets") {
+      val b = LangModel.ccnetBuckets(docs, "doc_id", "text", "lang",
+        vocabSize = 256)
+      val byBucket = b.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("head" -> byBucket.getOrElse("head", 0L),
+        "middle" -> byBucket.getOrElse("middle", 0L),
+        "tail" -> byBucket.getOrElse("tail", 0L))
+    }
+    stage("vocab_growth") {
+      val g = TextAnalysis.vocabGrowth(docs, "doc_id", "text").collect()
+        .sortBy(_.getInt(0))
+      Seq("checkpoints" -> g.length.toLong,
+        "final_distinct" -> g.last.getLong(2))
+    }
+
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[c1] TOTAL ${wall}%.1f s  peakRss=${ScaleSmoke.peakRssMb()} MB  " +
       s"docs=$nDocs vecs=$nVecs")
