@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share too many
@@ -16,6 +16,59 @@ import org.apache.spark.sql.functions._
   * operator is oracle-checkable.
   */
 object Contamination {
+
+  /** Corpus-level n-gram Jaccard between two corpora via KMV sketches —
+    * the cheap "how much does drop B overlap corpus A" signal run before
+    * the per-document passes (L19/L58): each side's distinct word-n-gram
+    * set is reduced to its bottom-k scattered hashes
+    * ([[graft.functions.KmvHashes]] — ONE pass per side, ≤ k longs per
+    * partition through the exchange), and the Jaccard estimate is the
+    * standard KMV form (Beyer et al. 2007): with K = bottom-k(A ∪ B)
+    * (computable from the two sketches by the KMV merge identity),
+    * J ≈ |{h ∈ K : h ∈ sketch(A) ∧ h ∈ sketch(B)}| / |K|. Every
+    * quantity is a pure function of the two gram SETS — independent of
+    * partitioning and row order — and the estimate is emitted as integer
+    * ppm, so even the approximate path is exact-hash mirrorable.
+    * Below sketch capacity the answer is exact (`is_exact`).
+    *
+    * Returns ONE row: (est_jaccard_ppm, est_distinct_a, est_distinct_b,
+    * est_distinct_union, is_exact). */
+  def corpusOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      n: Int = 3,
+      kmvK: Int = 256): DataFrame = {
+    require(n >= 1 && kmvK >= 4, "corpusOverlap: need n >= 1 and k >= 4")
+    val M = TextHash.Prime
+    def sketch(df: DataFrame, as: String): DataFrame = {
+      val t = split(trim(col(textCol)), "\\s+")
+      val grams = when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - lit(n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+      df.select(explode(grams).as("__g"))
+        .agg(graft.functions.KmvHashes(col("__g"), kmvK).as(as))
+    }
+    def estDistinct(name: String): Column =
+      when(size(col(name)) < kmvK, size(col(name)).cast("long"))
+        .otherwise(expr(
+          s"CAST(${kmvK - 1} AS BIGINT) * CAST($M AS BIGINT) DIV element_at($name, $kmvK)"))
+    sketch(a, "__ka").crossJoin(sketch(b, "__kb"))
+      .withColumn("__ku",
+        slice(array_sort(array_distinct(concat(col("__ka"), col("__kb")))), 1, kmvK))
+      .withColumn("__inter",
+        size(filter(col("__ku"), h =>
+          array_contains(col("__ka"), h) && array_contains(col("__kb"), h))))
+      .select(
+        when(size(col("__ku")) === 0, lit(0L))
+          .otherwise(expr("CAST(1000000 AS BIGINT) * __inter DIV size(__ku)"))
+          .as("est_jaccard_ppm"),
+        estDistinct("__ka").as("est_distinct_a"),
+        estDistinct("__kb").as("est_distinct_b"),
+        estDistinct("__ku").as("est_distinct_union"),
+        (size(col("__ku")) < kmvK).as("is_exact"))
+  }
 
   /** Per-document benchmark overlap: (doc_id, n_grams, n_matched,
     * contamination_ratio, contaminated).

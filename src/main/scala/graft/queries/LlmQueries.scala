@@ -566,6 +566,15 @@ object LlmQueries {
       Contamination.overlap(d, d.filter(col("doc_id") < 50), "doc_id", "text")
     }),
 
+    // corpus-level 3-gram Jaccard between the two corpus halves via KMV
+    // sketches — one pass per side, integer-ppm estimate, exact below
+    // sketch capacity
+    "q_corpus_overlap" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Contamination.corpusOverlap(
+        d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250), "text")
+    }),
+
     // embedding-space decontamination: bipartite LSH bucket join of the
     // corpus against a broadcast eval set (vec_id < 50), exact-cosine
     // per-document verdict — catches paraphrased leakage n-grams miss
@@ -1527,6 +1536,36 @@ object LlmQueries {
          |FROM documents d2
          |LEFT JOIN tot USING (doc_id)
          |LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // per-side bottom-256 scattered gram hashes, KMV-merged union, the
+    // Beyer et al. membership-count Jaccard in integer ppm
+    "q_corpus_overlap" -> {
+      def side(name: String, pred: String): String =
+        s"""t$name AS (SELECT $tokensSql AS t FROM documents WHERE $pred),
+           |g$name AS (
+           |  SELECT DISTINCT ((${polyHashSql("g")} * 1000003 + 17) % $P * 1000003 + 17) % $P AS h
+           |  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+           |    FROM t$name WHERE len(t) >= 3)),
+           |r$name AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM g$name),
+           |k$name AS (SELECT COALESCE((SELECT list(h ORDER BY h ASC) FROM r$name WHERE rn <= 256), []) AS l)"""
+          .stripMargin
+      def est(l: String): String =
+        s"CAST(CASE WHEN len($l) < 256 THEN len($l) ELSE (255 * CAST($P AS BIGINT)) // $l[256] END AS BIGINT)"
+      s"""WITH ${side("a", "doc_id < 250")},
+         |${side("b", "doc_id >= 250")},
+         |ku AS (SELECT list_sort(list_distinct(ka.l || kb.l))[1:256] AS l FROM ka, kb)
+         |SELECT
+         |  CAST(CASE WHEN len(ku.l) = 0 THEN 0
+         |    ELSE (1000000 * len(list_filter(ku.l, h ->
+         |      list_contains(ka.l, h) AND list_contains(kb.l, h)))) // len(ku.l)
+         |    END AS BIGINT) AS est_jaccard_ppm,
+         |  ${est("ka.l")} AS est_distinct_a,
+         |  ${est("kb.l")} AS est_distinct_b,
+         |  ${est("ku.l")} AS est_distinct_union,
+         |  len(ku.l) < 256 AS is_exact
+         |FROM ku, ka, kb""".stripMargin
+    },
 
     // mirror of Contamination.semantic (nPlanes=4, minCosine=0.8,
     // multiprobe=1): the q_dedup_embedding bucket/cosine machinery,

@@ -169,4 +169,41 @@ class CorpusOpsSpec extends SparkSpec {
     // double-count across probes
     assert(base._2 == 1L && probed._2 == 1L)
   }
+
+  test("corpusOverlap: exact Jaccard below capacity; disjoint/identical poles") {
+    val a = Seq("p q r s", "p q r t").toDF("text")   // grams: pqr qrs, pqr qrt
+    val b = Seq("p q r u v").toDF("text")            // grams: pqr qru ruv
+    val row = Contamination.corpusOverlap(a, b, "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    // union {pqr,qrs,qrt,qru,ruv} = 5; intersection {pqr} = 1
+    assert(row == ((200000L, 3L, 3L, 5L, true)))
+    val same = Contamination.corpusOverlap(a, a, "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(same == ((1000000L, 3L, 3L, 3L, true)))
+    val disj = Contamination.corpusOverlap(a, Seq("x y z w").toDF("text"), "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(disj._1 == 0L && disj._5)
+    // too-short and NULL texts contribute no grams
+    val short = Contamination.corpusOverlap(
+      Seq(Some("p q"), None).toDF("text"), b, "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(short == ((0L, 0L, 3L, 3L, true)))
+  }
+
+  test("corpusOverlap estimate path is partition-invariant and in a sane band") {
+    val mk = (off: Int) => (0 until 3000)
+      .map(i => s"g${i + off} g${i + off + 1} g${i + off + 2} g${i + off + 3}")
+      .toDF("text")
+    val a = mk(0)          // grams over ids 0..3002ish
+    val b = mk(1500)       // half-overlapping id range
+    val r1 = Contamination.corpusOverlap(a, b, "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    val r2 = Contamination.corpusOverlap(a.repartition(13), b.repartition(7), "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r1 == r2, "KMV overlap must be partition-invariant")
+    assert(!r1._5, "6k-gram sides must overflow the 256 sketch")
+    // true Jaccard ~ 1/3 (half of each side shared): loose band only —
+    // exactness of the integer estimator is the oracle's job
+    assert(r1._1 > 150000L && r1._1 < 550000L, s"jaccard ppm ${r1._1}")
+  }
 }
