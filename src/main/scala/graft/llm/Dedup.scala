@@ -158,7 +158,7 @@ object Dedup {
   /** Expand each capped bucket's id list into ordered pairs `p` via nested
     * transform — zero joins, zero recompute. `mk(x, y)` builds the output
     * struct for an (x, y) pair with x < y. */
-  private def bucketPairs(buckets: DataFrame, maxBucket: Int, mk: (Column, Column) => Column): DataFrame =
+  private[llm] def bucketPairs(buckets: DataFrame, maxBucket: Int, mk: (Column, Column) => Column): DataFrame =
     buckets
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), x =>

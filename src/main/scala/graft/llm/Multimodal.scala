@@ -705,6 +705,47 @@ object Multimodal {
     records.mapPartitions(_.flatMap(pHashOne))
   }
 
+  /** Perceptual image NEAR-DUP pairs over [[pHash]] output — the
+    * image-side completion of the text near-dup family: byte-different
+    * images of the same picture land within a few bits of each other in
+    * aHash/dHash space, so pairing is the SimHash L3 recipe verbatim —
+    * sub-band blocking (the aHash's 8 bytes as bands: any pair with
+    * aHash hamming ≤ 7 shares at least one band — the standard
+    * pigeonhole recall guarantee), capped buckets, in-bucket pair
+    * expansion, exact combined aHash+dHash hamming verification. No
+    * pair expansion ever touches pixels: blocking runs on 16 bytes per
+    * image regardless of image size.
+    *
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b, combined hamming ≤
+    * `maxHamming`. */
+  def pHashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
+    val banded = hashes.select(
+      col("doc_id"), col("ahash"), col("dhash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), 8 * b)
+            .bitwiseAND(lit(255L)).as("band_val"))): _*)).as("bv"))
+      .select(col("doc_id"), col("ahash"), col("dhash"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    val buckets = banded
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id"), col("ahash"), col("dhash"))).as("ids"))
+    Dedup.bucketPairs(buckets, maxBucket, (x, y) =>
+      struct(
+        x.getField("doc_id").as("doc_a"),
+        y.getField("doc_id").as("doc_b"),
+        (bit_count(x.getField("ahash").bitwiseXOR(y.getField("ahash"))) +
+          bit_count(x.getField("dhash").bitwiseXOR(y.getField("dhash"))))
+          .cast("int").as("hamming")))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Energy-envelope fingerprint of one PCM payload — the audio-side
     * near-dup feature ([[pHashOne]]'s dHash idea on the time axis, the
     * envelope-delta family Shazam-style fingerprints coarsen): the

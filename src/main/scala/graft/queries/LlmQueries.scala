@@ -788,6 +788,14 @@ object LlmQueries {
       Multimodal.pHash(mediaRecords(s)).toDF()
     }),
 
+    // perceptual near-dup image pairs: aHash byte-band blocking + exact
+    // combined hamming over the decoded fixture (incl. the planted
+    // byte-different duplicate of media_001)
+    "q_media_neardup" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.pHashPairs(Multimodal.pHash(mediaRecords(s)).toDF())
+    }),
+
     // energy-envelope audio fingerprints over the decoded PCM — the
     // audio-side near-dup feature (envelope delta signs, 65 windows)
     "q_media_afp" -> ((s, _) => {
@@ -2090,6 +2098,31 @@ object LlmQueries {
 
     "q_media_afp" ->
       s"SELECT * FROM read_parquet('$mediaAfpExpected')",
+
+    // the q_dedup_simhash banding machinery over the INDEPENDENT
+    // committed phash table: (ahash >> 8b) & 255 equals the engine's
+    // unsigned shift-and-mask for b <= 7 (low bits agree under either
+    // shift), struct comparison orders by doc_id first
+    "q_media_neardup" ->
+      s"""WITH ph AS (SELECT doc_id, ahash, dhash
+         |  FROM read_parquet('$mediaPhashExpected')),
+         |banded AS (
+         |  SELECT doc_id, ahash, dhash, b.band,
+         |    (ahash >> (8 * b.band)) & 255 AS band_val
+         |  FROM ph, (SELECT unnest(generate_series(0, 7)) AS band) b),
+         |buckets AS (
+         |  SELECT band, band_val,
+         |    list(struct_pack(doc_id := doc_id, ahash := ahash, dhash := dhash)) AS ids
+         |  FROM banded GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b, p.hamming AS hamming FROM (
+         |    SELECT unnest(flatten(list_transform(ids, x ->
+         |      list_transform(list_filter(ids, y -> y > x), y ->
+         |        struct_pack(doc_a := x.doc_id, doc_b := y.doc_id,
+         |          hamming := CAST(bit_count(xor(x.ahash, y.ahash))
+         |            + bit_count(xor(x.dhash, y.dhash)) AS INTEGER)))))) AS p
+         |    FROM buckets WHERE len(ids) BETWEEN 2 AND 256))
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8""".stripMargin,
 
     "q_media_resize" ->
       s"SELECT * FROM read_parquet('$mediaResizeExpected')",

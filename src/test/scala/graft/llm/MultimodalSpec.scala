@@ -371,4 +371,25 @@ class MultimodalSpec extends SparkSpec {
     val f2 = frames.find(_.getAs[Long]("frame_idx") == 2L).get.getAs[Array[Byte]]("frame")
     assert(f2.length == 2100 - 2048) // tail frame is short
   }
+
+  test("pHashPairs recovers the planted near-dup via byte-band blocking") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val hashes = spark.read.parquet(s"$dir/phash_expected.parquet")
+      .select("doc_id", "ahash", "dhash")
+    val pairs = Multimodal.pHashPairs(hashes)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // (1, 23): media_023 is media_001 with sparse blue-channel nudges —
+    // byte-different, one perceptual bit apart. (2, 13): two thin images
+    // (dhash both -1) that land exactly on the hamming-8 threshold.
+    assert(pairs == Seq((1L, 23L, 1), (2L, 13L, 8)), s"got $pairs")
+    // tightening the threshold drops the boundary pair, keeps the dup
+    val tight = Multimodal.pHashPairs(hashes, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(tight == Seq((1L, 23L, 1)))
+    // partition invariance of the bucketed pair expansion
+    val rep = Multimodal.pHashPairs(hashes.repartition(7))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(rep == pairs)
+  }
 }

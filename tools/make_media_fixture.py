@@ -48,14 +48,21 @@ def checksum(b: bytes) -> int:
 
 # ---------------------------------------------------------------- BMP
 
-def make_bmp(width: int, height: int, top_down: bool = False) -> bytes:
-    """24-bit BITMAPINFOHEADER BMP; deterministic pixel pattern."""
+def make_bmp(width: int, height: int, top_down: bool = False,
+             perturb: bool = False) -> bytes:
+    """24-bit BITMAPINFOHEADER BMP; deterministic pixel pattern.
+    perturb=True nudges the blue channel of a sparse pixel subset (the
+    planted NEAR-duplicate: same image to a perceptual hash, different
+    bytes)."""
     stride = (width * 3 + 3) & ~3
     pixels = bytearray()
     for y in range(height):
         row = bytearray()
         for x in range(width):
-            row += bytes(((x * 7 + y * 13) % 256, (x * 3 + y) % 256, (x + y * 5) % 256))
+            b0 = (x * 7 + y * 13) % 256
+            if perturb and (x + 7 * y) % 13 == 0:
+                b0 = min(255, b0 + 9)
+            row += bytes((b0, (x * 3 + y) % 256, (x + y * 5) % 256))
         row += b"\x00" * (stride - len(row))
         pixels += row
     data_off = 14 + 40
@@ -268,12 +275,15 @@ def make_blob(n: int) -> bytes:
 # samples for PCM audio. Mirrors the construction above, NOT the Scala
 # decoder under test.
 
-def bmp_norm_pixels(width: int, height: int, top_down: bool = False) -> bytes:
+def bmp_norm_pixels(width: int, height: int, top_down: bool = False,
+                    perturb: bool = False) -> bytes:
     rows = []
     for y in range(height):  # stored order; stored bytes are (B, G, R)
         row = bytearray()
         for x in range(width):
             b0, b1, b2 = (x * 7 + y * 13) % 256, (x * 3 + y) % 256, (x + y * 5) % 256
+            if perturb and (x + 7 * y) % 13 == 0:
+                b0 = min(255, b0 + 9)
             row += bytes((b2, b1, b0))  # normalized to RGB
         rows.append(bytes(row))
     if not top_down:
@@ -566,6 +576,12 @@ def main():
     emit(22, "mp4", "video/mp4", m22, "mp4", 1920, 1080,
          n_channels=1, sample_rate=90000, n_frames=90000 * 7 + 123)
     expect_stub(22, m22)
+
+    # planted perceptual NEAR-DUPLICATE of media_001: byte-different
+    # (sparse blue-channel nudges), perceptually the same image — the
+    # q_media_neardup pair the pHash banding must recover
+    emit(23, "bmp", "image/bmp", make_bmp(64, 64, perturb=True), "bmp", 64, 64, 3)
+    expect_image(23, "bmp", 64, 64, 3, bmp_norm_pixels(64, 64, perturb=True))
 
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
