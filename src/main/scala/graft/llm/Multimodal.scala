@@ -791,6 +791,20 @@ object Multimodal {
     records.mapPartitions(_.flatMap(audioFingerprintOne))
   }
 
+  /** Audio near-dup pairs over [[audioFingerprint]] output — the
+    * envelope fingerprint is a single 64-bit signature, so pairing is
+    * [[pHashPairs]] with the fingerprint as the blocked hash and an
+    * empty second hash: byte-band blocking, capped buckets, exact
+    * hamming. Returns (doc_a, doc_b, hamming). */
+  def afpPairs(
+      fingerprints: DataFrame,
+      maxHamming: Int = 8,
+      maxBucket: Int = 256): DataFrame =
+    pHashPairs(
+      fingerprints.select(col("doc_id"), col("afp").as("ahash"),
+        lit(0L).as("dhash")),
+      maxHamming, maxBucket)
+
   /** Sniff-and-parse one payload (magic bytes, not the declared
     * media_type, drive dispatch — declared types lie at corpus scale). */
   def decodeOne(r: MediaRecord): DecodedMedia = {

@@ -803,6 +803,15 @@ object LlmQueries {
       Multimodal.audioFingerprint(mediaRecords(s)).toDF()
     }),
 
+    // audio near-dup pairs: envelope-fingerprint byte-band blocking over
+    // the fixture (incl. the planted nudged-PCM duplicate of media_008)
+    "q_media_afp_pairs" -> ((s, _) => {
+      import s.implicits._
+      Multimodal.afpPairs(
+        Multimodal.audioFingerprint(mediaRecords(s)).toDF()
+          .select("doc_id", "afp"))
+    }),
+
     // REAL nearest-neighbor resample of the decodable fixture images
     "q_media_resize" -> ((s, _) => {
       import s.implicits._
@@ -2098,6 +2107,27 @@ object LlmQueries {
 
     "q_media_afp" ->
       s"SELECT * FROM read_parquet('$mediaAfpExpected')",
+
+    // the q_media_neardup banding over the committed afp mirror (single
+    // 64-bit fingerprint; the second hash is identically zero)
+    "q_media_afp_pairs" ->
+      s"""WITH ph AS (SELECT doc_id, afp AS ahash
+         |  FROM read_parquet('$mediaAfpExpected')),
+         |banded AS (
+         |  SELECT doc_id, ahash, b.band, (ahash >> (8 * b.band)) & 255 AS band_val
+         |  FROM ph, (SELECT unnest(generate_series(0, 7)) AS band) b),
+         |buckets AS (
+         |  SELECT band, band_val,
+         |    list(struct_pack(doc_id := doc_id, ahash := ahash)) AS ids
+         |  FROM banded GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b, p.hamming AS hamming FROM (
+         |    SELECT unnest(flatten(list_transform(ids, x ->
+         |      list_transform(list_filter(ids, y -> y > x), y ->
+         |        struct_pack(doc_a := x.doc_id, doc_b := y.doc_id,
+         |          hamming := CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER)))))) AS p
+         |    FROM buckets WHERE len(ids) BETWEEN 2 AND 256))
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8""".stripMargin,
 
     // the q_dedup_simhash banding machinery over the INDEPENDENT
     // committed phash table: (ahash >> 8b) & 255 equals the engine's

@@ -392,4 +392,14 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sorted.toSeq
     assert(rep == pairs)
   }
+
+  test("afpPairs recovers the planted nudged-PCM near-dup") {
+    val dir = new java.io.File("data/media").getAbsolutePath
+    val fps = spark.read.parquet(s"$dir/afp_expected.parquet")
+      .select("doc_id", "afp")
+    val pairs = Multimodal.afpPairs(fps)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // media_024 = media_008 with every 7th frame nudged +900
+    assert(pairs == Seq((8L, 24L, 2)), s"got $pairs")
+  }
 }

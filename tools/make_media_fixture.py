@@ -234,14 +234,18 @@ def make_mp4(timescale: int, duration: int, track_dims: list,
 
 def make_wav(channels: int, sample_rate: int, n_frames: int,
              bits: int = 16, with_list_chunk: bool = False,
-             odd_data: bool = False) -> bytes:
+             odd_data: bool = False, perturb: bool = False) -> bytes:
     """RIFF/WAVE PCM. odd_data appends one extra byte to the data chunk
-    (legal for 8-bit mono; the chunk is then padded to even length)."""
+    (legal for 8-bit mono; the chunk is then padded to even length).
+    perturb=True nudges every 7th frame's first channel (the planted
+    NEAR-duplicate: same envelope to the fingerprint, different bytes)."""
     block_align = channels * bits // 8
     data = bytearray()
     for i in range(n_frames):
         for c in range(channels):
             v = ((i * 37 + c * 101) % 65536) - 32768
+            if perturb and c == 0 and i % 7 == 0:
+                v = min(32767, v + 900)
             if bits == 16:
                 data += struct.pack("<h", v)
             else:
@@ -349,12 +353,14 @@ def make_png_filtered(width: int, height: int, color_type: int) -> bytes:
 
 
 def wav_canonical_samples(channels: int, n_frames: int, bits: int = 16,
-                          odd_data: bool = False) -> list:
+                          odd_data: bool = False, perturb: bool = False) -> list:
     """Signed canonical samples: 16-bit as stored; 8-bit as stored - 128."""
     out = []
     for i in range(n_frames):
         for c in range(channels):
             v = ((i * 37 + c * 101) % 65536) - 32768
+            if perturb and c == 0 and i % 7 == 0:
+                v = min(32767, v + 900)
             out.append(v if bits == 16 else ((v >> 8) + 128) - 128)
     if odd_data:
         out.append(0x7F - 128)
@@ -576,6 +582,12 @@ def main():
     emit(22, "mp4", "video/mp4", m22, "mp4", 1920, 1080,
          n_channels=1, sample_rate=90000, n_frames=90000 * 7 + 123)
     expect_stub(22, m22)
+
+    # planted audio NEAR-DUPLICATE of media_008: every 7th frame nudged
+    # +900 — byte-different PCM, 2 envelope-delta bits apart
+    emit(24, "wav", "audio/wav", make_wav(1, 8000, 800, perturb=True), "wav",
+         n_channels=1, sample_rate=8000, n_frames=800)
+    expect_audio(24, 1, 8000, wav_canonical_samples(1, 800, perturb=True))
 
     # planted perceptual NEAR-DUPLICATE of media_001: byte-different
     # (sparse blue-channel nudges), perceptually the same image — the
