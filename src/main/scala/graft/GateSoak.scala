@@ -36,7 +36,8 @@ object GateSoak {
     val work = args(1)
     val nDrops = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "plain"
-    require(mode == "plain" || mode == "bucketed" || mode == "curate",
+    require(mode == "plain" || mode == "bucketed" || mode == "curate" ||
+      mode == "profile",
       s"unknown mode $mode")
     // The sf testdata documents are short (~45 words -> hs ≈ 350 B/doc);
     // production curation corpora run 500+ words, where the shingle
@@ -97,6 +98,45 @@ object GateSoak {
     })
 
     val t0 = System.nanoTime()
+    if (mode == "profile") {
+      // Drop-by-drop INCREMENTAL profiling (Profile.state per drop,
+      // merge over the accumulated dimension-sized states): per-drop
+      // bytes must scale with the drop, the state store with
+      // drops × columns — and the merged report must equal the one-pass
+      // profile of everything seen, to the bit, after every drop.
+      import graft.llm.Profile
+      val statePath = s"$work/profile_state"
+      var mismatch = false
+      for (i <- 0 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        CorpusStream.profileBatch(drop, i.toLong, statePath)
+        val merged = CorpusStream.profileSoFar(spark, statePath)
+          .collect().map(_.toString).sorted.toSeq
+        val stateRows = spark.read.parquet(statePath).count()
+        println(f"  drop $i%2d: ${(bytesRead.get() - b0) / 1024}%6d KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.2f s, state_rows=$stateRows")
+        if (i == nDrops - 1) {
+          val seen = (0 to i).map(j =>
+            spark.read.schema(CorpusStream.documentsSchema)
+              .parquet(f"$dropDir/drop_$j%03d.parquet"))
+            .reduce(_ unionByName _)
+          val onePass = Profile.profile(seen).collect().map(_.toString).sorted.toSeq
+          mismatch = merged != onePass
+          println(s"  final merge == one-pass profile: ${!mismatch}")
+        }
+      }
+      val stateBytes = Files.walk(java.nio.file.Paths.get(statePath)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].toFile)
+        .filter(_.isFile).map(_.length).sum
+      println(f"PROFILE SOAK: $nDrops drops, $total docs, " +
+        f"state ${stateBytes / 1024} KB, wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      if (mismatch) sys.exit(1)
+      return
+    }
     if (mode == "curate") {
       // Drop-by-drop PRODUCTION curation (Curation.curateV2With): models
       // train ONCE on the first drop (the reference corpus); every later
