@@ -37,6 +37,17 @@ object LlmQueries {
   private lazy val mediaAfpExpected =
     new java.io.File("data/media/afp_expected.parquet").getAbsolutePath
 
+  /** Committed WARC crawl fixture (tools/make_warc_fixture.py): the same
+    * record stream as record-per-member gzip and as a plain file. */
+  private lazy val warcGz =
+    new java.io.File("data/warc/crawl.warc.gz").getAbsolutePath
+  private lazy val warcPlain =
+    new java.io.File("data/warc/crawl.warc").getAbsolutePath
+  private lazy val warcRecordsExpected =
+    new java.io.File("data/warc/records_expected.parquet").getAbsolutePath
+  private lazy val warcTextExpected =
+    new java.io.File("data/warc/text_expected.parquet").getAbsolutePath
+
   /** The committed media fixture as MediaRecords (binaryFile source — the
     * production object-store media-scan shape). */
   private def mediaRecords(s: SparkSession): org.apache.spark.sql.Dataset[MediaRecord] = {
@@ -1018,7 +1029,66 @@ object LlmQueries {
         .agg(graft.functions.TopKFreq(col("token"), 16, 1024).as("hh"))
         .select(explode(col("hh")).as("h"))
         .select(col("h.item").as("token"), col("h.est").as("est"),
-          col("h.err").as("err")))
+          col("h.err").as("err"))),
+
+    // ------------------------------------------------------ WARC ingestion
+
+    // WARC (ISO 28500) crawl scan: every record's metadata + payload
+    // digest. Fixture = independent python implementation of the WARC 1.1
+    // + RFC 9112 specs (tools/make_warc_fixture.py); covers record-per-
+    // member gzip, LWS header folding, chunked transfer coding with
+    // extensions + trailers, and gzip content coding. payload is the
+    // DECODED http body for responses (raw block otherwise).
+    "q_warc_records" -> ((s, _) => s.read
+      .format(classOf[graft.sources.WarcSource].getName)
+      .option("path", warcGz)
+      .load()
+      .select(col("record_idx"), col("offset"), col("record_type"),
+        col("record_id"), col("target_uri"), col("warc_date"),
+        col("content_type"), col("content_length"), col("http_status"),
+        col("http_content_type"), col("payload_len"),
+        md5(col("payload")).as("payload_md5"))),
+
+    // the production filter shape: record_type + http_status equality is
+    // PUSHED into the record loop (WarcSourceSpec asserts the plan and
+    // the skip behavior); reads the uncompressed twin so both layouts pin
+    "q_warc_responses" -> ((s, _) => s.read
+      .format(classOf[graft.sources.WarcSource].getName)
+      .option("path", warcPlain)
+      .load()
+      .filter(col("record_type") === "response" && col("http_status") === 200)
+      .select(col("record_idx"), col("target_uri"), col("http_content_type"),
+        col("payload_len"), md5(col("payload")).as("payload_md5"))),
+
+    // crawl → text: GRAFT-HTML-TEXT v1 extraction (compiled kernel) over
+    // the decoded HTML payloads; the expectation is computed by python's
+    // STDLIB html.parser — an independent HTML tokenizer
+    "q_warc_text" -> ((s, _) => s.read
+      .format(classOf[graft.sources.WarcSource].getName)
+      .option("path", warcGz)
+      .load()
+      .filter(col("record_type") === "response" && col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("record_idx"), col("target_uri"),
+        graft.functions.GraftHtmlOps.htmlTextCol(col("payload").cast("string"))
+          .as("text"))),
+
+    // WebDataset egress round trip: documents → from-spec ustar tar
+    // shards → from-spec read-back → (doc_id, n_chars, text_md5). DuckDB
+    // recomputes the projection straight from the source parquet, so any
+    // framing/padding/encoding bug in EITHER direction breaks the hash.
+    "q_wds_roundtrip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wds")
+        .toFile.getAbsolutePath
+      graft.llm.WebDataset.write(docs, "doc_id", "text", tmp, nShards = 8)
+      graft.llm.WebDataset.read(s, tmp)
+        .filter(col("name").endsWith(".txt"))
+        .select(
+          regexp_extract(col("name"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+          length(col("content").cast("string")).as("n_chars"),
+          md5(col("content")).as("text_md5"))
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -2846,7 +2916,31 @@ object LlmQueries {
          |    list_transform(at, tk -> ${polyHashSql("tk", "ci")})),
          |    (a, h) -> (a * 31 + h) % $P) AS tokens_hash
          |FROM agg""".stripMargin
-    }
+    },
+
+    // -------------------------------------------- WARC / WebDataset oracles
+
+    "q_warc_records" ->
+      s"""SELECT record_idx, "offset", record_type, record_id, target_uri,
+         |  warc_date, content_type, content_length, http_status,
+         |  http_content_type, payload_len, payload_md5
+         |FROM read_parquet('$warcRecordsExpected')""".stripMargin,
+
+    "q_warc_responses" ->
+      s"""SELECT record_idx, target_uri, http_content_type, payload_len,
+         |  payload_md5
+         |FROM read_parquet('$warcRecordsExpected')
+         |WHERE record_type = 'response' AND http_status = 200""".stripMargin,
+
+    "q_warc_text" ->
+      s"""SELECT record_idx, target_uri, text
+         |FROM read_parquet('$warcTextExpected')""".stripMargin,
+
+    // the round trip must reproduce the source table exactly — DuckDB
+    // recomputes the projection from the parquet the shards were built of
+    "q_wds_roundtrip" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars, MD5(text) AS text_md5
+        |FROM documents""".stripMargin
   )
 
   /** Merge count shared by the BPE registry queries and their oracles
