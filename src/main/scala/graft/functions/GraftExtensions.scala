@@ -132,6 +132,36 @@ object GraftExtensions {
         arity("graft_top_run", 1, args)
         invoke(GraftHashOps.getClass, "topRunCount", IntegerType, args)
       }),
+    ("graft_html_text",
+      info("graft_html_text",
+        "GRAFT-HTML-TEXT v1 visible-text extraction from an HTML string"),
+      (args: Seq[Expression]) => {
+        arity("graft_html_text", 1, args)
+        invoke(GraftHtmlOps.getClass, "htmlText", StringType, args)
+      }),
+    ("graft_url_host",
+      info("graft_url_host", "GRAFT-URL v1 host of a URL (lowercased; NULL when absent)"),
+      (args: Seq[Expression]) => {
+        arity("graft_url_host", 1, args)
+        StaticInvoke(GraftUrlOps.getClass, StringType, "urlHost", args,
+          propagateNull = true, returnNullable = true)
+      }),
+    ("graft_url_canon",
+      info("graft_url_canon",
+        "GRAFT-URL-CANON v1 canonical form (dedup key) of a URL; NULL unless scheme+host parse"),
+      (args: Seq[Expression]) => {
+        arity("graft_url_canon", 1, args)
+        StaticInvoke(GraftUrlOps.getClass, StringType, "urlCanonical", args,
+          propagateNull = true, returnNullable = true)
+      }),
+    ("graft_registrable_domain",
+      info("graft_registrable_domain",
+        "GRAFT-PSL v1 registrable domain: (host, suffix-set-csv) -> domain (NULL when none)"),
+      (args: Seq[Expression]) => {
+        arity("graft_registrable_domain", 2, args)
+        StaticInvoke(GraftUrlOps.getClass, StringType, "registrableDomain", args,
+          propagateNull = true, returnNullable = true)
+      }),
     ("graft_media_meta",
       info("graft_media_meta",
         "sniff-and-parse media header metadata of a binary payload: " +

@@ -99,6 +99,32 @@ object Mixture {
       .drop("rank")
   }
 
+  /** Per-registrable-domain document cap — the C4/RefinedWeb-style "no
+    * domain dominates the corpus" gate: derive each doc's registrable
+    * domain from its URL ([[TextAnalysis.withRegistrableDomain]], a
+    * zero-shuffle kernel projection) and keep the `perDomain`
+    * hash-priority winners per domain ([[stratifiedSample]] — one
+    * (domain)-keyed window). Docs whose URL yields no registrable domain
+    * (no authority, suffix-only host, malformed labels) are dropped: a
+    * capless bucket of unattributable docs would defeat the cap.
+    *
+    * 100 TB posture: domains are Zipf-hot, but the window's per-key state
+    * is one running counter and rows stream through sorted partitions —
+    * and the cap CUTS the hot key to `perDomain` rows; AQE skew-split
+    * handles the sort spill of the raw hot partition (AqeSkewSpec's
+    * scenario). Returns the input columns plus `domain`. */
+  def domainCap(
+      docs: DataFrame,
+      idCol: String,
+      urlCol: String,
+      perDomain: Int,
+      suffixes: Option[DataFrame] = None): DataFrame = {
+    val tagged = TextAnalysis.withRegistrableDomain(docs, urlCol, suffixes)
+      .filter(col("domain").isNotNull)
+      .drop("host", "url_canon")
+    stratifiedSample(tagged, idCol, "domain", perDomain)
+  }
+
   /** TOKEN-BUDGET mixture sampling — the Dolma/Pile-style mixing step
     * that [[report]] only measures: draw documents per source in
     * deterministic hash-priority order until each source's token budget

@@ -419,4 +419,32 @@ object TextAnalysis {
       array_min(gramHashes).as("min_gram_hash"),
       array_max(gramHashes).as("max_gram_hash"))
   }
+
+  /** URL feature projection over a URL column (crawl curation's per-doc
+    * derivations — GRAFT-URL v1 / GRAFT-PSL v1 kernels,
+    * [[graft.functions.GraftUrlOps]]): appends `host`, `url_canon` (the
+    * dedup key) and `domain` (the registrable domain — the per-domain-cap
+    * / mixture-accounting stratum). Zero shuffles: everything happens
+    * inside the scan projection. `suffixes` overrides the built-in
+    * compact suffix sample with a real Public Suffix List table (one
+    * string column; dimension-sized — it collects to a literal the
+    * per-thread kernel memo parses once). */
+  def withRegistrableDomain(
+      docs: DataFrame,
+      urlCol: String,
+      suffixes: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.GraftUrlOps
+    val csv = suffixes match {
+      case None => GraftUrlOps.DefaultSuffixes
+      case Some(df) =>
+        val s = df.collect().map(_.getString(0)).filter(_.nonEmpty)
+        require(s.nonEmpty, "withRegistrableDomain: empty suffix table")
+        s.mkString(",")
+    }
+    val host = GraftUrlOps.urlHostCol(col(urlCol))
+    docs
+      .withColumn("host", host)
+      .withColumn("url_canon", GraftUrlOps.urlCanonicalCol(col(urlCol)))
+      .withColumn("domain", GraftUrlOps.registrableDomainCol(col("host"), csv))
+  }
 }

@@ -1088,8 +1088,71 @@ object LlmQueries {
           regexp_extract(col("name"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
           length(col("content").cast("string")).as("n_chars"),
           md5(col("content")).as("text_md5"))
+    }),
+
+    // --------------------------------------------------------- URL kernels
+
+    // GRAFT-URL v1 parse + CANON v1 + PSL v1 over a deterministically
+    // constructed URL grid (schemes incl. uppercase/unknown, userinfo,
+    // IPv4/IPv6 hosts, multi-label suffixes, unknown TLDs, explicit/
+    // default/bare ports, empty paths/queries, fragments). The Spark side
+    // is the compiled single-pass kernel (GraftUrlOps); the oracle
+    // re-parses with DuckDB regexes from the RFC 3986 appendix-B reference
+    // pattern — a full cross-engine check of the hand loop.
+    "q_url_parse" -> ((s, dir) => {
+      import graft.functions.GraftUrlOps._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr(urlConstructSql("STRING")).as("url"))
+        .select(col("doc_id"), col("url"),
+          urlSchemeCol(col("url")).as("scheme"),
+          urlHostCol(col("url")).as("host"),
+          urlPortCol(col("url")).as("port"),
+          urlPathCol(col("url")).as("path"),
+          urlQueryCol(col("url")).as("qs"),
+          urlFragmentCol(col("url")).as("frag"),
+          urlCanonicalCol(col("url")).as("canon"),
+          registrableDomainCol(urlHostCol(col("url"))).as("domain"))
+    }),
+
+    // per-registrable-domain cap (C4/RefinedWeb "no domain dominates"):
+    // kernel domain derivation + the L53-family hash-priority window
+    "q_domain_cap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr(urlConstructSql("STRING")).as("url"))
+      Mixture.domainCap(docs, "doc_id", "url", perDomain = 3)
+        .select("doc_id", "domain")
     })
   )
+
+  /** Deterministic URL grid shared by the q_url_* queries and their
+    * oracles — identical SQL modulo the string-cast type name
+    * (Spark STRING / DuckDB VARCHAR). */
+  private def urlConstructSql(castT: String): String = {
+    def c(e: String) = s"CAST($e AS $castT)"
+    s"""concat(
+       |  CASE doc_id % 7 WHEN 0 THEN 'HTTP' WHEN 4 THEN 'ftp'
+       |    WHEN 6 THEN 'Other' ELSE 'https' END,
+       |  '://',
+       |  CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END,
+       |  CASE WHEN doc_id % 13 = 0 THEN '10.0.0.1'
+       |       WHEN doc_id % 13 = 1 THEN '[2001:DB8::1]'
+       |       ELSE concat(
+       |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+       |              WHEN doc_id % 3 = 1 THEN 'a.b.' ELSE '' END,
+       |         source, '.',
+       |         CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |           WHEN 2 THEN 'ac.uk' WHEN 3 THEN 'com.au'
+       |           WHEN 4 THEN 'io' ELSE 'unknowntld' END)
+       |  END,
+       |  CASE doc_id % 5 WHEN 0 THEN ':8080' WHEN 1 THEN ':443'
+       |    WHEN 2 THEN ':' ELSE '' END,
+       |  CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+       |    WHEN 2 THEN concat('/docs/', ${c("doc_id")}, '/view')
+       |    ELSE '/a%20b' END,
+       |  CASE doc_id % 3 WHEN 0 THEN concat('?id=', ${c("doc_id")}, '&b=2&a=1')
+       |    WHEN 1 THEN '?' ELSE '' END,
+       |  CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -2940,8 +3003,97 @@ object LlmQueries {
     // recomputes the projection from the parquet the shards were built of
     "q_wds_roundtrip" ->
       """SELECT doc_id, LENGTH(text) AS n_chars, MD5(text) AS text_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ------------------------------------------------------------ URL oracles
+
+    "q_url_parse" ->
+      s"""$urlParseCte
+         |SELECT doc_id, url, scheme, host, port, path, qs, frag, canon,
+         |  domain
+         |FROM parsed""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""$urlParseCte,
+         |capped AS (
+         |  SELECT doc_id, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY ((doc_id * 1000003 + 17) % $P) % 100 ASC,
+         |               doc_id ASC) AS rn
+         |  FROM parsed WHERE domain IS NOT NULL)
+         |SELECT doc_id, domain FROM capped WHERE rn <= 3""".stripMargin
   )
+
+  /** DuckDB re-parse of the constructed URL grid from the RFC 3986
+    * appendix-B reference regex plus the GRAFT-URL v1 authority rules —
+    * the cross-engine mirror of the GraftUrlOps hand loop. Ends with a
+    * `parsed` CTE exposing (doc_id, url, scheme, host, port, path, qs,
+    * frag, canon, domain). */
+  private lazy val urlParseCte: String = {
+    val rx = """^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"""
+    val sufs = graft.functions.GraftUrlOps.DefaultSuffixes
+      .split(',').map(s => s"'$s'").mkString(", ")
+    s"""WITH urls AS (
+       |  SELECT doc_id, ${urlConstructSql("VARCHAR")} AS url FROM documents),
+       |p0 AS (
+       |  SELECT doc_id, url,
+       |    nullif(lower(regexp_extract(url, '$rx', 2)), '') AS scheme,
+       |    regexp_extract(url, '$rx', 3) AS authmark,
+       |    regexp_extract(url, '$rx', 4) AS auth,
+       |    regexp_extract(url, '$rx', 5) AS path,
+       |    nullif(regexp_extract(url, '$rx', 7), '') AS qs,
+       |    nullif(regexp_extract(url, '$rx', 9), '') AS frag
+       |  FROM urls),
+       |p1 AS (
+       |  SELECT *, CASE WHEN strpos(auth, '@') > 0
+       |    THEN substr(auth, strpos(auth, '@') + 1) ELSE auth END AS hp
+       |  FROM p0),
+       |p2 AS (
+       |  SELECT *, regexp_extract(hp, '^.*:([0-9]+)$$', 1) AS port_s FROM p1),
+       |p3 AS (
+       |  SELECT doc_id, url, scheme, path, qs, frag,
+       |    CASE WHEN authmark = '' THEN NULL
+       |         WHEN port_s <> '' THEN
+       |           nullif(lower(regexp_extract(hp, '^(.*):[0-9]+$$', 1)), '')
+       |         WHEN hp LIKE '%:' THEN
+       |           nullif(lower(substr(hp, 1, length(hp) - 1)), '')
+       |         ELSE nullif(lower(hp), '') END AS host,
+       |    CASE WHEN authmark = '' OR port_s = '' THEN NULL
+       |         ELSE CAST(port_s AS INTEGER) END AS port
+       |  FROM p2),
+       |pd AS (
+       |  SELECT *,
+       |    length(host) - length(replace(host, '.', '')) + 1 AS nlab,
+       |    regexp_extract(host, '([^.]+)$$', 1) AS lab1,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS lab2,
+       |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS lab3
+       |  FROM p3),
+       |parsed AS (
+       |  SELECT doc_id, url, scheme, host, port, path, qs, frag,
+       |    CASE WHEN scheme IS NULL OR host IS NULL THEN NULL
+       |         ELSE concat(scheme, '://', host,
+       |           CASE WHEN port IS NULL THEN ''
+       |                WHEN port = 80 AND scheme IN ('http', 'ws') THEN ''
+       |                WHEN port = 443 AND scheme IN ('https', 'wss') THEN ''
+       |                WHEN port = 21 AND scheme = 'ftp' THEN ''
+       |                ELSE concat(':', CAST(port AS VARCHAR)) END,
+       |           CASE WHEN path = '' THEN '/' ELSE path END,
+       |           CASE WHEN qs IS NULL THEN '' ELSE concat('?', qs) END)
+       |    END AS canon,
+       |    CASE WHEN host IS NULL THEN NULL
+       |         WHEN regexp_matches(host, '^\\[') THEN host
+       |         WHEN regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
+       |           THEN host
+       |         WHEN host LIKE '.%' OR host LIKE '%.' OR host LIKE '%..%'
+       |           THEN NULL
+       |         WHEN nlab >= 3 AND lab2 IN ($sufs) THEN lab3
+       |         WHEN nlab = 2 AND lab2 IN ($sufs) THEN NULL
+       |         WHEN nlab >= 2 AND lab1 IN ($sufs) THEN lab2
+       |         WHEN nlab = 1 AND lab1 IN ($sufs) THEN NULL
+       |         WHEN nlab >= 2 THEN lab2
+       |         ELSE NULL END AS domain
+       |  FROM pd)""".stripMargin
+  }
 
   /** Merge count shared by the BPE registry queries and their oracles
     * (`final val` of a literal: a compile-time constant, so it is safe to

@@ -29,6 +29,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("nw") >= 1)
   }
 
+  test("graft_html_text / graft_url_* kernels evaluate from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      s"""SELECT
+         |  graft_html_text('<p>a</p><script>x</script><p>b</p>') AS t,
+         |  graft_url_host('HTTP://User@Ex.COM:80/p?q#f') AS h,
+         |  graft_url_canon('HTTP://User@Ex.COM:80/p?q#f') AS c,
+         |  graft_registrable_domain('www.example.co.uk',
+         |    '${GraftUrlOps.DefaultSuffixes}') AS d,
+         |  graft_url_host('no scheme here') AS nh
+         |""".stripMargin).head()
+    assert(r.getAs[String]("t") == "a\nb")
+    assert(r.getAs[String]("h") == "ex.com")
+    assert(r.getAs[String]("c") == "http://ex.com/p?q")
+    assert(r.getAs[String]("d") == "example.co.uk")
+    assert(r.isNullAt(r.fieldIndex("nh")))
+  }
+
   test("graft_media_meta decodes real media headers from SQL") {
     GraftExtensions.register(spark)
     val dir = new java.io.File("data/media").getAbsolutePath

@@ -73,6 +73,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Mixture.stratifiedSample(tiny, "doc_id", "source", 5).count() == 1)
   }
 
+  test("domainCap keeps at most perDomain docs per registrable domain and drops domainless") {
+    val docs = Seq(
+      (1L, "https://a.example.com/1"), (2L, "https://b.example.com/2"),
+      (3L, "http://example.com/3"), (4L, "https://www.example.com/4"),
+      (5L, "https://other.co.uk/x"), (6L, "http://sub.other.co.uk/y"),
+      (7L, "no url at all"),                     // no host -> dropped
+      (8L, "https://co.uk/suffix-only"),         // suffix-only host -> dropped
+      (9L, "http://10.0.0.1/ip")).toDF("doc_id", "url")
+    val out = Mixture.domainCap(docs, "doc_id", "url", perDomain = 3)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    val byDomain = out.groupBy(_._2)
+    assert(byDomain("example.com").size == 3)    // 4 candidates, capped at 3
+    assert(byDomain("other.co.uk").size == 2)
+    assert(byDomain("10.0.0.1").size == 1)
+    assert(!out.exists(t => t._1 == 7L || t._1 == 8L))
+    // partitioning-invariant: same winners at a different parallelism
+    val out13 = Mixture.domainCap(docs.repartition(13), "doc_id", "url", 3)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(out == out13)
+  }
+
   test("budgetSample admits docs per source until the token budget, deterministically") {
     val docs = (0L until 60L).map(id => (id, s"src${id % 2}", 100L))
       .toDF("doc_id", "source", "n_tokens")
