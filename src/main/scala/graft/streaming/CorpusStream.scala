@@ -29,6 +29,24 @@ object CorpusStream {
   def readDocuments(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(documentsSchema).parquet(path)
 
+  /** Micro-batch crawl ingestion: WARC segments landing under a drop
+    * directory/glob become batches of records
+    * ([[graft.sources.WarcSource]] — exactly-once file accounting via a
+    * compacted side-log, identical decode and pushdown as the batch
+    * scan). The upstream end of the crawl pipeline: compose with
+    * `graft.functions.GraftHtmlOps.htmlTextCol` and the curation gates. */
+  def readWarc(
+      spark: SparkSession,
+      pathGlob: String,
+      maxFilesPerTrigger: Int = 0,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream
+      .format(classOf[graft.sources.WarcSource].getName)
+      .options(options)
+      .option("path", pathGlob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+
   /** First-seen wins: emits each distinct text's first arriving row. */
   def streamingExactDedup(docs: DataFrame): DataFrame =
     docs
