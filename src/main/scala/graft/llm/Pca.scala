@@ -49,8 +49,68 @@ object Pca {
       dim: Int,
       k: Int): DataFrame = {
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
-    val spark = embeddings.sparkSession
     val (n, mean, cov) = moments(embeddings, vecCol, dim)
+    buildModel(embeddings.sparkSession, n, mean, cov, dim, k)
+  }
+
+  /** Mergeable PCA moment state of one corpus drop — the incremental
+    * counterpart of [[pcaModel]]'s one-pass aggregation, persistable as a
+    * plain table: rows `(i, j, s)` with `j = -1` first moments, `i <= j`
+    * upper-triangle second moments, and one `(-2, -2, n)` count row; all
+    * sums are micros-quantized exact `decimal(38,0)` integers, so states
+    * from any corpus split MERGE by plain addition into bit-identical
+    * totals — "PCA of everything so far" costs O(drops) dimension-sized
+    * work, each drop is scanned exactly once ever
+    * ([[graft.llm.Profile]]'s `state`/`merge` discipline). */
+  def state(embeddings: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val vecs = embeddings
+      .filter(col(vecCol).isNotNull)
+      .select(transform(Similarity.asDouble(col(vecCol)),
+        x => round(x * 1e6).cast("long")).as("q"))
+    val contrib = vecs
+      .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.x").cast("decimal(38,0)").as("x"))
+      .groupBy("i", "j").agg(sum("x").as("s"))
+    vecs.agg(count(lit(1)).cast("decimal(38,0)").as("s"))
+      .select(lit(-2).as("i"), lit(-2).as("j"), col("s"))
+      .unionByName(contrib)
+  }
+
+  /** Train the model from merged per-drop states: fold the exact decimal
+    * sums (addition — order/split-invariant), then the identical
+    * mean/covariance/Jacobi path as [[pcaModel]]. Bit-identical to
+    * training on the union corpus directly (spec-pinned; `q_pca_incr`
+    * shares `q_pca_train`'s oracle verbatim). */
+  def pcaModelFromStates(states: Seq[DataFrame], dim: Int, k: Int): DataFrame = {
+    require(states.nonEmpty, "pcaModelFromStates: no states")
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val merged = states.reduce(_ unionByName _)
+      .groupBy("i", "j").agg(sum("s").as("s"))
+      .collect()
+    var n = 0L
+    val s1 = new Array[Double](dim)
+    val s2 = Array.ofDim[Double](dim, dim)
+    merged.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val s = r.getDecimal(2)
+      if (i == -2) n = s.longValueExact()
+      else if (j == -1) s1(i) = s.doubleValue()
+      else { s2(i)(j) = s.doubleValue(); s2(j)(i) = s.doubleValue() }
+    }
+    val mean = s1.map(_ / (n * 1e6))
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      s2(i)(j) / (n * 1e12) - mean(i) * mean(j))
+    buildModel(states.head.sparkSession, n, mean, cov, dim, k)
+  }
+
+  private def buildModel(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      mean: Array[Double],
+      cov: Array[Array[Double]],
+      dim: Int,
+      k: Int): DataFrame = {
     require(n >= 2, s"PCA needs at least 2 vectors, got $n")
     val (eigvals, eigvecs) = jacobiEigen(cov)
     // order (eigval desc, then by original index for exact ties);

@@ -954,6 +954,17 @@ object LlmQueries {
       Pca.pcaModel(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", dim = 64, k = 8)),
 
+    // INCREMENTAL PCA: per-drop mergeable moment states (exact decimal
+    // sums + a count row) folded into the bit-identical model — "PCA of
+    // everything so far" at O(drops) dimension-sized work. Shares
+    // q_pca_train's invariant oracle VERBATIM.
+    "q_pca_incr" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val drops = (0 until 3).map(i =>
+        Pca.state(e.filter(pmod(col("vec_id"), lit(3)) === i), "embedding", dim = 64))
+      Pca.pcaModelFromStates(drops, dim = 64, k = 8)
+    }),
+
     // projection onto the trained basis: zero-shuffle literal-fold
     "q_pca_project" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2607,58 +2618,22 @@ object LlmQueries {
          |  FROM scores)
          |WHERE rank <= 10""".stripMargin,
 
-    "q_pca_train" -> {
-      // invariant oracle (DuckDB has no eigensolver): recompute the
-      // micros-quantized moment sums TO THE BIT in HUGEINT, rebuild the
-      // covariance with the driver's exact double formula, then assert
-      // against the dumped model: eigen equation C·v = λ·v (residual
-      // covers only Jacobi convergence), orthonormality, exact mean
-      // equality, descending non-negative eigenvalues, and shape. All
-      // checks pass -> emit got verbatim (hash-equal); any failure ->
-      // zero rows -> red.
-      s"""WITH got AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q_pca_train/*.parquet')),
-         |$embCte,
-         |q AS (SELECT list_transform(v, x -> CAST(round(x * 1000000) AS HUGEINT)) AS qv FROM e),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
-         |g AS (SELECT unnest(generate_series(0, 63)) AS d),
-         |s1 AS (SELECT g.d AS i, sum(qv[g.d + 1]) AS s FROM q, g GROUP BY 1),
-         |s2 AS (SELECT gi.d AS i, gj.d AS j, sum(qv[gi.d + 1] * qv[gj.d + 1]) AS s
-         |       FROM q, g gi, g gj GROUP BY 1, 2),
-         |mean AS (SELECT i, CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) AS m
-         |         FROM s1, nn),
-         |cov AS (
-         |  SELECT s2.i, s2.j,
-         |    CAST(s2.s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000) - ma.m * mb.m AS c
-         |  FROM s2, nn, mean ma, mean mb WHERE ma.i = s2.i AND mb.i = s2.j),
-         |comps AS (SELECT comp, dim, loading, eigval FROM got WHERE comp >= 0),
-         |mu AS (SELECT dim, loading AS m FROM got WHERE comp = -1),
-         |av AS (SELECT cp.comp, cov.i AS d, sum(cov.c * cp.loading) AS av
-         |       FROM cov JOIN comps cp ON cp.dim = cov.j GROUP BY 1, 2),
-         |residchk AS (SELECT max(abs(av.av - cp.eigval * cp.loading)) AS r
-         |             FROM av JOIN comps cp ON cp.comp = av.comp AND cp.dim = av.d),
-         |orth AS (SELECT max(abs(p.s -
-         |    (CASE WHEN p.ca = p.cb THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))) AS r
-         |  FROM (SELECT a.comp AS ca, b.comp AS cb, sum(a.loading * b.loading) AS s
-         |        FROM comps a JOIN comps b ON a.dim = b.dim GROUP BY 1, 2) p),
-         |meanchk AS (SELECT max(abs(mu.m - mean.m)) AS r
-         |            FROM mu JOIN mean ON mean.i = mu.dim),
-         |evs AS (SELECT comp, min(eigval) AS ev FROM comps GROUP BY 1),
-         |ordchk AS (
-         |  SELECT coalesce(max(CASE WHEN lead_ev > ev + CAST(0.000000000001 AS DOUBLE)
-         |    THEN 1 ELSE 0 END), 0) AS bad
-         |  FROM (SELECT ev, lead(ev) OVER (ORDER BY comp) AS lead_ev FROM evs)),
-         |shape AS (SELECT
-         |  (SELECT count(*) FROM comps) = 512
-         |  AND (SELECT count(*) FROM mu) = 64
-         |  AND (SELECT count(DISTINCT (comp, eigval)) FROM comps) = 8
-         |  AND (SELECT min(ev) FROM evs) > -CAST(0.000000001 AS DOUBLE) AS ok),
-         |ok AS (SELECT residchk.r < CAST(0.000001 AS DOUBLE)
-         |    AND orth.r < CAST(0.000000001 AS DOUBLE)
-         |    AND meanchk.r < CAST(0.000000000001 AS DOUBLE)
-         |    AND ordchk.bad = 0 AND shape.ok AS ok
-         |  FROM residchk, orth, meanchk, ordchk, shape)
-         |SELECT got.comp, got.dim, got.loading, got.eigval FROM got, ok WHERE ok.ok""".stripMargin
-    },
+    // invariant oracle (DuckDB has no eigensolver): recompute the
+    // micros-quantized moment sums TO THE BIT in HUGEINT, rebuild the
+    // covariance with the driver's exact double formula, then assert
+    // against the dumped model: eigen equation C·v = λ·v (residual
+    // covers only Jacobi convergence), orthonormality, exact mean
+    // equality, descending non-negative eigenvalues, and shape. All
+    // checks pass -> emit got verbatim (hash-equal); any failure ->
+    // zero rows -> red.
+    "q_pca_train" -> pcaTrainOracle("q_pca_train"),
+
+    // q_pca_train's oracle VERBATIM against the drop-state-merged model —
+    // the strongest possible check of the state/merge algebra (the
+    // q_profile_incr pattern): the merged model must satisfy the same
+    // eigen/orthonormality/mean invariants against the same HUGEINT
+    // moment recomputation over the FULL corpus
+    "q_pca_incr" -> pcaTrainOracle("q_pca_incr"),
 
     "q_pca_project" ->
       // exact-hash: the projection folds the SAME dumped model values in
@@ -3023,6 +2998,52 @@ object LlmQueries {
          |  FROM parsed WHERE domain IS NOT NULL)
          |SELECT doc_id, domain FROM capped WHERE rn <= 3""".stripMargin
   )
+
+  /** The q_pca_train invariant-oracle SQL, parameterized by the dump
+    * directory (q_pca_incr shares it verbatim). */
+  private def pcaTrainOracle(q: String): String =
+    s"""WITH got AS (SELECT * FROM read_parquet('__VERIFY_OUT__/$q/*.parquet')),
+         |$embCte,
+         |q AS (SELECT list_transform(v, x -> CAST(round(x * 1000000) AS HUGEINT)) AS qv FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |g AS (SELECT unnest(generate_series(0, 63)) AS d),
+         |s1 AS (SELECT g.d AS i, sum(qv[g.d + 1]) AS s FROM q, g GROUP BY 1),
+         |s2 AS (SELECT gi.d AS i, gj.d AS j, sum(qv[gi.d + 1] * qv[gj.d + 1]) AS s
+         |       FROM q, g gi, g gj GROUP BY 1, 2),
+         |mean AS (SELECT i, CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) AS m
+         |         FROM s1, nn),
+         |cov AS (
+         |  SELECT s2.i, s2.j,
+         |    CAST(s2.s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000) - ma.m * mb.m AS c
+         |  FROM s2, nn, mean ma, mean mb WHERE ma.i = s2.i AND mb.i = s2.j),
+         |comps AS (SELECT comp, dim, loading, eigval FROM got WHERE comp >= 0),
+         |mu AS (SELECT dim, loading AS m FROM got WHERE comp = -1),
+         |av AS (SELECT cp.comp, cov.i AS d, sum(cov.c * cp.loading) AS av
+         |       FROM cov JOIN comps cp ON cp.dim = cov.j GROUP BY 1, 2),
+         |residchk AS (SELECT max(abs(av.av - cp.eigval * cp.loading)) AS r
+         |             FROM av JOIN comps cp ON cp.comp = av.comp AND cp.dim = av.d),
+         |orth AS (SELECT max(abs(p.s -
+         |    (CASE WHEN p.ca = p.cb THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))) AS r
+         |  FROM (SELECT a.comp AS ca, b.comp AS cb, sum(a.loading * b.loading) AS s
+         |        FROM comps a JOIN comps b ON a.dim = b.dim GROUP BY 1, 2) p),
+         |meanchk AS (SELECT max(abs(mu.m - mean.m)) AS r
+         |            FROM mu JOIN mean ON mean.i = mu.dim),
+         |evs AS (SELECT comp, min(eigval) AS ev FROM comps GROUP BY 1),
+         |ordchk AS (
+         |  SELECT coalesce(max(CASE WHEN lead_ev > ev + CAST(0.000000000001 AS DOUBLE)
+         |    THEN 1 ELSE 0 END), 0) AS bad
+         |  FROM (SELECT ev, lead(ev) OVER (ORDER BY comp) AS lead_ev FROM evs)),
+         |shape AS (SELECT
+         |  (SELECT count(*) FROM comps) = 512
+         |  AND (SELECT count(*) FROM mu) = 64
+         |  AND (SELECT count(DISTINCT (comp, eigval)) FROM comps) = 8
+         |  AND (SELECT min(ev) FROM evs) > -CAST(0.000000001 AS DOUBLE) AS ok),
+         |ok AS (SELECT residchk.r < CAST(0.000001 AS DOUBLE)
+         |    AND orth.r < CAST(0.000000001 AS DOUBLE)
+         |    AND meanchk.r < CAST(0.000000000001 AS DOUBLE)
+         |    AND ordchk.bad = 0 AND shape.ok AS ok
+         |  FROM residchk, orth, meanchk, ordchk, shape)
+         |SELECT got.comp, got.dim, got.loading, got.eigval FROM got, ok WHERE ok.ok""".stripMargin
 
   /** DuckDB re-parse of the constructed URL grid from the RFC 3986
     * appendix-B reference regex plus the GRAFT-URL v1 authority rules —

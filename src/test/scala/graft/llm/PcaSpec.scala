@@ -50,6 +50,29 @@ class PcaSpec extends SparkSpec {
     assert(bits(embs) == bits(embs.repartition(13)))
   }
 
+  test("state/merge: drop states fold to the bit-identical direct model, via parquet") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def bits(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val direct = bits(Pca.pcaModel(embs, "vec_id", "embedding", dim = 64, k = 8))
+
+    // any split, any merge order — and states survive a parquet round trip
+    val tmp = java.nio.file.Files.createTempDirectory("pcastate").toString
+    val drops = Seq(
+      embs.filter(pmod(col("vec_id"), lit(4)) <= 1),
+      embs.filter(pmod(col("vec_id"), lit(4)) === 2),
+      embs.filter(pmod(col("vec_id"), lit(4)) === 3))
+    drops.zipWithIndex.foreach { case (d, i) =>
+      Pca.state(d, "embedding", dim = 64).write.parquet(s"$tmp/drop=$i")
+    }
+    val loaded = (0 until 3).map(i => spark.read.parquet(s"$tmp/drop=$i"))
+    assert(bits(Pca.pcaModelFromStates(loaded, 64, 8)) == direct)
+    assert(bits(Pca.pcaModelFromStates(loaded.reverse, 64, 8)) == direct)
+    assert(bits(Pca.pcaModelFromStates(Seq(Pca.state(embs, "embedding", 64)), 64, 8)) == direct)
+  }
+
   test("projection matches the hand fold and concentrates variance on comp 0") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = modelOf(embs)
