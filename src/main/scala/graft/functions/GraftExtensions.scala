@@ -139,6 +139,18 @@ object GraftExtensions {
         arity("graft_html_text", 1, args)
         invoke(GraftHtmlOps.getClass, "htmlText", StringType, args)
       }),
+    ("graft_nfc",
+      info("graft_nfc", "Unicode NFC normalization (UAX #15) of a string"),
+      (args: Seq[Expression]) => {
+        arity("graft_nfc", 1, args)
+        invoke(GraftUnicodeOps.getClass, "nfc", StringType, args)
+      }),
+    ("graft_nfkc",
+      info("graft_nfkc", "Unicode NFKC normalization (compatibility folding) of a string"),
+      (args: Seq[Expression]) => {
+        arity("graft_nfkc", 1, args)
+        invoke(GraftUnicodeOps.getClass, "nfkc", StringType, args)
+      }),
     ("graft_url_host",
       info("graft_url_host", "GRAFT-URL v1 host of a URL (lowercased; NULL when absent)"),
       (args: Seq[Expression]) => {

@@ -420,6 +420,24 @@ object TextAnalysis {
       array_max(gramHashes).as("max_gram_hash"))
   }
 
+  /** Text normalization (GRAFT-CLEAN v1) — the fix-the-bytes pass before
+    * any hashing/shingling/tokenization: Unicode NFC
+    * ([[graft.functions.GraftUnicodeOps]] kernel — precomposed and
+    * decomposed spellings of the same text must dedup identically), then
+    * strip the C0 controls except `\n`/`\t`, plus DEL (`regexp_replace`,
+    * a codegen built-in). Appends `clean_text` and a `changed` flag (the
+    * corpus-health signal: what fraction of a drop needed fixing).
+    * Zero-shuffle scan projection; exact-hash mirrorable (DuckDB
+    * `nfc_normalize` + the same RE2 class). */
+  def cleanText(docs: DataFrame, textCol: String): DataFrame = {
+    val cleaned = regexp_replace(
+      graft.functions.GraftUnicodeOps.nfcCol(col(textCol)),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    docs
+      .withColumn("clean_text", cleaned)
+      .withColumn("changed", col(textCol).isNotNull && col("clean_text") =!= col(textCol))
+  }
+
   /** URL feature projection over a URL column (crawl curation's per-doc
     * derivations — GRAFT-URL v1 / GRAFT-PSL v1 kernels,
     * [[graft.functions.GraftUrlOps]]): appends `host`, `url_canon` (the

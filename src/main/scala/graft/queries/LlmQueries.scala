@@ -1132,8 +1132,34 @@ object LlmQueries {
         .select(col("doc_id"), expr(urlConstructSql("STRING")).as("url"))
       Mixture.domainCap(docs, "doc_id", "url", perDomain = 3)
         .select("doc_id", "domain")
+    }),
+
+    // GRAFT-CLEAN v1 text normalization: Unicode NFC (JDK Normalizer
+    // kernel vs DuckDB nfc_normalize/utf8proc — two independent UAX #15
+    // implementations) + C0-control strip, over the corpus with
+    // deterministic combining-mark / singleton / compatibility /
+    // control suffixes appended so the normalization actually fires
+    "q_clean_text" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val suffixed = docs.select(col("doc_id"),
+        concat(col("text"), element_at(typedlit(cleanSuffixes),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("text"))
+      TextAnalysis.cleanText(suffixed, "text")
+        .select(col("doc_id"), col("clean_text"), col("changed"),
+          length(col("clean_text")).as("n_clean"))
     })
   )
+
+  /** Deterministic normalization-exercising suffixes shared by
+    * q_clean_text and its oracle: combining marks (compose under NFC),
+    * the U+212B→U+00C5 singleton, compatibility chars NFC must KEEP
+    * (fi-ligature, fullwidth A — NFKC territory), stripped controls. */
+  private val cleanSuffixes: Seq[String] = Seq(
+    " cafe\u0301 du\u0300",        // e+U+0301, u+U+0300 -> compose under NFC
+    " \u212B vs \u0041\u030A",     // ANGSTROM SIGN + A+ring -> both U+00C5
+    " \uFB01le \uFF21",            // fi-ligature + fullwidth A: NFC keeps them
+    " ctrl\u0007bell\u000Bvt\u007F", // BEL/VT/DEL stripped by the C0 class
+    "")
 
   /** Deterministic URL grid shared by the q_url_* queries and their
     * oracles — identical SQL modulo the string-cast type name
@@ -2996,7 +3022,30 @@ object LlmQueries {
          |      ORDER BY ((doc_id * 1000003 + 17) % $P) % 100 ASC,
          |               doc_id ASC) AS rn
          |  FROM parsed WHERE domain IS NOT NULL)
-         |SELECT doc_id, domain FROM capped WHERE rn <= 3""".stripMargin
+         |SELECT doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
+
+    // GRAFT-CLEAN v1: DuckDB's nfc_normalize (utf8proc) mirrors the JDK
+    // Normalizer kernel — two independent conformant UAX #15
+    // implementations must agree codepoint for codepoint
+    "q_clean_text" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""WITH t AS (
+         |  SELECT doc_id, text || CASE doc_id % 5
+         |    WHEN 0 THEN ${lit(cleanSuffixes(0))}
+         |    WHEN 1 THEN ${lit(cleanSuffixes(1))}
+         |    WHEN 2 THEN ${lit(cleanSuffixes(2))}
+         |    WHEN 3 THEN ${lit(cleanSuffixes(3))}
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  regexp_replace(nfc_normalize(text),
+         |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g') AS clean_text
+         |  FROM t)
+         |SELECT doc_id, clean_text,
+         |  coalesce(clean_text <> text, FALSE) AS changed,
+         |  length(clean_text) AS n_clean
+         |FROM c""".stripMargin
+    }
   )
 
   /** The q_pca_train invariant-oracle SQL, parameterized by the dump
