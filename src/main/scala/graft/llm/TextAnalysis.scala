@@ -236,17 +236,42 @@ object TextAnalysis {
     * `regexp_count` / `regexp_extract_all`. A pure projection — no
     * shuffle, codegen-friendly. Returns
     * (doc_id, n_emails, n_phones, n_ips, has_pii). */
+  /** The shared PII patterns (the Java/RE2-identical regex subset). */
+  val EmailRx = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRx = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val IpRx = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
   def piiFlags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val emails = regexp_count(t, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"))
-    val phones = regexp_count(t, lit("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"))
-    val ips = regexp_count(t, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+    val emails = regexp_count(t, lit(EmailRx))
+    val phones = regexp_count(t, lit(PhoneRx))
+    val ips = regexp_count(t, lit(IpRx))
     docs.select(
       col(idCol).as("doc_id"),
       emails.cast("long").as("n_emails"),
       phones.cast("long").as("n_phones"),
       ips.cast("long").as("n_ips"),
       (emails + phones + ips > 0).as("has_pii"))
+  }
+
+  /** PII REDACTION — the apply side of [[piiFlags]] (training corpora
+    * replace the spans, they don't just count them): sequential
+    * replace-all of email → phone → IPv4 matches with typed placeholders.
+    * The order is part of the contract (an email's digits are gone before
+    * the phone/IP patterns run) and both engines replace left-to-right
+    * non-overlapping, so the output is exactly mirrorable. A pure
+    * codegen projection (`regexp_replace` built-ins — no kernel needed).
+    * Returns (doc_id, red_text, redacted). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), lit(EmailRx), lit("<EMAIL>")),
+        lit(PhoneRx), lit("<PHONE>")),
+      lit(IpRx), lit("<IP>"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      red.as("red_text"),
+      (col(textCol).isNotNull && red =!= col(textCol)).as("redacted"))
   }
 
   /** Corpus-specific stopword discovery: tokens whose document frequency

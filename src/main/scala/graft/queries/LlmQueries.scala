@@ -1147,8 +1147,31 @@ object LlmQueries {
       TextAnalysis.cleanText(suffixed, "text")
         .select(col("doc_id"), col("clean_text"), col("changed"),
           length(col("clean_text")).as("n_clean"))
+    }),
+
+    // PII redaction (the apply side of q_pii): email -> phone -> IPv4
+    // replace-all with typed placeholders, over the corpus with
+    // deterministic PII-bearing suffixes appended so every pattern fires
+    "q_redact" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.redactPii(
+        docs.select(col("doc_id"),
+          concat(col("text"), expr(piiSuffixSql("STRING"))).as("text")),
+        "doc_id", "text")
     })
   )
+
+  /** Deterministic PII-bearing suffixes shared by q_redact and its
+    * oracle (identical SQL modulo the string-cast type name). */
+  private def piiSuffixSql(castT: String): String =
+    s"""CASE doc_id % 4
+       |  WHEN 0 THEN concat(' contact bob', CAST(doc_id AS $castT),
+       |    '@mail.example.com or x@y.io now')
+       |  WHEN 1 THEN ' call 555-123-4567 or 555.987.6543 today'
+       |  WHEN 2 THEN concat(' peer 10.0.', CAST(doc_id % 200 AS $castT),
+       |    '.7 and 192.168.1.1 logged')
+       |  ELSE ''
+       |END""".stripMargin
 
   /** Deterministic normalization-exercising suffixes shared by
     * q_clean_text and its oracle: combining marks (compose under NFC),
@@ -3045,7 +3068,22 @@ object LlmQueries {
          |  coalesce(clean_text <> text, FALSE) AS changed,
          |  length(clean_text) AS n_clean
          |FROM c""".stripMargin
-    }
+    },
+
+    // sequential replace-all, same order and placeholders as redactPii
+    "q_redact" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text || ${piiSuffixSql("VARCHAR")} AS text
+         |  FROM documents),
+         |r AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRx}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRx}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.IpRx}', '<IP>', 'g') AS red_text
+         |  FROM t)
+         |SELECT doc_id, red_text,
+         |  coalesce(red_text <> text, FALSE) AS redacted
+         |FROM r""".stripMargin
   )
 
   /** The q_pca_train invariant-oracle SQL, parameterized by the dump

@@ -140,6 +140,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, 0L, false)))
   }
 
+  test("redactPii replaces spans with typed placeholders, email digits never phone/IP-match") {
+    val docs = Seq(
+      (1L, "mail a.b@example.com or c@d.org ok"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "peers 10.0.0.1 and 192.168.1.255"),
+      (4L, "id 123.456.7890@numeric.example.com stays one email"), // email eats it first
+      (5L, "plain"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "mail <EMAIL> or <EMAIL> ok" && got(1L).getBoolean(2))
+    assert(got(2L).getString(1) == "call <PHONE> or <PHONE>" && got(2L).getBoolean(2))
+    assert(got(3L).getString(1) == "peers <IP> and <IP>" && got(3L).getBoolean(2))
+    assert(got(4L).getString(1) == "id <EMAIL> stays one email" && got(4L).getBoolean(2))
+    assert(got(5L).getString(1) == "plain" && !got(5L).getBoolean(2))
+    assert(got(6L).isNullAt(1) && !got(6L).getBoolean(2))
+  }
+
   test("overlap: benchmark doc fully contaminated, disjoint doc clean, short doc zero") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"), // the benchmark doc
