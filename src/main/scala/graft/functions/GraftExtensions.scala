@@ -201,6 +201,19 @@ object GraftExtensions {
         }
         TopKFreq(args.head, intLit(args(1), "k"), intLit(args(2), "capacity"))
           .toAggregateExpression()
+      }),
+    ("graft_count_min",
+      info("graft_count_min",
+        "aggregate: Count-Min sketch — (item, depth, width) -> array<long> row-major grid"),
+      (args: Seq[Expression]) => {
+        arity("graft_count_min", 3, args)
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_count_min: $name must be an integer literal, got $other")
+        }
+        CountMin(args.head, intLit(args(1), "depth"), intLit(args(2), "width"))
+          .toAggregateExpression()
       }))
 
   /** Output schema of [[GraftMediaOps.mediaMeta]]. */

@@ -1149,6 +1149,19 @@ object LlmQueries {
           length(col("clean_text")).as("n_clean"))
     }),
 
+    // Count-Min sketch over the corpus tokens: the WHOLE 4x256 counter
+    // grid hash-checks against a DuckDB group-by mirror of the same
+    // portable hash family (estimates are min-of-rows projections over
+    // this grid — pinned against exact counts in CountMinSpec)
+    "q_countmin" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(explode(graft.llm.TextHash.wordTokens(col("text"))).as("token"))
+        .agg(graft.functions.CountMin(col("token"), depth = 4, width = 256).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("pos").cast("int").as("pos"), col("cnt"))
+    }),
+
     // PII redaction (the apply side of q_pii): email -> phone -> IPv4
     // replace-all with typed placeholders, over the corpus with
     // deterministic PII-bearing suffixes appended so every pattern fires
@@ -3069,6 +3082,19 @@ object LlmQueries {
          |  length(clean_text) AS n_clean
          |FROM c""".stripMargin
     },
+
+    // the full Count-Min grid recomputed as a plain group-by over the
+    // same portable affine-of-polyHash bucket family
+    "q_countmin" ->
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS token FROM documents),
+         |h AS (SELECT ${polyHashSql("token")} AS h FROM toks),
+         |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |g AS (SELECT rs.r AS r,
+         |  ((h.h * (1000003 + 7919 * rs.r) + 17 + rs.r) % $P) % 256 AS b
+         |  FROM h, rs)
+         |SELECT CAST(r * 256 + b AS INTEGER) AS pos,
+         |  count(*) AS cnt
+         |FROM g GROUP BY 1""".stripMargin,
 
     // sequential replace-all, same order and placeholders as redactPii
     "q_redact" ->
