@@ -226,6 +226,41 @@ object ProfileC1 {
       Seq("checkpoints" -> g.length.toLong,
         "final_distinct" -> g.last.getLong(2))
     }
+    stage("clean_redact") {
+      // NFC + control strip, then PII redaction — two zero-shuffle
+      // projections; a quarter of the docs get a planted PII tail
+      val tailed = docs.select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" mail a@b.com or 10.0.0.1")).otherwise(lit(""))).as("text"))
+      val c = TextAnalysis.cleanText(tailed, "text")
+      val r = TextAnalysis.redactPii(
+        c.select(col("doc_id"), col("clean_text").as("text")), "doc_id", "text")
+      Seq("cleaned" -> c.count(),
+        "redacted" -> r.filter(col("redacted")).count())
+    }
+    stage("url_domain_cap") {
+      // ~1000 registrable domains x ~500 docs, capped at 100: the URL
+      // kernels are scan projections, the cap is one (domain) window
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://sub"),
+          pmod(col("doc_id"), lit(5000L)).cast("string"),
+          lit(".host"), pmod(col("doc_id"), lit(997L)).cast("string"),
+          lit(".co.uk/p/"), col("doc_id").cast("string")).as("url"))
+      val capped = Mixture.domainCap(urls, "doc_id", "url", perDomain = 100)
+        .localCheckpoint()
+      Seq("kept" -> capped.count(),
+        "domains" -> capped.select("domain").distinct().count())
+    }
+    stage("countmin") {
+      // one corpus token pass into a 4x4096 grid; mass conservation is
+      // the zero-rows guard (each row sums to the token count)
+      val grid = docs
+        .select(explode(TextHash.wordTokens(col("text"))).as("token"))
+        .agg(graft.functions.CountMin(col("token"), depth = 4, width = 4096).as("sk"))
+        .head().getSeq[Long](0)
+      Seq("tokens" -> grid.slice(0, 4096).sum,
+        "nonzero_buckets" -> grid.count(_ > 0).toLong)
+    }
 
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[c1] TOTAL ${wall}%.1f s  peakRss=${ScaleSmoke.peakRssMb()} MB  " +

@@ -1149,6 +1149,25 @@ object LlmQueries {
           length(col("clean_text")).as("n_clean"))
     }),
 
+    // CRAWL -> CORPUS end to end, one oracled query: WARC scan (pushed
+    // response/200 predicates) -> GRAFT-HTML-TEXT extraction -> GRAFT-
+    // CLEAN normalization -> Gopher/C4 quality gate. The oracle rebuilds
+    // the same chain from the independently-computed html.parser text
+    // expectations — the whole ingestion ladder has to agree.
+    "q_crawl_curate" -> ((s, _) => {
+      val texts = s.read
+        .format(classOf[graft.sources.WarcSource].getName)
+        .option("path", warcGz)
+        .load()
+        .filter(col("record_type") === "response" && col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("record_idx").as("doc_id"),
+          graft.functions.GraftHtmlOps.htmlTextCol(col("payload").cast("string")).as("text"))
+      val cleaned = TextAnalysis.cleanText(texts, "text")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      TextAnalysis.qualityScore(cleaned, "doc_id", "text")
+    }),
+
     // Count-Min sketch over the corpus tokens: the WHOLE 4x256 counter
     // grid hash-checks against a DuckDB group-by mirror of the same
     // portable hash family (estimates are min-of-rows projections over
@@ -3083,6 +3102,22 @@ object LlmQueries {
          |FROM c""".stripMargin
     },
 
+    // the crawl chain rebuilt from the html.parser expectations: clean
+    // (nfc + C0 strip) then the standard quality CTE over the result
+    "q_crawl_curate" -> {
+      s"""WITH crawl AS (
+         |  SELECT record_idx AS doc_id,
+         |    regexp_replace(nfc_normalize(text),
+         |      '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g') AS text
+         |  FROM read_parquet('$warcTextExpected')),
+         |${qualityCteFor("crawl").stripPrefix("WITH ")}
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score >= CAST(0.7 AS DOUBLE) THEN 'high'
+         |       WHEN quality_score >= CAST(0.4 AS DOUBLE) THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM sc""".stripMargin
+    },
+
     // the full Count-Min grid recomputed as a plain group-by over the
     // same portable affine-of-polyHash bucket family
     "q_countmin" ->
@@ -3340,8 +3375,11 @@ object LlmQueries {
 
   /** Quality-score CTE chain (tok → f → sc); mirror of
     * [[graft.llm.TextAnalysis.qualityScore]]. End with `SELECT ... FROM sc`. */
-  private lazy val qualityCte: String =
-    s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+  private lazy val qualityCte: String = qualityCteFor("documents")
+
+  /** The quality-score CTE chain over any (doc_id, text) source table. */
+  private def qualityCteFor(src: String): String =
+    s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM $src),
        |f AS (
        |  SELECT doc_id,
        |    CAST(least(len(t), 50) AS DOUBLE) / CAST(50 AS DOUBLE) AS length_term,
