@@ -244,7 +244,8 @@ object CorpusStream {
     * gate's `.distinct()` candidate/dup-id steps make decision-neutral. */
   private[streaming] def compactBucketedStore(
       spark: SparkSession, path: String, bucketCol: String,
-      uptoExclusive: Long): Unit = {
+      uptoExclusive: Long,
+      fold: DataFrame => DataFrame = identity): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -265,12 +266,14 @@ object CorpusStream {
         v >= 0 && v < uptoExclusive
       }
     if (batchDirs.isEmpty) return
-    spark.read.parquet(path)
-      .filter(col("batch") < uptoExclusive) // base (-1) + finalized batches
-      .drop("batch")
+    fold(spark.read.parquet(path)
+        .filter(col("batch") < uptoExclusive) // base (-1) + finalized batches
+        .drop("batch"))
       .repartition(col(bucketCol))
       .sortWithinPartitions(
-        if (bucketCol == PostingsBucketCol) col("band_hash") else col("doc_id"))
+        if (bucketCol == PostingsBucketCol) col("band_hash")
+        else if (bucketCol == DomainBucketCol) col("domain")
+        else col("doc_id"))
       .write.partitionBy(bucketCol)
       .mode("overwrite").parquet(staging.toString)
     batchDirs.foreach(d => fs.delete(d, true))
@@ -467,6 +470,116 @@ object CorpusStream {
       .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
     routed.filter(!col("pass")).select(outCols: _*)
       .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
+  }
+
+  /** Partition column of the domain-cap count store:
+    * `pmod(hash(domain), buckets)`. */
+  val DomainBucketCol = "dbucket"
+
+  /** Streaming PER-DOMAIN CAP gate — the C4/RefinedWeb "no domain
+    * dominates" rule ([[graft.llm.Mixture.domainCap]]) applied drop by
+    * drop: each arriving micro-batch derives registrable domains (the
+    * L65 zero-shuffle kernel projection), consults the accumulated
+    * per-domain admitted counts, and routes docs kept/rejected so that
+    * across the stream's WHOLE lifetime at most `perDomain` docs per
+    * domain are kept.
+    *
+    * Semantics: FIRST-ARRIVED-WINS across batches (earlier drops hold
+    * their slots — re-deciding history would un-keep already-shipped
+    * docs); hash-priority then doc-id WITHIN a batch (the
+    * [[graft.llm.Mixture.stratifiedSample]] order, so a replayed batch
+    * re-decides identically). Docs with no registrable domain are
+    * rejected (a capless unattributable bucket would defeat the cap).
+    * Kept ∪ rejected = batch, always.
+    *
+    * State = the count store at `storePath`: per-batch delta rows
+    * `(domain, n_admitted)` hive-partitioned by
+    * `dbucket = pmod(hash(domain), buckets)`. A trigger reads ONLY the
+    * buckets its own domains touch (partition pruning), and
+    * `compactEvery` folds finalized deltas into a SUMMED `batch=-1`
+    * base (one row per domain), so per-trigger I/O scales with the
+    * drop's domain set, not the stream's lifetime. Exactly-once by the
+    * [[nearDupGateBatch]] discipline: per-batch overwrites, history
+    * excludes the current batch id. */
+  def domainCapGateSink(
+      docs: DataFrame,
+      urlCol: String,
+      keptPath: String,
+      rejectedPath: String,
+      storePath: String,
+      checkpointDir: String,
+      perDomain: Int,
+      buckets: Int = 64,
+      compactEvery: Int = 8,
+      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        domainCapGateBatch(batch, batchId, urlCol, keptPath, rejectedPath,
+          storePath, perDomain, buckets, compactEvery, suffixCsv)
+      }
+
+  /** One micro-batch of [[domainCapGateSink]], callable directly. */
+  def domainCapGateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      urlCol: String,
+      keptPath: String,
+      rejectedPath: String,
+      storePath: String,
+      perDomain: Int,
+      buckets: Int = 64,
+      compactEvery: Int = 8,
+      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes): Unit = {
+    require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
+    val spark = batch.sparkSession
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataCols = batch.columns.toSeq
+    val host = graft.functions.GraftUrlOps.urlHostCol(col(urlCol))
+    val tagged = batch
+      .withColumn("domain",
+        graft.functions.GraftUrlOps.registrableDomainCol(host, suffixCsv))
+      .withColumn(DomainBucketCol,
+        pmod(hash(col("domain")), lit(buckets)))
+      .localCheckpoint() // one derivation feeds rank, joins, and 3 writes
+    // prior admitted counts for ONLY the buckets this batch touches
+    val touched = tagged.filter(col("domain").isNotNull)
+      .select(DomainBucketCol).distinct().collect().map(_.getInt(0)).toSeq
+    val prior =
+      if (!fs.exists(new Path(storePath)) || touched.isEmpty)
+        spark.range(0).select(lit("").as("domain"), lit(0L).as("prior"))
+      else spark.read.parquet(storePath)
+        .filter(col("batch") =!= batchId && // replay: never see own delta
+          col(DomainBucketCol).isin(touched: _*))
+        .groupBy("domain").agg(sum("n_admitted").as("prior"))
+    // within-batch deterministic priority (the stratifiedSample order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(graft.llm.Sampling.hashBucket(col("doc_id"), 100), col("doc_id"))
+    val decided = tagged
+      .filter(col("domain").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .join(prior, Seq("domain"), "left")
+      .withColumn("admit",
+        coalesce(col("prior"), lit(0L)) + col("rk") <= perDomain)
+      .localCheckpoint()
+    val outCols = (dataCols :+ "domain").map(col)
+    decided.filter(col("admit")).select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    decided.filter(!col("admit")).select(outCols: _*)
+      .unionByName(tagged.filter(col("domain").isNull).select(outCols: _*))
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
+    decided.filter(col("admit"))
+      .groupBy(col(DomainBucketCol), col("domain"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .write.partitionBy(DomainBucketCol)
+      .mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactBucketedStore(spark, storePath, DomainBucketCol, batchId,
+        fold = df => df.groupBy(col(DomainBucketCol), col("domain"))
+          .agg(sum("n_admitted").as("n_admitted")))
   }
 
   /** Streaming DECONTAMINATION gate — "protect the eval set from every

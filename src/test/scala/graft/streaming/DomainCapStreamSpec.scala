@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming per-domain cap: first-arrived-wins across drops, the
+  * deterministic stratifiedSample order within a drop, domainless docs
+  * rejected, exactly-once under replay, and a summed compacted store. */
+class DomainCapStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "url")
+
+  private def freshDirs(): (String, String, String) = {
+    val root = Files.createTempDirectory("domcap")
+    (s"$root/kept", s"$root/rejected", s"$root/store")
+  }
+
+  private def run(df: DataFrame, id: Long, kept: String, rej: String,
+      store: String, compactEvery: Int = 0): Unit =
+    CorpusStream.domainCapGateBatch(df, id, "url", kept, rej, store,
+      perDomain = 3, buckets = 8, compactEvery = compactEvery)
+
+  private def ids(path: String): Set[Long] =
+    spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
+
+  test("cap holds across drops; domainless docs reject; kept ∪ rejected = batch") {
+    val (kept, rej, store) = freshDirs()
+    // drop 0: two docs of x.com, one of y.io, one domainless
+    run(docs(
+      (1L, "https://a.x.com/1"), (2L, "https://b.x.com/2"),
+      (3L, "https://y.io/3"), (4L, "not a url")), 0L, kept, rej, store)
+    assert(ids(kept) == Set(1L, 2L, 3L))
+    assert(ids(rej) == Set(4L))
+
+    // drop 1: three more x.com docs — only ONE slot left (cap 3)
+    run(docs(
+      (10L, "https://c.x.com/"), (11L, "https://d.x.com/"),
+      (12L, "https://e.x.com/")), 1L, kept, rej, store)
+    val keptNow = ids(kept)
+    assert((keptNow -- Set(1L, 2L, 3L)).size == 1)        // exactly one admitted
+    assert(ids(rej).size == 3)                            // 4 + the two over-cap
+
+    // drop 2: x.com is full; y.io still has room
+    run(docs((20L, "https://f.x.com/"), (21L, "https://z.y.io/")), 2L, kept, rej, store)
+    assert(!ids(kept).contains(20L) && ids(kept).contains(21L))
+
+    // per-domain kept totals never exceed the cap
+    val byDomain = spark.read.parquet(kept).groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("x.com") == 3L && byDomain("y.io") == 2L)
+  }
+
+  test("a crash-replayed batch re-decides identically (no double counting)") {
+    val (kept, rej, store) = freshDirs()
+    run(docs((1L, "https://a.x.com/"), (2L, "https://b.x.com/")), 0L, kept, rej, store)
+    run(docs((10L, "https://c.x.com/"), (11L, "https://d.x.com/")), 1L, kept, rej, store)
+    val keptAfter1 = ids(kept)
+    val rejAfter1 = ids(rej)
+    // replay batch 1 (crash before checkpoint commit): history must
+    // exclude its own delta, so the decision — and the store — repeat
+    run(docs((10L, "https://c.x.com/"), (11L, "https://d.x.com/")), 1L, kept, rej, store)
+    assert(ids(kept) == keptAfter1 && ids(rej) == rejAfter1)
+    // batch 2 sees a full x.com exactly once, not twice
+    run(docs((20L, "https://e.x.com/")), 2L, kept, rej, store)
+    assert(!ids(kept).contains(20L))
+    assert(spark.read.parquet(kept).filter(col("domain") === "x.com").count() == 3L)
+  }
+
+  test("within-batch priority is the deterministic stratifiedSample order") {
+    val (kept, rej, store) = freshDirs()
+    val batch = docs((0L to 9L).map(i => (i, s"https://h$i.x.com/")): _*)
+    run(batch, 0L, kept, rej, store)
+    val direct = graft.llm.Mixture.stratifiedSample(
+      batch.select(col("doc_id"), lit("x.com").as("domain")),
+      "doc_id", "domain", perStratum = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(kept) == direct)
+    // and a repartitioned replay lands on the same winners
+    run(batch.repartition(7), 0L, kept, rej, store)
+    assert(ids(kept) == direct)
+  }
+
+  test("compaction folds deltas into a summed base without changing decisions") {
+    val (kept, rej, store) = freshDirs()
+    for (b <- 0L to 4L)
+      run(docs((100 * b + 1, s"https://g$b.x.com/"), (100 * b + 2, "https://y.io/")),
+        b, kept, rej, store, compactEvery = 2)
+    // x.com saw 5 docs (cap 3), y.io saw 5 (cap 3)
+    val byDomain = spark.read.parquet(kept).groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("x.com") == 3L && byDomain("y.io") == 3L)
+    // the store has a folded base and its summed counts equal the kept rows
+    val dirs = new java.io.File(store).listFiles().map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs.contains("batch=-1"))
+    val totals = spark.read.parquet(store).groupBy("domain")
+      .agg(sum("n_admitted").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == byDomain)
+  }
+
+  test("the sink end-to-end over a two-drop file stream matches direct batches") {
+    val root = Files.createTempDirectory("domcapstream")
+    val in = s"$root/in"
+    val (kept, rej, store) = (s"$root/kept", s"$root/rej", s"$root/store")
+    val ckpt = s"$root/ckpt"
+
+    def drop(rows: Seq[(Long, String)], name: String): Unit =
+      rows.toDF("doc_id", "url").coalesce(1)
+        .write.mode("append").parquet(in)
+
+    drop(Seq((1L, "https://a.x.com/"), (2L, "https://b.x.com/"),
+      (3L, "https://c.x.com/"), (4L, "https://d.x.com/")), "d0")
+    val schema = "doc_id LONG, url STRING"
+    def runStream(): Unit = {
+      val q = CorpusStream.domainCapGateSink(
+        spark.readStream.schema(schema).parquet(in),
+        "url", kept, rej, store, ckpt, perDomain = 3).start()
+      q.awaitTermination(120000)
+    }
+    runStream()
+    assert(ids(kept).size == 3 && ids(rej).size == 1)
+    drop(Seq((10L, "https://e.x.com/"), (11L, "https://w.y.io/")), "d1")
+    runStream()
+    assert(ids(kept).size == 4 && ids(kept).contains(11L) && !ids(kept).contains(10L))
+  }
+}
