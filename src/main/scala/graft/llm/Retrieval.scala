@@ -168,4 +168,35 @@ object Retrieval {
         round((col("tf").cast("double") / col("dl")) * idf * 1e6).cast("long")
           .as("weight_micros"))
   }
+
+  /** POSITIONAL inverted index: one `(token, doc_id, pos)` row per token
+    * occurrence (0-based position). The layout phrase/proximity search
+    * needs and [[invertedIndex]]'s tf rows cannot answer. Persist
+    * hive-partitioned or bucketed by `token` at scale so a phrase query
+    * reads only its own terms' postings. */
+  def positionalIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextHash.wordTokens(col(textCol))).as(Seq("pos", "token")))
+      .select("token", "doc_id", "pos")
+
+  /** Exact-phrase search over a positional index: documents containing
+    * the consecutive token sequence, with occurrence count and first
+    * position. Term `i`'s postings are filtered BEFORE joining (the
+    * pushdown-pruned read on a persisted index — no full-index scan) and
+    * shifted by `-i`, so the phrase is k−1 `(doc_id, pos)` equi-joins
+    * between single-term posting lists — each join side is one term's
+    * postings, never the corpus. Returns (doc_id, n_matches,
+    * first_pos). */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    def postings(w: String, i: Int): DataFrame =
+      index.filter(col("token") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    val matched = phrase.zipWithIndex.tail
+      .foldLeft(postings(phrase.head, 0)) { case (acc, (w, i)) =>
+        acc.join(postings(w, i), Seq("doc_id", "pos"))
+      }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+  }
 }

@@ -1149,6 +1149,14 @@ object LlmQueries {
           length(col("clean_text")).as("n_clean"))
     }),
 
+    // exact-phrase search over the positional inverted index: term-
+    // pruned posting reads, k-1 (doc_id, pos) equi-joins
+    "q_phrase_search" -> ((s, dir) => {
+      val idx = Retrieval.positionalIndex(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      Retrieval.phraseSearch(idx, Seq("value", "table", "part"))
+    }),
+
     // CRAWL -> CORPUS end to end, one oracled query: WARC scan (pushed
     // response/200 predicates) -> GRAFT-HTML-TEXT extraction -> GRAFT-
     // CLEAN normalization -> Gopher/C4 quality gate. The oracle rebuilds
@@ -3101,6 +3109,19 @@ object LlmQueries {
          |  length(clean_text) AS n_clean
          |FROM c""".stripMargin
     },
+
+    // consecutive-position membership over the token lists — the
+    // from-first-principles phrase definition the join form must equal
+    "q_phrase_search" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  list_filter(generate_series(1, len(t) - 2),
+         |    i -> t[i] = 'value' AND t[i+1] = 'table' AND t[i+2] = 'part') AS hits
+         |  FROM tok)
+         |SELECT doc_id,
+         |  CAST(len(hits) AS BIGINT) AS n_matches,
+         |  CAST(hits[1] - 1 AS INTEGER) AS first_pos
+         |FROM m WHERE len(hits) > 0""".stripMargin,
 
     // the crawl chain rebuilt from the html.parser expectations: clean
     // (nfc + C0 strip) then the standard quality CTE over the result

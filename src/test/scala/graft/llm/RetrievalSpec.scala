@@ -71,4 +71,26 @@ class RetrievalSpec extends SparkSpec {
     assert(incremental == direct)
     assert(direct.nonEmpty)
   }
+
+  test("phraseSearch: consecutive positions only, overlaps counted, pruned joins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x value table part y"),          // one hit at pos 1
+      (2L, "value table x table part"),      // terms present, never consecutive
+      (3L, "value table part value table part"), // two hits
+      (4L, "a a a"),                         // overlap corpus for the 2-gram below
+      (5L, "nothing here")).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs, "doc_id", "text")
+    val got = Retrieval.phraseSearch(idx, Seq("value", "table", "part"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 1), (3L, 2L, 0)))
+    // overlapping matches both count ("a a a" has "a a" at 0 AND 1)
+    val overlap = Retrieval.phraseSearch(idx, Seq("a", "a"))
+      .as[(Long, Long, Int)].collect()
+    assert(overlap.toSeq == Seq((4L, 2L, 0)))
+    // single-term phrase = that term's postings, grouped
+    val single = Retrieval.phraseSearch(idx, Seq("table"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(single.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L)))
+  }
 }
