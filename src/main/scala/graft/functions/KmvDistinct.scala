@@ -170,9 +170,11 @@ case class KmvHashes(
   private val M = graft.llm.TextHash.Prime
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"kmv_hashes expects a string column, got ${child.dataType.catalogString}")
+      "kmv_hashes expects a string column (hashed internally) or a " +
+        s"precomputed polyHash long column, got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(
@@ -194,10 +196,20 @@ case class KmvHashes(
   private def scatter(h: Long): Long =
     ((h * 1000003L + 17L) % M * 1000003L + 17L) % M
 
+  // lazy: dataType is unresolvable at construction (Catalyst resolves
+  // children later); first touch happens at execution time
+  private lazy val childIsLong = child.dataType == LongType
+
   override def update(buf: KmvState, input: InternalRow): KmvState = {
     val v = child.eval(input)
-    if (v != null)
-      add(buf, scatter(GraftHashOps.polyHash(v.asInstanceOf[UTF8String])))
+    if (v != null) {
+      // a long input is a precomputed polyHash (e.g. the compiled
+      // ngramHashes kernel's output) -- same scatter, identical sketch
+      val h =
+        if (childIsLong) v.asInstanceOf[Long]
+        else GraftHashOps.polyHash(v.asInstanceOf[UTF8String])
+      add(buf, scatter(h))
+    }
     buf
   }
 

@@ -41,15 +41,16 @@ object Contamination {
       kmvK: Int = 256): DataFrame = {
     require(n >= 1 && kmvK >= 4, "corpusOverlap: need n >= 1 and k >= 4")
     val M = TextHash.Prime
-    def sketch(df: DataFrame, as: String): DataFrame = {
-      val t = split(trim(col(textCol)), "\\s+")
-      val grams = when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - lit(n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
-        .otherwise(array().cast("array<string>"))
-      df.select(explode(grams).as("__g"))
-        .agg(graft.functions.KmvHashes(col("__g"), kmvK).as(as))
-    }
+    def sketch(df: DataFrame, as: String): DataFrame =
+      // the compiled per-doc distinct n-gram-hash kernel feeds the sketch
+      // precomputed polyHash longs: set semantics are unchanged (KMV sees
+      // a value SET; per-doc dedup cannot change the corpus union), and
+      // the interpreted transform/concat_ws gram-string spelling this
+      // replaces measured 8.8 s of the sf0.1 suite — the C1-profile
+      // lesson (compiled kernels for per-token hot loops) applied here
+      df.select(explode(
+          graft.functions.HashFunctions.ngramHashes(col(textCol), n)).as("__h"))
+        .agg(graft.functions.KmvHashes(col("__h"), kmvK).as(as))
     def estDistinct(name: String): Column =
       when(size(col(name)) < kmvK, size(col(name)).cast("long"))
         .otherwise(expr(
