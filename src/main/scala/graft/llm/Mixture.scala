@@ -113,6 +113,67 @@ object Mixture {
     * and the cap CUTS the hot key to `perDomain` rows; AQE skew-split
     * handles the sort spill of the raw hot partition (AqeSkewSpec's
     * scenario). Returns the input columns plus `domain`. */
+  /** Downsample to a TARGET mixture — the Pile/Dolma reweighting draw:
+    * given per-stratum target shares (fractions of the kept corpus),
+    * compute each stratum's keep rate and take the deterministic hash
+    * sample at that rate.
+    *
+    * Rates solve `kept_s ≈ target_s · N_kept` under the constraint that
+    * no stratum can yield more docs than it has: `rate_s = min(1,
+    * target_ppm_s · N / (n_s · totalTarget_ppm))` — i.e. the largest
+    * proportional downscale that meets the ratios, keeping every fully-
+    * consumed stratum whole (strata with no target are dropped). All
+    * arithmetic is integer ppm over exact counts, the keep decision is
+    * the [[Sampling]] hash family at ppm resolution, so the kept SET is
+    * a pure function of the data — partitioning/retry/engine-invariant
+    * and exactly mirrorable. One aggregation for the counts (broadcast
+    * back), zero additional shuffles: the draw itself is a filter.
+    *
+    * Returns the input rows kept, plus `rate_ppm`. */
+  def rebalance(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      targetsPpm: Map[String, Long]): DataFrame = {
+    require(targetsPpm.nonEmpty && targetsPpm.values.forall(_ > 0),
+      "rebalance: need positive ppm targets")
+    val total = targetsPpm.values.sum
+    val targetLit = typedlit(targetsPpm)
+    val counts = docs.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // stratum-cardinality-sized; also severs the
+                         // self-join lineage with the N aggregate below
+    val withN = counts.crossJoin(
+      broadcast(counts.agg(sum("__n").as("__grand"))))
+    // fixed INTEGER-op order (`div`, not `/` — Column `/` is double
+    // division), overflow-safe to N ~ 9e12 docs: share_ppm =
+    // target_ppm·1e6 div total (≤ 1e6, truncation ≤ 1 ppm), then
+    // rate_ppm = min(1e6, share_ppm·N div n). Untargeted strata must
+    // stay NULL explicitly: least() skips nulls, so least(1e6, null)
+    // would silently admit them at rate 1e6.
+    val tp = element_at(targetLit, col("__s"))
+    val rates = withN
+      .withColumn("__tp", tp)
+      .select(col("__s"),
+        when(col("__tp").isNull, lit(null).cast("long"))
+          .otherwise(least(lit(1000000L),
+            expr(s"((__tp * 1000000) div $total) * __grand div __n")))
+          .as("rate_ppm"))
+    // ppm draw: TWO multiply-mod rounds before the modulus (the KMV
+    // scatter) — one round mod 1e6 is ~linear in small sequential ids
+    // (1000003 ≡ 3 mod 1e6), which would concentrate every doc in the
+    // bottom buckets instead of sampling
+    val draw = pmod(
+      (pmod(col(idCol) * lit(1000003L) + lit(17L), lit(TextHash.Prime))
+        * lit(1000003L) + lit(17L)) % lit(TextHash.Prime),
+      lit(1000000L))
+    docs
+      .join(broadcast(rates.filter(col("rate_ppm").isNotNull)),
+        col(strataCol) === col("__s"))
+      .filter(draw < col("rate_ppm"))
+      .drop("__s")
+  }
+
   def domainCap(
       docs: DataFrame,
       idCol: String,

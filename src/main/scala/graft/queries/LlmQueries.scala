@@ -1149,6 +1149,13 @@ object LlmQueries {
           length(col("clean_text")).as("n_clean"))
     }),
 
+    // downsample to a TARGET mixture: integer-ppm rates from exact
+    // counts, deterministic hash draw — the Pile/Dolma reweighting pass
+    "q_mixture_rebalance" -> ((s, dir) =>
+      Mixture.rebalance(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+        "doc_id", "source", rebalanceTargets)),
+
     // exact-phrase search over the positional inverted index: term-
     // pruned posting reads, k-1 (doc_id, pos) equi-joins
     "q_phrase_search" -> ((s, dir) => {
@@ -1223,6 +1230,14 @@ object LlmQueries {
     " \uFB01le \uFF21",            // fi-ligature + fullwidth A: NFC keeps them
     " ctrl\u0007bell\u000Bvt\u007F", // BEL/VT/DEL stripped by the C0 class
     "")
+
+  /** Target mixture shared by q_mixture_rebalance and its oracle: five
+    * named strata get shares (others drop). Each source is 5% of the
+    * corpus, so src0 (2% target) draws at ~40%, src1 (5%) keeps exactly
+    * whole at rate 1e6, and src2-4 are over-demanded — the cap path. */
+  private val rebalanceTargets: Map[String, Long] = Map(
+    "src0" -> 20000L, "src1" -> 50000L, "src2" -> 200000L,
+    "src3" -> 300000L, "src4" -> 430000L)
 
   /** Deterministic URL grid shared by the q_url_* queries and their
     * oracles — identical SQL modulo the string-cast type name
@@ -3108,6 +3123,25 @@ object LlmQueries {
          |  coalesce(clean_text <> text, FALSE) AS changed,
          |  length(clean_text) AS n_clean
          |FROM c""".stripMargin
+    },
+
+    // integer-ppm rate derivation + the same hash draw, from scratch
+    "q_mixture_rebalance" -> {
+      val t = rebalanceTargets
+        .map { case (s0, p) => s"('$s0', CAST($p AS BIGINT))" }.mkString(", ")
+      val total = rebalanceTargets.values.sum
+      s"""WITH t(s, tp) AS (VALUES $t),
+         |n AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n
+         |      FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |r AS (SELECT n.s,
+         |  least(CAST(1000000 AS BIGINT),
+         |    (t.tp * 1000000 // $total) * tot.nn // n.n) AS rate_ppm
+         |  FROM n JOIN t ON t.s = n.s, tot)
+         |SELECT d.doc_id, d.source, r.rate_ppm
+         |FROM documents d JOIN r ON r.s = d.source
+         |WHERE (((d.doc_id * 1000003 + 17) % $P) * 1000003 + 17) % $P
+         |  % 1000000 < r.rate_ppm""".stripMargin
     },
 
     // consecutive-position membership over the token lists — the

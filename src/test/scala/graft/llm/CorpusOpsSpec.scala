@@ -73,6 +73,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Mixture.stratifiedSample(tiny, "doc_id", "source", 5).count() == 1)
   }
 
+  test("rebalance approximates target shares, caps over-demanded strata, drops untargeted") {
+    // 1000 docs: src0 has 100, src1 has 300, src2 has 600
+    val docs = (0L until 1000L).map { i =>
+      val s = if (i < 100) "src0" else if (i < 400) "src1" else "src2"
+      (i, s)
+    }.toDF("doc_id", "source")
+    // targets: src0 30% (over-demanded: only 10% exists -> kept whole),
+    // src1 30%, src2 40%; src3 untargeted
+    val out = Mixture.rebalance(docs, "doc_id", "source",
+      Map("src0" -> 300000L, "src1" -> 300000L, "src2" -> 400000L))
+    val kept = out.select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 100)                   // rate capped at 1e6
+    // src1: rate = 300000*1000/300 = 1e6 -> whole; src2: 400000*1000/600 ≈ 666666
+    assert(bySrc("src1") == 300)
+    assert(bySrc("src2") > 340 && bySrc("src2") < 460) // ~2/3 of 600, hash noise
+    // deterministic under partitioning
+    val out13 = Mixture.rebalance(docs.repartition(13), "doc_id", "source",
+      Map("src0" -> 300000L, "src1" -> 300000L, "src2" -> 400000L))
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(out13 == kept.toSet)
+  }
+
   test("domainCap keeps at most perDomain docs per registrable domain and drops domainless") {
     val docs = Seq(
       (1L, "https://a.example.com/1"), (2L, "https://b.example.com/2"),
