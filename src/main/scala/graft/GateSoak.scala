@@ -37,7 +37,7 @@ object GateSoak {
     val nDrops = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "plain"
     require(mode == "plain" || mode == "bucketed" || mode == "curate" ||
-      mode == "profile",
+      mode == "profile" || mode == "domaincap",
       s"unknown mode $mode")
     // The sf testdata documents are short (~45 words -> hs ≈ 350 B/doc);
     // production curation corpora run 500+ words, where the shingle
@@ -135,6 +135,41 @@ object GateSoak {
         f"state ${stateBytes / 1024} KB, wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.stop()
       if (mismatch) sys.exit(1)
+      return
+    }
+    if (mode == "domaincap") {
+      // Drop-by-drop per-domain cap: 211 synthetic registrable domains
+      // spread across the corpus; the cap saturates mid-soak, so later
+      // triggers exercise the full-domain rejection path. Watch the
+      // per-trigger bytes: the bucketed count store + compaction should
+      // keep reads bounded by the drop's domain buckets, not history.
+      val kept = s"$work/kept"
+      val rej = s"$work/rej"
+      var keptTotal = 0L
+      for (i <- 0 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+          .select(col("doc_id"),
+            concat(lit("https://www.h"),
+              pmod(col("doc_id"), lit(211L)).cast("string"),
+              lit("site.com/"), col("doc_id").cast("string")).as("url"))
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        CorpusStream.domainCapGateBatch(drop, i.toLong, "url", kept, rej,
+          store, perDomain = 5, buckets = 16, compactEvery = 4)
+        val nKept = spark.read.parquet(s"$kept/batch=$i").count()
+        keptTotal += nKept
+        println(f"  trigger $i%2d: ${(bytesRead.get() - b0) / 1024}%6d KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s, $nKept kept")
+      }
+      val byDomain = spark.read.parquet(kept).groupBy("domain").count()
+      val overCap = byDomain.filter(col("count") > 5).count()
+      val storeRows = spark.read.parquet(store).count()
+      println(f"DOMAINCAP SOAK: $nDrops drops, $total docs -> $keptTotal kept " +
+        f"across ${byDomain.count()} domains, over-cap domains $overCap " +
+        f"(MUST be 0), store rows $storeRows, wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      if (overCap > 0) sys.exit(1)
       return
     }
     if (mode == "curate") {
