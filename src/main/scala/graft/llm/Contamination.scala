@@ -112,6 +112,46 @@ object Contamination {
           >= maxRatio).as("contaminated"))
   }
 
+  /** Contaminated-span REMOVAL — the apply side of [[overlap]]: instead
+    * of dropping a whole document over a few leaked n-grams, rebuild its
+    * text with every token covered by a benchmark n-gram removed (the
+    * span-surgery discipline of [[Dedup.removeDupSpans]], pointed at a
+    * benchmark instead of cross-document duplicates) — the doc is
+    * salvaged, the leak is not.
+    *
+    * Scale shape: the benchmark is eval-sized, so its distinct gram-hash
+    * set BROADCASTS and the corpus never shuffles for the match — one
+    * positional-gram projection, a broadcast semi-join, then the shared
+    * rebuild (one doc-keyed aggregation). Returns (doc_id, n_tokens,
+    * kept_tokens, text_clean); NULL-text docs surface with NULL
+    * n_tokens. */
+  def removeOverlap(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextHash.wordTokens(col(textCol))).as(Seq("tok0", "token")))
+      .select(col("doc_id"), (col("tok0") + 1).as("tok_idx"), col("token"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.HashFunctions.posNgramHashes(col(textCol), n))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val benchGrams = benchmark
+      .select(explode(graft.functions.HashFunctions.ngramHashes(col(textCol), n)).as("gram"))
+      .distinct()
+    val dropSet = grams
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
+      .distinct()
+      .localCheckpoint() // feeds the anti-join AND the dropped arithmetic
+    Dedup.rebuildWithoutSpans(docs, idCol, textCol, toks, dropSet)
+  }
+
   /** Semantic (embedding-space) decontamination — the modern complement
     * to [[overlap]]'s n-gram test: an eval answer paraphrased into
     * training data shares no 3-grams but sits at high cosine to the eval

@@ -434,6 +434,28 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
       .distinct()
       .localCheckpoint()
+    // every token is either kept or dropped (and every non-NULL doc has
+    // >= 1 token: split of "" is [""]), so n_tokens = kept + dropped — no
+    // third scan of the corpus text for a separate count projection. The
+    // output universe is the DOCS table, not the token table: a NULL-text
+    // doc has no token rows at all and must still surface (n_tokens NULL,
+    // nothing kept — exactly the oracle's LEFT JOIN semantics) rather
+    // than silently vanish from the verdict.
+    rebuildWithoutSpans(docs, idCol, textCol, toks, dropSet)
+  }
+
+  /** Shared tail of span REMOVAL operators ([[removeDupSpans]],
+    * [[Contamination.removeOverlap]]): anti-join the token table against
+    * a `(doc_id, tok_idx)` drop set and rebuild each doc's text from the
+    * survivors. NULL-text docs surface with `n_tokens` NULL (nothing to
+    * rebuild), never vanish. Returns (doc_id, n_tokens, kept_tokens,
+    * text_clean). */
+  private[llm] def rebuildWithoutSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      toks: DataFrame,
+      dropSet: DataFrame): DataFrame = {
     val rebuilt = toks
       .join(dropSet, Seq("doc_id", "tok_idx"), "left_anti")
       .groupBy(col("doc_id"))
@@ -443,13 +465,6 @@ object Dedup {
           transform(
             array_sort(collect_list(struct(col("tok_idx"), col("token")))),
             x => x.getField("token"))).as("text_clean"))
-    // every token is either kept or dropped (and every non-NULL doc has
-    // >= 1 token: split of "" is [""]), so n_tokens = kept + dropped — no
-    // third scan of the corpus text for a separate count projection. The
-    // output universe is the DOCS table, not the token table: a NULL-text
-    // doc has no token rows at all and must still surface (n_tokens NULL,
-    // nothing kept — exactly the oracle's LEFT JOIN semantics) rather
-    // than silently vanish from the verdict.
     val dropped = dropSet.groupBy(col("doc_id")).agg(count(lit(1)).as("dropped_tokens"))
     docs
       .select(col(idCol).as("doc_id"), col(textCol).isNull.as("__null_text"))

@@ -577,6 +577,13 @@ object LlmQueries {
       Contamination.overlap(d, d.filter(col("doc_id") < 50), "doc_id", "text")
     }),
 
+    // contaminated-span removal: the overlap test's APPLY side — tokens
+    // covered by benchmark 3-grams are cut out, the doc is salvaged
+    "q_decontam_remove" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Contamination.removeOverlap(d, d.filter(col("doc_id") < 50), "doc_id", "text")
+    }),
+
     // corpus-level 3-gram Jaccard between the two corpus halves via KMV
     // sketches — one pass per side, integer-ppm estimate, exact below
     // sketch capacity
@@ -3123,6 +3130,47 @@ object LlmQueries {
          |  coalesce(clean_text <> text, FALSE) AS changed,
          |  length(clean_text) AS n_clean
          |FROM c""".stripMargin
+    },
+
+    // the dup-remove rebuild machinery pointed at the benchmark gram set
+    "q_decontam_remove" -> {
+      val gram3 = polyHashSql(
+        "t[i] || ' ' || t[i+1] || ' ' || t[i+2]", "ci")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(t)), i -> {tok_idx: i, token: t[i]}),
+         |      recursive := true)
+         |  FROM toks),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN
+         |      list_transform(generate_series(1, len(t) - 2), i -> $gram3)
+         |    ELSE CAST([] AS BIGINT[]) END AS gh
+         |  FROM toks),
+         |pos AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(gh)), i -> {pos: i, gram: gh[i]}),
+         |      recursive := true)
+         |  FROM g),
+         |bench AS (SELECT DISTINCT unnest(gh) AS gram FROM g WHERE doc_id < 50),
+         |drop_set AS (
+         |  SELECT DISTINCT doc_id, tok_idx FROM (
+         |    SELECT p.doc_id, unnest(generate_series(p.pos, p.pos + 2)) AS tok_idx
+         |    FROM pos p SEMI JOIN bench b USING (gram))),
+         |kept AS (
+         |  SELECT k.doc_id, k.tok_idx, k.token
+         |  FROM tok k ANTI JOIN drop_set d USING (doc_id, tok_idx)),
+         |rebuilt AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |    string_agg(token, ' ' ORDER BY tok_idx) AS text_clean
+         |  FROM kept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(r.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
     },
 
     // integer-ppm rate derivation + the same hash draw, from scratch

@@ -73,6 +73,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Mixture.stratifiedSample(tiny, "doc_id", "source", 5).count() == 1)
   }
 
+  test("removeOverlap cuts benchmark-covered spans, salvages the rest, null-safe") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                 // the benchmark doc itself
+      (2L, "intro alpha beta gamma outro words here"),// partial: leaked 3-gram inside
+      (3L, "totally different content entirely"),     // disjoint: untouched
+      (4L, "alpha beta"),                             // too short for a 3-gram
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val out = Contamination.removeOverlap(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // benchmark doc: every token covered -> empty rebuild
+    assert(out(1L).getLong(2) == 0L && out(1L).getString(3) == "")
+    // partial: the leaked gram at pos 2 covers tokens 2..4
+    assert(out(2L).getString(3) == "intro outro words here")
+    assert(out(2L).getLong(1) == 7L && out(2L).getLong(2) == 4L)
+    // disjoint: byte-identical text survives
+    assert(out(3L).getString(3) == "totally different content entirely")
+    // sub-gram-length doc: nothing can match, kept whole
+    assert(out(4L).getString(3) == "alpha beta")
+    // NULL text: surfaces with NULL n_tokens, never vanishes
+    assert(out(5L).isNullAt(1) && out(5L).getLong(2) == 0L && out(5L).getString(3) == "")
+  }
+
   test("rebalance approximates target shares, caps over-demanded strata, drops untargeted") {
     // 1000 docs: src0 has 100, src1 has 300, src2 has 600
     val docs = (0L until 1000L).map { i =>
