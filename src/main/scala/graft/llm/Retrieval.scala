@@ -199,4 +199,26 @@ object Retrieval {
     matched.groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
   }
+
+  /** PROXIMITY search over a positional index: documents where `termA`
+    * and `termB` co-occur within `window` token positions (unordered).
+    * Same pruned-posting shape as [[phraseSearch]]: each side reads one
+    * term's postings, the pair test is a (doc_id) equi-join + distance
+    * filter — per-doc posting lists are document-sized, never the
+    * corpus. Returns (doc_id, n_pairs, min_dist). */
+  def proximitySearch(
+      index: DataFrame,
+      termA: String,
+      termB: String,
+      window: Int): DataFrame = {
+    require(termA != termB, "proximitySearch needs two distinct terms")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = index.filter(col("token") === termA).select(col("doc_id"), col("pos").as("pa"))
+    val b = index.filter(col("token") === termB).select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .withColumn("dist", abs(col("pa") - col("pb")))
+      .filter(col("dist") <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), min("dist").as("min_dist"))
+  }
 }

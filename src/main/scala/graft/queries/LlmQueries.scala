@@ -1171,6 +1171,13 @@ object LlmQueries {
       Retrieval.phraseSearch(idx, Seq("value", "table", "part"))
     }),
 
+    // unordered two-term proximity over the same index
+    "q_proximity_search" -> ((s, dir) => {
+      val idx = Retrieval.positionalIndex(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      Retrieval.proximitySearch(idx, "table", "value", window = 3)
+    }),
+
     // CRAWL -> CORPUS end to end, one oracled query: WARC scan (pushed
     // response/200 predicates) -> GRAFT-HTML-TEXT extraction -> GRAFT-
     // CLEAN normalization -> Gopher/C4 quality gate. The oracle rebuilds
@@ -3204,6 +3211,22 @@ object LlmQueries {
          |  CAST(len(hits) AS BIGINT) AS n_matches,
          |  CAST(hits[1] - 1 AS INTEGER) AS first_pos
          |FROM m WHERE len(hits) > 0""".stripMargin,
+
+    // all (posA, posB) pairs within the window, from the token lists
+    "q_proximity_search" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |ab AS (SELECT doc_id,
+         |  list_filter(generate_series(1, len(t)), i -> t[i] = 'table') AS pa,
+         |  list_filter(generate_series(1, len(t)), i -> t[i] = 'value') AS pb
+         |  FROM toks),
+         |d AS (SELECT doc_id,
+         |  list_filter(flatten(list_transform(pa,
+         |    i -> list_transform(pb, j -> abs(i - j)))), x -> x <= 3) AS ds
+         |  FROM ab)
+         |SELECT doc_id,
+         |  CAST(len(ds) AS BIGINT) AS n_pairs,
+         |  CAST(list_min(ds) AS INTEGER) AS min_dist
+         |FROM d WHERE len(ds) > 0""".stripMargin,
 
     // the crawl chain rebuilt from the html.parser expectations: clean
     // (nfc + C0 strip) then the standard quality CTE over the result

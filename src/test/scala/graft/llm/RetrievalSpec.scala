@@ -93,4 +93,17 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(single.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L)))
   }
+
+  test("proximitySearch: unordered window pairs, exact counts and min distance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "value x table"),           // dist 2 (unordered: value before table)
+      (2L, "table y y y value"),       // dist 4: outside window 3
+      (3L, "table value z table"),     // pairs: (0,1)=1, (3,1)=2 -> 2 pairs
+      (4L, "neither here")).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs, "doc_id", "text")
+    val got = Retrieval.proximitySearch(idx, "table", "value", window = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 2), (3L, 2L, 1)))
+  }
 }
