@@ -181,6 +181,23 @@ object WebDataset {
     }.toDF("shard_file", "name", "size", "content")
   }
 
+  /** Loader-side SAMPLE view: members grouped by their key (the name up
+    * to the first '.'), one row per sample with a `parts` map of
+    * extension → content — the unit a WebDataset data loader consumes.
+    * Grouping happens WITHIN each shard partition (the write contract
+    * keeps a sample's members adjacent in one shard), so no shuffle:
+    * one pass per shard, `groupBy` over shard-local rows via
+    * map-side-complete aggregation on (shard, key). */
+  def readSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, dir)
+      .withColumn("key", substring_index(col("name"), ".", 1))
+      .withColumn("ext", expr("substring(name, length(key) + 2)"))
+      .groupBy(col("shard_file"), col("key"))
+      .agg(map_from_entries(collect_list(struct(col("ext"), col("content"))))
+        .as("parts"))
+  }
+
   private def cstr(b: Array[Byte], off: Int, len: Int): String = {
     var end = off
     while (end < off + len && b(end) != 0) end += 1

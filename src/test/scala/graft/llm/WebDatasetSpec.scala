@@ -36,6 +36,21 @@ class WebDatasetSpec extends SparkSpec {
       g.map(_._1).distinct.length == 1 && g.map(_._2).exists(_.endsWith(".json"))))
   }
 
+  test("readSamples groups members into loader-shaped (key -> parts) rows") {
+    val dir = Files.createTempDirectory("graft_wds_samples").toFile.getAbsolutePath
+    WebDataset.write(corpus, "doc_id", "text", dir, nShards = 4)
+    val samples = WebDataset.readSamples(spark, dir).collect()
+    val src = corpus.as[(Long, String)].collect().toMap
+    assert(samples.length == src.size)
+    samples.foreach { r =>
+      val key = r.getString(1)
+      val parts = r.getMap[String, Array[Byte]](2)
+      assert(parts.keySet == Set("txt", "json"), s"$key: ${parts.keySet}")
+      assert(new String(parts("txt"), "UTF-8") == src(key.toLong))
+      assert(new String(parts("json"), "UTF-8").contains(s""""doc_id":${key.toLong}"""))
+    }
+  }
+
   test("shard assignment is pmod(id) and member order is sorted (deterministic bytes)") {
     val dirA = Files.createTempDirectory("graft_wds_a").toFile.getAbsolutePath
     val dirB = Files.createTempDirectory("graft_wds_b").toFile.getAbsolutePath
