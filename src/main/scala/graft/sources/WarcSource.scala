@@ -454,6 +454,11 @@ private class WarcRecordReader(
       if (version == null) { atEof = true; return false }
       require(version.startsWith("WARC/"),
         s"WarcSource: expected WARC version line at offset $startPos of $file, got '$version'")
+      // implemented framing is WARC 0.x/1.x (ISO 28500 and the
+      // pre-standard drafts share it); an unknown major means unknown
+      // framing — reject loudly rather than misparse
+      require(version.startsWith("WARC/0.") || version.startsWith("WARC/1."),
+        s"WarcSource: unsupported WARC version '$version' in $file")
       val headers = readHeaders()
       val len = headers.getOrElse("Content-Length",
         throw new IllegalArgumentException(
