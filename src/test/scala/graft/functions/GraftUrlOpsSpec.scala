@@ -115,6 +115,45 @@ class GraftUrlOpsSpec extends SparkSpec {
     assert(n == schemes.size * hosts.size * ports.size * paths.size * queries.size * frags.size)
   }
 
+  test("seeded fuzz: parse recovers randomly assembled components") {
+    val rnd = new scala.util.Random(4242)
+    val schemes = Seq("http", "https", "ftp", "ws", "x-custom+v1.0")
+    def randHost(): String = rnd.nextInt(4) match {
+      case 0 => s"host${rnd.nextInt(100)}.example.com"
+      case 1 => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.0.${rnd.nextInt(256)}"
+      case 2 => "[2001:db8::" + rnd.nextInt(16).toHexString + "]"
+      case _ => s"sub-${rnd.nextInt(10)}.x${rnd.nextInt(10)}.co.uk"
+    }
+    def randPath(): String = rnd.nextInt(3) match {
+      case 0 => ""
+      case 1 => "/"
+      case _ => "/" + Seq.fill(rnd.nextInt(3) + 1)(s"p${rnd.nextInt(100)}").mkString("/")
+    }
+    for (_ <- 0 until 500) {
+      val sch = schemes(rnd.nextInt(schemes.length))
+      val h = randHost()
+      val userinfo = if (rnd.nextBoolean()) "" else "user:p-w@"
+      val p = if (rnd.nextBoolean()) -1 else rnd.nextInt(65536)
+      val pa = randPath()
+      val q = if (rnd.nextBoolean()) null else s"a=${rnd.nextInt(10)}&b=%20x"
+      val f = if (rnd.nextBoolean()) null else s"frag-${rnd.nextInt(10)}"
+      val url = sch + "://" + userinfo + h +
+        (if (p >= 0) s":$p" else "") + pa +
+        (if (q != null) s"?$q" else "") +
+        (if (f != null) s"#$f" else "")
+      assert(scheme(url) == sch.toLowerCase, url)
+      assert(host(url) == h.toLowerCase, url)
+      assert(port(url) == p, url)
+      assert(path(url) == pa, url)
+      assert(query(url) == q, url)
+      assert(frag(url) == f, url)
+      // canonical re-parses to the same host/scheme and is idempotent
+      val c = canon(url)
+      assert(c != null && host(c) == h.toLowerCase && scheme(c) == sch.toLowerCase, url)
+      assert(canon(c) == c, url)
+    }
+  }
+
   test("registrable domain: GRAFT-PSL v1 rules") {
     assert(dom("www.example.co.uk") == "example.co.uk")  // 2-label suffix
     assert(dom("a.b.example.com") == "example.com")      // 1-label suffix
