@@ -156,6 +156,75 @@ object Curation {
       .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
   }
 
+  /** SEVEN-gate curation verdict — [[curateV2]] extended with the
+    * crawl-side admission gates a web corpus needs before the content
+    * gates even run: per-domain capping (L65/L66 — no domain dominates,
+    * domainless docs inadmissible) and benchmark decontamination (L19 —
+    * eval-overlapping docs never train). Gates evaluate independently
+    * over the full corpus (the [[curateV2]] discipline: no gate alters
+    * another's training set); verdict = first failing gate:
+    *
+    *  1. exact_dup, 2. domain_capped, 3. low_quality, 4. off_label,
+    *  5. low_lp, 6. contaminated, 7. near_duplicate — else kept.
+    *
+    * Scale posture is the union of the parts: the URL/domain derivation
+    * is a kernel projection + one (domain) window cut to `perDomain`;
+    * contamination is a broadcast bench-gram semi-join; everything else
+    * as [[curateV2]]. Returns (doc_id, keep, reason). */
+  def curateV3(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      urlCol: String,
+      benchmark: DataFrame,
+      acceptLabels: Set[String],
+      minQuality: Double = 0.4,
+      minAvgLpMicros: Long = -3450000L,
+      minJaccard: Double = 0.5,
+      perDomain: Int = 100,
+      contaminationN: Int = 3,
+      maxContamination: Double = 0.2): DataFrame = {
+    require(acceptLabels.nonEmpty, "curateV3 needs at least one accept label")
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(labelCol).cast("string").as("__label"), col(urlCol).as("__url"))
+    val exact = d.select(col("doc_id"),
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+        .as("keep_id"))
+    val winners = Mixture.domainCap(
+      d.select(col("doc_id"), col("__url")), "doc_id", "__url", perDomain)
+      .select(col("doc_id"), lit(true).as("in_cap"))
+    val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .select("doc_id", "quality_score")
+    val nb = Classify.nbClassify(d, "doc_id", "text", "__label")
+      .select("doc_id", "predicted_label")
+    val lm = LangModel.lmScore(d, "doc_id", "text")
+    val contam = Contamination.overlap(d, benchmark, "doc_id", "text",
+      n = contaminationN, maxRatio = maxContamination)
+      .select("doc_id", "contaminated")
+    val reps = Dedup.clusters(d.select(col("doc_id")),
+      Dedup.minhashPairs(d, "doc_id", "text", minJaccard = minJaccard))
+    d.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(winners, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(nb, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(contam, Seq("doc_id"))
+      .join(reps, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("in_cap").isNull, lit("domain_capped"))
+          .when(col("quality_score") < minQuality, lit("low_quality"))
+          .when(!col("predicted_label").isin(acceptLabels.toSeq: _*), lit("off_label"))
+          .when(col("lp_micros") < lit(minAvgLpMicros) * col("n_pairs"), lit("low_lp"))
+          .when(col("contaminated"), lit("contaminated"))
+          .when(col("doc_id") =!= col("cluster_id"), lit("near_duplicate"))
+          .otherwise(lit("kept")).as("reason"))
+      .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
+  }
+
   /** The PRODUCTION shape of [[curateV2]]: score one corpus DROP against
     * persisted [[CurationArtifacts]] — models trained once, history
     * stores accumulated from previously gated drops — instead of

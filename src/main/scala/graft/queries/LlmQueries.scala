@@ -911,6 +911,17 @@ object LlmQueries {
       Curation.curateV2(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "lang", acceptLabels = Set("en", "de", "fr"))),
 
+    // the SEVEN-gate verdict: v2's five gates plus per-domain admission
+    // (the q_domain_cap URL grid) and benchmark decontamination
+    "q_curate_v3" -> ((s, dir) => {
+      val d0 = s.read.parquet(s"$dir/documents.parquet")
+      Curation.curateV3(
+        d0.withColumn("url", expr(urlConstructSql("STRING"))),
+        "doc_id", "text", "lang", "url",
+        benchmark = d0.filter(col("doc_id") < 50),
+        acceptLabels = Set("en", "de", "fr"), perDomain = 3)
+    }),
+
     // product-quantization codebook: per-subspace deterministic Lloyd
     // (fused one-pass-per-round trainer), emitted as (sub, code, dim, c)
     "q_pq_train" -> ((s, dir) => {
@@ -2868,6 +2879,102 @@ object LlmQueries {
          |  JOIN sc USING (doc_id)
          |  JOIN rnb USING (doc_id)
          |  LEFT JOIN sagg sg USING (doc_id)
+         |  JOIN clus USING (doc_id))
+         |SELECT doc_id, (reason = 'kept') AS keep, reason FROM verdict""".stripMargin,
+
+    "q_curate_v3" ->
+      // the SEVEN-gate verdict: q_curate_v2's five proven chains plus the
+      // q_domain_cap admission (urlParseCte + the hash-priority window)
+      // and the q_decontaminate ratio (renamed dcg/dcb/dctot/dcm, riding
+      // the quality chain's token lists)
+      s"""WITH RECURSIVE $nbModelCte,
+         |priors AS (
+         |  SELECT label,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS prior_micros
+         |  FROM labels, (SELECT sum(n_docs) AS n FROM labels)),
+         |doctok AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |docsum AS (
+         |  SELECT dt.doc_id, m.label, CAST(sum(m.loglik_micros) AS BIGINT) AS s
+         |  FROM doctok dt JOIN model m USING (token) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, p.label, p.prior_micros + coalesce(ds.s, 0) AS score
+         |  FROM documents d CROSS JOIN priors p
+         |  LEFT JOIN docsum ds ON ds.doc_id = d.doc_id AND ds.label = p.label),
+         |rnb AS (
+         |  SELECT doc_id, label AS predicted_label FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label ASC) AS rn FROM scored) WHERE rn = 1),
+         |$lmCte,
+         |sp AS (
+         |  SELECT lbp.doc_id,
+         |    u1.fallback_micros AS f1, u2.token AS tok2, bi.loglik_micros AS b
+         |  FROM lbp
+         |  LEFT JOIN luni u1 ON lbp.t[lbp.x] = u1.token
+         |  LEFT JOIN luni u2 ON lbp.t[lbp.x + 1] = u2.token
+         |  LEFT JOIN lbi bi ON bi.t1 = lbp.t[lbp.x] AND bi.t2 = lbp.t[lbp.x + 1]),
+         |sagg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL) AS BIGINT)
+         |      AS n_pairs,
+         |    CAST(coalesce(sum(coalesce(b, f1))
+         |      FILTER (WHERE f1 IS NOT NULL AND tok2 IS NOT NULL), 0) AS BIGINT)
+         |      AS lp_micros
+         |  FROM sp GROUP BY 1),
+         |${qualityCte.stripPrefix("WITH ")},
+         |ex AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM documents),
+         |pairs_q AS (
+         |${lshPairsSql(shinglesSql("text", 5),
+              perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5, maxBucket = 64)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs_q
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs_q),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |${urlParseCte.stripPrefix("WITH ")},
+         |dcap AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
+         |    ORDER BY ((doc_id * 1000003 + 17) % $P) % 100 ASC,
+         |             doc_id ASC) AS rn
+         |  FROM parsed WHERE domain IS NOT NULL),
+         |incap AS (SELECT doc_id FROM dcap WHERE rn <= 3),
+         |dcg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+         |    gs -> ${polyHashSql("gs", "ci")}))) AS g
+         |  FROM tok),
+         |dcb AS (SELECT DISTINCT g FROM dcg WHERE doc_id < 50),
+         |dctot AS (SELECT doc_id, count(*) AS n_grams FROM dcg GROUP BY 1),
+         |dcm AS (SELECT dcg.doc_id, count(*) AS n_matched
+         |        FROM dcg JOIN dcb USING (g) GROUP BY 1),
+         |verdict AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id <> ex.keep_id THEN 'exact_dup'
+         |         WHEN ic.doc_id IS NULL THEN 'domain_capped'
+         |         WHEN sc.quality_score < CAST(0.4 AS DOUBLE) THEN 'low_quality'
+         |         WHEN rnb.predicted_label NOT IN ('en', 'de', 'fr') THEN 'off_label'
+         |         WHEN coalesce(sg.lp_micros, 0) < -3450000 * coalesce(sg.n_pairs, 0)
+         |           THEN 'low_lp'
+         |         WHEN (CASE WHEN COALESCE(dctot.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |               ELSE CAST(COALESCE(dcm.n_matched, 0) AS DOUBLE) / dctot.n_grams END)
+         |           >= CAST(0.2 AS DOUBLE) THEN 'contaminated'
+         |         WHEN d.doc_id <> clus.cluster_id THEN 'near_duplicate'
+         |         ELSE 'kept' END AS reason
+         |  FROM documents d
+         |  JOIN ex USING (doc_id)
+         |  JOIN sc USING (doc_id)
+         |  JOIN rnb USING (doc_id)
+         |  LEFT JOIN sagg sg USING (doc_id)
+         |  LEFT JOIN incap ic USING (doc_id)
+         |  LEFT JOIN dctot USING (doc_id)
+         |  LEFT JOIN dcm USING (doc_id)
          |  JOIN clus USING (doc_id))
          |SELECT doc_id, (reason = 'kept') AS keep, reason FROM verdict""".stripMargin,
 

@@ -51,6 +51,32 @@ class CurateV2Spec extends SparkSpec {
     assert(out(20L) == "low_lp")
   }
 
+  test("curateV3: the two crawl gates fire in precedence order") {
+    val docs = Seq(
+      // distinct hosts under one registrable domain: cap 1 keeps one
+      (1L, good, "en", "https://a.example.com/1"),
+      (2L, good + " tail one", "en", "https://b.example.com/2"),
+      (3L, good + " tail two other", "en", "https://c.example.com/3"),
+      // domainless url -> domain_capped regardless of content
+      (4L, good + " alpha beta unique", "en", "not a url"),
+      // exact dup of 1 on ANOTHER domain: exact_dup wins over the cap
+      (5L, good, "en", "https://x.other.io/5"),
+      // the benchmark doc itself on its own domain -> contaminated
+      (9L, "bench mark answer text leaks here today", "en", "https://y.bench.io/9"))
+      .toDF("doc_id", "text", "lang", "url")
+    val out = Curation.curateV3(docs, "doc_id", "text", "lang", "url",
+      benchmark = docs.filter(col("doc_id") === 9L),
+      acceptLabels = Set("en"), minAvgLpMicros = -5000000L,
+      minJaccard = 0.95, perDomain = 1)
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r._3).toMap
+    // one example.com winner kept (hash-priority), the others capped
+    val exampleDocs = Seq(1L, 2L, 3L).map(out)
+    assert(exampleDocs.count(_ == "domain_capped") >= 1)
+    assert(out(4L) == "domain_capped")
+    assert(out(5L) == "exact_dup")  // precedence over the domain gate
+    assert(out(9L) == "contaminated")
+  }
+
   test("verdict covers every input exactly once") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val v = Curation.curateV2(docs, "doc_id", "text", "lang",
