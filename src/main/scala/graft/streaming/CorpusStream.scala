@@ -236,12 +236,22 @@ object CorpusStream {
     * stream lifetime). Only batches strictly below `uptoExclusive` are
     * folded (the current batch's replay discipline must keep seeing its
     * own id excluded, and a batch folded into base BEFORE its checkpoint
-    * committed would poison its own replay). Crash-safe via the
-    * [[SnapshotStream.mergeSink]] staging two-step: a committed staging
-    * with no base is finished on the next call; an uncommitted one is
-    * discarded; a crash between base swap steps at worst leaves
-    * duplicate rows across base and an unfolded batch dir, which the
-    * gate's `.distinct()` candidate/dup-id steps make decision-neutral. */
+    * committed would poison its own replay).
+    *
+    * Crash-safe by ROLL-FORWARD, not decision-neutral duplication: the
+    * domain-cap store SUMS `n_admitted` across rows, so a fold that
+    * double-counts a delta (folded into base AND left on disk) or loses
+    * one (deleted without its fold surviving) would permanently skew the
+    * cap — unlike the near-dup stores, whose `.distinct()` consumers
+    * forgive duplicates. The protocol: (1) write the folded store to
+    * `.compact_staging`; (2) commit it by writing an `_UPTO` manifest
+    * holding `uptoExclusive` (strictly after the parquet `_SUCCESS`);
+    * (3) delete the folded batch dirs and the old base, each delete
+    * verified; (4) rename staging → base. A crash before (2) discards
+    * the staging (all inputs still on disk — recompute); a crash after
+    * (2) rolls FORWARD on the next call: the manifest says exactly which
+    * batch dirs the committed fold already covers, so recovery finishes
+    * steps (3)–(4) idempotently instead of guessing from what survived. */
   private[streaming] def compactBucketedStore(
       spark: SparkSession, path: String, bucketCol: String,
       uptoExclusive: Long,
@@ -251,21 +261,42 @@ object CorpusStream {
     if (!fs.exists(root)) return
     val staging = new Path(root, ".compact_staging")
     val base = new Path(root, "batch=-1")
-    if (fs.exists(staging)) {
-      if (fs.exists(new Path(staging, "_SUCCESS")) && !fs.exists(base)) {
-        require(fs.rename(staging, base),
-          s"compactBucketedStore: could not finish crashed swap at $path")
-        return // the crashed compaction folded everything it saw
-      } else fs.delete(staging, true)
+    val manifest = new Path(staging, "_UPTO")
+    def deleteChecked(p: Path, what: String): Unit = {
+      // delete() returns false both on failure and on already-absent;
+      // only absence is acceptable — a surviving dir would double-count.
+      if (!fs.delete(p, true) && fs.exists(p))
+        throw new IllegalStateException(
+          s"compactBucketedStore: could not delete $what $p at $path")
     }
-    val batchDirs = fs.listStatus(root)
+    def finalizedDirs(upto: Long): Array[Path] = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath)
       .filter { p =>
         val v = p.getName.stripPrefix("batch=").toLong
-        v >= 0 && v < uptoExclusive
+        v >= 0 && v < upto
       }
-    if (batchDirs.isEmpty) return
+    def swapIn(upto: Long): Unit = {
+      finalizedDirs(upto).foreach(deleteChecked(_, "folded batch dir"))
+      deleteChecked(base, "old base")
+      // the _UPTO manifest rides along into base (underscore-prefixed
+      // files are invisible to parquet reads); deleting it BEFORE the
+      // rename would reopen the crash window it exists to close.
+      require(fs.rename(staging, base),
+        s"compactBucketedStore: could not move staging into place at $path")
+    }
+    if (fs.exists(staging)) {
+      if (fs.exists(manifest)) {
+        // committed fold from a crashed run: roll forward using ITS upto
+        // (not ours — the fold only covers what it saw), then continue
+        // below to fold anything that has accumulated since.
+        val in = fs.open(manifest)
+        val recoveredUpto =
+          try new java.io.DataInputStream(in).readLong() finally in.close()
+        swapIn(recoveredUpto)
+      } else deleteChecked(staging, "uncommitted staging")
+    }
+    if (finalizedDirs(uptoExclusive).isEmpty) return
     fold(spark.read.parquet(path)
         .filter(col("batch") < uptoExclusive) // base (-1) + finalized batches
         .drop("batch"))
@@ -276,10 +307,10 @@ object CorpusStream {
         else col("doc_id"))
       .write.partitionBy(bucketCol)
       .mode("overwrite").parquet(staging.toString)
-    batchDirs.foreach(d => fs.delete(d, true))
-    fs.delete(base, true)
-    require(fs.rename(staging, base),
-      s"compactBucketedStore: could not move staging into place at $path")
+    val out = fs.create(manifest, true) // commit point: fold is durable
+    try new java.io.DataOutputStream(out).writeLong(uptoExclusive)
+    finally out.close()
+    swapIn(uptoExclusive)
   }
 
   /** One micro-batch of [[nearDupGateBucketedSink]], callable directly.
@@ -534,6 +565,16 @@ object CorpusStream {
       suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes): Unit = {
     require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
     val spark = batch.sparkSession
+    // Compact BEFORE reading prior counts, never after ([[
+    // nearDupGateBucketedBatch]] order): compaction at batch start also
+    // runs crash RECOVERY, and a committed-but-unswapped fold means some
+    // deltas live only in the staging dir — which the prior read cannot
+    // see. Deciding against the un-recovered store would under-count
+    // every domain the lost delta touched and silently overshoot the cap.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactBucketedStore(spark, storePath, DomainBucketCol, batchId,
+        fold = df => df.groupBy(col(DomainBucketCol), col("domain"))
+          .agg(sum("n_admitted").as("n_admitted")))
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = batch.columns.toSeq
@@ -576,10 +617,6 @@ object CorpusStream {
       .agg(count(lit(1)).as("n_admitted"))
       .write.partitionBy(DomainBucketCol)
       .mode("overwrite").parquet(s"$storePath/batch=$batchId")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compactBucketedStore(spark, storePath, DomainBucketCol, batchId,
-        fold = df => df.groupBy(col(DomainBucketCol), col("domain"))
-          .agg(sum("n_admitted").as("n_admitted")))
   }
 
   /** Streaming DECONTAMINATION gate — "protect the eval set from every

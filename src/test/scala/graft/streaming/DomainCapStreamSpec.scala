@@ -104,6 +104,101 @@ class DomainCapStreamSpec extends SparkSpec {
     assert(totals == byDomain)
   }
 
+  // --- compaction crash recovery: the summed store must neither lose ---
+  // --- nor double-count a delta, whatever step the crash interrupted ---
+
+  /** Build a store with batches 0..3 (uncompacted) and return the
+    * per-domain kept truth the store must keep matching. */
+  private def storeWithFourBatches(): (String, String, String, Map[String, Long]) = {
+    val (kept, rej, store) = freshDirs()
+    for (b <- 0L to 3L)
+      run(docs((100 * b + 1, s"https://g$b.x.com/"), (100 * b + 2, "https://y.io/")),
+        b, kept, rej, store)
+    val truth = spark.read.parquet(kept).groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (kept, rej, store, truth)
+  }
+
+  private def storeTotals(store: String): Map[String, Long] =
+    spark.read.parquet(store).groupBy("domain")
+      .agg(sum("n_admitted").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Write the committed-fold crash state by hand: a staging dir holding
+    * the fold of batches < upto plus the _UPTO manifest — exactly what a
+    * crash right after the commit point leaves behind. */
+  private def plantCommittedStaging(store: String, upto: Long): Unit = {
+    spark.read.parquet(store).filter(col("batch") < upto).drop("batch")
+      .groupBy(col(CorpusStream.DomainBucketCol), col("domain"))
+      .agg(sum("n_admitted").as("n_admitted"))
+      .write.partitionBy(CorpusStream.DomainBucketCol)
+      .parquet(s"$store/.compact_staging")
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$store/.compact_staging/_UPTO"))
+    try out.writeLong(upto) finally out.close()
+  }
+
+  private def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
+  test("recovery: committed staging with partially-deleted deltas rolls forward") {
+    val (_, _, store, truth) = storeWithFourBatches()
+    plantCommittedStaging(store, 4L)
+    deleteDir(s"$store/batch=1") // crash interrupted the delete loop here
+    // next compaction call (any upto) must finish the committed fold:
+    // batch=1's counts live ONLY in the staging now — discarding it
+    // would lose them; folding batch=0/2/3 again would double them.
+    CorpusStream.compactBucketedStore(spark, store,
+      CorpusStream.DomainBucketCol, 4L,
+      fold = df => df.groupBy(col(CorpusStream.DomainBucketCol), col("domain"))
+        .agg(sum("n_admitted").as("n_admitted")))
+    assert(storeTotals(store) == truth)
+    val dirs = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=-1"))
+  }
+
+  test("recovery: uncommitted staging is discarded and deltas survive intact") {
+    val (_, _, store, truth) = storeWithFourBatches()
+    // staging WITHOUT _UPTO: the fold write crashed before the commit
+    // point, so all batch dirs are still on disk — recompute from them
+    spark.read.parquet(store).filter(col("batch") < 2).drop("batch")
+      .write.partitionBy(CorpusStream.DomainBucketCol)
+      .parquet(s"$store/.compact_staging")
+    CorpusStream.compactBucketedStore(spark, store,
+      CorpusStream.DomainBucketCol, 4L,
+      fold = df => df.groupBy(col(CorpusStream.DomainBucketCol), col("domain"))
+        .agg(sum("n_admitted").as("n_admitted")))
+    assert(storeTotals(store) == truth)
+  }
+
+  test("recovery: crash after all deletes but before the base swap finishes") {
+    val (_, _, store, truth) = storeWithFourBatches()
+    plantCommittedStaging(store, 4L)
+    for (b <- 0L to 3L) deleteDir(s"$store/batch=$b")
+    CorpusStream.compactBucketedStore(spark, store,
+      CorpusStream.DomainBucketCol, 4L)
+    assert(storeTotals(store) == truth)
+  }
+
+  test("recovery happens through the gate itself and decisions stay correct") {
+    val (kept, rej, store, _) = storeWithFourBatches() // x.com full at 3
+    plantCommittedStaging(store, 4L)
+    deleteDir(s"$store/batch=2")
+    // batch 4 (compactEvery=4 → compaction runs first, recovering) must
+    // still see x.com at its cap — not under (lost delta) or over
+    run(docs((400L, "https://h.x.com/"), (401L, "https://w.z.dev/")),
+      4L, kept, rej, store, compactEvery = 4)
+    assert(!ids(kept).contains(400L)) // x.com full: count survived the crash
+    assert(ids(kept).contains(401L)) // fresh domain unaffected
+    assert(storeTotals(store)("x.com") == 3L)
+  }
+
   test("the sink end-to-end over a two-drop file stream matches direct batches") {
     val root = Files.createTempDirectory("domcapstream")
     val in = s"$root/in"
