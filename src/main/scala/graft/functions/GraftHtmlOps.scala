@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `>`;
   *  3. character references decode with the semicolon-required rule:
   *     `&#NNN;` / `&#xHH;` plus named {amp,lt,gt,quot,apos,nbsp→space};
-  *     anything else stays verbatim;
+  *     anything else — unknown names, cp 0, cp > U+10FFFF, and the
+  *     surrogate range U+D800–U+DFFF — stays verbatim;
   *  4. opening AND closing tags of block elements contribute a line
   *     break; every other tag contributes nothing; source whitespace
   *     (incl. newlines — and `pre` content) is collapsible space;
@@ -123,7 +124,14 @@ object GraftHtmlOps {
         if (j > digStart && j < n && s.charAt(j) == ';') {
           try {
             val cp = Integer.parseInt(s.substring(digStart, j), if (hex) 16 else 10)
-            if (cp > 0 && cp <= 0x10FFFF && suppress == 0) out.appendCodePoint(cp)
+            // Surrogate code points (U+D800–U+DFFF) are NOT decodable:
+            // appendCodePoint would emit a lone UTF-16 surrogate that
+            // UTF8String conversion mangles. Rule 3's "anything else
+            // stays verbatim" applies — same rule in decode_refs on the
+            // python fixture side, where chr(cp) would make a string
+            // parquet cannot encode.
+            val valid = cp > 0 && cp <= 0x10FFFF && (cp < 0xD800 || cp > 0xDFFF)
+            if (valid && suppress == 0) out.appendCodePoint(cp)
             else if (suppress == 0) out.append(s, from, j + 1)
             return j + 1
           } catch { case _: NumberFormatException => }

@@ -134,7 +134,16 @@ object GraftUrlOps {
   }
 
   /** (host, port) split of hostport: a digits-only suffix after the last
-    * ':' is the port; a bare trailing ':' is dropped; port -1 = absent. */
+    * ':' is the port; a bare trailing ':' is dropped; port -1 = absent.
+    *
+    * RFC 3986 §3.2.3 port = *DIGIT — ANY length of digits is a port
+    * syntactically, so the digits always split off the host. Values the
+    * transport cannot carry (> 65535) report as ABSENT (-1): not a
+    * clamp, not an overflowed garbage value, and — because the rule is
+    * "numeric value", computed after leading zeros — safe at any digit
+    * count. The DuckDB oracle mirror applies the identical rule via
+    * ltrim + length guard (urlParseCte), so no cross-engine CAST can
+    * diverge. */
   private def splitPort(hp: String): (String, Int) = {
     val i = hp.lastIndexOf(':')
     if (i < 0) (hp, -1)
@@ -145,8 +154,12 @@ object GraftUrlOps {
       while (j < hp.length && digits) { digits = hp.charAt(j) >= '0' && hp.charAt(j) <= '9'; j += 1 }
       if (!digits) (hp, -1)
       else {
-        // clamp absurd ports rather than overflow (port is 16-bit anyway)
-        val p = try hp.substring(i + 1).toInt catch { case _: NumberFormatException => -1 }
+        var z = i + 1 // leading zeros are numeric, not positional
+        while (z < hp.length - 1 && hp.charAt(z) == '0') z += 1
+        val trimmed = hp.substring(z)
+        val p =
+          if (trimmed.length > 5) -1 // > 99999: out of port range for sure
+          else { val v = trimmed.toInt; if (v > 65535) -1 else v }
         (hp.substring(0, i), p)
       }
     }

@@ -174,7 +174,8 @@ case class KmvHashes(
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "kmv_hashes expects a string column (hashed internally) or a " +
-        s"precomputed polyHash long column, got ${child.dataType.catalogString}")
+        "long column (a precomputed polyHash, or any id — folded into " +
+        s"[0, M) first), got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(
@@ -203,11 +204,19 @@ case class KmvHashes(
   override def update(buf: KmvState, input: InternalRow): KmvState = {
     val v = child.eval(input)
     if (v != null) {
-      // a long input is a precomputed polyHash (e.g. the compiled
-      // ngramHashes kernel's output) -- same scatter, identical sketch
+      // A long input is a precomputed polyHash (e.g. the compiled
+      // ngramHashes kernel's output) — same scatter, identical sketch.
+      // Arbitrary longs (raw ids) are first folded into [0, M): without
+      // this, scatter's h*1000003 multiply overflows Long and the
+      // "hashes" go negative, silently corrupting the k-th minimum. The
+      // fold is the identity for in-range polyHash values (every
+      // existing oracle), and for out-of-range inputs it is the same
+      // deterministic ((h % M) + M) % M a SQL mirror computes.
       val h =
-        if (childIsLong) v.asInstanceOf[Long]
-        else GraftHashOps.polyHash(v.asInstanceOf[UTF8String])
+        if (childIsLong) {
+          val raw = v.asInstanceOf[Long]
+          ((raw % M) + M) % M
+        } else GraftHashOps.polyHash(v.asInstanceOf[UTF8String])
       add(buf, scatter(h))
     }
     buf

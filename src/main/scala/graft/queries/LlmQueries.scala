@@ -1066,8 +1066,9 @@ object LlmQueries {
     // digest. Fixture = independent python implementation of the WARC 1.1
     // + RFC 9112 specs (tools/make_warc_fixture.py); covers record-per-
     // member gzip, LWS header folding, chunked transfer coding with
-    // extensions + trailers, and gzip content coding. payload is the
-    // DECODED http body for responses (raw block otherwise).
+    // extensions + trailers, and gzip + deflate (zlib AND raw) content
+    // codings. payload is the DECODED http body for responses (raw block
+    // otherwise); unsupported codings (br) reject loudly.
     "q_warc_records" -> ((s, _) => s.read
       .format(classOf[graft.sources.WarcSource].getName)
       .option("path", warcGz)
@@ -1284,8 +1285,13 @@ object LlmQueries {
        |           WHEN 2 THEN 'ac.uk' WHEN 3 THEN 'com.au'
        |           WHEN 4 THEN 'io' ELSE 'unknowntld' END)
        |  END,
-       |  CASE doc_id % 5 WHEN 0 THEN ':8080' WHEN 1 THEN ':443'
-       |    WHEN 2 THEN ':' ELSE '' END,
+       |  CASE doc_id % 5
+       |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE ':065535' END
+       |    WHEN 1 THEN ':443'
+       |    WHEN 2 THEN ':'
+       |    WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN ':65536'
+       |      ELSE ':99999999999999999999' END
+       |    ELSE '' END,
        |  CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
        |    WHEN 2 THEN concat('/docs/', ${c("doc_id")}, '/view')
        |    ELSE '/a%20b' END,
@@ -3460,7 +3466,13 @@ object LlmQueries {
        |         WHEN hp LIKE '%:' THEN
        |           nullif(lower(substr(hp, 1, length(hp) - 1)), '')
        |         ELSE nullif(lower(hp), '') END AS host,
+       |    -- port = *DIGIT (any length); numeric value > 65535 -> absent
+       |    -- (the same rule the Scala kernel applies). TRY_CAST instead
+       |    -- of CAST because vectorized OR/AND do not short-circuit:
+       |    -- a 20-digit suffix must yield NULL, never a conversion error.
        |    CASE WHEN authmark = '' OR port_s = '' THEN NULL
+       |         WHEN TRY_CAST(port_s AS HUGEINT) IS NULL THEN NULL
+       |         WHEN TRY_CAST(port_s AS HUGEINT) > 65535 THEN NULL
        |         ELSE CAST(port_s AS INTEGER) END AS port
        |  FROM p2),
        |pd AS (

@@ -24,9 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * One row per WARC record. For `response` records the HTTP/1.1 message
   * in the block is parsed (RFC 9112): status line, headers, then the body
   * is de-chunked (`Transfer-Encoding: chunked`, incl. chunk extensions
-  * and trailers) and content-decoded (`Content-Encoding: gzip`) — so
-  * `payload` is the bytes a text-extraction stage actually wants, not the
-  * wire framing. Other record types carry their raw block as `payload`.
+  * and trailers) and content-decoded (`Content-Encoding: gzip`/`x-gzip`,
+  * `deflate` — zlib or raw — and `identity`; anything else, e.g. `br`,
+  * rejects loudly) — so `payload` is the bytes a text-extraction stage
+  * actually wants, not the wire framing. Other record types carry their
+  * raw block as `payload`.
   *
   * Scale posture (100 TB = a CommonCrawl-sized corpus):
   *  - the parallel unit is the FILE — crawls ship as ~1 GB `.warc.gz`
@@ -556,8 +558,24 @@ private[sources] object WarcHttp {
     var body = java.util.Arrays.copyOfRange(block, headerEnd + 4, block.length)
     if (headers.get("Transfer-Encoding").exists(_.toLowerCase.contains("chunked")))
       body = dechunk(body, ctx)
-    if (headers.get("Content-Encoding").exists(_.equalsIgnoreCase("gzip")))
-      body = gunzip(body)
+    // Content-Encoding is an ordered list applied by the sender left to
+    // right, so the receiver decodes right to left (RFC 9110 §8.4).
+    // Unsupported codings (br, zstd, compress) REJECT LOUDLY — emitting
+    // still-compressed bytes as "payload" would feed garbage to html
+    // extraction downstream, the silent misparse this source forbids.
+    headers.get("Content-Encoding").toSeq
+      .flatMap(_.split(',')).map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .reverse.foreach {
+        case "gzip" | "x-gzip" => body = gunzip(body)
+        case "deflate"         => body = inflate(body, ctx)
+        case "identity"        => ()
+        case other => throw new IllegalArgumentException(
+          s"WarcSource: unsupported Content-Encoding '$other' in $ctx — " +
+            "supported: gzip, deflate, identity. Filter such records out " +
+            "(e.g. on http_status / a metadata-only pass) or re-encode " +
+            "the crawl; this reader will not emit undecoded bytes as a " +
+            "decoded body.")
+      }
     (status, ct, body)
   }
 
@@ -604,6 +622,41 @@ private[sources] object WarcHttp {
       }
     }
     out.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` decode. RFC 9110 defines deflate as the
+    * ZLIB container (RFC 1950), but a well-documented population of
+    * servers ships RAW deflate (RFC 1951) under the same token — both
+    * browsers accept both, so both are decoded here: zlib first (the
+    * spec reading), raw as the fallback. A stream that is neither fails
+    * loudly with the record context. */
+  private[sources] def inflate(b: Array[Byte], ctx: String): Array[Byte] = {
+    def tryInflate(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+        val buf = new Array[Byte](1 << 16)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary())
+            throw new java.util.zip.DataFormatException("truncated deflate stream")
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try tryInflate(false)
+    catch {
+      case _: java.util.zip.DataFormatException =>
+        try tryInflate(true)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"WarcSource: Content-Encoding deflate body is neither zlib " +
+                s"nor raw deflate in $ctx: ${e.getMessage}")
+        }
+    }
   }
 
   private[sources] def gunzip(b: Array[Byte]): Array[Byte] = {

@@ -56,6 +56,16 @@ class GraftHtmlOpsSpec extends SparkSpec {
     assert(x("non&nbsp;breaking") == "non breaking")
     assert(x("&copy; stays & bare &#65;&#x42;&#x1F600;") == "&copy; stays & bare AB😀")
     assert(x("&bogus; and &unterminated") == "&bogus; and &unterminated")
+    // surrogate-range and out-of-range numeric refs stay verbatim: a
+    // decoded lone surrogate would be an invalid string UTF8String
+    // mangles, and the python fixture side could not even write it
+    assert(x("a &#xD800; b &#56320; c &#xDFFF; d") ==
+      "a &#xD800; b &#56320; c &#xDFFF; d")
+    assert(x("&#x110000; over &#0; zero") == "&#x110000; over &#0; zero")
+    // the boundaries around the surrogate gap still decode
+    assert(x("&#xD7FF;").codePointAt(0) == 0xD7FF)
+    assert(x("&#xE000;").codePointAt(0) == 0xE000)
+    assert(x("&#x10FFFF;").codePointAt(0) == 0x10FFFF)
   }
 
   test("rule 4: block tags break lines, inline tags join, source newlines collapse") {

@@ -64,6 +64,20 @@ class GraftUrlOpsSpec extends SparkSpec {
     assert(host("http://[2001:DB8::2]") == "[2001:db8::2]")
     assert(port("http://[2001:db8::2]") == -1)
     assert(host("http://u@h:81") == "h" && port("http://u@h:81") == 81)
+    // RFC 3986 port = *DIGIT at any length: the digits always split off
+    // the host; values > 65535 report absent (never a clamp, never an
+    // Int overflow). Leading zeros are numeric.
+    assert(host("http://h:65535/") == "h" && port("http://h:65535/") == 65535)
+    assert(host("http://h:065535/") == "h" && port("http://h:065535/") == 65535)
+    assert(host("http://h:65536/") == "h" && port("http://h:65536/") == -1)
+    assert(host("http://h:99999999999/") == "h" && port("http://h:99999999999/") == -1)
+    assert(host("http://h:99999999999999999999/") == "h" &&
+      port("http://h:99999999999999999999/") == -1)
+    assert(host("http://h:000000000000080/") == "h" &&
+      port("http://h:000000000000080/") == 80)
+    assert(port("http://h:0/") == 0)
+    // an over-range port canonicalizes with the port omitted, same host
+    assert(canon("http://H:99999999999/x") == "http://h/x")
   }
 
   test("agrees with java.net.URI on well-formed absolute URLs") {

@@ -39,6 +39,39 @@ class KmvDistinctSpec extends SparkSpec {
       s"est=$est true=$trueDistinct tol=$tol")
   }
 
+  test("kmv_hashes folds arbitrary longs into range: no overflow corruption") {
+    val M = graft.llm.TextHash.Prime
+    // raw ids far outside [0, M), including negatives and extremes —
+    // before the fold, scatter's multiply overflowed these into negative
+    // "hashes" that displaced real minima
+    val raw = Seq(Long.MinValue, -1L, Long.MaxValue, 0L, M, M + 7L,
+      123456789012345L, -987654321098765L)
+    val hashes = raw.toDF("h")
+      .agg(KmvHashes(col("h"), 8).as("ks"))
+      .select(explode(col("ks")).as("h")).as[Long].collect()
+    assert(hashes.forall(h => h >= 0 && h < M),
+      s"out-of-range sketch hashes: ${hashes.mkString(",")}")
+    // the fold is deterministic: raw ids and their pre-folded values
+    // produce the IDENTICAL sketch (the SQL-mirrorable contract)
+    val folded = raw.map(h => ((h % M) + M) % M)
+    val viaFolded = folded.toDF("h")
+      .agg(KmvHashes(col("h"), 8).as("ks"))
+      .select(explode(col("ks")).as("h")).as[Long].collect()
+    assert(hashes.sorted.sameElements(viaFolded.sorted))
+    // and the fold is the identity for in-range polyHash values: the
+    // string path and the precomputed-long path still agree bit-for-bit
+    val words = Seq("alpha", "beta", "gamma", "alpha")
+    val viaString = words.toDF("v").agg(KmvHashes(col("v"), 8).as("ks"))
+      .select(explode(col("ks")).as("h")).as[Long].collect()
+    val viaLong = words
+      .map(w => GraftHashOps.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      .toDF("h")
+      .agg(KmvHashes(col("h"), 8).as("ks"))
+      .select(explode(col("ks")).as("h")).as[Long].collect()
+    assert(viaString.sorted.sameElements(viaLong.sorted))
+  }
+
   test("nulls are ignored; grouped sketches stay independent") {
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")),
       ("b", Some("x"))).toDF("g", "v")

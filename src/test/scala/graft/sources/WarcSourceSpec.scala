@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
 /** WARC source: checked against the COMMITTED python-generated fixture
   * (`tools/make_warc_fixture.py` writes the bytes from the public ISO
   * 28500 + RFC 9112 specs — an implementation independent of the Scala
-  * reader). 11 records: warcinfo, request, five responses (identity /
-  * chunked / gzip / chunked+gzip / plain-text / 404), metadata, revisit,
-  * resource; one record with an LWS-folded header; the `.gz` twin is
-  * record-per-member. */
+  * reader). 13 records: warcinfo, request, seven responses (identity /
+  * chunked / gzip / chunked+gzip / zlib-deflate / raw-deflate /
+  * plain-text / 404), metadata, revisit, resource; one record with an
+  * LWS-folded header; the `.gz` twin is record-per-member. A separate
+  * `unsupported_ce.warc` carries a brotli response the reader must
+  * reject loudly. */
 class WarcSourceSpec extends SparkSpec {
 
   private val gz = new File("data/warc/crawl.warc.gz").getAbsolutePath
@@ -38,7 +40,7 @@ class WarcSourceSpec extends SparkSpec {
     val exp = spark.read.parquet(expected)
     assert(got.columns.toSeq == exp.columns.toSeq)
     assert(rows(got) == rows(exp))
-    assert(got.count() == 11)
+    assert(got.count() == 13)
   }
 
   test("plain .warc parses identically to the record-per-member .gz") {
@@ -68,7 +70,7 @@ class WarcSourceSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("type=response"), s"pushdown missing:\n$plan")
     assert(plan.contains("status=200"), s"pushdown missing:\n$plan")
-    assert(df.count() == 5)
+    assert(df.count() == 7)
   }
 
   test("column pruning reaches the reader (metadata scan omits payload)") {
@@ -76,14 +78,38 @@ class WarcSourceSpec extends SparkSpec {
     val plan = meta.queryExecution.executedPlan.toString
     assert(plan.contains("cols=record_idx,record_type,content_length"),
       s"pruning missing:\n$plan")
-    assert(meta.count() == 11)
+    assert(meta.count() == 13)
   }
 
   test("a directory input plans one partition per file") {
     val dir = new File("data/warc").getAbsolutePath
     val df = warc(dir)
-    assert(df.rdd.getNumPartitions == 2) // crawl.warc + crawl.warc.gz
-    assert(df.count() == 22)
+    assert(df.rdd.getNumPartitions == 3) // crawl.warc + .gz twin + unsupported_ce.warc
+    assert(df.count() == 27)
+  }
+
+  test("deflate bodies decode under both wrappings (zlib and raw)") {
+    def page(uri: String): String =
+      warc(gz).filter(col("target_uri") === uri &&
+          col("record_type") === "response")
+        .select(col("payload").cast("string")).head.getString(0)
+    assert(page("http://example.org/page5").contains("<h2>Deflate page</h2>"))
+    assert(page("http://example.org/page6").contains("<h2>Raw deflate page</h2>"))
+  }
+
+  test("an unsupported Content-Encoding rejects loudly on payload access") {
+    val br = new File("data/warc/unsupported_ce.warc").getAbsolutePath
+    // metadata-only scan never parses HTTP: must succeed
+    assert(warc(br).select("record_idx", "record_type").count() == 1)
+    // materializing the body must fail naming the coding, never emit
+    // still-compressed bytes as a decoded payload
+    val e = intercept[Exception] {
+      warc(br).select(md5(col("payload"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("unsupported Content-Encoding 'br'")), s"got: $e")
   }
 
   test("truncated input is rejected loudly, not misparsed") {

@@ -31,7 +31,9 @@ VOID = ["br", "hr"]
 WORDS = ["alpha", "beta", "gamma", "text", "word", "data", "x", "y1",
          "longish-token", "mixedCase"]
 ENTS = ["&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;",
-        "&#65;", "&#x42;", "&#228;", "&copy;"]  # &copy; stays verbatim
+        "&#65;", "&#x42;", "&#228;", "&copy;",  # &copy; stays verbatim
+        # surrogate-range and out-of-range refs stay verbatim (rule 3)
+        "&#xD800;", "&#56320;", "&#xDFFF;", "&#x110000;", "&#0;"]
 LITERALS = ["a < b", "x <3 y", "5 < 6", "a & b", "& loose"]
 
 

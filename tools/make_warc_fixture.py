@@ -56,6 +56,7 @@ import gzip
 import hashlib
 import os
 import re
+import zlib
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -86,7 +87,11 @@ def decode_refs(s):
         body = m.group(1)
         if body.startswith("#"):
             cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
-            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+            # surrogate cps stay verbatim: chr() would build a lone
+            # surrogate that neither parquet nor the Scala side can carry
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                return chr(cp)
+            return m.group(0)
         return NAMED.get(body, m.group(0))
     return _REF.sub(sub, s)
 
@@ -208,6 +213,19 @@ PAGE4 = """<html><body>
 </body></html>
 """
 
+PAGE5 = """<html><body>
+<h2>Deflate page</h2>
+<p>Content-Encoding: deflate is the RFC 1950 zlib container per RFC 9110.</p>
+</body></html>
+"""
+
+PAGE6 = """<html><body>
+<h2>Raw deflate page</h2>
+<p>A known server population ships RFC 1951 raw deflate under the same
+token; browsers accept both, so the reader must too.</p>
+</body></html>
+"""
+
 PAGE404 = "<html><body><h1>404</h1><p>not found</p></body></html>\n"
 
 PLAIN = "just plain text, no markup; the text query must skip it\n"
@@ -279,6 +297,11 @@ def main():
     p4 = PAGE4.encode("utf-8")
     p3gz = gzip.compress(p3, mtime=0)
     p4gz = gzip.compress(p4, mtime=0)
+    p5 = PAGE5.encode("utf-8")
+    p6 = PAGE6.encode("utf-8")
+    p5zlib = zlib.compress(p5)                       # RFC 1950 container
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)    # RFC 1951 raw stream
+    p6raw = raw.compress(p6) + raw.flush()
 
     info_block = (b"software: graft-fixture/1.0\r\n"
                   b"format: WARC File Format 1.1\r\n")
@@ -328,6 +351,22 @@ def main():
                                 ("Transfer-Encoding", "chunked")],
                                chunked(p4gz, [3, 10])),
                  (200, html_ct, p4), "http://example.org/page4", False))
+    recs.append(("response",
+                 [("WARC-Target-URI", "http://example.org/page5"),
+                  ("Content-Type", "application/http; msgtype=response")],
+                 http_response(200, "OK",
+                               [("Content-Type", html_ct),
+                                ("Content-Encoding", "deflate"),
+                                ("Content-Length", str(len(p5zlib)))], p5zlib),
+                 (200, html_ct, p5), "http://example.org/page5", False))
+    recs.append(("response",
+                 [("WARC-Target-URI", "http://example.org/page6"),
+                  ("Content-Type", "application/http; msgtype=response")],
+                 http_response(200, "OK",
+                               [("Content-Type", html_ct),
+                                ("Content-Encoding", "deflate"),
+                                ("Content-Length", str(len(p6raw)))], p6raw),
+                 (200, html_ct, p6), "http://example.org/page6", False))
     recs.append(("response",
                  [("WARC-Target-URI", "http://example.org/notes.txt"),
                   ("Content-Type", "application/http; msgtype=response")],
@@ -422,6 +461,22 @@ def main():
         "text": pa.array([t[2] for t in text_rows], type=pa.string()),
     })
     pq.write_table(ttable, os.path.join(OUT, "text_expected.parquet"))
+
+    # Separate fixture: a response with an unsupported Content-Encoding
+    # (brotli). Kept OUT of crawl.warc — the reader must reject it loudly
+    # on payload materialization, so it gets its own file a dedicated
+    # test scans. The body bytes are opaque (no br encoder needed: the
+    # reader must refuse before ever looking at them).
+    br_rec = warc_record(
+        99, "response",
+        [("WARC-Target-URI", "http://example.org/br-page"),
+         ("Content-Type", "application/http; msgtype=response")],
+        http_response(200, "OK",
+                      [("Content-Type", html_ct),
+                       ("Content-Encoding", "br"),
+                       ("Content-Length", "8")], b"\x8b\x03\x80br-ish\x03"[:8]))
+    with open(os.path.join(OUT, "unsupported_ce.warc"), "wb") as f:
+        f.write(br_rec)
 
     print(f"wrote {len(rows)} records "
           f"({sum(len(p) for p in plain_parts)} bytes plain), "

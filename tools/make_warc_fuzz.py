@@ -23,6 +23,7 @@ Usage: make_warc_fuzz.py <out-prefix> <seed> [corrupt]
 """
 import gzip
 import hashlib
+import zlib
 import random
 import sys
 
@@ -120,7 +121,9 @@ def main():
             ct = rnd.choice(["text/html", "text/plain",
                              "application/octet-stream"])
             hh = [("Content-Type", ct), ("Server", "fuzz/1.0")]
-            framing = rnd.choice(["cl", "chunked", "gzip", "chunked+gzip"])
+            framing = rnd.choice(["cl", "chunked", "gzip", "chunked+gzip",
+                                  "deflate", "raw-deflate",
+                                  "chunked+deflate"])
             if framing == "cl":
                 wire = body
                 hh.append(("Content-Length", str(len(body))))
@@ -131,6 +134,19 @@ def main():
                 wire = gzip.compress(body, mtime=0)
                 hh.append(("Content-Encoding", "gzip"))
                 hh.append(("Content-Length", str(len(wire))))
+            elif framing == "deflate":  # RFC 9110 reading: zlib container
+                wire = zlib.compress(body)
+                hh.append(("Content-Encoding", "deflate"))
+                hh.append(("Content-Length", str(len(wire))))
+            elif framing == "raw-deflate":  # common server misbehavior
+                c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+                wire = c.compress(body) + c.flush()
+                hh.append(("Content-Encoding", "deflate"))
+                hh.append(("Content-Length", str(len(wire))))
+            elif framing == "chunked+deflate":
+                wire = chunked(rnd, zlib.compress(body))
+                hh.append(("Content-Encoding", "deflate"))
+                hh.append(("Transfer-Encoding", "chunked"))
             else:
                 gz = gzip.compress(body, mtime=0)
                 wire = chunked(rnd, gz)
