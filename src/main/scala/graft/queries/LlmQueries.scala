@@ -24,8 +24,12 @@ object LlmQueries {
 
   /** Committed media fixture paths (tools/make_media_fixture.py), resolved
     * against the repo working dir like the GRIB/NetCDF fixtures. */
-  private lazy val mediaFixtureGlob =
-    new java.io.File("data/media").getAbsolutePath + "/media_*"
+  // directory + pathGlobFilter, NOT a glob inside the path: a glob path
+  // trips the FileStreamSink metadata probe into logging a harmless but
+  // scary FileNotFoundException stack trace on every load — a driver that
+  // greps stderr for failure patterns would misread it
+  private lazy val mediaFixtureDir =
+    new java.io.File("data/media").getAbsolutePath
   private lazy val mediaDecodeExpected =
     new java.io.File("data/media/decode_expected.parquet").getAbsolutePath
   private lazy val mediaPixelExpected =
@@ -52,7 +56,8 @@ object LlmQueries {
     * production object-store media-scan shape). */
   private def mediaRecords(s: SparkSession): org.apache.spark.sql.Dataset[MediaRecord] = {
     import s.implicits._
-    s.read.format("binaryFile").load(mediaFixtureGlob)
+    s.read.format("binaryFile").option("pathGlobFilter", "media_*")
+      .load(mediaFixtureDir)
       .select(
         regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("doc_id"),
         col("content").as("payload"),

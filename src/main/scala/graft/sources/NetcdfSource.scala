@@ -67,14 +67,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class NetcdfSource extends TableProvider {
   // inferSchema needs only the header (one small read); the coordinate
-  // arrays are read once, in getTable, where pushdown needs them
+  // arrays are read once, in getTable, where pushdown needs them.
+  // The container is detected from the file's magic: classic CDF-1/CDF-2
+  // parses here, HDF5-backed NetCDF-4 (the reference's engine="netcdf4"
+  // aux rasters) dispatches to the from-spec HDF5 path in
+  // [[Netcdf4Source.scala]] — one format string, both containers.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetcdfTableModel.resolve(options).schema
+    if (Netcdf4TableModel.isHdf5(options)) Netcdf4TableModel.resolve(options).schema
+    else NetcdfTableModel.resolve(options).schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new NetcdfTable(NetcdfTableModel.fromOptions(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val o = new CaseInsensitiveStringMap(properties)
+    if (Netcdf4TableModel.isHdf5(o)) new Netcdf4Table(Netcdf4TableModel.fromOptions(o))
+    else new NetcdfTable(NetcdfTableModel.fromOptions(o))
+  }
 }
 
 // ---------------------------------------------------------------- header model

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** NetCDF-4 / HDF5 source: checked against the COMMITTED python-generated
+  * fixtures (`tools/make_netcdf4_fixture.py` writes the HDF5 bytes from the
+  * public file-format spec with struct.pack — no HDF5 library exists in
+  * this environment, so writer and reader are independent from-spec
+  * implementations on the two sides). thresholds4.nc exercises superblock
+  * v0 / v1 object headers / symbol-table groups / shuffle+deflate and
+  * deflate+fletcher32 chunked layouts with edge chunks; discharge4_v2.nc
+  * exercises superblock v2 / OHDR v2 / link messages / lookup3 checksums /
+  * a phony (index-coordinate) dimension. */
+class Netcdf4SourceSpec extends SparkSpec {
+
+  private val fixture = new File("data/netcdf/thresholds4.nc").getAbsolutePath
+  private val expected = new File("data/netcdf/thresholds4_expected.parquet").getAbsolutePath
+  private val fixtureV2 = new File("data/netcdf/discharge4_v2.nc").getAbsolutePath
+  private val expectedV2 = new File("data/netcdf/discharge4_v2_expected.parquet").getAbsolutePath
+
+  private def nc(path: String = fixture, parts: Int = 4) = spark.read
+    .format(classOf[NetcdfSource].getName)
+    .option("path", path)
+    .option("numPartitions", parts.toString)
+    .load()
+
+  test("reads the python-written HDF5 fixture to the flattened long form") {
+    val df = nc()
+    // variable order follows the group's link order — for symbol-table
+    // groups that is B-tree NAME order ('threshold_20y' < 'threshold_2y'),
+    // the only order the v1 container stores; the oracle compare is
+    // name-keyed, so ordering carries no semantics
+    assert(df.schema == StructType(Seq(
+      StructField("lat", DoubleType, nullable = false),
+      StructField("lon", DoubleType, nullable = false),
+      StructField("threshold_20y", DoubleType, nullable = false),
+      StructField("threshold_2y", FloatType, nullable = true),
+      StructField("threshold_5y", DoubleType, nullable = false),
+      StructField("upstream_area", IntegerType, nullable = false))))
+    val cols = Seq("lat", "lon", "threshold_2y", "threshold_5y", "threshold_20y",
+      "upstream_area").map(col)
+    val got = df.select(cols: _*).collect().map(r => (r.getDouble(0), r.getDouble(1),
+      Option(r.get(2)), r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+    val want = spark.read.parquet(expected).select(cols: _*).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1),
+        Option(r.get(2)), r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(got == want)
+    assert(df.count() == 600)
+    assert(df.rdd.getNumPartitions == 4)
+  }
+
+  test("_FillValue cells surface as SQL NULLs across chunked+shuffled storage") {
+    // idx % 11 == 0 over 600 cells → 55 fills
+    assert(nc().filter(col("threshold_2y").isNull).count() == 55)
+    assert(nc().na.drop(Seq("threshold_2y")).count() == 545)
+  }
+
+  test("column pruning reaches the I/O layer on the HDF5 path") {
+    val df = nc().select("lat", "threshold_5y")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("vars=[threshold_5y]"), s"expected pruned var list:\n$plan")
+    assert(df.collect().length == 600)
+  }
+
+  test("outer-coordinate range predicates slice the chunk set (descending lat)") {
+    val df = nc().filter(col("lat") >= 17.9) // descending from 17.975 by 0.05
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("latIdx=[0,2)"), s"expected sliced outer range:\n$plan")
+    assert(df.count() == 60)
+    assert(nc().filter(col("lat") > 100.0).count() == 0)
+  }
+
+  test("deflate+fletcher32 pipeline decodes and a flipped chunk byte rejects loudly") {
+    // threshold_20y carries fletcher32: corrupt one stored chunk byte and
+    // the checksum must catch it (deflate alone might too, but fletcher is
+    // the contract)
+    val sum = nc().agg(org.apache.spark.sql.functions.sum("threshold_20y")).head.getDouble(0)
+    val wantSum = (0 until 600).map(i => i * 2.5 + 9.25).sum
+    assert(math.abs(sum - wantSum) < 1e-6)
+
+    val bytes = Files.readAllBytes(Paths.get(fixture))
+    // flip a byte near the END of the file (chunk data region, not metadata)
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x5A).toByte
+    val dir = Files.createTempDirectory("nc4corrupt")
+    val p = dir.resolve("bad.nc")
+    Files.write(p, corrupt, StandardOpenOption.CREATE)
+    val ex = intercept[Exception] {
+      nc(p.toString).agg(org.apache.spark.sql.functions.sum("threshold_20y")).head
+    }
+    val msg = Option(ex.getMessage).getOrElse("") + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("fletcher32") || msg.contains("deflate") || msg.contains("chunk"),
+      s"expected a named decode failure, got: $msg")
+  }
+
+  test("superblock v2 + OHDR v2 + link messages + phony dim (index coords)") {
+    val df = nc(fixtureV2, parts = 3)
+    assert(df.schema == StructType(Seq(
+      StructField("y", DoubleType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("discharge", FloatType, nullable = true))))
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)))).toSet
+    val want = spark.read.parquet(expectedV2).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)))).toSet
+    assert(got == want)
+    // phony dim y coords are plain indices
+    val ys: Array[Double] = df.select("y").distinct().collect().map(_.getDouble(0)).sorted
+    assert(ys.toSeq == (0 until 12).map(_.toDouble))
+  }
+
+  test("a corrupted v2 superblock checksum rejects loudly, not garbage") {
+    val bytes = Files.readAllBytes(Paths.get(fixtureV2))
+    val corrupt = bytes.clone()
+    corrupt(20) = (corrupt(20) ^ 0x01).toByte // inside the checksummed region
+    val dir = Files.createTempDirectory("nc4sb")
+    val p = dir.resolve("badsb.nc")
+    Files.write(p, corrupt, StandardOpenOption.CREATE)
+    val ex = intercept[Exception] { nc(p.toString).count() }
+    assert(Option(ex.getMessage).getOrElse("").contains("checksum"),
+      s"expected a checksum rejection, got: ${ex.getMessage}")
+  }
+
+  test("a truncated file rejects as a named bounds error, never a hang or OOM") {
+    val bytes = Files.readAllBytes(Paths.get(fixture))
+    val dir = Files.createTempDirectory("nc4trunc")
+    val p = dir.resolve("trunc.nc")
+    Files.write(p, bytes.take(bytes.length / 3), StandardOpenOption.CREATE)
+    val ex = intercept[Exception] { nc(p.toString).count() }
+    val msg = Option(ex.getMessage).getOrElse("")
+    assert(msg.contains("out of bounds") || msg.contains("truncated") || msg.nonEmpty)
+  }
+
+  test("option 'variables' selects data vars; unknown names fail loudly") {
+    val df = nc().select("upstream_area")
+    assert(df.collect().map(_.getInt(0)).sum == (0 until 600).map(_ * 1000 + 7).sum)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[NetcdfSource].getName)
+        .option("path", fixture).option("variables", "nope").load()
+    }
+    assert(ex.getMessage.contains("not found"))
+  }
+
+  test("classic dispatch is untouched: the CDF-1 fixture still reads") {
+    val classic = new File("data/netcdf/thresholds.nc").getAbsolutePath
+    assert(nc(classic, parts = 3).count() == 48)
+  }
+}
