@@ -37,7 +37,7 @@ object GateSoak {
     val nDrops = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "plain"
     require(mode == "plain" || mode == "bucketed" || mode == "curate" ||
-      mode == "profile" || mode == "domaincap",
+      mode == "profile" || mode == "domaincap" || mode == "curatev3",
       s"unknown mode $mode")
     // The sf testdata documents are short (~45 words -> hs ≈ 350 B/doc);
     // production curation corpora run 500+ words, where the shingle
@@ -215,6 +215,63 @@ object GateSoak {
       }
       println(f"CURATE SOAK: $nDrops drops, $total docs -> $keptTotal kept, " +
         f"wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
+    if (mode == "curatev3") {
+      // Drop-by-drop STREAMING seven-gate curation
+      // (CorpusStream.curateV3GateBatch): models train ONCE on the first
+      // drop; every later drop is gated against the four bucketed stores
+      // (digest index, domain counts, band postings, signatures) with
+      // compaction every 4 batches. Watch the per-trigger bytes: each
+      // trigger's store reads must be bounded by the DROP's touched
+      // buckets, not the stream's lifetime.
+      import graft.llm.CurationArtifacts
+      val ref = spark.read.schema(CorpusStream.documentsSchema)
+        .parquet(f"$dropDir/drop_000.parquet")
+      val models = CurationArtifacts.build(ref, "doc_id", "text", "lang")
+      models.nbTokenModel.cache().count()
+      models.nbPriors.cache().count()
+      models.lmUnigrams.cache().count()
+      models.lmBigrams.cache().count()
+      val bench = ref.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select("text").cache()
+      var keptTotal = 0L
+      for (i <- 0 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+          .withColumn("url",
+            concat(lit("https://www.h"),
+              pmod(col("doc_id"), lit(211L)).cast("string"),
+              lit("site.com/"), col("doc_id").cast("string")))
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        CorpusStream.curateV3GateBatch(drop, i.toLong, "url",
+          s"$work/kept", s"$work/rej", s"$work/digest", s"$work/domain",
+          s"$work/postings", s"$work/sigs",
+          models.nbTokenModel, models.nbPriors,
+          models.lmUnigrams, models.lmBigrams, bench,
+          acceptLabels = Set("en", "de", "fr"), perDomain = 50,
+          compactEvery = 4)
+        val v = spark.read.parquet(s"$work/rej/batch=$i")
+          .select("doc_id", "reason")
+          .unionByName(spark.read.parquet(s"$work/kept/batch=$i")
+            .select("doc_id", "reason"))
+        val nKept = v.filter(col("reason") === "kept").count()
+        keptTotal += nKept
+        val reasons = v.groupBy("reason").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(f"  trigger $i%2d: ${(bytesRead.get() - b0) / 1024}%6d KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s, $nKept kept [$reasons]")
+      }
+      val storeBytes = Seq("digest", "domain", "postings", "sigs").map { s =>
+        val p = java.nio.file.Paths.get(s"$work/$s")
+        val b = Files.walk(p).toArray.map(_.asInstanceOf[java.nio.file.Path].toFile)
+          .filter(_.isFile).map(_.length).sum
+        f"$s=${b / 1024} KB"
+      }.mkString(" ")
+      println(f"CURATEV3 SOAK: $nDrops drops, $total docs -> $keptTotal kept, " +
+        f"stores [$storeBytes], wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.stop()
       return
     }

@@ -304,6 +304,7 @@ object CorpusStream {
       .sortWithinPartitions(
         if (bucketCol == PostingsBucketCol) col("band_hash")
         else if (bucketCol == DomainBucketCol) col("domain")
+        else if (bucketCol == DigestBucketCol) col("text_md5")
         else col("doc_id"))
       .write.partitionBy(bucketCol)
       .mode("overwrite").parquet(staging.toString)
@@ -346,53 +347,9 @@ object CorpusStream {
     val repDocs = b.join(reps, Seq("doc_id"), "left_semi")
     val shBatch = Dedup.signatureTable(repDocs, "doc_id", "text", shingleK, perms)
       .localCheckpoint()
-    val bNew = Dedup.bandPostings(shBatch, "doc_id", nBands, rowsPerBand)
-      .withColumnRenamed("doc_id", "new_id")
-      .localCheckpoint() // feeds touched-bucket collect + candidate join
-    // (2) vs history, partition-pruned on both stores
-    val fs = new Path(postingsPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val histDupIds =
-      if (fs.exists(new Path(postingsPath))) {
-        // touched postings buckets: bounded driver collect (≤ postingsBuckets)
-        val touched = bNew
-          .select(pmod(hash(col("band"), col("band_hash")), lit(postingsBuckets)).as("bk"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val postHist = spark.read.parquet(postingsPath)
-          .filter(col("batch") =!= batchId &&
-            col(PostingsBucketCol).isin(touched: _*))
-          .select(col("hist_id"), col("band"), col("band_hash"))
-          .localCheckpoint() // feeds the cap count AND the candidate join:
-          // one pruned read instead of two full passes over the partitions
-        // combined-membership bucket cap, same semantics as the
-        // single-store join (Dedup.minhashIncrementalPairsFromSignatures)
-        val okKeys = bNew.select(col("band"), col("band_hash"))
-          .unionByName(postHist.select(col("band"), col("band_hash")))
-          .groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= Dedup.MaxBucket)
-          .select(col("band"), col("band_hash"))
-        val cand = bNew
-          .join(okKeys, Seq("band", "band_hash"), "left_semi")
-          .join(postHist, Seq("band", "band_hash"))
-          .select(col("new_id"), col("hist_id"))
-          .distinct()
-          .localCheckpoint() // feeds sbucket collect + screen + verify
-        // candidate signature buckets: bounded driver collect (≤ sigBuckets)
-        val candBuckets = cand
-          .select(pmod(hash(col("hist_id")), lit(sigBuckets)).as("sb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        if (candBuckets.isEmpty) shBatch.select(col("doc_id")).limit(0)
-        else {
-          val shHist = spark.read.parquet(storePath)
-            .filter(col("batch") =!= batchId &&
-              col(SigBucketCol).isin(candBuckets: _*))
-            .select(col("doc_id").as("hist_id"), col("hs"), col("sig"))
-          Dedup.minhashVerifyCandidates(cand,
-            shBatch.withColumnRenamed("doc_id", "new_id"), shHist,
-            nBands * rowsPerBand, minJaccard)
-            .select(col("new_id").as("doc_id")).distinct()
-        }
-      } else shBatch.select(col("doc_id")).limit(0)
+    val histDupIds = bucketedHistDupIds(spark, shBatch, batchId,
+      postingsPath, storePath, nBands, rowsPerBand, minJaccard,
+      postingsBuckets, sigBuckets)
     val keptIds = shBatch.select(col("doc_id"))
       .join(histDupIds, Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -416,6 +373,71 @@ object CorpusStream {
       // min/max stats stay tight, so digest-range skipping works at scale
       .write.partitionBy(PostingsBucketCol)
       .mode("overwrite").parquet(s"$postingsPath/batch=$batchId")
+  }
+
+  /** Batch signatures → ids whose MinHash matches the bucketed history
+    * (the pruned-store lookup shared by [[nearDupGateBucketedBatch]] and
+    * [[curateV3GateBatch]]): band postings of the batch are joined against
+    * ONLY the postings buckets they touch, candidate pairs against ONLY
+    * the signature buckets holding candidate hist ids — per-trigger I/O
+    * scales with the drop, not the history. Both driver collects are
+    * bounded by the bucket counts. */
+  private[streaming] def bucketedHistDupIds(
+      spark: SparkSession,
+      shBatch: DataFrame, // (doc_id, hs, sig)
+      batchId: Long,
+      postingsPath: String,
+      storePath: String,
+      nBands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      postingsBuckets: Int,
+      sigBuckets: Int): DataFrame = {
+    val bNew = Dedup.bandPostings(shBatch, "doc_id", nBands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .localCheckpoint() // feeds touched-bucket collect + candidate join
+    val fs = new Path(postingsPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(postingsPath)))
+      return shBatch.select(col("doc_id")).limit(0)
+    // touched postings buckets: bounded driver collect (≤ postingsBuckets)
+    val touched = bNew
+      .select(pmod(hash(col("band"), col("band_hash")), lit(postingsBuckets)).as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postHist = spark.read.parquet(postingsPath)
+      .filter(col("batch") =!= batchId &&
+        col(PostingsBucketCol).isin(touched: _*))
+      .select(col("hist_id"), col("band"), col("band_hash"))
+      .localCheckpoint() // feeds the cap count AND the candidate join:
+      // one pruned read instead of two full passes over the partitions
+    // combined-membership bucket cap, same semantics as the
+    // single-store join (Dedup.minhashIncrementalPairsFromSignatures)
+    val okKeys = bNew.select(col("band"), col("band_hash"))
+      .unionByName(postHist.select(col("band"), col("band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= Dedup.MaxBucket)
+      .select(col("band"), col("band_hash"))
+    val cand = bNew
+      .join(okKeys, Seq("band", "band_hash"), "left_semi")
+      .join(postHist, Seq("band", "band_hash"))
+      .select(col("new_id"), col("hist_id"))
+      .distinct()
+      .localCheckpoint() // feeds sbucket collect + screen + verify
+    // candidate signature buckets: bounded driver collect (≤ sigBuckets)
+    val candBuckets = cand
+      .select(pmod(hash(col("hist_id")), lit(sigBuckets)).as("sb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (candBuckets.isEmpty) shBatch.select(col("doc_id")).limit(0)
+    else {
+      val shHist = spark.read.parquet(storePath)
+        .filter(col("batch") =!= batchId &&
+          col(SigBucketCol).isin(candBuckets: _*))
+        .select(col("doc_id").as("hist_id"), col("hs"), col("sig"))
+      Dedup.minhashVerifyCandidates(cand,
+        shBatch.withColumnRenamed("doc_id", "new_id"), shHist,
+        nBands * rowsPerBand, minJaccard)
+        .select(col("new_id").as("doc_id")).distinct()
+    }
   }
 
   /** Streaming MODEL gate — "train once, score every drop": each arriving
@@ -764,4 +786,290 @@ object CorpusStream {
       statePath: String,
       kmvK: Int = 64): DataFrame =
     graft.llm.Profile.merge(Seq(spark.read.parquet(statePath)), kmvK)
+  /** Partition column of the exact-digest index store:
+    * `pmod(hash(text_md5), digestBuckets)`. */
+  val DigestBucketCol = "xbucket"
+
+  /** Streaming SEVEN-GATE curation sink — [[graft.llm.Curation.curateV3]]
+    * applied drop by drop against persisted artifacts and bucketed history
+    * stores, ONE verdict per document with the batch verdict vocabulary
+    * (first failing gate):
+    *
+    *  1. `exact_dup`    — drop-internal md5 window + the bucketed digest
+    *                      index (min id per digest, history ∪ drop);
+    *  2. `domain_capped` — [[domainCapGateBatch]] semantics: registrable
+    *                      domain kernel, prior admitted counts from the
+    *                      bucketed domain store, first-arrived-wins across
+    *                      batches, hash-priority-then-id within a batch,
+    *                      domainless docs inadmissible;
+    *  3. `low_quality`  — zero-shuffle kernel projection;
+    *  4. `off_label`    — [[graft.llm.Classify.nbScoreWith]] against the
+    *                      persisted NB model (train once, score drops);
+    *  5. `low_lp`       — [[graft.llm.LangModel.lmScoreWith]] against the
+    *                      persisted bigram LM;
+    *  6. `contaminated` — n-gram overlap vs the FIXED benchmark table
+    *                      (broadcast semi-join, nothing grows);
+    *  7. `near_duplicate` — in-drop MinHash clustering + cluster
+    *                      representatives vs the bucketed postings/
+    *                      signature history ([[bucketedHistDupIds]]).
+    *
+    * Gates evaluate INDEPENDENTLY over the drop (the [[graft.llm.Curation]]
+    * discipline: no gate alters another\u0027s inputs), so each history store
+    * accumulates by its OWN gate rule regardless of the composed verdict:
+    * every new digest lands, every cap winner counts, every non-history-dup
+    * representative\u0027s signature lands. That is exactly what makes the
+    * composed routing equal batch `curateV3` on a fixed split (spec-pinned
+    * equivalence, [[graft.llm.Curation.curateV2With]]\u0027s chain caveat and
+    * the domain gate\u0027s first-arrived-wins order carrying over).
+    *
+    * Exactly-once by the [[nearDupGateBatch]] discipline: every route and
+    * every store delta is a per-batch `batch=<id>/` overwrite, history
+    * reads exclude the current batch id, in-batch decisions are
+    * deterministic — a crash-replayed batch re-decides identically.
+    * Per-trigger bytes are bounded by the drop: four bucketed stores read
+    * only their touched buckets, models/benchmark are dimension-sized.
+    * Compaction (with crash roll-forward recovery) runs at batch START so
+    * a recovering fold is visible before prior counts are read. */
+  def curateV3GateSink(
+      docs: DataFrame,
+      urlCol: String,
+      keptPath: String,
+      rejectedPath: String,
+      digestStorePath: String,
+      domainStorePath: String,
+      postingsPath: String,
+      sigStorePath: String,
+      checkpointDir: String,
+      nbTokenModel: DataFrame,
+      nbPriors: DataFrame,
+      lmUnigramModel: DataFrame,
+      lmBigramModel: DataFrame,
+      benchmark: DataFrame,
+      acceptLabels: Set[String],
+      minQuality: Double = 0.4,
+      minAvgLpMicros: Long = -3450000L,
+      minJaccard: Double = 0.5,
+      perDomain: Int = 100,
+      contaminationN: Int = 3,
+      maxContamination: Double = 0.2,
+      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      digestBuckets: Int = 64,
+      domainBuckets: Int = 64,
+      postingsBuckets: Int = 64,
+      sigBuckets: Int = 64,
+      compactEvery: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateV3GateBatch(batch, batchId, urlCol, keptPath, rejectedPath,
+          digestStorePath, domainStorePath, postingsPath, sigStorePath,
+          nbTokenModel, nbPriors, lmUnigramModel, lmBigramModel, benchmark,
+          acceptLabels, minQuality, minAvgLpMicros, minJaccard, perDomain,
+          contaminationN, maxContamination, suffixCsv, shingleK, perms,
+          nBands, rowsPerBand, digestBuckets, domainBuckets,
+          postingsBuckets, sigBuckets, compactEvery)
+      }
+
+  /** One micro-batch of [[curateV3GateSink]], callable directly. */
+  def curateV3GateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      urlCol: String,
+      keptPath: String,
+      rejectedPath: String,
+      digestStorePath: String,
+      domainStorePath: String,
+      postingsPath: String,
+      sigStorePath: String,
+      nbTokenModel: DataFrame,
+      nbPriors: DataFrame,
+      lmUnigramModel: DataFrame,
+      lmBigramModel: DataFrame,
+      benchmark: DataFrame,
+      acceptLabels: Set[String],
+      minQuality: Double = 0.4,
+      minAvgLpMicros: Long = -3450000L,
+      minJaccard: Double = 0.5,
+      perDomain: Int = 100,
+      contaminationN: Int = 3,
+      maxContamination: Double = 0.2,
+      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes,
+      shingleK: Int = 5,
+      perms: Int = 64,
+      nBands: Int = 16,
+      rowsPerBand: Int = 4,
+      digestBuckets: Int = 64,
+      domainBuckets: Int = 64,
+      postingsBuckets: Int = 64,
+      sigBuckets: Int = 64,
+      compactEvery: Int = 8): Unit = {
+    require(acceptLabels.nonEmpty, "curateV3GateBatch needs at least one accept label")
+    require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
+    val spark = batch.sparkSession
+    // compaction + crash roll-forward at batch START, never after the
+    // prior reads (the [[domainCapGateBatch]] ordering argument)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactBucketedStore(spark, digestStorePath, DigestBucketCol, batchId,
+        fold = df => df.groupBy(col(DigestBucketCol), col("text_md5"))
+          .agg(min("keep_id").as("keep_id")))
+      compactBucketedStore(spark, domainStorePath, DomainBucketCol, batchId,
+        fold = df => df.groupBy(col(DomainBucketCol), col("domain"))
+          .agg(sum("n_admitted").as("n_admitted")))
+      compactBucketedStore(spark, postingsPath, PostingsBucketCol, batchId)
+      compactBucketedStore(spark, sigStorePath, SigBucketCol, batchId)
+    }
+    val fs = new Path(digestStorePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = batch.localCheckpoint() // feeds all seven gates + routing
+    val dataCols = b.columns.toSeq
+
+    // gate 1 (exact_dup): drop-window min vs the pruned digest index
+    val digested = b
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .withColumn("drop_min", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text_md5"))))
+      .withColumn(DigestBucketCol, pmod(hash(col("text_md5")), lit(digestBuckets)))
+      .localCheckpoint() // feeds prior read, verdict join, store delta
+    val exact = {
+      val touched = digested.select(DigestBucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val hist =
+        if (!fs.exists(new Path(digestStorePath)) || touched.isEmpty)
+          spark.range(0).select(lit("").as("text_md5"), lit(0L).as("hist_min"))
+        else spark.read.parquet(digestStorePath)
+          .filter(col("batch") =!= batchId && // replay: never see own delta
+            col(DigestBucketCol).isin(touched: _*))
+          .groupBy("text_md5").agg(min("keep_id").as("hist_min"))
+      digested
+        .join(hist, Seq("text_md5"), "left")
+        .select(col("doc_id"),
+          least(col("drop_min"), coalesce(col("hist_min"), col("drop_min")))
+            .as("keep_id"))
+    }
+
+    // gate 2 (domain_capped): the [[domainCapGateBatch]] decision inline
+    val host = graft.functions.GraftUrlOps.urlHostCol(col(urlCol))
+    val tagged = b.select(col("doc_id"), col(urlCol))
+      .withColumn("domain",
+        graft.functions.GraftUrlOps.registrableDomainCol(host, suffixCsv))
+      .withColumn(DomainBucketCol, pmod(hash(col("domain")), lit(domainBuckets)))
+      .localCheckpoint()
+    val decided = {
+      val touched = tagged.filter(col("domain").isNotNull)
+        .select(DomainBucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      val prior =
+        if (!fs.exists(new Path(domainStorePath)) || touched.isEmpty)
+          spark.range(0).select(lit("").as("domain"), lit(0L).as("prior"))
+        else spark.read.parquet(domainStorePath)
+          .filter(col("batch") =!= batchId &&
+            col(DomainBucketCol).isin(touched: _*))
+          .groupBy("domain").agg(sum("n_admitted").as("prior"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(graft.llm.Sampling.hashBucket(col("doc_id"), 100), col("doc_id"))
+      tagged
+        .filter(col("domain").isNotNull)
+        .withColumn("rk", row_number().over(w))
+        .join(prior, Seq("domain"), "left")
+        .withColumn("admit",
+          coalesce(col("prior"), lit(0L)) + col("rk") <= perDomain)
+        .localCheckpoint() // feeds the verdict join + the count delta
+    }
+    val winners = decided.filter(col("admit"))
+      .select(col("doc_id"), lit(true).as("in_cap"))
+
+    // gates 3-5: zero-shuffle kernel/model projections
+    val quality = graft.llm.TextAnalysis.qualityScore(b, "doc_id", "text")
+      .select("doc_id", "quality_score")
+    val nb = graft.llm.Classify.nbScoreWith(b, "doc_id", "text",
+      nbTokenModel, nbPriors)
+      .select("doc_id", "predicted_label")
+    val lm = graft.llm.LangModel.lmScoreWith(b, "doc_id", "text",
+      lmUnigramModel, lmBigramModel)
+      .select("doc_id", "lp_micros", "n_pairs")
+
+    // gate 6: n-gram overlap vs the fixed benchmark (broadcast side)
+    val contam = graft.llm.Contamination.overlap(
+      b.select(col("doc_id"), col("text")), benchmark, "doc_id", "text",
+      n = contaminationN, maxRatio = maxContamination)
+      .select("doc_id", "contaminated")
+
+    // gate 7: in-drop clusters, representatives vs bucketed history
+    val clusters = Dedup.clusters(b.select(col("doc_id")),
+      Dedup.minhashPairs(b.select(col("doc_id"), col("text")), "doc_id", "text",
+        shingleK, perms, nBands, rowsPerBand, minJaccard))
+      .localCheckpoint() // feeds rep selection + verdict join
+    val repDocs = b.join(clusters.filter(col("cluster_id") === col("doc_id"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val shReps = Dedup.signatureTable(repDocs, "doc_id", "text", shingleK, perms)
+      .localCheckpoint() // feeds history lookup + signature delta
+    val repHistDup = bucketedHistDupIds(spark, shReps, batchId,
+      postingsPath, sigStorePath, nBands, rowsPerBand, minJaccard,
+      postingsBuckets, sigBuckets)
+      .select(col("doc_id").as("cluster_id"))
+      .withColumn("rep_hist_dup", lit(true))
+
+    // the composed verdict: first failing gate, batch-curateV3 vocabulary
+    val verdict = b.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(winners, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(nb, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(contam, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(repHistDup, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("in_cap").isNull, lit("domain_capped"))
+          .when(col("quality_score") < minQuality, lit("low_quality"))
+          .when(!col("predicted_label").isin(acceptLabels.toSeq: _*), lit("off_label"))
+          .when(col("lp_micros") < lit(minAvgLpMicros) * col("n_pairs"), lit("low_lp"))
+          .when(col("contaminated"), lit("contaminated"))
+          .when(col("doc_id") =!= col("cluster_id") ||
+            coalesce(col("rep_hist_dup"), lit(false)), lit("near_duplicate"))
+          .otherwise(lit("kept")).as("reason"))
+    val routed = b.join(verdict, Seq("doc_id")).localCheckpoint()
+    val outCols = (dataCols :+ "reason").map(col)
+    routed.filter(col("reason") === "kept").select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    routed.filter(col("reason") =!= "kept").select(outCols: _*)
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch=$batchId")
+
+    // store deltas — each by its OWN gate rule (gate independence), all
+    // idempotent per-batch overwrites
+    digested
+      .groupBy(col(DigestBucketCol), col("text_md5"))
+      .agg(min("doc_id").as("keep_id"))
+      .filter(col("text_md5").isNotNull) // NULL text carries no digest
+      .write.partitionBy(DigestBucketCol)
+      .mode("overwrite").parquet(s"$digestStorePath/batch=$batchId")
+    decided.filter(col("admit"))
+      .groupBy(col(DomainBucketCol), col("domain"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .write.partitionBy(DomainBucketCol)
+      .mode("overwrite").parquet(s"$domainStorePath/batch=$batchId")
+    val landSh = shReps.join(repHistDup.select(col("cluster_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds both near-dup store deltas
+    landSh
+      .withColumn(SigBucketCol, pmod(hash(col("doc_id")), lit(sigBuckets)))
+      .repartition(col(SigBucketCol))
+      .sortWithinPartitions(col("doc_id"))
+      .write.partitionBy(SigBucketCol)
+      .mode("overwrite").parquet(s"$sigStorePath/batch=$batchId")
+    Dedup.bandPostings(landSh, "doc_id", nBands, rowsPerBand)
+      .withColumnRenamed("doc_id", "hist_id")
+      .withColumn(PostingsBucketCol,
+        pmod(hash(col("band"), col("band_hash")), lit(postingsBuckets)))
+      .repartition(col(PostingsBucketCol))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.partitionBy(PostingsBucketCol)
+      .mode("overwrite").parquet(s"$postingsPath/batch=$batchId")
+  }
 }
