@@ -42,6 +42,13 @@ import TextHash._
   * disagreement (~1e-9), so the hash gate is safe for these corpora by
   * measurement, not hope — and a future corpus change that lands near a
   * boundary fails that spec loudly instead of flaking the driver gate.
+  * Since round 17 the model-table oracles additionally carry an
+  * acknowledged ±1-micro tolerance (`LlmQueries.lnToleranceEcho`: verify
+  * every entry within one micro, echo the Spark rows on success, echo
+  * the independent model on any real defect), with `LnBoundarySpec`
+  * pinning that two conforming log implementations can never quantize
+  * more than one micro apart — so even an adversarial future corpus
+  * cannot flake the gate, only fail it honestly.
   *
   * Input contract: labels must be non-null strings ([[nbTrain]] filters
   * null labels; document ids follow the corpus-wide uniqueness contract).

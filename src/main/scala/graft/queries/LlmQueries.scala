@@ -2559,9 +2559,10 @@ object LlmQueries {
          |  CAST(sum(CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS value_micros
          |FROM g GROUP BY 1, 2""".stripMargin,
 
-    "q_nb_train" ->
-      s"""WITH $nbModelCte
-         |SELECT label, token, cnt, loglik_micros FROM model""".stripMargin,
+    "q_nb_train" -> lnToleranceEcho("q_nb_train",
+      s"""WITH $nbModelCte,
+         |expected AS (SELECT label, token, cnt, loglik_micros FROM model)""".stripMargin,
+      Seq("label", "token"), Seq("cnt"), "loglik_micros"),
 
     "q_nb_classify" ->
       s"""WITH $nbModelCte,
@@ -3030,27 +3031,30 @@ object LlmQueries {
          |  FROM d2) WHERE rn = 1""".stripMargin
     },
 
-    "q_lm_train" ->
-      s"""WITH $lmCte
-         |SELECT t1, t2, cnt, loglik_micros FROM lbi""".stripMargin,
+    "q_lm_train" -> lnToleranceEcho("q_lm_train",
+      s"""WITH $lmCte,
+         |expected AS (SELECT t1, t2, cnt, loglik_micros FROM lbi)""".stripMargin,
+      Seq("t1", "t2"), Seq("cnt"), "loglik_micros"),
 
     // mirror of Collocations.pmi (vocabSize=64, minCount=2): the lmCte
     // already builds the unigram counts (lu), top-64 vocab (lv) and
     // adjacent-pair counts (lbg); totals reduce from those tables and the
     // PMI fold matches the Scala left-associated double arithmetic
-    "q_collocations" ->
+    "q_collocations" -> lnToleranceEcho("q_collocations",
       s"""WITH $lmCte,
          |ctt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM lu),
-         |cpt AS (SELECT CAST(sum(cnt) AS BIGINT) AS p_total FROM lbg)
-         |SELECT b.t1, b.t2, b.cnt, v1.cnt AS c1, v2.cnt AS c2,
-         |  CAST(round(ln(
-         |    (CAST(b.cnt AS DOUBLE) * t_total * t_total) /
-         |      (CAST(p_total AS DOUBLE) * v1.cnt * v2.cnt)) * 1000000) AS BIGINT)
-         |    AS pmi_micros
-         |FROM lbg b
-         |JOIN lv v1 ON b.t1 = v1.token
-         |JOIN lv v2 ON b.t2 = v2.token, ctt, cpt
-         |WHERE b.cnt >= 2""".stripMargin,
+         |cpt AS (SELECT CAST(sum(cnt) AS BIGINT) AS p_total FROM lbg),
+         |expected AS (
+         |  SELECT b.t1, b.t2, b.cnt, v1.cnt AS c1, v2.cnt AS c2,
+         |    CAST(round(ln(
+         |      (CAST(b.cnt AS DOUBLE) * t_total * t_total) /
+         |        (CAST(p_total AS DOUBLE) * v1.cnt * v2.cnt)) * 1000000) AS BIGINT)
+         |      AS pmi_micros
+         |  FROM lbg b
+         |  JOIN lv v1 ON b.t1 = v1.token
+         |  JOIN lv v2 ON b.t2 = v2.token, ctt, cpt
+         |  WHERE b.cnt >= 2)""".stripMargin,
+      Seq("t1", "t2"), Seq("cnt", "c1", "c2"), "pmi_micros"),
 
     // mirror of Collocations.mergePhrases over the positive-PMI phrase
     // table: the q_collocations chain filtered to pmi > 0, collapsed to
@@ -3597,6 +3601,51 @@ object LlmQueries {
     * (label, n_docs) and `model` (label, token, cnt, loglik_micros);
     * embed as `WITH $nbModelCte`. */
   private lazy val nbModelCte: String =
+    nbModelCteBody
+
+  /** ±1-micro tolerance echo for a MODEL-TABLE oracle whose values carry a
+    * `round(ln(p/q)·1e6)` quantization — the acknowledged cross-engine
+    * libm policy: neither the JVM's `StrictMath.log` (Spark's math
+    * expressions) nor DuckDB's libm is correctly rounded, so a true value
+    * within ~1 ulp of a `.5`-micros boundary may legally round apart by
+    * ONE micro between the engines. The oracle therefore verifies every
+    * row — keys and exact (integer-count) columns null-safe-equal, the
+    * micro column within `tolMicros` — and, when ALL rows verify, echoes
+    * the Spark rows verbatim so the driver's exact-hash compare stays
+    * exact; any real defect (wrong row set, wrong count, value off by
+    * > tol) echoes the independent DuckDB model instead and fails the
+    * hash. Downstream score sums (`q_lm_score`, `q_nb_classify`,
+    * `q_ccnet_buckets`, the curate gates) consume the QUANTIZED integer
+    * model on the Spark side, so their oracles stay exact once the model
+    * entries agree; `LnBoundarySpec` measures the actual boundary margins
+    * of the shipped model tables (orders of magnitude above the ulp
+    * error) so residual exposure is quantified, not assumed away. */
+  private def lnToleranceEcho(
+      queryName: String,
+      expectedBody: String, // full WITH-body whose LAST cte is `expected`
+      keyCols: Seq[String],
+      exactCols: Seq[String],
+      microCol: String,
+      tolMicros: Int = 1): String = {
+    val cols = (keyCols ++ exactCols :+ microCol)
+    val keyEq = keyCols.map(k => s"g.$k = e.$k").mkString(" AND ")
+    val exactNe = exactCols.map(c => s"g.$c IS DISTINCT FROM e.$c")
+      .mkString(" OR ")
+    val exactClause = if (exactCols.isEmpty) "" else s"OR $exactNe "
+    s"""$expectedBody,
+       |got AS (SELECT * FROM read_parquet('__VERIFY_OUT__/$queryName/*.parquet')),
+       |chk AS (SELECT
+       |  (SELECT count(*) FROM got) = (SELECT count(*) FROM expected) AND
+       |  NOT EXISTS (
+       |    SELECT 1 FROM got g FULL JOIN expected e ON $keyEq
+       |    WHERE g.${keyCols.head} IS NULL OR e.${keyCols.head} IS NULL
+       |      ${exactClause}OR abs(g.$microCol - e.$microCol) > $tolMicros) AS pass)
+       |SELECT ${cols.mkString(", ")} FROM got WHERE (SELECT pass FROM chk)
+       |UNION ALL
+       |SELECT ${cols.mkString(", ")} FROM expected WHERE NOT (SELECT pass FROM chk)""".stripMargin
+  }
+
+  private lazy val nbModelCteBody: String =
     s"""tc AS (
        |  SELECT lang AS label, unnest($tokensSql) AS token
        |  FROM documents WHERE lang IS NOT NULL),
