@@ -42,24 +42,41 @@ object WebDataset {
 
   /** Write `df`'s (idCol, textCol) as `nShards` tar shards under `dir`
     * (`shard-NNNNN.tar`), each sample = `<key>.txt` + `<key>.json` with
-    * the key = zero-padded id. Returns the shard file names written. */
+    * the key = zero-padded id. Returns the shard file names written.
+    *
+    * `binaryMembers` ships BINARY members next to the text pair — the
+    * multimodal training-egress shape (`<key>.png`, `<key>.wav`, ...):
+    * each `(payloadCol, extCol)` names a binary column and a string
+    * column holding that row's member extension (pass a literal column
+    * for a fixed modality). A NULL payload omits the member (sparse
+    * modalities); a non-NULL payload requires a valid extension —
+    * lowercase alphanumeric, not `txt`/`json` (those names belong to the
+    * text pair, and a collision would corrupt the sample). Members of a
+    * sample are written ADJACENT, sorted by member name, so the
+    * WebDataset loader contract (sequential sample assembly) and
+    * deterministic shard bytes both hold with any modality mix. */
   def write(
       df: DataFrame,
       idCol: String,
       textCol: String,
       dir: String,
-      nShards: Int): Seq[String] = {
+      nShards: Int,
+      binaryMembers: Seq[(String, String)] = Nil): Seq[String] = {
     require(nShards > 0, "WebDataset.write: nShards must be positive")
     val conf = new SerializableHadoopConf(HadoopConf.session())
     val spark = df.sparkSession
     import spark.implicits._
+    val binCols = binaryMembers.zipWithIndex.flatMap { case ((p, e), i) =>
+      Seq(col(p).cast("binary").as(s"__bin$i"), col(e).cast("string").as(s"__ext$i"))
+    }
+    val nBin = binaryMembers.length
     val rows = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+      .select(Seq(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text")) ++ binCols: _*)
       .withColumn("shard", pmod(col("id"), lit(nShards.toLong)).cast("int"))
       // one exchange: every shard's rows land whole in one partition
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "id")
-      .as[(Long, String, Int)]
     rows.mapPartitions { it =>
       var fs: FileSystem = null
       var out: OutputStream = null
@@ -70,7 +87,10 @@ object WebDataset {
         out.close()
         out = null
       }
-      it.foreach { case (id, text, shard) =>
+      it.foreach { row =>
+        val id = row.getLong(0)
+        val text = row.getString(1)
+        val shard = row.getInt(2 + 2 * nBin)
         require(text != null, s"WebDataset.write: NULL $textCol for id=$id")
         if (shard != openShard) {
           close()
@@ -83,12 +103,32 @@ object WebDataset {
         val key = f"$id%09d"
         val textBytes = text.getBytes("UTF-8")
         val json = s"""{"doc_id":$id,"n_bytes":${textBytes.length}}"""
-        writeMember(out, s"$key.json", json.getBytes("UTF-8"))
-        writeMember(out, s"$key.txt", textBytes)
+        val members = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])](
+          s"$key.json" -> json.getBytes("UTF-8"),
+          s"$key.txt" -> textBytes)
+        var i = 0
+        while (i < nBin) {
+          val payload = row.getAs[Array[Byte]](2 + 2 * i)
+          if (payload != null) {
+            val ext = row.getString(3 + 2 * i)
+            require(ext != null && ext.nonEmpty && ext.forall(c =>
+              (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+              s"WebDataset.write: invalid extension '$ext' for id=$id " +
+                s"(column ${binaryMembers(i)._2}; lowercase alphanumeric only)")
+            require(ext != "txt" && ext != "json",
+              s"WebDataset.write: extension '$ext' for id=$id collides with " +
+                "the sample's text/json members")
+            members += s"$key.$ext" -> payload
+          }
+          i += 1
+        }
+        members.sortBy(_._1).foreach { case (name, data) =>
+          writeMember(out, name, data)
+        }
       }
       close()
       written.iterator
-    }.collect().toSeq.sorted
+    }(Encoders.STRING).collect().toSeq.sorted
   }
 
   /** One ustar member: 512-byte header + payload padded to 512. */

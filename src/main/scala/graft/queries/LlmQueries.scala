@@ -1125,6 +1125,36 @@ object LlmQueries {
           md5(col("content")).as("text_md5"))
     }),
 
+    // Multimodal WebDataset egress (L64 × L11): the committed media
+    // fixture's png/bmp/jpg/wav/mp4/bin payloads ride as BINARY members
+    // next to each sample's <key>.txt/<key>.json pair, round-trip through
+    // the from-spec ustar write+read, and the raw member BYTES are
+    // compared against DuckDB's read_blob over the same fixture files —
+    // content equality, stronger than a digest, fully independent of the
+    // Scala tar code in both directions.
+    "q_wds_media" -> ((s, _) => {
+      val media = mediaRecords(s).toDF()
+        .withColumn("ext",
+          when(col("media_type") === "image/jpeg", "jpg")
+            .when(col("media_type") === "application/octet-stream", "bin")
+            .otherwise(regexp_extract(col("media_type"), "/([a-z0-9]+)$", 1)))
+        .withColumn("text", col("media_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wds_media")
+        .toFile.getAbsolutePath
+      graft.llm.WebDataset.write(media, "doc_id", "text", tmp, nShards = 4,
+        binaryMembers = Seq("payload" -> "ext"))
+      graft.llm.WebDataset.read(s, tmp)
+        .filter(!col("name").endsWith(".txt") && !col("name").endsWith(".json"))
+        .select(
+          regexp_extract(col("name"), "(\\d+)\\.", 1).cast("long").as("doc_id"),
+          regexp_extract(col("name"), "\\.([a-z0-9]+)$", 1).as("ext"),
+          col("size").cast("long").as("n_bytes"),
+          // full-content equality; hex instead of raw bytes because the
+          // compare harness sorts rows by every column and raw blobs are
+          // unsortable in pandas — the byte string is still compared whole
+          hex(col("content")).as("content_hex"))
+    }),
+
     // --------------------------------------------------------- URL kernels
 
     // GRAFT-URL v1 parse + CANON v1 + PSL v1 over a deterministically
@@ -3219,6 +3249,16 @@ object LlmQueries {
     "q_wds_roundtrip" ->
       """SELECT doc_id, LENGTH(text) AS n_chars, MD5(text) AS text_md5
         |FROM documents""".stripMargin,
+
+    // binary members: DuckDB reads the very fixture FILES the Spark side
+    // tarred up, so the round-tripped bytes must equal the on-disk bytes
+    "q_wds_media" ->
+      s"""SELECT
+         |  CAST(regexp_extract(filename, 'media_(\\d+)\\.', 1) AS BIGINT) AS doc_id,
+         |  regexp_extract(filename, '\\.([a-z0-9]+)$$', 1) AS ext,
+         |  CAST(size AS BIGINT) AS n_bytes,
+         |  hex(content) AS content_hex
+         |FROM read_blob('$mediaFixtureDir/media_*')""".stripMargin,
 
     // ------------------------------------------------------------ URL oracles
 

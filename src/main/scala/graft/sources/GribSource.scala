@@ -468,6 +468,12 @@ private[sources] object GribModel {
               require(nbits == 0 || (rsi >= 1 && rsi <= 4096),
                 s"$path: CCSDS reference sample interval $rsi out of range")
               ccsds = Some(CcsdsParams(ccsdsFlags, block, rsi))
+            case 40 => throw new IllegalArgumentException(
+              s"$path: data representation template 5.40 (JPEG 2000 " +
+                "packing) is not supported — a from-spec EBCOT/MQ decoder " +
+                "is out of scope. Re-encode the file once at ingest: " +
+                "`grib_set -r -s packingType=grid_simple in.grib2 out.grib2` " +
+                "(or grid_ccsds, which this source decodes natively)")
             case t => throw new IllegalArgumentException(
               s"$path: data representation template 5.$t unsupported " +
                 "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing, " +

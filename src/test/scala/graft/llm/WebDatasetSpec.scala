@@ -75,6 +75,54 @@ class WebDatasetSpec extends SparkSpec {
       "000000017.json", "000000017.txt"))
   }
 
+  test("binary members ride adjacent to the text pair and round-trip bit-exactly") {
+    val img = Array.tabulate(700)(i => (i * 7 % 251).toByte) // spans 2 blocks
+    val wav = Array.tabulate(13)(i => (255 - i).toByte)
+    val rows = Seq(
+      (0L, "has both", Option(img), Option(wav)),
+      (1L, "image only", Option(img.reverse), None),
+      (2L, "text only", None, None))
+      .toDF("doc_id", "text", "image", "audio")
+      .withColumn("img_ext", lit("png"))
+      .withColumn("aud_ext", lit("wav"))
+    val dir = Files.createTempDirectory("graft_wds_bin").toFile.getAbsolutePath
+    WebDataset.write(rows, "doc_id", "text", dir, nShards = 1,
+      binaryMembers = Seq("image" -> "img_ext", "audio" -> "aud_ext"))
+    val back = WebDataset.read(spark, dir)
+    // adjacency + per-sample name-sorted order; NULL payloads omit members
+    val names = back.select("name").as[String].collect().toSeq
+    assert(names == Seq(
+      "000000000.json", "000000000.png", "000000000.txt", "000000000.wav",
+      "000000001.json", "000000001.png", "000000001.txt",
+      "000000002.json", "000000002.txt"))
+    val byName = back.select("name", "content")
+      .as[(String, Array[Byte])].collect().toMap
+    assert(java.util.Arrays.equals(byName("000000000.png"), img))
+    assert(java.util.Arrays.equals(byName("000000000.wav"), wav))
+    assert(java.util.Arrays.equals(byName("000000001.png"), img.reverse))
+    // loader view: the parts map carries the binary modalities
+    val parts = WebDataset.readSamples(spark, dir)
+      .filter(col("key") === "000000000")
+      .select("parts").as[Map[String, Array[Byte]]].head()
+    assert(parts.keySet == Set("json", "txt", "png", "wav"))
+    assert(java.util.Arrays.equals(parts("png"), img))
+  }
+
+  test("a binary member with a colliding or invalid extension fails loudly") {
+    val rows = Seq((0L, "t", Array[Byte](1, 2)))
+      .toDF("doc_id", "text", "blob")
+    def attempt(ext: String): Throwable = intercept[Exception] {
+      val dir = Files.createTempDirectory("graft_wds_ext").toFile.getAbsolutePath
+      WebDataset.write(rows.withColumn("e", lit(ext)), "doc_id", "text", dir,
+        nShards = 1, binaryMembers = Seq("blob" -> "e"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(attempt("txt")).exists(_.contains("collides")))
+    assert(messages(attempt("PNG")).exists(_.contains("invalid extension")))
+    assert(messages(attempt("")).exists(_.contains("invalid extension")))
+  }
+
   test("a corrupted header checksum is rejected loudly") {
     val dir = Files.createTempDirectory("graft_wds_bad").toFile.getAbsolutePath
     WebDataset.write(corpus, "doc_id", "text", dir, nShards = 1)

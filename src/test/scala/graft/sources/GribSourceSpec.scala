@@ -321,6 +321,22 @@ class GribSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("DRS 5.40 (JPEG 2000) rejects at INDEX time naming the template and the escape hatch") {
+    // committed fixture (tools/make_grib_jpeg_fixture.py): one real 5.40
+    // message with a JP2 codestream payload — the last packing ecCodes
+    // commonly emits that this source does not decode. The contract is a
+    // crisp ingest-time error carrying the re-encode advice, never a
+    // silent skip, a decode of garbage, or a generic parse failure.
+    val f = new File("data/grib/jpeg2000.grib2").getAbsolutePath
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[GribSource].getName)
+        .option("path", f).load().collect()
+    }
+    val msg = e.getMessage
+    assert(msg.contains("5.40") && msg.contains("JPEG 2000"), msg)
+    assert(msg.contains("grid_simple") && msg.contains("grib_set"), msg)
+  }
+
   test("a bitmap/nPresent mismatch is rejected loudly, not an index error") {
     // the writer derives section 5's data-point count from xs.size, so a
     // bitmap with MORE set bits than values is exactly the corrupt
