@@ -167,6 +167,8 @@ object ProfileC1 {
       Seq("kept" -> sd.filter(col("keep")).count(),
         "removed" -> sd.filter(!col("keep")).count())
     }
+    var ivfPqModels: (Pq.PqModel, Pq.PqModel) = null
+    var ivfPqIndex: DataFrame = null
     stage("ivfpq_index") {
       // the L55 production path end to end: two-stage train, one
       // zero-shuffle encode pass persisted cell-partitioned (the serving
@@ -175,11 +177,13 @@ object ProfileC1 {
       // near-dup groups give a recall signal: vec 0's group should head
       // its own top-k.
       val (coarse, pq) = Pq.ivfPqTrain(embs, "vec_id", "embedding",
-        dim = 64, cells = 64, m = 8, k = 16)
+        dim = 64, cells = 64, m = 8, k = 64)
       val dir = java.nio.file.Files.createTempDirectory("c1_ivfpq").toString
       Pq.ivfPqEncode(embs, "vec_id", "embedding", coarse, pq)
         .write.partitionBy("cell").mode("overwrite").parquet(dir)
       val index = spark.read.parquet(dir)
+      ivfPqModels = (coarse, pq)
+      ivfPqIndex = index
       val q = embs.filter(col("vec_id") === 0L)
         .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
       val top = Pq.ivfPqSearchOverIndex(index, coarse, pq, q,
@@ -187,6 +191,89 @@ object ProfileC1 {
       Seq("index_rows" -> index.count(),
         "top_k" -> top.count(),
         "group_recall" -> top.filter(col("vec_id") < 17).count())
+    }
+
+    stage("ann_recall") {
+      // retrieval QUALITY, not just determinism (the registry oracles pin
+      // the latter): recall@10/@100 of the IVF-PQ batch serving path vs
+      // the exact bruteForceTopK ground truth, across the nProbes ladder.
+      // Reported as permille; the floor is a REGRESSION pin (measured
+      // band minus slack, SCALE.md), so a quantizer/search change that
+      // silently degrades retrieval fails C1 instead of shipping.
+      import org.apache.spark.sql.expressions.Window
+      val (coarse, pq) = ivfPqModels
+      val nQ = 32
+      val qIds: Seq[Long] = (0 until nQ).map(i => i.toLong * (nVecs / nQ) + 3)
+      // exact ground truth in the metric the index SERVES (L2): the
+      // cosine bruteForceTopK would measure a metric mismatch, not the
+      // quantizer. Same exchange shape as bruteForceTopK: queries
+      // broadcast, mergeable top-k per query, corpus never shuffles.
+      val dot = graft.functions.HashFunctions.dot _
+      val corpusV = embs.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("vn"))
+      val queriesV = embs.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("vq"))
+      val truth = corpusV
+        .join(broadcast(queriesV), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("vq"), col("vq")) + dot(col("vn"), col("vn")) -
+            lit(2.0) * dot(col("vq"), col("vn"))).as("dist_sq"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKByScore(-col("dist_sq"), col("neighbor_id"), 100)
+          .as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__t")))
+        .select(col("query_id"), col("__t.id").as("neighbor_id"),
+          (col("__r") + 1).cast("int").as("rank"))
+        .localCheckpoint()
+      val queries = embs.filter(col("vec_id").isin(qIds: _*))
+      def recallPermille(got: DataFrame, k: Int): Long = {
+        val hits = truth.filter(col("rank") <= k)
+          .join(got.filter(col("arank") <= k), Seq("query_id", "neighbor_id"))
+          .count()
+        hits * 1000L / (nQ.toLong * k)
+      }
+      val byProbe = Seq(1, 4, 16).flatMap { p =>
+        // +1 then self-filter + re-rank: bruteForceTopK excludes the
+        // query itself, the ANN index contains it
+        val got = Pq.ivfPqSearchBatchOverIndex(ivfPqIndex, coarse, pq,
+          queries, "vec_id", "embedding", nProbes = p, topK = 101)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("arank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("dist_micros").asc, col("vec_id").asc)))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("arank"))
+          .localCheckpoint()
+        Seq(s"r10_p$p" -> recallPermille(got, 10),
+          s"r100_p$p" -> recallPermille(got, 100))
+      }.toMap ++ {
+        // the float re-rank closes the ADC tail: 1001 candidates from 16
+        // probed cells, exact squared-L2 over only those — the production
+        // quality shape (ivfPqSearchRerankBatch)
+        val rr = Pq.ivfPqSearchRerankBatch(ivfPqIndex, coarse, pq, embs,
+          "vec_id", "embedding", queries, nProbes = 16,
+          candidates = 1001, topK = 101)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("arank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("dist_sq_micros").asc, col("vec_id").asc)))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("arank"))
+          .localCheckpoint()
+        Map("r10_rr" -> recallPermille(rr, 10), "r100_rr" -> recallPermille(rr, 100))
+      }
+      // Regression pin, set from the measured band (SCALE.md), NOT an
+      // aspiration: this synthetic distribution CAPS recall@10 near
+      // 10·(10/16) ≈ 620‰ — a query's true top-10 are 10 of its 16
+      // jittered group mates, whose 1e-3 jitter is far below codeword
+      // granularity, so every quantized method ties them and id-order
+      // picks ~10/16 of the right set. r100's tail is the classic
+      // re-rank regime: the other ~84 true neighbors are drawn from
+      // near-equidistant isotropic noise that 8-byte ADC codes cannot
+      // order (measured 342‰ @200k, 232‰ @1M; more probes can even dip
+      // it — farther cells contribute ADC-noisy candidates that displace
+      // true ones, so NO monotonicity pin). The floor catches a
+      // quantizer/search REGRESSION; absolute tail quality needs a float
+      // re-rank stage, deliberately absent from the no-floats index.
+      val floorOk = if (byProbe("r10_p16") >= 550 && byProbe("r100_p16") >= 180) 1L else 0L
+      byProbe.toSeq.sortBy(_._1) :+ ("recall_floor_ok" -> floorOk)
     }
 
     stage("profile_incr") {

@@ -336,9 +336,11 @@ object Multimodal {
   // rows are raw BGR with 4-byte padding, PNG inflates with the JDK's
   // zlib (java.util.zip.Inflater) and defilters per the W3C spec, WAV PCM
   // samples are fixed-layout integers. Each returns None for any layout
-  // it does not fully support (compressed BMP, palette/16-bit/interlaced
-  // PNG, non-PCM WAV), and [[pixelStatsOne]] degrades to raw-byte stats —
-  // decode is total, never wrong.
+  // it does not fully support (compressed BMP, non-PCM WAV), and
+  // [[pixelStatsOne]] degrades to raw-byte stats — decode is total,
+  // never wrong. PNG coverage is complete for real-world stills: gray/
+  // RGB/alpha at depths 8 AND 16 (high-byte reduction), palette depths
+  // 1/2/4/8, and Adam7 interlacing (round 17).
 
   /** 24-bit uncompressed BMP → (w, h, 3, top-down row-major RGB bytes).
     * Bottom-up storage (positive biHeight) is row-reversed; BGR→RGB. */
@@ -379,14 +381,17 @@ object Multimodal {
     Some((w, h, 3, out))
   }
 
-  /** Non-interlaced PNG → (w, h, channels, row-major channel bytes):
-    * IDAT chunks concatenated, inflated with the JDK zlib, rows
-    * reconstructed through the five standard filters
-    * (None/Sub/Up/Average/Paeth). 8-bit gray/RGB/gray+alpha/RGBA, plus
+  /** PNG → (w, h, channels, row-major 8-bit channel bytes): IDAT chunks
+    * concatenated, inflated with the JDK zlib, rows reconstructed through
+    * the five standard filters (None/Sub/Up/Average/Paeth), Adam7
+    * INTERLACED images de-interlaced pass by pass (each pass is its own
+    * independently filtered sub-image per the spec). Gray/RGB/gray+alpha/
+    * RGBA at depths 8 AND 16 (16-bit samples reduce to their high byte —
+    * the standard 16→8 tone reduction, so downstream stats stay 8-bit);
     * PALETTE images at index depths 1/2/4/8 — packed indices defilter at
     * byte granularity (bpp = 1 per spec) and expand through the PLTE
-    * table to RGB. tRNS palette alpha is not applied (decodes as
-    * opaque RGB); 16-bit depths and interlacing → None (stub). */
+    * table to RGB. tRNS palette alpha is not applied (decodes as opaque
+    * RGB). Anything else → None (stub), never a wrong pixel. */
   private[llm] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val (w, h, _) = parsePng(b).getOrElse(return None)
     // parsePng guarantees 26 bytes; the interlace byte at 28 needs more —
@@ -395,26 +400,23 @@ object Multimodal {
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (interlace != 0) return None
+    if (interlace != 0 && interlace != 1) return None
     val palette = colorType == 3
-    if (!palette && bitDepth != 8) return None
+    if (!palette && bitDepth != 8 && bitDepth != 16) return None
     if (palette && bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
       return None
-    // storage layout: palette rows pack indices at bitDepth; others are
-    // one byte per channel
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
-    val stride =
-      if (palette) ((w.toLong * bitDepth + 7) / 8).toInt
-      else w * channels
+    val sb = if (palette) 1 else bitDepth / 8 // bytes per sample
     // corrupt IHDR dims: negative, zero, or raster sizes whose Int
     // arithmetic would overflow (or whose allocation a 4-byte header
     // edit could bomb to gigabytes) all degrade to the stub
     if (w <= 0 || h <= 0 ||
-        h.toLong * (1L + w.toLong * math.max(channels, 3)) > Int.MaxValue ||
+        h.toLong * (1L + w.toLong * math.max(channels * sb, 3)) > Int.MaxValue ||
         (palette && (w.toLong * bitDepth + 7) / 8 > Int.MaxValue)) return None
+
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
     var off = 8
@@ -431,7 +433,25 @@ object Multimodal {
       off += 12 + len
     }
     if (palette && (plte == null || plte.length % 3 != 0 || plte.isEmpty)) return None
-    val raw = new Array[Byte](h * (1 + stride))
+
+    // sub-images: the whole image (non-interlaced) or the 7 Adam7 passes
+    // (each independently filtered); stride in bytes for a given width
+    def strideOf(pw: Int): Int =
+      if (palette) ((pw.toLong * bitDepth + 7) / 8).toInt else pw * channels * sb
+    val xs = Array(0, 4, 0, 2, 0, 1, 0)
+    val ys = Array(0, 0, 4, 0, 2, 0, 1)
+    val xt = Array(8, 8, 4, 4, 2, 2, 1)
+    val yt = Array(8, 8, 8, 4, 4, 2, 2)
+    val passes: Seq[(Int, Int, Int)] = // (passIndex, passW, passH)
+      if (interlace == 0) Seq((-1, w, h))
+      else (0 until 7).map { p =>
+        val pw = if (w > xs(p)) (w - xs(p) + xt(p) - 1) / xt(p) else 0
+        val ph = if (h > ys(p)) (h - ys(p) + yt(p) - 1) / yt(p) else 0
+        (p, pw, ph)
+      }.filter(t => t._2 > 0 && t._3 > 0)
+    val rawLen = passes.map(t => t._3.toLong * (1L + strideOf(t._2))).sum
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -447,60 +467,102 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    val out = new Array[Byte](h * stride)
-    val bpp = channels // 8-bit depth: one byte per channel
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      val ro = y * (1 + stride) + 1
-      val oo = y * stride
-      val po = oo - stride
-      var i = 0
-      while (i < stride) {
-        val x = raw(ro + i) & 0xff
-        val a = if (i >= bpp) out(oo + i - bpp) & 0xff else 0
-        val up = if (y > 0) out(po + i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp) out(po + i - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + up
-          case 3 => x + ((a + up) >> 1)
-          case 4 =>
-            val p = a + up - ul
-            val pa = math.abs(p - a)
-            val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
-          case _ => return None
+
+    // filter reconstruction of one sub-image, in place into `out`
+    def defilter(rawOff: Int, rows: Int, stride: Int, bpp: Int,
+        out: Array[Byte]): Boolean = {
+      var y = 0
+      while (y < rows) {
+        val ft = raw(rawOff + y * (1 + stride)) & 0xff
+        val ro = rawOff + y * (1 + stride) + 1
+        val oo = y * stride
+        val po = oo - stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(ro + i) & 0xff
+          val a = if (i >= bpp) out(oo + i - bpp) & 0xff else 0
+          val up = if (y > 0) out(po + i) & 0xff else 0
+          val ul = if (y > 0 && i >= bpp) out(po + i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + ((a + up) >> 1)
+            case 4 =>
+              val p = a + up - ul
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+            case _ => return false
+          }
+          out(oo + i) = (v & 0xff).toByte
+          i += 1
         }
-        out(oo + i) = (v & 0xff).toByte
+        y += 1
+      }
+      true
+    }
+
+    val bpp = if (palette) 1 else channels * sb
+    // assembled full image: palette → one index byte per pixel;
+    // non-palette → channels·sb bytes per pixel (row-major)
+    val assembled =
+      if (palette) new Array[Byte](w * h)
+      else new Array[Byte](w * h * channels * sb)
+    var rawOff = 0
+    passes.foreach { case (p, pw, ph) =>
+      val stride = strideOf(pw)
+      val sub = new Array[Byte](ph * stride)
+      if (!defilter(rawOff, ph, stride, bpp, sub)) return None
+      rawOff += ph * (1 + stride)
+      // scatter the pass pixels into the assembled image (identity map
+      // for the non-interlaced single pass)
+      var yy = 0
+      while (yy < ph) {
+        val destY = if (p < 0) yy else ys(p) + yy * yt(p)
+        var xx = 0
+        while (xx < pw) {
+          val destX = if (p < 0) xx else xs(p) + xx * xt(p)
+          if (palette) {
+            val bitPos = xx.toLong * bitDepth
+            val byteI = yy * stride + (bitPos >> 3).toInt
+            val shift = 8 - bitDepth - (bitPos & 7).toInt
+            val idx = (sub(byteI) >> shift) & ((1 << bitDepth) - 1)
+            if (idx * 3 >= plte.length) return None // past the palette: corrupt
+            assembled(destY * w + destX) = idx.toByte
+          } else {
+            System.arraycopy(sub, (yy * pw + xx) * channels * sb,
+              assembled, (destY * w + destX) * channels * sb, channels * sb)
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    if (palette) {
+      // expand the assembled indices through the PLTE table
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = assembled(i) & 0xff
+        rgb(i * 3) = plte(idx * 3)
+        rgb(i * 3 + 1) = plte(idx * 3 + 1)
+        rgb(i * 3 + 2) = plte(idx * 3 + 2)
         i += 1
       }
-      y += 1
-    }
-    if (!palette) return Some((w, h, channels, out))
-    // expand the defiltered packed indices through the PLTE table
-    val nColors = plte.length / 3
-    val rgb = new Array[Byte](h * w * 3)
-    var yy = 0
-    while (yy < h) {
-      var xx = 0
-      while (xx < w) {
-        val bitPos = xx.toLong * bitDepth
-        val byteI = yy * stride + (bitPos >> 3).toInt
-        val shift = 8 - bitDepth - (bitPos & 7).toInt
-        val idx = (out(byteI) >> shift) & ((1 << bitDepth) - 1)
-        if (idx >= nColors) return None // index past the palette: corrupt
-        val o = (yy * w + xx) * 3
-        rgb(o) = plte(idx * 3)
-        rgb(o + 1) = plte(idx * 3 + 1)
-        rgb(o + 2) = plte(idx * 3 + 2)
-        xx += 1
+      Some((w, h, 3, rgb))
+    } else if (sb == 2) {
+      // 16-bit samples (big-endian per spec) reduce to the high byte
+      val out = new Array[Byte](w * h * channels)
+      var i = 0
+      while (i < out.length) {
+        out(i) = assembled(i * 2)
+        i += 1
       }
-      yy += 1
-    }
-    Some((w, h, 3, rgb))
+      Some((w, h, channels, out))
+    } else Some((w, h, channels, assembled))
   }
 
   /** PCM WAV → (channels, sampleRate, interleaved canonical samples):

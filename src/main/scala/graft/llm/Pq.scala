@@ -436,6 +436,54 @@ object Pq {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ serving with a FLOAT RE-RANK — the production retrieval shape
+    * the C1 recall measurement motivates (SCALE.md "ANN retrieval
+    * quality"): 8-byte ADC codes cannot order near-equidistant tail
+    * neighbors, so the no-floats index serves a CANDIDATE set
+    * (`candidates` ≥ `topK`, typically 3–10×) and only those ids fetch
+    * their float vectors for an exact squared-L2 ranking.
+    *
+    * Scale shape: the candidate frame is dimension-sized (queries ×
+    * candidates rows of two longs) and BROADCASTS against the vector
+    * table, so the float fetch is ONE semi-joined scan — the Spark-native
+    * form of the point-lookup fetch a serving store would do; exact
+    * distances use the [[graft.functions.HashFunctions.sqDist]] kernel
+    * (the oracle-mirrored fold), quantized to integer micros so the whole
+    * result exact-hash-oracles; final top-k is one window over
+    * queries × candidates rows, ties (dist asc, vec_id asc).
+    *
+    * Returns (query_id, vec_id, dist_sq_micros, rank). */
+  def ivfPqSearchRerankBatch(
+      index: DataFrame,
+      coarse: PqModel,
+      pq: PqModel,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      nProbes: Int,
+      candidates: Int,
+      topK: Int): DataFrame = {
+    require(candidates >= topK,
+      s"ivfPqSearchRerankBatch: candidates $candidates < topK $topK")
+    val cand = ivfPqSearchBatchOverIndex(index, coarse, pq, queries,
+      idCol, vecCol, nProbes, candidates)
+      .select(col("query_id"), col("vec_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("__qv"))
+    val cv = vectors.select(col(idCol).as("vec_id"),
+      Similarity.asDouble(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_sq_micros").asc, col("vec_id").asc)
+    cv.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.HashFunctions.sqDist(col("__qv"), col("__cv")) * 1e6)
+          .cast("long").as("dist_sq_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Asymmetric-distance top-k: the query's m×k table of
     * `round(sqDist(query_sub, codeword)·1e6)` entries is computed on the
     * driver; every vector's score is the integer sum of its m table

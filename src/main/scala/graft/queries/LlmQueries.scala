@@ -971,6 +971,21 @@ object LlmQueries {
         nProbes = 2, topK = 10)
     }),
 
+    // IVF-PQ + float RE-RANK (the production retrieval-quality shape the
+    // C1 recall measurement motivates): the no-floats index serves 10
+    // ADC candidates per query, only those fetch their float vectors
+    // (broadcast candidate frame -> one semi-joined scan), exact
+    // micros-quantized squared-L2 re-ranks to the final top-5
+    "q_ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (coarse, pq) = Pq.ivfPqTrain(e, "vec_id", "embedding",
+        dim = 64, cells = 4, m = 2, k = 4)
+      Pq.ivfPqSearchRerankBatch(
+        Pq.ivfPqEncode(e, "vec_id", "embedding", coarse, pq),
+        coarse, pq, e, "vec_id", "embedding", e.filter(col("vec_id") < 4),
+        nProbes = 2, candidates = 10, topK = 5)
+    }),
+
     // PCA over the embedding corpus: one exact-decimal moment pass ->
     // driver Jacobi -> (comp, dim, loading, eigval) model (+ mean rows)
     "q_pca_train" -> ((s, dir) =>
@@ -2788,6 +2803,66 @@ object LlmQueries {
          |    ORDER BY dist_micros ASC, vec_id ASC) AS INTEGER) AS rank
          |  FROM scores)
          |WHERE rank <= 10""".stripMargin,
+
+    // the batch chain above cut at 10 ADC candidates, then the exact
+    // float re-rank: micros-quantized squared L2 in the kernel's fold
+    // order, final top-5 by (dist asc, vec_id asc)
+    "q_ann_ivfpq_rerank" ->
+      s"""WITH $embCte,
+         |${pqCte("cg", "e", 1, 64, 4)},
+         |cgd AS (SELECT sv.vec_id, c.code, ${sqNSql(64, "sv.sv", "c.c")} AS dist
+         |  FROM cgsv sv JOIN cgfc c ON c.sub = sv.sub),
+         |asg AS (SELECT vec_id, code AS cell FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, code ASC) AS rn FROM cgd) WHERE rn = 1),
+         |e2 AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, 64), j -> e.v[j] - fc.c[j]) AS v
+         |  FROM e JOIN asg ON asg.vec_id = e.vec_id
+         |  JOIN cgfc fc ON fc.code = asg.cell AND fc.sub = 0
+         |  WHERE e.v IS NOT NULL),
+         |${pqCte("pq", "e2", 2, 32, 4)},
+         |pqd2 AS (SELECT sv.vec_id, sv.sub, fc.code, ${sq32Sql("sv.sv", "fc.c")} AS dist
+         |  FROM pqsv sv JOIN pqfc fc ON fc.sub = sv.sub),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dist ASC, code ASC) AS rn FROM pqd2) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 4),
+         |qprobe AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, fc.code AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY CAST(round(1000000 * ${sqNSql(64, "q.v", "fc.c")}) AS BIGINT) ASC,
+         |        fc.code ASC) AS rn
+         |  FROM cgfc fc, q) WHERE rn <= 2),
+         |qres AS (SELECT p.query_id, p.cell,
+         |    list_transform(generate_series(1, 64), j -> q.v[j] - fc.c[j]) AS qv
+         |  FROM qprobe p JOIN cgfc fc ON fc.code = p.cell AND fc.sub = 0
+         |  JOIN q ON q.query_id = p.query_id),
+         |qsv2 AS (SELECT r.query_id, r.cell, s.sub,
+         |    r.qv[s.sub*32+1:(s.sub+1)*32] AS qv
+         |  FROM qres r, pqsubs s),
+         |qt AS (SELECT q2.query_id, q2.cell, q2.sub, fc.code,
+         |    CAST(round(1000000 * ${sq32Sql("q2.qv", "fc.c")}) AS BIGINT) AS t
+         |  FROM qsv2 q2 JOIN pqfc fc ON fc.sub = q2.sub),
+         |scores AS (SELECT qt.query_id, a.vec_id, a.cell,
+         |    CAST(SUM(qt.t) AS BIGINT) AS dist_micros
+         |  FROM asg a JOIN enc ON enc.vec_id = a.vec_id
+         |  JOIN qt ON qt.cell = a.cell AND qt.sub = enc.sub AND qt.code = enc.code
+         |  GROUP BY 1, 2, 3),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY dist_micros ASC, vec_id ASC) AS rank
+         |  FROM scores) WHERE rank <= 10),
+         |rr AS (SELECT c.query_id, c.vec_id,
+         |    CAST(round(1000000 * ${sqNSql(64, "q.v", "ev.v")}) AS BIGINT)
+         |      AS dist_sq_micros
+         |  FROM cand c
+         |  JOIN e ev ON ev.vec_id = c.vec_id
+         |  JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, vec_id, dist_sq_micros, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY dist_sq_micros ASC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM rr)
+         |WHERE rank <= 5""".stripMargin,
 
     // invariant oracle (DuckDB has no eigensolver): recompute the
     // micros-quantized moment sums TO THE BIT in HUGEINT, rebuild the

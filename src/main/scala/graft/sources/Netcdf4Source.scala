@@ -741,6 +741,8 @@ private[sources] object Hdf5 {
   }
 
   def isHdf5(fs: FileSystem, path: String): Boolean = {
+    if (fs.getFileStatus(new Path(path)).getLen < 8) return false // let the
+    // classic parser produce its named bad-magic error, not an EOF here
     val in = fs.open(new Path(path))
     try {
       val b = new Array[Byte](8)

@@ -134,6 +134,52 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("float re-rank: exact order over the ADC candidate set, never worse recall") {
+    val df = vecs(300, 4).localCheckpoint()
+    val (c, p) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    val index = Pq.ivfPqEncode(df, "vec_id", "embedding", c, p).localCheckpoint()
+    val queries = df.filter(col("vec_id") < 3)
+    val rer = Pq.ivfPqSearchRerankBatch(index, c, p, df, "vec_id", "embedding",
+      queries, nProbes = 4, candidates = 40, topK = 10).localCheckpoint()
+    // (1) the result IS the exact L2 order over the candidate set:
+    // re-ranking the ADC top-40 by true distance reproduces it row-for-row
+    val cand = Pq.ivfPqSearchBatchOverIndex(index, c, p, queries,
+      "vec_id", "embedding", nProbes = 4, topK = 40)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cand
+      .join(df.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("cv")),
+        Seq("vec_id"))
+      .join(df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.HashFunctions.sqDist(col("qv"), col("cv")) * 1e6)
+          .cast("long").as("d"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2)).take(10).map(t => (t._2, t._3)).toSeq)
+      .toMap
+    val got = rer.orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    assert(got == exact)
+    // (2) the query itself (distance 0) heads its own top-k — the ADC
+    // path can misrank it behind quantization noise, re-rank cannot
+    got.foreach { case (qid, rows) =>
+      assert(rows.head == ((qid, 0L)), s"query $qid does not head its re-ranked list")
+    }
+    // (3) determinism under repartitioning
+    val rer2 = Pq.ivfPqSearchRerankBatch(index.repartition(11), c, p,
+      df.repartition(7), "vec_id", "embedding", queries, 4, 40, 10)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(rer2 == rer.as[(Long, Long, Long, Int)].collect().toSet)
+    // (4) candidates < topK is loud
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqSearchRerankBatch(index, c, p, df, "vec_id", "embedding",
+        queries, 2, 5, 10)
+    }
+  }
+
   test("guards: bad subspace split and wrong-dim query are loud") {
     val df = vecs(20)
     intercept[IllegalArgumentException] {

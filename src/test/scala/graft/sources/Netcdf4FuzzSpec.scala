@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+import scala.sys.process._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Differential fuzz of the NetCDF-4/HDF5 reader against the INDEPENDENT
+  * python generator (`tools/make_netcdf4_fuzz.py` — a second from-spec
+  * HDF5 implementation, like every binary source here): every structural
+  * parameter randomizes from the seed — superblock v0 (v1 object headers,
+  * symbol-table group) vs v2 (OHDR, link messages, lookup3 checksums),
+  * dims/sizes/coordinate direction, phony vs real dimension scales,
+  * dtypes (f4/f8/i2/i4/i8), contiguous vs chunked layouts with
+  * non-dividing (edge) chunk shapes, filter pipelines (deflate,
+  * shuffle+deflate, deflate+fletcher32, all three), _FillValue masks,
+  * skip-by-framing attributes — and the reader must reproduce the
+  * generator's own per-variable non-fill count and integer checksum.
+  * Values land on the 1/8 grid so `round(value·1000)` is engine-exact.
+  * Truncations assert loud rejection. */
+class Netcdf4FuzzSpec extends SparkSpec {
+
+  private val generator = new File("tools/make_netcdf4_fuzz.py").getAbsolutePath
+
+  private def generate(out: String, seed: Int): Seq[(String, Long, Long)] = {
+    val buf = new StringBuilder
+    val rc = Process(Seq("python3", generator, out, seed.toString))
+      .!(ProcessLogger(l => buf.append(l).append('\n')))
+    assert(rc == 0, s"generator failed:\n$buf")
+    "EXPECT (\\S+) (\\d+) (-?\\d+)".r.findAllMatchIn(buf.toString)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+  }
+
+  private def read(path: String) = spark.read
+    .format(classOf[NetcdfSource].getName)
+    .option("path", path).option("numPartitions", "3").load()
+
+  test("seeded random HDF5 files decode to the generator's checksums") {
+    val dir = Files.createTempDirectory("nc4-fuzz").toString
+    for (seed <- Seq(1, 7, 42, 1234, 99999, 31337, 271828)) {
+      val f = s"$dir/fuzz_$seed.nc"
+      val expects = generate(f, seed)
+      assert(expects.nonEmpty)
+      val df = read(f)
+      for ((vn, n, sumExp) <- expects) {
+        val r = df.agg(
+          count(col(vn)).as("n"),
+          coalesce(sum(round(col(vn) * 1000).cast("long")), lit(0L)).as("s")).head
+        assert(r.getLong(0) == n && r.getLong(1) == sumExp,
+          s"seed=$seed $vn: got (${r.getLong(0)}, ${r.getLong(1)}), " +
+            s"expected ($n, $sumExp)")
+      }
+    }
+  }
+
+  test("truncated HDF5 files are rejected loudly, never read short") {
+    val dir = Files.createTempDirectory("nc4-fuzz-bad").toString
+    val f = s"$dir/good.nc"
+    val expects = generate(f, 5)
+    assert(expects.nonEmpty)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    // cut inside the data region: a VALUE read must fail, never decode
+    // short (a bare count is metadata-only by design — row count derives
+    // from the dataspace — so the truncation probe must force payload I/O)
+    Files.write(java.nio.file.Paths.get(s"$dir/trunc.nc"),
+      java.util.Arrays.copyOf(bytes, (bytes.length * 0.7).toInt))
+    // sum, not count: count over a non-nullable column folds to count(1),
+    // which is metadata-only and would read nothing
+    val firstVar = expects.head._1
+    intercept[Throwable] {
+      read(s"$dir/trunc.nc").agg(sum(col(firstVar))).head
+    }
+    // cut inside the metadata
+    Files.write(java.nio.file.Paths.get(s"$dir/trunc2.nc"),
+      java.util.Arrays.copyOf(bytes, 64))
+    intercept[Throwable] { read(s"$dir/trunc2.nc").count() }
+  }
+}

@@ -352,6 +352,102 @@ def make_png_filtered(width: int, height: int, color_type: int) -> bytes:
             + png_chunk(b"IEND", b""))
 
 
+def _filter_rows(rows, stride, bpp, filtered):
+    """Filter a sub-image's rows per the W3C spec (row y -> type y % 5
+    when filtered, else 0), independent of the decoder under test."""
+    stream = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        ft = (y % 5) if filtered else 0
+        stream.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = (x - a) & 0xFF
+            elif ft == 2:
+                v = (x - b) & 0xFF
+            elif ft == 3:
+                v = (x - (a + b) // 2) & 0xFF
+            else:
+                v = (x - _paeth(a, b, c)) & 0xFF
+            stream.append(v)
+        prev = row
+    return stream
+
+
+_ADAM7 = (  # (x_start, y_start, x_step, y_step) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def make_png_general(width: int, height: int, color_type: int,
+                     bit_depth: int = 8, interlace: int = 0,
+                     filtered: bool = False, n_colors: int = None) -> bytes:
+    """One builder for every layout the reader supports: color types
+    0/2/4/6 at depths 8 and 16 (16-bit sample = (pattern<<8)|noise, so
+    the HIGH byte is the same pattern png_norm_pixels describes — the
+    16->8 reduction ground truth), palette type 3 at depths 1/2/4/8, each
+    optionally Adam7-INTERLACED (each pass independently filtered per the
+    spec) and optionally per-row filtered."""
+    palette = color_type == 3
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sb = 1 if palette else bit_depth // 8
+    n = min(n_colors or (1 << bit_depth), 1 << bit_depth, 256) if palette else 0
+
+    def sample_bytes(x, y, c):
+        hi = (x * 11 + y * 17 + c * 29) % 256
+        if sb == 1:
+            return bytes([hi])
+        return bytes([hi, (x * 5 + y * 3 + c) % 256])
+
+    def sub_rows(px, py, pw, ph, xstep, ystep):
+        rows = []
+        for j in range(ph):
+            yy = py + j * ystep
+            if palette:
+                stride = (pw * bit_depth + 7) // 8
+                packed = bytearray(stride)
+                for i in range(pw):
+                    xx = px + i * xstep
+                    v = _palette_idx(xx, yy, n)
+                    bitpos = i * bit_depth
+                    packed[bitpos // 8] |= v << (8 - bit_depth - (bitpos % 8))
+                rows.append(bytes(packed))
+            else:
+                row = bytearray()
+                for i in range(pw):
+                    xx = px + i * xstep
+                    for c in range(channels):
+                        row += sample_bytes(xx, yy, c)
+                rows.append(bytes(row))
+        return rows
+
+    bpp = 1 if palette else channels * sb
+    stream = bytearray()
+    if interlace == 0:
+        rows = sub_rows(0, 0, width, height, 1, 1)
+        stream += _filter_rows(rows, len(rows[0]) if rows else 0, bpp, filtered)
+    else:
+        for (xs, ys_, xt, yt) in _ADAM7:
+            pw = (width - xs + xt - 1) // xt if width > xs else 0
+            ph = (height - ys_ + yt - 1) // yt if height > ys_ else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows = sub_rows(xs, ys_, pw, ph, xt, yt)
+            stream += _filter_rows(rows, len(rows[0]), bpp, filtered)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, interlace)
+    chunks = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr))
+    if palette:
+        chunks += png_chunk(b"PLTE", _palette(n))
+    return (chunks + png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+            + png_chunk(b"IEND", b""))
+
+
 def wav_canonical_samples(channels: int, n_frames: int, bits: int = 16,
                           odd_data: bool = False, perturb: bool = False) -> list:
     """Signed canonical samples: 16-bit as stored; 8-bit as stored - 128."""
@@ -678,6 +774,27 @@ def fuzz(outdir: str, seed: int):
         filt = bool(rng.integers(0, 2))
         payload = (make_png_filtered if filt else make_png)(w, h, ct)
         px = png_norm_pixels(w, h, ct)
+        out("png", payload, w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # 16-bit / interlaced PNGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        ct = int(rng.choice([0, 2, 4, 6]))
+        depth = int(rng.choice([8, 16]))
+        inter = int(rng.integers(0, 2))
+        filt = bool(rng.integers(0, 2))
+        payload = make_png_general(w, h, ct, bit_depth=depth,
+                                   interlace=inter, filtered=filt)
+        # ground truth: the 16-bit HIGH byte carries the 8-bit pattern,
+        # and interlacing only changes the encoding, never the pixels
+        px = png_norm_pixels(w, h, ct)
+        out("png", payload, w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # interlaced palette PNGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        depth = int(rng.choice([1, 2, 4, 8]))
+        ncol = int(rng.integers(1, (1 << depth) + 1))
+        filt = bool(rng.integers(0, 2))
+        payload = make_png_general(w, h, 3, bit_depth=depth, interlace=1,
+                                   filtered=filt, n_colors=ncol)
+        px = png_palette_norm_pixels(w, h, depth, n_colors=ncol)
         out("png", payload, w * h, sum(px), max(px), checksum(px))
     for _ in range(int(rng.integers(2, 5))):  # palette PNGs
         w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))

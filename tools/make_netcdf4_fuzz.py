@@ -1,0 +1,470 @@
+#!/usr/bin/env python3
+"""Seeded randomized NetCDF-4/HDF5 files for differential fuzzing of the
+Scala reader (Netcdf4FuzzSpec drives this).
+
+Same from-spec byte construction as make_netcdf4_fixture.py (struct.pack
+per the public HDF5 File Format Specification + netCDF-4 dimension-scale
+conventions, independent of the reader under test), but every structural
+parameter randomizes from the seed:
+
+  - superblock v0 (v1 object headers, symbol-table group) or v2 (OHDR v2,
+    compact link messages, lookup3 checksums);
+  - 2-3 dims of random sizes, random coordinate direction, each dim a
+    real coordinate variable or a PHONY scale (index coordinates);
+  - 1-3 data variables over random dtypes (f4/f8/i2/i4/i8), each with a
+    random layout: contiguous, or chunked with random (often
+    non-dividing -> edge chunks) chunk dims and a random filter pipeline
+    from {none, deflate, shuffle+deflate, deflate+fletcher32,
+    shuffle+deflate+fletcher32};
+  - optional _FillValue with a random fill mask;
+  - random extra attributes the reader must SKIP by framing.
+
+Values land on the 1/8 grid so `round(value * 1000)` is engine-exact.
+For each variable the generator prints one expectation line:
+  EXPECT <var> <non_fill_count> <sum of round(value*1000) over non-fill>
+
+Usage: python3 tools/make_netcdf4_fuzz.py <out.nc> <seed>
+"""
+import struct
+import sys
+import zlib
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def u8(v): return struct.pack("<B", v)
+def u16(v): return struct.pack("<H", v)
+def u32(v): return struct.pack("<I", v)
+def u64(v): return struct.pack("<Q", v)
+
+
+def pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _rot(x, k):
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def lookup3(data: bytes, init: int = 0) -> int:
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & 0xFFFFFFFF
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        i += 12
+        length -= 12
+    tail = data[i:]
+    if tail:
+        t = tail + b"\x00" * (12 - len(tail))
+        a = (a + int.from_bytes(t[0:4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(t[4:8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(t[8:12], "little")) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+def fletcher32(data: bytes) -> int:
+    sum1 = sum2 = 0
+    n = len(data) // 2
+    i = 0
+    while n:
+        tlen = min(n, 360)
+        n -= tlen
+        for _ in range(tlen):
+            sum1 += (data[i] << 8) | data[i + 1]
+            sum2 += sum1
+            i += 2
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xFFFFFFFF
+
+
+def shuffle_bytes(raw: bytes, elem: int) -> bytes:
+    n = len(raw) // elem
+    out = bytearray(len(raw))
+    for k in range(elem):
+        out[k * n:(k + 1) * n] = raw[k::elem]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- datatypes
+def dt_for(dtype: np.dtype) -> bytes:
+    if dtype == np.float32:
+        props = u16(0) + u16(32) + u8(23) + u8(8) + u8(0) + u8(23) + u32(127)
+        return u8(0x11) + u8(0x20) + u8(0x3F) + u8(0x00) + u32(4) + props
+    if dtype == np.float64:
+        props = u16(0) + u16(64) + u8(52) + u8(11) + u8(0) + u8(52) + u32(1023)
+        return u8(0x11) + u8(0x20) + u8(0x3F) + u8(0x00) + u32(8) + props
+    size = dtype.itemsize
+    return u8(0x10) + u8(0x08) + u8(0) + u8(0) + u32(size) + u16(0) + u16(size * 8)
+
+
+def dt_string(n: int) -> bytes:
+    return u8(0x13) + u8(0x00) + u8(0) + u8(0) + u32(n)
+
+
+def dt_objref() -> bytes:
+    return u8(0x17) + u8(0x00) + u8(0) + u8(0) + u32(8)
+
+
+def dt_vlen_of(base: bytes) -> bytes:
+    return u8(0x19) + u8(0x00) + u8(0) + u8(0) + u32(16) + base
+
+
+def ds_simple_v1(dims) -> bytes:
+    return (u8(1) + u8(len(dims)) + u8(0) + u8(0) + u32(0) +
+            b"".join(u64(d) for d in dims))
+
+
+def ds_scalar_v2() -> bytes:
+    return u8(2) + u8(0) + u8(0) + u8(0)
+
+
+# ---------------------------------------------------------------- messages
+def msg_v1(mtype, body):
+    body = pad8(body)
+    return u16(mtype) + u16(len(body)) + u8(0) + b"\x00" * 3 + body
+
+
+def object_header_v1(messages):
+    block = b"".join(msg_v1(t, b) for t, b in messages)
+    return (u8(1) + u8(0) + u16(len(messages)) + u32(1) + u32(len(block)) +
+            b"\x00" * 4 + block)
+
+
+def msg_v2(mtype, body):
+    return u8(mtype) + u16(len(body)) + u8(0) + body
+
+
+def object_header_v2(messages):
+    block = b"".join(msg_v2(t, b) for t, b in messages)
+    prefix = b"OHDR" + u8(2) + u8(0x02) + u32(len(block))
+    whole = prefix + block
+    return whole + u32(lookup3(whole))
+
+
+def attr_v1(name, dtype, dspace, data):
+    nb = name.encode() + b"\x00"
+    return (u8(1) + u8(0) + u16(len(nb)) + u16(len(dtype)) + u16(len(dspace)) +
+            pad8(nb) + pad8(dtype) + pad8(dspace) + data)
+
+
+def attr_str(name, value):
+    vb = value.encode() + b"\x00"
+    return attr_v1(name, dt_string(len(vb)), ds_scalar_v2(), vb)
+
+
+def fill_value_msg(value):
+    if value is None:
+        return u8(2) + u8(2) + u8(0) + u8(0)
+    return u8(2) + u8(2) + u8(0) + u8(1) + u32(len(value)) + value
+
+
+def layout_contiguous(addr, size):
+    return u8(3) + u8(1) + u64(addr) + u64(size)
+
+
+def layout_chunked(btree_addr, chunk_dims, elem):
+    dims = list(chunk_dims) + [elem]
+    return (u8(3) + u8(2) + u8(len(dims)) + u64(btree_addr) +
+            b"".join(u32(d) for d in dims))
+
+
+def filter_pipeline(filters):
+    body = u8(1) + u8(len(filters)) + u16(0) + u32(0)
+    for fid, cd in filters:
+        body += u16(fid) + u16(0) + u16(1) + u16(len(cd))
+        body += b"".join(u32(c) for c in cd)
+        if len(cd) % 2:
+            body += u32(0)
+    return body
+
+
+def link_msg(name, oh_addr):
+    nb = name.encode()
+    return u8(1) + u8(0) + u8(len(nb)) + nb + u64(oh_addr)
+
+
+def chunk_grid(dims, cdims):
+    import itertools
+    return list(itertools.product(*[range(0, d, c) for d, c in zip(dims, cdims)]))
+
+
+def build_chunks(arr, cdims, fillv, filters):
+    dims = arr.shape
+    elem = arr.dtype.itemsize
+    out = []
+    for origin in chunk_grid(dims, cdims):
+        full = np.full(cdims, fillv, dtype=arr.dtype)
+        sl = tuple(slice(o, min(o + c, d)) for o, c, d in zip(origin, cdims, dims))
+        dst = tuple(slice(0, s.stop - s.start) for s in sl)
+        full[dst] = arr[sl]
+        raw = full.tobytes()
+        for fid, cd in filters:
+            if fid == 2:
+                raw = shuffle_bytes(raw, elem)
+            elif fid == 1:
+                raw = zlib.compress(raw, cd[0])
+            elif fid == 3:
+                raw = raw + u32(fletcher32(raw))
+        out.append((origin, raw))
+    return out
+
+
+def btree_v1_chunks(chunks, addr_of, dataset_dims, cdims):
+    body = b"TREE" + u8(1) + u8(0) + u16(len(chunks)) + u64(UNDEF) + u64(UNDEF)
+    for i, (origin, raw) in enumerate(chunks):
+        body += u32(len(raw)) + u32(0)
+        body += b"".join(u64(o) for o in origin) + u64(0)
+        body += u64(addr_of(i))
+    bound = [((d + c - 1) // c) * c for d, c in zip(dataset_dims, cdims)]
+    body += u32(0) + u32(0) + b"".join(u64(o) for o in bound) + u64(0)
+    return body
+
+
+# ---------------------------------------------------------------- generate
+def main(out: str, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    sb_version = int(rng.choice([0, 2]))
+    ndims = int(rng.integers(2, 4))
+    dim_sizes = [int(rng.integers(5, 41)) for _ in range(ndims)]
+    dim_names = [f"d{i}" for i in range(ndims)]
+    # phony vs real coordinate var per dim; coords ascending or descending
+    dim_has_coord = [bool(rng.integers(0, 2)) for _ in range(ndims)]
+    dim_coords = []
+    for i in range(ndims):
+        start = float(rng.integers(-100, 100))
+        stepv = float(rng.choice([0.125, 0.25, 0.5, 1.0]))
+        sign = 1.0 if rng.integers(0, 2) else -1.0
+        dim_coords.append(np.array(
+            [start + sign * stepv * k for k in range(dim_sizes[i])], np.float64))
+
+    nvars = int(rng.integers(1, 4))
+    dtypes = [np.dtype(t) for t in
+              rng.choice(["f4", "f8", "i2", "i4", "i8"], nvars)]
+    npts = int(np.prod(dim_sizes))
+    expects = []
+    var_specs = []
+    for v in range(nvars):
+        dt = dtypes[v]
+        if dt.kind == "f":
+            vals = rng.integers(-4000, 4000, npts).astype(np.float64) / 8.0
+            arr = vals.astype(dt).reshape(dim_sizes)
+        else:
+            lim = min(2 ** (dt.itemsize * 8 - 1) - 10, 30000)
+            arr = rng.integers(-lim // 2, lim // 2, npts).astype(dt).reshape(dim_sizes)
+        has_fill = bool(rng.integers(0, 2))
+        if has_fill:
+            fillv = dt.type(-99999) if dt.kind == "f" else dt.type(
+                min(2 ** (dt.itemsize * 8 - 1) - 1, 32767))
+            mask = rng.random(npts).reshape(dim_sizes) < 0.07
+            arr[mask] = fillv
+        else:
+            fillv, mask = dt.type(0), np.zeros(dim_sizes, bool)
+        chunked = bool(rng.integers(0, 2))
+        cdims = None
+        filters = []
+        if chunked:
+            cdims = [int(rng.integers(2, d + 3)) for d in dim_sizes]
+            style = int(rng.integers(0, 5))
+            lvl = int(rng.integers(1, 10))
+            if style == 1:
+                filters = [(1, [lvl])]
+            elif style == 2:
+                filters = [(2, [dt.itemsize]), (1, [lvl])]
+            elif style == 3:
+                filters = [(1, [lvl]), (3, [])]
+            elif style == 4:
+                filters = [(2, [dt.itemsize]), (1, [lvl]), (3, [])]
+        nf = arr[~mask]
+        expects.append((f"v{v}",
+                        int((~mask).sum()),
+                        int(np.rint(nf.astype(np.float64) * 1000).sum())))
+        var_specs.append(dict(name=f"v{v}", arr=arr, dt=dt, cdims=cdims,
+                              filters=filters,
+                              fill=fillv.tobytes() if has_fill else None,
+                              history="x" * int(rng.integers(1, 40)),
+                              chunks=(build_chunks(arr, cdims, fillv, filters)
+                                      if chunked else None)))
+
+    link_names = dim_names + [s["name"] for s in var_specs]
+    order = ["sb", "root_oh"]
+    if sb_version == 0:
+        order += ["btree", "heap", "snod"]
+    order += [f"oh_{n}" for n in link_names]
+    order += [f"vbtree_{s['name']}" for s in var_specs if s["chunks"] is not None]
+    order += ["gheap"]
+    order += [f"cdata_{i}" for i in range(ndims) if dim_has_coord[i]]
+    order += [f"vdata_{s['name']}" for s in var_specs if s["chunks"] is None]
+    for s in var_specs:
+        if s["chunks"] is not None:
+            order += [f"chunk_{s['name']}_{i}" for i in range(len(s["chunks"]))]
+
+    def build(addr, eof):
+        blocks = {}
+        oh = object_header_v1 if sb_version == 0 else object_header_v2
+
+        gobjs = []
+
+        def galloc(data):
+            gobjs.append(data)
+            return len(gobjs)
+
+        def dimension_list():
+            els = b""
+            for i in range(ndims):
+                gi = galloc(u64(addr[f"oh_{dim_names[i]}"]))
+                els += u32(1) + u64(addr["gheap"]) + u32(gi)
+            return attr_v1("DIMENSION_LIST", dt_vlen_of(dt_objref()),
+                           ds_simple_v1([ndims]), els)
+
+        # dim scale headers
+        for i, dn in enumerate(dim_names):
+            msgs = [(0x0001, ds_simple_v1([dim_sizes[i]])),
+                    (0x0003, dt_for(np.dtype("f8"))),
+                    (0x0005, fill_value_msg(None))]
+            if dim_has_coord[i]:
+                msgs.append((0x0008, layout_contiguous(
+                    addr[f"cdata_{i}"], dim_sizes[i] * 8)))
+            else:
+                msgs.append((0x0008, layout_contiguous(UNDEF, 0)))
+            msgs += [(0x000C, attr_str("CLASS", "DIMENSION_SCALE")),
+                     (0x000C, attr_str(
+                         "NAME", dn if dim_has_coord[i] else
+                         "This is a netCDF dimension but not a netCDF "
+                         f"variable.  {dim_sizes[i]}"))]
+            blocks[f"oh_{dn}"] = oh(msgs)
+
+        # data variable headers
+        for s in var_specs:
+            msgs = [(0x0001, ds_simple_v1(dim_sizes)),
+                    (0x0003, dt_for(s["dt"])),
+                    (0x0005, fill_value_msg(None))]
+            if s["filters"]:
+                msgs.append((0x000B, filter_pipeline(s["filters"])))
+            if s["chunks"] is not None:
+                msgs.append((0x0008, layout_chunked(
+                    addr[f"vbtree_{s['name']}"], s["cdims"], s["dt"].itemsize)))
+            else:
+                msgs.append((0x0008, layout_contiguous(
+                    addr[f"vdata_{s['name']}"], s["arr"].nbytes)))
+            msgs.append((0x000C, dimension_list()))
+            if s["fill"] is not None:
+                msgs.append((0x000C, attr_v1("_FillValue", dt_for(s["dt"]),
+                                             ds_simple_v1([1]), s["fill"])))
+            # a random unknown attr the reader must skip by framing
+            # (length precomputed: build() runs twice and must be pure)
+            msgs.append((0x000C, attr_str("history", s["history"])))
+            blocks[f"oh_{s['name']}"] = oh(msgs)
+
+        # root group
+        if sb_version == 0:
+            heap_data = bytearray(b"\x00" * 8)
+            name_off = {}
+            for nm in sorted(link_names):
+                name_off[nm] = len(heap_data)
+                heap_data += pad8(nm.encode() + b"\x00")
+            heap_seg = bytes(heap_data)
+            blocks["heap"] = (b"HEAP" + u8(0) + b"\x00" * 3 + u64(len(heap_seg))
+                              + u64(UNDEF) + u64(addr["heap"] + 32) + heap_seg)
+
+            def ste(nm):
+                return (u64(name_off[nm]) + u64(addr[f"oh_{nm}"]) + u32(0)
+                        + u32(0) + b"\x00" * 16)
+            blocks["snod"] = (b"SNOD" + u8(1) + u8(0) + u16(len(link_names)) +
+                              b"".join(ste(nm) for nm in sorted(link_names)))
+            last = sorted(link_names)[-1]
+            blocks["btree"] = (b"TREE" + u8(0) + u8(0) + u16(1) +
+                               u64(UNDEF) + u64(UNDEF) +
+                               u64(0) + u64(addr["snod"]) + u64(name_off[last]))
+            blocks["root_oh"] = object_header_v1([
+                (0x0011, u64(addr["btree"]) + u64(addr["heap"])),
+                (0x000C, attr_str("_NCProperties", "version=2,fuzz=1")),
+            ])
+            blocks["sb"] = (b"\x89HDF\r\n\x1a\n" + u8(0) + u8(0) + u8(0) + u8(0)
+                            + u8(0) + u8(8) + u8(8) + u8(0) + u16(4) + u16(16)
+                            + u32(0) + u64(0) + u64(UNDEF) + u64(eof)
+                            + u64(UNDEF) + u64(0) + u64(addr["root_oh"])
+                            + u32(1) + u32(0)
+                            + u64(addr["btree"]) + u64(addr["heap"]))
+        else:
+            links = [(0x0002, u8(0) + u8(0) + u64(UNDEF) + u64(UNDEF)),
+                     (0x000A, u8(0) + u8(0))]
+            links += [(0x0006, link_msg(nm, addr[f"oh_{nm}"]))
+                      for nm in link_names]
+            blocks["root_oh"] = object_header_v2(links)
+            sbb = (b"\x89HDF\r\n\x1a\n" + u8(2) + u8(8) + u8(8) + u8(0)
+                   + u64(0) + u64(UNDEF) + u64(eof) + u64(addr["root_oh"]))
+            blocks["sb"] = sbb + u32(lookup3(sbb))
+
+        # var chunk btrees + global heap + data
+        for s in var_specs:
+            if s["chunks"] is not None:
+                blocks[f"vbtree_{s['name']}"] = btree_v1_chunks(
+                    s["chunks"], lambda i, n=s["name"]: addr[f"chunk_{n}_{i}"],
+                    dim_sizes, s["cdims"])
+        gsize = 512
+        while True:
+            g = bytearray()
+            for i, data in enumerate(gobjs):
+                g += u16(i + 1) + u16(1) + u32(0) + u64(len(data)) + pad8(data)
+            head = b"GCOL" + u8(1) + b"\x00" * 3 + u64(gsize)
+            free = gsize - len(head) - len(g)
+            if free >= 16:
+                break
+            gsize *= 2
+        g += u16(0) + u16(0) + u32(0) + u64(free)
+        blocks["gheap"] = head + bytes(g) + b"\x00" * (free - 16)
+        for i in range(ndims):
+            if dim_has_coord[i]:
+                blocks[f"cdata_{i}"] = dim_coords[i].tobytes()
+        for s in var_specs:
+            if s["chunks"] is None:
+                blocks[f"vdata_{s['name']}"] = s["arr"].tobytes()
+            else:
+                for i, (_, raw) in enumerate(s["chunks"]):
+                    blocks[f"chunk_{s['name']}_{i}"] = raw
+        return blocks
+
+    addr = {k: 0 for k in order}
+    sizes = {k: len(v) for k, v in build(addr, 0).items()}
+    off = 0
+    for k in order:
+        addr[k] = off
+        off += sizes[k]
+    blocks = build(addr, off)
+    data = b"".join(blocks[k] for k in order)
+    assert len(data) == off
+    with open(out, "wb") as f:
+        f.write(data)
+    for nm, cnt, chk in expects:
+        print(f"EXPECT {nm} {cnt} {chk}")
+    print(f"INFO sb={sb_version} dims={dim_sizes} vars={nvars}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]))
