@@ -49,7 +49,7 @@ final case class MediaPixels(
     sample_rate: Option[Int],
     n_units: Long,
     sum_abs: Long,
-    peak: Int,
+    peak: Long, // 32-bit PCM peaks reach 2^31 — beyond Int
     checksum_px: Long)
 
 /** A really-resampled image (see [[Multimodal.resizePixels]]): output
@@ -336,7 +336,7 @@ object Multimodal {
   // rows are raw BGR with 4-byte padding, PNG inflates with the JDK's
   // zlib (java.util.zip.Inflater) and defilters per the W3C spec, WAV PCM
   // samples are fixed-layout integers. Each returns None for any layout
-  // it does not fully support (compressed BMP, non-PCM WAV), and
+  // it does not fully support (compressed BMP, float64 WAV), and
   // [[pixelStatsOne]] degrades to raw-byte stats — decode is total,
   // never wrong. PNG coverage is complete for real-world stills: gray/
   // RGB/alpha at depths 8 AND 16 (high-byte reduction), palette depths
@@ -565,14 +565,23 @@ object Multimodal {
     } else Some((w, h, channels, assembled))
   }
 
-  /** PCM WAV → (channels, sampleRate, interleaved canonical samples):
-    * 16-bit little-endian signed as stored; 8-bit unsigned shifted to
-    * signed (stored − 128). Non-PCM or other depths → None. */
+  /** WAV → (channels, sampleRate, interleaved canonical samples).
+    * Formats: PCM (code 1) at 8/16/24/32 bits and IEEE float (code 3) at
+    * 32 bits, both directly and wrapped in WAVE_FORMAT_EXTENSIBLE
+    * (0xFFFE — the container 24-bit tooling actually writes; the
+    * subformat GUID's tail is validated, unknown subformats → None).
+    * Canonical integer samples: 16-bit as stored; 8-bit stored − 128;
+    * 24/32-bit PCM sign-extended as stored; float via
+    * `Math.round(f·32767)` (floor(x+0.5) — the rule the differential
+    * generator mirrors; the product is exact in double for every
+    * finite f, so both sides agree even exactly at .5). Anything
+    * else → None. */
   private[llm] def decodeWavSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val isRiff = b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
     if (!isRiff) return None
     var off = 12
+    var fmtCode = 0
     var channels = 0
     var rate = 0
     var bits = 0
@@ -585,10 +594,25 @@ object Multimodal {
       if (size < 0 || size > b.length - off - 8) return None
       val tag = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (tag == "fmt " && size >= 16) {
-        if (u16le(b, off + 8) != 1) return None // PCM only
+        var code = u16le(b, off + 8)
         channels = u16le(b, off + 10)
         rate = i32le(b, off + 12)
         bits = u16le(b, off + 22)
+        if (code == 0xFFFE) { // WAVE_FORMAT_EXTENSIBLE: code in the GUID
+          if (size < 40) return None
+          val g = off + 8 + 24
+          // KSDATAFORMAT_SUBTYPE GUID = <u16 code> 00 00 + fixed tail
+          val tail = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+            0x00, 0x38, 0x9B, 0x71)
+          if ((b(g + 2) & 0xff) != 0 || (b(g + 3) & 0xff) != 0) return None
+          var k = 0
+          while (k < 12) {
+            if ((b(g + 4 + k) & 0xff) != tail(k)) return None
+            k += 1
+          }
+          code = u16le(b, g)
+        }
+        fmtCode = code
       } else if (tag == "data") {
         dataOff = off + 8
         dataBytes = size
@@ -597,8 +621,8 @@ object Multimodal {
       // bound above keeps off + 8 + size <= b.length, so no overflow
     }
     if (channels <= 0 || dataOff < 0) return None
-    bits match {
-      case 16 =>
+    (fmtCode, bits) match {
+      case (1, 16) =>
         val n = dataBytes / 2
         val out = new Array[Int](n)
         var i = 0
@@ -607,11 +631,42 @@ object Multimodal {
           i += 1
         }
         Some((channels, rate, out))
-      case 8 =>
+      case (1, 8) =>
         val out = new Array[Int](dataBytes)
         var i = 0
         while (i < dataBytes) {
           out(i) = (b(dataOff + i) & 0xff) - 128
+          i += 1
+        }
+        Some((channels, rate, out))
+      case (1, 24) =>
+        val n = dataBytes / 3
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val o = dataOff + 3 * i
+          val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+          out(i) = (v << 8) >> 8 // sign-extend 24 bits
+          i += 1
+        }
+        Some((channels, rate, out))
+      case (1, 32) =>
+        val n = dataBytes / 4
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = i32le(b, dataOff + 4 * i)
+          i += 1
+        }
+        Some((channels, rate, out))
+      case (3, 32) =>
+        val n = dataBytes / 4
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val f = java.lang.Float.intBitsToFloat(i32le(b, dataOff + 4 * i))
+          if (f.isNaN || f.isInfinite) return None // corrupt float payload
+          out(i) = Math.round(f * 32767.0).toInt
           i += 1
         }
         Some((channels, rate, out))
@@ -646,13 +701,18 @@ object Multimodal {
     m
   }
 
-  /** Canonical-sample checksum: the polynomial fold over `s + 32768`
-    * (well-defined for both 8- and 16-bit domains). */
+  /** Canonical-sample checksum: the polynomial fold over `s + 32768`.
+    * 24/32-bit samples make the shifted term NEGATIVE near the bottom of
+    * their range, where JVM `%` yields a negative remainder and Python's
+    * (the differential generator's) never does — normalize to the
+    * mathematical (non-negative) residue so the two sides agree on the
+    * whole sample domain. */
   private def sampleChecksum(samples: Array[Int]): Long = {
     var c = 7L
     var i = 0
     while (i < samples.length) {
-      c = (c * 31 + (samples(i) + 32768)) % TextHash.Prime
+      val r = (c * 31 + (samples(i).toLong + 32768)) % TextHash.Prime
+      c = if (r < 0) r + TextHash.Prime else r
       i += 1
     }
     c
@@ -668,10 +728,12 @@ object Multimodal {
         w.toLong * h, byteSum(px), byteMax(px), byteChecksum(px))
     }.orElse(safely(decodeWavSamples(r.payload)).map { case (ch, rate, samples) =>
       var sum = 0L
-      var peak = 0
+      var peak = 0L
       var i = 0
       while (i < samples.length) {
-        val a = math.abs(samples(i))
+        // Long abs: a 32-bit PCM sample can be Int.MinValue, where the
+        // Int abs is its own negative
+        val a = math.abs(samples(i).toLong)
         sum += a
         if (a > peak) peak = a
         i += 1

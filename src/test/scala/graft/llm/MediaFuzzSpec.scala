@@ -18,7 +18,7 @@ class MediaFuzzSpec extends SparkSpec {
 
   private val generator = new File("tools/make_media_fixture.py").getAbsolutePath
 
-  private def generate(dir: String, seed: Int): Seq[(Long, Long, Long, Int, Long)] = {
+  private def generate(dir: String, seed: Int): Seq[(Long, Long, Long, Long, Long)] = {
     val buf = new StringBuilder
     val rc = Process(Seq("python3", generator, "--fuzz", dir, seed.toString))
       .!(ProcessLogger(l => buf.append(l).append('\n')))
@@ -29,7 +29,7 @@ class MediaFuzzSpec extends SparkSpec {
         m.group(4).toInt, m.group(5).toInt, m.group(6).toLong)).toSeq
     "(?m)^EXPECT (\\d+) (\\d+) (\\d+) (\\d+) (\\d+)".r.findAllMatchIn(buf.toString)
       .map(m => (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toInt, m.group(5).toLong)).toSeq
+        m.group(4).toLong, m.group(5).toLong)).toSeq
   }
 
   /** MEXPECT lines of the last [[generate]]: MP4 metadata ground truth

@@ -234,11 +234,16 @@ def make_mp4(timescale: int, duration: int, track_dims: list,
 
 def make_wav(channels: int, sample_rate: int, n_frames: int,
              bits: int = 16, with_list_chunk: bool = False,
-             odd_data: bool = False, perturb: bool = False) -> bytes:
-    """RIFF/WAVE PCM. odd_data appends one extra byte to the data chunk
-    (legal for 8-bit mono; the chunk is then padded to even length).
-    perturb=True nudges every 7th frame's first channel (the planted
-    NEAR-duplicate: same envelope to the fingerprint, different bytes)."""
+             odd_data: bool = False, perturb: bool = False,
+             fmt_code: int = 1, extensible: bool = False) -> bytes:
+    """RIFF/WAVE. fmt_code 1 = PCM (bits 8/16/24/32), 3 = IEEE float
+    (bits 32, sample = v/32768 — exact in float32); extensible=True wraps
+    the code in WAVE_FORMAT_EXTENSIBLE (0xFFFE + subformat GUID, the
+    container 24-bit tooling writes). odd_data appends one extra byte to
+    the data chunk (legal for 8-bit mono; the chunk is then padded to
+    even length). perturb=True nudges every 7th frame's first channel
+    (the planted NEAR-duplicate: same envelope to the fingerprint,
+    different bytes)."""
     block_align = channels * bits // 8
     data = bytearray()
     for i in range(n_frames):
@@ -246,16 +251,30 @@ def make_wav(channels: int, sample_rate: int, n_frames: int,
             v = ((i * 37 + c * 101) % 65536) - 32768
             if perturb and c == 0 and i % 7 == 0:
                 v = min(32767, v + 900)
-            if bits == 16:
+            if fmt_code == 3:
+                data += struct.pack("<f", v / 32768.0)
+            elif bits == 16:
                 data += struct.pack("<h", v)
-            else:
+            elif bits == 8:
                 data += struct.pack("<B", (v >> 8) + 128)
+            elif bits == 24:
+                data += struct.pack("<i", v << 8)[:3]
+            else:
+                data += struct.pack("<i", v << 16)
     if odd_data:
         assert bits == 8 and channels == 1
         data += b"\x7f"
         n_frames += 1
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                      sample_rate * block_align, block_align, bits)
+    if extensible:
+        guid = struct.pack("<H", fmt_code) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+             0x00, 0x38, 0x9B, 0x71])
+        fmt = struct.pack("<HHIIHH", 0xFFFE, channels, sample_rate,
+                          sample_rate * block_align, block_align, bits)
+        fmt += struct.pack("<HHI", 22, bits, 0) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, sample_rate,
+                          sample_rate * block_align, block_align, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if with_list_chunk:
         info = b"INFOISFT" + struct.pack("<I", 6) + b"graft\x00"
@@ -449,15 +468,30 @@ def make_png_general(width: int, height: int, color_type: int,
 
 
 def wav_canonical_samples(channels: int, n_frames: int, bits: int = 16,
-                          odd_data: bool = False, perturb: bool = False) -> list:
-    """Signed canonical samples: 16-bit as stored; 8-bit as stored - 128."""
+                          odd_data: bool = False, perturb: bool = False,
+                          fmt_code: int = 1) -> list:
+    """Signed canonical samples: 16-bit as stored; 8-bit as stored - 128;
+    24/32-bit PCM sign-extended as stored (v<<8 / v<<16 by construction);
+    float via floor(f*32767 + 0.5) — the documented half-up rule the
+    Scala decoder shares (the product is exact in double, so the two
+    sides agree even exactly at .5)."""
+    import math
     out = []
     for i in range(n_frames):
         for c in range(channels):
             v = ((i * 37 + c * 101) % 65536) - 32768
             if perturb and c == 0 and i % 7 == 0:
                 v = min(32767, v + 900)
-            out.append(v if bits == 16 else ((v >> 8) + 128) - 128)
+            if fmt_code == 3:
+                out.append(int(math.floor((v / 32768.0) * 32767.0 + 0.5)))
+            elif bits == 16:
+                out.append(v)
+            elif bits == 8:
+                out.append(((v >> 8) + 128) - 128)
+            elif bits == 24:
+                out.append(v << 8)
+            else:
+                out.append(v << 16)
     if odd_data:
         out.append(0x7F - 128)
     return out
@@ -806,13 +840,17 @@ def fuzz(outdir: str, seed: int):
         out("png", payload, w * h, sum(px), max(px), checksum(px))
     for _ in range(int(rng.integers(2, 5))):  # WAVs
         ch = int(rng.integers(1, 3))
-        bits = int(rng.choice([8, 16]))
+        fmt_code = int(rng.choice([1, 1, 3]))  # PCM twice as likely
+        bits = 32 if fmt_code == 3 else int(rng.choice([8, 16, 24, 32]))
+        ext = bool(rng.integers(0, 2))
         nf = int(rng.integers(1, 400))
         rate = int(rng.choice([8000, 16000, 44100]))
         lst = bool(rng.integers(0, 2))
-        odd = bits == 8 and ch == 1 and bool(rng.integers(0, 2))
-        payload = make_wav(ch, rate, nf, bits=bits, with_list_chunk=lst, odd_data=odd)
-        samples = wav_canonical_samples(ch, nf, bits=bits, odd_data=odd)
+        odd = fmt_code == 1 and bits == 8 and ch == 1 and bool(rng.integers(0, 2))
+        payload = make_wav(ch, rate, nf, bits=bits, with_list_chunk=lst,
+                           odd_data=odd, fmt_code=fmt_code, extensible=ext)
+        samples = wav_canonical_samples(ch, nf, bits=bits, odd_data=odd,
+                                        fmt_code=fmt_code)
         out("wav", payload, len(samples) // ch,
             sum(abs(s) for s in samples), max(abs(s) for s in samples),
             sample_checksum(samples))
