@@ -184,9 +184,9 @@ object Multimodal {
 
   /** JPEG: marker walk from SOI to the first frame header (SOF0–SOF15,
     * excluding the DHT/DAC/JPG markers that share the range) — width,
-    * height and component count come from the SOF payload; no entropy
-    * decode (pixel paths fall back to the stub — a from-spec DCT is out
-    * of scope, the metadata walk is what a corpus scan needs).
+    * height and component count come from the SOF payload. Pixel decode
+    * for BASELINE frames lives in [[JpegDecoder]] (round 17);
+    * progressive and arithmetic frames stay metadata-only.
     * Returns (width, height, components). */
   private[llm] def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
@@ -336,7 +336,8 @@ object Multimodal {
   // rows are raw BGR with 4-byte padding, PNG inflates with the JDK's
   // zlib (java.util.zip.Inflater) and defilters per the W3C spec, WAV PCM
   // samples are fixed-layout integers. Each returns None for any layout
-  // it does not fully support (compressed BMP, float64 WAV), and
+  // it does not fully support (compressed BMP, float64 WAV,
+  // progressive JPEG), and
   // [[pixelStatsOne]] degrades to raw-byte stats — decode is total,
   // never wrong. PNG coverage is complete for real-world stills: gray/
   // RGB/alpha at depths 8 AND 16 (high-byte reduction), palette depths
@@ -686,6 +687,7 @@ object Multimodal {
   private[llm] def decodeImagePixels(b: Array[Byte]): Option[(String, Int, Int, Int, Array[Byte])] =
     safely(decodeBmpPixels(b)).map { case (w, h, c, px) => ("bmp", w, h, c, px) }
       .orElse(safely(decodePngPixels(b)).map { case (w, h, c, px) => ("png", w, h, c, px) })
+      .orElse(safely(JpegDecoder.decode(b)).map { case (w, h, c, px) => ("jpeg", w, h, c, px) })
 
   private def byteSum(a: Array[Byte]): Long = {
     var s = 0L

@@ -699,6 +699,16 @@ def main():
     emit(20, "jpg", "image/jpeg", jp, "jpeg", 17, 4096, 1)
     expect_stub(20, jp)
 
+    # REAL baseline JPEGs (round 17): pixel decode through the shared
+    # integer inverse pipeline (JpegDecoder <-> jpeg_decode_truth) — a
+    # grayscale frame and a 4:2:0 color frame with restart markers
+    j25, t25 = make_jpeg_real(24, 16, gray=True)
+    emit(25, "jpg", "image/jpeg", j25, "jpeg", 24, 16, 1)
+    expect_image(25, "jpeg", 24, 16, 1, list(t25))
+    j26, t26 = make_jpeg_real(35, 21, subsample=(2, 2), restart=2)
+    emit(26, "jpg", "image/jpeg", j26, "jpeg", 35, 21, 3)
+    expect_image(26, "jpeg", 35, 21, 3, list(t26))
+
     # MP4s: real ISO BMFF box walk — moov/mvhd timescale+duration, tkhd
     # 16.16 dims, track count; pixel decode is out of scope (no entropy
     # decode), so the pixel table records the stub. 21: v0 boxes, a video
@@ -838,6 +848,15 @@ def fuzz(outdir: str, seed: int):
         payload = make_png_palette(w, h, depth, filtered=filt, n_colors=ncol)
         px = png_palette_norm_pixels(w, h, depth, n_colors=ncol)
         out("png", payload, w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # real baseline JPEGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        kind = int(rng.integers(0, 4))
+        gray = kind == 0
+        sub = (1, 1) if gray else [(1, 1), (2, 2), (2, 1)][kind - 1]
+        rst = int(rng.choice([0, 0, 2, 4]))
+        payload, truth = make_jpeg_real(w, h, gray=gray, subsample=sub,
+                                        restart=rst)
+        out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
     for _ in range(int(rng.integers(2, 5))):  # WAVs
         ch = int(rng.integers(1, 3))
         fmt_code = int(rng.choice([1, 1, 3]))  # PCM twice as likely
@@ -871,6 +890,458 @@ def fuzz(outdir: str, seed: int):
             checksum(payload))
         print(f"MEXPECT {doc_id - 1} {w} {h} {ntr} {ts} {dur}")
     print(f"WROTE {doc_id} files to {outdir}")
+
+
+# ------------------------------------------------------- real baseline JPEG
+# A from-spec baseline sequential JPEG ENCODER (Annex K tables) plus the
+# ground-truth DECODE of its own output — the differential counterpart of
+# the Scala JpegDecoder. The lossy forward path (float DCT + quantize) is
+# encoder-side only; ground truth re-derives pixels from the QUANTIZED
+# coefficients through the same integer inverse pipeline the Scala side
+# implements: the shared 13-bit fixed-point IDCT basis and the shared
+# integer YCbCr->RGB constants, so both sides agree to the bit with no
+# libm in either.
+
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# shared fixed-point IDCT basis: B[u][x] = round((c(u)/2)*cos((2x+1)u*pi/16)*2^13)
+JPEG_IDCT_B = [
+    [2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896],
+    [4017, 3406, 2276, 799, -799, -2276, -3406, -4017],
+    [3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784],
+    [3406, -799, -4017, -2276, 2276, 4017, 799, -3406],
+    [2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896],
+    [2276, -4017, 799, 3406, -3406, -799, 4017, -2276],
+    [1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567],
+    [799, -2276, 3406, -4017, 4017, -3406, 2276, -799]]
+
+# Annex K quantization tables (luminance, chrominance), natural order
+JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99]
+
+# Annex K huffman tables: (bits[1..16], values)
+JPEG_HUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+                [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+                 0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+                 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+                 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+                 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+                 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+                 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+                 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+                 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+                 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+                 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+                 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+                 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+                 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+                 0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+                 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                 0xF9, 0xFA]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+                [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+                 0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+                 0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+                 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+                 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+                 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+                 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+                 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+                 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+                 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+                 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+                 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+                 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+                 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+                 0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+                 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                 0xF9, 0xFA])}
+
+
+def _huff_codes(bits, vals):
+    """Canonical huffman: value -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill per spec
+
+
+def _fdct_quant(block, qtab):
+    """Float forward DCT of a level-shifted 8x8 block, quantized to ints
+    in natural order (encoder-side only — lossy by design)."""
+    import math as _m
+    F = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (block[y][x] *
+                          _m.cos((2 * x + 1) * u * _m.pi / 16) *
+                          _m.cos((2 * y + 1) * v * _m.pi / 16))
+            cu = (1 / _m.sqrt(2)) if u == 0 else 1.0
+            cv = (1 / _m.sqrt(2)) if v == 0 else 1.0
+            F[v][u] = s * cu * cv / 4.0
+    return [int(round(F[i // 8][i % 8] / qtab[i])) for i in range(64)]
+
+
+def _jpeg_rgb(x, y, c):
+    return (x * 11 + y * 17 + c * 29) % 256
+
+
+def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0):
+    """Baseline sequential JPEG of the house pixel pattern. subsample =
+    (h, v) chroma sampling divisors (1,1)=4:4:4, (2,2)=4:2:0, (2,1)=4:2:2.
+    Returns (bytes, ground-truth pixel array) where the ground truth is
+    the decode of the QUANTIZED stream through the shared integer inverse
+    pipeline (see jpeg_decode_truth)."""
+    sh, sv = (1, 1) if gray else subsample
+    comps = 1 if gray else 3
+    # component planes in YCbCr (float rounded to int per JFIF)
+    if gray:
+        planes = [[[_jpeg_rgb(x, y, 0) for x in range(width)]
+                   for y in range(height)]]
+    else:
+        ys, cbs, crs = [], [], []
+        for y in range(height):
+            ry, rcb, rcr = [], [], []
+            for x in range(width):
+                r, g, b = (_jpeg_rgb(x, y, 0), _jpeg_rgb(x, y, 1),
+                           _jpeg_rgb(x, y, 2))
+                ry.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+                rcb.append(min(255, max(0, round(128 - 0.168736 * r
+                                                 - 0.331264 * g + 0.5 * b))))
+                rcr.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g
+                                                 - 0.081312 * b))))
+            ys.append(ry)
+            cbs.append(rcb)
+            crs.append(rcr)
+        # box-average chroma subsample
+        cw = (width + sh - 1) // sh
+        ch = (height + sv - 1) // sv
+
+        def sub(plane):
+            out = []
+            for j in range(ch):
+                row = []
+                for i in range(cw):
+                    acc, cnt = 0, 0
+                    for dj in range(sv):
+                        for di in range(sh):
+                            yy, xx = j * sv + dj, i * sh + di
+                            if yy < height and xx < width:
+                                acc += plane[yy][xx]
+                                cnt += 1
+                    row.append(round(acc / cnt))
+                out.append(row)
+            return out
+        planes = [ys, sub(cbs), sub(crs)]
+
+    # sampling factors per component: Y gets (sh, sv), chroma (1, 1)
+    sf = [(sh, sv)] + [(1, 1)] * (comps - 1) if not gray else [(1, 1)]
+    hmax = max(f[0] for f in sf)
+    vmax = max(f[1] for f in sf)
+    qsel = [0] + [1] * (comps - 1)
+    qtabs = [JPEG_QL, JPEG_QC]
+
+    # per-component padded dims + quantized blocks
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    qblocks = [dict() for _ in range(comps)]  # (bx, by) -> 64 ints
+    for ci in range(comps):
+        h, v = sf[ci]
+        pw, ph = mcux * 8 * h, mcuy * 8 * v
+        plane = planes[ci]
+        rows = len(plane)
+        cols = len(plane[0]) if rows else 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = [[0] * 8 for _ in range(8)]
+                for yy in range(8):
+                    for xx in range(8):
+                        py = min(by * 8 + yy, rows - 1)
+                        px = min(bx * 8 + xx, cols - 1)
+                        blk[yy][xx] = plane[py][px] - 128
+                qblocks[ci][(bx, by)] = _fdct_quant(blk, qtabs[qsel[ci]])
+
+    # entropy encode, MCU-interleaved
+    dcc = [_huff_codes(*JPEG_HUFF[("dc", 0)]), _huff_codes(*JPEG_HUFF[("dc", 1)])]
+    acc_ = [_huff_codes(*JPEG_HUFF[("ac", 0)]), _huff_codes(*JPEG_HUFF[("ac", 1)])]
+    hsel = [0] + [1] * (comps - 1)
+    w = _JpegBitWriter()
+    pred = [0] * comps
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                w.pad()
+                w.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * comps
+            mcu_i += 1
+            for ci in range(comps):
+                h, v = sf[ci]
+                for dy in range(v):
+                    for dx in range(h):
+                        blk = qblocks[ci][(mx * h + dx, my * v + dy)]
+                        zz = [blk[JPEG_ZIGZAG[k]] for k in range(64)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        s = abs(diff).bit_length()
+                        code, ln = dcc[hsel[ci]][s]
+                        w.put(code, ln)
+                        if s:
+                            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = acc_[hsel[ci]][0xF0]
+                                w.put(code, ln)
+                                run -= 16
+                            s = abs(zz[k]).bit_length()
+                            code, ln = acc_[hsel[ci]][(run << 4) | s]
+                            w.put(code, ln)
+                            w.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = acc_[hsel[ci]][0x00]
+                            w.put(code, ln)
+    w.pad()
+    # generator self-check: an independent bit-level huffman decode of the
+    # entropy stream must reproduce every quantized block (the aec_decode_py
+    # discipline — no JPEG library exists in this environment, so the
+    # encoder proves its own stream before the fixture ships)
+    _jpeg_entropy_check(bytes(w.out), qblocks, sf, qsel, hsel, comps,
+                        mcux, mcuy, restart)
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+    out = b"\xFF\xD8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(JPEG_QL[JPEG_ZIGZAG[k]] for k in range(64)))
+    if comps > 1:
+        out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, comps)
+    for ci in range(comps):
+        sof += struct.pack(">BBB", ci + 1, (sf[ci][0] << 4) | sf[ci][1], qsel[ci])
+    out += seg(0xC0, sof)
+    for (kind, tid), (bits, vals) in JPEG_HUFF.items():
+        if comps == 1 and tid == 1:
+            continue
+        tc = 0 if kind == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | tid] + bits) + bytes(vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = struct.pack(">B", comps)
+    for ci in range(comps):
+        sos += struct.pack(">BB", ci + 1, (hsel[ci] << 4) | hsel[ci])
+    sos += bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    out += bytes(w.out) + b"\xFF\xD9"
+
+    truth = jpeg_decode_truth(qblocks, sf, qsel, width, height, comps,
+                              mcux, mcuy)
+    return out, truth
+
+
+def _jpeg_entropy_check(stream, qblocks, sf, qsel, hsel, comps, mcux, mcuy,
+                        restart):
+    """Decode the stuffed entropy stream with table-walk huffman (an
+    implementation independent of the writer above) and assert every
+    quantized coefficient round-trips."""
+    # value -> (code, len) inverted to (len, code) -> value
+    dec = {}
+    for (kind, tid), (bits, vals) in JPEG_HUFF.items():
+        table = {}
+        for v, (code, ln) in _huff_codes(bits, vals).items():
+            table[(ln, code)] = v
+        dec[(kind, tid)] = table
+
+    pos = 0      # bit position
+    data = stream
+
+    def read_bit():
+        nonlocal pos
+        byte_i = pos >> 3
+        b = data[byte_i]
+        # skip stuffed 0x00 after 0xFF transparently via pre-scan below
+        bit = (b >> (7 - (pos & 7))) & 1
+        pos += 1
+        return bit
+
+    # unstuff + split at restart markers first (simpler than inline)
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data):
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(data[i])
+        i += 1
+    segments.append(bytes(cur))
+
+    def huff_read(table, seg, state):
+        code, ln = 0, 0
+        while ln <= 16:
+            byte_i = state[0] >> 3
+            bit = (seg[byte_i] >> (7 - (state[0] & 7))) & 1
+            state[0] += 1
+            code = (code << 1) | bit
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise AssertionError("huffman walk exceeded 16 bits")
+
+    def bits_read(seg, state, n):
+        v = 0
+        for _ in range(n):
+            byte_i = state[0] >> 3
+            v = (v << 1) | ((seg[byte_i] >> (7 - (state[0] & 7))) & 1)
+            state[0] += 1
+        return v
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    mcu_per_seg = restart if restart else mcux * mcuy
+    mcu_i = 0
+    seg_i = 0
+    state = [0]
+    pred = [0] * comps
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                seg_i += 1
+                state = [0]
+                pred = [0] * comps
+            mcu_i += 1
+            seg = segments[seg_i]
+            for ci in range(comps):
+                h, v = sf[ci]
+                for dy in range(v):
+                    for dx in range(h):
+                        want = qblocks[ci][(mx * h + dx, my * v + dy)]
+                        zz = [0] * 64
+                        s_ = huff_read(dec[("dc", hsel[ci])], seg, state)
+                        diff = extend(bits_read(seg, state, s_), s_) if s_ else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff_read(dec[("ac", hsel[ci])], seg, state)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s_ = rs & 0xF
+                            zz[k] = extend(bits_read(seg, state, s_), s_)
+                            k += 1
+                        got = [zz[k] for k in range(64)]
+                        exp = [want[JPEG_ZIGZAG[k]] for k in range(64)]
+                        assert got == exp, (mx, my, ci, got[:8], exp[:8])
+
+
+def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy):
+    """The shared integer inverse pipeline: dequant -> 13-bit fixed IDCT
+    (JPEG_IDCT_B) -> +128 clamp -> nearest upsample -> integer YCbCr->RGB.
+    Returns top-down row-major gray or RGB bytes (the Scala decoder's
+    contract)."""
+    qtabs = [JPEG_QL, JPEG_QC]
+    hmax = max(f[0] for f in sf)
+    vmax = max(f[1] for f in sf)
+    planes = []
+    for ci in range(comps):
+        h, v = sf[ci]
+        pw, ph = mcux * 8 * h, mcuy * 8 * v
+        plane = [[0] * pw for _ in range(ph)]
+        for (bx, by), blk in qblocks[ci].items():
+            deq = [blk[k] * qtabs[qsel[ci]][k] for k in range(64)]
+            for y in range(8):
+                for x in range(8):
+                    acc = 0
+                    for u in range(8):
+                        for v2 in range(8):
+                            acc += (deq[v2 * 8 + u] * JPEG_IDCT_B[u][x]
+                                    * JPEG_IDCT_B[v2][y])
+                    p = ((acc + (1 << 25)) >> 26) + 128
+                    plane[by * 8 + y][bx * 8 + x] = min(255, max(0, p))
+        planes.append(plane)
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            if comps == 1:
+                out.append(planes[0][y][x])
+            else:
+                # nearest upsample by the component's sampling ratio
+                def samp(ci):
+                    h, v = sf[ci]
+                    return planes[ci][y * v // vmax][x * h // hmax]
+                yy, cb, cr = samp(0), samp(1), samp(2)
+                r = yy + ((91881 * (cr - 128) + 32768) >> 16)
+                g = yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+                b = yy + ((116130 * (cb - 128) + 32768) >> 16)
+                out += bytes((min(255, max(0, r)), min(255, max(0, g)),
+                              min(255, max(0, b))))
+    return bytes(out)
 
 
 if __name__ == "__main__":
