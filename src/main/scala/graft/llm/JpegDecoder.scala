@@ -1,11 +1,14 @@
 package graft.llm
 
-/** From-spec BASELINE sequential JPEG pixel decoder (ITU-T T.81): marker
-  * walk (DQT/DHT/SOF0/DRI/SOS), canonical-Huffman entropy decode with
-  * byte unstuffing and restart-marker resync, dequantization, and the
-  * shared 13-bit fixed-point IDCT. Closes the last image-format pixel
-  * gap the r16 verdict named ("JPEG entropy decode") — pixel paths no
-  * longer stub on the web's dominant still format.
+/** From-spec JPEG pixel decoder (ITU-T T.81): BASELINE sequential (SOF0)
+  * and PROGRESSIVE (SOF2 — spectral selection + successive approximation,
+  * the mode web encoders actually emit): marker walk (multi-table
+  * DQT/DHT, DRI, multiple SOS), canonical-Huffman entropy decode with
+  * byte unstuffing and restart-marker resync, per-component coefficient
+  * accumulation across scans (DC first/refine, AC band first with EOB
+  * runs, AC refine with correction bits — the G.2 algorithms in their
+  * canonical structure), dequantization, and the shared 13-bit
+  * fixed-point IDCT.
   *
   * Determinism contract (the reason every constant is an integer): the
   * IDCT basis (`IdctB` — `round((c(u)/2)·cos((2x+1)uπ/16)·2^13)`) and the
@@ -15,15 +18,18 @@ package graft.llm
   * (tools/make_media_fixture.py `jpeg_decode_truth`), so the two sides
   * agree bit-for-bit with no libm on either side. No JPEG library exists
   * in this environment (documented in the generator, the CCSDS
-  * precedent); the generator self-checks its entropy stream with an
-  * independent bit-level Huffman decoder before a fixture ships.
+  * precedent); the generator self-checks both its baseline and its
+  * progressive entropy streams with independent bit-level decoders
+  * before a fixture ships, and a progressive file encoding the full
+  * coefficient precision must decode IDENTICALLY to the baseline file
+  * of the same image (spec-pinned).
   *
   * Supported: 8-bit precision, 1 (gray) or 3 (YCbCr) components,
-  * sampling factors 1–2 (4:4:4, 4:2:0, 4:2:2, 4:1:1...), restart
-  * intervals, multi-table DQT/DHT segments, fill bytes. Everything else
-  * (progressive SOF2, arithmetic coding, 12-bit, CMYK) returns None —
-  * decode is total, wrong pixels are never produced. Chroma upsampling
-  * is nearest (index scaling), the documented shared rule.
+  * sampling factors 1–2, restart intervals, interleaved and
+  * single-component scans. Everything else (arithmetic coding, 12-bit,
+  * CMYK, hierarchical) returns None — decode is total, wrong pixels are
+  * never produced. Chroma upsampling is nearest (index scaling), the
+  * documented shared rule.
   */
 private[llm] object JpegDecoder {
 
@@ -67,12 +73,16 @@ private[llm] object JpegDecoder {
     }
   }
 
+  private object Bail extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   /** Entropy-segment bit reader: unstuffs 0xFF00, surfaces restart
-    * markers, fails (−1 sentinel via exception) on anything else. */
+    * markers, bails on anything else. */
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var n = 0
-    var hitMarker = -1 // marker byte seen mid-stream (RSTn or EOI)
+    var hitMarker = -1
 
     def nextBit(): Int = {
       if (n == 0) {
@@ -88,7 +98,7 @@ private[llm] object JpegDecoder {
             // stuffed data byte
           } else if ((m >= 0xD0 && m <= 0xD7) || m == 0xD9) {
             hitMarker = m
-            throw Bail // bits requested past a marker: corrupt stream
+            throw Bail
           } else throw Bail
           byte0 = 0xff
         }
@@ -99,17 +109,22 @@ private[llm] object JpegDecoder {
       (acc >> n) & 1
     }
 
-    /** Byte-align and consume the expected restart marker. */
     def restart(expected: Int): Unit = {
       n = 0
       if (hitMarker < 0) {
-        // marker not yet consumed: it must be next in the byte stream
         if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) throw Bail
         hitMarker = b(pos + 1) & 0xff
         pos += 2
       }
       if (hitMarker != expected) throw Bail
       hitMarker = -1
+    }
+
+    /** Byte offset of the next marker after the scan's entropy bytes. */
+    def endOffset(): Int = {
+      // drop pad bits; pos already sits on the next byte. If a marker was
+      // peeked into hitMarker, back up so the main walk re-reads it.
+      if (hitMarker >= 0) pos - 2 else pos
     }
 
     def receive(s: Int): Int = {
@@ -120,6 +135,7 @@ private[llm] object JpegDecoder {
     }
 
     def decodeHuff(h: Huff): Int = {
+      if (h == null) throw Bail
       var code = nextBit()
       var l = 1
       while (l <= 16) {
@@ -132,14 +148,17 @@ private[llm] object JpegDecoder {
     }
   }
 
-  private object Bail extends Exception { override def fillInStackTrace(): Throwable = this }
-
   private def u16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
+  /** T.81 F.2.2.1 EXTEND: map `s` received bits to the signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (v >= (1 << (s - 1))) v else v - (1 << s) + 1
+
   /** → (width, height, channels, top-down row-major gray/RGB bytes). */
   def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
-    try decodeOrBail(b) catch { case Bail => None case _: IndexOutOfBoundsException => None }
+    try decodeOrBail(b)
+    catch { case Bail => None case _: IndexOutOfBoundsException => None }
 
   private def decodeOrBail(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -150,18 +169,28 @@ private[llm] object JpegDecoder {
     var w = 0
     var h = 0
     var nComp = 0
+    var progressive = false
     var compH: Array[Int] = null
     var compV: Array[Int] = null
     var compQ: Array[Int] = null
     var compIds: Array[Int] = null
     var restartInterval = 0
-    var sosDc: Array[Int] = null
-    var sosAc: Array[Int] = null
-    var entropyStart = -1
+    var hmax = 1
+    var vmax = 1
+    var mcux = 0
+    var mcuy = 0
+    // per component: padded block dims, ceil (non-interleaved) block dims,
+    // coefficient store (zigzag order, 64 per block), DC predictors
+    var blkWpad: Array[Int] = null
+    var blkHpad: Array[Int] = null
+    var blkWceil: Array[Int] = null
+    var blkHceil: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
+    var sawEoi = false
 
     var off = 2
-    while (entropyStart < 0) {
-      // markers may be preceded by fill 0xFF bytes
+    while (!sawEoi) {
       if (off >= b.length) return None
       if ((b(off) & 0xff) != 0xff) return None
       while (off < b.length && (b(off) & 0xff) == 0xff) off += 1
@@ -169,23 +198,23 @@ private[llm] object JpegDecoder {
       val marker = b(off) & 0xff
       off += 1
       marker match {
-        case 0xd9 => return None // EOI before any scan
-        case m if m >= 0xd0 && m <= 0xd7 => // RSTn outside a scan: corrupt
-          return None
+        case 0xd9 => sawEoi = true
+        case m if m >= 0xd0 && m <= 0xd7 => return None // RSTn outside a scan
         case 0x01 => // TEM, standalone
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (nComp != 0) return None // second frame
+          progressive = marker == 0xc2
           if (off + 2 > b.length) return None
           val len = u16(b, off)
           if (off + len > b.length || len < 8) return None
           val p = off + 2
-          if ((b(p) & 0xff) != 8) return None // 8-bit precision only
+          if ((b(p) & 0xff) != 8) return None
           h = u16(b, p + 1)
           w = u16(b, p + 3)
           nComp = b(p + 5) & 0xff
           if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
           if (len != 8 + 3 * nComp) return None
-          // raster size guard: a 4-byte dim edit must not bomb allocation
-          if (w.toLong * h * math.max(nComp, 3) > Int.MaxValue / 2) return None
+          if (w.toLong * h * math.max(nComp, 3) > Int.MaxValue / 4) return None
           compIds = new Array[Int](nComp)
           compH = new Array[Int](nComp)
           compV = new Array[Int](nComp)
@@ -199,12 +228,34 @@ private[llm] object JpegDecoder {
             compQ(i) = b(p + 8 + 3 * i) & 0xff
             if (compH(i) < 1 || compH(i) > 2 || compV(i) < 1 || compV(i) > 2 ||
               compQ(i) > 3) return None
+            hmax = math.max(hmax, compH(i))
+            vmax = math.max(vmax, compV(i))
+            i += 1
+          }
+          mcux = (w + 8 * hmax - 1) / (8 * hmax)
+          mcuy = (h + 8 * vmax - 1) / (8 * vmax)
+          blkWpad = new Array[Int](nComp)
+          blkHpad = new Array[Int](nComp)
+          blkWceil = new Array[Int](nComp)
+          blkHceil = new Array[Int](nComp)
+          coefs = new Array[Array[Int]](nComp)
+          i = 0
+          while (i < nComp) {
+            blkWpad(i) = mcux * compH(i)
+            blkHpad(i) = mcuy * compV(i)
+            val pxW = (w * compH(i) + hmax - 1) / hmax
+            val pxH = (h * compV(i) + vmax - 1) / vmax
+            blkWceil(i) = (pxW + 7) / 8
+            blkHceil(i) = (pxH + 7) / 8
+            val nBlocks = blkWpad(i).toLong * blkHpad(i)
+            if (nBlocks * 64 > Int.MaxValue / 8) return None
+            coefs(i) = new Array[Int]((nBlocks * 64).toInt)
             i += 1
           }
           off += len
         case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
-          return None // progressive/arithmetic/12-bit frames: documented stub
-        case 0xdb => // DQT: one or more tables
+          return None // other frame types: arithmetic/12-bit/hierarchical
+        case 0xdb =>
           if (off + 2 > b.length) return None
           val len = u16(b, off)
           if (off + len > b.length) return None
@@ -212,19 +263,16 @@ private[llm] object JpegDecoder {
           val end = off + len
           while (p < end) {
             val pqTq = b(p) & 0xff
-            if ((pqTq >> 4) != 0) return None // 16-bit tables unsupported
+            if ((pqTq >> 4) != 0) return None
             val tq = pqTq & 0xf
             if (tq > 3 || p + 65 > end) return None
             var k = 0
-            while (k < 64) {
-              qt(tq)(Zigzag(k)) = b(p + 1 + k) & 0xff
-              k += 1
-            }
+            while (k < 64) { qt(tq)(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
             qtSeen(tq) = true
             p += 65
           }
           off += len
-        case 0xc4 => // DHT: one or more tables
+        case 0xc4 =>
           if (off + 2 > b.length) return None
           val len = u16(b, off)
           if (off + len > b.length) return None
@@ -238,11 +286,7 @@ private[llm] object JpegDecoder {
             val counts = new Array[Int](16)
             var total = 0
             var i = 0
-            while (i < 16) {
-              counts(i) = b(p + 1 + i) & 0xff
-              total += counts(i)
-              i += 1
-            }
+            while (i < 16) { counts(i) = b(p + 1 + i) & 0xff; total += counts(i); i += 1 }
             if (total > 256 || p + 17 + total > end) return None
             val vals = new Array[Int](total)
             i = 0
@@ -252,168 +296,116 @@ private[llm] object JpegDecoder {
             p += 17 + total
           }
           off += len
-        case 0xdd => // DRI
+        case 0xdd =>
           if (off + 4 > b.length || u16(b, off) != 4) return None
           restartInterval = u16(b, off + 2)
           off += 4
-        case 0xda => // SOS
+        case 0xda => // SOS: decode the scan's entropy inline
           if (off + 2 > b.length) return None
           val len = u16(b, off)
           if (off + len > b.length || nComp == 0) return None
           val p = off + 2
           val ns = b(p) & 0xff
-          if (ns != nComp || len != 6 + 2 * ns) return None
-          sosDc = new Array[Int](nComp)
-          sosAc = new Array[Int](nComp)
+          if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return None
+          val scanComps = new Array[Int](ns)
+          val scanDc = new Array[Huff](ns)
+          val scanAc = new Array[Huff](ns)
           var i = 0
           while (i < ns) {
             val cs = b(p + 1 + 2 * i) & 0xff
             val ci = compIds.indexOf(cs)
             if (ci < 0) return None
+            scanComps(i) = ci
             val tabs = b(p + 2 + 2 * i) & 0xff
-            sosDc(ci) = tabs >> 4
-            sosAc(ci) = tabs & 0xf
-            if (sosDc(ci) > 3 || sosAc(ci) > 3) return None
+            if ((tabs >> 4) > 3 || (tabs & 0xf) > 3) return None
+            scanDc(i) = dcTabs(tabs >> 4)
+            scanAc(i) = acTabs(tabs & 0xf)
             i += 1
           }
-          // spectral selection must be the baseline 0..63, Ah/Al 0
-          if ((b(p + 1 + 2 * ns) & 0xff) != 0 ||
-            (b(p + 2 + 2 * ns) & 0xff) != 63 ||
-            (b(p + 3 + 2 * ns) & 0xff) != 0) return None
-          entropyStart = off + len
-        case _ => // APPn, COM, unknown-with-length: skip by frame
+          val ss = b(p + 1 + 2 * ns) & 0xff
+          val se = b(p + 2 + 2 * ns) & 0xff
+          val ahAl = b(p + 3 + 2 * ns) & 0xff
+          val ah = ahAl >> 4
+          val al = ahAl & 0xf
+          if (progressive) {
+            if (ss > 63 || se > 63 || ss > se || al > 13 || ah > 14) return None
+            if (ss == 0 && se != 0) return None // DC and AC never share a scan
+            if (ss > 0 && ns != 1) return None  // AC scans are single-component
+            if (ah != 0 && ah != al + 1) return None // successive approximation
+          } else {
+            if (ss != 0 || se != 63 || ah != 0 || al != 0 || ns != nComp) return None
+          }
+          val r = new BitReader(b, off + len)
+          decodeScan(r, scanComps, scanDc, scanAc, ss, se, ah, al,
+            progressive, restartInterval, nComp, compH, compV, mcux, mcuy,
+            blkWpad, blkWceil, blkHceil, coefs)
+          sawScan = true
+          off = r.endOffset()
+        case 0xdc => return None // DNL unsupported
+        case _ =>
           if (off + 2 > b.length) return None
           val len = u16(b, off)
           if (len < 2 || off + len > b.length) return None
           off += len
       }
     }
-
+    if (!sawScan) return None
     var i = 0
-    while (i < nComp) {
-      if (!qtSeen(compQ(i)) || dcTabs(sosDc(i)) == null ||
-        acTabs(sosAc(i)) == null) return None
-      i += 1
-    }
-    var hmax = 1
-    var vmax = 1
-    i = 0
-    while (i < nComp) {
-      hmax = math.max(hmax, compH(i))
-      vmax = math.max(vmax, compV(i))
-      i += 1
-    }
-    val mcux = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcuy = (h + 8 * vmax - 1) / (8 * vmax)
-    // component planes at padded dims
+    while (i < nComp) { if (!qtSeen(compQ(i))) return None; i += 1 }
+
+    // dequant + IDCT + assemble
     val planeW = new Array[Int](nComp)
     val planes = new Array[Array[Int]](nComp)
     i = 0
     while (i < nComp) {
-      planeW(i) = mcux * 8 * compH(i)
-      val ph = mcuy * 8 * compV(i)
-      if (planeW(i).toLong * ph > Int.MaxValue / 2) return None
-      planes(i) = new Array[Int](planeW(i) * ph)
+      planeW(i) = blkWpad(i) * 8
+      planes(i) = new Array[Int](planeW(i) * blkHpad(i) * 8)
+      val q = qt(compQ(i))
+      val deq = new Array[Int](64)
+      var by = 0
+      while (by < blkHpad(i)) {
+        var bx = 0
+        while (bx < blkWpad(i)) {
+          val base = (by * blkWpad(i) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            deq(Zigzag(k)) = coefs(i)(base + k) * q(Zigzag(k))
+            k += 1
+          }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0L
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val c = deq(v * 8 + u)
+                  if (c != 0) acc += c.toLong * IdctB(u)(x) * IdctB(v)(y)
+                  v += 1
+                }
+                u += 1
+              }
+              val p0 = (((acc + (1L << 25)) >> 26) + 128).toInt
+              val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
+              planes(i)((by * 8 + y) * planeW(i) + bx * 8 + x) = p
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
       i += 1
     }
-
-    val r = new BitReader(b, entropyStart)
-    val pred = new Array[Int](nComp)
-    val zz = new Array[Int](64)
-    var mcuI = 0
-    var rstN = 0
-    var my = 0
-    while (my < mcuy) {
-      var mx = 0
-      while (mx < mcux) {
-        if (restartInterval > 0 && mcuI > 0 && mcuI % restartInterval == 0) {
-          r.restart(0xd0 + rstN)
-          rstN = (rstN + 1) % 8
-          java.util.Arrays.fill(pred, 0)
-        }
-        mcuI += 1
-        var ci = 0
-        while (ci < nComp) {
-          val dc = dcTabs(sosDc(ci))
-          val ac = acTabs(sosAc(ci))
-          val q = qt(compQ(ci))
-          var dy = 0
-          while (dy < compV(ci)) {
-            var dx = 0
-            while (dx < compH(ci)) {
-              // ---- one block
-              java.util.Arrays.fill(zz, 0)
-              val s0 = r.decodeHuff(dc)
-              if (s0 > 11) return None
-              val diff = if (s0 == 0) 0 else extend(r.receive(s0), s0)
-              pred(ci) += diff
-              zz(0) = pred(ci)
-              var k = 1
-              var done = false
-              while (k < 64 && !done) {
-                val rs = r.decodeHuff(ac)
-                if (rs == 0x00) done = true
-                else if (rs == 0xf0) k += 16
-                else {
-                  k += rs >> 4
-                  val s = rs & 0xf
-                  if (k > 63 || s == 0) return None
-                  zz(k) = extend(r.receive(s), s)
-                  k += 1
-                }
-              }
-              // dequant (natural order) + fixed-point IDCT into the plane
-              val deq = new Array[Int](64)
-              var kk = 0
-              while (kk < 64) {
-                deq(Zigzag(kk)) = zz(kk) * q(Zigzag(kk))
-                kk += 1
-              }
-              val baseX = (mx * compH(ci) + dx) * 8
-              val baseY = (my * compV(ci) + dy) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0L
-                  var u = 0
-                  while (u < 8) {
-                    var v = 0
-                    while (v < 8) {
-                      val c = deq(v * 8 + u)
-                      if (c != 0) acc += c.toLong * IdctB(u)(x) * IdctB(v)(y)
-                      v += 1
-                    }
-                    u += 1
-                  }
-                  val p0 = (((acc + (1L << 25)) >> 26) + 128).toInt
-                  val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
-                  planes(ci)((baseY + y) * planeW(ci) + baseX + x) = p
-                  x += 1
-                }
-                y += 1
-              }
-              dx += 1
-            }
-            dy += 1
-          }
-          ci += 1
-        }
-        mx += 1
-      }
-      my += 1
-    }
-
-    // assemble: nearest chroma upsample + integer YCbCr→RGB
     if (nComp == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) {
-          out(y * w + x) = planes(0)(y * planeW(0) + x).toByte
-          x += 1
-        }
+        while (x < w) { out(y * w + x) = planes(0)(y * planeW(0) + x).toByte; x += 1 }
         y += 1
       }
       Some((w, h, 1, out))
@@ -441,7 +433,198 @@ private[llm] object JpegDecoder {
     }
   }
 
-  /** T.81 F.2.2.1 EXTEND: map `s` received bits to the signed value. */
-  private def extend(v: Int, s: Int): Int =
-    if (v >= (1 << (s - 1))) v else v - (1 << s) + 1
+  // ------------------------------------------------------------- one scan
+  // Coefficients live in ZIGZAG order, 64 per block, blocks row-major at
+  // the PADDED dims; single-component scans cover the ceil dims subset.
+  private def decodeScan(
+      r: BitReader,
+      scanComps: Array[Int], scanDc: Array[Huff], scanAc: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      progressive: Boolean, restartInterval: Int,
+      nComp: Int, compH: Array[Int], compV: Array[Int],
+      mcux: Int, mcuy: Int,
+      blkWpad: Array[Int], blkWceil: Array[Int], blkHceil: Array[Int],
+      coefs: Array[Array[Int]]): Unit = {
+    val ns = scanComps.length
+    val pred = new Array[Int](ns)
+    var eobrun = 0
+    var mcuI = 0
+    var rstN = 0
+
+    def blockBase(ci: Int, bx: Int, by: Int): Int = (by * blkWpad(ci) + bx) * 64
+
+    def doRestart(): Unit = {
+      r.restart(0xd0 + rstN)
+      rstN = (rstN + 1) % 8
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+    }
+
+    // ---- per-block decoders
+    def baselineBlock(si: Int, base: Int): Unit = {
+      val ci = scanComps(si)
+      val c = coefs(ci)
+      val s0 = r.decodeHuff(scanDc(si))
+      if (s0 > 11) throw Bail
+      val diff = if (s0 == 0) 0 else extend(r.receive(s0), s0)
+      pred(si) += diff
+      c(base) = pred(si)
+      var k = 1
+      var done = false
+      while (k < 64 && !done) {
+        val rs = r.decodeHuff(scanAc(si))
+        if (rs == 0x00) done = true
+        else if (rs == 0xf0) k += 16
+        else {
+          k += rs >> 4
+          val s = rs & 0xf
+          if (k > 63 || s == 0) throw Bail
+          c(base + k) = extend(r.receive(s), s)
+          k += 1
+        }
+      }
+    }
+
+    def dcFirstBlock(si: Int, base: Int): Unit = {
+      val s0 = r.decodeHuff(scanDc(si))
+      if (s0 > 11) throw Bail
+      val diff = if (s0 == 0) 0 else extend(r.receive(s0), s0)
+      pred(si) += diff
+      coefs(scanComps(si))(base) = pred(si) << al
+    }
+
+    def dcRefineBlock(si: Int, base: Int): Unit =
+      if (r.nextBit() != 0) coefs(scanComps(si))(base) |= 1 << al
+
+    def acFirstBlock(si: Int, base: Int): Unit = {
+      val c = coefs(scanComps(si))
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = r.decodeHuff(scanAc(si))
+        val rr = rs >> 4
+        val s = rs & 0xf
+        if (s == 0) {
+          if (rr == 15) { k += 16 }
+          else {
+            eobrun = (1 << rr) - 1 + (if (rr > 0) r.receive(rr) else 0)
+            return
+          }
+        } else {
+          k += rr
+          if (k > se) throw Bail
+          c(base + k) = extend(r.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefineBlock(si: Int, base: Int): Unit = {
+      val c = coefs(scanComps(si))
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var break0 = false
+        while (k <= se && !break0) {
+          val rs = r.decodeHuff(scanAc(si))
+          var rr = rs >> 4
+          val s = rs & 0xf
+          var sval = 0
+          if (s == 0) {
+            if (rr != 15) {
+              // EOB run INCLUDES this block: fall through to the handler
+              eobrun = (1 << rr) + (if (rr > 0) r.receive(rr) else 0)
+              break0 = true
+            }
+            // rr == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) throw Bail
+            sval = if (r.nextBit() != 0) p1 else m1
+          }
+          if (!break0) {
+            var advancing = true
+            while (advancing) {
+              if (c(base + k) != 0) {
+                if (r.nextBit() != 0 && (math.abs(c(base + k)) & p1) == 0)
+                  c(base + k) += (if (c(base + k) > 0) p1 else m1)
+              } else {
+                rr -= 1
+                if (rr < 0) advancing = false
+              }
+              if (advancing) {
+                k += 1
+                if (k > se) advancing = false
+              }
+            }
+            if (sval != 0 && k <= se) c(base + k) = sval
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (c(base + k) != 0) {
+            if (r.nextBit() != 0 && (math.abs(c(base + k)) & p1) == 0)
+              c(base + k) += (if (c(base + k) > 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def oneBlock(si: Int, base: Int): Unit =
+      if (!progressive) baselineBlock(si, base)
+      else if (ss == 0 && ah == 0) dcFirstBlock(si, base)
+      else if (ss == 0) dcRefineBlock(si, base)
+      else if (ah == 0) acFirstBlock(si, base)
+      else acRefineBlock(si, base)
+
+    if (ns == 1) {
+      // single-component scan = NON-interleaved per T.81: ceil-dims
+      // blocks in raster order (equals the padded grid when the
+      // component's sampling matches the frame maximum)
+      val ci = scanComps(0)
+      var by = 0
+      while (by < blkHceil(ci)) {
+        var bx = 0
+        while (bx < blkWceil(ci)) {
+          if (restartInterval > 0 && mcuI > 0 && mcuI % restartInterval == 0)
+            doRestart()
+          mcuI += 1
+          oneBlock(0, blockBase(ci, bx, by))
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved MCU order over the scan's components
+      var my = 0
+      while (my < mcuy) {
+        var mx = 0
+        while (mx < mcux) {
+          if (restartInterval > 0 && mcuI > 0 && mcuI % restartInterval == 0)
+            doRestart()
+          mcuI += 1
+          var si = 0
+          while (si < ns) {
+            val ci = scanComps(si)
+            var dy = 0
+            while (dy < compV(ci)) {
+              var dx = 0
+              while (dx < compH(ci)) {
+                oneBlock(si, blockBase(ci, mx * compH(ci) + dx, my * compV(ci) + dy))
+                dx += 1
+              }
+              dy += 1
+            }
+            si += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+  }
 }

@@ -185,8 +185,8 @@ object Multimodal {
   /** JPEG: marker walk from SOI to the first frame header (SOF0–SOF15,
     * excluding the DHT/DAC/JPG markers that share the range) — width,
     * height and component count come from the SOF payload. Pixel decode
-    * for BASELINE frames lives in [[JpegDecoder]] (round 17);
-    * progressive and arithmetic frames stay metadata-only.
+    * for BASELINE and PROGRESSIVE frames lives in [[JpegDecoder]]
+    * (round 17); arithmetic-coded frames stay metadata-only.
     * Returns (width, height, components). */
   private[llm] def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
@@ -337,7 +337,7 @@ object Multimodal {
   // zlib (java.util.zip.Inflater) and defilters per the W3C spec, WAV PCM
   // samples are fixed-layout integers. Each returns None for any layout
   // it does not fully support (compressed BMP, float64 WAV,
-  // progressive JPEG), and
+  // arithmetic-coded JPEG), and
   // [[pixelStatsOne]] degrades to raw-byte stats — decode is total,
   // never wrong. PNG coverage is complete for real-world stills: gray/
   // RGB/alpha at depths 8 AND 16 (high-byte reduction), palette depths

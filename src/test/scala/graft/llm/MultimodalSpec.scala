@@ -382,11 +382,14 @@ class MultimodalSpec extends SparkSpec {
     // (1, 23): media_023 is media_001 with sparse blue-channel nudges —
     // byte-different, one perceptual bit apart. (2, 13): two thin images
     // (dhash both -1) that land exactly on the hamming-8 threshold.
-    assert(pairs == Seq((1L, 23L, 1), (2L, 13L, 8)), s"got $pairs")
-    // tightening the threshold drops the boundary pair, keeps the dup
+    // (26, 27): the baseline/progressive JPEG pair — byte-different
+    // ENCODINGS of bit-identical pixels, hamming 0 (the strongest
+    // possible perceptual dup, planted by construction in round 17).
+    assert(pairs == Seq((1L, 23L, 1), (2L, 13L, 8), (26L, 27L, 0)), s"got $pairs")
+    // tightening the threshold drops the boundary pair, keeps the dups
     val tight = Multimodal.pHashPairs(hashes, maxHamming = 4)
       .as[(Long, Long, Int)].collect().sorted.toSeq
-    assert(tight == Seq((1L, 23L, 1)))
+    assert(tight == Seq((1L, 23L, 1), (26L, 27L, 0)))
     // partition invariance of the bucketed pair expansion
     val rep = Multimodal.pHashPairs(hashes.repartition(7))
       .as[(Long, Long, Int)].collect().sorted.toSeq

@@ -708,6 +708,13 @@ def main():
     j26, t26 = make_jpeg_real(35, 21, subsample=(2, 2), restart=2)
     emit(26, "jpg", "image/jpeg", j26, "jpeg", 35, 21, 3)
     expect_image(26, "jpeg", 35, 21, 3, list(t26))
+    # PROGRESSIVE encoding of the same 4:2:0 image: the scan script
+    # transmits full precision, so it must decode to media_026's exact
+    # pixels — the pixel mirror rows differ only in doc_id
+    j27, t27 = make_jpeg_prog(35, 21, subsample=(2, 2))
+    assert t27 == t26, "progressive truth must equal the baseline truth"
+    emit(27, "jpg", "image/jpeg", j27, "jpeg", 35, 21, 3)
+    expect_image(27, "jpeg", 35, 21, 3, list(t27))
 
     # MP4s: real ISO BMFF box walk — moov/mvhd timescale+duration, tkhd
     # 16.16 dims, track count; pixel decode is out of scope (no entropy
@@ -856,6 +863,15 @@ def fuzz(outdir: str, seed: int):
         rst = int(rng.choice([0, 0, 2, 4]))
         payload, truth = make_jpeg_real(w, h, gray=gray, subsample=sub,
                                         restart=rst)
+        out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
+    for _ in range(int(rng.integers(2, 5))):  # PROGRESSIVE JPEGs: the
+        # scan script transmits full precision, so the truth is the
+        # baseline decode of the same image
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        kind = int(rng.integers(0, 4))
+        gray = kind == 0
+        sub = (1, 1) if gray else [(1, 1), (2, 2), (2, 1)][kind - 1]
+        payload, truth = make_jpeg_prog(w, h, gray=gray, subsample=sub)
         out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
     for _ in range(int(rng.integers(2, 5))):  # WAVs
         ch = int(rng.integers(1, 3))
@@ -1342,6 +1358,478 @@ def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy):
                 out += bytes((min(255, max(0, r)), min(255, max(0, g)),
                               min(255, max(0, b))))
     return bytes(out)
+
+
+# ----------------------------------------------------- progressive JPEG
+# PROGRESSIVE (SOF2) encoder over the same quantized blocks as
+# make_jpeg_real, with a scan script exercising every progressive decode
+# path: interleaved DC first (Al=1) + DC refinement, per-component AC
+# spectral-selection bands with successive approximation (Al=1, EOB
+# runs), and AC refinement scans (correction bits). The script transmits
+# EVERY bit, so the file decodes to the IDENTICAL pixel array as the
+# baseline encoding of the same image — the ground truth is shared.
+
+# progressive AC table: the Annex K sequential AC tables carry no EOBn
+# (r<<4, s=0, r>=1) symbols, so progressive scans need their own. A
+# flat-length canonical table over every symbol a progressive AC scan can
+# emit (EOB0..EOB14, ZRL, and (run,size) for size 1..10) is legal and
+# trivially canonical: 176 symbols, all 8-bit codes.
+JPEG_PROG_AC_SYMS = ([r << 4 for r in range(15)] + [0xF0] +
+                     [(r << 4) | s for r in range(16) for s in range(1, 11)])
+JPEG_HUFF_PROG_AC = ([0] * 7 + [len(JPEG_PROG_AC_SYMS)] + [0] * 8,
+                     sorted(JPEG_PROG_AC_SYMS))
+
+
+def _prog_scan_script(comps):
+    # (kind, comp_indices, Ss, Se, Ah, Al)
+    scans = [("dc_first", list(range(comps)), 0, 0, 0, 1),
+             ("dc_refine", list(range(comps)), 0, 0, 1, 0)]
+    for ci in range(comps):
+        scans.append(("ac_first", [ci], 1, 5, 0, 1))
+        scans.append(("ac_first", [ci], 6, 63, 0, 1))
+    for ci in range(comps):
+        scans.append(("ac_refine", [ci], 1, 63, 1, 0))
+    return scans
+
+
+def make_jpeg_prog(width, height, gray=False, subsample=(1, 1)):
+    sh, sv = (1, 1) if gray else subsample
+    comps = 1 if gray else 3
+    base, truth = make_jpeg_real(width, height, gray=gray, subsample=subsample)
+    # recompute the quantized blocks exactly as make_jpeg_real does
+    qb, sf, qsel, mcux, mcuy = _jpeg_planes_qblocks(width, height, gray, (sh, sv))
+    hmax = max(f[0] for f in sf)
+    vmax = max(f[1] for f in sf)
+    # per-component ceil-dims block counts (non-interleaved AC scans)
+    cbw, cbh = [], []
+    for ci in range(comps):
+        cw = (width * sf[ci][0] + hmax - 1) // hmax
+        ch = (height * sf[ci][1] + vmax - 1) // vmax
+        cbw.append((cw + 7) // 8)
+        cbh.append((ch + 7) // 8)
+    hsel = [0] + [1] * (comps - 1)
+    dcc = [_huff_codes(*JPEG_HUFF[("dc", 0)]), _huff_codes(*JPEG_HUFF[("dc", 1)])]
+    prog_ac = _huff_codes(*JPEG_HUFF_PROG_AC)
+    acc_ = [prog_ac, prog_ac]
+
+    def zz_of(ci, bx, by):
+        blk = qb[ci][(bx, by)]
+        return [blk[JPEG_ZIGZAG[k]] for k in range(64)]
+
+    scan_payloads = []
+    for (kind, cis, ss, se, ah, al) in _prog_scan_script(comps):
+        w = _JpegBitWriter()
+        if kind == "dc_first":
+            pred = {ci: 0 for ci in cis}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in cis:
+                        h, v = sf[ci]
+                        for dy in range(v):
+                            for dx in range(h):
+                                dc = zz_of(ci, mx * h + dx, my * v + dy)[0] >> al
+                                diff = dc - pred[ci]
+                                pred[ci] = dc
+                                s_ = abs(diff).bit_length()
+                                code, ln = dcc[hsel[ci]][s_]
+                                w.put(code, ln)
+                                if s_:
+                                    w.put(diff if diff >= 0 else
+                                          diff + (1 << s_) - 1, s_)
+        elif kind == "dc_refine":
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in cis:
+                        h, v = sf[ci]
+                        for dy in range(v):
+                            for dx in range(h):
+                                dc = zz_of(ci, mx * h + dx, my * v + dy)[0]
+                                w.put((dc >> al) & 1, 1)
+        elif kind == "ac_first":
+            ci = cis[0]
+            table = acc_[hsel[ci]]
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun == 0:
+                    return
+                r = eobrun.bit_length() - 1
+                code, ln = table[r << 4]
+                w.put(code, ln)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                eobrun = 0
+            for by in range(cbh[ci]):
+                for bx in range(cbw[ci]):
+                    zz = zz_of(ci, bx, by)
+                    band = []
+                    for k in range(ss, se + 1):
+                        v0 = zz[k]
+                        band.append((1 if v0 >= 0 else -1) * (abs(v0) >> al))
+                    if all(v0 == 0 for v0 in band):
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    last_nz = max(i for i, v0 in enumerate(band) if v0 != 0)
+                    for i, v0 in enumerate(band):
+                        if i > last_nz:
+                            break
+                        if v0 == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            code, ln = table[0xF0]
+                            w.put(code, ln)
+                            run -= 16
+                        s_ = abs(v0).bit_length()
+                        code, ln = table[(run << 4) | s_]
+                        w.put(code, ln)
+                        w.put(v0 if v0 >= 0 else v0 + (1 << s_) - 1, s_)
+                        run = 0
+                    if last_nz < len(band) - 1:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+            flush_eob()
+        else:  # ac_refine — the G.1.2.3 correction-bit algorithm, in the
+            # canonical structure (jcphuff): ZRLs also fire at correction
+            # positions, buffered bits flush after EVERY emitted symbol,
+            # and a block ending exactly at its last coded coefficient
+            # contributes NO EOB.
+            ci = cis[0]
+            table = acc_[hsel[ci]]
+            eobrun = 0
+            bits_pending = []  # BE: correction bits riding the next EOB flush
+
+            def flush_refine():
+                nonlocal eobrun, bits_pending
+                if eobrun == 0:
+                    assert not bits_pending
+                    return
+                r = eobrun.bit_length() - 1
+                code, ln = table[r << 4]
+                w.put(code, ln)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                for bit in bits_pending:
+                    w.put(bit, 1)
+                bits_pending = []
+                eobrun = 0
+            for by in range(cbh[ci]):
+                for bx in range(cbw[ci]):
+                    zz = zz_of(ci, bx, by)
+                    cur = []
+                    for k in range(ss, se + 1):
+                        v0 = zz[k]
+                        cur.append((1 if v0 >= 0 else -1) * (abs(v0) >> al))
+                    # EOB = index of the LAST newly-nonzero (|cur| == 1 ⇔
+                    # newly nonzero under successive approximation)
+                    eob_last = -1
+                    for i, v0 in enumerate(cur):
+                        if abs(v0) == 1:
+                            eob_last = i
+                    r = 0
+                    block_bits = []  # BR: bits since the last emitted symbol
+                    for i, v0 in enumerate(cur):
+                        temp = abs(v0)
+                        if temp == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eob_last:
+                            flush_refine()
+                            code, ln = table[0xF0]
+                            w.put(code, ln)
+                            r -= 16
+                            for bit in block_bits:
+                                w.put(bit, 1)
+                            block_bits = []
+                        if temp > 1:
+                            block_bits.append(temp & 1)
+                            continue
+                        flush_refine()
+                        code, ln = table[(r << 4) | 1]
+                        w.put(code, ln)
+                        w.put(1 if v0 > 0 else 0, 1)
+                        for bit in block_bits:
+                            w.put(bit, 1)
+                        block_bits = []
+                        r = 0
+                    if r > 0 or block_bits:
+                        eobrun += 1
+                        bits_pending.extend(block_bits)
+                        if eobrun == 32767:
+                            flush_refine()
+            flush_refine()
+        w.pad()
+        scan_payloads.append((kind, cis, ss, se, ah, al, bytes(w.out)))
+
+    # generator self-check (the aec/baseline discipline): an independent
+    # bit-level progressive decode must reassemble every coefficient
+    _jpeg_prog_check(scan_payloads, qb, sf, mcux, mcuy, cbw, cbh, hsel, comps)
+
+    qsel_ = [0] + [1] * (comps - 1)
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+    out = b"\xFF\xD8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(JPEG_QL[JPEG_ZIGZAG[k]] for k in range(64)))
+    if comps > 1:
+        out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, comps)
+    for ci in range(comps):
+        sof += struct.pack(">BBB", ci + 1, (sf[ci][0] << 4) | sf[ci][1], qsel_[ci])
+    out += seg(0xC2, sof)
+    for tid in ([0] if comps == 1 else [0, 1]):
+        bits, vals = JPEG_HUFF[("dc", tid)]
+        out += seg(0xC4, bytes([tid] + bits) + bytes(vals))
+        pbits, pvals = JPEG_HUFF_PROG_AC
+        out += seg(0xC4, bytes([(1 << 4) | tid] + pbits) + bytes(pvals))
+    for (kind, cis, ss, se, ah, al, payload) in scan_payloads:
+        sos = struct.pack(">B", len(cis))
+        for ci in cis:
+            # DC scans use the DC table selector; AC scans the AC one
+            t = hsel[ci]
+            sos += struct.pack(">BB", ci + 1,
+                               (t << 4) | (0 if kind.startswith("dc") else t))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += seg(0xDA, sos)
+        out += payload
+    out += b"\xFF\xD9"
+    return out, truth
+
+
+def _jpeg_planes_qblocks(width, height, gray, subsample):
+    """The plane/FDCT/quantize stage of make_jpeg_real, factored so the
+    progressive encoder reuses the exact same quantized blocks."""
+    sh, sv = (1, 1) if gray else subsample
+    comps = 1 if gray else 3
+    if gray:
+        planes = [[[_jpeg_rgb(x, y, 0) for x in range(width)]
+                   for y in range(height)]]
+    else:
+        ys, cbs, crs = [], [], []
+        for y in range(height):
+            ry, rcb, rcr = [], [], []
+            for x in range(width):
+                r, g, b = (_jpeg_rgb(x, y, 0), _jpeg_rgb(x, y, 1),
+                           _jpeg_rgb(x, y, 2))
+                ry.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+                rcb.append(min(255, max(0, round(128 - 0.168736 * r
+                                                 - 0.331264 * g + 0.5 * b))))
+                rcr.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g
+                                                 - 0.081312 * b))))
+            ys.append(ry)
+            cbs.append(rcb)
+            crs.append(rcr)
+        cw = (width + sh - 1) // sh
+        ch = (height + sv - 1) // sv
+
+        def sub(plane):
+            outp = []
+            for j in range(ch):
+                row = []
+                for i in range(cw):
+                    acc, cnt = 0, 0
+                    for dj in range(sv):
+                        for di in range(sh):
+                            yy, xx = j * sv + dj, i * sh + di
+                            if yy < height and xx < width:
+                                acc += plane[yy][xx]
+                                cnt += 1
+                    row.append(round(acc / cnt))
+                outp.append(row)
+            return outp
+        planes = [ys, sub(cbs), sub(crs)]
+    sf = [(sh, sv)] + [(1, 1)] * (comps - 1) if not gray else [(1, 1)]
+    hmax = max(f[0] for f in sf)
+    vmax = max(f[1] for f in sf)
+    qsel = [0] + [1] * (comps - 1)
+    qtabs = [JPEG_QL, JPEG_QC]
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    qblocks = [dict() for _ in range(comps)]
+    for ci in range(comps):
+        h, v = sf[ci]
+        pw, ph = mcux * 8 * h, mcuy * 8 * v
+        plane = planes[ci]
+        rows = len(plane)
+        cols = len(plane[0]) if rows else 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = [[0] * 8 for _ in range(8)]
+                for yy in range(8):
+                    for xx in range(8):
+                        py = min(by * 8 + yy, rows - 1)
+                        px = min(bx * 8 + xx, cols - 1)
+                        blk[yy][xx] = plane[py][px] - 128
+                qblocks[ci][(bx, by)] = _fdct_quant(blk, qtabs[qsel[ci]])
+    return qblocks, sf, qsel, mcux, mcuy
+
+
+def _jpeg_prog_check(scan_payloads, qblocks, sf, mcux, mcuy, cbw, cbh, hsel,
+                     comps):
+    """Reassemble the coefficient arrays from the progressive scan
+    payloads with an independent bit-level decoder and assert they equal
+    the encoder's quantized blocks — the encoder proves its own stream."""
+    dec_dc = {}
+    for tid in (0, 1):
+        bits, vals = JPEG_HUFF[("dc", tid)]
+        dec_dc[tid] = {(ln, code): v
+                       for v, (code, ln) in _huff_codes(bits, vals).items()}
+    dec_ac = {(ln, code): v for v, (code, ln)
+              in _huff_codes(*JPEG_HUFF_PROG_AC).items()}
+
+    # coefficient store per component at padded dims, zigzag order
+    coefs = [dict() for _ in range(comps)]
+    for ci in range(comps):
+        h, v = sf[ci]
+        for by in range(mcuy * v):
+            for bx in range(mcux * h):
+                coefs[ci][(bx, by)] = [0] * 64
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    for (kind, cis, ss, se, ah, al, stuffed) in scan_payloads:
+        # unstuff 0xFF00 before bit access (restart markers are not used
+        # in the progressive scans)
+        payload = bytearray()
+        i = 0
+        while i < len(stuffed):
+            payload.append(stuffed[i])
+            if stuffed[i] == 0xFF:
+                assert i + 1 < len(stuffed) and stuffed[i + 1] == 0x00
+                i += 1
+            i += 1
+        payload = bytes(payload)
+        state = [0]
+
+        def bit():
+            i = state[0]
+            state[0] += 1
+            return (payload[i >> 3] >> (7 - (i & 7))) & 1
+
+        def bits(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | bit()
+            return v
+
+        def huff(table):
+            code, ln = 0, 0
+            while ln <= 16:
+                code = (code << 1) | bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise AssertionError("bad huffman walk")
+
+        if kind == "dc_first":
+            pred = {ci: 0 for ci in cis}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in cis:
+                        h, v = sf[ci]
+                        for dy in range(v):
+                            for dx in range(h):
+                                s_ = huff(dec_dc[hsel[ci]])
+                                diff = extend(bits(s_), s_) if s_ else 0
+                                pred[ci] += diff
+                                coefs[ci][(mx * h + dx, my * v + dy)][0] = \
+                                    pred[ci] << al
+        elif kind == "dc_refine":
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in cis:
+                        h, v = sf[ci]
+                        for dy in range(v):
+                            for dx in range(h):
+                                c = coefs[ci][(mx * h + dx, my * v + dy)]
+                                c[0] |= bit() << al
+        elif kind == "ac_first":
+            ci = cis[0]
+            eobrun = 0
+            for by in range(cbh[ci]):
+                for bx in range(cbw[ci]):
+                    c = coefs[ci][(bx, by)]
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = huff(dec_ac)
+                        r, s_ = rs >> 4, rs & 0xF
+                        if s_ == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + (bits(r) if r else 0)
+                            break
+                        k += r
+                        assert k <= se
+                        c[k] = extend(bits(s_), s_) << al
+                        k += 1
+        else:  # ac_refine — jdphuff decode structure
+            ci = cis[0]
+            eobrun = 0
+            p1 = 1 << al
+            m1 = -1 << al
+            for by in range(cbh[ci]):
+                for bx in range(cbw[ci]):
+                    c = coefs[ci][(bx, by)]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = huff(dec_ac)
+                            r, s_ = rs >> 4, rs & 0xF
+                            sval = 0
+                            if s_ == 0:
+                                if r != 15:
+                                    # EOB run INCLUDES this block: fall to
+                                    # the eobrun handler below
+                                    eobrun = (1 << r) + (bits(r) if r else 0)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history slots
+                            else:
+                                assert s_ == 1
+                                sval = p1 if bit() else m1
+                            while True:
+                                if c[k] != 0:
+                                    if bit() and (abs(c[k]) & p1) == 0:
+                                        c[k] += p1 if c[k] > 0 else m1
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                                if k > se:
+                                    break
+                            if sval and k <= se:
+                                c[k] = sval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if c[k] != 0:
+                                if bit() and (abs(c[k]) & p1) == 0:
+                                    c[k] += p1 if c[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+    # every coefficient must round-trip to the original quantized value
+    for ci in range(comps):
+        for (bx, by), got in coefs[ci].items():
+            # AC band positions only covered for in-ceil-dims blocks;
+            # padded-only blocks carry DC only — compare what was coded
+            blk = qblocks[ci][(bx, by)]
+            want = [blk[JPEG_ZIGZAG[k]] for k in range(64)]
+            in_ac = bx < cbw[ci] and by < cbh[ci]
+            for k in range(64):
+                exp = want[k] if (k == 0 or in_ac) else 0
+                assert got[k] == exp, (ci, bx, by, k, got[k], exp)
 
 
 if __name__ == "__main__":
