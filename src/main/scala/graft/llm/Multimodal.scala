@@ -336,8 +336,8 @@ object Multimodal {
   // rows are raw BGR with 4-byte padding, PNG inflates with the JDK's
   // zlib (java.util.zip.Inflater) and defilters per the W3C spec, WAV PCM
   // samples are fixed-layout integers. Each returns None for any layout
-  // it does not fully support (compressed BMP, float64 WAV,
-  // arithmetic-coded JPEG), and
+  // it does not fully support (compressed BMP, arithmetic-coded
+  // JPEG), and
   // [[pixelStatsOne]] degrades to raw-byte stats — decode is total,
   // never wrong. PNG coverage is complete for real-world stills: gray/
   // RGB/alpha at depths 8 AND 16 (high-byte reduction), palette depths
@@ -568,7 +568,7 @@ object Multimodal {
 
   /** WAV → (channels, sampleRate, interleaved canonical samples).
     * Formats: PCM (code 1) at 8/16/24/32 bits and IEEE float (code 3) at
-    * 32 bits, both directly and wrapped in WAVE_FORMAT_EXTENSIBLE
+    * 32 or 64 bits, both directly and wrapped in WAVE_FORMAT_EXTENSIBLE
     * (0xFFFE — the container 24-bit tooling actually writes; the
     * subformat GUID's tail is validated, unknown subformats → None).
     * Canonical integer samples: 16-bit as stored; 8-bit stored − 128;
@@ -667,6 +667,19 @@ object Multimodal {
         while (i < n) {
           val f = java.lang.Float.intBitsToFloat(i32le(b, dataOff + 4 * i))
           if (f.isNaN || f.isInfinite) return None // corrupt float payload
+          out(i) = Math.round(f * 32767.0).toInt
+          i += 1
+        }
+        Some((channels, rate, out))
+      case (3, 64) =>
+        val n = dataBytes / 8
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val o = dataOff + 8 * i
+          val bits = (i32le(b, o) & 0xffffffffL) | (i32le(b, o + 4).toLong << 32)
+          val f = java.lang.Double.longBitsToDouble(bits)
+          if (f.isNaN || f.isInfinite) return None
           out(i) = Math.round(f * 32767.0).toInt
           i += 1
         }

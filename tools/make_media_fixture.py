@@ -251,7 +251,9 @@ def make_wav(channels: int, sample_rate: int, n_frames: int,
             v = ((i * 37 + c * 101) % 65536) - 32768
             if perturb and c == 0 and i % 7 == 0:
                 v = min(32767, v + 900)
-            if fmt_code == 3:
+            if fmt_code == 3 and bits == 64:
+                data += struct.pack("<d", v / 32768.0)
+            elif fmt_code == 3:
                 data += struct.pack("<f", v / 32768.0)
             elif bits == 16:
                 data += struct.pack("<h", v)
@@ -876,7 +878,8 @@ def fuzz(outdir: str, seed: int):
     for _ in range(int(rng.integers(2, 5))):  # WAVs
         ch = int(rng.integers(1, 3))
         fmt_code = int(rng.choice([1, 1, 3]))  # PCM twice as likely
-        bits = 32 if fmt_code == 3 else int(rng.choice([8, 16, 24, 32]))
+        bits = (int(rng.choice([32, 64])) if fmt_code == 3
+                else int(rng.choice([8, 16, 24, 32])))
         ext = bool(rng.integers(0, 2))
         nf = int(rng.integers(1, 400))
         rate = int(rng.choice([8000, 16000, 44100]))
