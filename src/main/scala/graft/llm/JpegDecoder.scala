@@ -83,6 +83,10 @@ private[llm] object JpegDecoder {
     private var acc = 0
     private var n = 0
     var hitMarker = -1
+    // When a marker is peeked into hitMarker: offset of an 0xFF immediately
+    // preceding the marker byte, so the main walk re-reads a clean 2-byte
+    // marker even when T.81 B.1.1.2 fill bytes (extra 0xFFs) preceded it.
+    private var markerPos = -1
 
     def nextBit(): Int = {
       if (n == 0) {
@@ -92,12 +96,18 @@ private[llm] object JpegDecoder {
         pos += 1
         if (byte0 == 0xff) {
           if (pos >= b.length) throw Bail
-          val m = b(pos) & 0xff
+          var m = b(pos) & 0xff
           pos += 1
+          while (m == 0xff) { // fill bytes before a marker (B.1.1.2)
+            if (pos >= b.length) throw Bail
+            m = b(pos) & 0xff
+            pos += 1
+          }
           if (m == 0x00) {
             // stuffed data byte
           } else if ((m >= 0xD0 && m <= 0xD7) || m == 0xD9) {
             hitMarker = m
+            markerPos = pos - 2 // byte before the marker byte is an 0xFF
             throw Bail
           } else throw Bail
           byte0 = 0xff
@@ -112,19 +122,23 @@ private[llm] object JpegDecoder {
     def restart(expected: Int): Unit = {
       n = 0
       if (hitMarker < 0) {
-        if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) throw Bail
-        hitMarker = b(pos + 1) & 0xff
-        pos += 2
+        if (pos >= b.length || (b(pos) & 0xff) != 0xff) throw Bail
+        pos += 1
+        while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1 // fill
+        if (pos >= b.length) throw Bail
+        hitMarker = b(pos) & 0xff
+        pos += 1
       }
       if (hitMarker != expected) throw Bail
       hitMarker = -1
+      markerPos = -1
     }
 
     /** Byte offset of the next marker after the scan's entropy bytes. */
     def endOffset(): Int = {
       // drop pad bits; pos already sits on the next byte. If a marker was
       // peeked into hitMarker, back up so the main walk re-reads it.
-      if (hitMarker >= 0) pos - 2 else pos
+      if (hitMarker >= 0) markerPos else pos
     }
 
     def receive(s: Int): Int = {

@@ -667,7 +667,9 @@ object Multimodal {
         while (i < n) {
           val f = java.lang.Float.intBitsToFloat(i32le(b, dataOff + 4 * i))
           if (f.isNaN || f.isInfinite) return None // corrupt float payload
-          out(i) = Math.round(f * 32767.0).toInt
+          val r = Math.round(f * 32767.0)
+          if (r > Int.MaxValue || r < Int.MinValue) return None // out-of-range finite
+          out(i) = r.toInt
           i += 1
         }
         Some((channels, rate, out))
@@ -680,7 +682,9 @@ object Multimodal {
           val bits = (i32le(b, o) & 0xffffffffL) | (i32le(b, o + 4).toLong << 32)
           val f = java.lang.Double.longBitsToDouble(bits)
           if (f.isNaN || f.isInfinite) return None
-          out(i) = Math.round(f * 32767.0).toInt
+          val r = Math.round(f * 32767.0)
+          if (r > Int.MaxValue || r < Int.MinValue) return None // out-of-range finite
+          out(i) = r.toInt
           i += 1
         }
         Some((channels, rate, out))

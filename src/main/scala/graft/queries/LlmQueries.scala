@@ -3754,7 +3754,8 @@ object LlmQueries {
        |  NOT EXISTS (
        |    SELECT 1 FROM got g FULL JOIN expected e ON $keyEq
        |    WHERE g.${keyCols.head} IS NULL OR e.${keyCols.head} IS NULL
-       |      ${exactClause}OR abs(g.$microCol - e.$microCol) > $tolMicros) AS pass)
+       |      ${exactClause}OR g.$microCol IS NULL OR e.$microCol IS NULL
+       |      OR abs(g.$microCol - e.$microCol) > $tolMicros) AS pass)
        |SELECT ${cols.mkString(", ")} FROM got WHERE (SELECT pass FROM chk)
        |UNION ALL
        |SELECT ${cols.mkString(", ")} FROM expected WHERE NOT (SELECT pass FROM chk)""".stripMargin

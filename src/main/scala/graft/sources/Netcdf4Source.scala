@@ -721,6 +721,12 @@ private[sources] object Hdf5 {
     require(dtype.clazz == 0 || dtype.clazz == 1,
       s"${in.path}: dataset '$name' has datatype class ${dtype.clazz} — only " +
         "fixed-point and IEEE float variables are supported")
+    // Unsigned fixed-point widens to the next larger Spark type (masked in
+    // the reader); u8 has no lossless widening target, so it rejects loudly
+    // rather than risk wrong negative values (the module contract).
+    require(dtype.clazz != 0 || dtype.signed || dtype.size < 8,
+      s"${in.path}: dataset '$name' is unsigned 64-bit fixed-point (NC_UINT64) " +
+        "— no lossless widening target; convert to int64/double upstream")
     filters.foreach { f =>
       require(f.id == 1 || f.id == 2 || f.id == 3, s"${in.path}: dataset " +
         s"'$name' uses filter ${f.id} — only deflate(1)/shuffle(2)/fletcher32(3) supported")
@@ -869,11 +875,16 @@ private[sources] final case class N4Var(
 private[sources] object Netcdf4Read {
 
   def sparkType(t: Hdf5.Dtype): DataType = t.clazz match {
-    case 0 => t.size match {
+    case 0 if t.signed => t.size match {
       case 1 => ByteType
       case 2 => ShortType
       case 4 => IntegerType
       case 8 => LongType
+    }
+    case 0 => t.size match { // unsigned: widen so values stay non-negative
+      case 1 => ShortType
+      case 2 => IntegerType
+      case 4 => LongType
     }
     case 1 => if (t.size == 4) FloatType else DoubleType
   }
@@ -1126,13 +1137,19 @@ private[sources] object Netcdf4TableModel {
             val bb = ByteBuffer.wrap(bytes).order(
               if (cv.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
             val es = cv.dtype.size
+            val unsigned = cv.dtype.clazz == 0 && !cv.dtype.signed
             Array.tabulate(len) { i =>
               (cv.dtype.clazz, es) match {
                 case (1, 4) => bb.getFloat(i * es).toDouble
                 case (1, 8) => bb.getDouble(i * es)
-                case (0, 1) => bb.get(i * es).toDouble
-                case (0, 2) => bb.getShort(i * es).toDouble
-                case (0, 4) => bb.getInt(i * es).toDouble
+                case (0, 1) =>
+                  if (unsigned) (bb.get(i * es) & 0xFF).toDouble else bb.get(i * es).toDouble
+                case (0, 2) =>
+                  if (unsigned) (bb.getShort(i * es) & 0xFFFF).toDouble
+                  else bb.getShort(i * es).toDouble
+                case (0, 4) =>
+                  if (unsigned) (bb.getInt(i * es) & 0xFFFFFFFFL).toDouble
+                  else bb.getInt(i * es).toDouble
                 case (0, 8) => bb.getLong(i * es).toDouble
               }
             }
@@ -1312,6 +1329,8 @@ private class Netcdf4ReaderFactory extends PartitionReaderFactory {
         if (c.isDim && c.dimPos == 0) p.outerFrom else 0)
       private val elemSize: Array[Int] = p.cols.map(c => if (c.isDim) 0 else c.v.dtype.size)
       private val isFloatCol: Array[Boolean] = p.cols.map(c => !c.isDim && c.v.dtype.clazz == 1)
+      private val isUnsigned: Array[Boolean] =
+        p.cols.map(c => !c.isDim && c.v.dtype.clazz == 0 && !c.v.dtype.signed)
       // fill compared on RAW bits (the classic scanner's rule: NaN-safe,
       // exact) — decoded once per column with the variable's byte order
       private val fillRaw: Array[Long] = p.cols.map { c =>
@@ -1348,15 +1367,18 @@ private class Netcdf4ReaderFactory extends PartitionReaderFactory {
               case 1 =>
                 val raw = buf.get(off)
                 if (hasFill(i) && raw.toLong == fillRaw(i)) row.setNullAt(i)
+                else if (isUnsigned(i)) row.setShort(i, (raw & 0xFF).toShort)
                 else row.setByte(i, raw)
               case 2 =>
                 val raw = buf.getShort(off)
                 if (hasFill(i) && raw.toLong == fillRaw(i)) row.setNullAt(i)
+                else if (isUnsigned(i)) row.setInt(i, raw & 0xFFFF)
                 else row.setShort(i, raw)
               case 4 =>
                 val raw = buf.getInt(off)
                 if (hasFill(i) && raw.toLong == fillRaw(i)) row.setNullAt(i)
                 else if (isFloatCol(i)) row.setFloat(i, java.lang.Float.intBitsToFloat(raw))
+                else if (isUnsigned(i)) row.setLong(i, raw & 0xFFFFFFFFL)
                 else row.setInt(i, raw)
               case 8 =>
                 val raw = buf.getLong(off)

@@ -405,4 +405,54 @@ class MultimodalSpec extends SparkSpec {
     // media_024 = media_008 with every 7th frame nudged +900
     assert(pairs == Seq((8L, 24L, 2)), s"got $pairs")
   }
+
+  test("T.81 B.1.1.2 fill bytes before RST/EOI decode to identical pixels") {
+    // media_026 is the baseline JPEG with DRI restart markers. Inserting
+    // extra 0xFF fill bytes before each marker in the entropy segment is
+    // legal per T.81 B.1.1.2 and must not change the decoded pixels.
+    val orig = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_026.jpg"))
+    val base = JpegDecoder.decode(orig)
+    assert(base.isDefined, "restart-marker fixture must decode")
+    val sos = orig.indexOfSlice(Seq(0xFF.toByte, 0xDA.toByte))
+    assert(sos > 0)
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= orig.take(sos + 2)
+    var i = sos + 2
+    while (i < orig.length) {
+      val isMarkerPair = (orig(i) & 0xFF) == 0xFF && i + 1 < orig.length && {
+        val m = orig(i + 1) & 0xFF
+        (m >= 0xD0 && m <= 0xD7) || m == 0xD9
+      }
+      if (isMarkerPair) { out += 0xFF.toByte; out += 0xFF.toByte } // 2 fills
+      out += orig(i)
+      i += 1
+    }
+    val filled = JpegDecoder.decode(out.toArray)
+    assert(filled.isDefined, "fill-byte variant must decode, not Bail")
+    val (w0, h0, c0, px0) = base.get
+    val (w1, h1, c1, px1) = filled.get
+    assert(w0 == w1 && h0 == h1 && c0 == c1 && px0.sameElements(px1))
+  }
+
+  test("float WAV with out-of-range finite samples rejects, never wraps") {
+    def wavF32(samples: Array[Float]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + 4 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 4 * samples.length)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(3); bb.putShort(1); bb.putInt(8000) // float, mono
+      bb.putInt(8000 * 4); bb.putShort(4); bb.putShort(32)
+      bb.put("data".getBytes); bb.putInt(4 * samples.length)
+      samples.foreach(bb.putFloat)
+      bb.array()
+    }
+    val good = Multimodal.decodeWavSamples(wavF32(Array(0.5f, -0.25f)))
+    assert(good.exists(_._3.sameElements(Array(16384, -8192))))
+    // 1e30 rounds to a Long far outside Int range: must reject (stub
+    // fallback), never truncate to an arbitrary wrapped Int sample
+    assert(Multimodal.decodeWavSamples(wavF32(Array(0.5f, 1e30f))).isEmpty)
+    assert(Multimodal.decodeWavSamples(wavF32(Array(-1e30f, 0.5f))).isEmpty)
+  }
 }

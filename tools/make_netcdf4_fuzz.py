@@ -11,7 +11,9 @@ parameter randomizes from the seed:
     compact link messages, lookup3 checksums);
   - 2-3 dims of random sizes, random coordinate direction, each dim a
     real coordinate variable or a PHONY scale (index coordinates);
-  - 1-3 data variables over random dtypes (f4/f8/i2/i4/i8), each with a
+  - 1-3 data variables over random dtypes (f4/f8/i2/i4/i8/u1/u2/u4 —
+    unsigned values deliberately exceed the signed range of their width so
+    a sign-extension bug in the reader fails the checksum), each with a
     random layout: contiguous, or chunked with random (often
     non-dividing -> edge chunks) chunk dims and a random filter pipeline
     from {none, deflate, shuffle+deflate, deflate+fletcher32,
@@ -120,7 +122,9 @@ def dt_for(dtype: np.dtype) -> bytes:
         props = u16(0) + u16(64) + u8(52) + u8(11) + u8(0) + u8(52) + u32(1023)
         return u8(0x11) + u8(0x20) + u8(0x3F) + u8(0x00) + u32(8) + props
     size = dtype.itemsize
-    return u8(0x10) + u8(0x08) + u8(0) + u8(0) + u32(size) + u16(0) + u16(size * 8)
+    sign_bit = 0x08 if dtype.kind == "i" else 0x00
+    return (u8(0x10) + u8(sign_bit) + u8(0) + u8(0) + u32(size) +
+            u16(0) + u16(size * 8))
 
 
 def dt_string(n: int) -> bytes:
@@ -265,7 +269,7 @@ def main(out: str, seed: int) -> None:
 
     nvars = int(rng.integers(1, 4))
     dtypes = [np.dtype(t) for t in
-              rng.choice(["f4", "f8", "i2", "i4", "i8"], nvars)]
+              rng.choice(["f4", "f8", "i2", "i4", "i8", "u1", "u2", "u4"], nvars)]
     npts = int(np.prod(dim_sizes))
     expects = []
     var_specs = []
@@ -274,13 +278,23 @@ def main(out: str, seed: int) -> None:
         if dt.kind == "f":
             vals = rng.integers(-4000, 4000, npts).astype(np.float64) / 8.0
             arr = vals.astype(dt).reshape(dim_sizes)
+        elif dt.kind == "u":
+            # top half of the unsigned range: every value has the sign bit
+            # of the same-width signed type set, so misdecoding as signed
+            # yields negatives and a wildly wrong checksum
+            lim = 2 ** (dt.itemsize * 8) - 10
+            arr = rng.integers(lim // 2, lim, npts).astype(dt).reshape(dim_sizes)
         else:
             lim = min(2 ** (dt.itemsize * 8 - 1) - 10, 30000)
             arr = rng.integers(-lim // 2, lim // 2, npts).astype(dt).reshape(dim_sizes)
         has_fill = bool(rng.integers(0, 2))
         if has_fill:
-            fillv = dt.type(-99999) if dt.kind == "f" else dt.type(
-                min(2 ** (dt.itemsize * 8 - 1) - 1, 32767))
+            if dt.kind == "f":
+                fillv = dt.type(-99999)
+            elif dt.kind == "u":
+                fillv = dt.type(2 ** (dt.itemsize * 8) - 1)
+            else:
+                fillv = dt.type(min(2 ** (dt.itemsize * 8 - 1) - 1, 32767))
             mask = rng.random(npts).reshape(dim_sizes) < 0.07
             arr[mask] = fillv
         else:
@@ -303,7 +317,10 @@ def main(out: str, seed: int) -> None:
         nf = arr[~mask]
         expects.append((f"v{v}",
                         int((~mask).sum()),
-                        int(np.rint(nf.astype(np.float64) * 1000).sum())))
+                        # per-element rint is exact (<2^53); sum in int64 so
+                        # u4-scale checksums (>2^53 total) stay exact too
+                        int(np.rint(nf.astype(np.float64) * 1000)
+                            .astype(np.int64).sum())))
         var_specs.append(dict(name=f"v{v}", arr=arr, dt=dt, cdims=cdims,
                               filters=filters,
                               fill=fillv.tobytes() if has_fill else None,
@@ -463,7 +480,8 @@ def main(out: str, seed: int) -> None:
         f.write(data)
     for nm, cnt, chk in expects:
         print(f"EXPECT {nm} {cnt} {chk}")
-    print(f"INFO sb={sb_version} dims={dim_sizes} vars={nvars}")
+    dtstr = ",".join(str(d) for d in dtypes)
+    print(f"INFO sb={sb_version} dims={dim_sizes} vars={nvars} dtypes={dtstr}")
 
 
 if __name__ == "__main__":
