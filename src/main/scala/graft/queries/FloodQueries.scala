@@ -288,6 +288,10 @@ object FloodQueries {
     new java.io.File("data/netcdf/discharge4_v2.nc").getAbsolutePath
   private lazy val netcdf4V2Expected =
     new java.io.File("data/netcdf/discharge4_v2_expected.parquet").getAbsolutePath
+  private lazy val netcdf4DenseFixture =
+    new java.io.File("data/netcdf/dense4.nc").getAbsolutePath
+  private lazy val netcdf4DenseExpected =
+    new java.io.File("data/netcdf/dense4_expected.parquet").getAbsolutePath
 
   // ---------------------------------------------------------------- registry
 
@@ -377,6 +381,23 @@ object FloodQueries {
       .option("path", netcdf4V2Fixture)
       .option("numPartitions", "3")
       .load()),
+
+    // dense (fractal-heap + v2 B-tree) group links — the storage libhdf5
+    // switches to past the 8-link compact threshold, i.e. any netCDF-4
+    // file with more than a handful of variables — plus data layout
+    // message v4 chunk indexes (single chunk ±filter, implicit, fixed
+    // array clients 0/1, one unallocated chunk → fill → NULL) mixed with
+    // classic v3 layouts and an unsigned u2 variable (widened to int).
+    // Fixture + mirror by the independent from-spec python writer
+    // (tools/make_netcdf4_dense_fixture.py).
+    "q_netcdf4_dense" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdf4DenseFixture)
+      .option("numPartitions", "3")
+      .load()
+      .select("y", "x", "v_contig4", "v_compact4", "v_single",
+        "v_single_filt", "v_implicit", "v_fixed", "v_fixed_filt",
+        "v_btree1", "v_u2", "v_i8", "v_f8c", "v_i1")),
 
     // S1: GRIB2 ensemble forecast read directly as a table (the reference
     // opens GRIB via python-cfgrib, flood/etl/utils.py:3-14). Fixture =
@@ -836,6 +857,9 @@ object FloodQueries {
 
     "q_netcdf4_v2" ->
       s"SELECT * FROM read_parquet('$netcdf4V2Expected')",
+
+    "q_netcdf4_dense" ->
+      s"SELECT * FROM read_parquet('$netcdf4DenseExpected')",
 
     "q_netcdf_slice" ->
       s"""SELECT lat, lon, threshold_2y, upstream_area

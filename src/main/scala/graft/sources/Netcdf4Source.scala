@@ -29,11 +29,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - v1 object headers (+ continuations) and v2 `OHDR` headers
   *    (+ `OCHK` continuations, checksums VERIFIED — every length/address
   *    is untrusted input and range-checked before use);
-  *  - symbol-table groups (B-tree v1 + local heap + `SNOD`) and compact
-  *    link-message groups; dense (fractal-heap) groups reject loudly;
-  *  - datatypes: fixed-point i1/i2/i4/i8 and IEEE float f4/f8, LE or BE;
+  *  - symbol-table groups (B-tree v1 + local heap + `SNOD`), compact
+  *    link-message groups, and DENSE groups (fractal heap + v2 B-tree
+  *    name index — what libhdf5 emits past the 8-link compact threshold,
+  *    i.e. any file with more than a handful of variables): root direct
+  *    block or a root indirect block of direct rows, checksummed blocks,
+  *    B-tree depth 0/1; huge/tiny heap objects, filtered heap blocks and
+  *    deeper trees reject loudly by name;
+  *  - datatypes: fixed-point i1/i2/i4/i8 (unsigned u1/u2/u4 widen to the
+  *    next Spark type; u8 rejects — no lossless target) and IEEE float
+  *    f4/f8, LE or BE;
   *  - data layout message v3: contiguous, chunked (B-tree v1 index), and
-  *    compact; layout v4 / the 1.10+ chunk indexes reject loudly by name;
+  *    compact; layout v4 (libhdf5 1.10+/libver-latest): contiguous,
+  *    compact, and chunked with single-chunk (±filtered), implicit, and
+  *    fixed-array (clients 0/1, checksums verified, unallocated chunks →
+  *    fill) indexes; extensible-array and v2-B-tree chunk indexes (which
+  *    imply unlimited dimensions) reject loudly by name;
   *  - filter pipeline v1/v2: deflate (JDK Inflater, driven to the exact
   *    expected size), shuffle, fletcher32 (verified); others reject;
   *  - attributes v1/v2/v3, including `DIMENSION_LIST` (vlen of object
@@ -74,6 +85,17 @@ private[sources] object Hdf5 {
   final case class Contiguous(addr: Long, size: Long) extends Layout
   final case class Chunked(btreeAddr: Long, chunkDims: Array[Int], elemSize: Int) extends Layout
   final case class Compact(data: Array[Byte]) extends Layout
+  /** Data layout message v4 (libhdf5 1.10+ / libver-latest), chunked class.
+    * `rawDims` is the on-disk dimension list — libhdf5 encodes the dataset
+    * rank PLUS the trailing element-size pseudo-dimension (mirroring v3);
+    * the reader also tolerates a rank-only list, reconciling against the
+    * dataspace before use. `indexType`: 1 single chunk, 2 implicit,
+    * 3 fixed array (extensible array 4 and v2-B-tree 5 reject loudly at
+    * parse time — they imply unlimited dimensions netCDF-4 classic rasters
+    * don't use). */
+  final case class ChunkedV4(indexType: Int, addr: Long, rawDims: Array[Long],
+      flags: Int, pageBits: Int, singleFilteredSize: Long,
+      singleFilterMask: Int) extends Layout
 
   final case class H5Dataset(
       name: String,
@@ -434,37 +456,292 @@ private[sources] object Hdf5 {
         }
       }
     } else {
+      var dense: Seq[(String, Long)] = Nil
       msgs.find(_.mtype == 0x0002).foreach { li =>
         val b = ByteBuffer.wrap(li.body).order(ByteOrder.LITTLE_ENDIAN)
         b.get() // version
         val flags = b.get() & 0xFF
         if ((flags & 0x1) != 0) b.getLong // max creation index
         val fractalHeap = b.getLong
-        require(fractalHeap == Undef,
-          s"${in.path}: dense (fractal-heap) group links are not supported — " +
-            "rewrite the file with default group storage")
-      }
-      msgs.filter(_.mtype == 0x0006).map { m =>
-        val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
-        val ver = b.get() & 0xFF
-        require(ver == 1, s"${in.path}: link message version $ver")
-        val flags = b.get() & 0xFF
-        val linkType = if ((flags & 0x8) != 0) b.get() & 0xFF else 0
-        require(linkType == 0,
-          s"${in.path}: non-hard link (type $linkType) in root group is not supported")
-        if ((flags & 0x4) != 0) b.getLong // creation order
-        if ((flags & 0x10) != 0) b.get()  // charset
-        val nameLen = (flags & 0x3) match {
-          case 0 => b.get() & 0xFF
-          case 1 => u16(b)
-          case 2 => b.getInt
-          case 3 => b.getLong.toInt
+        val nameBtree = b.getLong
+        if (fractalHeap != Undef) {
+          require(nameBtree != Undef, s"${in.path}: dense group links have a " +
+            "fractal heap but no name-index v2 B-tree")
+          dense = denseLinks(in, in.checkedAddr(fractalHeap, "link fractal heap"),
+            in.checkedAddr(nameBtree, "link name index"))
         }
-        val nb = new Array[Byte](nameLen)
-        b.get(nb)
-        new String(nb, StandardCharsets.UTF_8) -> in.checkedAddr(b.getLong, "link target")
       }
+      dense ++ msgs.filter(_.mtype == 0x0006).map(m => parseLinkBody(in, m.body))
     }
+  }
+
+  /** A hard-link message body (message type 0x0006, also the byte layout of
+    * fractal-heap-resident dense links) → (name, object header address). */
+  def parseLinkBody(in: In, body: Array[Byte]): (String, Long) = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = b.get() & 0xFF
+    require(ver == 1, s"${in.path}: link message version $ver")
+    val flags = b.get() & 0xFF
+    val linkType = if ((flags & 0x8) != 0) b.get() & 0xFF else 0
+    require(linkType == 0,
+      s"${in.path}: non-hard link (type $linkType) in root group is not supported")
+    if ((flags & 0x4) != 0) b.getLong // creation order
+    if ((flags & 0x10) != 0) b.get()  // charset
+    val nameLen = (flags & 0x3) match {
+      case 0 => b.get() & 0xFF
+      case 1 => u16(b)
+      case 2 => b.getInt
+      case 3 => b.getLong.toInt
+    }
+    val nb = new Array[Byte](nameLen)
+    b.get(nb)
+    new String(nb, StandardCharsets.UTF_8) -> in.checkedAddr(b.getLong, "link target")
+  }
+
+  // ----------------------------------------------- dense (fractal-heap) links
+  /** One direct block's placement: [heapOff, heapOff+size) of heap address
+    * space (which INCLUDES the block's own header bytes) at file `addr`. */
+  private final case class DirectBlock(heapOff: Long, size: Long, addr: Long)
+
+  /** Enumerate a dense group's links: walk the name-index v2 B-tree for the
+    * heap IDs (records first, then child pointers — spec layout), fetch
+    * each link message from the fractal heap's direct blocks, parse with
+    * the same link parser as compact groups. This is the storage libhdf5
+    * switches to once a group passes the compact threshold (8 links by
+    * default) — i.e. any netCDF-4 file with more than a handful of
+    * variables. Driver-side metadata walk, KBs total.
+    *
+    * Supported shape (loud rejects otherwise): unfiltered managed objects,
+    * root direct block or one root indirect block of direct-block rows,
+    * B-tree depth 0 or 1. Huge/tiny heap objects and deeper trees would
+    * need links of hundreds of bytes or many thousands of links — outside
+    * anything a netCDF-4 writer emits for group storage. All lookup3
+    * checksums (heap header, direct blocks when flagged, B-tree nodes) are
+    * VERIFIED — every length and address is untrusted input. */
+  def denseLinks(in: In, heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    // ---- fractal heap header (FRHP)
+    val lenSz = 8 // "size of lengths" / "size of offsets": 8 in all superblocks here
+    val hdrLen = 4 + 1 + 2 + 2 + 1 + 4 + lenSz + 8 + lenSz + 8 + (lenSz * 4) +
+      (lenSz * 4) + 2 + lenSz + lenSz + 2 + 2 + 8 + 2
+    val hb = in.bytes(heapAddr, hdrLen + 4)
+    val h = ByteBuffer.wrap(hb).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4)
+    h.get(sig)
+    require(new String(sig, StandardCharsets.US_ASCII) == "FRHP",
+      s"${in.path}: bad fractal heap signature at $heapAddr")
+    require((h.get() & 0xFF) == 0, s"${in.path}: fractal heap version")
+    val heapIdLen = u16(h)
+    val ioFilterLen = u16(h)
+    require(ioFilterLen == 0,
+      s"${in.path}: filtered fractal heap blocks are not supported")
+    val heapFlags = h.get() & 0xFF
+    val maxManagedObjSize = h.getInt.toLong & 0xFFFFFFFFL
+    h.getLong // next huge object id
+    h.getLong // huge v2 btree addr
+    h.getLong // free space in managed blocks
+    h.getLong // free space manager addr
+    h.getLong // managed space
+    h.getLong // allocated managed space
+    h.getLong // direct block iterator offset
+    h.getLong // number of managed objects
+    val hugeSize = h.getLong
+    val nHuge = h.getLong
+    val tinySize = h.getLong
+    val nTiny = h.getLong
+    require(nHuge == 0 && nTiny == 0 && hugeSize == 0 && tinySize == 0,
+      s"${in.path}: huge/tiny fractal heap objects are not supported for links")
+    val tableWidth = u16(h)
+    val startBlockSize = h.getLong
+    val maxDirectBlockSize = h.getLong
+    val maxHeapSizeBits = u16(h)
+    h.getShort // starting rows in root indirect block
+    val rootBlockAddr = h.getLong
+    val curRootRows = u16(h)
+    checkLookup3(hb, hdrLen, s"${in.path}: fractal heap header at $heapAddr")
+    require(tableWidth > 0 && startBlockSize > 0 &&
+      startBlockSize <= maxDirectBlockSize && maxHeapSizeBits >= 1 &&
+      maxHeapSizeBits <= 64, s"${in.path}: fractal heap geometry")
+    val offBytes = (maxHeapSizeBits + 7) / 8
+    val lenBytes = {
+      var n = 1
+      while (n < 8 && (maxManagedObjSize >>> (8 * n)) != 0) n += 1
+      n
+    }
+    require(heapIdLen == 1 + offBytes + lenBytes,
+      s"${in.path}: fractal heap ID length $heapIdLen does not match its " +
+        s"geometry (1+$offBytes+$lenBytes)")
+
+    // ---- direct block map
+    val blocks: Seq[DirectBlock] =
+      if (rootBlockAddr == Undef) Nil
+      else if (curRootRows == 0) { // root IS a direct block
+        Seq(DirectBlock(0L, startBlockSize, in.checkedAddr(rootBlockAddr, "root direct block")))
+      } else { // root indirect block of direct-block rows
+        val maxDirectRows =
+          (63 - java.lang.Long.numberOfLeadingZeros(maxDirectBlockSize)) -
+            (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+        require(curRootRows <= maxDirectRows, s"${in.path}: fractal heap root " +
+          s"indirect block has $curRootRows rows (> $maxDirectRows direct rows) " +
+          "— nested indirect blocks are not supported for link storage")
+        val ibLen = 4 + 1 + 8 + offBytes + curRootRows * tableWidth * 8
+        val ib = in.bytes(in.checkedAddr(rootBlockAddr, "root indirect block"), ibLen + 4)
+        val ibb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
+        ibb.get(sig)
+        require(new String(sig, StandardCharsets.US_ASCII) == "FHIB",
+          s"${in.path}: bad fractal heap indirect block signature at $rootBlockAddr")
+        require((ibb.get() & 0xFF) == 0, s"${in.path}: indirect block version")
+        require(ibb.getLong == heapAddr,
+          s"${in.path}: indirect block does not point back to its heap header")
+        var bo = 0L
+        var k = 0
+        while (k < offBytes) { bo |= (ibb.get() & 0xFFL) << (8 * k); k += 1 }
+        require(bo == 0, s"${in.path}: root indirect block offset $bo")
+        val out = Seq.newBuilder[DirectBlock]
+        var heapOff = 0L
+        var row = 0
+        while (row < curRootRows) {
+          val rowSize = if (row < 2) startBlockSize else startBlockSize << (row - 1)
+          var col = 0
+          while (col < tableWidth) {
+            val a = ibb.getLong
+            if (a != Undef)
+              out += DirectBlock(heapOff, rowSize, in.checkedAddr(a, "direct block"))
+            heapOff += rowSize
+            col += 1
+          }
+          row += 1
+        }
+        checkLookup3(ib, ibLen, s"${in.path}: fractal heap indirect block")
+        out.result()
+      }
+    // verify each direct block's header once; remember its data bytes
+    val checksummed = (heapFlags & 0x2) != 0
+    val dbHeaderLen = 4 + 1 + 8 + offBytes + (if (checksummed) 4 else 0)
+    val loaded = blocks.map { blk =>
+      require(blk.size <= 16L * 1024 * 1024,
+        s"${in.path}: direct block of ${blk.size} bytes exceeds the driver bound")
+      val bytes = in.bytes(blk.addr, blk.size.toInt)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.get(sig)
+      require(new String(sig, StandardCharsets.US_ASCII) == "FHDB",
+        s"${in.path}: bad direct block signature at ${blk.addr}")
+      require((bb.get() & 0xFF) == 0, s"${in.path}: direct block version")
+      require(bb.getLong == heapAddr,
+        s"${in.path}: direct block does not point back to its heap header")
+      var bo = 0L
+      var k = 0
+      while (k < offBytes) { bo |= (bb.get() & 0xFFL) << (8 * k); k += 1 }
+      require(bo == blk.heapOff, s"${in.path}: direct block offset $bo at heap " +
+        s"offset ${blk.heapOff}")
+      if (checksummed) {
+        // checksum over the whole block with its own 4 checksum bytes zeroed
+        val pos = 4 + 1 + 8 + offBytes
+        val stored = ((bytes(pos) & 0xFFL) | ((bytes(pos + 1) & 0xFFL) << 8) |
+          ((bytes(pos + 2) & 0xFFL) << 16) | ((bytes(pos + 3) & 0xFFL) << 24)).toInt
+        val copy = bytes.clone()
+        copy(pos) = 0; copy(pos + 1) = 0; copy(pos + 2) = 0; copy(pos + 3) = 0
+        val computed = lookup3(copy, 0, copy.length)
+        require(stored == computed, s"${in.path}: direct block checksum at ${blk.addr}")
+      }
+      blk -> bytes
+    }
+    def heapObject(objOff: Long, objLen: Int): Array[Byte] = {
+      val hit = loaded.find { case (blk, _) =>
+        objOff >= blk.heapOff + dbHeaderLen && objOff + objLen <= blk.heapOff + blk.size
+      }
+      require(hit.isDefined, s"${in.path}: heap object [$objOff, +$objLen) is in " +
+        "no loaded direct block")
+      val (blk, bytes) = hit.get
+      java.util.Arrays.copyOfRange(bytes, (objOff - blk.heapOff).toInt,
+        (objOff - blk.heapOff).toInt + objLen)
+    }
+
+    // ---- name-index v2 B-tree (record type 5: hash + managed heap ID)
+    val bthdLen = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8
+    val tb = in.bytes(btreeAddr, bthdLen + 4)
+    val t = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
+    t.get(sig)
+    require(new String(sig, StandardCharsets.US_ASCII) == "BTHD",
+      s"${in.path}: bad v2 B-tree header signature at $btreeAddr")
+    require((t.get() & 0xFF) == 0, s"${in.path}: v2 B-tree version")
+    val btType = t.get() & 0xFF
+    require(btType == 5, s"${in.path}: v2 B-tree type $btType for a link name index")
+    val nodeSize = t.getInt
+    val recordSize = u16(t)
+    require(recordSize == 4 + heapIdLen, s"${in.path}: link name record size " +
+      s"$recordSize (expected ${4 + heapIdLen})")
+    val depth = u16(t)
+    t.get(); t.get() // split / merge percent
+    val rootNodeAddr = in.checkedAddr(t.getLong, "v2 B-tree root")
+    val rootNrec = u16(t)
+    val totalNrec = t.getLong
+    checkLookup3(tb, bthdLen, s"${in.path}: v2 B-tree header at $btreeAddr")
+    require(depth <= 1, s"${in.path}: v2 B-tree depth $depth is not supported " +
+      "for link name indexes (thousands of links in one group)")
+    require(nodeSize > 10 && nodeSize <= (1 << 20), s"${in.path}: v2 B-tree node size")
+
+    def parseRecords(bytes: Array[Byte], off: Int, nrec: Int): Seq[(Long, Int)] =
+      (0 until nrec).map { i =>
+        val p = off + i * recordSize + 4 // skip the name hash
+        val flag = bytes(p) & 0xFF
+        require((flag & 0xF0) == 0,
+          s"${in.path}: non-managed heap ID (flag byte 0x${flag.toHexString}) in link index")
+        var objOff = 0L
+        var k = 0
+        while (k < offBytes) { objOff |= (bytes(p + 1 + k) & 0xFFL) << (8 * k); k += 1 }
+        var objLen = 0L
+        k = 0
+        while (k < lenBytes) { objLen |= (bytes(p + 1 + offBytes + k) & 0xFFL) << (8 * k); k += 1 }
+        require(objLen > 0 && objLen <= maxManagedObjSize,
+          s"${in.path}: heap object length $objLen")
+        (objOff, objLen.toInt)
+      }
+
+    def readLeaf(addr: Long, nrec: Int): Seq[(Long, Int)] = {
+      val used = 4 + 1 + 1 + nrec * recordSize
+      val lb = in.bytes(addr, used + 4)
+      require(lb(0) == 'B' && lb(1) == 'T' && lb(2) == 'L' && lb(3) == 'F',
+        s"${in.path}: bad v2 B-tree leaf signature at $addr")
+      require((lb(4) & 0xFF) == 0 && (lb(5) & 0xFF) == btType,
+        s"${in.path}: v2 B-tree leaf version/type at $addr")
+      checkLookup3(lb, used, s"${in.path}: v2 B-tree leaf at $addr")
+      parseRecords(lb, 6, nrec)
+    }
+
+    val heapIds: Seq[(Long, Int)] =
+      if (depth == 0) readLeaf(rootNodeAddr, rootNrec)
+      else {
+        // internal root: records first, then nrec+1 child pointers of
+        // (address, child-record-count) — count width from the max records
+        // a leaf can hold (spec: minimum bytes for that limit)
+        val maxLeafRec = (nodeSize - 10) / recordSize
+        var cntBytes = 1
+        while (cntBytes < 8 && (maxLeafRec >>> (8 * cntBytes)) != 0) cntBytes += 1
+        val used = 4 + 1 + 1 + rootNrec * recordSize + (rootNrec + 1) * (8 + cntBytes)
+        val ib = in.bytes(rootNodeAddr, used + 4)
+        require(ib(0) == 'B' && ib(1) == 'T' && ib(2) == 'I' && ib(3) == 'N',
+          s"${in.path}: bad v2 B-tree internal signature at $rootNodeAddr")
+        require((ib(4) & 0xFF) == 0 && (ib(5) & 0xFF) == btType,
+          s"${in.path}: v2 B-tree internal version/type")
+        checkLookup3(ib, used, s"${in.path}: v2 B-tree internal node at $rootNodeAddr")
+        val rootRecords = parseRecords(ib, 6, rootNrec)
+        val ptrOff = 6 + rootNrec * recordSize
+        val children = (0 to rootNrec).map { i =>
+          val p = ptrOff + i * (8 + cntBytes)
+          var a = 0L
+          var k = 0
+          while (k < 8) { a |= (ib(p + k) & 0xFFL) << (8 * k); k += 1 }
+          var n = 0L
+          k = 0
+          while (k < cntBytes) { n |= (ib(p + 8 + k) & 0xFFL) << (8 * k); k += 1 }
+          require(n <= maxLeafRec, s"${in.path}: v2 B-tree child record count $n")
+          readLeaf(in.checkedAddr(a, "v2 B-tree leaf"), n.toInt)
+        }
+        children.flatten ++ rootRecords
+      }
+    require(heapIds.length == totalNrec,
+      s"${in.path}: walked ${heapIds.length} link records, header says $totalNrec")
+    heapIds.map { case (objOff, objLen) => parseLinkBody(in, heapObject(objOff, objLen)) }
   }
 
   // ------------------------------------------------------------ messages
@@ -510,9 +787,8 @@ private[sources] object Hdf5 {
 
   def parseLayout(b: ByteBuffer, in: In): Layout = {
     val ver = b.get() & 0xFF
-    require(ver == 3, s"${in.path}: data layout message version $ver is not " +
-      "supported (v3 only — v4 implies 1.10+ chunk indexes; rewrite with " +
-      "default/earliest libver bounds)")
+    require(ver == 3 || ver == 4, s"${in.path}: data layout message version " +
+      s"$ver is not supported (v3 and v4 only)")
     val clazz = b.get() & 0xFF
     clazz match {
       case 0 =>
@@ -525,14 +801,73 @@ private[sources] object Hdf5 {
         val size = b.getLong
         if (addr != Undef) in.checkedAddr(addr, "contiguous data")
         Contiguous(addr, size)
-      case 2 =>
+      case 2 if ver == 3 =>
         val dimensionality = b.get() & 0xFF
         val btree = b.getLong
         if (btree != Undef) in.checkedAddr(btree, "chunk B-tree")
         val dims = Array.fill(dimensionality)(b.getInt)
         require(dimensionality >= 2, s"${in.path}: chunked layout rank $dimensionality")
         Chunked(btree, dims.dropRight(1), dims.last)
+      case 2 => // version 4 chunked: variable-width dims + a chunk index
+        val flags = b.get() & 0xFF
+        val dimensionality = b.get() & 0xFF
+        val encLen = b.get() & 0xFF
+        require(encLen >= 1 && encLen <= 8,
+          s"${in.path}: layout v4 dimension encoding length $encLen")
+        val dims = Array.fill(dimensionality) {
+          var v = 0L
+          var k = 0
+          while (k < encLen) { v |= (b.get() & 0xFFL) << (8 * k); k += 1 }
+          v
+        }
+        val indexType = b.get() & 0xFF
+        var pageBits = 0
+        var filteredSize = 0L
+        var filterMask = 0
+        indexType match {
+          case 1 => // single chunk; filtered size+mask present iff flags bit 1
+            if ((flags & 0x2) != 0) {
+              filteredSize = b.getLong
+              filterMask = b.getInt
+            }
+          case 2 => // implicit: chunks contiguous at the address, no filters
+          case 3 => // fixed array: header address follows
+            pageBits = b.get() & 0xFF
+          case 4 => throw new IllegalArgumentException(s"${in.path}: layout " +
+            "v4 extensible-array chunk index (type 4) is not supported — it " +
+            "implies one unlimited dimension; rewrite with fixed extents")
+          case 5 => throw new IllegalArgumentException(s"${in.path}: layout " +
+            "v4 version-2-B-tree chunk index (type 5) is not supported — it " +
+            "implies multiple unlimited dimensions; rewrite with fixed extents")
+          case t => throw new IllegalArgumentException(
+            s"${in.path}: unknown layout v4 chunk index type $t")
+        }
+        val addr = b.getLong
+        if (addr != Undef) in.checkedAddr(addr, "layout v4 chunk index")
+        ChunkedV4(indexType, addr, dims, flags, pageBits, filteredSize, filterMask)
       case c => throw new IllegalArgumentException(s"${in.path}: layout class $c")
+    }
+  }
+
+  /** Reconcile a v4 layout's on-disk dim list against the dataspace rank:
+    * libhdf5 writes rank+1 dims (trailing element size, like v3); a
+    * rank-length list is also accepted. Returns the chunk dims. */
+  def v4ChunkDims(l: ChunkedV4, rank: Int, elemSize: Int, path: String,
+      name: String): Array[Int] = {
+    val raw = l.rawDims
+    val dims: Array[Long] =
+      if (raw.length == rank + 1) {
+        require(raw.last == elemSize, s"$path: '$name' layout v4 trailing " +
+          s"dim ${raw.last} does not match the element size $elemSize")
+        raw.dropRight(1)
+      } else {
+        require(raw.length == rank, s"$path: '$name' layout v4 has " +
+          s"${raw.length} chunk dims for a rank-$rank dataspace")
+        raw
+      }
+    dims.map { d =>
+      require(d > 0 && d <= Int.MaxValue, s"$path: '$name' chunk dim $d")
+      d.toInt
     }
   }
 
@@ -793,6 +1128,135 @@ private[sources] object Hdf5 {
     }
     walk(btreeAddr)
     out.result()
+  }
+
+  /** Chunk grid origins in canonical (row-major) order for a dataset of
+    * `dims` chunked by `cdims` — the order implicit and fixed-array
+    * indexes enumerate. */
+  private def chunkOrigins(dims: Array[Long], cdims: Array[Int]): Array[Array[Long]] = {
+    val rank = dims.length
+    val counts = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
+    var total = 1L
+    counts.foreach(c => total *= c)
+    require(total <= 1000000, s"chunk grid of $total entries exceeds the driver walk bound")
+    val out = new Array[Array[Long]](total.toInt)
+    val idx = new Array[Int](rank)
+    var i = 0
+    while (i < total) {
+      out(i) = Array.tabulate(rank)(d => idx(d).toLong * cdims(d))
+      var d = rank - 1
+      while (d >= 0) {
+        idx(d) += 1
+        if (idx(d) < counts(d)) d = -1 else { idx(d) = 0; d -= 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Resolve a layout-v4 chunk index (single chunk / implicit / fixed
+    * array) into chunk entries. Driver-side, like the v1 B-tree walk: the
+    * index is KBs even for large rasters. Fixed-array structures carry
+    * lookup3 checksums which are VERIFIED; unallocated (`Undef`) entries
+    * are skipped so those cells stay at the fill pattern. */
+  def readChunkIndexV4(in: In, l: ChunkedV4, dims: Array[Long],
+      cdims: Array[Int], elemSize: Int, filtered: Boolean): Array[ChunkEntry] = {
+    if (l.addr == Undef) return Array.empty
+    var chunkBytes = elemSize.toLong
+    cdims.foreach(chunkBytes *= _)
+    require(chunkBytes <= Int.MaxValue, s"${in.path}: chunk of $chunkBytes bytes")
+    l.indexType match {
+      case 1 => // single chunk at the address itself
+        val nbytes = if ((l.flags & 0x2) != 0) l.singleFilteredSize else chunkBytes
+        require(nbytes > 0 && l.addr + nbytes <= in.fileLen && nbytes <= Int.MaxValue,
+          s"${in.path}: single chunk at ${l.addr} (+$nbytes) out of bounds")
+        Array(ChunkEntry(new Array[Long](dims.length), l.addr, nbytes.toInt,
+          l.singleFilterMask))
+      case 2 => // implicit: canonical order, nominal size, never filtered
+        require(!filtered,
+          s"${in.path}: implicit chunk index with a filter pipeline")
+        val origins = chunkOrigins(dims, cdims)
+        require(l.addr + origins.length * chunkBytes <= in.fileLen,
+          s"${in.path}: implicit chunk array out of bounds")
+        origins.zipWithIndex.map { case (o, i) =>
+          ChunkEntry(o, l.addr + i * chunkBytes, chunkBytes.toInt, 0)
+        }
+      case 3 => // fixed array: FAHD header -> FADB data block of elements
+        val origins = chunkOrigins(dims, cdims)
+        val hdrLen = 4 + 1 + 1 + 1 + 1 + 8 + 8
+        val hdrBytes = in.bytes(l.addr, hdrLen + 4)
+        val h = ByteBuffer.wrap(hdrBytes).order(ByteOrder.LITTLE_ENDIAN)
+        val sig = new Array[Byte](4)
+        h.get(sig)
+        require(new String(sig, StandardCharsets.US_ASCII) == "FAHD",
+          s"${in.path}: bad fixed-array header signature at ${l.addr}")
+        require((h.get() & 0xFF) == 0, s"${in.path}: fixed-array header version")
+        val clientId = h.get() & 0xFF
+        require(clientId == (if (filtered) 1 else 0), s"${in.path}: fixed-array " +
+          s"client $clientId does not match the filter pipeline")
+        val entrySize = h.get() & 0xFF
+        val pageBits = h.get() & 0xFF
+        val nelmts = h.getLong
+        val dataAddr = in.checkedAddr(h.getLong, "fixed-array data block")
+        checkLookup3(hdrBytes, hdrLen, s"${in.path}: fixed-array header at ${l.addr}")
+        require(nelmts == origins.length, s"${in.path}: fixed array has " +
+          s"$nelmts entries for a ${origins.length}-chunk grid")
+        require(nelmts <= (1L << pageBits), s"${in.path}: paged fixed-array " +
+          s"data blocks ($nelmts entries > 2^$pageBits page) are not supported")
+        if (clientId == 0) require(entrySize == 8,
+          s"${in.path}: fixed-array entry size $entrySize for unfiltered chunks")
+        else require(entrySize >= 13 && entrySize <= 16,
+          s"${in.path}: fixed-array entry size $entrySize for filtered chunks")
+        val dbLen = 4 + 1 + 1 + 8 + nelmts.toInt * entrySize
+        val dbBytes = in.bytes(dataAddr, dbLen + 4)
+        val db = ByteBuffer.wrap(dbBytes).order(ByteOrder.LITTLE_ENDIAN)
+        db.get(sig)
+        require(new String(sig, StandardCharsets.US_ASCII) == "FADB",
+          s"${in.path}: bad fixed-array data block signature at $dataAddr")
+        require((db.get() & 0xFF) == 0, s"${in.path}: fixed-array data block version")
+        require((db.get() & 0xFF) == clientId, s"${in.path}: fixed-array data block client")
+        require(db.getLong == l.addr, s"${in.path}: fixed-array data block " +
+          "does not point back to its header")
+        checkLookup3(dbBytes, dbLen, s"${in.path}: fixed-array data block at $dataAddr")
+        val out = Array.newBuilder[ChunkEntry]
+        var i = 0
+        while (i < nelmts) {
+          val addr = db.getLong
+          if (clientId == 0) {
+            if (addr != Undef) {
+              require(addr + chunkBytes <= in.fileLen,
+                s"${in.path}: chunk at $addr out of bounds")
+              out += ChunkEntry(origins(i), addr, chunkBytes.toInt, 0)
+            }
+          } else {
+            val szBytes = entrySize - 12 // addr(8) + size(var) + filter mask(4)
+            var sz = 0L
+            var k = 0
+            while (k < szBytes) { sz |= (db.get() & 0xFFL) << (8 * k); k += 1 }
+            val mask = db.getInt
+            if (addr != Undef) {
+              require(sz > 0 && sz <= Int.MaxValue && addr + sz <= in.fileLen,
+                s"${in.path}: filtered chunk at $addr (+$sz) out of bounds")
+              out += ChunkEntry(origins(i), addr, sz.toInt, mask)
+            }
+          }
+          i += 1
+        }
+        out.result()
+      case t => throw new IllegalArgumentException(
+        s"${in.path}: layout v4 chunk index type $t")
+    }
+  }
+
+  /** Verify a trailing lookup3 checksum: `bytes(0, n)` hashed, checksum at
+    * `bytes(n, 4)` LE. */
+  def checkLookup3(bytes: Array[Byte], n: Int, what: String): Unit = {
+    val stored = ((bytes(n) & 0xFFL) | ((bytes(n + 1) & 0xFFL) << 8) |
+      ((bytes(n + 2) & 0xFFL) << 16) | ((bytes(n + 3) & 0xFFL) << 24)).toInt
+    val computed = lookup3(bytes, 0, n)
+    require(stored == computed,
+      s"$what: checksum mismatch (stored ${stored.toHexString}, " +
+        s"computed ${computed.toHexString})")
   }
 
   /** Undo the filter pipeline (reverse order), verifying fletcher32 and
@@ -1074,17 +1538,27 @@ private[sources] object Netcdf4TableModel {
   }
 
   private def toVar(in: Hdf5.In, d: Hdf5.H5Dataset, withChunks: Boolean): N4Var = {
-    val chunks = d.layout match {
-      case Hdf5.Chunked(btree, _, _) if withChunks =>
-        Hdf5.readChunkIndex(in, btree, d.dims.length)
-      case _ => Array.empty[Hdf5.ChunkEntry]
+    // v4 chunked layouts normalize to the same Chunked form the executor
+    // read path consumes — the index flavor only matters for this walk
+    val (layout, chunks) = d.layout match {
+      case Hdf5.Chunked(btree, _, _) =>
+        val cs = if (withChunks) Hdf5.readChunkIndex(in, btree, d.dims.length)
+                 else Array.empty[Hdf5.ChunkEntry]
+        (d.layout, cs)
+      case v4: Hdf5.ChunkedV4 =>
+        val cdims = Hdf5.v4ChunkDims(v4, d.dims.length, d.dtype.size, in.path, d.name)
+        val cs = if (withChunks)
+          Hdf5.readChunkIndexV4(in, v4, d.dims, cdims, d.dtype.size, d.filters.nonEmpty)
+        else Array.empty[Hdf5.ChunkEntry]
+        (Hdf5.Chunked(Hdf5.Undef, cdims, d.dtype.size), cs)
+      case other => (other, Array.empty[Hdf5.ChunkEntry])
     }
     d.fillBytes.foreach { fb =>
       require(fb.length == d.dtype.size,
         s"${in.path}: '${d.name}' fill value is ${fb.length} bytes for a " +
           s"${d.dtype.size}-byte type")
     }
-    N4Var(d.name, d.dtype, d.layout, d.filters, d.fillBytes, chunks)
+    N4Var(d.name, d.dtype, layout, d.filters, d.fillBytes, chunks)
   }
 
   /** Schema-only resolution: metadata walk, no coordinate or chunk-index I/O. */
@@ -1127,6 +1601,7 @@ private[sources] object Netcdf4TableModel {
         val hasData = !ds.isPhonyDim && (ds.layout match {
           case Hdf5.Contiguous(addr, _) => addr != Hdf5.Undef
           case Hdf5.Chunked(btree, _, _) => btree != Hdf5.Undef
+          case v4: Hdf5.ChunkedV4 => v4.addr != Hdf5.Undef
           case _: Hdf5.Compact => true
         })
         val arr =

@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   * parameter randomizes from the seed — superblock v0 (v1 object headers,
   * symbol-table group) vs v2 (OHDR, link messages, lookup3 checksums),
   * dims/sizes/coordinate direction, phony vs real dimension scales,
-  * dtypes (f4/f8/i2/i4/i8), contiguous vs chunked layouts with
+  * dtypes (f4/f8/i2/i4/i8 plus u1/u2/u4 whose values exceed the signed
+  * range — a sign-extension bug fails the checksum), layout forms (v3
+  * contiguous / B-tree-v1 chunked, and the 1.10+ layout-v4 indexes:
+  * single chunk ±filtered, implicit, fixed array clients 0/1 with an
+  * occasional unallocated chunk → fill, rank-only vs rank+1 dim lists),
   * non-dividing (edge) chunk shapes, filter pipelines (deflate,
-  * shuffle+deflate, deflate+fletcher32, all three), _FillValue masks,
-  * skip-by-framing attributes — and the reader must reproduce the
+  * shuffle+deflate, deflate+fletcher32, all three), compact vs DENSE
+  * (fractal-heap + v2-B-tree) link storage with random block sizes,
+  * root-direct vs root-indirect heaps, and B-tree depth 0/1, _FillValue
+  * masks, skip-by-framing attributes — and the reader must reproduce the
   * generator's own per-variable non-fill count and integer checksum.
   * Values land on the 1/8 grid so `round(value·1000)` is engine-exact.
   * Truncations assert loud rejection. */
@@ -39,7 +45,9 @@ class Netcdf4FuzzSpec extends SparkSpec {
 
   test("seeded random HDF5 files decode to the generator's checksums") {
     val dir = Files.createTempDirectory("nc4-fuzz").toString
-    for (seed <- Seq(1, 7, 42, 1234, 99999, 31337, 271828)) {
+    // 2/8: v4_implicit (+dense root-direct at 8); 3/4: dense depth-1 with
+    // v4_fixed; 36: an unallocated fixed-array chunk reading as fill
+    for (seed <- Seq(1, 2, 3, 4, 7, 8, 36, 42, 1234, 99999, 31337, 271828)) {
       val f = s"$dir/fuzz_$seed.nc"
       val expects = generate(f, seed)
       assert(expects.nonEmpty)

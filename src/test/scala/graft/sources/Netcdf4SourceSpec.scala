@@ -149,4 +149,60 @@ class Netcdf4SourceSpec extends SparkSpec {
     val classic = new File("data/netcdf/thresholds.nc").getAbsolutePath
     assert(nc(classic, parts = 3).count() == 48)
   }
+
+  test("dense (fractal-heap + v2 B-tree) groups and layout-v4 chunk indexes") {
+    // dense4.nc (tools/make_netcdf4_dense_fixture.py): root links in a
+    // fractal heap (root indirect block, three checksummed direct blocks,
+    // one Undef slot) indexed by a v2 B-tree; 12 variables across v4
+    // contiguous/compact/single-chunk(±filtered)/implicit/fixed-array
+    // (clients 0 and 1) layouts plus classic v3 forms, one fixed-array
+    // chunk unallocated (→ fill → NULL), one unsigned u2 variable.
+    val dense = new File("data/netcdf/dense4.nc").getAbsolutePath
+    val expectedDense = new File("data/netcdf/dense4_expected.parquet").getAbsolutePath
+    val df = nc(dense, parts = 3)
+    val want = spark.read.parquet(expectedDense)
+    val colsInOrder = want.schema.fieldNames.toSeq
+    assert(df.columns.sorted.toSeq == colsInOrder.sorted,
+      s"columns: got ${df.columns.mkString(",")}")
+    // u2 widened to int, i1/i2/i8/f4/f8 kept exact
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("v_u2") == IntegerType)
+    assert(byName("v_i1") == ByteType && byName("v_implicit") == ShortType)
+    val key = Seq(col("y"), col("x"))
+    val got = df.select(colsInOrder.map(col): _*).sort(key: _*).collect().toSeq
+    val exp = want.select(colsInOrder.map(col): _*).sort(key: _*).collect().toSeq
+    assert(got == exp)
+    assert(df.count() == 99)
+    // the unallocated fixed-array chunk surfaces as NULLs (12 cells of the
+    // 3x4-chunk grid minus out-of-extent overhang)
+    assert(df.filter(col("v_fixed").isNull).count() ==
+      want.filter(col("v_fixed").isNull).count())
+    // pruning still reaches I/O on the dense path
+    val plan = df.select("y", "v_single").queryExecution.executedPlan.toString
+    assert(plan.contains("vars=[v_single]"), s"expected pruned vars:\n$plan")
+    // corrupting a direct-block byte (inside a link name) fails the block
+    // checksum loudly instead of surfacing a wrong link
+    val bytes = Files.readAllBytes(Paths.get(dense))
+    val pos = indexOfSlice(bytes, "v_contig4".getBytes)
+    assert(pos > 0)
+    val corrupt = bytes.clone()
+    corrupt(pos) = 'w'.toByte
+    val dir = Files.createTempDirectory("nc4dense")
+    val p = dir.resolve("bad.nc")
+    Files.write(p, corrupt, StandardOpenOption.CREATE)
+    val ex = intercept[Exception] { nc(p.toString).count() }
+    assert(Option(ex.getMessage).getOrElse("").contains("checksum"),
+      s"expected a checksum rejection, got: ${ex.getMessage}")
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
 }

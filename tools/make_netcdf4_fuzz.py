@@ -8,16 +8,23 @@ conventions, independent of the reader under test), but every structural
 parameter randomizes from the seed:
 
   - superblock v0 (v1 object headers, symbol-table group) or v2 (OHDR v2,
-    compact link messages, lookup3 checksums);
+    lookup3 checksums) with COMPACT link messages or DENSE link storage
+    (fractal heap + v2 B-tree name index: random block size and
+    links-per-block packing, root direct block vs root indirect row with
+    Undef slots, B-tree depth 0 vs 1 with separator records);
   - 2-3 dims of random sizes, random coordinate direction, each dim a
     real coordinate variable or a PHONY scale (index coordinates);
   - 1-3 data variables over random dtypes (f4/f8/i2/i4/i8/u1/u2/u4 —
     unsigned values deliberately exceed the signed range of their width so
     a sign-extension bug in the reader fails the checksum), each with a
-    random layout: contiguous, or chunked with random (often
-    non-dividing -> edge chunks) chunk dims and a random filter pipeline
-    from {none, deflate, shuffle+deflate, deflate+fletcher32,
-    shuffle+deflate+fletcher32};
+    random layout form: v3 contiguous, v3 B-tree-v1 chunked, or the
+    1.10+ layout-v4 chunk indexes (v4 contiguous, single chunk
+    +-filtered, implicit, fixed array clients 0/1 — occasionally with an
+    unallocated chunk that must read back as fill, and occasionally a
+    rank-only dim list pinning the reader's documented tolerance), with
+    random (often non-dividing -> edge chunks) chunk dims and a random
+    filter pipeline from {none, deflate, shuffle+deflate,
+    deflate+fletcher32, shuffle+deflate+fletcher32};
   - optional _FillValue with a random fill mask;
   - random extra attributes the reader must SKIP by framing.
 
@@ -198,6 +205,28 @@ def layout_chunked(btree_addr, chunk_dims, elem):
             b"".join(u32(d) for d in dims))
 
 
+def layout_v4_contiguous(addr, size):
+    return u8(4) + u8(1) + u64(addr) + u64(size)
+
+
+def layout_v4_chunked(flags, cdims_elem, index_type, extra, addr, enc_len):
+    body = u8(4) + u8(2) + u8(flags) + u8(len(cdims_elem)) + u8(enc_len)
+    for d in cdims_elem:
+        body += int(d).to_bytes(enc_len, "little")
+    return body + u8(index_type) + extra + u64(addr)
+
+
+def fahd(client, entry_size, page_bits, nelmts, db_addr):
+    h = (b"FAHD" + u8(0) + u8(client) + u8(entry_size) + u8(page_bits) +
+         u64(nelmts) + u64(db_addr))
+    return h + u32(lookup3(h))
+
+
+def fadb(client, hdr_addr, elements):
+    d = b"FADB" + u8(0) + u8(client) + u64(hdr_addr) + elements
+    return d + u32(lookup3(d))
+
+
 def filter_pipeline(filters):
     body = u8(1) + u8(len(filters)) + u16(0) + u32(0)
     for fid, cd in filters:
@@ -299,13 +328,17 @@ def main(out: str, seed: int) -> None:
             arr[mask] = fillv
         else:
             fillv, mask = dt.type(0), np.zeros(dim_sizes, bool)
-        chunked = bool(rng.integers(0, 2))
+        # layout form: classic v3 (contiguous / B-tree-v1 chunked) or the
+        # 1.10+ layout-v4 chunk indexes (single chunk ±filtered, implicit,
+        # fixed array clients 0/1)
+        form = str(rng.choice(["v3_contig", "v3_btree", "v4_contig",
+                               "v4_single", "v4_implicit", "v4_fixed"]))
         cdims = None
         filters = []
-        if chunked:
+        lvl = int(rng.integers(1, 10))
+        if form == "v3_btree":
             cdims = [int(rng.integers(2, d + 3)) for d in dim_sizes]
             style = int(rng.integers(0, 5))
-            lvl = int(rng.integers(1, 10))
             if style == 1:
                 filters = [(1, [lvl])]
             elif style == 2:
@@ -314,6 +347,33 @@ def main(out: str, seed: int) -> None:
                 filters = [(1, [lvl]), (3, [])]
             elif style == 4:
                 filters = [(2, [dt.itemsize]), (1, [lvl]), (3, [])]
+        elif form == "v4_single":
+            cdims = list(dim_sizes)  # one chunk covering the dataset
+            if rng.integers(0, 2):
+                filters = [(1, [lvl])] if rng.integers(0, 2) else \
+                    [(2, [dt.itemsize]), (1, [lvl]), (3, [])]
+        elif form == "v4_implicit":
+            cdims = [int(rng.integers(2, d + 3)) for d in dim_sizes]
+        elif form == "v4_fixed":
+            cdims = [int(rng.integers(2, d + 3)) for d in dim_sizes]
+            style = int(rng.integers(0, 3))
+            if style == 1:
+                filters = [(1, [lvl])]
+            elif style == 2:
+                filters = [(2, [dt.itemsize]), (1, [lvl]), (3, [])]
+        chunked = cdims is not None
+        # fixed-array indexes may leave a chunk unallocated — those cells
+        # read back as the fill pattern, so only plant one when a fill is
+        # defined (and account for it in the expectation)
+        missing = None
+        if form == "v4_fixed" and has_fill and not filters and rng.integers(0, 2):
+            grid = chunk_grid(dim_sizes, cdims)
+            missing = int(rng.integers(0, len(grid)))
+            og = grid[missing]
+            sl = tuple(slice(o, min(o + c, d))
+                       for o, c, d in zip(og, cdims, dim_sizes))
+            arr[sl] = fillv
+            mask[sl] = True
         nf = arr[~mask]
         expects.append((f"v{v}",
                         int((~mask).sum()),
@@ -321,25 +381,80 @@ def main(out: str, seed: int) -> None:
                         # u4-scale checksums (>2^53 total) stay exact too
                         int(np.rint(nf.astype(np.float64) * 1000)
                             .astype(np.int64).sum())))
+        chunks = build_chunks(arr, cdims, fillv, filters) if chunked else None
+        if missing is not None:
+            chunks = [(og, raw if i != missing else None)
+                      for i, (og, raw) in enumerate(chunks)]
         var_specs.append(dict(name=f"v{v}", arr=arr, dt=dt, cdims=cdims,
-                              filters=filters,
+                              form=form, filters=filters, missing=missing,
                               fill=fillv.tobytes() if has_fill else None,
                               history="x" * int(rng.integers(1, 40)),
-                              chunks=(build_chunks(arr, cdims, fillv, filters)
-                                      if chunked else None)))
+                              enc_len=int(rng.choice([1, 2, 4])),
+                              v4rankonly=bool(rng.random() < 0.2),
+                              chunks=chunks))
 
     link_names = dim_names + [s["name"] for s in var_specs]
+
+    # dense (fractal-heap + v2 B-tree) link storage, the post-compact-
+    # threshold form — randomized: block size, links-per-block packing,
+    # root direct vs root indirect, B-tree depth 0 vs 1
+    dense = sb_version == 2 and bool(rng.integers(0, 2))
+    dns = {}
+    if dense:
+        dns["start"] = int(rng.choice([256, 512]))
+        dns["cap"] = int(rng.integers(3, 8))
+        DB_HDR = 4 + 1 + 8 + 4 + 4  # sig, ver, heap addr, 32-bit offset, cksum
+        placements = []
+        blk, used, cnt = 0, DB_HDR, 0
+        for nm in link_names:
+            ln = len(link_msg(nm, 0))
+            if cnt == dns["cap"] or used + ln > dns["start"]:
+                blk += 1
+                used, cnt = DB_HDR, 0
+            placements.append((blk, blk * dns["start"] + used, ln))
+            used += ln
+            cnt += 1
+        dns["placed"] = placements
+        dns["nblocks"] = blk + 1
+        assert dns["nblocks"] <= 4, "fuzz link set exceeds one indirect row"
+        dns["root_direct"] = dns["nblocks"] == 1 and bool(rng.integers(0, 2))
+        recs = sorted((lookup3(nm.encode()), i)
+                      for i, nm in enumerate(link_names))
+        dns["depth1"] = len(recs) >= 4 and bool(rng.integers(0, 2))
+        if dns["depth1"]:
+            nl = 2 if len(recs) < 7 else int(rng.integers(2, 4))
+            bounds = [len(recs) * j // nl for j in range(nl + 1)]
+            runs = [recs[bounds[j]:bounds[j + 1]] for j in range(nl)]
+            dns["seps"] = [runs[j][0] for j in range(1, nl)]
+            dns["leaves"] = [runs[0]] + [runs[j][1:] for j in range(1, nl)]
+        else:
+            dns["leaves"] = [recs]
+            dns["seps"] = []
+
     order = ["sb", "root_oh"]
     if sb_version == 0:
         order += ["btree", "heap", "snod"]
+    if dense:
+        order += ["frhp"]
+        if not dns["root_direct"]:
+            order += ["fhib"]
+        order += [f"fhdb{i}" for i in range(dns["nblocks"])]
+        order += ["bthd"]
+        order += [f"btleaf{j}" for j in range(len(dns["leaves"]))]
+        if dns["depth1"]:
+            order += ["btint"]
     order += [f"oh_{n}" for n in link_names]
-    order += [f"vbtree_{s['name']}" for s in var_specs if s["chunks"] is not None]
+    order += [f"vbtree_{s['name']}" for s in var_specs if s["form"] == "v3_btree"]
+    order += [f"fahd_{s['name']}" for s in var_specs if s["form"] == "v4_fixed"]
+    order += [f"fadb_{s['name']}" for s in var_specs if s["form"] == "v4_fixed"]
     order += ["gheap"]
     order += [f"cdata_{i}" for i in range(ndims) if dim_has_coord[i]]
-    order += [f"vdata_{s['name']}" for s in var_specs if s["chunks"] is None]
+    order += [f"vdata_{s['name']}" for s in var_specs
+              if s["form"] in ("v3_contig", "v4_contig", "v4_implicit")]
     for s in var_specs:
-        if s["chunks"] is not None:
-            order += [f"chunk_{s['name']}_{i}" for i in range(len(s["chunks"]))]
+        if s["form"] in ("v3_btree", "v4_single", "v4_fixed"):
+            order += [f"chunk_{s['name']}_{i}" for i in range(len(s["chunks"]))
+                      if s["chunks"][i][1] is not None]
 
     def build(addr, eof):
         blocks = {}
@@ -378,17 +493,41 @@ def main(out: str, seed: int) -> None:
 
         # data variable headers
         for s in var_specs:
+            nm = s["name"]
+            elem = s["dt"].itemsize
             msgs = [(0x0001, ds_simple_v1(dim_sizes)),
                     (0x0003, dt_for(s["dt"])),
                     (0x0005, fill_value_msg(None))]
             if s["filters"]:
                 msgs.append((0x000B, filter_pipeline(s["filters"])))
-            if s["chunks"] is not None:
+            # layout v4 dims: rank+1 with trailing element size (libhdf5's
+            # convention) most of the time, rank-only occasionally to pin
+            # the reader's documented tolerance of both
+            v4dims = (list(s["cdims"]) + [elem]) if s["cdims"] else None
+            if v4dims is not None and s["v4rankonly"]:
+                v4dims = list(s["cdims"])
+            enc = s["enc_len"] if s["cdims"] else 0
+            if s["form"] == "v3_btree":
                 msgs.append((0x0008, layout_chunked(
-                    addr[f"vbtree_{s['name']}"], s["cdims"], s["dt"].itemsize)))
-            else:
+                    addr[f"vbtree_{nm}"], s["cdims"], elem)))
+            elif s["form"] == "v3_contig":
                 msgs.append((0x0008, layout_contiguous(
-                    addr[f"vdata_{s['name']}"], s["arr"].nbytes)))
+                    addr[f"vdata_{nm}"], s["arr"].nbytes)))
+            elif s["form"] == "v4_contig":
+                msgs.append((0x0008, layout_v4_contiguous(
+                    addr[f"vdata_{nm}"], s["arr"].nbytes)))
+            elif s["form"] == "v4_single":
+                raw = s["chunks"][0][1]
+                extra = (u64(len(raw)) + u32(0)) if s["filters"] else b""
+                msgs.append((0x0008, layout_v4_chunked(
+                    0x2 if s["filters"] else 0, v4dims, 1, extra,
+                    addr[f"chunk_{nm}_0"], enc)))
+            elif s["form"] == "v4_implicit":
+                msgs.append((0x0008, layout_v4_chunked(
+                    0, v4dims, 2, b"", addr[f"vdata_{nm}"], enc)))
+            else:  # v4_fixed
+                msgs.append((0x0008, layout_v4_chunked(
+                    0, v4dims, 3, u8(10), addr[f"fahd_{nm}"], enc)))
             msgs.append((0x000C, dimension_list()))
             if s["fill"] is not None:
                 msgs.append((0x000C, attr_v1("_FillValue", dt_for(s["dt"]),
@@ -428,7 +567,7 @@ def main(out: str, seed: int) -> None:
                             + u64(UNDEF) + u64(0) + u64(addr["root_oh"])
                             + u32(1) + u32(0)
                             + u64(addr["btree"]) + u64(addr["heap"]))
-        else:
+        elif not dense:
             links = [(0x0002, u8(0) + u8(0) + u64(UNDEF) + u64(UNDEF)),
                      (0x000A, u8(0) + u8(0))]
             links += [(0x0006, link_msg(nm, addr[f"oh_{nm}"]))
@@ -437,13 +576,94 @@ def main(out: str, seed: int) -> None:
             sbb = (b"\x89HDF\r\n\x1a\n" + u8(2) + u8(8) + u8(8) + u8(0)
                    + u64(0) + u64(UNDEF) + u64(eof) + u64(addr["root_oh"]))
             blocks["sb"] = sbb + u32(lookup3(sbb))
+        else:
+            START = dns["start"]
+            placed = dns["placed"]
+            bodies = [link_msg(nm, addr[f"oh_{nm}"]) for nm in link_names]
+            for bi in range(dns["nblocks"]):
+                data = bytearray(START)
+                data[0:4] = b"FHDB"
+                data[4] = 0
+                struct.pack_into("<Q", data, 5, addr["frhp"])
+                struct.pack_into("<I", data, 13, bi * START)
+                for (bk, off, ln), body in zip(placed, bodies):
+                    if bk == bi:
+                        local = off - bi * START
+                        data[local:local + ln] = body
+                struct.pack_into("<I", data, 17, lookup3(bytes(data)))
+                blocks[f"fhdb{bi}"] = bytes(data)
+            if dns["root_direct"]:
+                root_addr, cur_rows = addr["fhdb0"], 0
+            else:
+                fhib = (b"FHIB" + u8(0) + u64(addr["frhp"]) + u32(0) +
+                        b"".join(u64(addr[f"fhdb{i}"] if i < dns["nblocks"]
+                                     else UNDEF) for i in range(4)))
+                blocks["fhib"] = fhib + u32(lookup3(fhib))
+                root_addr, cur_rows = addr["fhib"], 1
+            managed = (1 if dns["root_direct"] else 4) * START
+            frhp = (b"FRHP" + u8(0) + u16(7) + u16(0) + u8(0x2) +
+                    u32(4096) + u64(0) + u64(UNDEF) +
+                    u64(managed - sum(p[2] for p in placed)) + u64(UNDEF) +
+                    u64(managed) + u64(dns["nblocks"] * START) +
+                    u64(placed[-1][1] + placed[-1][2]) + u64(len(bodies)) +
+                    u64(0) + u64(0) + u64(0) + u64(0) +
+                    u16(4) + u64(START) + u64(65536) + u16(32) + u16(1) +
+                    u64(root_addr) + u16(cur_rows))
+            blocks["frhp"] = frhp + u32(lookup3(frhp))
 
-        # var chunk btrees + global heap + data
+            def rec_bytes(h, i):
+                bk, off, ln = placed[i]
+                return u32(h) + u8(0) + u32(off) + u16(ln)
+            for j, leaf_recs in enumerate(dns["leaves"]):
+                leaf = b"BTLF" + u8(0) + u8(5)
+                for h, i in leaf_recs:
+                    leaf += rec_bytes(h, i)
+                blocks[f"btleaf{j}"] = leaf + u32(lookup3(leaf))
+            nrec_total = sum(len(lf) for lf in dns["leaves"]) + len(dns["seps"])
+            if dns["depth1"]:
+                node = b"BTIN" + u8(0) + u8(5)
+                for h, i in dns["seps"]:
+                    node += rec_bytes(h, i)
+                for j, leaf_recs in enumerate(dns["leaves"]):
+                    node += u64(addr[f"btleaf{j}"]) + u8(len(leaf_recs))
+                blocks["btint"] = node + u32(lookup3(node))
+                root_node, root_nrec = addr["btint"], len(dns["seps"])
+            else:
+                root_node, root_nrec = addr["btleaf0"], len(dns["leaves"][0])
+            bthd = (b"BTHD" + u8(0) + u8(5) + u32(512) + u16(11) + u16(
+                    1 if dns["depth1"] else 0) + u8(100) + u8(40) +
+                    u64(root_node) + u16(root_nrec) + u64(nrec_total))
+            blocks["bthd"] = bthd + u32(lookup3(bthd))
+            blocks["root_oh"] = object_header_v2([
+                (0x0002, u8(0) + u8(0) + u64(addr["frhp"]) + u64(addr["bthd"])),
+                (0x000A, u8(0) + u8(0)),
+            ])
+            sbb = (b"\x89HDF\r\n\x1a\n" + u8(2) + u8(8) + u8(8) + u8(0)
+                   + u64(0) + u64(UNDEF) + u64(eof) + u64(addr["root_oh"]))
+            blocks["sb"] = sbb + u32(lookup3(sbb))
+
+        # var chunk indexes + global heap + data
         for s in var_specs:
-            if s["chunks"] is not None:
-                blocks[f"vbtree_{s['name']}"] = btree_v1_chunks(
-                    s["chunks"], lambda i, n=s["name"]: addr[f"chunk_{n}_{i}"],
+            nm = s["name"]
+            if s["form"] == "v3_btree":
+                blocks[f"vbtree_{nm}"] = btree_v1_chunks(
+                    s["chunks"], lambda i, n=nm: addr[f"chunk_{n}_{i}"],
                     dim_sizes, s["cdims"])
+            elif s["form"] == "v4_fixed":
+                if s["filters"]:
+                    elems = b"".join(
+                        u64(addr[f"chunk_{nm}_{i}"]) + u32(len(raw)) + u32(0)
+                        for i, (_, raw) in enumerate(s["chunks"]))
+                    blocks[f"fahd_{nm}"] = fahd(1, 16, 10, len(s["chunks"]),
+                                                addr[f"fadb_{nm}"])
+                    blocks[f"fadb_{nm}"] = fadb(1, addr[f"fahd_{nm}"], elems)
+                else:
+                    elems = b"".join(
+                        u64(UNDEF if raw is None else addr[f"chunk_{nm}_{i}"])
+                        for i, (_, raw) in enumerate(s["chunks"]))
+                    blocks[f"fahd_{nm}"] = fahd(0, 8, 10, len(s["chunks"]),
+                                                addr[f"fadb_{nm}"])
+                    blocks[f"fadb_{nm}"] = fadb(0, addr[f"fahd_{nm}"], elems)
         gsize = 512
         while True:
             g = bytearray()
@@ -460,11 +680,16 @@ def main(out: str, seed: int) -> None:
             if dim_has_coord[i]:
                 blocks[f"cdata_{i}"] = dim_coords[i].tobytes()
         for s in var_specs:
-            if s["chunks"] is None:
-                blocks[f"vdata_{s['name']}"] = s["arr"].tobytes()
+            nm = s["name"]
+            if s["form"] in ("v3_contig", "v4_contig"):
+                blocks[f"vdata_{nm}"] = s["arr"].tobytes()
+            elif s["form"] == "v4_implicit":
+                # implicit index: chunks stored contiguously in grid order
+                blocks[f"vdata_{nm}"] = b"".join(raw for _, raw in s["chunks"])
             else:
                 for i, (_, raw) in enumerate(s["chunks"]):
-                    blocks[f"chunk_{s['name']}_{i}"] = raw
+                    if raw is not None:
+                        blocks[f"chunk_{nm}_{i}"] = raw
         return blocks
 
     addr = {k: 0 for k in order}
@@ -481,7 +706,12 @@ def main(out: str, seed: int) -> None:
     for nm, cnt, chk in expects:
         print(f"EXPECT {nm} {cnt} {chk}")
     dtstr = ",".join(str(d) for d in dtypes)
-    print(f"INFO sb={sb_version} dims={dim_sizes} vars={nvars} dtypes={dtstr}")
+    forms = ",".join(s["form"] + ("(miss)" if s["missing"] is not None else "") for s in var_specs)
+    dmode = ("dense" + ("/d1" if dns.get("depth1") else "/d0") +
+             ("/rootdir" if dns.get("root_direct") else "/indirect")
+             if dense else "compact")
+    print(f"INFO sb={sb_version} dims={dim_sizes} vars={nvars} "
+          f"dtypes={dtstr} forms={forms} links={dmode}")
 
 
 if __name__ == "__main__":
