@@ -28,7 +28,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `deflate` — zlib or raw — and `identity`; anything else, e.g. `br`,
   * rejects loudly) — so `payload` is the bytes a text-extraction stage
   * actually wants, not the wire framing. Other record types carry their
-  * raw block as `payload`.
+  * raw block as `payload`. The `content_encoding` column surfaces the raw
+  * (normalized) Content-Encoding header WITHOUT decoding, so a
+  * metadata-only pass can quantify e.g. brotli prevalence in a crawl —
+  * and filter those records — before any payload projection would hit
+  * the loud reject.
   *
   * Scale posture (100 TB = a CommonCrawl-sized corpus):
   *  - the parallel unit is the FILE — crawls ship as ~1 GB `.warc.gz`
@@ -85,6 +89,7 @@ object WarcSource {
     StructField("content_length", LongType, nullable = false),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    StructField("content_encoding", StringType, nullable = true),
     StructField("payload_len", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
@@ -356,7 +361,8 @@ private class WarcRecordReader(
   private val needed = required.fieldNames.toSet
   // columns that force HTTP parsing of response blocks
   private val needHttp = statusIn.isDefined ||
-    Seq("http_status", "http_content_type", "payload_len", "payload").exists(needed)
+    Seq("http_status", "http_content_type", "content_encoding", "payload_len",
+      "payload").exists(needed)
   // columns that force body decode (de-chunk + gunzip) and retention
   private val needBody = Seq("payload_len", "payload").exists(needed)
 
@@ -478,14 +484,16 @@ private class WarcRecordReader(
           headers.get("Content-Type").exists(_.startsWith("application/http"))
         var status: Option[Int] = None
         var httpCt: Option[String] = None
+        var httpEnc: Option[String] = None
         var payload: Array[Byte] = block
         if (needHttp && isHttpResponse) {
-          val (s, ct, body) = WarcHttp.parseResponse(block, decodeBody = needBody, file)
-          status = Some(s); httpCt = ct; payload = body
+          val (s, ct, enc, body) =
+            WarcHttp.parseResponse(block, decodeBody = needBody, file)
+          status = Some(s); httpCt = ct; httpEnc = enc; payload = body
         }
         if (statusIn.forall(s => status.exists(s.contains))) {
           current = buildRow(startPos, rtype, headers, len, status, httpCt,
-            if (needBody) payload else null)
+            httpEnc, if (needBody) payload else null)
           // trailing CRLF CRLF record separator (consumed lazily by the
           // blank-line tolerance above on the next iteration)
           return true
@@ -502,6 +510,7 @@ private class WarcRecordReader(
       len: Long,
       status: Option[Int],
       httpCt: Option[String],
+      httpEnc: Option[String],
       payload: Array[Byte]): InternalRow = {
     def utf8(s: String) = UTF8String.fromString(s)
     val values: Map[String, Any] = Map(
@@ -516,6 +525,7 @@ private class WarcRecordReader(
       "content_length" -> len,
       "http_status" -> status.map(Int.box).orNull,
       "http_content_type" -> httpCt.map(utf8).orNull,
+      "content_encoding" -> httpEnc.map(utf8).orNull,
       "payload_len" -> (if (payload == null) null else payload.length.toLong),
       "payload" -> payload)
     InternalRow.fromSeq(required.fieldNames.toSeq.map(values))
@@ -533,12 +543,15 @@ private class WarcRecordReader(
 /** RFC 9112 response-message parsing over an in-memory record block. */
 private[sources] object WarcHttp {
 
-  /** Returns (status, Content-Type, body) — body de-chunked and
-    * content-decoded when `decodeBody`, else empty. */
+  /** Returns (status, Content-Type, normalized Content-Encoding, body) —
+    * body de-chunked and content-decoded when `decodeBody`, else empty.
+    * The encoding is surfaced WITHOUT decoding so a metadata-only pass can
+    * quantify unsupported codings (brotli, zstd) before any body decode
+    * would reject them. */
   def parseResponse(
       block: Array[Byte],
       decodeBody: Boolean,
-      ctx: String): (Int, Option[String], Array[Byte]) = {
+      ctx: String): (Int, Option[String], Option[String], Array[Byte]) = {
     val headerEnd = indexOfDoubleCrlf(block)
     require(headerEnd >= 0, s"WarcSource: HTTP response without header terminator in $ctx")
     val head = new String(block, 0, headerEnd, "ISO-8859-1")
@@ -554,7 +567,10 @@ private[sources] object WarcHttp {
       if (i > 0) Some(l.substring(0, i).trim -> l.substring(i + 1).trim) else None
     }.toMap)
     val ct = headers.get("Content-Type")
-    if (!decodeBody) return (status, ct, Array.emptyByteArray)
+    val codings = headers.get("Content-Encoding").toSeq
+      .flatMap(_.split(',')).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val enc = if (codings.isEmpty) None else Some(codings.mkString(","))
+    if (!decodeBody) return (status, ct, enc, Array.emptyByteArray)
     var body = java.util.Arrays.copyOfRange(block, headerEnd + 4, block.length)
     if (headers.get("Transfer-Encoding").exists(_.toLowerCase.contains("chunked")))
       body = dechunk(body, ctx)
@@ -563,9 +579,7 @@ private[sources] object WarcHttp {
     // Unsupported codings (br, zstd, compress) REJECT LOUDLY — emitting
     // still-compressed bytes as "payload" would feed garbage to html
     // extraction downstream, the silent misparse this source forbids.
-    headers.get("Content-Encoding").toSeq
-      .flatMap(_.split(',')).map(_.trim.toLowerCase).filter(_.nonEmpty)
-      .reverse.foreach {
+    codings.reverse.foreach {
         case "gzip" | "x-gzip" => body = gunzip(body)
         case "deflate"         => body = inflate(body, ctx)
         case "identity"        => ()
@@ -576,7 +590,7 @@ private[sources] object WarcHttp {
             "the crawl; this reader will not emit undecoded bytes as a " +
             "decoded body.")
       }
-    (status, ct, body)
+    (status, ct, enc, body)
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {

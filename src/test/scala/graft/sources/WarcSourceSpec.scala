@@ -101,6 +101,10 @@ class WarcSourceSpec extends SparkSpec {
     val br = new File("data/warc/unsupported_ce.warc").getAbsolutePath
     // metadata-only scan never parses HTTP: must succeed
     assert(warc(br).select("record_idx", "record_type").count() == 1)
+    // content_encoding surfaces the coding WITHOUT decoding — the
+    // quantify-before-reject pass a real crawl needs for brotli triage
+    val encs = warc(br).select("content_encoding").collect().map(_.getString(0))
+    assert(encs.toSeq == Seq("br"), s"got ${encs.mkString(",")}")
     // materializing the body must fail naming the coding, never emit
     // still-compressed bytes as a decoded payload
     val e = intercept[Exception] {
