@@ -246,18 +246,50 @@ object ProfileC1 {
         Seq(s"r10_p$p" -> recallPermille(got, 10),
           s"r100_p$p" -> recallPermille(got, 100))
       }.toMap ++ {
-        // the float re-rank closes the ADC tail: 1001 candidates from 16
-        // probed cells, exact squared-L2 over only those — the production
-        // quality shape (ivfPqSearchRerankBatch)
-        val rr = Pq.ivfPqSearchRerankBatch(ivfPqIndex, coarse, pq, embs,
-          "vec_id", "embedding", queries, nProbes = 16,
-          candidates = 1001, topK = 101)
+        // the float re-rank closes the ADC ORDERING tail; the probe LADDER
+        // measures the COVERAGE tail (r17 verdict item 2): on this
+        // worst-case isotropic-tail distribution the true top-100 scatter
+        // near-uniformly over cells, so recall@100 tracks probed corpus
+        // fraction — the measured curve IS the sizing rule (probe until
+        // occupancy ≈ target recall x corpus; clustered real data needs
+        // far less). Candidates scale with probes so the re-rank pool
+        // never truncates coverage.
+        // two dials, both measured: probe fraction (COVERAGE — which true
+        // neighbors are reachable at all) and re-rank candidates (ADC
+        // ORDERING — whether reachable true neighbors survive the ADC cut
+        // into the float re-rank; at 1M the 5001-cut binds before
+        // coverage does, so the k50 rung scales candidates with corpus)
+        Seq((16, 5001), (32, 5001), (48, 5001), (48, 50001)).flatMap {
+          case (p, cand) =>
+            val rr = Pq.ivfPqSearchRerankBatch(ivfPqIndex, coarse, pq, embs,
+              "vec_id", "embedding", queries, nProbes = p,
+              candidates = cand, topK = 101)
+              .filter(col("vec_id") =!= col("query_id"))
+              .withColumn("arank", row_number().over(Window.partitionBy("query_id")
+                .orderBy(col("dist_sq_micros").asc, col("vec_id").asc)))
+              .select(col("query_id"), col("vec_id").as("neighbor_id"), col("arank"))
+              .localCheckpoint()
+            val tag = if (cand > 5001) s"p${p}k50" else s"p$p"
+            Seq(s"r10_rr_$tag" -> recallPermille(rr, 10),
+              s"r100_rr_$tag" -> recallPermille(rr, 100))
+        }.toMap
+      } ++ {
+        // the ADAPTIVE production shape: probe by candidate budget (the
+        // scan-cost dial) instead of a fixed cell count — budget = 75% of
+        // the corpus targets >=700 permille on the worst-case
+        // distribution, with the candidate cut scaled to ~5% of the
+        // budget so ADC ordering noise doesn't re-truncate coverage
+        val adCand = math.max(5001L, nVecs * 3 / 4 / 20).min(100001L).toInt
+        val ad = Pq.ivfPqSearchRerankAdaptive(ivfPqIndex, coarse, pq, embs,
+          "vec_id", "embedding", queries,
+          candidateBudget = nVecs * 3 / 4, maxProbes = 64,
+          candidates = adCand, topK = 101)
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("arank", row_number().over(Window.partitionBy("query_id")
             .orderBy(col("dist_sq_micros").asc, col("vec_id").asc)))
           .select(col("query_id"), col("vec_id").as("neighbor_id"), col("arank"))
           .localCheckpoint()
-        Map("r10_rr" -> recallPermille(rr, 10), "r100_rr" -> recallPermille(rr, 100))
+        Map("r10_ad" -> recallPermille(ad, 10), "r100_ad" -> recallPermille(ad, 100))
       }
       // Regression pin, set from the measured band (SCALE.md), NOT an
       // aspiration: this synthetic distribution CAPS recall@10 near
@@ -272,7 +304,12 @@ object ProfileC1 {
       // true ones, so NO monotonicity pin). The floor catches a
       // quantizer/search REGRESSION; absolute tail quality needs a float
       // re-rank stage, deliberately absent from the no-floats index.
-      val floorOk = if (byProbe("r10_p16") >= 550 && byProbe("r100_p16") >= 180) 1L else 0L
+      // floors are regression pins = measured band minus slack (SCALE.md):
+      // ADC-only r10/r100 unchanged; r18 adds the production adaptive+
+      // re-rank shape, measured 934 permille @1M / 880+ @100k-200k — a
+      // quantizer, probe-rule, or re-rank regression now fails C1 by name
+      val floorOk = if (byProbe("r10_p16") >= 550 && byProbe("r100_p16") >= 180 &&
+        byProbe("r10_ad") >= 950 && byProbe("r100_ad") >= 700) 1L else 0L
       byProbe.toSeq.sortBy(_._1) :+ ("recall_floor_ok" -> floorOk)
     }
 

@@ -704,7 +704,242 @@ object Multimodal {
   private[llm] def decodeImagePixels(b: Array[Byte]): Option[(String, Int, Int, Int, Array[Byte])] =
     safely(decodeBmpPixels(b)).map { case (w, h, c, px) => ("bmp", w, h, c, px) }
       .orElse(safely(decodePngPixels(b)).map { case (w, h, c, px) => ("png", w, h, c, px) })
+      .orElse(safely(decodeGifPixels(b)).map { case (w, h, c, px) => ("gif", w, h, c, px) })
       .orElse(safely(JpegDecoder.decode(b)).map { case (w, h, c, px) => ("jpeg", w, h, c, px) })
+
+  // --------------------------------------------------------------- GIF
+  /** GIF header walk → (frame1 width, frame1 height, 3, frame count) —
+    * the per-frame extent (not the logical screen), matching
+    * [[decodeGifPixels]]. Counts every image descriptor so animations
+    * surface their frame count like MP4 surfaces duration. */
+  private[llm] def parseGif(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u16l(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var off = 13
+    val flags = b(10) & 0xff
+    if ((flags & 0x80) != 0) off += 3 * (1 << ((flags & 7) + 1))
+    var frames = 0L
+    var fw = -1
+    var fh = -1
+    def skipSubBlocks(): Boolean = {
+      while (off < b.length && (b(off) & 0xff) != 0) {
+        off += 1 + (b(off) & 0xff)
+        if (off > b.length) return false
+      }
+      if (off >= b.length) return false
+      off += 1 // block terminator
+      true
+    }
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3B =>
+          return if (frames > 0) Some((fw, fh, 3, frames)) else None
+        case 0x21 =>
+          if (off + 2 > b.length) return None
+          off += 2
+          if (!skipSubBlocks()) return None
+        case 0x2C =>
+          if (off + 10 > b.length) return None
+          val iw = u16l(off + 5)
+          val ih = u16l(off + 6 + 1)
+          if (iw <= 0 || ih <= 0) return None
+          if (frames == 0) { fw = iw; fh = ih }
+          frames += 1
+          val iflags = b(off + 9) & 0xff
+          off += 10
+          if ((iflags & 0x80) != 0) off += 3 * (1 << ((iflags & 7) + 1))
+          off += 1 // LZW minimum code size
+          if (off > b.length) return None
+          if (!skipSubBlocks()) return None
+        case _ => return None
+      }
+    }
+    None // no trailer: truncated
+  }
+
+  /** GIF87a/GIF89a pixel decode from the public CompuServe spec (+ the
+    * GIF-variant LZW it defines): FIRST image frame at its own extent —
+    * later animation frames ride the frame-sampling surface, and
+    * compositing disposal methods is out of scope by design. Global or
+    * local palette, interlaced (4-pass) or sequential. The GCE
+    * transparency index is intentionally IGNORED for pixel values: the
+    * palette color is the deterministic ground truth both differential
+    * sides mirror. Total — anything malformed, truncated, or out of
+    * bounds returns None (stub fallback), never wrong pixels. */
+  private[llm] def decodeGifPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u16l(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val flags = b(10) & 0xff
+    var off = 13
+    var globalPal: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (off + n > b.length) return None
+      globalPal = java.util.Arrays.copyOfRange(b, off, off + n)
+      off += n
+    }
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3B => return None // trailer before any image frame
+        case 0x21 => // extension (GCE/comment/app): skip by framing
+          if (off + 2 > b.length) return None
+          off += 2
+          while (off < b.length && (b(off) & 0xff) != 0) {
+            off += 1 + (b(off) & 0xff)
+            if (off > b.length) return None
+          }
+          if (off >= b.length) return None
+          off += 1
+        case 0x2C =>
+          if (off + 10 > b.length) return None
+          val iw = u16l(off + 5)
+          val ih = u16l(off + 7)
+          val iflags = b(off + 9) & 0xff
+          off += 10
+          var pal = globalPal
+          if ((iflags & 0x80) != 0) {
+            val n = 3 * (1 << ((iflags & 7) + 1))
+            if (off + n > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, off, off + n)
+            off += n
+          }
+          if (pal == null || iw <= 0 || ih <= 0 ||
+            iw.toLong * ih * 3 > Int.MaxValue || iw.toLong * ih > (64 << 20))
+            return None
+          if (off >= b.length) return None
+          val minCode = b(off) & 0xff
+          off += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var blockLen = -1
+          while (blockLen != 0) {
+            if (off >= b.length) return None
+            blockLen = b(off) & 0xff
+            off += 1
+            if (blockLen > 0) {
+              if (off + blockLen > b.length) return None
+              data.write(b, off, blockLen)
+              off += blockLen
+            }
+          }
+          val idx = gifLzw(data.toByteArray, minCode, iw * ih).getOrElse(return None)
+          val nColors = pal.length / 3
+          val interlaced = (iflags & 0x40) != 0
+          val rgb = new Array[Byte](iw * ih * 3)
+          // interlace passes: row starts/steps per the spec's 4 groups
+          val starts = Array(0, 4, 2, 1)
+          val steps = Array(8, 8, 4, 2)
+          var src = 0
+          var pass = 0
+          var y = 0
+          while (src < idx.length) {
+            val row = if (interlaced) {
+              var r = starts(pass) + y * steps(pass)
+              while (r >= ih && pass < 3) { pass += 1; y = 0; r = starts(pass) }
+              if (r >= ih) return None
+              r
+            } else y
+            var x = 0
+            while (x < iw) {
+              val c = idx(src) & 0xff
+              if (c >= nColors) return None
+              val o = (row * iw + x) * 3
+              rgb(o) = pal(3 * c)
+              rgb(o + 1) = pal(3 * c + 1)
+              rgb(o + 2) = pal(3 * c + 2)
+              src += 1
+              x += 1
+            }
+            y += 1
+          }
+          return Some((iw, ih, 3, rgb))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: LSB-first variable-width codes, clear/end codes,
+    * dictionary capped at 4096 with the KwKwK case; succeeds only when it
+    * produces EXACTLY `nPix` indices. */
+  private def gifLzw(data: Array[Byte], minCode: Int, nPix: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](nPix)
+    var outN = 0
+    var dictSize = endCode + 1
+    var codeSize = minCode + 1
+    var acc = 0L
+    var accBits = 0
+    var pos = 0
+    def next(): Int = {
+      while (accBits < codeSize) {
+        if (pos >= data.length) return -1
+        acc |= (data(pos) & 0xffL) << accBits
+        accBits += 8
+        pos += 1
+      }
+      val c = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      accBits -= codeSize
+      c
+    }
+    var prev = -1
+    var first = 0
+    while (outN < nPix) {
+      val code = next()
+      if (code < 0) return None
+      if (code == clear) {
+        dictSize = endCode + 1
+        codeSize = minCode + 1
+        prev = -1
+      } else if (code == endCode) {
+        return None // end before all pixels decoded
+      } else if (prev < 0) {
+        if (code >= clear) return None
+        first = code
+        out(outN) = code.toByte
+        outN += 1
+        prev = code
+      } else {
+        if (code > dictSize || dictSize > 4095 && code == dictSize) return None
+        var cur = code
+        var sp = 0
+        if (code == dictSize) { stack(sp) = first.toByte; sp += 1; cur = prev }
+        while (cur > endCode) {
+          stack(sp) = suffix(cur)
+          sp += 1
+          cur = prefix(cur)
+          if (sp > 4096) return None
+        }
+        if (cur >= clear) return None // chain must end at a literal
+        first = cur
+        stack(sp) = cur.toByte
+        sp += 1
+        while (sp > 0) {
+          sp -= 1
+          if (outN >= nPix) return None // over-long entry
+          out(outN) = stack(sp)
+          outN += 1
+        }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = first.toByte
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
 
   private def byteSum(a: Array[Byte]): Long = {
     var s = 0L
@@ -959,6 +1194,9 @@ object Multimodal {
       DecodedMedia(r.doc_id, r.media_type, "png", n, Some(w), Some(h), Some(c), None, 1L, checksum)
     }).orElse(safely(parseJpeg(r.payload)).map { case (w, h, c) =>
       DecodedMedia(r.doc_id, r.media_type, "jpeg", n, Some(w), Some(h), Some(c), None, 1L, checksum)
+    }).orElse(safely(parseGif(r.payload)).map { case (w, h, c, frames) =>
+      // animations surface their frame count, like MP4 surfaces duration
+      DecodedMedia(r.doc_id, r.media_type, "gif", n, Some(w), Some(h), Some(c), None, frames, checksum)
     }).orElse(safely(parseWav(r.payload)).map { case (ch, rate, frames) =>
       DecodedMedia(r.doc_id, r.media_type, "wav", n, None, None, Some(ch), Some(rate), frames, checksum)
     }).orElse(safely(parseMp4(r.payload)).map { case (dims, tracks, ts, dur) =>

@@ -384,24 +384,102 @@ object Pq {
       nProbes: Int,
       topK: Int): DataFrame = {
     require(nProbes >= 1 && nProbes <= coarse.k, s"nProbes $nProbes out of range")
-    val spark = index.sparkSession
+    val qs = collectQueries(queries, idCol, vecCol, coarse,
+      "ivfPqSearchBatchOverIndex")
+    adcBatch(index, coarse, pq, qs,
+      q => rankedCells(q, coarse).take(nProbes), topK)
+  }
+
+  /** Distance-ranked ADAPTIVE probing — the batch serving shape with a
+    * per-query probe set sized by CANDIDATE BUDGET instead of a fixed
+    * cell count: cells are ranked by exact query–centroid distance (the
+    * same driver math as the fixed-probe path) and probed in that order
+    * until the cumulative OCCUPANCY of probed cells reaches
+    * `candidateBudget` (capped at `maxProbes`). On skewed indexes a hot
+    * cell satisfies the budget in one probe while sparse regions probe
+    * wider — the per-query scan cost is bounded by budget + one cell
+    * rather than by worst-case `nProbes · max cell size`. Cell occupancy
+    * is a dimension-sized driver aggregate over the code index (≤ cells
+    * rows; at scale a cell-partitioned store's file listing gives it for
+    * free). Probe selection is deterministic: (dist asc, cell asc)
+    * ranking, cumulative-count-exclusive rule (a cell is probed iff the
+    * cells ranked before it hold < budget candidates).
+    * Returns (query_id, vec_id, cell, dist_micros, rank). */
+  def ivfPqSearchAdaptiveBatch(
+      index: DataFrame,
+      coarse: PqModel,
+      pq: PqModel,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidateBudget: Long,
+      maxProbes: Int,
+      topK: Int): DataFrame = {
+    require(candidateBudget >= 1, s"candidateBudget $candidateBudget")
+    require(maxProbes >= 1 && maxProbes <= coarse.k, s"maxProbes $maxProbes out of range")
+    val sizes: Map[Int, Long] = index
+      .groupBy(col("cell").cast("int").as("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qs = collectQueries(queries, idCol, vecCol, coarse,
+      "ivfPqSearchAdaptiveBatch")
+    adcBatch(index, coarse, pq, qs, { q =>
+      val ranked = rankedCells(q, coarse)
+      val out = Seq.newBuilder[Int]
+      var cum = 0L
+      var i = 0
+      while (i < ranked.length && i < maxProbes && cum < candidateBudget) {
+        out += ranked(i)
+        cum += sizes.getOrElse(ranked(i), 0L)
+        i += 1
+      }
+      out.result()
+    }, topK)
+  }
+
+  /** Cells ranked by exact query–centroid squared distance in integer
+    * micros, ties by cell id — the probe order every search path uses. */
+  private def rankedCells(q: Array[Double], coarse: PqModel): Seq[Int] = {
+    val cents = coarse.cents(0)
+    cents.indices.map { c =>
+      var acc = 0.0
+      var j = 0
+      while (j < coarse.dim) { val d = q(j) - cents(c)(j); acc += d * d; j += 1 }
+      (math.round(acc * 1e6), c)
+    }.sorted.map(_._2)
+  }
+
+  private def collectQueries(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: PqModel,
+      ctx: String): Array[(Long, Array[Double])] = {
     val qs = queries
       .select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     qs.foreach { case (id, q) => require(q.length == coarse.dim,
-      s"ivfPqSearchBatchOverIndex: query $id has ${q.length} dims, model ${coarse.dim}") }
+      s"$ctx: query $id has ${q.length} dims, model ${coarse.dim}") }
+    qs
+  }
+
+  /** Shared ADC batch scorer: per-query probe cells from `probedOf`,
+    * per-(query, cell) residual tables as driver math, the probe frame
+    * broadcast against ONE index scan, scoring a joined-column fold,
+    * top-k per query by (dist asc, vec_id asc). */
+  private def adcBatch(
+      index: DataFrame,
+      coarse: PqModel,
+      pq: PqModel,
+      qs: Array[(Long, Array[Double])],
+      probedOf: Array[Double] => Seq[Int],
+      topK: Int): DataFrame = {
+    val spark = index.sparkSession
     val cents = coarse.cents(0)
     val sd = pq.subDim
     val probeRows = qs.flatMap { case (qid, q) =>
-      val probed = cents.indices.map { c =>
-        var acc = 0.0
-        var j = 0
-        while (j < coarse.dim) { val d = q(j) - cents(c)(j); acc += d * d; j += 1 }
-        (math.round(acc * 1e6), c)
-      }.sorted.take(nProbes).map(_._2)
-      probed.map { c =>
+      probedOf(q).map { c =>
         val table = new Array[Long](pq.m * pq.k)
         var s = 0
         while (s < pq.m) {
@@ -469,6 +547,45 @@ object Pq {
     val cand = ivfPqSearchBatchOverIndex(index, coarse, pq, queries,
       idCol, vecCol, nProbes, candidates)
       .select(col("query_id"), col("vec_id"))
+    rerank(cand, vectors, idCol, vecCol, queries, topK)
+  }
+
+  /** [[ivfPqSearchRerankBatch]] with the ADAPTIVE probe rule: the
+    * candidate set comes from [[ivfPqSearchAdaptiveBatch]] (probe until
+    * `candidateBudget` occupancy, cap `maxProbes`), then the float
+    * re-rank. The budget IS the scan-cost dial on the measured
+    * recall/cost curve (SCALE.md "ANN retrieval quality"): target
+    * recall@100 of f permille on a worst-case (isotropic-tail)
+    * distribution needs probed occupancy ≈ f/1000 of the corpus —
+    * clustered real corpora need far less; the curve, not a formula, is
+    * the sizing rule. */
+  def ivfPqSearchRerankAdaptive(
+      index: DataFrame,
+      coarse: PqModel,
+      pq: PqModel,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      candidateBudget: Long,
+      maxProbes: Int,
+      candidates: Int,
+      topK: Int): DataFrame = {
+    require(candidates >= topK,
+      s"ivfPqSearchRerankAdaptive: candidates $candidates < topK $topK")
+    val cand = ivfPqSearchAdaptiveBatch(index, coarse, pq, queries,
+      idCol, vecCol, candidateBudget, maxProbes, candidates)
+      .select(col("query_id"), col("vec_id"))
+    rerank(cand, vectors, idCol, vecCol, queries, topK)
+  }
+
+  private def rerank(
+      cand: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      topK: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
       Similarity.asDouble(col(vecCol)).as("__qv"))
     val cv = vectors.select(col(idCol).as("vec_id"),

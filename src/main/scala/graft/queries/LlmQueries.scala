@@ -64,6 +64,7 @@ object LlmQueries {
         when(col("path").endsWith(".bmp"), "image/bmp")
           .when(col("path").endsWith(".png"), "image/png")
           .when(col("path").endsWith(".jpg"), "image/jpeg")
+          .when(col("path").endsWith(".gif"), "image/gif")
           .when(col("path").endsWith(".wav"), "audio/wav")
           .when(col("path").endsWith(".mp4"), "video/mp4")
           .otherwise("application/octet-stream").as("media_type"))
@@ -984,6 +985,21 @@ object LlmQueries {
         Pq.ivfPqEncode(e, "vec_id", "embedding", coarse, pq),
         coarse, pq, e, "vec_id", "embedding", e.filter(col("vec_id") < 4),
         nProbes = 2, candidates = 10, topK = 5)
+    }),
+
+    // ADAPTIVE probing: cells ranked by query-centroid distance, probed
+    // until the cumulative cell occupancy reaches the candidate budget
+    // (capped at maxProbes) — per-query scan cost bounded by the budget,
+    // not worst-case probes x max cell; the probe-set rule (exclusive
+    // cumulative count) is mirrored exactly in the DuckDB oracle
+    "q_ann_adaptive" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (coarse, pq) = Pq.ivfPqTrain(e, "vec_id", "embedding",
+        dim = 64, cells = 4, m = 2, k = 4)
+      Pq.ivfPqSearchAdaptiveBatch(
+        Pq.ivfPqEncode(e, "vec_id", "embedding", coarse, pq),
+        coarse, pq, e.filter(col("vec_id") < 4), "vec_id", "embedding",
+        candidateBudget = 150, maxProbes = 3, topK = 10)
     }),
 
     // PCA over the embedding corpus: one exact-decimal moment pass ->
@@ -2783,6 +2799,63 @@ object LlmQueries {
          |      ORDER BY CAST(round(1000000 * ${sqNSql(64, "q.v", "fc.c")}) AS BIGINT) ASC,
          |        fc.code ASC) AS rn
          |  FROM cgfc fc, q) WHERE rn <= 2),
+         |qres AS (SELECT p.query_id, p.cell,
+         |    list_transform(generate_series(1, 64), j -> q.v[j] - fc.c[j]) AS qv
+         |  FROM qprobe p JOIN cgfc fc ON fc.code = p.cell AND fc.sub = 0
+         |  JOIN q ON q.query_id = p.query_id),
+         |qsv2 AS (SELECT r.query_id, r.cell, s.sub,
+         |    r.qv[s.sub*32+1:(s.sub+1)*32] AS qv
+         |  FROM qres r, pqsubs s),
+         |qt AS (SELECT q2.query_id, q2.cell, q2.sub, fc.code,
+         |    CAST(round(1000000 * ${sq32Sql("q2.qv", "fc.c")}) AS BIGINT) AS t
+         |  FROM qsv2 q2 JOIN pqfc fc ON fc.sub = q2.sub),
+         |scores AS (SELECT qt.query_id, a.vec_id, a.cell,
+         |    CAST(SUM(qt.t) AS BIGINT) AS dist_micros
+         |  FROM asg a JOIN enc ON enc.vec_id = a.vec_id
+         |  JOIN qt ON qt.cell = a.cell AND qt.sub = enc.sub AND qt.code = enc.code
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id, vec_id, cell, dist_micros, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY dist_micros ASC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scores)
+         |WHERE rank <= 10""".stripMargin,
+
+    // the batch machinery with the ADAPTIVE probe rule: cells ranked per
+    // query by (micros-dist, cell), probed while the cells ranked BEFORE
+    // hold < 150 candidates (exclusive cumulative occupancy), capped at 3
+    "q_ann_adaptive" ->
+      s"""WITH $embCte,
+         |${pqCte("cg", "e", 1, 64, 4)},
+         |cgd AS (SELECT sv.vec_id, c.code, ${sqNSql(64, "sv.sv", "c.c")} AS dist
+         |  FROM cgsv sv JOIN cgfc c ON c.sub = sv.sub),
+         |asg AS (SELECT vec_id, code AS cell FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, code ASC) AS rn FROM cgd) WHERE rn = 1),
+         |e2 AS (SELECT e.vec_id,
+         |    list_transform(generate_series(1, 64), j -> e.v[j] - fc.c[j]) AS v
+         |  FROM e JOIN asg ON asg.vec_id = e.vec_id
+         |  JOIN cgfc fc ON fc.code = asg.cell AND fc.sub = 0
+         |  WHERE e.v IS NOT NULL),
+         |${pqCte("pq", "e2", 2, 32, 4)},
+         |pqd2 AS (SELECT sv.vec_id, sv.sub, fc.code, ${sq32Sql("sv.sv", "fc.c")} AS dist
+         |  FROM pqsv sv JOIN pqfc fc ON fc.sub = sv.sub),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dist ASC, code ASC) AS rn FROM pqd2) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 4),
+         |cellsz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1),
+         |qrank AS (
+         |  SELECT q.query_id, fc.code AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY CAST(round(1000000 * ${sqNSql(64, "q.v", "fc.c")}) AS BIGINT) ASC,
+         |        fc.code ASC) AS rn
+         |  FROM cgfc fc, q),
+         |qprobe AS (SELECT query_id, cell FROM (
+         |  SELECT r.query_id, r.cell, r.rn,
+         |    SUM(coalesce(z.sz, 0)) OVER (PARTITION BY r.query_id ORDER BY r.rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+         |  FROM qrank r LEFT JOIN cellsz z ON z.cell = r.cell)
+         |  WHERE rn <= 3 AND coalesce(prev, 0) < 150),
          |qres AS (SELECT p.query_id, p.cell,
          |    list_transform(generate_series(1, 64), j -> q.v[j] - fc.c[j]) AS qv
          |  FROM qprobe p JOIN cgfc fc ON fc.code = p.cell AND fc.sub = 0

@@ -406,6 +406,31 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Seq((8L, 24L, 2)), s"got $pairs")
   }
 
+  test("GIF: frame-count metadata, interlace, and corrupt streams stub out") {
+    val anim = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_028.gif"))
+    // metadata walk counts BOTH animation frames; pixels are frame 1 only
+    assert(Multimodal.parseGif(anim).contains((23, 11, 3, 2L)))
+    val px = Multimodal.decodeGifPixels(anim)
+    assert(px.exists { case (w, h, c, b) => w == 23 && h == 11 && c == 3 &&
+      b.length == 23 * 11 * 3 })
+    val inter = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_029.gif"))
+    assert(Multimodal.parseGif(inter).contains((19, 13, 3, 1L)))
+    assert(Multimodal.decodeGifPixels(inter).isDefined)
+    // corrupt LZW minimum code size (header 13 + 48-byte global palette +
+    // 8-byte GCE + 10-byte descriptor = offset 79): out of the spec's
+    // 2..8 range -> None (stub), never wrong pixels or a crash
+    val bad = anim.clone()
+    assert((bad(69) & 0xFF) == 0x2C) // image descriptor where expected
+    bad(79) = 1
+    assert(Multimodal.decodeGifPixels(bad).isEmpty)
+    // truncation inside the palette / descriptor: total, None
+    assert(Multimodal.decodeGifPixels(anim.take(14)).isEmpty)
+    assert(Multimodal.decodeGifPixels("GIF89a".getBytes).isEmpty)
+    assert(Multimodal.parseGif("NOTGIF_really_not".getBytes).isEmpty)
+  }
+
   test("T.81 B.1.1.2 fill bytes before RST/EOI decode to identical pixels") {
     // media_026 is the baseline JPEG with DRI restart markers. Inserting
     // extra 0xFF fill bytes before each marker in the entropy segment is

@@ -190,4 +190,55 @@ class PqSpec extends SparkSpec {
       Pq.pqTopKWith(df, "vec_id", "embedding", model, new Array[Double](dim + 1), 5)
     }
   }
+
+  test("adaptive probing: budget-sized probe sets, fixed-probe endpoints agree") {
+    val df = vecs(240, 4).localCheckpoint()
+    val (c, p) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    val index = Pq.ivfPqEncode(df, "vec_id", "embedding", c, p).localCheckpoint()
+    val queries = df.filter(col("vec_id") < 3)
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.as[(Long, Long, Int, Long, Int)].collect().sortBy(t => (t._1, t._5)).toSeq
+    // budget >= corpus with maxProbes = cells probes everything: identical
+    // to the fixed-probe search at nProbes = cells
+    val all = rows(Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries,
+      "vec_id", "embedding", candidateBudget = 10000, maxProbes = 4, topK = 10))
+    assert(all == rows(Pq.ivfPqSearchBatchOverIndex(index, c, p, queries,
+      "vec_id", "embedding", nProbes = 4, topK = 10)))
+    // budget 1: exactly the nearest cell per query (the exclusive
+    // cumulative rule probes a cell iff prior cells hold < budget)
+    val one = rows(Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries,
+      "vec_id", "embedding", candidateBudget = 1, maxProbes = 4, topK = 10))
+    assert(one == rows(Pq.ivfPqSearchBatchOverIndex(index, c, p, queries,
+      "vec_id", "embedding", nProbes = 1, topK = 10)))
+    // a mid budget returns at least the budget's worth of coverage when
+    // available: every query's candidate pool spans >= 2 cells here
+    // because no single cell holds 200 of the 240 vectors
+    val sizes = index.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.max < 200)
+    // topK = corpus size so the result set IS the candidate pool: distinct
+    // result cells == probed cells
+    val mid = Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries,
+      "vec_id", "embedding", candidateBudget = 200, maxProbes = 4, topK = 240)
+    val cellsPerQ = mid.select("query_id", "cell").distinct()
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(cellsPerQ.values.forall(_ >= 2), s"got $cellsPerQ")
+    // the exclusive rule only stops once probed occupancy >= budget, so
+    // every query's candidate pool covers the full budget
+    val poolPerQ = mid.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(poolPerQ.values.forall(_ >= 200), s"got $poolPerQ")
+    // deterministic under repartitioning
+    val rep = rows(Pq.ivfPqSearchAdaptiveBatch(index.repartition(7), c, p,
+      queries, "vec_id", "embedding", candidateBudget = 200, maxProbes = 4,
+      topK = 240))
+    assert(rep == rows(mid))
+    // guards
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries, "vec_id", "embedding",
+        candidateBudget = 0, maxProbes = 2, topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries, "vec_id", "embedding",
+        candidateBudget = 10, maxProbes = 9, topK = 5)
+    }
+  }
 }

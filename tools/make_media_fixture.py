@@ -288,6 +288,175 @@ def make_wav(channels: int, sample_rate: int, n_frames: int,
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+# ---------------------------------------------------------------- GIF
+# From-spec GIF87a/89a writer with a self-checking LZW pair: the encoder
+# (greedy dictionary build) and an INDEPENDENT decoder (the spec's
+# variable-width/KwKwK rules, mirroring nothing of the Scala source) are
+# both implemented here, and every emitted stream is decode-verified
+# before it leaves the generator — the discipline the JPEG encoder set.
+
+def gif_lzw_encode(indices, min_code):
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    code_size = min_code + 1
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    w = (indices[0],)
+    for k in indices[1:]:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder adds its mirror entry one code LATER, so it
+            # widens after processing the code we just emitted; widen here
+            # when the DECODER's table is about to need the wider size
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = (k,)
+    emit(table[w])
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_lzw_decode(data, min_code, n_pix):
+    """Reference decoder for the self-check (spec rules, written against
+    the GIF spec text, not against either encoder)."""
+    clear = 1 << min_code
+    end = clear + 1
+    acc = 0
+    nacc = 0
+    pos = 0
+    code_size = min_code + 1
+    out = []
+    table = None
+    prev = None
+    while len(out) < n_pix:
+        while nacc < code_size:
+            assert pos < len(data), "LZW stream truncated"
+            acc |= data[pos] << nacc
+            nacc += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nacc -= code_size
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            code_size = min_code + 1
+            prev = None
+        elif code == end:
+            raise AssertionError("end code before all pixels")
+        elif prev is None:
+            assert table is not None and code < clear
+            out.extend(table[code])
+            prev = code
+        else:
+            nxt = end + 1 + len(table) - clear
+            if code in table:
+                entry = table[code]
+            else:
+                assert code == nxt, f"invalid code {code}"
+                entry = table[prev] + (table[prev][0],)
+            out.extend(entry)
+            table[nxt] = table[prev] + (entry[0],)
+            if nxt + 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = code
+    return out
+
+
+def gif_palette(n_colors):
+    return [((j * 37 + 11) % 256, (j * 59 + 23) % 256, (j * 83 + 5) % 256)
+            for j in range(n_colors)]
+
+
+def gif_indices(w, h, n_colors):
+    # runs + variation: exercises dictionary chains without being flat
+    return [((p // 3) + (p % 7) + (p // (w * 2 + 1))) % n_colors
+            for p in range(w * h)]
+
+
+GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def gif_interlaced_rows(h):
+    rows = []
+    for start, step in GIF_INTERLACE:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def make_gif(w, h, n_colors=16, interlaced=False, local_palette=False,
+             frames=1, gce=False):
+    pal = gif_palette(n_colors)
+    pal_bits = max(1, (n_colors - 1).bit_length())
+    pal_size = 1 << pal_bits
+    pal_bytes = b"".join(bytes(c) for c in pal) + b"\x00" * (3 * (pal_size - n_colors))
+    out = bytearray(b"GIF89a" if gce or frames > 1 else b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    if local_palette:
+        out += bytes((0x00, 0, 0))  # no global table
+    else:
+        out += bytes((0x80 | (pal_bits - 1), 0, 0))
+        out += pal_bytes
+    min_code = max(2, pal_bits)
+    for f in range(frames):
+        if gce:
+            # graphic control: transparency index 0 — decoders must skip
+            # by framing and still emit palette colors
+            out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, 0, 0))
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+        if local_palette:
+            out += bytes(((0x80 | (0x40 if interlaced else 0) | (pal_bits - 1)),))
+            out += pal_bytes
+        else:
+            out += bytes(((0x40 if interlaced else 0),))
+        idx = gif_indices(w, h, n_colors)
+        if f > 0:  # later frames: a shifted pattern (ignored by frame-1 truth)
+            idx = [(i + f) % n_colors for i in idx]
+        stream = idx
+        if interlaced:
+            stream = []
+            for r in gif_interlaced_rows(h):
+                stream.extend(idx[r * w:(r + 1) * w])
+        lzw = gif_lzw_encode(stream, min_code)
+        assert gif_lzw_decode(lzw, min_code, w * h) == stream, "LZW self-check"
+        out += bytes((min_code,))
+        for i in range(0, len(lzw), 255):
+            block = lzw[i:i + 255]
+            out += bytes((len(block),)) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_norm_pixels(w, h, n_colors=16):
+    pal = gif_palette(n_colors)
+    px = []
+    for i in gif_indices(w, h, n_colors):
+        px.extend(pal[i])
+    return px
+
+
 # ---------------------------------------------------------------- opaque
 
 def make_blob(n: int) -> bytes:
@@ -744,6 +913,18 @@ def main():
     emit(23, "bmp", "image/bmp", make_bmp(64, 64, perturb=True), "bmp", 64, 64, 3)
     expect_image(23, "bmp", 64, 64, 3, bmp_norm_pixels(64, 64, perturb=True))
 
+    # GIFs (round 18): from-spec LZW + palette (+ interlace); media_028 is
+    # an animated GIF89a with a GCE whose transparency index is ignored by
+    # design — frame 1 is the pixel truth, the frame COUNT surfaces in the
+    # metadata mirror like MP4 duration; media_029 exercises the 4-pass
+    # interlace + a local (short) palette with no global table
+    g28 = make_gif(23, 11, n_colors=16, gce=True, frames=2)
+    emit(28, "gif", "image/gif", g28, "gif", 23, 11, 3, n_frames=2)
+    expect_image(28, "gif", 23, 11, 3, gif_norm_pixels(23, 11, 16))
+    g29 = make_gif(19, 13, n_colors=5, interlaced=True, local_palette=True)
+    emit(29, "gif", "image/gif", g29, "gif", 19, 13, 3)
+    expect_image(29, "gif", 19, 13, 3, gif_norm_pixels(19, 13, 5))
+
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
     c = checksum(blob)
@@ -857,6 +1038,17 @@ def fuzz(outdir: str, seed: int):
         payload = make_png_palette(w, h, depth, filtered=filt, n_colors=ncol)
         px = png_palette_norm_pixels(w, h, depth, n_colors=ncol)
         out("png", payload, w * h, sum(px), max(px), checksum(px))
+    for _ in range(int(rng.integers(2, 5))):  # GIFs: LZW + palette forms
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        nc = int(rng.integers(2, 257))
+        inter = bool(rng.integers(0, 2))
+        lp = bool(rng.integers(0, 2))
+        fr = int(rng.integers(1, 3))
+        gce = bool(rng.integers(0, 2))
+        payload = make_gif(w, h, n_colors=nc, interlaced=inter,
+                           local_palette=lp, frames=fr, gce=gce)
+        px = gif_norm_pixels(w, h, nc)
+        out("gif", payload, w * h, sum(px), max(px), checksum(px))
     for _ in range(int(rng.integers(2, 5))):  # real baseline JPEGs
         w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
         kind = int(rng.integers(0, 4))
