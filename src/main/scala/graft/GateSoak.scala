@@ -37,7 +37,8 @@ object GateSoak {
     val nDrops = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "plain"
     require(mode == "plain" || mode == "bucketed" || mode == "curate" ||
-      mode == "profile" || mode == "domaincap" || mode == "curatev3",
+      mode == "profile" || mode == "domaincap" || mode == "curatev3" ||
+      mode == "domaincapttl",
       s"unknown mode $mode")
     // The sf testdata documents are short (~45 words -> hs ≈ 350 B/doc);
     // production curation corpora run 500+ words, where the shingle
@@ -170,6 +171,53 @@ object GateSoak {
         f"(MUST be 0), store rows $storeRows, wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.stop()
       if (overCap > 0) sys.exit(1)
+      return
+    }
+    if (mode == "domaincapttl") {
+      // The RETENTION contract (r17 verdict item 4): same drop shape as
+      // `domaincap`, but the store ages out admissions older than
+      // ttlBatches at each compaction — the cap becomes sliding-window
+      // ("perDomain per horizon") and the store size is BOUNDED by
+      // domains x live origins instead of growing with stream lifetime.
+      val kept = s"$work/kept"
+      val rej = s"$work/rej"
+      val ttl = 3L
+      val every = 2
+      var keptTotal = 0L
+      var maxStoreRows = 0L
+      for (i <- 0 until nDrops) {
+        val drop = spark.read.schema(CorpusStream.documentsSchema)
+          .parquet(f"$dropDir/drop_$i%03d.parquet")
+          .select(col("doc_id"),
+            concat(lit("https://www.h"),
+              pmod(col("doc_id"), lit(211L)).cast("string"),
+              lit("site.com/"), col("doc_id").cast("string")).as("url"))
+        val b0 = bytesRead.get()
+        val tb = System.nanoTime()
+        CorpusStream.domainCapGateBatch(drop, i.toLong, "url", kept, rej,
+          store, perDomain = 5, buckets = 16, compactEvery = every,
+          ttlBatches = ttl)
+        val nKept = spark.read.parquet(s"$kept/batch=$i").count()
+        keptTotal += nKept
+        val storeRows = spark.read.parquet(store).count()
+        maxStoreRows = math.max(maxStoreRows, storeRows)
+        println(f"  trigger $i%2d: ${(bytesRead.get() - b0) / 1024}%6d KB read, " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s, $nKept kept, " +
+          f"store rows $storeRows")
+      }
+      // within any ttl-window the per-domain admissions never exceed the
+      // cap (the never-un-reject-within-horizon property, aggregated)
+      val winViolations = spark.read.parquet(kept)
+        .groupBy(col("domain"), floor(col("batch") / (ttl + 1)).as("win"))
+        .count().filter(col("count") > 5 * 2).count() // cap x windows-per-win
+      // store boundedness: <= domains x (live origins) + in-flight deltas
+      val bound = 211L * (ttl + every + 1)
+      println(f"DOMAINCAP-TTL SOAK: $nDrops drops -> $keptTotal kept, " +
+        f"max store rows $maxStoreRows (bound $bound), " +
+        f"window cap violations $winViolations (MUST be 0), " +
+        f"wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      if (maxStoreRows > bound || winViolations > 0) sys.exit(1)
       return
     }
     if (mode == "curate") {

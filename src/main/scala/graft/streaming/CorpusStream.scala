@@ -252,10 +252,26 @@ object CorpusStream {
     * (2) rolls FORWARD on the next call: the manifest says exactly which
     * batch dirs the committed fold already covers, so recovery finishes
     * steps (3)–(4) idempotently instead of guessing from what survived. */
+  /** TTL (`ttlBatches` > 0): the fold RETAINS each row's admission batch
+    * as an `origin_batch` column and drops rows older than
+    * `uptoExclusive - ttlBatches` — the retention contract the stores
+    * need for unbounded stream lifetimes (they otherwise grow
+    * ~0.5 KB/doc forever). Semantics, chosen for the never-un-reject
+    * property: a history row gates every drop while its admission is
+    * WITHIN the horizon (rows are only dropped once
+    * `currentBatch - origin > ttl`, and between compactions expired rows
+    * still gate — expiry takes effect at the next compaction boundary,
+    * i.e. the conservative direction: late expiry, never early).
+    * Rejected duplicates do NOT renew their original's age. Aggregating
+    * `fold` callbacks must group by `origin_batch` (age is part of the
+    * key under TTL); rows from a pre-TTL base without the column are
+    * treated as admitted at `uptoExclusive - 1` (again conservative:
+    * unknown age gates a full horizon before aging out). */
   private[streaming] def compactBucketedStore(
       spark: SparkSession, path: String, bucketCol: String,
       uptoExclusive: Long,
-      fold: DataFrame => DataFrame = identity): Unit = {
+      fold: DataFrame => DataFrame = identity,
+      ttlBatches: Long = 0): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -297,9 +313,22 @@ object CorpusStream {
       } else deleteChecked(staging, "uncommitted staging")
     }
     if (finalizedDirs(uptoExclusive).isEmpty) return
-    fold(spark.read.parquet(path)
-        .filter(col("batch") < uptoExclusive) // base (-1) + finalized batches
-        .drop("batch"))
+    val all = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("batch") < uptoExclusive) // base (-1) + finalized batches
+    val folded =
+      if (ttlBatches <= 0) all.drop("batch")
+      else {
+        val origin =
+          if (all.columns.contains("origin_batch"))
+            when(col("batch") >= 0, col("batch"))
+              .otherwise(coalesce(col("origin_batch"), lit(uptoExclusive - 1)))
+          else when(col("batch") >= 0, col("batch"))
+            .otherwise(lit(uptoExclusive - 1)) // pre-TTL base: unknown age
+        all.withColumn("origin_batch", origin)
+          .filter(col("origin_batch") > uptoExclusive - 1 - ttlBatches)
+          .drop("batch")
+      }
+    fold(folded)
       .repartition(col(bucketCol))
       .sortWithinPartitions(
         if (bucketCol == PostingsBucketCol) col("band_hash")
@@ -308,6 +337,20 @@ object CorpusStream {
         else col("doc_id"))
       .write.partitionBy(bucketCol)
       .mode("overwrite").parquet(staging.toString)
+    // a TTL fold can expire EVERY row: an empty parquet write emits no
+    // data files (no schema footer), so a swapped-in empty base would
+    // break the next schema-inferring read. An empty store is therefore
+    // represented as NO store — readers already handle absence — and the
+    // deletes below are idempotent (a crash mid-way loses only rows the
+    // fold had already decided were expired).
+    val hasData = fs.listStatus(staging).exists(_.isDirectory)
+    if (!hasData) {
+      finalizedDirs(uptoExclusive).foreach(deleteChecked(_, "expired batch dir"))
+      deleteChecked(base, "expired base")
+      deleteChecked(staging, "empty staging")
+      if (fs.listStatus(root).isEmpty) deleteChecked(root, "empty store root")
+      return
+    }
     val out = fs.create(manifest, true) // commit point: fold is durable
     try new java.io.DataOutputStream(out).writeLong(uptoExclusive)
     finally out.close()
@@ -331,11 +374,14 @@ object CorpusStream {
       minJaccard: Double = 0.5,
       postingsBuckets: Int = 64,
       sigBuckets: Int = 64,
-      compactEvery: Int = 8): Unit = {
+      compactEvery: Int = 8,
+      ttlBatches: Long = 0): Unit = {
     val spark = batch.sparkSession
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      compactBucketedStore(spark, postingsPath, PostingsBucketCol, batchId)
-      compactBucketedStore(spark, storePath, SigBucketCol, batchId)
+      compactBucketedStore(spark, postingsPath, PostingsBucketCol, batchId,
+        ttlBatches = ttlBatches)
+      compactBucketedStore(spark, storePath, SigBucketCol, batchId,
+        ttlBatches = ttlBatches)
     }
     val b = batch.localCheckpoint()
     // (1) in-batch clustering — identical to nearDupGateBatch
@@ -564,13 +610,14 @@ object CorpusStream {
       perDomain: Int,
       buckets: Int = 64,
       compactEvery: Int = 8,
-      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes): DataStreamWriter[Row] =
+      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes,
+      ttlBatches: Long = 0): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         domainCapGateBatch(batch, batchId, urlCol, keptPath, rejectedPath,
-          storePath, perDomain, buckets, compactEvery, suffixCsv)
+          storePath, perDomain, buckets, compactEvery, suffixCsv, ttlBatches)
       }
 
   /** One micro-batch of [[domainCapGateSink]], callable directly. */
@@ -584,7 +631,8 @@ object CorpusStream {
       perDomain: Int,
       buckets: Int = 64,
       compactEvery: Int = 8,
-      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes): Unit = {
+      suffixCsv: String = graft.functions.GraftUrlOps.DefaultSuffixes,
+      ttlBatches: Long = 0): Unit = {
     require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
     val spark = batch.sparkSession
     // Compact BEFORE reading prior counts, never after ([[
@@ -595,8 +643,13 @@ object CorpusStream {
     // every domain the lost delta touched and silently overshoot the cap.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactBucketedStore(spark, storePath, DomainBucketCol, batchId,
-        fold = df => df.groupBy(col(DomainBucketCol), col("domain"))
-          .agg(sum("n_admitted").as("n_admitted")))
+        // under TTL the admission batch is part of the aggregation key:
+        // per-(domain, origin) counts age out independently, giving the
+        // sliding-window cap ("perDomain admissions per ttl horizon")
+        fold = df => df.groupBy((col(DomainBucketCol) +: col("domain") +:
+            (if (ttlBatches > 0) Seq(col("origin_batch")) else Nil)): _*)
+          .agg(sum("n_admitted").as("n_admitted")),
+        ttlBatches = ttlBatches)
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = batch.columns.toSeq
@@ -861,7 +914,8 @@ object CorpusStream {
       domainBuckets: Int = 64,
       postingsBuckets: Int = 64,
       sigBuckets: Int = 64,
-      compactEvery: Int = 8): DataStreamWriter[Row] =
+      compactEvery: Int = 8,
+      ttlBatches: Long = 0): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -872,7 +926,7 @@ object CorpusStream {
           acceptLabels, minQuality, minAvgLpMicros, minJaccard, perDomain,
           contaminationN, maxContamination, suffixCsv, shingleK, perms,
           nBands, rowsPerBand, digestBuckets, domainBuckets,
-          postingsBuckets, sigBuckets, compactEvery)
+          postingsBuckets, sigBuckets, compactEvery, ttlBatches)
       }
 
   /** One micro-batch of [[curateV3GateSink]], callable directly. */
@@ -907,21 +961,31 @@ object CorpusStream {
       domainBuckets: Int = 64,
       postingsBuckets: Int = 64,
       sigBuckets: Int = 64,
-      compactEvery: Int = 8): Unit = {
+      compactEvery: Int = 8,
+      ttlBatches: Long = 0): Unit = {
     require(acceptLabels.nonEmpty, "curateV3GateBatch needs at least one accept label")
     require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
     val spark = batch.sparkSession
     // compaction + crash roll-forward at batch START, never after the
     // prior reads (the [[domainCapGateBatch]] ordering argument)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      // under TTL the admission batch joins each aggregation key (a
+      // digest is live in at most one origin at a time — re-admission is
+      // only possible after the prior row physically expired)
       compactBucketedStore(spark, digestStorePath, DigestBucketCol, batchId,
-        fold = df => df.groupBy(col(DigestBucketCol), col("text_md5"))
-          .agg(min("keep_id").as("keep_id")))
+        fold = df => df.groupBy((col(DigestBucketCol) +: col("text_md5") +:
+            (if (ttlBatches > 0) Seq(col("origin_batch")) else Nil)): _*)
+          .agg(min("keep_id").as("keep_id")),
+        ttlBatches = ttlBatches)
       compactBucketedStore(spark, domainStorePath, DomainBucketCol, batchId,
-        fold = df => df.groupBy(col(DomainBucketCol), col("domain"))
-          .agg(sum("n_admitted").as("n_admitted")))
-      compactBucketedStore(spark, postingsPath, PostingsBucketCol, batchId)
-      compactBucketedStore(spark, sigStorePath, SigBucketCol, batchId)
+        fold = df => df.groupBy((col(DomainBucketCol) +: col("domain") +:
+            (if (ttlBatches > 0) Seq(col("origin_batch")) else Nil)): _*)
+          .agg(sum("n_admitted").as("n_admitted")),
+        ttlBatches = ttlBatches)
+      compactBucketedStore(spark, postingsPath, PostingsBucketCol, batchId,
+        ttlBatches = ttlBatches)
+      compactBucketedStore(spark, sigStorePath, SigBucketCol, batchId,
+        ttlBatches = ttlBatches)
     }
     val fs = new Path(digestStorePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -194,6 +194,34 @@ class CorpusStreamSpec extends SparkSpec {
         f.selectedPartitions.partitionCount
     }.sum
 
+  test("bucketed gate TTL: history near-dups gate within horizon, expire after") {
+    val root = Files.createTempDirectory("neardup-ttl")
+    val (corpus, postings, store) = (s"$root/corpus", s"$root/postings", s"$root/store")
+    def run(df: DataFrame, id: Long): Unit =
+      CorpusStream.nearDupGateBucketedBatch(df, id, corpus, postings, store,
+        shingleK = 5, perms = 64, nBands = 16, rowsPerBand = 4, minJaccard = 0.5,
+        postingsBuckets = 16, sigBuckets = 8, compactEvery = 2, ttlBatches = 3)
+    def kept = CorpusStream.readKept(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    // batch 0: the original is kept
+    run(docs(1L -> base), 0L)
+    assert(kept == Set(1L))
+    // batches 1..3: near-dups of it reject — the batch-0 signature stays
+    // within the ttl=3 horizon through the compaction at 2
+    // (0 > 2-1-3 holds) and, between compactions, via the batch dirs
+    for (b <- 1L to 3L) {
+      run(docs((10L + b) -> (base + " v" + b)), b)
+      assert(!kept.contains(10L + b), s"batch $b must still reject the near-dup")
+    }
+    // batch 4 compacts with upto=4: origin 0 fails 0 > 4-1-3=0 — the
+    // signature expires and the same text is ADMITTED again
+    run(docs(20L -> (base + " revisited")), 4L)
+    assert(kept.contains(20L), "expired near-dup history must re-admit")
+    // and the fresh admission gates the NEXT drop (sliding window)
+    run(docs(21L -> (base + " revisited again")), 5L)
+    assert(!kept.contains(21L))
+  }
+
   test("NULL-text docs route to rejected, never silently vanish") {
     import graft.llm.{Classify, LangModel}
     val ref = Seq(

@@ -56,6 +56,74 @@ class DomainCapStreamSpec extends SparkSpec {
     assert(byDomain("x.com") == 3L && byDomain("y.io") == 2L)
   }
 
+  test("TTL compaction: the cap slides — expiry never lands early") {
+    val (kept, rej, store) = freshDirs()
+    def runTtl(df: DataFrame, id: Long): Unit =
+      CorpusStream.domainCapGateBatch(df, id, "url", kept, rej, store,
+        perDomain = 2, buckets = 8, compactEvery = 2, ttlBatches = 4)
+    // batch 0: x.com reaches its cap of 2
+    runTtl(docs((1L, "https://a.x.com/"), (2L, "https://b.x.com/")), 0L)
+    assert(ids(kept) == Set(1L, 2L))
+    // batches 1..5: every x.com doc rejects — the batch-0 admissions stay
+    // WITHIN the ttl=4 horizon through the compactions at 2 and 4
+    // (retention keeps origin > upto-1-ttl; at upto=4: 0 > -1 holds), and
+    // between compactions expired rows would still gate (conservative)
+    for (b <- 1L to 5L) {
+      runTtl(docs((10L + b, s"https://c$b.x.com/")), b)
+      assert(!ids(kept).contains(10L + b), s"batch $b must still reject")
+    }
+    // batch 6 compacts with upto=6: origin 0 fails 0 > 6-1-4=1 — the
+    // batch-0 admissions age OUT, and x.com has 2 fresh slots
+    runTtl(docs((30L, "https://f.x.com/"), (31L, "https://g.x.com/"),
+      (32L, "https://h.x.com/")), 6L)
+    val now = ids(kept)
+    assert(Set(30L, 31L, 32L).count(now.contains) == 2,
+      s"expected exactly 2 fresh admissions after expiry, kept=$now")
+    // (the batch-6 compaction expired EVERY stored row — all-expired is
+    // represented as store ABSENCE, which the gate treats as empty prior)
+    // batch 7: x.com full again with the fresh batch-6 admissions
+    runTtl(docs((40L, "https://i.x.com/")), 7L)
+    assert(!ids(kept).contains(40L))
+    // batch 8 compacts: the base carries origin_batch and holds only the
+    // live (batch-6) origins
+    runTtl(docs((41L, "https://j.x.com/")), 8L)
+    val base = spark.read.parquet(store).filter(col("batch") === -1)
+    assert(base.columns.contains("origin_batch"))
+    assert(base.filter(col("origin_batch") =!= 6).count() == 0)
+    assert(base.filter(col("origin_batch") === 6).count() > 0)
+  }
+
+  test("TTL recovery: a committed TTL fold rolls forward like the plain one") {
+    val (kept, rej, store) = freshDirs()
+    def runTtl(df: DataFrame, id: Long, every: Int = 0): Unit =
+      CorpusStream.domainCapGateBatch(df, id, "url", kept, rej, store,
+        perDomain = 2, buckets = 8, compactEvery = every, ttlBatches = 3)
+    for (b <- 0L to 3L)
+      runTtl(docs((100 * b + 1, s"https://g$b.x.com/"), (100 * b + 2, "https://y.io/")), b)
+    // plant the committed-fold crash state WITH the ttl filter applied
+    spark.read.option("mergeSchema", "true").parquet(store)
+      .filter(col("batch") < 4)
+      .withColumn("origin_batch", col("batch")) // no prior base here
+      .filter(col("origin_batch") > 4 - 1 - 3)
+      .drop("batch")
+      .groupBy(col(CorpusStream.DomainBucketCol), col("domain"), col("origin_batch"))
+      .agg(sum("n_admitted").as("n_admitted"))
+      .write.partitionBy(CorpusStream.DomainBucketCol)
+      .parquet(s"$store/.compact_staging")
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$store/.compact_staging/_UPTO"))
+    try out.writeLong(4L) finally out.close()
+    // next gated batch recovers, then decides against the recovered store
+    runTtl(docs((500L, "https://z.x.com/")), 4L, every = 4)
+    val dirs = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs.contains("batch=-1") && !dirs.contains("batch=0"))
+    // origins 0 aged out by the planted fold; 1..3 survive with their age
+    val base = spark.read.parquet(store).filter(col("batch") === -1)
+    assert(base.filter(col("origin_batch") === 0).count() == 0)
+    assert(base.filter(col("origin_batch") === 1).count() > 0)
+  }
+
   test("a crash-replayed batch re-decides identically (no double counting)") {
     val (kept, rej, store) = freshDirs()
     run(docs((1L, "https://a.x.com/"), (2L, "https://b.x.com/")), 0L, kept, rej, store)
