@@ -25,8 +25,10 @@ committed fixture generators (bit-exact same wire layouts):
     pinned separately by the CC_BIG 18 M-cell file; this day pins the
     day-scale DISPATCH and volume.
 
-  python3 tools/make_glofas_day_mixed.py [outdir] [ni] [nj]
-  # defaults: /tmp/glofas_day_mixed 1400 460
+  python3 tools/make_glofas_day_mixed.py [outdir] [ni] [nj] [days]
+  # defaults: /tmp/glofas_day_mixed 1400 460 1
+  # days > 1 emits a multi-day mixed-encoding backfill (one ref_time per
+  # day, day-stamped file names) for the StreamSoak week drill
 """
 import os
 import struct
@@ -194,32 +196,39 @@ def kind_of(member: int) -> str:
 
 
 def main() -> None:
-    global NI, NJ
+    global NI, NJ, REF
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/glofas_day_mixed"
     if len(sys.argv) > 2:
         NI = int(sys.argv[2])
     if len(sys.argv) > 3:
         NJ = int(sys.argv[3])
+    days = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.makedirs(outdir, exist_ok=True)
     counts = {"simple": 0, "complex": 0, "ccsds": 0}
     total_bytes = 0
-    for step in STEPS:
-        parts = []
-        for member in range(MEMBERS):
-            rng = np.random.default_rng(step * 1000 + member)
-            k = kind_of(member)
-            counts[k] += 1
-            if k == "ccsds":
-                parts.append(msg_ccsds(member, step, rng))
-            elif k == "complex":
-                parts.append(msg_complex(member, step, (member + step) % 3, rng))
-            else:
-                parts.append(msg_simple(member, step, rng))
-        with open(os.path.join(outdir, f"glofas_lt{step:03d}.grib2"), "wb") as fh:
-            fh.write(b"".join(parts))
-        total_bytes += sum(len(p) for p in parts)
-    cells = len(STEPS) * MEMBERS * NI * NJ
-    print(f"wrote {len(STEPS)} files, {sum(counts.values())} messages "
+    nfiles = 0
+    for day in range(days):
+        REF = (2023, 10, 1 + day, 0, 0, 0)
+        for step in STEPS:
+            parts = []
+            for member in range(MEMBERS):
+                rng = np.random.default_rng((day * 31 + step) * 1000 + member)
+                k = kind_of(member)
+                counts[k] += 1
+                if k == "ccsds":
+                    parts.append(msg_ccsds(member, step, rng))
+                elif k == "complex":
+                    parts.append(msg_complex(member, step, (member + step) % 3, rng))
+                else:
+                    parts.append(msg_simple(member, step, rng))
+            name = (f"glofas_lt{step:03d}.grib2" if days == 1
+                    else f"glofas_d{day:02d}_lt{step:03d}.grib2")
+            with open(os.path.join(outdir, name), "wb") as fh:
+                fh.write(b"".join(parts))
+            nfiles += 1
+            total_bytes += sum(len(p) for p in parts)
+    cells = days * len(STEPS) * MEMBERS * NI * NJ
+    print(f"wrote {nfiles} files, {sum(counts.values())} messages "
           f"({counts}), {cells:,} cells, {total_bytes / 1e9:.2f} GB -> {outdir}")
 
 
