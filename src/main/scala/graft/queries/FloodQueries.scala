@@ -268,6 +268,10 @@ object FloodQueries {
     new java.io.File("data/grib/png_expected.parquet").getAbsolutePath
   private lazy val gribCcsds =
     new java.io.File("data/grib/ccsds.grib2").getAbsolutePath
+  private lazy val gribJ2k =
+    new java.io.File("data/grib/j2k.grib2").getAbsolutePath
+  private lazy val gribJ2kExpected =
+    new java.io.File("data/grib/j2k_expected.parquet").getAbsolutePath
   private lazy val gribCcsdsExpected =
     new java.io.File("data/grib/ccsds_expected.parquet").getAbsolutePath
   private lazy val gribBigday =
@@ -457,6 +461,21 @@ object FloodQueries {
     "q_grib_ccsds" -> ((s, _) => s.read
       .format(classOf[graft.sources.GribSource].getName)
       .option("path", gribCcsds)
+      .option("numPartitions", "3")
+      .load()),
+
+    // JPEG 2000 packing (DRS 5.40, LOSSLESS) — the last ecCodes packing,
+    // decoded from spec since round 18: ITU-T T.800 MQ arithmetic coder,
+    // EBCOT Tier-1 bit-plane passes, tag-tree packet headers, inverse
+    // 5/3 reversible lifting (J2kDecoder.scala). The fixture
+    // (tools/make_grib_j2k_fixture.py) carries a SELF-CHECKING from-spec
+    // python encoder/decoder pair (no JPEG 2000 library exists here) and
+    // covers 1-3 decomposition levels, 10-16-bit depths, small
+    // code-blocks, and a bitmap message (compacted 1-row image, missing
+    // cells -> NULL). LOSSY 5.40 keeps the loud index-time reject.
+    "q_grib_jpeg" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribJ2k)
       .option("numPartitions", "3")
       .load()),
 
@@ -828,6 +847,9 @@ object FloodQueries {
 
     "q_grib_ccsds" ->
       s"SELECT * FROM read_parquet('$gribCcsdsExpected')",
+
+    "q_grib_jpeg" ->
+      s"SELECT * FROM read_parquet('$gribJ2kExpected')",
 
     "q_grib_bigday" ->
       s"""SELECT number, step_hours, COUNT(*) AS cells,

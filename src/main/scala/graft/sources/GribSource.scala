@@ -121,6 +121,7 @@ private[sources] final case class GribMessage(
     dataLen: Int = -1, // section-7 body length (needed for complex packing)
     complex: Option[ComplexParams] = None, // None = simple packing (5.0)
     png: Boolean = false, // DRS 5.41: section 7 is a PNG raster
+    j2k: Boolean = false, // DRS 5.40: section 7 is a JPEG 2000 codestream
     ccsds: Option[CcsdsParams] = None) { // DRS 5.42: CCSDS/AEC stream
   def points: Int = ni * nj
 }
@@ -329,6 +330,7 @@ private[sources] object GribModel {
     var dataLen = -1
     var complex: Option[ComplexParams] = None
     var png = false
+    var j2k = false
     var ccsds: Option[CcsdsParams] = None
 
     var at = msgStart + 16
@@ -468,12 +470,19 @@ private[sources] object GribModel {
               require(nbits == 0 || (rsi >= 1 && rsi <= 4096),
                 s"$path: CCSDS reference sample interval $rsi out of range")
               ccsds = Some(CcsdsParams(ccsdsFlags, block, rsi))
-            case 40 => throw new IllegalArgumentException(
-              s"$path: data representation template 5.40 (JPEG 2000 " +
-                "packing) is not supported — a from-spec EBCOT/MQ decoder " +
-                "is out of scope. Re-encode the file once at ingest: " +
-                "`grib_set -r -s packingType=grid_simple in.grib2 out.grib2` " +
-                "(or grid_ccsds, which this source decodes natively)")
+            case 40 => // JPEG 2000 packing: octets 12-21 as simple
+              // packing, then type of compression (0 = lossless) and the
+              // target ratio. Lossless decodes from spec (J2kDecoder);
+              // LOSSY (irreversible 9/7) keeps the loud reject — a rate-
+              // controlled stream has no exact integer reconstruction.
+              val compression = b.get(16) & 0xFF
+              require(compression == 0,
+                s"$path: data representation template 5.40 with LOSSY " +
+                  "JPEG 2000 compression is not supported (no exact " +
+                  "integer reconstruction exists) — re-encode at ingest: " +
+                  "`grib_set -r -s packingType=grid_simple in.grib2 out.grib2` " +
+                  "(or grid_ccsds / lossless jpeg)")
+              j2k = true
             case t => throw new IllegalArgumentException(
               s"$path: data representation template 5.$t unsupported " +
                 "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing, " +
@@ -501,7 +510,7 @@ private[sources] object GribModel {
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
-      nPresent, bitmapOffset, dataOffset, dataLen, complex, png, ccsds)
+      nPresent, bitmapOffset, dataOffset, dataLen, complex, png, j2k, ccsds)
   }
 }
 
@@ -593,7 +602,7 @@ private[graft] object GribIndexCache {
   // v3: + the PNG-packing (5.41) flag.
   // v4: + the optional CCSDS (5.42) parameters.
   // A version bump benignly invalidates older sidecars (fresh walk + rewrite).
-  private val Version = 4
+  private val Version = 5 // v5: +j2k flag (DRS 5.40 lossless decode)
   val hits = new java.util.concurrent.atomic.AtomicLong
   val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -665,6 +674,7 @@ private[graft] object GribIndexCache {
                 spatialOrder = in.readInt(), extraOctets = in.readInt()))
             },
             png = in.readBoolean(),
+            j2k = in.readBoolean(),
             ccsds = {
               if (!in.readBoolean()) None
               else Some(CcsdsParams(flags = in.readInt(),
@@ -708,6 +718,7 @@ private[graft] object GribIndexCache {
           out.writeInt(cp.spatialOrder); out.writeInt(cp.extraOctets)
         }
         out.writeBoolean(m.png)
+        out.writeBoolean(m.j2k)
         out.writeBoolean(m.ccsds.isDefined)
         m.ccsds.foreach { cc =>
           out.writeInt(cc.flags); out.writeInt(cc.blockSize)
@@ -1349,6 +1360,23 @@ private class GribReaderFactory extends PartitionReaderFactory {
             decode(decodePngRaster(
               readBytes(current.dataOffset, current.dataLen.toLong), current),
               current)
+          else if (current.j2k && current.nbits > 0) {
+            // JPEG 2000 packing (5.40, lossless): EBCOT/MQ decode to the
+            // packed X stream, then the shared Y = (R + X*2^E) / 10^D
+            val xs = J2kDecoder.decode(
+              readBytes(current.dataOffset, current.dataLen.toLong),
+              current.nPresent, current.nbits, current.path)
+            val out = new Array[Double](current.nPresent)
+            val r = current.refValue.toDouble
+            val twoE = math.pow(2.0, current.binScale)
+            val tenD = math.pow(10.0, current.decScale)
+            var i = 0
+            while (i < out.length) {
+              out(i) = (r + xs(i) * twoE) / tenD
+              i += 1
+            }
+            out
+          }
           else if (current.ccsds.isDefined && current.nbits > 0) {
             // CCSDS/AEC (5.42): entropy-decode to the packed X stream,
             // then the shared Y = (R + X·2^E) / 10^D scaling

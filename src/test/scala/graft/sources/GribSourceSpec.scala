@@ -321,19 +321,20 @@ class GribSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
-  test("DRS 5.40 (JPEG 2000) rejects at INDEX time naming the template and the escape hatch") {
-    // committed fixture (tools/make_grib_jpeg_fixture.py): one real 5.40
-    // message with a JP2 codestream payload — the last packing ecCodes
-    // commonly emits that this source does not decode. The contract is a
-    // crisp ingest-time error carrying the re-encode advice, never a
-    // silent skip, a decode of garbage, or a generic parse failure.
+  test("LOSSY DRS 5.40 rejects at INDEX time naming the cause and the escape hatch") {
+    // committed fixture (tools/make_grib_jpeg_fixture.py): one 5.40
+    // message with type-of-compression 1 (lossy). Lossless 5.40 decodes
+    // since round 18 (J2kDecoder, GribJ2kFuzzSpec); a rate-controlled
+    // lossy stream has no exact integer reconstruction, so the contract
+    // is a crisp ingest-time error carrying the re-encode advice, never
+    // a silent skip, a decode of garbage, or a generic parse failure.
     val f = new File("data/grib/jpeg2000.grib2").getAbsolutePath
     val e = intercept[IllegalArgumentException] {
       spark.read.format(classOf[GribSource].getName)
         .option("path", f).load().collect()
     }
     val msg = e.getMessage
-    assert(msg.contains("5.40") && msg.contains("JPEG 2000"), msg)
+    assert(msg.contains("5.40") && msg.contains("LOSSY"), msg)
     assert(msg.contains("grid_simple") && msg.contains("grib_set"), msg)
   }
 

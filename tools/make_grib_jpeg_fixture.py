@@ -4,15 +4,17 @@ data/grib/jpeg2000.grib2.
 
 One message, written directly from the public WMO FM 92 GRIB2 spec like
 every other fixture here: sections 0-8 with data representation template
-5.40 (octets 12-21 as simple packing, then type-of-compression=0 lossless
-and an undefined target ratio), section 7 carrying a JPEG 2000 codestream
-prefix (SOC + SIZ markers — what ecCodes' openjpeg encoder emits).
+5.40 (octets 12-21 as simple packing, then type-of-compression=1 LOSSY
+and a target ratio), section 7 carrying a JPEG 2000 codestream prefix
+(SOC + SIZ markers).
 
-GribSource does NOT decode JPEG2000 (an from-spec EBCOT/MQ-coder is out of
-scope); the fixture exists to pin the REJECT path: indexing this file must
-fail with a named error that identifies template 5.40 and the conversion
-escape hatch (grib_set -s packingType=grid_simple), never a silent skip or
-a generic parse error.
+Since round 18 GribSource DECODES lossless 5.40 from spec (J2kDecoder +
+tools/make_grib_j2k_fixture.py); this fixture pins the remaining REJECT
+path — LOSSY (rate-controlled 9/7) streams have no exact integer
+reconstruction, so indexing this file must fail with a named error that
+identifies the lossy 5.40 cause and the conversion escape hatch
+(grib_set -s packingType=grid_simple), never a silent skip or a generic
+parse error.
 
 Run once, commit output:
   python3 tools/make_grib_jpeg_fixture.py
@@ -56,9 +58,13 @@ sec4 = section(4, struct.pack(">H", 0) + struct.pack(">H", 0)
 # DRS template 5.40: R, E, D, nbits as simple packing; then original field
 # type (0), type of compression (0 = lossless), target compression ratio
 # (255 = undefined for lossless)
+# type of compression 1 = LOSSY: the reject case that remains after
+# round 18's lossless decoder — no exact integer reconstruction exists
+# for a rate-controlled 9/7 stream, so the index-time error names the
+# cause and the grib_set conversion
 sec5 = section(5, struct.pack(">IH", npts, 40)
                + struct.pack(">f", 5.0) + s16(-1) + s16(1)
-               + struct.pack(">BB", 12, 0) + struct.pack(">BB", 0, 255))
+               + struct.pack(">BB", 12, 0) + struct.pack(">BB", 1, 128))
 sec6 = section(6, struct.pack(">B", 255))
 # A JPEG 2000 codestream prefix: SOC, then a SIZ segment sized for the
 # grid (the reject path never reads it, but a future decoder's fixture
