@@ -49,7 +49,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    expected size), shuffle, fletcher32 (verified); others reject;
   *  - attributes v1/v2/v3, including `DIMENSION_LIST` (vlen of object
   *    references resolved through the global heap) — the netCDF-4 wiring
-  *    of variables to dimension-scale datasets; unknown attributes
+  *    of variables to dimension-scale datasets — in HEADER messages or in
+  *    DENSE attribute storage (Attribute Info message → fractal heap +
+  *    type-8 v2 B-tree, the past-8-attributes form, walked by the same
+  *    checksummed machinery as dense links); unknown attributes
   *    (`REFERENCE_LIST`, `_NCProperties`, ...) are skipped by message
   *    framing, never decoded.
   *
@@ -503,22 +506,38 @@ private[sources] object Hdf5 {
     * space (which INCLUDES the block's own header bytes) at file `addr`. */
   private final case class DirectBlock(heapOff: Long, size: Long, addr: Long)
 
-  /** Enumerate a dense group's links: walk the name-index v2 B-tree for the
-    * heap IDs (records first, then child pointers — spec layout), fetch
-    * each link message from the fractal heap's direct blocks, parse with
-    * the same link parser as compact groups. This is the storage libhdf5
-    * switches to once a group passes the compact threshold (8 links by
-    * default) — i.e. any netCDF-4 file with more than a handful of
-    * variables. Driver-side metadata walk, KBs total.
+  /** Enumerate a dense group's links: the [[denseHeapObjects]] walk over
+    * the type-5 name index, each heap object parsed with the same link
+    * parser as compact groups. This is the storage libhdf5 switches to
+    * once a group passes the compact threshold (8 links by default) —
+    * i.e. any netCDF-4 file with more than a handful of variables. */
+  def denseLinks(in: In, heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] =
+    denseHeapObjects(in, heapAddr, btreeAddr, btType = 5,
+      heapIdRecOffset = 4, recordTail = 0).map(parseLinkBody(in, _))
+
+  /** Enumerate a dataset's DENSE attributes (Attribute Info message →
+    * fractal heap + type-8 name index — what libhdf5 emits past the
+    * 8-attribute compact threshold): heap objects ARE attribute-message
+    * bodies, handed to the same [[parseAttr]] as header attributes. */
+  def denseAttrBodies(in: In, heapAddr: Long, btreeAddr: Long): Seq[Array[Byte]] =
+    denseHeapObjects(in, heapAddr, btreeAddr, btType = 8,
+      heapIdRecOffset = 0, recordTail = 9) // flags(1) + corder(4) + hash(4)
+
+  /** Shared dense-storage walk for LINKS (v2 B-tree type 5: hash(4) +
+    * heap ID) and ATTRIBUTES (type 8: heap ID + flags + creation order +
+    * hash): walk the v2 B-tree for the managed heap IDs (records first,
+    * then child pointers — spec layout), fetch each object from the
+    * fractal heap's direct blocks. Driver-side metadata walk, KBs total.
     *
     * Supported shape (loud rejects otherwise): unfiltered managed objects,
     * root direct block or one root indirect block of direct-block rows,
     * B-tree depth 0 or 1. Huge/tiny heap objects and deeper trees would
-    * need links of hundreds of bytes or many thousands of links — outside
-    * anything a netCDF-4 writer emits for group storage. All lookup3
-    * checksums (heap header, direct blocks when flagged, B-tree nodes) are
+    * need objects of thousands of bytes or many thousands of entries —
+    * outside anything a netCDF-4 writer emits. All lookup3 checksums
+    * (heap header, direct blocks when flagged, B-tree nodes) are
     * VERIFIED — every length and address is untrusted input. */
-  def denseLinks(in: In, heapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+  private def denseHeapObjects(in: In, heapAddr: Long, btreeAddr: Long,
+      btType: Int, heapIdRecOffset: Int, recordTail: Int): Seq[Array[Byte]] = {
     // ---- fractal heap header (FRHP)
     val lenSz = 8 // "size of lengths" / "size of offsets": 8 in all superblocks here
     val hdrLen = 4 + 1 + 2 + 2 + 1 + 4 + lenSz + 8 + lenSz + 8 + (lenSz * 4) +
@@ -664,12 +683,14 @@ private[sources] object Hdf5 {
     require(new String(sig, StandardCharsets.US_ASCII) == "BTHD",
       s"${in.path}: bad v2 B-tree header signature at $btreeAddr")
     require((t.get() & 0xFF) == 0, s"${in.path}: v2 B-tree version")
-    val btType = t.get() & 0xFF
-    require(btType == 5, s"${in.path}: v2 B-tree type $btType for a link name index")
+    val gotType = t.get() & 0xFF
+    require(gotType == btType,
+      s"${in.path}: v2 B-tree type $gotType for a dense index (expected $btType)")
     val nodeSize = t.getInt
     val recordSize = u16(t)
-    require(recordSize == 4 + heapIdLen, s"${in.path}: link name record size " +
-      s"$recordSize (expected ${4 + heapIdLen})")
+    require(recordSize == heapIdRecOffset + heapIdLen + recordTail,
+      s"${in.path}: dense index record size $recordSize " +
+        s"(expected ${heapIdRecOffset + heapIdLen + recordTail})")
     val depth = u16(t)
     t.get(); t.get() // split / merge percent
     val rootNodeAddr = in.checkedAddr(t.getLong, "v2 B-tree root")
@@ -682,7 +703,7 @@ private[sources] object Hdf5 {
 
     def parseRecords(bytes: Array[Byte], off: Int, nrec: Int): Seq[(Long, Int)] =
       (0 until nrec).map { i =>
-        val p = off + i * recordSize + 4 // skip the name hash
+        val p = off + i * recordSize + heapIdRecOffset
         val flag = bytes(p) & 0xFF
         require((flag & 0xF0) == 0,
           s"${in.path}: non-managed heap ID (flag byte 0x${flag.toHexString}) in link index")
@@ -740,8 +761,8 @@ private[sources] object Hdf5 {
         children.flatten ++ rootRecords
       }
     require(heapIds.length == totalNrec,
-      s"${in.path}: walked ${heapIds.length} link records, header says $totalNrec")
-    heapIds.map { case (objOff, objLen) => parseLinkBody(in, heapObject(objOff, objLen)) }
+      s"${in.path}: walked ${heapIds.length} dense records, header says $totalNrec")
+    heapIds.map { case (objOff, objLen) => heapObject(objOff, objLen) }
   }
 
   // ------------------------------------------------------------ messages
@@ -1028,6 +1049,16 @@ private[sources] object Hdf5 {
     var scaleName: Option[String] = None
     var fillAttr: Option[Array[Byte]] = None
     var dimList: Option[Array[Long]] = None
+    def handleAttr(body: Array[Byte]): Unit = {
+      val a = parseAttr(body, in.path)
+      a.name match {
+        case "CLASS" => className = Some(attrString(a))
+        case "NAME" => scaleName = Some(attrString(a))
+        case "_FillValue" => fillAttr = Some(a.data)
+        case "DIMENSION_LIST" => dimList = Some(parseDimensionList(in, a))
+        case _ => // REFERENCE_LIST, _Netcdf4Dimid, user attrs: framed, skipped
+      }
+    }
     msgs.foreach { m =>
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
       m.mtype match {
@@ -1036,14 +1067,24 @@ private[sources] object Hdf5 {
         case 0x0005 => fillMsg = parseFillMsg(b, in.path)
         case 0x0008 => layout = parseLayout(b, in)
         case 0x000B => filters = parseFilters(b, in.path)
-        case 0x000C =>
-          val a = parseAttr(m.body, in.path)
-          a.name match {
-            case "CLASS" => className = Some(attrString(a))
-            case "NAME" => scaleName = Some(attrString(a))
-            case "_FillValue" => fillAttr = Some(a.data)
-            case "DIMENSION_LIST" => dimList = Some(parseDimensionList(in, a))
-            case _ => // REFERENCE_LIST, _Netcdf4Dimid, user attrs: framed, skipped
+        case 0x000C => handleAttr(m.body)
+        case 0x0015 =>
+          // Attribute Info: DENSE attribute storage — what libhdf5 emits
+          // past the 8-attribute compact threshold (CF metadata plus the
+          // dimension-scale internals get there easily). The load-bearing
+          // attributes (CLASS/NAME/_FillValue/DIMENSION_LIST) may live
+          // here, so skipping it would misread the file, not just lose
+          // metadata.
+          require((b.get() & 0xFF) == 0, s"${in.path}: attribute info version")
+          val aflags = b.get() & 0xFF
+          if ((aflags & 0x1) != 0) b.getShort // max creation index (u16)
+          val fheap = b.getLong
+          val nameBt = b.getLong
+          if (fheap != Undef) {
+            require(nameBt != Undef, s"${in.path}: '$name' has dense " +
+              "attributes with no name-index v2 B-tree")
+            denseAttrBodies(in, in.checkedAddr(fheap, "attribute fractal heap"),
+              in.checkedAddr(nameBt, "attribute name index")).foreach(handleAttr)
           }
         case 0x0011 => throw new IllegalArgumentException(
           s"${in.path}: '$name' is a GROUP — nested groups are not supported " +

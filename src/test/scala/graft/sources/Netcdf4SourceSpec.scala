@@ -180,9 +180,27 @@ class Netcdf4SourceSpec extends SparkSpec {
     // pruning still reaches I/O on the dense path
     val plan = df.select("y", "v_single").queryExecution.executedPlan.toString
     assert(plan.contains("vars=[v_single]"), s"expected pruned vars:\n$plan")
+    // v_fixed_filt resolves its dims through DENSE attribute storage
+    // (Attribute Info -> fractal heap + type-8 B-tree): the values above
+    // already compared equal, which is only possible if DIMENSION_LIST
+    // was read out of the dense store; pin that the column really exists
+    assert(df.select(sum(col("v_fixed_filt"))).head.getDouble(0) ==
+      want.select(sum(col("v_fixed_filt"))).head.getDouble(0))
+    // corrupting a byte inside the dense ATTRIBUTE heap (an attr name)
+    // fails the block checksum loudly instead of misreading metadata
+    val bytes = Files.readAllBytes(Paths.get(dense))
+    val apos = indexOfSlice(bytes, "attr_03".getBytes)
+    assert(apos > 0)
+    val abad = bytes.clone()
+    abad(apos) = 'z'.toByte
+    val adir = Files.createTempDirectory("nc4denseattr")
+    val ap = adir.resolve("bad.nc")
+    Files.write(ap, abad, StandardOpenOption.CREATE)
+    val aex = intercept[Exception] { nc(ap.toString).count() }
+    assert(Option(aex.getMessage).getOrElse("").contains("checksum"),
+      s"expected a checksum rejection, got: ${aex.getMessage}")
     // corrupting a direct-block byte (inside a link name) fails the block
     // checksum loudly instead of surfacing a wrong link
-    val bytes = Files.readAllBytes(Paths.get(dense))
     val pos = indexOfSlice(bytes, "v_contig4".getBytes)
     assert(pos > 0)
     val corrupt = bytes.clone()

@@ -35,7 +35,11 @@ Structure:
         (shuffle+deflate+fletcher32, 5×4 chunks), v_btree1 f4 v3
         B-tree-v1 chunked deflate, v_u2 u2 v4-contiguous (values past the
         signed short range — the widening proof), v_i8 i8 v4-single,
-        v_f8c f8 v3-contiguous, v_i1 i1 v4-implicit (6×9 chunks).
+        v_f8c f8 v3-contiguous, v_i1 i1 v4-implicit (6×9 chunks);
+  v_fixed_filt additionally stores its attributes DENSELY (Attribute
+  Info message → 8-byte-heap-ID fractal heap + type-8 v2 B-tree, v3
+  attribute messages as heap objects) with DIMENSION_LIST inside — the
+  load-bearing case a reader that skipped dense attributes would break.
 
 Run once, commit outputs:
   python3 tools/make_netcdf4_dense_fixture.py
@@ -153,9 +157,22 @@ def heap_id(off, length):
     return u8(0) + u32(off) + u16(length)
 
 
+def attr_v3(name, dtype, dspace, data):
+    nb = name.encode() + b"\x00"
+    return (u8(3) + u8(0) + u16(len(nb)) + u16(len(dtype)) + u16(len(dspace))
+            + u8(0) + nb + dtype + dspace + data)
+
+
+# attribute fractal heap: 8-byte heap IDs (1 + 5-byte offsets from a
+# 40-bit heap space + 2-byte lengths), one root DIRECT block
+ATTR_START = 2048
+ATTR_DB_HDR = 4 + 1 + 8 + 5 + 4
+
+
 def build():
     order = ["sb", "root_oh", "y_oh", "x_oh"]
     order += [f"{v}_oh" for v in VAR_NAMES]
+    order += ["afrhp", "afdb0", "abtleaf", "abthd"]
     order += ["fhib", "db0", "db1", "db2", "btleaf", "bthd", "gheap",
               "y_data", "contig4_data", "single_data", "single_filt_chunk",
               "implicit_data", "fixed_fahd", "fixed_fadb",
@@ -245,11 +262,68 @@ def build():
             fill=FILL_F.tobytes(),
             extra=[(0x000C, attr_v1("_FillValue", dt_float(4),
                                     ds_simple_v1([1]), FILL_F.tobytes()))])
-        blocks["v_fixed_filt_oh"] = var_oh(
-            dt_float(8),
-            layout_v4_chunked(0, (5, 4, 8), 3, u8(10),
-                              addr["fixed_filt_fahd"]),
-            filters=FF_FILTERS)
+        # v_fixed_filt carries DENSE attributes (Attribute Info message ->
+        # fractal heap + type-8 v2 B-tree): DIMENSION_LIST lives in the
+        # dense store, so a reader that skipped it would fail to resolve
+        # the variable's dimensions — the attributes are load-bearing
+        gi0 = galloc(u64(addr["y_oh"]))
+        gi1 = galloc(u64(addr["x_oh"]))
+        dl_data = (u32(1) + u64(addr["gheap"]) + u32(gi0) +
+                   u32(1) + u64(addr["gheap"]) + u32(gi1))
+        dense_attrs = [attr_v3("DIMENSION_LIST", dt_vlen_of(dt_objref()),
+                               ds_simple_v1([2]), dl_data)]
+        for k in range(9):  # filler metadata pushing past the threshold
+            val = (f"filler value {k} " + "x" * k).encode() + b"\x00"
+            from make_netcdf4_fixture import dt_string, ds_scalar_v2
+            dense_attrs.append(attr_v3(f"attr_{k:02d}", dt_string(len(val)),
+                                       ds_scalar_v2(), val))
+        aplaced = []
+        aoff = ATTR_DB_HDR
+        for body in dense_attrs:
+            assert aoff + len(body) <= ATTR_START, "attr heap block overflow"
+            aplaced.append((aoff, len(body)))
+            aoff += len(body)
+        adb = bytearray(ATTR_START)
+        adb[0:4] = b"FHDB"
+        adb[4] = 0
+        struct.pack_into("<Q", adb, 5, addr["afrhp"])
+        adb[13:18] = (0).to_bytes(5, "little")
+        for (off, ln), body in zip(aplaced, dense_attrs):
+            adb[off:off + ln] = body
+        struct.pack_into("<I", adb, 18, lookup3(bytes(adb)))
+        blocks["afdb0"] = bytes(adb)
+        afrhp = (b"FRHP" + u8(0) + u16(8) + u16(0) + u8(0x2) +
+                 u32(4096) + u64(0) + u64(UNDEF) +
+                 u64(ATTR_START - aoff) + u64(UNDEF) +
+                 u64(ATTR_START) + u64(ATTR_START) + u64(aoff) +
+                 u64(len(dense_attrs)) +
+                 u64(0) + u64(0) + u64(0) + u64(0) +
+                 u16(4) + u64(ATTR_START) + u64(65536) + u16(40) + u16(1) +
+                 u64(addr["afdb0"]) + u16(0))
+        blocks["afrhp"] = afrhp + u32(lookup3(afrhp))
+        anames = ["DIMENSION_LIST"] + [f"attr_{k:02d}" for k in range(9)]
+        arecs = sorted(
+            (lookup3(nm.encode()),
+             u8(0) + off.to_bytes(5, "little") + u16(ln) + u8(0) + u32(ci))
+            for ci, (nm, (off, ln)) in enumerate(zip(anames, aplaced)))
+        aleaf = b"BTLF" + u8(0) + u8(8)
+        for h, rec in arecs:
+            aleaf += rec + u32(h)
+        blocks["abtleaf"] = aleaf + u32(lookup3(aleaf))
+        abthd = (b"BTHD" + u8(0) + u8(8) + u32(512) + u16(17) + u16(0) +
+                 u8(100) + u8(40) + u64(addr["abtleaf"]) + u16(len(arecs)) +
+                 u64(len(arecs)))
+        blocks["abthd"] = abthd + u32(lookup3(abthd))
+
+        blocks["v_fixed_filt_oh"] = object_header_v2([
+            (0x0001, ds_simple_v2([NY, NX])),
+            (0x0003, dt_float(8)),
+            (0x0005, fill_value_msg(None)),
+            (0x000B, filter_pipeline(FF_FILTERS)),
+            (0x0008, layout_v4_chunked(0, (5, 4, 8), 3, u8(10),
+                                       addr["fixed_filt_fahd"])),
+            (0x0015, u8(0) + u8(0) + u64(addr["afrhp"]) + u64(addr["abthd"])),
+        ])
         blocks["v_btree1_oh"] = var_oh(
             dt_float(4), layout_chunked(addr["btree1_btree"], (5, 7), 4),
             filters=B1_FILTERS)

@@ -26,7 +26,10 @@ parameter randomizes from the seed:
     filter pipeline from {none, deflate, shuffle+deflate,
     deflate+fletcher32, shuffle+deflate+fletcher32};
   - optional _FillValue with a random fill mask;
-  - random extra attributes the reader must SKIP by framing.
+  - random extra attributes the reader must SKIP by framing;
+  - ~30% of variables store their attributes DENSELY (Attribute Info ->
+    fractal heap + type-8 v2 B-tree, v3 attribute messages) with the
+    load-bearing DIMENSION_LIST inside.
 
 Values land on the 1/8 grid so `round(value * 1000)` is engine-exact.
 For each variable the generator prints one expectation line:
@@ -227,6 +230,15 @@ def fadb(client, hdr_addr, elements):
     return d + u32(lookup3(d))
 
 
+def attr_v3(name, dtype, dspace, data):
+    nb = name.encode() + b"\x00"
+    return (u8(3) + u8(0) + u16(len(nb)) + u16(len(dtype)) + u16(len(dspace))
+            + u8(0) + nb + dtype + dspace + data)
+
+
+ATTR_DB_HDR = 4 + 1 + 8 + 5 + 4  # 40-bit heap space -> 5-byte offsets
+
+
 def filter_pipeline(filters):
     body = u8(1) + u8(len(filters)) + u16(0) + u32(0)
     for fid, cd in filters:
@@ -391,6 +403,8 @@ def main(out: str, seed: int) -> None:
                               history="x" * int(rng.integers(1, 40)),
                               enc_len=int(rng.choice([1, 2, 4])),
                               v4rankonly=bool(rng.random() < 0.2),
+                              dense_attrs=bool(rng.random() < 0.3),
+                              n_filler=int(rng.integers(6, 12)),
                               chunks=chunks))
 
     link_names = dim_names + [s["name"] for s in var_specs]
@@ -444,6 +458,10 @@ def main(out: str, seed: int) -> None:
         if dns["depth1"]:
             order += ["btint"]
     order += [f"oh_{n}" for n in link_names]
+    for sp in var_specs:
+        if sp["dense_attrs"]:
+            order += [f"afrhp_{sp['name']}", f"afdb_{sp['name']}",
+                      f"aleaf_{sp['name']}", f"abthd_{sp['name']}"]
     order += [f"vbtree_{s['name']}" for s in var_specs if s["form"] == "v3_btree"]
     order += [f"fahd_{s['name']}" for s in var_specs if s["form"] == "v4_fixed"]
     order += [f"fadb_{s['name']}" for s in var_specs if s["form"] == "v4_fixed"]
@@ -528,13 +546,72 @@ def main(out: str, seed: int) -> None:
             else:  # v4_fixed
                 msgs.append((0x0008, layout_v4_chunked(
                     0, v4dims, 3, u8(10), addr[f"fahd_{nm}"], enc)))
-            msgs.append((0x000C, dimension_list()))
-            if s["fill"] is not None:
-                msgs.append((0x000C, attr_v1("_FillValue", dt_for(s["dt"]),
-                                             ds_simple_v1([1]), s["fill"])))
-            # a random unknown attr the reader must skip by framing
-            # (length precomputed: build() runs twice and must be pure)
-            msgs.append((0x000C, attr_str("history", s["history"])))
+            if not s["dense_attrs"]:
+                msgs.append((0x000C, dimension_list()))
+                if s["fill"] is not None:
+                    msgs.append((0x000C, attr_v1("_FillValue", dt_for(s["dt"]),
+                                                 ds_simple_v1([1]), s["fill"])))
+                # a random unknown attr the reader must skip by framing
+                # (length precomputed: build() runs twice and must be pure)
+                msgs.append((0x000C, attr_str("history", s["history"])))
+            else:
+                # DENSE attribute storage: DIMENSION_LIST (load-bearing),
+                # optional _FillValue, and filler attrs past the compact
+                # threshold ride an attribute fractal heap + type-8 B-tree
+                els = b""
+                for di in range(ndims):
+                    gi = galloc(u64(addr[f"oh_{dim_names[di]}"]))
+                    els += u32(1) + u64(addr["gheap"]) + u32(gi)
+                abodies = [("DIMENSION_LIST",
+                            attr_v3("DIMENSION_LIST", dt_vlen_of(dt_objref()),
+                                    ds_simple_v1([ndims]), els))]
+                if s["fill"] is not None:
+                    abodies.append(("_FillValue",
+                                    attr_v3("_FillValue", dt_for(s["dt"]),
+                                            ds_simple_v1([1]), s["fill"])))
+                for k in range(s["n_filler"]):
+                    val = (f"f{k} " + s["history"][:k + 1]).encode() + b"\x00"
+                    abodies.append((f"attr_{k:02d}",
+                                    attr_v3(f"attr_{k:02d}", dt_string(len(val)),
+                                            ds_scalar_v2(), val)))
+                start = 2048
+                aplaced = []
+                aoff = ATTR_DB_HDR
+                for _, body in abodies:
+                    assert aoff + len(body) <= start, "attr heap overflow"
+                    aplaced.append((aoff, len(body)))
+                    aoff += len(body)
+                adb = bytearray(start)
+                adb[0:4] = b"FHDB"
+                struct.pack_into("<Q", adb, 5, addr[f"afrhp_{nm}"])
+                adb[13:18] = (0).to_bytes(5, "little")
+                for (off, ln), (_, body) in zip(aplaced, abodies):
+                    adb[off:off + ln] = body
+                struct.pack_into("<I", adb, 18, lookup3(bytes(adb)))
+                blocks[f"afdb_{nm}"] = bytes(adb)
+                afrhp = (b"FRHP" + u8(0) + u16(8) + u16(0) + u8(0x2) +
+                         u32(4096) + u64(0) + u64(UNDEF) +
+                         u64(start - aoff) + u64(UNDEF) +
+                         u64(start) + u64(start) + u64(aoff) +
+                         u64(len(abodies)) +
+                         u64(0) + u64(0) + u64(0) + u64(0) +
+                         u16(4) + u64(start) + u64(65536) + u16(40) + u16(1) +
+                         u64(addr[f"afdb_{nm}"]) + u16(0))
+                blocks[f"afrhp_{nm}"] = afrhp + u32(lookup3(afrhp))
+                arecs = sorted(
+                    (lookup3(an.encode()),
+                     u8(0) + off.to_bytes(5, "little") + u16(ln) + u8(0) + u32(ci))
+                    for ci, ((an, _), (off, ln)) in enumerate(zip(abodies, aplaced)))
+                aleaf = b"BTLF" + u8(0) + u8(8)
+                for hsh, rec in arecs:
+                    aleaf += rec + u32(hsh)
+                blocks[f"aleaf_{nm}"] = aleaf + u32(lookup3(aleaf))
+                abthd = (b"BTHD" + u8(0) + u8(8) + u32(512) + u16(17) + u16(0) +
+                         u8(100) + u8(40) + u64(addr[f"aleaf_{nm}"]) +
+                         u16(len(arecs)) + u64(len(arecs)))
+                blocks[f"abthd_{nm}"] = abthd + u32(lookup3(abthd))
+                msgs.append((0x0015, u8(0) + u8(0) +
+                             u64(addr[f"afrhp_{nm}"]) + u64(addr[f"abthd_{nm}"])))
             blocks[f"oh_{s['name']}"] = oh(msgs)
 
         # root group
