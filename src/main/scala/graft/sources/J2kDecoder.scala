@@ -564,7 +564,9 @@ private[sources] object J2kDecoder {
               "unsupported (lossless GRIB streams carry one)")
             require(mct == 0, s"$path: JPEG 2000 multi-component transform unsupported")
             levels = cs(pos + 7) & 0xFF
-            require(levels >= 0 && levels <= 32, s"$path: $levels decomposition levels")
+            // spec allows up to 32; bound at 30 so 1 << lev stays a
+            // positive Int in the band geometry (real GRIB streams use <8)
+            require(levels >= 0 && levels <= 30, s"$path: $levels decomposition levels")
             cbw = 1 << ((cs(pos + 8) & 0xFF) + 2)
             cbh = 1 << ((cs(pos + 9) & 0xFF) + 2)
             require(cbw <= 1024 && cbh <= 1024 && cbw * cbh <= 4096,
