@@ -134,6 +134,62 @@ class CurateV3StreamSpec extends SparkSpec {
     assert(out(17L) == "kept")
   }
 
+  test("TTL: all four stores age out — dup re-admits, domain slot frees, never early") {
+    val good = "the quick brown fox jumps over a lazy dog of the north valley"
+    val trainCorpus = Seq(
+      (1L, good, "en"), (2L, good + " north", "en"),
+      (3L, "zonk blip zork vex nim quux zonk blip zork vex nim", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val models = CurationArtifacts.build(trainCorpus, "doc_id", "text", "lang")
+    val bench = Seq("bench mark answer text leaks here today").toDF("text")
+    val w = work()
+    def gate(batch: DataFrame, id: Long): Unit =
+      CorpusStream.curateV3GateBatch(batch, id, "url",
+        s"$w/kept", s"$w/rej", s"$w/digest", s"$w/domain", s"$w/postings", s"$w/sigs",
+        models.nbTokenModel, models.nbPriors, models.lmUnigrams, models.lmBigrams,
+        bench, Set("en"), minAvgLpMicros = -5000000L, perDomain = 1,
+        digestBuckets = 4, domainBuckets = 4, postingsBuckets = 4, sigBuckets = 4,
+        compactEvery = 2, ttlBatches = 2)
+    def verdict(id: Long, batch: Long): String =
+      routedVerdicts(spark, w, batch).find(_._1 == id).get._3
+    // batch 0: 'good' admitted; hot.com's single slot consumed
+    gate(Seq((1L, good, "en", "https://www.hist-one.com/1"),
+      (3L, "hot domain filler document with plenty of unique healthy words",
+        "en", "https://www.hot.com/3"))
+      .toDF("doc_id", "text", "lang", "url"), 0L)
+    // batch 1 (WITHIN horizon): exact dup + near dup + capped domain all gate
+    gate(Seq((10L, good, "en", "https://www.d-ten.com/10"),
+      (11L, good + " tail", "en", "https://www.d-eleven.com/11"),
+      (15L, "fresh healthy unique content about rivers and valleys flowing north",
+        "en", "https://www.hot.com/15"))
+      .toDF("doc_id", "text", "lang", "url"), 1L)
+    assert(verdict(10L, 1L) == "exact_dup")
+    assert(verdict(11L, 1L) == "near_duplicate")
+    assert(verdict(15L, 1L) == "domain_capped")
+    // batches 2-3: unrelated admissions keep the stream moving (the batch-2
+    // compaction at upto=2 retains origin 0: 0 > 2-1-2 holds)
+    gate(Seq((30L, "completely different words describing lakes and quiet meadows",
+      "en", "https://www.d-thirty.com/30")).toDF("doc_id", "text", "lang", "url"), 2L)
+    gate(Seq((31L, "yet another unique document about mountains and soft winds",
+      "en", "https://www.d-thirtyone.com/31")).toDF("doc_id", "text", "lang", "url"), 3L)
+    // batch 4 compacts with upto=4, ttl=2: origin 0 fails 0 > 4-1-2=1 —
+    // the digest, signatures, postings, AND domain count from batch 0 all
+    // expire together; the same text re-admits and hot.com has a slot
+    gate(Seq((20L, good, "en", "https://www.d-twenty.com/20"),
+      (21L, "brand new wholesome content about gentle rain over green hills",
+        "en", "https://www.hot.com/21"))
+      .toDF("doc_id", "text", "lang", "url"), 4L)
+    assert(verdict(20L, 4L) == "kept", "expired digest/sigs must re-admit")
+    assert(verdict(21L, 4L) == "kept", "expired domain count must free the slot")
+    // and the re-admissions gate the NEXT drop (sliding window)
+    gate(Seq((40L, good, "en", "https://www.d-forty.com/40"),
+      (41L, "one more wholesome doc about gentle rain and green hills indeed",
+        "en", "https://www.hot.com/41"))
+      .toDF("doc_id", "text", "lang", "url"), 5L)
+    assert(verdict(40L, 5L) == "exact_dup")
+    assert(verdict(41L, 5L) == "domain_capped")
+  }
+
   test("replay of a batch id re-decides identically (exactly-once discipline)") {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val splitId = base.selectExpr("percentile(doc_id, 0.8)").head.getDouble(0).toLong
