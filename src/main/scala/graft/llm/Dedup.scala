@@ -289,6 +289,83 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** [[clusters]] with DIAMETER-INDEPENDENT round count: alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — a public algorithm,
+    * re-expressed as DataFrame aggregations). Same contract and same
+    * result as [[clusters]] (min doc_id per component), so it rides the
+    * identical oracle; use it when the pair graph may contain long chains
+    * (semi-dup ladders), where min-label propagation needs one round per
+    * hop but star contraction converges in O(log^2 n) rounds regardless
+    * of diameter — the 100 TB guard against a pathological component.
+    *
+    * Each round is two rounds of (groupBy-min + self-join) over the edge
+    * set, state O(|edges|); edges stay canonical (larger, smaller), so a
+    * star fixpoint is literally (member, component-min) and convergence
+    * is a tiny (count, hash-sum) aggregate per round, not an except-diff.
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood — long tails fold toward the
+    *    min in parallel;
+    *  - small-star: every node re-points its smaller-or-equal closure at
+    *    that minimum — stars flatten.
+    */
+  def clustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edge set: (hi, lo), hi > lo, distinct
+    var edges = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    // (count, sum-of-edge-hashes): equal across a round <=> the edge set
+    // is the star fixpoint (both ops are idempotent exactly there)
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getAs[java.math.BigDecimal](1))
+        .getOrElse(java.math.BigDecimal.ZERO))
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var converged = sig._1 == 0
+    while (!converged && round < maxRounds) {
+      // ---- large-star: u's neighbors v > u attach to min(N(u) ∪ {u})
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u")) // v > u >= m, so (v, m) stays canonical
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // ---- small-star: u's smaller closure re-points at min(S(u) ∪ {u});
+      // canonical edges already orient hi -> smaller lo
+      val smins = large.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val joined = large.select(col("hi").as("u"), col("lo").as("v")).join(smins, "u")
+      val next = joined.select(col("u").as("hi"), col("m").as("lo"))
+        .union(joined.filter(col("v") =!= col("m"))
+          .select(col("v").as("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      round += 1
+    }
+    require(converged, s"clustersStar did not converge in $maxRounds rounds " +
+      "— raise maxRounds (star contraction needs O(log^2 n))")
+    // star fixpoint: edges are exactly (member, component-min)
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")).distinct())
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "edge_cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Near-dup cluster REPRESENTATIVE selection by quality — the keep
     * policy upgrade over min-id: within each [[clusters]] component,
     * keep the member with the highest [[TextAnalysis.qualityScore]]

@@ -74,17 +74,21 @@ object ForecastPipeline {
     *
     * Guards: the `step_hours` grouping rides on `step = step_hours/24`
     * being 1:1, true only for DAILY leadtimes — sub-daily data fails
-    * loudly here (metadata-only check: the distinct pulls message
-    * headers, never values) instead of silently emitting finer-grained
-    * detailed rows. `clusterByStep = false` falls back to cell-balanced
-    * slices (the right shape when a glob spans many days and the distinct
-    * step count would cap parallelism). */
+    * loudly here. The check asks the DRIVER-SIDE message index
+    * ([[graft.sources.GribSource.distinctStepHours]]) — with
+    * `indexCacheDir` set it is a KB sidecar read, and either way it is
+    * zero Spark jobs, not a scan+distinct over the cluster — instead of
+    * silently emitting finer-grained detailed rows. `clusterByStep =
+    * false` falls back to cell-balanced slices (the right shape when a
+    * glob spans many days and the distinct step count would cap
+    * parallelism). */
   def readGrib(
       spark: SparkSession,
       glob: String,
       cfg: FloodConfig,
       numPartitions: Int = 0,
-      clusterByStep: Boolean = true): DataFrame = {
+      clusterByStep: Boolean = true,
+      indexCacheDir: Option[String] = None): DataFrame = {
     if (clusterByStep) {
       val key = "spark.sql.sources.v2.bucketing.enabled"
       if (!spark.conf.get(key, "false").toBoolean) {
@@ -95,15 +99,17 @@ object ForecastPipeline {
     }
     val parts =
       if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val grib = spark.read
+    val reader = spark.read
       .format(classOf[graft.sources.GribSource].getName)
       .option("path", glob)
       .option("numPartitions", parts)
       .option("partitionByStep", clusterByStep.toString)
-      .load()
+    val grib = indexCacheDir.fold(reader)(d => reader.option("indexCacheDir", d)).load()
     if (!clusterByStep) return Normalize.fromGrib(grib, cfg.precision)
-    val subDaily = grib.select("step_hours").distinct()
-      .collect().map(_.getInt(0)).filter(_ % 24 != 0)
+    // the guard is answered by the DRIVER-SIDE message index (the same
+    // sidecar read when indexCacheDir is set) — no scan+distinct Spark job
+    val subDaily = graft.sources.GribSource
+      .distinctStepHours(glob, indexCacheDir).filter(_ % 24 != 0)
     require(subDaily.isEmpty,
       s"step-clustered read requires daily leadtimes; found sub-daily steps " +
         s"${subDaily.sorted.mkString(", ")}h in '$glob' — pass " +

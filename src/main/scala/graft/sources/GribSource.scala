@@ -101,6 +101,20 @@ object GribSource {
     StructField("step_hours", IntegerType, nullable = false),
     StructField("ref_time", LongType, nullable = false), // epoch seconds UTC
     StructField("value", DoubleType, nullable = true))) // NULL = bitmap-missing
+
+  /** Driver-side distinct `step_hours` over a glob — the same message index
+    * a scan's planning walks (and the same `indexCacheDir` sidecar
+    * round-trip when set), with NO Spark job: callers that need the step
+    * set for a plan-time decision (e.g. the pipeline's daily-leadtime
+    * guard) ask the index directly instead of running a
+    * scan+distinct+collect over the cluster. Sorted ascending. */
+  def distinctStepHours(glob: String, indexCacheDir: Option[String] = None): Seq[Int] = {
+    val spec = GribSpec(glob, numPartitions = 1, maxFilesPerTrigger = 0,
+      maxFileAgeMs = 0L, ignoreMissingFiles = false, compactInterval = 10,
+      conf = new SerializableHadoopConf(HadoopConf.session()),
+      partitionByStep = false, indexCacheDir = indexCacheDir)
+    GribModel.indexAll(spec).map(_.stepHours).distinct.sorted
+  }
 }
 
 /** One GRIB2 message: grid geometry + packing parameters + payload offsets.

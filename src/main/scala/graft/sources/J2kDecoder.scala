@@ -671,8 +671,14 @@ private[sources] object J2kDecoder {
       }
       pos = br.align()
       for (((band, lev), bx, by, numbps, npasses, len) <- contributions) {
-        require(len >= 0 && pos + len <= cs.length,
-          s"$path: code-block contribution of $len bytes overruns section 7")
+        // len >= 1: an included code-block (npasses >= 1) always carries at
+        // least one codeword byte; a zero-length contribution would make the
+        // MQ decoder run entirely on synthetic 0xFF padding and could emit
+        // in-range garbage that passes the depth check (J2K has no payload
+        // integrity check to catch it)
+        require(len >= 1 && pos + len <= cs.length,
+          s"$path: code-block contribution of $len bytes overruns section 7 " +
+            "(included code-blocks carry at least one codeword byte)")
         val (bw, bh) = bandDims(W, H, lev, band)
         val x0 = bx * cbw
         val y0 = by * cbh

@@ -21,6 +21,39 @@ class ClustersSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("clustersStar matches the propagation form on mixed components") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L, 30L, 31L, 32L, 33L).toDF("doc_id")
+    // a chain, a pair, a singleton, and a clique with redundant edges
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (33L, 30L), (33L, 32L))
+      .toDF("doc_a", "doc_b")
+    val prop = Dedup.clusters(docs, pairs).as[(Long, Long)].collect().toMap
+    val star = Dedup.clustersStar(docs, pairs).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("clustersStar handles self-pairs, duplicate edges and empty graphs") {
+    val docs = Seq(1L, 2L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersStar(docs, pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    val none = Dedup.clustersStar(docs,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).as[(Long, Long)].collect().toMap
+    assert(none == Map(1L -> 1L, 2L -> 2L, 7L -> 7L))
+  }
+
+  test("clustersStar converges on a planted 1000-node chain within O(log^2 n) rounds") {
+    // diameter 999: min-label propagation would need ~999 rounds; star
+    // contraction must finish far inside its default 50-round budget —
+    // the 100 TB pathological-component guard this variant exists for
+    val n = 1000L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersStar(docs, pairs, maxRounds = 25).as[(Long, Long)]
+      .collect().toMap
+    assert(got.size == n && got.values.toSet == Set(1L))
+  }
+
   test("clusterRepresentatives keeps the highest-quality member, not the min id") {
     // 10 & 11 are near-dups; 11 carries the richer (higher-quality) text;
     // 20 is a singleton

@@ -241,4 +241,36 @@ class PqSpec extends SparkSpec {
         candidateBudget = 10, maxProbes = 9, topK = 5)
     }
   }
+
+  test("adaptive probing: precomputed cell occupancy reuses bit-identically") {
+    val df = vecs(120, 4).localCheckpoint()
+    val (c, p) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 4, m = 2, k = 4)
+    val index = Pq.ivfPqEncode(df, "vec_id", "embedding", c, p).localCheckpoint()
+    val queries = df.filter(col("vec_id") < 3)
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.as[(Long, Long, Int, Long, Int)].collect().sortBy(t => (t._1, t._5)).toSeq
+    val sizes = Pq.cellOccupancy(index)
+    assert(sizes.values.sum == 120L)
+    val fresh = rows(Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries,
+      "vec_id", "embedding", candidateBudget = 40, maxProbes = 4, topK = 10))
+    val reused = rows(Pq.ivfPqSearchAdaptiveBatch(index, c, p, queries,
+      "vec_id", "embedding", candidateBudget = 40, maxProbes = 4, topK = 10,
+      cellSizes = Some(sizes)))
+    assert(reused == fresh)
+  }
+
+  test("batch query collect is LIMIT-bounded: an oversized set fails loudly") {
+    val df = vecs(40, 4).localCheckpoint()
+    val (c, p) = Pq.ivfPqTrain(df, "vec_id", "embedding", dim, cells = 2, m = 2, k = 2)
+    val index = Pq.ivfPqEncode(df, "vec_id", "embedding", c, p).localCheckpoint()
+    // a corpus-sized "query set": one row past the serving contract
+    val over = spark.range(Pq.MaxBatchQueries + 1).select(
+      col("id").as("vec_id"),
+      array(Seq.fill(dim)(lit(0.5)): _*).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqSearchAdaptiveBatch(index, c, p, over, "vec_id", "embedding",
+        candidateBudget = 10, maxProbes = 2, topK = 5)
+    }
+    assert(e.getMessage.contains("driver batch contract"))
+  }
 }
