@@ -296,6 +296,10 @@ object FloodQueries {
     new java.io.File("data/netcdf/dense4.nc").getAbsolutePath
   private lazy val netcdf4DenseExpected =
     new java.io.File("data/netcdf/dense4_expected.parquet").getAbsolutePath
+  private lazy val netcdf4ExtFixture =
+    new java.io.File("data/netcdf/extarray4.nc").getAbsolutePath
+  private lazy val netcdf4ExtExpected =
+    new java.io.File("data/netcdf/extarray4_expected.parquet").getAbsolutePath
 
   // ---------------------------------------------------------------- registry
 
@@ -402,6 +406,23 @@ object FloodQueries {
       .select("y", "x", "v_contig4", "v_compact4", "v_single",
         "v_single_filt", "v_implicit", "v_fixed", "v_fixed_filt",
         "v_btree1", "v_u2", "v_i8", "v_f8c", "v_i1")),
+
+    // UNLIMITED-dimension NetCDF-4 (the shape every appended time-series
+    // raster takes): extensible-array chunk indexes (inline / direct /
+    // super-block / PAGED data blocks, default and tiny geometries),
+    // v2-B-tree chunk indexes (record types 10/11, depth 1 and 2), PAGED
+    // fixed arrays (clients 0/1, one uninitialized page), and a depth-2
+    // v1 chunk B-tree; unallocated elements/blocks/pages -> fill -> NULL.
+    // Fixture + mirror by the independent from-spec python writer
+    // (tools/make_netcdf4_extarray_fixture.py).
+    "q_netcdf4_extarray" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdf4ExtFixture)
+      .option("numPartitions", "4")
+      .load()
+      .select("time", "y", "x", "v_ea", "v_ea_filt", "v_ea_sb",
+        "v_ea_paged", "v_bt2", "v_bt2f", "v_btree1_deep", "v_paged_fa",
+        "v_paged_fa_holes")),
 
     // S1: GRIB2 ensemble forecast read directly as a table (the reference
     // opens GRIB via python-cfgrib, flood/etl/utils.py:3-14). Fixture =
@@ -882,6 +903,9 @@ object FloodQueries {
 
     "q_netcdf4_dense" ->
       s"SELECT * FROM read_parquet('$netcdf4DenseExpected')",
+
+    "q_netcdf4_extarray" ->
+      s"SELECT * FROM read_parquet('$netcdf4ExtExpected')",
 
     "q_netcdf_slice" ->
       s"""SELECT lat, lon, threshold_2y, upstream_area

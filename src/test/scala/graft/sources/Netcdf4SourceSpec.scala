@@ -213,6 +213,65 @@ class Netcdf4SourceSpec extends SparkSpec {
       s"expected a checksum rejection, got: ${ex.getMessage}")
   }
 
+  test("unlimited-dim chunk indexes: extensible array, v2 B-tree, paged fixed array, deep v1 tree") {
+    // extarray4.nc (tools/make_netcdf4_extarray_fixture.py): an UNLIMITED
+    // time dimension; chunk indexes covering extensible arrays (inline /
+    // direct / super-block / PAGED data blocks, libhdf5-default and tiny
+    // geometries), v2 B-trees (types 10/11, depth 1 and 2), paged fixed
+    // arrays (clients 0/1, one UNINITIALIZED page), and a depth-2 v1
+    // B-tree. Unallocated elements/blocks/pages and absent records → fill.
+    val f = new File("data/netcdf/extarray4.nc").getAbsolutePath
+    val expected = new File("data/netcdf/extarray4_expected.parquet").getAbsolutePath
+    val df = nc(f, parts = 4)
+    val want = spark.read.parquet(expected)
+    val colsInOrder = want.schema.fieldNames.toSeq
+    assert(df.columns.sorted.toSeq == colsInOrder.sorted,
+      s"columns: got ${df.columns.mkString(",")}")
+    val key = Seq(col("time"), col("y"), col("x"))
+    val got = df.select(colsInOrder.map(col): _*).sort(key: _*).collect().toSeq
+    val exp = want.select(colsInOrder.map(col): _*).sort(key: _*).collect().toSeq
+    assert(got == exp)
+    assert(df.count() == 30 * 11 * 9)
+    // every missing-chunk mechanism surfaces as whole-chunk NULLs:
+    // v_ea 2 Undef elements; v_ea_sb 1 Undef element + 1 Undef DATA BLOCK
+    // (6 rows); v_ea_paged 1 uninitialized EA page (2 rows of it in
+    // extent); v_bt2 1 absent record; v_paged_fa 1 Undef entry;
+    // v_paged_fa_holes 1 uninitialized FA page (8 rows)
+    for ((v, missingRows) <- Seq("v_ea" -> 2, "v_ea_sb" -> 7,
+        "v_ea_paged" -> 2, "v_bt2" -> 1, "v_paged_fa" -> 1,
+        "v_paged_fa_holes" -> 8)) {
+      assert(df.filter(col(v).isNull).count() == missingRows.toLong * 99,
+        s"$v null rows")
+    }
+    // outer-coordinate pushdown still becomes an index bound on this path
+    assert(df.filter(col("time") >= 19025.0).count() === 5L * 99)
+    // corrupting any byte inside an index structure fails its lookup3
+    // checksum loudly instead of decoding garbage
+    val bytes = Files.readAllBytes(Paths.get(f))
+    for (sigName <- Seq("EAHD", "EAIB", "EASB", "EADB", "BTLF", "BTIN", "FADB")) {
+      val pos = indexOfSlice(bytes, sigName.getBytes)
+      assert(pos > 0, sigName)
+      val corrupt = bytes.clone()
+      corrupt(pos + 6) = (corrupt(pos + 6) ^ 0x04).toByte
+      val dir = Files.createTempDirectory("nc4ext")
+      val p = dir.resolve(s"bad$sigName.nc")
+      Files.write(p, corrupt, StandardOpenOption.CREATE)
+      val ex = intercept[Exception] { nc(p.toString).count() }
+      val msg = Option(ex.getMessage).getOrElse("")
+      assert(msg.contains("checksum") || msg.contains("does not point back") ||
+        msg.contains("signature") || msg.contains("version"),
+        s"$sigName: expected a loud structural rejection, got: $msg")
+    }
+    // a truncated file (cut inside the chunk payload region) rejects as a
+    // named bounds error
+    val dir = Files.createTempDirectory("nc4exttrunc")
+    val p = dir.resolve("trunc.nc")
+    Files.write(p, bytes.take(bytes.length - 2000), StandardOpenOption.CREATE)
+    val ex = intercept[Exception] { nc(p.toString).count() }
+    assert(Option(ex.getMessage).getOrElse("").contains("out of bounds"),
+      s"got: ${ex.getMessage}")
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {
