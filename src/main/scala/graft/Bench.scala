@@ -36,12 +36,24 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
+    // ANN recall regression gate (untimed — not part of the query total):
+    // the C1 floor surfaced into the round artifact so a quantizer/probe/
+    // re-rank regression fails the round mechanically. See RecallGate.
+    val gate: Seq[(String, Long)] =
+      try {
+        val nVecs = sys.env.getOrElse("GRAFT_BENCH_RECALL_VECS", "20000").toLong
+        val (metrics, ok) = RecallGate.measure(spark, nVecs)
+        metrics :+ ("recall_floor_ok" -> (if (ok) 1L else 0L))
+      } catch { case e: Throwable =>
+        System.err.println(s"RecallGate failed: $e")
+        Seq("recall_floor_ok" -> 0L)
+      }
     // Two outputs (see BenchFormat for the budget rationale): the FULL
     // per-query table lands in the committed BENCH_DETAIL.json artifact,
     // and the stdout line — the only thing the driver's ~2000-char tail
     // window sees — degrades 2-dec -> centiseconds -> bounded totals+
     // digest form, so it stays parseable JSON at ANY registry size.
-    val (line, detail) = BenchFormat.render(results, total, sfName, cpus.toInt)
+    val (line, detail) = BenchFormat.render(results, total, sfName, cpus.toInt, gate)
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.print(detail) finally w.close()

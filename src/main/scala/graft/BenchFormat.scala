@@ -93,18 +93,25 @@ object BenchFormat {
 
   /** (stdout line, detail artifact body). The stdout line is guaranteed
     * <= [[StdoutBudget]] chars for any registry whose query names stay
-    * under ~150 chars (and degrades top-less even beyond that). */
+    * under ~150 chars (and degrades top-less even beyond that).
+    * `extras` are integer gate fields (e.g. `recall_floor_ok`) injected
+    * top-level into BOTH outputs so the driver-parsed round artifact
+    * carries them mechanically — they count against the budget like any
+    * other field, so keep them few and short-named. */
   def render(results: Seq[(String, Double)], total: Double, sfName: String,
-      cpus: Int): (String, String) = {
-    val detail = detailJson(results, total, sfName, cpus)
+      cpus: Int, extras: Seq[(String, Long)] = Nil): (String, String) = {
+    val extraStr = extras.map { case (k, v) => s""","$k":$v""" }.mkString
+    def inject(line: String): String =
+      if (extraStr.isEmpty) line else line.dropRight(1) + extraStr + "}"
+    val detail = inject(detailJson(results, total, sfName, cpus).trim) + "\n"
     val digest = md5Hex8(detail)
-    val full = secLine(results, total, sfName, 2)
+    val full = inject(secLine(results, total, sfName, 2))
     val line =
       if (full.length <= StdoutBudget) full
       else {
-        val cs = csLine(results, total, sfName)
+        val cs = inject(csLine(results, total, sfName))
         if (cs.length <= StdoutBudget) cs
-        else shortLine(results, total, sfName, digest)
+        else inject(shortLine(results, total, sfName, digest))
       }
     (line, detail)
   }

@@ -102,6 +102,30 @@ object GribSource {
     StructField("ref_time", LongType, nullable = false), // epoch seconds UTC
     StructField("value", DoubleType, nullable = true))) // NULL = bitmap-missing
 
+  /** The audited DRS reject list (WMO GRIB2 code table 5.0 swept against
+    * this source's dispatch, round 19): every template the registry
+    * defines that this source does NOT decode, with its occurrence in the
+    * wild — so the "supported packings" claim is auditable and each
+    * reject names what the user hit. Decoded templates: 5.0, 5.2, 5.3,
+    * 5.40 (lossless; lossy rejects at index time naming the cause),
+    * 5.41, 5.42. `GribSourceSpec` pins a by-name rejection per entry. */
+  val DrsRejects: Map[Int, String] = Map(
+    1 -> ("matrix values at grid point: pre-operational status in the WMO " +
+      "registry, no known operational products emit it"),
+    4 -> ("IEEE floating point: rare in NCEP analysis products; no packed " +
+      "integers to reconstruct exactly"),
+    6 -> ("simple packing with pre-processing: validation status in the " +
+      "WMO registry, not operational"),
+    50 -> ("spectral data simple packing: spherical-harmonic coefficients, " +
+      "not a lat/lon raster — outside this source's grid model"),
+    51 -> ("spherical harmonics complex packing: ECMWF model-level " +
+      "spectral fields, not a lat/lon raster"),
+    53 -> ("spectral data complex packing for limited-area models: " +
+      "spectral fields, not a lat/lon raster"),
+    61 -> ("simple packing with logarithm pre-processing: some JMA " +
+      "products; decode would need the pre-processing parameter semantics"),
+    200 -> ("run-length packing with level values: JMA radar products"))
+
   /** Driver-side distinct `step_hours` over a glob — the same message index
     * a scan's planning walks (and the same `indexCacheDir` sidecar
     * round-trip when set), with NO Spark job: callers that need the step
@@ -498,9 +522,11 @@ private[sources] object GribModel {
                   "(or grid_ccsds / lossless jpeg)")
               j2k = true
             case t => throw new IllegalArgumentException(
-              s"$path: data representation template 5.$t unsupported " +
-                "(5.0 simple, 5.2 complex, 5.3 complex+spatial differencing, " +
-                "5.41 PNG, 5.42 CCSDS)")
+              s"$path: data representation template 5.$t unsupported" +
+                GribSource.DrsRejects.get(t).fold("")(why => s" ($why)") +
+                " — supported: 5.0 simple, 5.2 complex, 5.3 complex+spatial " +
+                "differencing, 5.40 lossless JPEG 2000, 5.41 PNG, 5.42 CCSDS; " +
+                "re-encode at ingest: grib_set -r -s packingType=grid_simple")
           }
         case 6 =>
           val indicator = { val x = new Array[Byte](1); in.readFully(x); x(0) & 0xFF }

@@ -65,6 +65,23 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("gate extras land top-level in both the line and the artifact") {
+    val extras = Seq("recall_r10_ad" -> 993L, "recall_floor_ok" -> 1L)
+    for (n <- Seq(40, 200)) { // full and degraded stdout forms
+      val rs = registry(n)
+      val (line, detail) = BenchFormat.render(rs, rs.map(_._2).sum, "sf0.1",
+        32, extras)
+      assert(line.length <= BenchFormat.StdoutBudget)
+      for (j <- Seq(parse(line), parse(detail))) {
+        assert(j.get("recall_r10_ad").asLong() == 993L)
+        assert(j.get("recall_floor_ok").asLong() == 1L)
+      }
+      // degraded form's digest must tie to the INJECTED artifact
+      val j = parse(line)
+      if (j.has("md5")) assert(j.get("md5").asText() == BenchFormat.md5Hex8(detail))
+    }
+  }
+
   test("degraded line is bounded even with pathological query names") {
     val rs = (0 until 300).map(i => (s"q_${"x" * 200}_$i", i * 0.1))
     val (line, _) = BenchFormat.render(rs, rs.map(_._2).sum, "sf0.1", 32)

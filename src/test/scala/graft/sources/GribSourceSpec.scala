@@ -378,4 +378,30 @@ class GribSourceSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](readMini(iRev).collect())
       .getMessage.contains("scanning mode"))
   }
+
+  test("every audited-absent WMO DRS template rejects BY NAME at index time") {
+    // the round-19 audit: GribSource.DrsRejects sweeps WMO code table 5.0
+    // against the dispatch — each registry-defined template this source
+    // does not decode must fail naming the template AND its occurrence
+    // note, plus the re-encode escape hatch, never as a generic parse
+    // error deeper in
+    assert(GribSource.DrsRejects.keySet ==
+      Set(1, 4, 6, 50, 51, 53, 61, 200))
+    for ((t, why) <- GribSource.DrsRejects) {
+      val f = GribTestWriter.write(tmp(s"drs$t.grib2"), 1, 1, 0, 0, 500000,
+        scanMode = 0, timeUnit = 1, forecastTime = 1, member = None,
+        r = 0.0f, e = 0, d = 0, nbits = 16, xs = Seq(9L), drsTemplate = t)
+      val msg = intercept[IllegalArgumentException](readMini(f).collect()).getMessage
+      assert(msg.contains(s"5.$t unsupported"), s"template 5.$t: $msg")
+      assert(msg.contains(why.take(20)), s"template 5.$t occurrence note: $msg")
+      assert(msg.contains("grid_simple"), s"template 5.$t escape hatch: $msg")
+    }
+    // an UNKNOWN (registry-undefined) template still rejects loudly,
+    // without an occurrence note
+    val f = GribTestWriter.write(tmp("drs199.grib2"), 1, 1, 0, 0, 500000,
+      scanMode = 0, timeUnit = 1, forecastTime = 1, member = None,
+      r = 0.0f, e = 0, d = 0, nbits = 16, xs = Seq(9L), drsTemplate = 199)
+    assert(intercept[IllegalArgumentException](readMini(f).collect())
+      .getMessage.contains("5.199 unsupported"))
+  }
 }

@@ -32,7 +32,8 @@ object GribTestWriter {
       latFirstMicro: Int, lonFirstMicro: Int, incMicro: Int,
       scanMode: Int, timeUnit: Int, forecastTime: Int, member: Option[Int],
       r: Float, e: Int, d: Int, nbits: Int, xs: Seq[Long],
-      bitmap: Option[Seq[Boolean]] = None, edition: Int = 2): String = {
+      bitmap: Option[Seq[Boolean]] = None, edition: Int = 2,
+      drsTemplate: Int = 0): String = {
     val npts = ni * nj
     def sec(num: Int)(fill: DataOutputStream => Unit): Array[Byte] = {
       val bos = new ByteArrayOutputStream(); val o = new DataOutputStream(bos)
@@ -71,7 +72,7 @@ object GribTestWriter {
       member.foreach { m => o.writeByte(if (m > 0) 3 else 0); o.writeByte(m); o.writeByte(4) }
     }
     val s5 = sec(5) { o =>
-      o.writeInt(xs.size); o.writeShort(0)
+      o.writeInt(xs.size); o.writeShort(drsTemplate)
       o.writeFloat(r); o.writeShort(s16(e)); o.writeShort(s16(d))
       o.writeByte(nbits); o.writeByte(0)
     }
