@@ -24,12 +24,19 @@ package graft.llm
   * coefficient precision must decode IDENTICALLY to the baseline file
   * of the same image (spec-pinned).
   *
-  * Supported: 8-bit precision, 1 (gray) or 3 (YCbCr) components,
-  * sampling factors 1–2, restart intervals, interleaved and
-  * single-component scans. Everything else (arithmetic coding, 12-bit,
-  * CMYK, hierarchical) returns None — decode is total, wrong pixels are
-  * never produced. Chroma upsampling is nearest (index scaling), the
-  * documented shared rule.
+  * Supported: 8-bit precision, 1 (gray), 3 (YCbCr), or 4 (CMYK family —
+  * round 19) components, sampling factors 1–2, restart intervals,
+  * interleaved and single-component scans. The 4-component case follows
+  * the Adobe conventions web corpora actually contain: APP14 transform 0
+  * = CMYK with samples stored INVERTED, transform 2 = YCCK (the inverted
+  * CMY channels ride the YCbCr transform, K inverted), no APP14 = plain
+  * CMYK; output is 3-channel RGB through the documented quick conversion
+  * `R = uC·uK/255` on the inverted-ink values (integer floor division —
+  * embedded identically in the generator's `jpeg_cmyk_truth`). Everything
+  * else (arithmetic coding, 12-bit, hierarchical, 4-component transform
+  * 1) returns None — decode is total, wrong pixels are never produced.
+  * Chroma upsampling is nearest (index scaling), the documented shared
+  * rule.
   */
 private[llm] object JpegDecoder {
 
@@ -202,6 +209,7 @@ private[llm] object JpegDecoder {
     var coefs: Array[Array[Int]] = null
     var sawScan = false
     var sawEoi = false
+    var adobeTransform = -1 // -1 = no APP14 Adobe marker seen
 
     var off = 2
     while (!sawEoi) {
@@ -226,7 +234,7 @@ private[llm] object JpegDecoder {
           h = u16(b, p + 1)
           w = u16(b, p + 3)
           nComp = b(p + 5) & 0xff
-          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3 && nComp != 4)) return None
           if (len != 8 + 3 * nComp) return None
           if (w.toLong * h * math.max(nComp, 3) > Int.MaxValue / 4) return None
           compIds = new Array[Int](nComp)
@@ -356,6 +364,17 @@ private[llm] object JpegDecoder {
           sawScan = true
           off = r.endOffset()
         case 0xdc => return None // DNL unsupported
+        case 0xee => // APP14: the Adobe color-transform marker — the
+          // CMYK-vs-YCCK (and inverted-storage) signal for 4 components
+          if (off + 2 > b.length) return None
+          val len = u16(b, off)
+          if (len < 2 || off + len > b.length) return None
+          if (len >= 14 && (b(off + 2) & 0xff) == 'A' && (b(off + 3) & 0xff) == 'd' &&
+            (b(off + 4) & 0xff) == 'o' && (b(off + 5) & 0xff) == 'b' &&
+            (b(off + 6) & 0xff) == 'e') {
+            adobeTransform = b(off + 13) & 0xff
+          }
+          off += len
         case _ =>
           if (off + 2 > b.length) return None
           val len = u16(b, off)
@@ -423,7 +442,7 @@ private[llm] object JpegDecoder {
         y += 1
       }
       Some((w, h, 1, out))
-    } else {
+    } else if (nComp == 3) {
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
@@ -439,6 +458,56 @@ private[llm] object JpegDecoder {
           out(o) = (if (r0 < 0) 0 else if (r0 > 255) 255 else r0).toByte
           out(o + 1) = (if (g0 < 0) 0 else if (g0 > 255) 255 else g0).toByte
           out(o + 2) = (if (b0 < 0) 0 else if (b0 > 255) 255 else b0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, 3, out))
+    } else {
+      // 4-component CMYK family (the Photoshop shapes in web corpora).
+      // Resolve the four channels into inverted-ink values u ∈ [0,255]:
+      //  - transform 2 (YCCK): the fixed-point YCbCr inverse on channels
+      //    0-2 yields them directly (they were forward-transformed from
+      //    the inverted CMY); K is stored inverted;
+      //  - transform 0 (Adobe CMYK): all four channels stored inverted;
+      //  - no Adobe marker: plain CMYK, invert here;
+      //  - transform 1 is meaningless for 4 components → None (total).
+      // Then the quick conversion R = uC·uK/255 (G, B alike) — identical
+      // integer math in the generator's jpeg_cmyk_truth.
+      if (adobeTransform == 1 || adobeTransform > 2) return None
+      val ycck = adobeTransform == 2
+      val bare = adobeTransform < 0
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val c0 = planes(0)((y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax)
+          val c1 = planes(1)((y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax)
+          val c2 = planes(2)((y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax)
+          val c3 = planes(3)((y * compV(3) / vmax) * planeW(3) + x * compH(3) / hmax)
+          var uc = 0
+          var um = 0
+          var uy = 0
+          var uk = c3
+          if (ycck) {
+            val cb = c1 - 128
+            val cr = c2 - 128
+            uc = c0 + ((91881 * cr + 32768) >> 16)
+            um = c0 - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            uy = c0 + ((116130 * cb + 32768) >> 16)
+            if (uc < 0) uc = 0 else if (uc > 255) uc = 255
+            if (um < 0) um = 0 else if (um > 255) um = 255
+            if (uy < 0) uy = 0 else if (uy > 255) uy = 255
+          } else if (bare) {
+            uc = 255 - c0; um = 255 - c1; uy = 255 - c2; uk = 255 - c3
+          } else {
+            uc = c0; um = c1; uy = c2
+          }
+          val o = (y * w + x) * 3
+          out(o) = (uc * uk / 255).toByte
+          out(o + 1) = (um * uk / 255).toByte
+          out(o + 2) = (uy * uk / 255).toByte
           x += 1
         }
         y += 1

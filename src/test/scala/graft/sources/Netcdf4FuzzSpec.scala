@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   * range — a sign-extension bug fails the checksum), layout forms (v3
   * contiguous / B-tree-v1 chunked, and the 1.10+ layout-v4 indexes:
   * single chunk ±filtered, implicit, fixed array clients 0/1 with an
-  * occasional unallocated chunk → fill, rank-only vs rank+1 dim lists),
-  * non-dividing (edge) chunk shapes, filter pipelines (deflate,
-  * shuffle+deflate, deflate+fletcher32, all three), compact vs DENSE
-  * (fractal-heap + v2-B-tree) link storage with random block sizes,
-  * root-direct vs root-indirect heaps, and B-tree depth 0/1, _FillValue
-  * masks, skip-by-framing attributes — and the reader must reproduce the
+  * occasional unallocated chunk → fill, rank-only vs rank+1 dim lists;
+  * round 19 adds the UNLIMITED-dimension index family: PAGED fixed
+  * arrays with random page bits and an occasional uninitialized page,
+  * EXTENSIBLE ARRAYS at random H5EA geometries — inline/direct/super-
+  * block/paged data blocks, Undef elements, uninitialized pages — and
+  * V2-B-TREE chunk record types 10/11 at whatever depth the random node
+  * size forces, with absent records reading as fill), non-dividing
+  * (edge) chunk shapes, filter pipelines (deflate, shuffle+deflate,
+  * deflate+fletcher32, all three), compact vs DENSE (fractal-heap +
+  * v2-B-tree) link storage with random block sizes, root-direct vs
+  * root-indirect heaps, and B-tree depth 0/1, _FillValue masks,
+  * skip-by-framing attributes — and the reader must reproduce the
   * generator's own per-variable non-fill count and integer checksum.
   * Values land on the 1/8 grid so `round(value·1000)` is engine-exact.
   * Truncations assert loud rejection. */
@@ -46,8 +52,13 @@ class Netcdf4FuzzSpec extends SparkSpec {
   test("seeded random HDF5 files decode to the generator's checksums") {
     val dir = Files.createTempDirectory("nc4-fuzz").toString
     // 2/8: v4_implicit (+dense root-direct at 8); 3/4: dense depth-1 with
-    // v4_fixed; 36: an unallocated fixed-array chunk reading as fill
-    for (seed <- Seq(1, 2, 3, 4, 7, 8, 36, 42, 1234, 99999, 31337, 271828)) {
+    // v4_fixed; 36: an unallocated fixed-array chunk reading as fill;
+    // 1/7/271828: v2-B-tree chunk indexes (±missing records); 3/8: plain
+    // extensible arrays; 140/153/181: extensible arrays WITH Undef
+    // elements/blocks at super-block geometries + paged fixed arrays
+    // (±uninitialized page at 1234/99999)
+    for (seed <- Seq(1, 2, 3, 4, 7, 8, 36, 42, 140, 153, 181,
+        1234, 99999, 31337, 271828)) {
       val f = s"$dir/fuzz_$seed.nc"
       val expects = generate(f, seed)
       assert(expects.nonEmpty)

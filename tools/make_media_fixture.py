@@ -925,6 +925,19 @@ def main():
     emit(29, "gif", "image/gif", g29, "gif", 19, 13, 3)
     expect_image(29, "gif", 19, 13, 3, gif_norm_pixels(19, 13, 5))
 
+    # 4-COMPONENT JPEGs (round 19): the web-corpus CMYK shapes. media_030
+    # is Adobe CMYK (APP14 transform 0, samples stored inverted, restart
+    # markers); media_031 is YCCK (transform 2 — what Photoshop actually
+    # writes). Metadata reports the FILE's 4 components; the pixel decode
+    # emits 3-channel RGB through the documented quick conversion
+    # (R = uC*uK//255 on the inverted-ink values, shared integer math).
+    j30, t30 = make_jpeg_cmyk(29, 18, ycck=False, restart=3)
+    emit(30, "jpg", "image/jpeg", j30, "jpeg", 29, 18, 4)
+    expect_image(30, "jpeg", 29, 18, 3, list(t30))
+    j31, t31 = make_jpeg_cmyk(21, 27, ycck=True)
+    emit(31, "jpg", "image/jpeg", j31, "jpeg", 21, 27, 4)
+    expect_image(31, "jpeg", 21, 27, 3, list(t31))
+
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
     c = checksum(blob)
@@ -1057,6 +1070,13 @@ def fuzz(outdir: str, seed: int):
         rst = int(rng.choice([0, 0, 2, 4]))
         payload, truth = make_jpeg_real(w, h, gray=gray, subsample=sub,
                                         restart=rst)
+        out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
+    for _ in range(int(rng.integers(2, 5))):  # 4-component CMYK/YCCK JPEGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        kind = int(rng.integers(0, 3))  # 0 Adobe CMYK, 1 YCCK, 2 bare CMYK
+        rst = int(rng.choice([0, 0, 2, 4]))
+        payload, truth = make_jpeg_cmyk(w, h, ycck=kind == 1, restart=rst,
+                                        adobe=kind != 2)
         out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
     for _ in range(int(rng.integers(2, 5))):  # PROGRESSIVE JPEGs: the
         # scan script transmits full precision, so the truth is the
@@ -1552,6 +1572,186 @@ def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy):
                 b = yy + ((116130 * (cb - 128) + 32768) >> 16)
                 out += bytes((min(255, max(0, r)), min(255, max(0, g)),
                               min(255, max(0, b))))
+    return bytes(out)
+
+
+# -------------------------------------------------------- CMYK / YCCK JPEG
+def _jpeg_ink(x, y, c):
+    return (x * 7 + y * 23 + c * 41) % 256
+
+
+def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
+    """4-component JPEG (the Photoshop web-corpus shape): Adobe APP14 with
+    transform 0 (CMYK, samples stored INVERTED per the Adobe convention)
+    or transform 2 (YCCK: the inverted CMY channels ride the YCbCr forward
+    transform, K passes through inverted). `adobe=False` writes a bare
+    4-component file (no APP14): samples are then plain non-inverted CMYK.
+    Returns (bytes, RGB ground truth) where the truth is the decode of the
+    quantized stream through the shared integer pipeline plus the
+    documented quick CMYK->RGB conversion (R = uC*uK//255 on the
+    inverted-ink values) — embedded identically in JpegDecoder."""
+    assert not (ycck and not adobe), "YCCK requires the Adobe marker"
+    comps = 4
+    # stored planes (what the entropy stream encodes)
+    inks = [[[_jpeg_ink(x, y, c) for x in range(width)] for y in range(height)]
+            for c in range(4)]
+    if ycck:
+        planes = [None, None, None, None]
+        ys_, cbs, crs = [], [], []
+        for y in range(height):
+            ry, rcb, rcr = [], [], []
+            for x in range(width):
+                # inverted CMY looks like RGB; standard forward transform
+                r, g, b = (255 - inks[0][y][x], 255 - inks[1][y][x],
+                           255 - inks[2][y][x])
+                ry.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+                rcb.append(min(255, max(0, round(128 - 0.168736 * r
+                                                 - 0.331264 * g + 0.5 * b))))
+                rcr.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g
+                                                 - 0.081312 * b))))
+            ys_.append(ry)
+            cbs.append(rcb)
+            crs.append(rcr)
+        planes = [ys_, cbs, crs,
+                  [[255 - inks[3][y][x] for x in range(width)]
+                   for y in range(height)]]
+    elif adobe:
+        planes = [[[255 - inks[c][y][x] for x in range(width)]
+                   for y in range(height)] for c in range(4)]
+    else:
+        planes = [[[inks[c][y][x] for x in range(width)]
+                   for y in range(height)] for c in range(4)]
+
+    sf = [(1, 1)] * comps
+    qsel = [0, 1, 1, 1]
+    hsel = [0, 1, 1, 1]
+    qtabs = [JPEG_QL, JPEG_QC]
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    qblocks = [dict() for _ in range(comps)]
+    for ci in range(comps):
+        plane = planes[ci]
+        for by in range(mcuy):
+            for bx in range(mcux):
+                blk = [[0] * 8 for _ in range(8)]
+                for yy in range(8):
+                    for xx in range(8):
+                        py = min(by * 8 + yy, height - 1)
+                        px = min(bx * 8 + xx, width - 1)
+                        blk[yy][xx] = plane[py][px] - 128
+                qblocks[ci][(bx, by)] = _fdct_quant(blk, qtabs[qsel[ci]])
+
+    dcc = [_huff_codes(*JPEG_HUFF[("dc", 0)]), _huff_codes(*JPEG_HUFF[("dc", 1)])]
+    acc_ = [_huff_codes(*JPEG_HUFF[("ac", 0)]), _huff_codes(*JPEG_HUFF[("ac", 1)])]
+    w = _JpegBitWriter()
+    pred = [0] * comps
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                w.pad()
+                w.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * comps
+            mcu_i += 1
+            for ci in range(comps):
+                blk = qblocks[ci][(mx, my)]
+                zz = [blk[JPEG_ZIGZAG[k]] for k in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                s = abs(diff).bit_length()
+                code, ln = dcc[hsel[ci]][s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = acc_[hsel[ci]][0xF0]
+                        w.put(code, ln)
+                        run -= 16
+                    s = abs(zz[k]).bit_length()
+                    code, ln = acc_[hsel[ci]][(run << 4) | s]
+                    w.put(code, ln)
+                    w.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = acc_[hsel[ci]][0x00]
+                    w.put(code, ln)
+    w.pad()
+    _jpeg_entropy_check(bytes(w.out), qblocks, sf, qsel, hsel, comps,
+                        mcux, mcuy, restart)
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+    out = b"\xFF\xD8"
+    if adobe:  # APP14: tag, DCTEncodeVersion, flags0, flags1, transform
+        out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                                2 if ycck else 0))
+    out += seg(0xDB, bytes([0]) + bytes(JPEG_QL[JPEG_ZIGZAG[k]] for k in range(64)))
+    out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, comps)
+    for ci in range(comps):
+        sof += struct.pack(">BBB", ci + 1, 0x11, qsel[ci])
+    out += seg(0xC0, sof)
+    for (kind, tid), (bits, vals) in JPEG_HUFF.items():
+        tc = 0 if kind == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | tid] + bits) + bytes(vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = struct.pack(">B", comps)
+    for ci in range(comps):
+        sos += struct.pack(">BB", ci + 1, (hsel[ci] << 4) | hsel[ci])
+    sos += bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    out += bytes(w.out) + b"\xFF\xD9"
+
+    truth = jpeg_cmyk_truth(qblocks, qsel, width, height, mcux, mcuy,
+                            ycck=ycck, adobe=adobe)
+    return out, truth
+
+
+def jpeg_cmyk_truth(qblocks, qsel, width, height, mcux, mcuy, ycck, adobe):
+    """Shared integer inverse pipeline for the 4-component case: dequant ->
+    13-bit IDCT -> +128 clamp, then the inverted-ink resolution (YCCK ->
+    fixed-point YCbCr inverse; Adobe CMYK -> stored; bare CMYK -> 255-s)
+    and the quick conversion R = uC*uK//255."""
+    qtabs = [JPEG_QL, JPEG_QC]
+    planes = []
+    for ci in range(4):
+        plane = [[0] * (mcux * 8) for _ in range(mcuy * 8)]
+        for (bx, by), blk in qblocks[ci].items():
+            deq = [blk[k] * qtabs[qsel[ci]][k] for k in range(64)]
+            for y in range(8):
+                for x in range(8):
+                    acc = 0
+                    for u in range(8):
+                        for v2 in range(8):
+                            acc += (deq[v2 * 8 + u] * JPEG_IDCT_B[u][x]
+                                    * JPEG_IDCT_B[v2][y])
+                    p = ((acc + (1 << 25)) >> 26) + 128
+                    plane[by * 8 + y][bx * 8 + x] = min(255, max(0, p))
+        planes.append(plane)
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            if ycck:
+                yy, cb, cr = (planes[0][y][x], planes[1][y][x] - 128,
+                              planes[2][y][x] - 128)
+                uc = yy + ((91881 * cr + 32768) >> 16)
+                um = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
+                uy = yy + ((116130 * cb + 32768) >> 16)
+                uc, um, uy = (min(255, max(0, v)) for v in (uc, um, uy))
+                uk = planes[3][y][x]
+            elif adobe:
+                uc, um, uy, uk = (planes[c][y][x] for c in range(4))
+            else:
+                uc, um, uy, uk = (255 - planes[c][y][x] for c in range(4))
+            out += bytes((uc * uk // 255, um * uk // 255, uy * uk // 255))
     return bytes(out)
 
 

@@ -291,6 +291,154 @@ def btree_v1_chunks(chunks, addr_of, dataset_dims, cdims):
     return body
 
 
+def ds_simple_v1_max(dims, maxdims):
+    """v1 dataspace WITH max dims (flags bit 0): UNDEF = unlimited."""
+    return (u8(1) + u8(len(dims)) + u8(1) + u8(0) + u32(0) +
+            b"".join(u64(d) for d in dims) +
+            b"".join(u64(d) for d in maxdims))
+
+
+# ------------------------------------------------- extensible-array blocks
+def ea_hdr(client, elmt_size, params, stats, iblk_addr):
+    maxbits, idx, minel, minptr, pagebits = params
+    h = (b"EAHD" + u8(0) + u8(client) + u8(elmt_size) + u8(maxbits) +
+         u8(idx) + u8(minel) + u8(minptr) + u8(pagebits) +
+         u64(stats[0]) + u64(stats[1]) + u64(stats[2]) + u64(stats[3]) +
+         u64(stats[4]) + u64(stats[5]) + u64(iblk_addr))
+    return h + u32(lookup3(h))
+
+
+def ea_iblock(client, hdr_addr, inline, dblk_addrs, sblk_addrs):
+    b = (b"EAIB" + u8(0) + u8(client) + u64(hdr_addr) + inline +
+         b"".join(u64(a) for a in dblk_addrs) +
+         b"".join(u64(a) for a in sblk_addrs))
+    return b + u32(lookup3(b))
+
+
+def ea_dblock(client, hdr_addr, block_off, off_size, elems):
+    b = (b"EADB" + u8(0) + u8(client) + u64(hdr_addr) +
+         int(block_off).to_bytes(off_size, "little") + elems)
+    return b + u32(lookup3(b))
+
+
+def ea_dblock_paged(client, hdr_addr, block_off, off_size, pages):
+    b = (b"EADB" + u8(0) + u8(client) + u64(hdr_addr) +
+         int(block_off).to_bytes(off_size, "little"))
+    out = b + u32(lookup3(b))
+    for elems, init in pages:
+        out += (elems + u32(lookup3(elems))) if init else b"\x00" * (len(elems) + 4)
+    return out
+
+
+def ea_sblock(client, hdr_addr, block_off, off_size, page_bitmap, dblk_addrs):
+    b = (b"EASB" + u8(0) + u8(client) + u64(hdr_addr) +
+         int(block_off).to_bytes(off_size, "little") + page_bitmap +
+         b"".join(u64(a) for a in dblk_addrs))
+    return b + u32(lookup3(b))
+
+
+def ea_plan(n, params):
+    """Static H5EA geometry for an n-element array: materialized direct
+    data blocks (slot, start, ne) and super blocks (start, nd, ne, npages).
+    A block is materialized iff its first element index is < n."""
+    maxbits, idx, minel, minptr, pagebits = params
+    log2 = lambda v: v.bit_length() - 1  # noqa: E731
+    nsblks = 1 + maxbits - log2(minel)
+    first = 2 * log2(minptr)
+    page = 1 << pagebits
+    direct = []
+    start, slot, u = idx, 0, 0
+    while u < first and u < nsblks:
+        nd, ne = 1 << (u // 2), minel << ((u + 1) // 2)
+        assert ne <= page, "iblock-direct data block would page"
+        for _ in range(nd):
+            if start < n:
+                direct.append((slot, start, ne))
+            slot += 1
+            start += ne
+        u += 1
+    sblks = []
+    s = 0
+    while u < nsblks and start < n:
+        nd, ne = 1 << (u // 2), minel << ((u + 1) // 2)
+        sblks.append((s, start, nd, ne, ne // page if ne > page else 0))
+        start += nd * ne
+        s += 1
+        u += 1
+    return dict(first=first, nda=2 * (minptr - 1),
+                nsa=nsblks - first, page=page, direct=direct, sblks=sblks,
+                arr_off=(maxbits + 7) // 8)
+
+
+# ------------------------------------------------------ v2 B-tree builders
+def bt2_enc_size(v):
+    return max(1, (int(v).bit_length() + 7) // 8)
+
+
+def bt2_caps(node_size, rrec, max_depth=8):
+    """Per-level record capacities + count-field widths, the exact reader
+    formulas (leaf (nodeSize-10)/rrec; internal pointers sized for the
+    leaf max + the child level's cumulative total)."""
+    leaf = (node_size - 10) // rrec
+    maxn, cum, cums = [leaf], [leaf], [0]
+    mns = bt2_enc_size(leaf)
+    for d in range(1, max_depth + 1):
+        ptr = 8 + mns + cums[d - 1]
+        m = (node_size - 10 - ptr) // (rrec + ptr)
+        if m < 1:
+            break
+        maxn.append(m)
+        cum.append((m + 1) * cum[d - 1] + m)
+        cums.append(bt2_enc_size(cum[d]))
+    return maxn, cum, cums, mns
+
+
+def bt2_structure(n, maxn, cum):
+    """Distribute n records into a minimal-depth tree: ('leaf', count) or
+    ('int', depth, own_record_count, [children])."""
+    depth = 0
+    while cum[depth] < n:
+        depth += 1
+        assert depth < len(cum), "record count exceeds tree capacity"
+    def rec(n, depth):
+        if depth == 0:
+            return ("leaf", n)
+        r = 1
+        while (r + 1) * cum[depth - 1] + r < n:
+            r += 1
+        k = r + 1
+        rest = n - r
+        subs = [rest // k + (1 if i < rest % k else 0) for i in range(k)]
+        assert all(1 <= s <= cum[depth - 1] for s in subs), (n, depth, subs)
+        return ("int", depth, r, [rec(s, depth - 1) for s in subs])
+    return depth, rec(n, depth)
+
+
+def bt2_total(node):
+    """Total records in a subtree."""
+    if node[0] == "leaf":
+        return node[1]
+    return node[2] + sum(bt2_total(c) for c in node[3])
+
+
+def bt2_node_names(prefix, structure):
+    """Flatten the structure into per-node block names (post-order)."""
+    names = []
+    counter = [0]
+    def walk(node):
+        if node[0] == "leaf":
+            nm = f"{prefix}_leaf{counter[0]}"
+        else:
+            for ch in node[3]:
+                walk(ch)
+            nm = f"{prefix}_int{counter[0]}"
+        counter[0] += 1
+        names.append((nm, node))
+        return nm
+    root = walk(structure)
+    return names, root
+
+
 # ---------------------------------------------------------------- generate
 def main(out: str, seed: int) -> None:
     rng = np.random.default_rng(seed)
@@ -342,9 +490,11 @@ def main(out: str, seed: int) -> None:
             fillv, mask = dt.type(0), np.zeros(dim_sizes, bool)
         # layout form: classic v3 (contiguous / B-tree-v1 chunked) or the
         # 1.10+ layout-v4 chunk indexes (single chunk ±filtered, implicit,
-        # fixed array clients 0/1)
+        # fixed array clients 0/1 ± PAGED data blocks, EXTENSIBLE ARRAY,
+        # v2 B-TREE — the round-19 unlimited-dimension index family)
         form = str(rng.choice(["v3_contig", "v3_btree", "v4_contig",
-                               "v4_single", "v4_implicit", "v4_fixed"]))
+                               "v4_single", "v4_implicit", "v4_fixed",
+                               "v4_fixed_paged", "v4_ea", "v4_bt2"]))
         cdims = None
         filters = []
         lvl = int(rng.integers(1, 10))
@@ -366,7 +516,7 @@ def main(out: str, seed: int) -> None:
                     [(2, [dt.itemsize]), (1, [lvl]), (3, [])]
         elif form == "v4_implicit":
             cdims = [int(rng.integers(2, d + 3)) for d in dim_sizes]
-        elif form == "v4_fixed":
+        elif form in ("v4_fixed", "v4_fixed_paged", "v4_ea", "v4_bt2"):
             cdims = [int(rng.integers(2, d + 3)) for d in dim_sizes]
             style = int(rng.integers(0, 3))
             if style == 1:
@@ -374,18 +524,95 @@ def main(out: str, seed: int) -> None:
             elif style == 2:
                 filters = [(2, [dt.itemsize]), (1, [lvl]), (3, [])]
         chunked = cdims is not None
-        # fixed-array indexes may leave a chunk unallocated — those cells
-        # read back as the fill pattern, so only plant one when a fill is
-        # defined (and account for it in the expectation)
-        missing = None
+        grid = chunk_grid(dim_sizes, cdims) if chunked else None
+        nchunks = len(grid) if chunked else 0
+
+        def mark_missing(idxs):
+            for mi in idxs:
+                og = grid[mi]
+                sl = tuple(slice(o, min(o + c, d))
+                           for o, c, d in zip(og, cdims, dim_sizes))
+                arr[sl] = fillv
+                mask[sl] = True
+
+        # unallocated chunks (Undef index entries / absent records) and
+        # UNINITIALIZED pages read back as the fill pattern — planted only
+        # when a fill is defined, and accounted in the expectation
+        missing_set = set()
+        extra = {}
         if form == "v4_fixed" and has_fill and not filters and rng.integers(0, 2):
-            grid = chunk_grid(dim_sizes, cdims)
-            missing = int(rng.integers(0, len(grid)))
-            og = grid[missing]
-            sl = tuple(slice(o, min(o + c, d))
-                       for o, c, d in zip(og, cdims, dim_sizes))
-            arr[sl] = fillv
-            mask[sl] = True
+            missing_set = {int(rng.integers(0, nchunks))}
+        elif form == "v4_fixed_paged":
+            # page small enough that the data block pages (>= 2 pages)
+            pb = max(1, min(int(rng.integers(1, 4)),
+                            (nchunks - 1).bit_length() - 1)) \
+                if nchunks > 2 else 10
+            extra["fa_pagebits"] = pb
+            page = 1 << pb
+            npages = (nchunks + page - 1) // page if nchunks > page else 0
+            uninit = set()
+            if npages > 1 and has_fill and rng.integers(0, 2):
+                uninit = {int(rng.integers(0, npages))}
+                for p in uninit:
+                    missing_set |= set(range(p * page, min(nchunks, (p + 1) * page)))
+            if has_fill and rng.integers(0, 2):
+                cand = int(rng.integers(0, nchunks))
+                missing_set.add(cand)
+            extra["fa_uninit"] = uninit
+        elif form == "v4_ea":
+            minel = int(rng.choice([2, 4]))
+            minptr = int(rng.choice([2, 4]))
+            idxe = int(rng.choice([1, 2, 4]))
+            lo = (minel * minptr).bit_length() - 1  # keep direct blocks unpaged
+            pagebits = int(rng.integers(lo, lo + 3))
+            maxbits = max(10, nchunks.bit_length() + 1)
+            params = (maxbits, idxe, minel, minptr, pagebits)
+            plan = ea_plan(nchunks, params)
+            extra["ea_params"] = params
+            extra["ea_plan"] = plan
+            uninit = set()  # (sblk_index, dblk_j, page_p)
+            if has_fill:
+                # random Undef elements
+                for mi in range(nchunks):
+                    if rng.random() < 0.05:
+                        missing_set.add(mi)
+                # one uninitialized page of a paged super-block data block
+                paged = [(s, start, nd, ne, np_) for (s, start, nd, ne, np_)
+                         in plan["sblks"] if np_ > 0]
+                if paged and rng.integers(0, 2):
+                    s, start, nd, ne, np_ = paged[int(rng.integers(0, len(paged)))]
+                    j = int(rng.integers(0, nd))
+                    p = int(rng.integers(0, np_))
+                    base0 = start + j * ne + p * plan["page"]
+                    if base0 < nchunks:
+                        uninit = {(s, j, p)}
+                        missing_set |= set(range(
+                            base0, min(nchunks, base0 + plan["page"])))
+            extra["ea_uninit"] = uninit
+        elif form == "v4_bt2":
+            if has_fill:
+                for mi in range(nchunks):
+                    if rng.random() < 0.05:
+                        missing_set.add(mi)
+            # record size per the libhdf5 rule; node size from a target
+            # leaf capacity so small corpora still exercise depth >= 1
+            cbytes = int(np.prod(cdims)) * dt.itemsize
+            L = min(8, 1 + ((cbytes.bit_length() - 1) + 8) // 8)
+            rrec = 8 + ((L + 4) if filters else 0) + 8 * ndims
+            leaf_cap = int(rng.integers(3, 9))
+            node_size = 10 + leaf_cap * rrec + int(rng.integers(0, rrec))
+            maxn, cum, cums, mns = bt2_caps(node_size, rrec, max_depth=14)
+            n_present = nchunks - len(missing_set)
+            if n_present < 1:  # keep at least one record in the tree
+                missing_set.discard(next(iter(missing_set)))
+                n_present += 1
+            depth, structure = bt2_structure(n_present, maxn, cum)
+            names, root = bt2_node_names(f"bt2_v{v}", structure)
+            extra["bt2"] = dict(L=L, rrec=rrec, node_size=node_size,
+                                maxn=maxn, cums=cums, mns=mns, depth=depth,
+                                names=names, root=root, n=n_present)
+        if missing_set:
+            mark_missing(missing_set)
         nf = arr[~mask]
         expects.append((f"v{v}",
                         int((~mask).sum()),
@@ -394,18 +621,19 @@ def main(out: str, seed: int) -> None:
                         int(np.rint(nf.astype(np.float64) * 1000)
                             .astype(np.int64).sum())))
         chunks = build_chunks(arr, cdims, fillv, filters) if chunked else None
-        if missing is not None:
-            chunks = [(og, raw if i != missing else None)
+        if missing_set:
+            chunks = [(og, raw if i not in missing_set else None)
                       for i, (og, raw) in enumerate(chunks)]
         var_specs.append(dict(name=f"v{v}", arr=arr, dt=dt, cdims=cdims,
-                              form=form, filters=filters, missing=missing,
+                              form=form, filters=filters,
+                              missing_set=missing_set,
                               fill=fillv.tobytes() if has_fill else None,
                               history="x" * int(rng.integers(1, 40)),
                               enc_len=int(rng.choice([1, 2, 4])),
                               v4rankonly=bool(rng.random() < 0.2),
                               dense_attrs=bool(rng.random() < 0.3),
                               n_filler=int(rng.integers(6, 12)),
-                              chunks=chunks))
+                              chunks=chunks, **extra))
 
     link_names = dim_names + [s["name"] for s in var_specs]
 
@@ -463,14 +691,30 @@ def main(out: str, seed: int) -> None:
             order += [f"afrhp_{sp['name']}", f"afdb_{sp['name']}",
                       f"aleaf_{sp['name']}", f"abthd_{sp['name']}"]
     order += [f"vbtree_{s['name']}" for s in var_specs if s["form"] == "v3_btree"]
-    order += [f"fahd_{s['name']}" for s in var_specs if s["form"] == "v4_fixed"]
-    order += [f"fadb_{s['name']}" for s in var_specs if s["form"] == "v4_fixed"]
+    order += [f"fahd_{s['name']}" for s in var_specs
+              if s["form"] in ("v4_fixed", "v4_fixed_paged")]
+    order += [f"fadb_{s['name']}" for s in var_specs
+              if s["form"] in ("v4_fixed", "v4_fixed_paged")]
+    for s in var_specs:
+        nm = s["name"]
+        if s["form"] == "v4_ea":
+            n = len(s["chunks"])
+            order += [f"eahd_{nm}", f"eaib_{nm}"]
+            order += [f"eadb_{nm}_{slot}" for (slot, _, _) in s["ea_plan"]["direct"]]
+            for (si, start, nd, ne, np_) in s["ea_plan"]["sblks"]:
+                order += [f"easb_{nm}_{si}"]
+                order += [f"easbdb_{nm}_{si}_{j}" for j in range(nd)
+                          if start + j * ne < n]
+        elif s["form"] == "v4_bt2":
+            order += [f"bthd2_{nm}"]
+            order += [n0 for n0, _ in s["bt2"]["names"]]
     order += ["gheap"]
     order += [f"cdata_{i}" for i in range(ndims) if dim_has_coord[i]]
     order += [f"vdata_{s['name']}" for s in var_specs
               if s["form"] in ("v3_contig", "v4_contig", "v4_implicit")]
     for s in var_specs:
-        if s["form"] in ("v3_btree", "v4_single", "v4_fixed"):
+        if s["form"] in ("v3_btree", "v4_single", "v4_fixed",
+                         "v4_fixed_paged", "v4_ea", "v4_bt2"):
             order += [f"chunk_{s['name']}_{i}" for i in range(len(s["chunks"]))
                       if s["chunks"][i][1] is not None]
 
@@ -513,7 +757,15 @@ def main(out: str, seed: int) -> None:
         for s in var_specs:
             nm = s["name"]
             elem = s["dt"].itemsize
-            msgs = [(0x0001, ds_simple_v1(dim_sizes)),
+            # extensible arrays imply ONE unlimited (outermost) dimension,
+            # v2 B-trees imply several — write the max dims accordingly
+            if s["form"] == "v4_ea":
+                ds = ds_simple_v1_max(dim_sizes, [UNDEF] + dim_sizes[1:])
+            elif s["form"] == "v4_bt2":
+                ds = ds_simple_v1_max(dim_sizes, [UNDEF, UNDEF] + dim_sizes[2:])
+            else:
+                ds = ds_simple_v1(dim_sizes)
+            msgs = [(0x0001, ds),
                     (0x0003, dt_for(s["dt"])),
                     (0x0005, fill_value_msg(None))]
             if s["filters"]:
@@ -543,9 +795,23 @@ def main(out: str, seed: int) -> None:
             elif s["form"] == "v4_implicit":
                 msgs.append((0x0008, layout_v4_chunked(
                     0, v4dims, 2, b"", addr[f"vdata_{nm}"], enc)))
-            else:  # v4_fixed
+            elif s["form"] in ("v4_fixed", "v4_fixed_paged"):
                 msgs.append((0x0008, layout_v4_chunked(
-                    0, v4dims, 3, u8(10), addr[f"fahd_{nm}"], enc)))
+                    0, v4dims, 3, u8(s.get("fa_pagebits", 10)),
+                    addr[f"fahd_{nm}"], enc)))
+            elif s["form"] == "v4_ea":
+                mb, idxe, minel, minptr, pbts = s["ea_params"]
+                # layout-message parameter order: max bits, index elements,
+                # min POINTERS, min ELEMENTS, page bits
+                msgs.append((0x0008, layout_v4_chunked(
+                    0, v4dims, 4,
+                    u8(mb) + u8(idxe) + u8(minptr) + u8(minel) + u8(pbts),
+                    addr[f"eahd_{nm}"], enc)))
+            else:  # v4_bt2
+                msgs.append((0x0008, layout_v4_chunked(
+                    0, v4dims, 5,
+                    u32(s["bt2"]["node_size"]) + u8(100) + u8(40),
+                    addr[f"bthd2_{nm}"], enc)))
             if not s["dense_attrs"]:
                 msgs.append((0x000C, dimension_list()))
                 if s["fill"] is not None:
@@ -726,21 +992,163 @@ def main(out: str, seed: int) -> None:
                 blocks[f"vbtree_{nm}"] = btree_v1_chunks(
                     s["chunks"], lambda i, n=nm: addr[f"chunk_{n}_{i}"],
                     dim_sizes, s["cdims"])
-            elif s["form"] == "v4_fixed":
-                if s["filters"]:
-                    elems = b"".join(
-                        u64(addr[f"chunk_{nm}_{i}"]) + u32(len(raw)) + u32(0)
-                        for i, (_, raw) in enumerate(s["chunks"]))
-                    blocks[f"fahd_{nm}"] = fahd(1, 16, 10, len(s["chunks"]),
-                                                addr[f"fadb_{nm}"])
-                    blocks[f"fadb_{nm}"] = fadb(1, addr[f"fahd_{nm}"], elems)
-                else:
-                    elems = b"".join(
-                        u64(UNDEF if raw is None else addr[f"chunk_{nm}_{i}"])
-                        for i, (_, raw) in enumerate(s["chunks"]))
-                    blocks[f"fahd_{nm}"] = fahd(0, 8, 10, len(s["chunks"]),
-                                                addr[f"fadb_{nm}"])
-                    blocks[f"fadb_{nm}"] = fadb(0, addr[f"fahd_{nm}"], elems)
+            elif s["form"] in ("v4_fixed", "v4_fixed_paged"):
+                n = len(s["chunks"])
+                filtered = bool(s["filters"])
+                client = 1 if filtered else 0
+                esz = 16 if filtered else 8
+
+                def fa_elem(i, raw, *, _nm=nm, _f=filtered):
+                    if raw is None:
+                        return u64(UNDEF) + (u32(0) + u32(0) if _f else b"")
+                    return (u64(addr[f"chunk_{_nm}_{i}"]) +
+                            (u32(len(raw)) + u32(0) if _f else b""))
+                pb = s.get("fa_pagebits", 10)
+                page = 1 << pb
+                blocks[f"fahd_{nm}"] = fahd(client, esz, pb, n,
+                                            addr[f"fadb_{nm}"])
+                if n <= page:  # unpaged data block
+                    elems = b"".join(fa_elem(i, raw)
+                                     for i, (_, raw) in enumerate(s["chunks"]))
+                    blocks[f"fadb_{nm}"] = fadb(client, addr[f"fahd_{nm}"], elems)
+                else:  # PAGED: bitmap in the data block, element pages after
+                    npages = (n + page - 1) // page
+                    uninit = s.get("fa_uninit", set())
+                    bm = bytearray((npages + 7) // 8)
+                    d = (b"FADB" + u8(0) + u8(client) +
+                         u64(addr[f"fahd_{nm}"]))
+                    pages = b""
+                    for p in range(npages):
+                        pn = min(page, n - p * page)
+                        if p in uninit:
+                            pages += b"\x00" * (pn * esz + 4)
+                        else:
+                            bm[p // 8] |= 1 << (7 - p % 8)
+                            body = b"".join(
+                                fa_elem(i, s["chunks"][i][1])
+                                for i in range(p * page, p * page + pn))
+                            pages += body + u32(lookup3(body))
+                    d += bytes(bm)
+                    blocks[f"fadb_{nm}"] = d + u32(lookup3(d)) + pages
+            elif s["form"] == "v4_ea":
+                n = len(s["chunks"])
+                plan = s["ea_plan"]
+                filtered = bool(s["filters"])
+                client = 1 if filtered else 0
+                cbytes = int(np.prod(s["cdims"])) * s["dt"].itemsize
+                L = min(8, 1 + ((cbytes.bit_length() - 1) + 8) // 8) \
+                    if filtered else 0
+                esz = 8 + L + 4 if filtered else 8
+                ao = plan["arr_off"]
+                hdr_a = addr[f"eahd_{nm}"]
+
+                def ea_el(i, *, _nm=nm, _f=filtered, _L=L, _n=n):
+                    if i >= _n or s["chunks"][i][1] is None:
+                        return u64(UNDEF) + (b"\x00" * (_L + 4) if _f else b"")
+                    raw = s["chunks"][i][1]
+                    return (u64(addr[f"chunk_{_nm}_{i}"]) +
+                            (len(raw).to_bytes(_L, "little") + u32(0)
+                             if _f else b""))
+                idxe = s["ea_params"][1]
+                inline = b"".join(ea_el(i) for i in range(idxe))
+                dblk_addrs = [UNDEF] * plan["nda"]
+                for (slot, start, ne) in plan["direct"]:
+                    dblk_addrs[slot] = addr[f"eadb_{nm}_{slot}"]
+                    blocks[f"eadb_{nm}_{slot}"] = ea_dblock(
+                        client, hdr_a, start - idxe, ao,
+                        b"".join(ea_el(start + k) for k in range(ne)))
+                sblk_addrs = [UNDEF] * plan["nsa"]
+                uninit = s.get("ea_uninit", set())
+                for (si, start, nd, ne, np_) in plan["sblks"]:
+                    bmper = (np_ + 7) // 8 if np_ else 0
+                    bm = bytearray(bmper * nd)
+                    dbs = []
+                    for j in range(nd):
+                        if start + j * ne >= n:
+                            dbs.append(UNDEF)
+                            continue
+                        a = addr[f"easbdb_{nm}_{si}_{j}"]
+                        dbs.append(a)
+                        if np_ == 0:
+                            blocks[f"easbdb_{nm}_{si}_{j}"] = ea_dblock(
+                                client, hdr_a, start - idxe + j * ne, ao,
+                                b"".join(ea_el(start + j * ne + k)
+                                         for k in range(ne)))
+                        else:
+                            pages = []
+                            pn = plan["page"]
+                            for p in range(np_):
+                                if (si, j, p) in uninit:
+                                    pages.append((b"\x00" * (pn * esz), False))
+                                else:
+                                    bm[j * bmper + p // 8] |= 1 << (7 - p % 8)
+                                    pages.append((b"".join(
+                                        ea_el(start + j * ne + p * pn + k)
+                                        for k in range(pn)), True))
+                            blocks[f"easbdb_{nm}_{si}_{j}"] = ea_dblock_paged(
+                                client, hdr_a, start - idxe + j * ne, ao, pages)
+                    sblk_addrs[si] = addr[f"easb_{nm}_{si}"]
+                    blocks[f"easb_{nm}_{si}"] = ea_sblock(
+                        client, hdr_a, start - idxe, ao, bytes(bm), dbs)
+                blocks[f"eaib_{nm}"] = ea_iblock(
+                    client, hdr_a, inline, dblk_addrs, sblk_addrs)
+                blocks[f"eahd_{nm}"] = ea_hdr(
+                    client, esz, s["ea_params"],
+                    (len(plan["sblks"]), 0, len(plan["direct"]), 0, n, n),
+                    addr[f"eaib_{nm}"])
+            elif s["form"] == "v4_bt2":
+                bt = s["bt2"]
+                filtered = bool(s["filters"])
+                bttype = 11 if filtered else 10
+                present = [i for i, (_, raw) in enumerate(s["chunks"])
+                           if raw is not None]
+
+                def rec_bytes(ci, *, _nm=nm, _f=filtered):
+                    og, raw = s["chunks"][ci]
+                    scaled = [o // c for o, c in zip(og, s["cdims"])]
+                    r = u64(addr[f"chunk_{_nm}_{ci}"])
+                    if _f:
+                        r += len(raw).to_bytes(bt["L"], "little") + u32(0)
+                    return r + b"".join(u64(sc) for sc in scaled)
+                counter = [0]
+
+                def emit(node, lo, hi):
+                    if node[0] == "leaf":
+                        body = b"BTLF" + u8(0) + u8(bttype) + b"".join(
+                            rec_bytes(present[i]) for i in range(lo, hi))
+                        nm2 = f"bt2_{nm}_leaf{counter[0]}"
+                        counter[0] += 1
+                        blocks[nm2] = body + u32(lookup3(body))
+                        return nm2, node[1], node[1]
+                    _, depth, r, children = node
+                    pos = lo
+                    childinfo = []
+                    seps = []
+                    for ci2, ch in enumerate(children):
+                        tot = bt2_total(ch)
+                        childinfo.append(emit(ch, pos, pos + tot))
+                        pos += tot
+                        if ci2 < len(children) - 1:
+                            seps.append(present[pos])
+                            pos += 1
+                    assert pos == hi, (pos, hi)
+                    body = b"BTIN" + u8(0) + u8(bttype) + b"".join(
+                        rec_bytes(ci3) for ci3 in seps)
+                    tot_size = bt["cums"][depth - 1] if depth >= 2 else 0
+                    for (cnm, cn, ctot) in childinfo:
+                        body += u64(addr[cnm]) + cn.to_bytes(bt["mns"], "little")
+                        if tot_size:
+                            body += int(ctot).to_bytes(tot_size, "little")
+                    nm2 = f"bt2_{nm}_int{counter[0]}"
+                    counter[0] += 1
+                    blocks[nm2] = body + u32(lookup3(body))
+                    return nm2, r, hi - lo
+                structure = bt["names"][-1][1]
+                root_name, root_nrec, total = emit(structure, 0, len(present))
+                h = (b"BTHD" + u8(0) + u8(bttype) + u32(bt["node_size"]) +
+                     u16(bt["rrec"]) + u16(bt["depth"]) + u8(100) + u8(40) +
+                     u64(addr[root_name]) + u16(root_nrec) + u64(total))
+                blocks[f"bthd2_{nm}"] = h + u32(lookup3(h))
         gsize = 512
         while True:
             g = bytearray()
@@ -783,7 +1191,7 @@ def main(out: str, seed: int) -> None:
     for nm, cnt, chk in expects:
         print(f"EXPECT {nm} {cnt} {chk}")
     dtstr = ",".join(str(d) for d in dtypes)
-    forms = ",".join(s["form"] + ("(miss)" if s["missing"] is not None else "") for s in var_specs)
+    forms = ",".join(s["form"] + ("(miss)" if s["missing_set"] else "") for s in var_specs)
     dmode = ("dense" + ("/d1" if dns.get("depth1") else "/d0") +
              ("/rootdir" if dns.get("root_direct") else "/indirect")
              if dense else "compact")
