@@ -300,6 +300,10 @@ object FloodQueries {
     new java.io.File("data/netcdf/extarray4.nc").getAbsolutePath
   private lazy val netcdf4ExtExpected =
     new java.io.File("data/netcdf/extarray4_expected.parquet").getAbsolutePath
+  private lazy val netcdf4DeepFixture =
+    new java.io.File("data/netcdf/deepdense4.nc").getAbsolutePath
+  private lazy val netcdf4DeepExpected =
+    new java.io.File("data/netcdf/deepdense4_expected.parquet").getAbsolutePath
 
   // ---------------------------------------------------------------- registry
 
@@ -423,6 +427,18 @@ object FloodQueries {
       .select("time", "y", "x", "v_ea", "v_ea_filt", "v_ea_sb",
         "v_ea_paged", "v_bt2", "v_bt2f", "v_btree1_deep", "v_paged_fa",
         "v_paged_fa_holes")),
+
+    // LARGE dense-group shapes (the storage a root group accumulates at
+    // thousands of links): fractal heap with NESTED indirect blocks (the
+    // H5HF doubling-table rows past maxDirectRows, Undef slots included)
+    // and a DEPTH-2 v2-B-tree name index — forced at fixture size by a
+    // tiny from-spec geometry. Fixture + mirror by the independent python
+    // writer (tools/make_netcdf4_deepdense_fixture.py).
+    "q_netcdf4_deepdense" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdf4DeepFixture)
+      .option("numPartitions", "2")
+      .load()),
 
     // S1: GRIB2 ensemble forecast read directly as a table (the reference
     // opens GRIB via python-cfgrib, flood/etl/utils.py:3-14). Fixture =
@@ -906,6 +922,9 @@ object FloodQueries {
 
     "q_netcdf4_extarray" ->
       s"SELECT * FROM read_parquet('$netcdf4ExtExpected')",
+
+    "q_netcdf4_deepdense" ->
+      s"SELECT * FROM read_parquet('$netcdf4DeepExpected')",
 
     "q_netcdf_slice" ->
       s"""SELECT lat, lon, threshold_2y, upstream_area

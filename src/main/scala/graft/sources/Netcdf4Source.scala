@@ -33,9 +33,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    link-message groups, and DENSE groups (fractal heap + v2 B-tree
   *    name index — what libhdf5 emits past the 8-link compact threshold,
   *    i.e. any file with more than a handful of variables): root direct
-  *    block or a root indirect block of direct rows, checksummed blocks,
-  *    B-tree depth 0/1; huge/tiny heap objects, filtered heap blocks and
-  *    deeper trees reject loudly by name;
+  *    block or indirect blocks at ANY nesting depth (the H5HF doubling
+  *    table), checksummed blocks, name-index B-trees at ANY depth;
+  *    huge/tiny heap objects and filtered heap blocks reject loudly by
+  *    name;
   *  - datatypes: fixed-point i1/i2/i4/i8 (unsigned u1/u2/u4 widen to the
   *    next Spark type; u8 rejects — no lossless target) and IEEE float
   *    f4/f8, LE or BE;
@@ -539,12 +540,16 @@ private[sources] object Hdf5 {
     * then child pointers — spec layout), fetch each object from the
     * fractal heap's direct blocks. Driver-side metadata walk, KBs total.
     *
-    * Supported shape (loud rejects otherwise): unfiltered managed objects,
-    * root direct block or one root indirect block of direct-block rows,
-    * B-tree depth 0 or 1. Huge/tiny heap objects and deeper trees would
-    * need objects of thousands of bytes or many thousands of entries —
-    * outside anything a netCDF-4 writer emits. All lookup3 checksums
-    * (heap header, direct blocks when flagged, B-tree nodes) are
+    * Supported shape (loud rejects otherwise): unfiltered managed objects;
+    * root direct block, or indirect blocks at ANY nesting (rows past
+    * maxDirectRows hold child indirect blocks per the H5HF doubling
+    * table — what a group accumulates past ~width·maxDirect bytes of
+    * links, round 19); name-index v2 B-tree at ANY depth (capacity-
+    * derived count-field widths, the same rules as the chunk-index
+    * walker). Huge/tiny heap objects still reject by name — they need
+    * objects of thousands of bytes, outside anything a netCDF-4 writer
+    * emits for links or attributes. All lookup3 checksums (heap header,
+    * direct blocks when flagged, indirect blocks, B-tree nodes) are
     * VERIFIED — every length and address is untrusted input. */
   private def denseHeapObjects(in: In, heapAddr: Long, btreeAddr: Long,
       btType: Int, heapIdRecOffset: Int, recordTail: Int): Seq[Array[Byte]] = {
@@ -600,48 +605,74 @@ private[sources] object Hdf5 {
       s"${in.path}: fractal heap ID length $heapIdLen does not match its " +
         s"geometry (1+$offBytes+$lenBytes)")
 
-    // ---- direct block map
+    // ---- direct block map: the doubling-table walk, NESTED indirect
+    // blocks included (what a group accumulates past ~width·maxDirect
+    // bytes of link messages): rows 0..maxDirectRows-1 of an indirect
+    // block hold direct blocks; rows beyond hold CHILD indirect blocks,
+    // each subdividing exactly its row's span — a child covering span V
+    // has log2(V) − log2(start·width) + 1 rows (the H5HF doubling rule).
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirectBlockSize)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+    require(Integer.bitCount(tableWidth) == 1,
+      s"${in.path}: fractal heap table width $tableWidth is not a power of two")
+    val log2Width = 31 - Integer.numberOfLeadingZeros(tableWidth)
+    val blockCap = Seq.newBuilder[DirectBlock]
+    var nBlocksWalked = 0
+    def walkIndirect(addr: Long, expectOff: Long, nrows: Int, depth: Int): Unit = {
+      require(depth <= 8, s"${in.path}: fractal heap indirect nesting depth $depth")
+      require(nrows >= 1 && nrows <= 64, s"${in.path}: indirect block rows $nrows")
+      val ibLen = 4 + 1 + 8 + offBytes + nrows * tableWidth * 8
+      val ib = in.bytes(in.checkedAddr(addr, "indirect block"), ibLen + 4)
+      val ibb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
+      val isig = new Array[Byte](4)
+      ibb.get(isig)
+      require(new String(isig, StandardCharsets.US_ASCII) == "FHIB",
+        s"${in.path}: bad fractal heap indirect block signature at $addr")
+      require((ibb.get() & 0xFF) == 0, s"${in.path}: indirect block version")
+      require(ibb.getLong == heapAddr,
+        s"${in.path}: indirect block does not point back to its heap header")
+      var bo = 0L
+      var k = 0
+      while (k < offBytes) { bo |= (ibb.get() & 0xFFL) << (8 * k); k += 1 }
+      require(bo == expectOff,
+        s"${in.path}: indirect block offset $bo at heap offset $expectOff")
+      checkLookup3(ib, ibLen, s"${in.path}: fractal heap indirect block at $addr")
+      var heapOff = expectOff
+      var row = 0
+      while (row < nrows) {
+        val rowSize = if (row < 2) startBlockSize else startBlockSize << (row - 1)
+        var col = 0
+        while (col < tableWidth) {
+          val a = ibb.getLong
+          if (a != Undef) {
+            nBlocksWalked += 1
+            require(nBlocksWalked <= 100000,
+              s"${in.path}: fractal heap walk exceeds the driver bound")
+            if (row < maxDirectRows) {
+              blockCap += DirectBlock(heapOff, rowSize, in.checkedAddr(a, "direct block"))
+            } else {
+              // child indirect block covering this entry's span
+              val childRows = row - log2Width
+              require(childRows >= 1, s"${in.path}: fractal heap geometry " +
+                s"(indirect row $row, width $tableWidth)")
+              walkIndirect(a, heapOff, childRows, depth + 1)
+            }
+          }
+          heapOff += rowSize
+          col += 1
+        }
+        row += 1
+      }
+    }
     val blocks: Seq[DirectBlock] =
       if (rootBlockAddr == Undef) Nil
       else if (curRootRows == 0) { // root IS a direct block
         Seq(DirectBlock(0L, startBlockSize, in.checkedAddr(rootBlockAddr, "root direct block")))
-      } else { // root indirect block of direct-block rows
-        val maxDirectRows =
-          (63 - java.lang.Long.numberOfLeadingZeros(maxDirectBlockSize)) -
-            (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
-        require(curRootRows <= maxDirectRows, s"${in.path}: fractal heap root " +
-          s"indirect block has $curRootRows rows (> $maxDirectRows direct rows) " +
-          "— nested indirect blocks are not supported for link storage")
-        val ibLen = 4 + 1 + 8 + offBytes + curRootRows * tableWidth * 8
-        val ib = in.bytes(in.checkedAddr(rootBlockAddr, "root indirect block"), ibLen + 4)
-        val ibb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
-        ibb.get(sig)
-        require(new String(sig, StandardCharsets.US_ASCII) == "FHIB",
-          s"${in.path}: bad fractal heap indirect block signature at $rootBlockAddr")
-        require((ibb.get() & 0xFF) == 0, s"${in.path}: indirect block version")
-        require(ibb.getLong == heapAddr,
-          s"${in.path}: indirect block does not point back to its heap header")
-        var bo = 0L
-        var k = 0
-        while (k < offBytes) { bo |= (ibb.get() & 0xFFL) << (8 * k); k += 1 }
-        require(bo == 0, s"${in.path}: root indirect block offset $bo")
-        val out = Seq.newBuilder[DirectBlock]
-        var heapOff = 0L
-        var row = 0
-        while (row < curRootRows) {
-          val rowSize = if (row < 2) startBlockSize else startBlockSize << (row - 1)
-          var col = 0
-          while (col < tableWidth) {
-            val a = ibb.getLong
-            if (a != Undef)
-              out += DirectBlock(heapOff, rowSize, in.checkedAddr(a, "direct block"))
-            heapOff += rowSize
-            col += 1
-          }
-          row += 1
-        }
-        checkLookup3(ib, ibLen, s"${in.path}: fractal heap indirect block")
-        out.result()
+      } else {
+        walkIndirect(in.checkedAddr(rootBlockAddr, "root indirect block"), 0L,
+          curRootRows, 0)
+        blockCap.result()
       }
     // verify each direct block's header once; remember its data bytes
     val checksummed = (heapFlags & 0x2) != 0
@@ -707,8 +738,7 @@ private[sources] object Hdf5 {
     val rootNrec = u16(t)
     val totalNrec = t.getLong
     checkLookup3(tb, bthdLen, s"${in.path}: v2 B-tree header at $btreeAddr")
-    require(depth <= 1, s"${in.path}: v2 B-tree depth $depth is not supported " +
-      "for link name indexes (thousands of links in one group)")
+    require(depth <= 16, s"${in.path}: v2 B-tree depth $depth")
     require(nodeSize > 10 && nodeSize <= (1 << 20), s"${in.path}: v2 B-tree node size")
 
     def parseRecords(bytes: Array[Byte], off: Int, nrec: Int): Seq[(Long, Int)] =
@@ -728,50 +758,81 @@ private[sources] object Hdf5 {
         (objOff, objLen.toInt)
       }
 
-    def readLeaf(addr: Long, nrec: Int): Seq[(Long, Int)] = {
-      val used = 4 + 1 + 1 + nrec * recordSize
-      val lb = in.bytes(addr, used + 4)
-      require(lb(0) == 'B' && lb(1) == 'T' && lb(2) == 'L' && lb(3) == 'F',
-        s"${in.path}: bad v2 B-tree leaf signature at $addr")
-      require((lb(4) & 0xFF) == 0 && (lb(5) & 0xFF) == btType,
-        s"${in.path}: v2 B-tree leaf version/type at $addr")
-      checkLookup3(lb, used, s"${in.path}: v2 B-tree leaf at $addr")
-      parseRecords(lb, 6, nrec)
+    // per-level record capacities → on-disk child-count field widths (the
+    // same H5B2 rules as the chunk-index walker): arbitrary depth — what a
+    // group accumulates at tens of thousands of links
+    def encSize(v: Long): Int = {
+      var size = 1
+      var x = v >>> 8
+      while (x != 0) { size += 1; x >>>= 8 }
+      size
     }
-
-    val heapIds: Seq[(Long, Int)] =
-      if (depth == 0) readLeaf(rootNodeAddr, rootNrec)
-      else {
-        // internal root: records first, then nrec+1 child pointers of
-        // (address, child-record-count) — count width from the max records
-        // a leaf can hold (spec: minimum bytes for that limit)
-        val maxLeafRec = (nodeSize - 10) / recordSize
-        var cntBytes = 1
-        while (cntBytes < 8 && (maxLeafRec >>> (8 * cntBytes)) != 0) cntBytes += 1
-        val used = 4 + 1 + 1 + rootNrec * recordSize + (rootNrec + 1) * (8 + cntBytes)
-        val ib = in.bytes(rootNodeAddr, used + 4)
+    val maxLeafRec = (nodeSize - 10) / recordSize
+    require(maxLeafRec >= 1, s"${in.path}: v2 B-tree node size $nodeSize below one record")
+    val maxNrecSize = encSize(maxLeafRec.toLong)
+    val maxRecAt = new Array[Long](depth + 1)
+    val cumMax = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    maxRecAt(0) = maxLeafRec.toLong
+    cumMax(0) = maxLeafRec.toLong
+    cumSize(0) = 0
+    var dd = 1
+    while (dd <= depth) {
+      val ptr = 8 + maxNrecSize + cumSize(dd - 1)
+      val m = (nodeSize - 10 - ptr) / (recordSize + ptr)
+      require(m >= 1, s"${in.path}: v2 B-tree internal node at depth $dd holds no records")
+      maxRecAt(dd) = m.toLong
+      cumMax(dd) = (m.toLong + 1) * cumMax(dd - 1) + m
+      cumSize(dd) = encSize(cumMax(dd))
+      dd += 1
+    }
+    val heapIdsOut = Seq.newBuilder[(Long, Int)]
+    var walked = 0L
+    def walkNode(addr: Long, nrec: Int, level: Int): Unit = {
+      if (level == 0) {
+        val used = 6 + nrec * recordSize
+        val lb = in.bytes(in.checkedAddr(addr, "v2 B-tree leaf"), used + 4)
+        require(lb(0) == 'B' && lb(1) == 'T' && lb(2) == 'L' && lb(3) == 'F',
+          s"${in.path}: bad v2 B-tree leaf signature at $addr")
+        require((lb(4) & 0xFF) == 0 && (lb(5) & 0xFF) == btType,
+          s"${in.path}: v2 B-tree leaf version/type at $addr")
+        checkLookup3(lb, used, s"${in.path}: v2 B-tree leaf at $addr")
+        heapIdsOut ++= parseRecords(lb, 6, nrec)
+        walked += nrec
+      } else {
+        val totSize = if (level >= 2) cumSize(level - 1) else 0
+        val ptrSz = 8 + maxNrecSize + totSize
+        val used = 6 + nrec * recordSize + (nrec + 1) * ptrSz
+        val ib = in.bytes(in.checkedAddr(addr, "v2 B-tree internal node"), used + 4)
         require(ib(0) == 'B' && ib(1) == 'T' && ib(2) == 'I' && ib(3) == 'N',
-          s"${in.path}: bad v2 B-tree internal signature at $rootNodeAddr")
+          s"${in.path}: bad v2 B-tree internal signature at $addr")
         require((ib(4) & 0xFF) == 0 && (ib(5) & 0xFF) == btType,
-          s"${in.path}: v2 B-tree internal version/type")
-        checkLookup3(ib, used, s"${in.path}: v2 B-tree internal node at $rootNodeAddr")
-        val rootRecords = parseRecords(ib, 6, rootNrec)
-        val ptrOff = 6 + rootNrec * recordSize
-        val children = (0 to rootNrec).map { i =>
-          val p = ptrOff + i * (8 + cntBytes)
-          var a = 0L
+          s"${in.path}: v2 B-tree internal version/type at $addr")
+        checkLookup3(ib, used, s"${in.path}: v2 B-tree internal node at $addr")
+        heapIdsOut ++= parseRecords(ib, 6, nrec)
+        walked += nrec
+        val bb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
+        bb.position(6 + nrec * recordSize)
+        var c = 0
+        while (c <= nrec) {
+          val ca = bb.getLong
+          var cn = 0L
           var k = 0
-          while (k < 8) { a |= (ib(p + k) & 0xFFL) << (8 * k); k += 1 }
-          var n = 0L
+          while (k < maxNrecSize) { cn |= (bb.get() & 0xFFL) << (8 * k); k += 1 }
           k = 0
-          while (k < cntBytes) { n |= (ib(p + 8 + k) & 0xFFL) << (8 * k); k += 1 }
-          require(n <= maxLeafRec, s"${in.path}: v2 B-tree child record count $n")
-          readLeaf(in.checkedAddr(a, "v2 B-tree leaf"), n.toInt)
+          while (k < totSize) { bb.get(); k += 1 } // subtree total: redundant
+          require(cn >= 1 && cn <= maxRecAt(level - 1),
+            s"${in.path}: v2 B-tree child record count $cn at level ${level - 1}")
+          walkNode(ca, cn.toInt, level - 1)
+          c += 1
         }
-        children.flatten ++ rootRecords
       }
-    require(heapIds.length == totalNrec,
-      s"${in.path}: walked ${heapIds.length} dense records, header says $totalNrec")
+    }
+    require(rootNrec <= maxRecAt(depth), s"${in.path}: v2 B-tree root record count $rootNrec")
+    walkNode(rootNodeAddr, rootNrec, depth)
+    val heapIds = heapIdsOut.result()
+    require(walked == totalNrec,
+      s"${in.path}: walked $walked dense records, header says $totalNrec")
     heapIds.map { case (objOff, objLen) => heapObject(objOff, objLen) }
   }
 

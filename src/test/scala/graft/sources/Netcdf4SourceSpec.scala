@@ -272,6 +272,51 @@ class Netcdf4SourceSpec extends SparkSpec {
       s"got: ${ex.getMessage}")
   }
 
+  test("nested-indirect fractal heap + depth-2 name index (large dense groups)") {
+    // deepdense4.nc (tools/make_netcdf4_deepdense_fixture.py): 22 links
+    // across 11 direct blocks, two reached through CHILD indirect blocks
+    // (the H5HF doubling-table row past maxDirectRows, with Undef slots),
+    // indexed by a DEPTH-2 v2 B-tree — the shapes a group accumulates at
+    // thousands of links, forced at fixture size by a tiny geometry.
+    val f = new File("data/netcdf/deepdense4.nc").getAbsolutePath
+    val expected = new File("data/netcdf/deepdense4_expected.parquet").getAbsolutePath
+    val df = nc(f, parts = 2)
+    val want = spark.read.parquet(expected)
+    val colsInOrder = want.schema.fieldNames.toSeq
+    assert(df.columns.sorted.toSeq == colsInOrder.sorted,
+      s"columns: got ${df.columns.mkString(",")}")
+    val key = Seq(col("y"), col("x"))
+    assert(df.select(colsInOrder.map(col): _*).sort(key: _*).collect().toSeq ==
+      want.select(colsInOrder.map(col): _*).sort(key: _*).collect().toSeq)
+    assert(df.count() == 12)
+    // corrupting a CHILD indirect block's entry table fails its checksum
+    val bytes = Files.readAllBytes(Paths.get(f))
+    var pos = indexOfSlice(bytes, "FHIB".getBytes) // root iblock
+    val child = indexOfSlice(
+      java.util.Arrays.copyOfRange(bytes, pos + 4, bytes.length), "FHIB".getBytes)
+    assert(child > 0)
+    val corrupt = bytes.clone()
+    corrupt(pos + 4 + child + 20) = (corrupt(pos + 4 + child + 20) ^ 0x01).toByte
+    val dir = Files.createTempDirectory("nc4deep")
+    val p = dir.resolve("bad.nc")
+    Files.write(p, corrupt, StandardOpenOption.CREATE)
+    val ex = intercept[Exception] { nc(p.toString).count() }
+    val msg = Option(ex.getMessage).getOrElse("")
+    assert(msg.contains("checksum") || msg.contains("does not point back") ||
+      msg.contains("offset"), s"got: $msg")
+    // corrupting the depth-2 index's internal node fails loudly too
+    val bpos = indexOfSlice(bytes, "BTIN".getBytes)
+    assert(bpos > 0)
+    val corrupt2 = bytes.clone()
+    corrupt2(bpos + 7) = (corrupt2(bpos + 7) ^ 0x10).toByte
+    val p2 = dir.resolve("bad2.nc")
+    Files.write(p2, corrupt2, StandardOpenOption.CREATE)
+    val ex2 = intercept[Exception] { nc(p2.toString).count() }
+    assert(Option(ex2.getMessage).getOrElse("").contains("checksum") ||
+      Option(ex2.getMessage).getOrElse("").contains("record count"),
+      s"got: ${ex2.getMessage}")
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {
