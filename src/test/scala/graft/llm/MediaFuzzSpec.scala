@@ -47,7 +47,11 @@ class MediaFuzzSpec extends SparkSpec {
   }
 
   test("seeded random media files decode to the generator's ground truth") {
-    for (seed <- Seq(11, 47, 8080)) {
+    // soak knob: GRAFT_MEDIA_FUZZ_SEEDS=50 sweeps seeds 1..50 on top of
+    // the committed set (used for the round-19 CMYK/YCCK soak)
+    val extra = sys.env.get("GRAFT_MEDIA_FUZZ_SEEDS").map(_.toInt)
+      .map(n => (1 to n).toSeq).getOrElse(Nil)
+    for (seed <- (Seq(11, 47, 8080) ++ extra).distinct) {
       val dir = Files.createTempDirectory(s"media-fuzz-$seed").toString
       val expects = generate(dir, seed)
       val meta = lastMeta

@@ -57,8 +57,12 @@ class Netcdf4FuzzSpec extends SparkSpec {
     // extensible arrays; 140/153/181: extensible arrays WITH Undef
     // elements/blocks at super-block geometries + paged fixed arrays
     // (±uninitialized page at 1234/99999)
-    for (seed <- Seq(1, 2, 3, 4, 7, 8, 36, 42, 140, 153, 181,
-        1234, 99999, 31337, 271828)) {
+    // soak knob: GRAFT_NC4_FUZZ_SEEDS=200 sweeps seeds 1..200 on top of
+    // the committed set (used for the round-19 index-family soak)
+    val extra = sys.env.get("GRAFT_NC4_FUZZ_SEEDS").map(_.toInt)
+      .map(n => (1 to n).toSeq).getOrElse(Nil)
+    for (seed <- (Seq(1, 2, 3, 4, 7, 8, 36, 42, 140, 153, 181,
+        1234, 99999, 31337, 271828) ++ extra).distinct) {
       val f = s"$dir/fuzz_$seed.nc"
       val expects = generate(f, seed)
       assert(expects.nonEmpty)
