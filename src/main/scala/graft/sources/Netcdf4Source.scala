@@ -1421,6 +1421,9 @@ private[sources] object Hdf5 {
               checkLookup3(pb, pLen, s"${in.path}: fixed-array page $p at $pageAddr")
               parseEntries(ByteBuffer.wrap(pb).order(ByteOrder.LITTLE_ENDIAN),
                 (p * pageNelmts).toInt, pn)
+            } else {
+              checkUninitPage(in, pageAddr, pLen,
+                s"${in.path}: fixed-array page $p at $pageAddr")
             }
             pageAddr += pLen + 4
             p += 1
@@ -1605,6 +1608,9 @@ private[sources] object Hdf5 {
             val pbb = ByteBuffer.wrap(pb).order(ByteOrder.LITTLE_ENDIAN)
             var k = 0L
             while (k < pageNelmts) { parseElem(pbb, startIdx + p * pageNelmts + k); k += 1 }
+          } else if (!init && startIdx + p * pageNelmts < n) {
+            checkUninitPage(in, pageAddr, pLen,
+              s"${in.path}: extensible-array page $p at $pageAddr")
           }
           pageAddr += pLen + 4
           p += 1
@@ -1833,15 +1839,41 @@ private[sources] object Hdf5 {
     out.result()
   }
 
+  /** Does `bytes(0, n)` hash to the LE checksum at `bytes(n, 4)`? */
+  def lookup3Matches(bytes: Array[Byte], n: Int): Boolean = {
+    val stored = ((bytes(n) & 0xFFL) | ((bytes(n + 1) & 0xFFL) << 8) |
+      ((bytes(n + 2) & 0xFFL) << 16) | ((bytes(n + 3) & 0xFFL) << 24)).toInt
+    stored == lookup3(bytes, 0, n)
+  }
+
   /** Verify a trailing lookup3 checksum: `bytes(0, n)` hashed, checksum at
     * `bytes(n, 4)` LE. */
   def checkLookup3(bytes: Array[Byte], n: Int, what: String): Unit = {
-    val stored = ((bytes(n) & 0xFFL) | ((bytes(n + 1) & 0xFFL) << 8) |
-      ((bytes(n + 2) & 0xFFL) << 16) | ((bytes(n + 3) & 0xFFL) << 24)).toInt
-    val computed = lookup3(bytes, 0, n)
-    require(stored == computed,
+    require(lookup3Matches(bytes, n), {
+      val stored = ((bytes(n) & 0xFFL) | ((bytes(n + 1) & 0xFFL) << 8) |
+        ((bytes(n + 2) & 0xFFL) << 16) | ((bytes(n + 3) & 0xFFL) << 24)).toInt
       s"$what: checksum mismatch (stored ${stored.toHexString}, " +
-        s"computed ${computed.toHexString})")
+        s"computed ${lookup3(bytes, 0, n).toHexString})"
+    })
+  }
+
+  /** Guard for page-init bitmaps (fixed/extensible arrays): a page whose
+    * bitmap bit says UNINITIALIZED must not carry a VALID checksum — a
+    * never-written page holds junk whose trailing 4 bytes match its
+    * lookup3 with probability 2^-32, so a validating "uninitialized"
+    * page means the bitmap and contents disagree (bit-order confusion or
+    * targeted corruption), and reading it as fill would be silent data
+    * loss. The H5VM bit order (bit 0 = the first byte's HIGH bit) is
+    * implemented from the public H5VM documentation; this check turns a
+    * wrong reading of that convention into a loud reject on any real
+    * initialized page instead of silent fill values. */
+  def checkUninitPage(in: In, pageAddr: Long, pLen: Int, what: String): Unit = {
+    if (pageAddr + pLen + 4 <= in.fileLen) {
+      val pb = in.bytes(pageAddr, pLen + 4)
+      require(!lookup3Matches(pb, pLen),
+        s"$what: page is marked uninitialized by its bitmap but carries a " +
+          "valid checksum — page-init bitmap and contents disagree")
+    }
   }
 
   /** Undo the filter pipeline (reverse order), verifying fletcher32 and

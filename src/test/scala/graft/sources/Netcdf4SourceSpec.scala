@@ -270,6 +270,30 @@ class Netcdf4SourceSpec extends SparkSpec {
     val ex = intercept[Exception] { nc(p.toString).count() }
     assert(Option(ex.getMessage).getOrElse("").contains("out of bounds"),
       s"got: ${ex.getMessage}")
+    // a page the bitmap marks UNINITIALIZED but whose bytes carry a VALID
+    // checksum (what a bit-order confusion or targeted corruption would
+    // produce) rejects loudly instead of silently reading as fill.
+    // v_paged_fa_holes' data block is the SECOND FADB in the file; its
+    // page 1 (8 entries x 15 bytes) is the planted uninitialized page.
+    val first = indexOfSlice(bytes, "FADB".getBytes)
+    val second = first + 4 + indexOfSlice(
+      java.util.Arrays.copyOfRange(bytes, first + 4, bytes.length), "FADB".getBytes)
+    assert(second > first)
+    val pageLen = 8 * 15
+    val page1 = second + (4 + 1 + 1 + 8 + 1 + 4) + (pageLen + 4)
+    val fixed = bytes.clone()
+    assert(fixed.slice(page1, page1 + pageLen + 4).forall(_ == 0),
+      "expected the planted uninitialized page to be zeros")
+    val ck = graft.sources.Hdf5.lookup3(fixed, page1, pageLen)
+    fixed(page1 + pageLen) = (ck & 0xFF).toByte
+    fixed(page1 + pageLen + 1) = ((ck >> 8) & 0xFF).toByte
+    fixed(page1 + pageLen + 2) = ((ck >> 16) & 0xFF).toByte
+    fixed(page1 + pageLen + 3) = ((ck >> 24) & 0xFF).toByte
+    val p3 = dir.resolve("bitorder.nc")
+    Files.write(p3, fixed, StandardOpenOption.CREATE)
+    val ex3 = intercept[Exception] { nc(p3.toString).count() }
+    assert(Option(ex3.getMessage).getOrElse("").contains("bitmap and contents disagree"),
+      s"got: ${ex3.getMessage}")
   }
 
   test("nested-indirect fractal heap + depth-2 name index (large dense groups)") {
