@@ -67,12 +67,24 @@ object CurationArtifacts {
   */
 object Curation {
 
+  /** Clustering form the curation gates use by default: the
+    * diameter-independent star contraction ([[Dedup.clustersStar]]).
+    * Production corpora are exactly where a semi-dup chain ladder can
+    * give the pair graph a long diameter, so the O(log² n)-round form is
+    * the right default; the propagation form ([[Dedup.clusters]]) has
+    * the identical min-id contract, and every curate entry point takes
+    * the form as a parameter so the equality is spec-pinned, not
+    * assumed. */
+  val DefaultClusterFn: (DataFrame, DataFrame) => DataFrame =
+    Dedup.clustersStar(_, _)
+
   def curate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minQuality: Double = 0.4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      clusterFn: (DataFrame, DataFrame) => DataFrame = DefaultClusterFn): DataFrame = {
     // Materialize only (doc_id, quality_score) — two narrow columns —
     // instead of re-running the tokenizing quality scorer for each of its
     // three consumers (gate, cluster universe, final verdict join). The
@@ -85,7 +97,7 @@ object Curation {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(passingIds.select("doc_id"), Seq("doc_id"))
     val pairs = Dedup.minhashPairs(passing, "doc_id", "text", minJaccard = minJaccard)
-    val clustered = Dedup.clusters(passingIds.select("doc_id"), pairs)
+    val clustered = clusterFn(passingIds.select("doc_id"), pairs)
     scores
       .join(clustered, Seq("doc_id"), "left")
       .select(
@@ -114,8 +126,10 @@ object Curation {
     * low_quality, off_label, low_lp, near_duplicate, kept}).
     *
     * Scale shape: gates 2–4 are zero-shuffle kernel projections; gate 1
-    * is one 32-byte-key window; gate 5 is the bucketed LSH + label
-    * propagation stack; the verdict joins five doc-keyed relations —
+    * is one 32-byte-key window; gate 5 is the bucketed LSH + the
+    * diameter-independent star-contraction clustering (`clusterFn`,
+    * default [[DefaultClusterFn]]); the verdict joins five doc-keyed
+    * relations —
     * every shuffle is id- or digest-keyed, nothing is all-pairs. */
   def curateV2(
       docs: DataFrame,
@@ -125,7 +139,8 @@ object Curation {
       acceptLabels: Set[String],
       minQuality: Double = 0.4,
       minAvgLpMicros: Long = -3450000L,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      clusterFn: (DataFrame, DataFrame) => DataFrame = DefaultClusterFn): DataFrame = {
     require(acceptLabels.nonEmpty, "curateV2 needs at least one accept label")
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(labelCol).cast("string").as("__label"))
@@ -138,7 +153,7 @@ object Curation {
     val nb = Classify.nbClassify(d, "doc_id", "text", "__label")
       .select("doc_id", "predicted_label")
     val lm = LangModel.lmScore(d, "doc_id", "text")
-    val reps = Dedup.clusters(d.select(col("doc_id")),
+    val reps = clusterFn(d.select(col("doc_id")),
       Dedup.minhashPairs(d, "doc_id", "text", minJaccard = minJaccard))
     d.select(col("doc_id"))
       .join(exact, Seq("doc_id"))
@@ -184,7 +199,8 @@ object Curation {
       minJaccard: Double = 0.5,
       perDomain: Int = 100,
       contaminationN: Int = 3,
-      maxContamination: Double = 0.2): DataFrame = {
+      maxContamination: Double = 0.2,
+      clusterFn: (DataFrame, DataFrame) => DataFrame = DefaultClusterFn): DataFrame = {
     require(acceptLabels.nonEmpty, "curateV3 needs at least one accept label")
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(labelCol).cast("string").as("__label"), col(urlCol).as("__url"))
@@ -203,7 +219,7 @@ object Curation {
     val contam = Contamination.overlap(d, benchmark, "doc_id", "text",
       n = contaminationN, maxRatio = maxContamination)
       .select("doc_id", "contaminated")
-    val reps = Dedup.clusters(d.select(col("doc_id")),
+    val reps = clusterFn(d.select(col("doc_id")),
       Dedup.minhashPairs(d, "doc_id", "text", minJaccard = minJaccard))
     d.select(col("doc_id"))
       .join(exact, Seq("doc_id"))
@@ -271,7 +287,8 @@ object Curation {
       shingleK: Int = 5,
       perms: Int = 64,
       nBands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      clusterFn: (DataFrame, DataFrame) => DataFrame = DefaultClusterFn): DataFrame = {
     require(acceptLabels.nonEmpty, "curateV2With needs at least one accept label")
     val d = drop.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .localCheckpoint() // feeds all five gates
@@ -292,7 +309,7 @@ object Curation {
     val lm = LangModel.lmScoreWith(d, "doc_id", "text",
       artifacts.lmUnigrams, artifacts.lmBigrams)
     // gate 5: in-drop clusters, then representatives vs history
-    val clusters = Dedup.clusters(d.select(col("doc_id")),
+    val clusters = clusterFn(d.select(col("doc_id")),
       Dedup.minhashPairs(d, "doc_id", "text",
         shingleK, perms, nBands, rowsPerBand, minJaccard))
       .localCheckpoint() // feeds rep selection + the verdict join

@@ -367,7 +367,9 @@ object Dedup {
   }
 
   /** Near-dup cluster REPRESENTATIVE selection by quality — the keep
-    * policy upgrade over min-id: within each [[clusters]] component,
+    * policy upgrade over min-id: within each connected component
+    * (`clusterFn`, default the diameter-independent [[clustersStar]];
+    * [[clusters]] is the contract-identical propagation form),
     * keep the member with the highest [[TextAnalysis.qualityScore]]
     * (doc-id tiebreak), so dedup keeps the best copy of a duplicated
     * passage rather than the accidentally-lowest id (the policy FineWeb
@@ -386,9 +388,10 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      clusterFn: (DataFrame, DataFrame) => DataFrame = clustersStar(_, _)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cl = clusters(
+    val cl = clusterFn(
       docs.select(col(idCol).as("doc_id")),
       minhashPairs(docs, idCol, textCol, minJaccard = minJaccard))
     val q = TextAnalysis.qualityScore(docs, idCol, textCol)
