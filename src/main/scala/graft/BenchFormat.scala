@@ -55,16 +55,23 @@ object BenchFormat {
 
   /** Bounded fallback: totals + top-10 heaviest queries (cs) + detail
     * digest. Drops the top map too if even that overflows (pathological
-    * query names). */
+    * query names). Gate `extras` are injected HERE, inside the sizing
+    * decision, so the <= [[StdoutBudget]] guarantee of the last-resort
+    * form holds by construction no matter how many gate fields future
+    * rounds add — not by the "keep them few" convention. */
   private def shortLine(results: Seq[(String, Double)], total: Double, sfName: String,
-      digest: String): String = {
+      digest: String, extraStr: String): String = {
     def base(top: String): String =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","nq":${results.size}$top,"detail":"BENCH_DETAIL.json","md5":"$digest","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","nq":${results.size}$top,"detail":"BENCH_DETAIL.json","md5":"$digest"$extraStr,"sf":"$sfName"}"""
     val top10 = results.sortBy { case (k, v) => (-v, k) }.take(10)
       .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100) }
       .mkString(""","keyprefix":"q_","qunit":"cs","top":{""", ",", "}")
     val withTop = base(top10)
-    if (withTop.length <= StdoutBudget) withTop else base("")
+    val line = if (withTop.length <= StdoutBudget) withTop else base("")
+    require(line.length <= StdoutBudget,
+      s"bench stdout fallback overflows the driver tail window even top-less " +
+        s"(${line.length} > $StdoutBudget chars) — trim the gate extras")
+    line
   }
 
   /** Complete per-query table, millisecond precision — the committed
@@ -111,7 +118,7 @@ object BenchFormat {
       else {
         val cs = inject(csLine(results, total, sfName))
         if (cs.length <= StdoutBudget) cs
-        else inject(shortLine(results, total, sfName, digest))
+        else shortLine(results, total, sfName, digest, extraStr)
       }
     (line, detail)
   }

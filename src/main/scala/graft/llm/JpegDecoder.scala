@@ -443,21 +443,37 @@ private[llm] object JpegDecoder {
       }
       Some((w, h, 1, out))
     } else if (nComp == 3) {
+      // APP14 disambiguates the 3-component color space: transform 1 or
+      // no marker = YCbCr (the JFIF default), transform 0 = Adobe RGB
+      // (Photoshop "save as RGB JPEG" — channels are R,G,B directly, NO
+      // inverse), transform 2 (YCCK) is meaningless for 3 components and
+      // anything unknown decodes to None — wrong pixels are never
+      // produced.
+      if (adobeTransform == 2 || adobeTransform > 2) return None
+      val rgbDirect = adobeTransform == 0
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yy = planes(0)((y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax)
-          val cb = planes(1)((y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) - 128
-          val cr = planes(2)((y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) - 128
-          val r0 = yy + ((91881 * cr + 32768) >> 16)
-          val g0 = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
-          val b0 = yy + ((116130 * cb + 32768) >> 16)
+          val c0 = planes(0)((y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax)
+          val c1 = planes(1)((y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax)
+          val c2 = planes(2)((y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax)
           val o = (y * w + x) * 3
-          out(o) = (if (r0 < 0) 0 else if (r0 > 255) 255 else r0).toByte
-          out(o + 1) = (if (g0 < 0) 0 else if (g0 > 255) 255 else g0).toByte
-          out(o + 2) = (if (b0 < 0) 0 else if (b0 > 255) 255 else b0).toByte
+          if (rgbDirect) {
+            out(o) = c0.toByte
+            out(o + 1) = c1.toByte
+            out(o + 2) = c2.toByte
+          } else {
+            val cb = c1 - 128
+            val cr = c2 - 128
+            val r0 = c0 + ((91881 * cr + 32768) >> 16)
+            val g0 = c0 - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            val b0 = c0 + ((116130 * cb + 32768) >> 16)
+            out(o) = (if (r0 < 0) 0 else if (r0 > 255) 255 else r0).toByte
+            out(o + 1) = (if (g0 < 0) 0 else if (g0 > 255) 255 else g0).toByte
+            out(o + 2) = (if (b0 < 0) 0 else if (b0 > 255) 255 else b0).toByte
+          }
           x += 1
         }
         y += 1

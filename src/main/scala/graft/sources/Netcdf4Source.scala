@@ -1260,7 +1260,7 @@ private[sources] object Hdf5 {
   /** Chunk grid origins in canonical (row-major) order for a dataset of
     * `dims` chunked by `cdims` — the order implicit and fixed-array
     * indexes enumerate. */
-  private def chunkOrigins(dims: Array[Long], cdims: Array[Int]): Array[Array[Long]] = {
+  private[sources] def chunkOrigins(dims: Array[Long], cdims: Array[Int]): Array[Array[Long]] = {
     val rank = dims.length
     // each per-dim count is bounded in Long BEFORE narrowing: a corrupt
     // dataspace dim near a multiple of 2^32 must hit the named reject, not
@@ -1271,10 +1271,16 @@ private[sources] object Hdf5 {
         s"chunk count $c on dim $d exceeds the driver walk bound")
       c.toInt
     }
+    // re-check INSIDE the fold: four dims of 65536 chunks each multiply
+    // to 2^64 ≡ 0 in Long, which would pass a post-hoc bound check and
+    // silently produce an empty chunk grid (all-fill reads) instead of
+    // the named reject the untrusted-input contract promises
     var total = 1L
-    counts.foreach(c => total *= c)
-    require(total >= 0 && total <= 1000000,
-      s"chunk grid of $total entries exceeds the driver walk bound")
+    counts.foreach { c =>
+      total *= c
+      require(total >= 0 && total <= 1000000,
+        s"chunk grid of $total entries exceeds the driver walk bound")
+    }
     val out = new Array[Array[Long]](total.toInt)
     val idx = new Array[Int](rank)
     var i = 0

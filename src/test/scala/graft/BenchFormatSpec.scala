@@ -89,6 +89,28 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(parse(line).get("nq").asInt() == 300)
   }
 
+  test("degraded form sizes the gate extras by construction, not convention") {
+    // ~1.7k chars of future gate fields on a 500-query registry: the
+    // top map must be DROPPED to honor the budget — extras count inside
+    // shortLine's sizing now, not injected after it
+    val extras = (0 until 38).map(i =>
+      s"future_gate_metric_with_a_long_name_$i" -> (1000L + i))
+    val rs = registry(500)
+    val (line, detail) = BenchFormat.render(rs, rs.map(_._2).sum, "sf0.1", 32, extras)
+    assert(line.length <= BenchFormat.StdoutBudget,
+      s"${line.length} > ${BenchFormat.StdoutBudget}")
+    val j = parse(line)
+    assert(!j.has("top"), "top map should be dropped to make room for extras")
+    assert(j.get("future_gate_metric_with_a_long_name_37").asLong() == 1037L)
+    assert(j.get("md5").asText() == BenchFormat.md5Hex8(detail))
+    // and truly pathological extras fail LOUDLY instead of overflowing
+    val huge = (0 until 200).map(i => s"pathologically_long_gate_field_name_$i" -> i.toLong)
+    val ex = intercept[IllegalArgumentException] {
+      BenchFormat.render(rs, rs.map(_._2).sum, "sf0.1", 32, huge)
+    }
+    assert(ex.getMessage.contains("tail window"))
+  }
+
   test("detail artifact round-trips values at millisecond precision") {
     val rs = Seq(("q_a", 1.2345), ("q_b", 0.0004), ("q_c", 61.5))
     val (_, detail) = BenchFormat.render(rs, rs.map(_._2).sum, "sf0.01", 8)

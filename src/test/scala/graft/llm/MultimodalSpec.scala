@@ -339,6 +339,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpeg("GIF89a whatever".getBytes).isEmpty)
   }
 
+  test("APP14 transform on THREE components: 0 = pass-through RGB, 2 rejects") {
+    // splice an Adobe APP14 marker right after SOI of a known-good
+    // 3-component baseline JPEG (media_026: 35x21, 4:2:0, restarts)
+    val base = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_026.jpg"))
+    def withApp14(transform: Int): Array[Byte] = {
+      val seg = Array[Byte](0xFF.toByte, 0xEE.toByte, 0, 14,
+        'A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, transform.toByte)
+      base.take(2) ++ seg ++ base.drop(2)
+    }
+    val ycbcr = Multimodal.decodeImagePixels(base)
+    assert(ycbcr.nonEmpty)
+    // transform 1 IS YCbCr: identical decode to the unmarked stream
+    assert(Multimodal.decodeImagePixels(withApp14(1)).map(_._5.toSeq) ==
+      ycbcr.map(_._5.toSeq))
+    // transform 0 is Adobe RGB: channels pass through with NO color
+    // inverse — decodes (non-stub) but to different pixels
+    val rgb = Multimodal.decodeImagePixels(withApp14(0))
+    assert(rgb.nonEmpty && rgb.map(_._5.toSeq) != ycbcr.map(_._5.toSeq))
+    // transform 2 (YCCK) is meaningless for 3 components: reject, never
+    // guess — the 'wrong pixels are never produced' contract
+    assert(Multimodal.decodeImagePixels(withApp14(2)).isEmpty)
+    assert(Multimodal.pixelStatsOne(MediaRecord(1L, withApp14(2), "x")).decoder == "stub")
+    // the committed transform-0 fixture decodes for real (its ground
+    // truth is pinned by pixel_expected.parquet in the fixture sweep)
+    val rgbFix = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_032.jpg"))
+    assert(Multimodal.decodeImagePixels(rgbFix).exists(d => d._2 == 27 && d._3 == 19))
+    // and the 4:2:0 YCCK fixture (Y/K at 2x2 factors) decodes for real
+    val ycckFix = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_033.jpg"))
+    assert(Multimodal.decodeImagePixels(ycckFix).exists(d => d._2 == 33 && d._3 == 23))
+  }
+
   test("palette PNG: PLTE expansion; corrupt palettes stub-fall-back") {
     val pal = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("data/media/media_016.png"))

@@ -341,6 +341,21 @@ class Netcdf4SourceSpec extends SparkSpec {
       s"got: ${ex2.getMessage}")
   }
 
+  test("chunkOrigins rejects cross-dim products that would wrap Long") {
+    // four dims of 65536 chunks each: the product is 2^64 ≡ 0 in Long —
+    // a post-hoc bound check would pass it and silently emit an EMPTY
+    // chunk grid (implicit-layout data reads as all-fill); the bound is
+    // re-checked inside the fold so the reject fires by name
+    val ex = intercept[IllegalArgumentException] {
+      Hdf5.chunkOrigins(Array.fill(4)(65536L * 8), Array.fill(4)(8))
+    }
+    assert(ex.getMessage.contains("walk bound"), ex.getMessage)
+    // a legal grid still enumerates row-major with the last partial chunk
+    val o = Hdf5.chunkOrigins(Array(20L, 9L), Array(8, 4))
+    assert(o.length == 9)
+    assert(o.head.toSeq == Seq(0L, 0L) && o.last.toSeq == Seq(16L, 8L))
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {

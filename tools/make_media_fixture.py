@@ -938,6 +938,21 @@ def main():
     emit(31, "jpg", "image/jpeg", j31, "jpeg", 21, 27, 4)
     expect_image(31, "jpeg", 21, 27, 3, list(t31))
 
+    # round 20: media_032 is APP14 transform 0 on THREE components — Adobe
+    # RGB (Photoshop "save as RGB JPEG"): channels stored as R,G,B with NO
+    # YCbCr inverse, here with subsampled channels 1,2 + restarts so the
+    # pass-through path also exercises upsampling; media_033 is YCCK at
+    # 4:2:0 (Y and K carry 2x2 sampling factors, Cb/Cr 1x1) with odd
+    # dimensions and restart markers — the Photoshop corner the r19
+    # fixtures didn't sweep.
+    j32, t32 = make_jpeg_real(27, 19, subsample=(2, 2), restart=2,
+                              adobe_transform=0)
+    emit(32, "jpg", "image/jpeg", j32, "jpeg", 27, 19, 3)
+    expect_image(32, "jpeg", 27, 19, 3, list(t32))
+    j33, t33 = make_jpeg_cmyk(33, 23, ycck=True, restart=3, subsample=(2, 2))
+    emit(33, "jpg", "image/jpeg", j33, "jpeg", 33, 23, 4)
+    expect_image(33, "jpeg", 33, 23, 3, list(t33))
+
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
     c = checksum(blob)
@@ -1075,8 +1090,19 @@ def fuzz(outdir: str, seed: int):
         w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
         kind = int(rng.integers(0, 3))  # 0 Adobe CMYK, 1 YCCK, 2 bare CMYK
         rst = int(rng.choice([0, 0, 2, 4]))
+        # YCCK additionally sweeps subsampled Cb/Cr (the 4:2:0/4:2:2
+        # Photoshop shapes) — always with the DRI/restart dice above
+        sub = ([(1, 1), (2, 2), (2, 1)][int(rng.integers(0, 3))]
+               if kind == 1 else (1, 1))
         payload, truth = make_jpeg_cmyk(w, h, ycck=kind == 1, restart=rst,
-                                        adobe=kind != 2)
+                                        adobe=kind != 2, subsample=sub)
+        out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
+    for _ in range(int(rng.integers(2, 5))):  # APP14 transform-0 RGB JPEGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        sub = [(1, 1), (2, 2), (2, 1)][int(rng.integers(0, 3))]
+        rst = int(rng.choice([0, 0, 2, 4]))
+        payload, truth = make_jpeg_real(w, h, subsample=sub, restart=rst,
+                                        adobe_transform=0)
         out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
     for _ in range(int(rng.integers(2, 5))):  # PROGRESSIVE JPEGs: the
         # scan script transmits full precision, so the truth is the
@@ -1264,18 +1290,50 @@ def _jpeg_rgb(x, y, c):
     return (x * 11 + y * 17 + c * 29) % 256
 
 
-def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0):
+def _jpeg_box_subsample(plane, width, height, sh, sv):
+    """Box-average a full-resolution plane down by (sh, sv)."""
+    cw = (width + sh - 1) // sh
+    ch = (height + sv - 1) // sv
+    out = []
+    for j in range(ch):
+        row = []
+        for i in range(cw):
+            acc, cnt = 0, 0
+            for dj in range(sv):
+                for di in range(sh):
+                    yy, xx = j * sv + dj, i * sh + di
+                    if yy < height and xx < width:
+                        acc += plane[yy][xx]
+                        cnt += 1
+            row.append(round(acc / cnt))
+        out.append(row)
+    return out
+
+
+def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0,
+                   adobe_transform=None):
     """Baseline sequential JPEG of the house pixel pattern. subsample =
     (h, v) chroma sampling divisors (1,1)=4:4:4, (2,2)=4:2:0, (2,1)=4:2:2.
-    Returns (bytes, ground-truth pixel array) where the ground truth is
-    the decode of the QUANTIZED stream through the shared integer inverse
-    pipeline (see jpeg_decode_truth)."""
+    adobe_transform writes an APP14 Adobe marker with that transform code;
+    transform 0 on 3 components means the channels are stored as R,G,B
+    DIRECTLY (Photoshop "save as RGB JPEG") — no YCbCr forward transform
+    and a pass-through inverse in the truth. Returns (bytes, ground-truth
+    pixel array) where the ground truth is the decode of the QUANTIZED
+    stream through the shared integer inverse pipeline (see
+    jpeg_decode_truth)."""
     sh, sv = (1, 1) if gray else subsample
     comps = 1 if gray else 3
+    rgb_direct = (not gray) and adobe_transform == 0
     # component planes in YCbCr (float rounded to int per JFIF)
     if gray:
         planes = [[[_jpeg_rgb(x, y, 0) for x in range(width)]
                    for y in range(height)]]
+    elif rgb_direct:
+        # channels stored as-is; channels 1,2 still ride the "chroma"
+        # sampling factors (legal, exercises the upsample path on RGB)
+        ys = [[_jpeg_rgb(x, y, 0) for x in range(width)] for y in range(height)]
+        cbs = [[_jpeg_rgb(x, y, 1) for x in range(width)] for y in range(height)]
+        crs = [[_jpeg_rgb(x, y, 2) for x in range(width)] for y in range(height)]
     else:
         ys, cbs, crs = [], [], []
         for y in range(height):
@@ -1291,26 +1349,11 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0):
             ys.append(ry)
             cbs.append(rcb)
             crs.append(rcr)
-        # box-average chroma subsample
-        cw = (width + sh - 1) // sh
-        ch = (height + sv - 1) // sv
-
-        def sub(plane):
-            out = []
-            for j in range(ch):
-                row = []
-                for i in range(cw):
-                    acc, cnt = 0, 0
-                    for dj in range(sv):
-                        for di in range(sh):
-                            yy, xx = j * sv + dj, i * sh + di
-                            if yy < height and xx < width:
-                                acc += plane[yy][xx]
-                                cnt += 1
-                    row.append(round(acc / cnt))
-                out.append(row)
-            return out
-        planes = [ys, sub(cbs), sub(crs)]
+    if not gray:
+        # box-average chroma subsample (channels 1,2 in either color space)
+        planes = [ys,
+                  _jpeg_box_subsample(cbs, width, height, sh, sv),
+                  _jpeg_box_subsample(crs, width, height, sh, sv)]
 
     # sampling factors per component: Y gets (sh, sv), chroma (1, 1)
     sf = [(sh, sv)] + [(1, 1)] * (comps - 1) if not gray else [(1, 1)]
@@ -1397,6 +1440,10 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0):
         return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
     out = b"\xFF\xD8"
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if adobe_transform is not None:
+        # APP14: tag, DCTEncodeVersion, flags0, flags1, transform
+        out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                                adobe_transform))
     out += seg(0xDB, bytes([0]) + bytes(JPEG_QL[JPEG_ZIGZAG[k]] for k in range(64)))
     if comps > 1:
         out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
@@ -1419,7 +1466,7 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0):
     out += bytes(w.out) + b"\xFF\xD9"
 
     truth = jpeg_decode_truth(qblocks, sf, qsel, width, height, comps,
-                              mcux, mcuy)
+                              mcux, mcuy, rgb_direct=rgb_direct)
     return out, truth
 
 
@@ -1531,9 +1578,11 @@ def _jpeg_entropy_check(stream, qblocks, sf, qsel, hsel, comps, mcux, mcuy,
                         assert got == exp, (mx, my, ci, got[:8], exp[:8])
 
 
-def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy):
+def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy,
+                      rgb_direct=False):
     """The shared integer inverse pipeline: dequant -> 13-bit fixed IDCT
-    (JPEG_IDCT_B) -> +128 clamp -> nearest upsample -> integer YCbCr->RGB.
+    (JPEG_IDCT_B) -> +128 clamp -> nearest upsample -> integer YCbCr->RGB
+    (or pass-through when rgb_direct: the APP14-transform-0 RGB shape).
     Returns top-down row-major gray or RGB bytes (the Scala decoder's
     contract)."""
     qtabs = [JPEG_QL, JPEG_QC]
@@ -1566,12 +1615,15 @@ def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy):
                 def samp(ci):
                     h, v = sf[ci]
                     return planes[ci][y * v // vmax][x * h // hmax]
-                yy, cb, cr = samp(0), samp(1), samp(2)
-                r = yy + ((91881 * (cr - 128) + 32768) >> 16)
-                g = yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
-                b = yy + ((116130 * (cb - 128) + 32768) >> 16)
-                out += bytes((min(255, max(0, r)), min(255, max(0, g)),
-                              min(255, max(0, b))))
+                if rgb_direct:
+                    out += bytes((samp(0), samp(1), samp(2)))
+                else:
+                    yy, cb, cr = samp(0), samp(1), samp(2)
+                    r = yy + ((91881 * (cr - 128) + 32768) >> 16)
+                    g = yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+                    b = yy + ((116130 * (cb - 128) + 32768) >> 16)
+                    out += bytes((min(255, max(0, r)), min(255, max(0, g)),
+                                  min(255, max(0, b))))
     return bytes(out)
 
 
@@ -1580,17 +1632,23 @@ def _jpeg_ink(x, y, c):
     return (x * 7 + y * 23 + c * 41) % 256
 
 
-def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
+def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True,
+                   subsample=(1, 1)):
     """4-component JPEG (the Photoshop web-corpus shape): Adobe APP14 with
     transform 0 (CMYK, samples stored INVERTED per the Adobe convention)
     or transform 2 (YCCK: the inverted CMY channels ride the YCbCr forward
     transform, K passes through inverted). `adobe=False` writes a bare
     4-component file (no APP14): samples are then plain non-inverted CMYK.
-    Returns (bytes, RGB ground truth) where the truth is the decode of the
-    quantized stream through the shared integer pipeline plus the
-    documented quick CMYK->RGB conversion (R = uC*uK//255 on the
-    inverted-ink values) — embedded identically in JpegDecoder."""
+    `subsample` (YCCK only) subsamples the Cb/Cr channels exactly like the
+    3-component case — Y and K keep the max sampling factors, the
+    Photoshop 4:2:0 YCCK shape. Returns (bytes, RGB ground truth) where
+    the truth is the decode of the quantized stream through the shared
+    integer pipeline plus the documented quick CMYK->RGB conversion
+    (R = uC*uK//255 on the inverted-ink values) — embedded identically in
+    JpegDecoder."""
     assert not (ycck and not adobe), "YCCK requires the Adobe marker"
+    assert subsample == (1, 1) or ycck, "only YCCK subsamples"
+    sh, sv = subsample
     comps = 4
     # stored planes (what the entropy stream encodes)
     inks = [[[_jpeg_ink(x, y, c) for x in range(width)] for y in range(height)]
@@ -1612,7 +1670,9 @@ def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
             ys_.append(ry)
             cbs.append(rcb)
             crs.append(rcr)
-        planes = [ys_, cbs, crs,
+        planes = [ys_,
+                  _jpeg_box_subsample(cbs, width, height, sh, sv),
+                  _jpeg_box_subsample(crs, width, height, sh, sv),
                   [[255 - inks[3][y][x] for x in range(width)]
                    for y in range(height)]]
     elif adobe:
@@ -1622,22 +1682,28 @@ def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
         planes = [[[inks[c][y][x] for x in range(width)]
                    for y in range(height)] for c in range(4)]
 
-    sf = [(1, 1)] * comps
+    # Y and K ride the max sampling factors, Cb/Cr stay (1,1) — so the
+    # stored Cb/Cr planes are the subsampled ones (identity when 4:4:4)
+    sf = [(sh, sv), (1, 1), (1, 1), (sh, sv)]
     qsel = [0, 1, 1, 1]
     hsel = [0, 1, 1, 1]
     qtabs = [JPEG_QL, JPEG_QC]
-    mcux = (width + 7) // 8
-    mcuy = (height + 7) // 8
+    mcux = (width + 8 * sh - 1) // (8 * sh)
+    mcuy = (height + 8 * sv - 1) // (8 * sv)
     qblocks = [dict() for _ in range(comps)]
     for ci in range(comps):
+        h, v = sf[ci]
+        pw, ph = mcux * 8 * h, mcuy * 8 * v
         plane = planes[ci]
-        for by in range(mcuy):
-            for bx in range(mcux):
+        rows = len(plane)
+        cols = len(plane[0]) if rows else 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
                 blk = [[0] * 8 for _ in range(8)]
                 for yy in range(8):
                     for xx in range(8):
-                        py = min(by * 8 + yy, height - 1)
-                        px = min(bx * 8 + xx, width - 1)
+                        py = min(by * 8 + yy, rows - 1)
+                        px = min(bx * 8 + xx, cols - 1)
                         blk[yy][xx] = plane[py][px] - 128
                 qblocks[ci][(bx, by)] = _fdct_quant(blk, qtabs[qsel[ci]])
 
@@ -1656,32 +1722,35 @@ def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
                 pred = [0] * comps
             mcu_i += 1
             for ci in range(comps):
-                blk = qblocks[ci][(mx, my)]
-                zz = [blk[JPEG_ZIGZAG[k]] for k in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                s = abs(diff).bit_length()
-                code, ln = dcc[hsel[ci]][s]
-                w.put(code, ln)
-                if s:
-                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = acc_[hsel[ci]][0xF0]
+                h, v = sf[ci]
+                for dy in range(v):
+                    for dx in range(h):
+                        blk = qblocks[ci][(mx * h + dx, my * v + dy)]
+                        zz = [blk[JPEG_ZIGZAG[k]] for k in range(64)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        s = abs(diff).bit_length()
+                        code, ln = dcc[hsel[ci]][s]
                         w.put(code, ln)
-                        run -= 16
-                    s = abs(zz[k]).bit_length()
-                    code, ln = acc_[hsel[ci]][(run << 4) | s]
-                    w.put(code, ln)
-                    w.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    code, ln = acc_[hsel[ci]][0x00]
-                    w.put(code, ln)
+                        if s:
+                            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = acc_[hsel[ci]][0xF0]
+                                w.put(code, ln)
+                                run -= 16
+                            s = abs(zz[k]).bit_length()
+                            code, ln = acc_[hsel[ci]][(run << 4) | s]
+                            w.put(code, ln)
+                            w.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = acc_[hsel[ci]][0x00]
+                            w.put(code, ln)
     w.pad()
     _jpeg_entropy_check(bytes(w.out), qblocks, sf, qsel, hsel, comps,
                         mcux, mcuy, restart)
@@ -1696,7 +1765,8 @@ def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
     out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
     sof = struct.pack(">BHHB", 8, height, width, comps)
     for ci in range(comps):
-        sof += struct.pack(">BBB", ci + 1, 0x11, qsel[ci])
+        sof += struct.pack(">BBB", ci + 1, (sf[ci][0] << 4) | sf[ci][1],
+                           qsel[ci])
     out += seg(0xC0, sof)
     for (kind, tid), (bits, vals) in JPEG_HUFF.items():
         tc = 0 if kind == "dc" else 1
@@ -1711,19 +1781,26 @@ def make_jpeg_cmyk(width, height, ycck=False, restart=0, adobe=True):
     out += bytes(w.out) + b"\xFF\xD9"
 
     truth = jpeg_cmyk_truth(qblocks, qsel, width, height, mcux, mcuy,
-                            ycck=ycck, adobe=adobe)
+                            ycck=ycck, adobe=adobe, sf=sf)
     return out, truth
 
 
-def jpeg_cmyk_truth(qblocks, qsel, width, height, mcux, mcuy, ycck, adobe):
+def jpeg_cmyk_truth(qblocks, qsel, width, height, mcux, mcuy, ycck, adobe,
+                    sf=None):
     """Shared integer inverse pipeline for the 4-component case: dequant ->
-    13-bit IDCT -> +128 clamp, then the inverted-ink resolution (YCCK ->
-    fixed-point YCbCr inverse; Adobe CMYK -> stored; bare CMYK -> 255-s)
-    and the quick conversion R = uC*uK//255."""
+    13-bit IDCT -> +128 clamp -> nearest upsample by the component's
+    sampling ratio, then the inverted-ink resolution (YCCK -> fixed-point
+    YCbCr inverse; Adobe CMYK -> stored; bare CMYK -> 255-s) and the quick
+    conversion R = uC*uK//255."""
+    if sf is None:
+        sf = [(1, 1)] * 4
+    hmax = max(f[0] for f in sf)
+    vmax = max(f[1] for f in sf)
     qtabs = [JPEG_QL, JPEG_QC]
     planes = []
     for ci in range(4):
-        plane = [[0] * (mcux * 8) for _ in range(mcuy * 8)]
+        h, v = sf[ci]
+        plane = [[0] * (mcux * 8 * h) for _ in range(mcuy * 8 * v)]
         for (bx, by), blk in qblocks[ci].items():
             deq = [blk[k] * qtabs[qsel[ci]][k] for k in range(64)]
             for y in range(8):
@@ -1736,21 +1813,25 @@ def jpeg_cmyk_truth(qblocks, qsel, width, height, mcux, mcuy, ycck, adobe):
                     p = ((acc + (1 << 25)) >> 26) + 128
                     plane[by * 8 + y][bx * 8 + x] = min(255, max(0, p))
         planes.append(plane)
+
+    def samp(ci, y, x):
+        h, v = sf[ci]
+        return planes[ci][y * v // vmax][x * h // hmax]
     out = bytearray()
     for y in range(height):
         for x in range(width):
             if ycck:
-                yy, cb, cr = (planes[0][y][x], planes[1][y][x] - 128,
-                              planes[2][y][x] - 128)
+                yy, cb, cr = (samp(0, y, x), samp(1, y, x) - 128,
+                              samp(2, y, x) - 128)
                 uc = yy + ((91881 * cr + 32768) >> 16)
                 um = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
                 uy = yy + ((116130 * cb + 32768) >> 16)
                 uc, um, uy = (min(255, max(0, v)) for v in (uc, um, uy))
-                uk = planes[3][y][x]
+                uk = samp(3, y, x)
             elif adobe:
-                uc, um, uy, uk = (planes[c][y][x] for c in range(4))
+                uc, um, uy, uk = (samp(c, y, x) for c in range(4))
             else:
-                uc, um, uy, uk = (255 - planes[c][y][x] for c in range(4))
+                uc, um, uy, uk = (255 - samp(c, y, x) for c in range(4))
             out += bytes((uc * uk // 255, um * uk // 255, uy * uk // 255))
     return bytes(out)
 
