@@ -262,6 +262,10 @@ object FloodQueries {
     new java.io.File("data/grib/complex.grib2").getAbsolutePath
   private lazy val gribComplexExpected =
     new java.io.File("data/grib/complex_expected.parquet").getAbsolutePath
+  private lazy val gribIeee =
+    new java.io.File("data/grib/ieee.grib2").getAbsolutePath
+  private lazy val gribIeeeExpected =
+    new java.io.File("data/grib/ieee_expected.parquet").getAbsolutePath
   private lazy val gribPng =
     new java.io.File("data/grib/png.grib2").getAbsolutePath
   private lazy val gribPngExpected =
@@ -471,6 +475,20 @@ object FloodQueries {
     "q_grib_complex" -> ((s, _) => s.read
       .format(classOf[graft.sources.GribSource].getName)
       .option("path", gribComplex)
+      .option("numPartitions", "3")
+      .load()),
+
+    // IEEE floating point (DRS 5.4) — the NCEP-analysis "unpacked"
+    // representation, and the one template whose r19 reject rationale
+    // was wrong: section 7 is raw big-endian f32/f64 samples that widen
+    // to the Double value column BIT-EXACTLY, so it is hash-checkable
+    // like every packed template. The fixture
+    // (tools/make_grib_ieee_fixture.py) covers f32 and f64 (built from
+    // thirds/sevenths so a silent f32 narrowing would diverge), bitmaps,
+    // and a constant field; precision 3 (f128) keeps a loud reject.
+    "q_grib_ieee" -> ((s, _) => s.read
+      .format(classOf[graft.sources.GribSource].getName)
+      .option("path", gribIeee)
       .option("numPartitions", "3")
       .load()),
 
@@ -878,6 +896,9 @@ object FloodQueries {
 
     "q_grib_complex" ->
       s"SELECT * FROM read_parquet('$gribComplexExpected')",
+
+    "q_grib_ieee" ->
+      s"SELECT * FROM read_parquet('$gribIeeeExpected')",
 
     "q_grib_png" ->
       s"SELECT * FROM read_parquet('$gribPngExpected')",

@@ -103,17 +103,17 @@ object GribSource {
     StructField("value", DoubleType, nullable = true))) // NULL = bitmap-missing
 
   /** The audited DRS reject list (WMO GRIB2 code table 5.0 swept against
-    * this source's dispatch, round 19): every template the registry
-    * defines that this source does NOT decode, with its occurrence in the
-    * wild — so the "supported packings" claim is auditable and each
-    * reject names what the user hit. Decoded templates: 5.0, 5.2, 5.3,
-    * 5.40 (lossless; lossy rejects at index time naming the cause),
-    * 5.41, 5.42. `GribSourceSpec` pins a by-name rejection per entry. */
+    * this source's dispatch, round 19; 5.4 decoded in round 20): every
+    * template the registry defines that this source does NOT decode,
+    * with its occurrence in the wild — so the "supported packings" claim
+    * is auditable and each reject names what the user hit. Decoded
+    * templates: 5.0, 5.2, 5.3, 5.4 (IEEE f32/f64; f128 rejects naming
+    * the precision), 5.40 (lossless; lossy rejects at index time naming
+    * the cause), 5.41, 5.42. `GribSourceSpec` pins a by-name rejection
+    * per entry. */
   val DrsRejects: Map[Int, String] = Map(
     1 -> ("matrix values at grid point: pre-operational status in the WMO " +
       "registry, no known operational products emit it"),
-    4 -> ("IEEE floating point: rare in NCEP analysis products; no packed " +
-      "integers to reconstruct exactly"),
     6 -> ("simple packing with pre-processing: validation status in the " +
       "WMO registry, not operational"),
     50 -> ("spectral data simple packing: spherical-harmonic coefficients, " +
@@ -160,7 +160,8 @@ private[sources] final case class GribMessage(
     complex: Option[ComplexParams] = None, // None = simple packing (5.0)
     png: Boolean = false, // DRS 5.41: section 7 is a PNG raster
     j2k: Boolean = false, // DRS 5.40: section 7 is a JPEG 2000 codestream
-    ccsds: Option[CcsdsParams] = None) { // DRS 5.42: CCSDS/AEC stream
+    ccsds: Option[CcsdsParams] = None, // DRS 5.42: CCSDS/AEC stream
+    ieeePrecision: Int = 0) { // DRS 5.4: 0 = not IEEE, 1 = f32, 2 = f64
   def points: Int = ni * nj
 }
 
@@ -370,6 +371,7 @@ private[sources] object GribModel {
     var png = false
     var j2k = false
     var ccsds: Option[CcsdsParams] = None
+    var ieeePrecision = 0
 
     var at = msgStart + 16
     while (at < msgEnd - 4) {
@@ -439,15 +441,31 @@ private[sources] object GribModel {
           require(nPresent >= 0, // untrusted; drives payload-buffer sizing
             s"$path: negative data-point count $nPresent in section 5 at offset $at")
           val template = b.getShort(4) & 0xFFFF
-          refValue = b.getFloat(6)
-          binScale = sm16(b.getShort(10) & 0xFFFF)
-          decScale = sm16(b.getShort(12) & 0xFFFF)
-          nbits = b.get(14) & 0xFF
-          require(nbits <= 32, // 0 = constant field; >32 would overflow the
-            // 64-bit unpack accumulator and is unheard-of for real data
-            s"$path: packing with $nbits bits per value unsupported")
+          if (template != 4) {
+            // every packed-integer template shares octets 12-21 (R/E/D/
+            // nbits); template 5.4 (raw IEEE floats) has NONE of them —
+            // its section is 12 octets and ends at the precision code
+            refValue = b.getFloat(6)
+            binScale = sm16(b.getShort(10) & 0xFFFF)
+            decScale = sm16(b.getShort(12) & 0xFFFF)
+            nbits = b.get(14) & 0xFF
+            require(nbits <= 32, // 0 = constant field; >32 would overflow the
+              // 64-bit unpack accumulator and is unheard-of for real data
+              s"$path: packing with $nbits bits per value unsupported")
+          }
           template match {
             case 0 => // simple packing: octets 12-21 above are the whole story
+            case 4 => // IEEE floating point: section 7 is raw big-endian
+              // IEEE samples over the present cells — float32 and float64
+              // both widen to the Double value column BIT-EXACTLY, so
+              // this is the one "unpacked" template that is still
+              // exactly hash-checkable. Precision 3 (128-bit) has no
+              // Double-exact widening and keeps the loud reject.
+              val precision = b.get(6) & 0xFF
+              require(precision == 1 || precision == 2,
+                s"$path: IEEE floating-point precision code $precision " +
+                  "unsupported (1 = 32-bit, 2 = 64-bit)")
+              ieeePrecision = precision
             case 2 | 3 => // complex packing (5.2) / + spatial differencing (5.3)
               val split = b.get(16) & 0xFF
               require(split == 1,
@@ -525,7 +543,8 @@ private[sources] object GribModel {
               s"$path: data representation template 5.$t unsupported" +
                 GribSource.DrsRejects.get(t).fold("")(why => s" ($why)") +
                 " — supported: 5.0 simple, 5.2 complex, 5.3 complex+spatial " +
-                "differencing, 5.40 lossless JPEG 2000, 5.41 PNG, 5.42 CCSDS; " +
+                "differencing, 5.4 IEEE floats, 5.40 lossless JPEG 2000, " +
+                "5.41 PNG, 5.42 CCSDS; " +
                 "re-encode at ingest: grib_set -r -s packingType=grid_simple")
           }
         case 6 =>
@@ -550,7 +569,8 @@ private[sources] object GribModel {
     if (bitmapOffset < 0) nPresent = ni * nj
     GribMessage(path, ni, nj, latFirst, lonFirst, di, dj, jAscending,
       number, stepHours, refEpoch, refValue, binScale, decScale, nbits,
-      nPresent, bitmapOffset, dataOffset, dataLen, complex, png, j2k, ccsds)
+      nPresent, bitmapOffset, dataOffset, dataLen, complex, png, j2k, ccsds,
+      ieeePrecision)
   }
 }
 
@@ -642,7 +662,7 @@ private[graft] object GribIndexCache {
   // v3: + the PNG-packing (5.41) flag.
   // v4: + the optional CCSDS (5.42) parameters.
   // A version bump benignly invalidates older sidecars (fresh walk + rewrite).
-  private val Version = 5 // v5: +j2k flag (DRS 5.40 lossless decode)
+  private val Version = 6 // v6: +ieeePrecision (DRS 5.4 IEEE floats)
   val hits = new java.util.concurrent.atomic.AtomicLong
   val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -719,7 +739,8 @@ private[graft] object GribIndexCache {
               if (!in.readBoolean()) None
               else Some(CcsdsParams(flags = in.readInt(),
                 blockSize = in.readInt(), rsi = in.readInt()))
-            })
+            },
+            ieeePrecision = in.readInt())
           i += 1
         }
         Some(out.result())
@@ -764,6 +785,7 @@ private[graft] object GribIndexCache {
           out.writeInt(cc.flags); out.writeInt(cc.blockSize)
           out.writeInt(cc.rsi)
         }
+        out.writeInt(m.ieeePrecision)
       }
     } finally out.close()
     // some filesystems (LocalFileSystem among them) refuse to rename onto
@@ -1394,6 +1416,23 @@ private class GribReaderFactory extends PartitionReaderFactory {
         }
         values =
           if (!needValue) null
+          else if (current.ieeePrecision > 0) {
+            // IEEE floating point (5.4): section 7 is raw big-endian
+            // float32/float64 samples over the present cells — no R/E/D
+            // scaling. Both widths widen to Double bit-exactly.
+            val width = if (current.ieeePrecision == 1) 4 else 8
+            require(current.dataLen >= current.nPresent.toLong * width,
+              s"${current.path}: IEEE section 7 holds ${current.dataLen} " +
+                s"bytes but ${current.nPresent} ${width * 8}-bit samples " +
+                s"need ${current.nPresent.toLong * width}")
+            val body = readBytes(current.dataOffset, current.nPresent.toLong * width)
+            val bb = java.nio.ByteBuffer.wrap(body) // big-endian by default
+            val out = new Array[Double](current.nPresent)
+            var i = 0
+            if (width == 4) while (i < out.length) { out(i) = bb.getFloat(); i += 1 }
+            else while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+            out
+          }
           else if (current.png && current.nbits > 0)
             // PNG packing (5.41): the whole section-7 body is one PNG
             // stream whose raster bytes ARE the packed value stream

@@ -207,6 +207,21 @@ class GribSourceSpec extends SparkSpec {
   private def tmp(n: String) =
     new File(System.getProperty("java.io.tmpdir"), n).getAbsolutePath
 
+  private def exceptionChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
   private def readMini(f: String) = spark.read
     .format(classOf[GribSource].getName).option("path", f).load()
 
@@ -379,6 +394,47 @@ class GribSourceSpec extends SparkSpec {
       .getMessage.contains("scanning mode"))
   }
 
+  test("DRS 5.4 IEEE floats decode bit-exactly; f128 and short payloads reject") {
+    // ieee.grib2 (tools/make_grib_ieee_fixture.py): f32/f64 plain +
+    // bitmapped + constant messages; the f64 fields are built from
+    // thirds/sevenths so they are NOT f32-representable — a reader that
+    // narrowed through float32 would diverge here
+    val f = new java.io.File("data/grib/ieee.grib2").getAbsolutePath
+    val expected = new java.io.File("data/grib/ieee_expected.parquet").getAbsolutePath
+    val df = spark.read.format(classOf[GribSource].getName)
+      .option("path", f).option("numPartitions", "3").load()
+    val key = Seq("latitude", "longitude", "number", "step_hours").map(col)
+    val got = df.sort(key: _*).collect().toSeq
+    val want = spark.read.parquet(expected)
+      .select(df.columns.map(col): _*).sort(key: _*).collect().toSeq
+    assert(got == want)
+    assert(df.count() == 225 && df.filter(col("value").isNull).count() == 8)
+    // single-byte patches on the committed fixture: the precision code of
+    // the FIRST message (45 f32 samples, no bitmap) lives 11 bytes into
+    // its 12-octet section 5
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val sec5 = indexOfSlice(bytes, Array[Byte](0, 0, 0, 12, 5))
+    assert(sec5 > 0 && bytes(sec5 + 11) == 1)
+    def patched(precision: Byte): String = {
+      val b = bytes.clone(); b(sec5 + 11) = precision
+      val p = tmp("ieee_patch.grib2")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+      p
+    }
+    // precision 3 (128-bit) has no Double-exact widening: named reject
+    val e3 = intercept[Exception](spark.read.format(classOf[GribSource].getName)
+      .option("path", patched(3)).load().collect())
+    assert(exceptionChain(e3).exists(_.contains("precision code 3")),
+      exceptionChain(e3).mkString(" | "))
+    // precision flipped to f64 doubles the bytes the 45 samples need —
+    // the payload-vs-samples bound must reject by name, never misread
+    val e2 = intercept[Exception](spark.read.format(classOf[GribSource].getName)
+      .option("path", patched(2)).load().collect())
+    assert(exceptionChain(e2).exists(m =>
+      m.contains("IEEE section 7") && m.contains("need")),
+      exceptionChain(e2).mkString(" | "))
+  }
+
   test("every audited-absent WMO DRS template rejects BY NAME at index time") {
     // the round-19 audit: GribSource.DrsRejects sweeps WMO code table 5.0
     // against the dispatch — each registry-defined template this source
@@ -386,7 +442,7 @@ class GribSourceSpec extends SparkSpec {
     // note, plus the re-encode escape hatch, never as a generic parse
     // error deeper in
     assert(GribSource.DrsRejects.keySet ==
-      Set(1, 4, 6, 50, 51, 53, 61, 200))
+      Set(1, 6, 50, 51, 53, 61, 200)) // 5.4 decoded since round 20
     for ((t, why) <- GribSource.DrsRejects) {
       val f = GribTestWriter.write(tmp(s"drs$t.grib2"), 1, 1, 0, 0, 500000,
         scanMode = 0, timeUnit = 1, forecastTime = 1, member = None,

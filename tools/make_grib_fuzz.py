@@ -8,7 +8,9 @@ parameter randomized from the seed: grid dims (incl. 1-wide), scan
 direction (+j/-j), simple-packing bit width 0-20 (0 = constant field),
 binary scale E in [-3, 0] (D = 0 so values are exact dyadics and
 `round(value * 8)` is engine-exact), optional bitmap, deterministic
-(4.0) vs ensemble (4.1) product templates, varied steps.
+(4.0) vs ensemble (4.1) product templates, varied steps. ~1 in 4
+messages uses DRS 5.4 (raw IEEE f32/f64 samples, round 20) on the same
+dyadic values instead of simple packing.
 
 Per message the generator prints:
   EXPECT <number|-> <step> <n_present> <sum of round(value*8) over present>
@@ -50,7 +52,7 @@ def pack_bits(values, nbits: int) -> bytes:
     return bytes(out)
 
 
-def message(rng, ni, nj, member, step, nbits, E, j_asc, with_bitmap):
+def message(rng, ni, nj, member, step, nbits, E, j_asc, with_bitmap, ieee=0):
     npts = ni * nj
     dinc = 50000
     lat_first = int(rng.integers(-800, 800)) * 10000
@@ -60,9 +62,10 @@ def message(rng, ni, nj, member, step, nbits, E, j_asc, with_bitmap):
         present = rng.random(npts) >= 0.25
         if not present.any():
             present[0] = True
-    # field on the 2^E grid so (R + X*2^E) is exact
+    # field on the 2^E grid so (R + X*2^E) is exact (and, for the IEEE
+    # template, exactly f32-representable dyadics)
     X = rng.integers(0, (1 << nbits) if nbits else 1, int(present.sum()))
-    rmin = int(rng.integers(-500, 500))
+    rmin = 0 if ieee else int(rng.integers(-500, 500))
     R = float(np.float32(rmin * 2.0 ** E))
     vals = (np.float64(np.float32(R)) + X.astype(np.float64) * 2.0 ** E)
 
@@ -91,14 +94,19 @@ def message(rng, ni, nj, member, step, nbits, E, j_asc, with_bitmap):
     if member is not None:
         body4 += struct.pack(">BBB", 3 if member > 0 else 0, member, 4)
     sec4 = section(4, body4)
-    sec5 = section(5, struct.pack(">IH", int(present.sum()), 0)
-                   + struct.pack(">f", R) + s16(E) + s16(0)
-                   + struct.pack(">BB", nbits, 0))
+    if ieee:  # DRS 5.4: 12-octet section 5, raw IEEE samples in section 7
+        sec5 = section(5, struct.pack(">IH", int(present.sum()), 4)
+                       + struct.pack(">B", ieee))
+        sec7 = section(7, vals.astype(">f4" if ieee == 1 else ">f8").tobytes())
+    else:
+        sec5 = section(5, struct.pack(">IH", int(present.sum()), 0)
+                       + struct.pack(">f", R) + s16(E) + s16(0)
+                       + struct.pack(">BB", nbits, 0))
+        sec7 = section(7, pack_bits(X, nbits) if nbits else b"")
     if with_bitmap:
         sec6 = section(6, struct.pack(">B", 0) + pack_bits(present.astype(int), 1))
     else:
         sec6 = section(6, struct.pack(">B", 255))
-    sec7 = section(7, pack_bits(X, nbits) if nbits else b"")
     body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
     total = 16 + len(body) + 4
     msg = (b"GRIB" + struct.pack(">HBB", 0, 1, 2)
@@ -121,8 +129,11 @@ def main():
             E = int(rng.integers(-3, 1))
             j_asc = bool(rng.integers(0, 2))
             with_bitmap = bool(rng.integers(0, 3) == 0)
+            # ~1 in 4 messages rides DRS 5.4 (raw IEEE f32/f64) instead
+            # of simple packing, on the same dyadic values
+            ieee = int(rng.choice([0, 0, 0, 1, 2]))
             msg, n_present, chk = message(
-                rng, ni, nj, member, step, nbits, E, j_asc, with_bitmap)
+                rng, ni, nj, member, step, nbits, E, j_asc, with_bitmap, ieee)
             fh.write(msg)
             print(f"EXPECT {'-' if member is None else member} {step} "
                   f"{n_present} {chk}")
