@@ -308,6 +308,14 @@ object FloodQueries {
     new java.io.File("data/netcdf/deepdense4.nc").getAbsolutePath
   private lazy val netcdf4DeepExpected =
     new java.io.File("data/netcdf/deepdense4_expected.parquet").getAbsolutePath
+  private lazy val netcdf4HugeTinyFixture =
+    new java.io.File("data/netcdf/hugetiny4.nc").getAbsolutePath
+  private lazy val netcdf4HugeTinyExpected =
+    new java.io.File("data/netcdf/hugetiny4_expected.parquet").getAbsolutePath
+  private lazy val netcdf4VlenStrFixture =
+    new java.io.File("data/netcdf/vlenstr4.nc").getAbsolutePath
+  private lazy val netcdf4VlenStrExpected =
+    new java.io.File("data/netcdf/vlenstr4_expected.parquet").getAbsolutePath
 
   // ---------------------------------------------------------------- registry
 
@@ -441,6 +449,30 @@ object FloodQueries {
     "q_netcdf4_deepdense" -> ((s, _) => s.read
       .format(classOf[graft.sources.NetcdfSource].getName)
       .option("path", netcdf4DeepFixture)
+      .option("numPartitions", "2")
+      .load()),
+
+    // S2: fractal-heap HUGE and TINY objects — the last dense-group
+    // storage classes (round 20): a TINY link riding inside its heap ID,
+    // a HUGE-INDIRECT link (name past the managed cap, spilled raw and
+    // indexed by the heap's type-1 v2 B-tree — the huge-linked variable
+    // IS a result column), and a HUGE-DIRECT dense attribute
+    // (address+length in the 17-byte ID) beside the load-bearing managed
+    // DIMENSION_LIST (tools/make_netcdf4_hugetiny_fixture.py).
+    "q_netcdf4_hugetiny" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdf4HugeTinyFixture)
+      .option("numPartitions", "2")
+      .load()),
+
+    // S2: NC_STRING metadata (round 20) — the y scale's load-bearing
+    // NAME/CLASS attributes are VLEN strings resolved through the global
+    // heap, and the variable carries NC_STRING units/long_name the
+    // reader frames and skips; a false reject here would lose the whole
+    // raster (tools/make_netcdf4_vlenstr_fixture.py).
+    "q_netcdf4_vlenstr" -> ((s, _) => s.read
+      .format(classOf[graft.sources.NetcdfSource].getName)
+      .option("path", netcdf4VlenStrFixture)
       .option("numPartitions", "2")
       .load()),
 
@@ -946,6 +978,12 @@ object FloodQueries {
 
     "q_netcdf4_deepdense" ->
       s"SELECT * FROM read_parquet('$netcdf4DeepExpected')",
+
+    "q_netcdf4_hugetiny" ->
+      s"SELECT * FROM read_parquet('$netcdf4HugeTinyExpected')",
+
+    "q_netcdf4_vlenstr" ->
+      s"SELECT * FROM read_parquet('$netcdf4VlenStrExpected')",
 
     "q_netcdf_slice" ->
       s"""SELECT lat, lon, threshold_2y, upstream_area

@@ -34,12 +34,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    name index — what libhdf5 emits past the 8-link compact threshold,
   *    i.e. any file with more than a handful of variables): root direct
   *    block or indirect blocks at ANY nesting depth (the H5HF doubling
-  *    table), checksummed blocks, name-index B-trees at ANY depth;
-  *    huge/tiny heap objects and filtered heap blocks reject loudly by
-  *    name;
+  *    table), checksummed blocks, name-index B-trees at ANY depth, and
+  *    ALL THREE heap-ID classes — managed, HUGE (direct or via the
+  *    heap's type-1 v2 B-tree) and TINY (in-ID objects); filtered heap
+  *    blocks reject loudly by name;
   *  - datatypes: fixed-point i1/i2/i4/i8 (unsigned u1/u2/u4 widen to the
   *    next Spark type; u8 rejects — no lossless target) and IEEE float
-  *    f4/f8, LE or BE;
+  *    f4/f8, LE or BE; string/vlen ATTRIBUTES tolerated (NAME/CLASS
+  *    vlen strings decoded through the global heap), string data
+  *    variables reject by name;
   *  - data layout message v3: contiguous, chunked (B-tree v1 index, any
   *    depth), and compact; layout v4 (libhdf5 1.10+/libver-latest):
   *    contiguous, compact, and chunked with single-chunk (±filtered),
@@ -540,17 +543,21 @@ private[sources] object Hdf5 {
     * then child pointers — spec layout), fetch each object from the
     * fractal heap's direct blocks. Driver-side metadata walk, KBs total.
     *
-    * Supported shape (loud rejects otherwise): unfiltered managed objects;
-    * root direct block, or indirect blocks at ANY nesting (rows past
+    * Supported shape (loud rejects otherwise): unfiltered heaps; root
+    * direct block, or indirect blocks at ANY nesting (rows past
     * maxDirectRows hold child indirect blocks per the H5HF doubling
     * table — what a group accumulates past ~width·maxDirect bytes of
     * links, round 19); name-index v2 B-tree at ANY depth (capacity-
     * derived count-field widths, the same rules as the chunk-index
-    * walker). Huge/tiny heap objects still reject by name — they need
-    * objects of thousands of bytes, outside anything a netCDF-4 writer
-    * emits for links or attributes. All lookup3 checksums (heap header,
-    * direct blocks when flagged, indirect blocks, B-tree nodes) are
-    * VERIFIED — every length and address is untrusted input. */
+    * walker); and since round 20 ALL THREE heap ID classes — managed
+    * (direct-block offset+length), HUGE (objects past maxManagedObjSize,
+    * spilled raw and indexed by the heap's own type-1 v2 B-tree — e.g. a
+    * link whose name outgrows the managed cap, an attribute value past
+    * the heap's object limit), and TINY (object data carried inside the
+    * heap ID itself — sub-ID-length link messages). All lookup3
+    * checksums (heap header, direct blocks when flagged, indirect
+    * blocks, B-tree nodes of both indexes) are VERIFIED — every length
+    * and address is untrusted input. */
   private def denseHeapObjects(in: In, heapAddr: Long, btreeAddr: Long,
       btType: Int, heapIdRecOffset: Int, recordTail: Int): Seq[Array[Byte]] = {
     // ---- fractal heap header (FRHP)
@@ -571,19 +578,17 @@ private[sources] object Hdf5 {
     val heapFlags = h.get() & 0xFF
     val maxManagedObjSize = h.getInt.toLong & 0xFFFFFFFFL
     h.getLong // next huge object id
-    h.getLong // huge v2 btree addr
+    val hugeBtreeAddr = h.getLong // huge-object v2 B-tree (type 1 records)
     h.getLong // free space in managed blocks
     h.getLong // free space manager addr
     h.getLong // managed space
     h.getLong // allocated managed space
     h.getLong // direct block iterator offset
     h.getLong // number of managed objects
-    val hugeSize = h.getLong
+    h.getLong // huge size
     val nHuge = h.getLong
-    val tinySize = h.getLong
-    val nTiny = h.getLong
-    require(nHuge == 0 && nTiny == 0 && hugeSize == 0 && tinySize == 0,
-      s"${in.path}: huge/tiny fractal heap objects are not supported for links")
+    h.getLong // tiny size
+    h.getLong // number of tiny objects
     val tableWidth = u16(h)
     val startBlockSize = h.getLong
     val maxDirectBlockSize = h.getLong
@@ -601,8 +606,12 @@ private[sources] object Hdf5 {
       while (n < 8 && (maxManagedObjSize >>> (8 * n)) != 0) n += 1
       n
     }
-    require(heapIdLen == 1 + offBytes + lenBytes,
-      s"${in.path}: fractal heap ID length $heapIdLen does not match its " +
+    // the heap ID length is an INDEPENDENT header field: libhdf5's
+    // default is exactly 1+offBytes+lenBytes, but a writer may choose a
+    // larger id_len (managed IDs are zero-padded to it) — that is how
+    // tiny objects get room and how huge IDs become direct
+    require(heapIdLen >= 1 + offBytes + lenBytes && heapIdLen <= 64,
+      s"${in.path}: fractal heap ID length $heapIdLen below its managed " +
         s"geometry (1+$offBytes+$lenBytes)")
 
     // ---- direct block map: the doubling-table walk, NESTED indirect
@@ -717,21 +726,108 @@ private[sources] object Hdf5 {
     }
 
     // ---- name-index v2 B-tree (record type 5: hash + managed heap ID)
+    val records = v2TreeRecords(in, btreeAddr, btType,
+      heapIdRecOffset + heapIdLen + recordTail, "dense index")
+
+    // ---- huge-object index: the heap's own v2 B-tree (record type 1:
+    // address + length + ID, all 8-byte little-endian) — where libhdf5
+    // spills any object past maxManagedObjSize (a link whose name
+    // outgrows the managed cap, an attribute past the heap's object
+    // limit). Loaded lazily: most heaps have none. Objects are RAW bytes
+    // at the recorded address (no FHDB wrapper). Non-filtered heaps only
+    // (the ioFilterLen reject above), so filtered record types 2/4
+    // cannot occur. Huge IDs are DIRECT (address+length carried in the
+    // ID, no B-tree fetch) exactly when the ID is long enough to hold
+    // them — heapIdLen >= 1+8+8 with this file's 8-byte offsets/lengths,
+    // the same H5HF rule libhdf5 applies — and INDIRECT otherwise.
+    val hugeDirect = heapIdLen >= 1 + 8 + 8
+    lazy val hugeObjects: Map[Long, (Long, Long)] = {
+      require(hugeBtreeAddr != Undef,
+        s"${in.path}: huge heap ID with no huge-object v2 B-tree")
+      val recs = v2TreeRecords(in, hugeBtreeAddr, 1, 24, "huge-object index")
+      require(recs.length == nHuge,
+        s"${in.path}: huge-object index holds ${recs.length} records, " +
+          s"heap header says $nHuge")
+      recs.map { r =>
+        val bb = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+        val addr = bb.getLong
+        val len = bb.getLong
+        val id = bb.getLong
+        require(len > 0 && len <= 16L * 1024 * 1024,
+          s"${in.path}: huge heap object of $len bytes exceeds the driver bound")
+        id -> (in.checkedAddr(addr, "huge heap object"), len)
+      }.toMap
+    }
+    val hugeIdBytes = math.min(heapIdLen - 1, 8)
+
+    records.map { rec =>
+      val p = heapIdRecOffset
+      val flag = rec(p) & 0xFF
+      require((flag & 0xC0) == 0,
+        s"${in.path}: heap ID version ${(flag >> 6) & 0x3} in dense index")
+      (flag >> 4) & 0x3 match {
+        case 0 => // managed: offset+length into the direct-block map
+          var objOff = 0L
+          var k = 0
+          while (k < offBytes) { objOff |= (rec(p + 1 + k) & 0xFFL) << (8 * k); k += 1 }
+          var objLen = 0L
+          k = 0
+          while (k < lenBytes) { objLen |= (rec(p + 1 + offBytes + k) & 0xFFL) << (8 * k); k += 1 }
+          require(objLen > 0 && objLen <= maxManagedObjSize,
+            s"${in.path}: heap object length $objLen")
+          heapObject(objOff, objLen.toInt)
+        case 1 if hugeDirect => // huge, direct: address+length ride the ID
+          val bb = ByteBuffer.wrap(rec, p + 1, 16).order(ByteOrder.LITTLE_ENDIAN)
+          val addr = bb.getLong
+          val len = bb.getLong
+          require(len > 0 && len <= 16L * 1024 * 1024,
+            s"${in.path}: huge heap object of $len bytes exceeds the driver bound")
+          in.bytes(in.checkedAddr(addr, "huge heap object"), len.toInt)
+        case 1 => // huge, indirect: ID into the heap's huge-object v2 B-tree
+          var id = 0L
+          var k = 0
+          while (k < hugeIdBytes) { id |= (rec(p + 1 + k) & 0xFFL) << (8 * k); k += 1 }
+          val (addr, len) = hugeObjects.getOrElse(id, throw new IllegalArgumentException(
+            s"${in.path}: huge heap ID $id not in the huge-object index"))
+          in.bytes(addr, len.toInt)
+        case 2 => // tiny: the object data lives IN the ID (short form —
+          // 4 length bits; the extended form starts at heapIdLen > 17)
+          require(heapIdLen <= 17,
+            s"${in.path}: extended tiny heap IDs (ID length $heapIdLen > 17) " +
+              "are not supported")
+          val len = (flag & 0x0F) + 1
+          require(1 + len <= heapIdLen,
+            s"${in.path}: tiny heap object of $len bytes overruns the " +
+              s"$heapIdLen-byte heap ID")
+          java.util.Arrays.copyOfRange(rec, p + 1, p + 1 + len)
+        case t => throw new IllegalArgumentException(
+          s"${in.path}: reserved heap ID type $t in dense index")
+      }
+    }
+  }
+
+  /** Walk a v2 B-tree (H5B2: BTHD header, BTIN internals, BTLF leaves,
+    * capacity-derived child-count field widths, every node lookup3-
+    * verified) and return each record's raw bytes in tree order. Shared
+    * by the dense name/attr indexes (types 5/8) and the fractal heap's
+    * huge-object index (type 1). */
+  private def v2TreeRecords(in: In, btreeAddr: Long, btType: Int,
+      expectRecordSize: Int, what: String): Seq[Array[Byte]] = {
     val bthdLen = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8
     val tb = in.bytes(btreeAddr, bthdLen + 4)
     val t = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4)
     t.get(sig)
     require(new String(sig, StandardCharsets.US_ASCII) == "BTHD",
       s"${in.path}: bad v2 B-tree header signature at $btreeAddr")
     require((t.get() & 0xFF) == 0, s"${in.path}: v2 B-tree version")
     val gotType = t.get() & 0xFF
     require(gotType == btType,
-      s"${in.path}: v2 B-tree type $gotType for a dense index (expected $btType)")
+      s"${in.path}: v2 B-tree type $gotType for a $what (expected $btType)")
     val nodeSize = t.getInt
     val recordSize = u16(t)
-    require(recordSize == heapIdRecOffset + heapIdLen + recordTail,
-      s"${in.path}: dense index record size $recordSize " +
-        s"(expected ${heapIdRecOffset + heapIdLen + recordTail})")
+    require(recordSize == expectRecordSize,
+      s"${in.path}: $what record size $recordSize (expected $expectRecordSize)")
     val depth = u16(t)
     t.get(); t.get() // split / merge percent
     val rootNodeAddr = in.checkedAddr(t.getLong, "v2 B-tree root")
@@ -740,23 +836,8 @@ private[sources] object Hdf5 {
     checkLookup3(tb, bthdLen, s"${in.path}: v2 B-tree header at $btreeAddr")
     require(depth <= 16, s"${in.path}: v2 B-tree depth $depth")
     require(nodeSize > 10 && nodeSize <= (1 << 20), s"${in.path}: v2 B-tree node size")
-
-    def parseRecords(bytes: Array[Byte], off: Int, nrec: Int): Seq[(Long, Int)] =
-      (0 until nrec).map { i =>
-        val p = off + i * recordSize + heapIdRecOffset
-        val flag = bytes(p) & 0xFF
-        require((flag & 0xF0) == 0,
-          s"${in.path}: non-managed heap ID (flag byte 0x${flag.toHexString}) in link index")
-        var objOff = 0L
-        var k = 0
-        while (k < offBytes) { objOff |= (bytes(p + 1 + k) & 0xFFL) << (8 * k); k += 1 }
-        var objLen = 0L
-        k = 0
-        while (k < lenBytes) { objLen |= (bytes(p + 1 + offBytes + k) & 0xFFL) << (8 * k); k += 1 }
-        require(objLen > 0 && objLen <= maxManagedObjSize,
-          s"${in.path}: heap object length $objLen")
-        (objOff, objLen.toInt)
-      }
+    require(totalNrec >= 0 && totalNrec <= 1000000,
+      s"${in.path}: $what of $totalNrec records exceeds the driver walk bound")
 
     // per-level record capacities → on-disk child-count field widths (the
     // same H5B2 rules as the chunk-index walker): arbitrary depth — what a
@@ -786,7 +867,12 @@ private[sources] object Hdf5 {
       cumSize(dd) = encSize(cumMax(dd))
       dd += 1
     }
-    val heapIdsOut = Seq.newBuilder[(Long, Int)]
+    def sliceRecords(bytes: Array[Byte], off: Int, nrec: Int): Seq[Array[Byte]] =
+      (0 until nrec).map { i =>
+        java.util.Arrays.copyOfRange(bytes, off + i * recordSize,
+          off + (i + 1) * recordSize)
+      }
+    val recordsOut = Seq.newBuilder[Array[Byte]]
     var walked = 0L
     def walkNode(addr: Long, nrec: Int, level: Int): Unit = {
       if (level == 0) {
@@ -797,7 +883,7 @@ private[sources] object Hdf5 {
         require((lb(4) & 0xFF) == 0 && (lb(5) & 0xFF) == btType,
           s"${in.path}: v2 B-tree leaf version/type at $addr")
         checkLookup3(lb, used, s"${in.path}: v2 B-tree leaf at $addr")
-        heapIdsOut ++= parseRecords(lb, 6, nrec)
+        recordsOut ++= sliceRecords(lb, 6, nrec)
         walked += nrec
       } else {
         val totSize = if (level >= 2) cumSize(level - 1) else 0
@@ -809,7 +895,7 @@ private[sources] object Hdf5 {
         require((ib(4) & 0xFF) == 0 && (ib(5) & 0xFF) == btType,
           s"${in.path}: v2 B-tree internal version/type at $addr")
         checkLookup3(ib, used, s"${in.path}: v2 B-tree internal node at $addr")
-        heapIdsOut ++= parseRecords(ib, 6, nrec)
+        recordsOut ++= sliceRecords(ib, 6, nrec)
         walked += nrec
         val bb = ByteBuffer.wrap(ib).order(ByteOrder.LITTLE_ENDIAN)
         bb.position(6 + nrec * recordSize)
@@ -830,10 +916,10 @@ private[sources] object Hdf5 {
     }
     require(rootNrec <= maxRecAt(depth), s"${in.path}: v2 B-tree root record count $rootNrec")
     walkNode(rootNodeAddr, rootNrec, depth)
-    val heapIds = heapIdsOut.result()
+    val records = recordsOut.result()
     require(walked == totalNrec,
-      s"${in.path}: walked $walked dense records, header says $totalNrec")
-    heapIds.map { case (objOff, objLen) => heapObject(objOff, objLen) }
+      s"${in.path}: walked $walked $what records, header says $totalNrec")
+    records
   }
 
   // ------------------------------------------------------------ messages
@@ -1114,9 +1200,32 @@ private[sources] object Hdf5 {
     }
   }
 
-  private def attrString(a: RawAttr): String = {
-    val nul = a.data.indexOf(0: Byte)
-    new String(a.data, 0, if (nul >= 0) nul else a.data.length, StandardCharsets.UTF_8)
+  /** String attribute value: fixed-length (class 3 — what nc_put_att_text
+    * writes) read in place; VLEN string (class 9 with a string base — the
+    * NC_STRING attribute form) resolved through the global heap exactly
+    * like DIMENSION_LIST's object references, so a scale NAME/CLASS
+    * written as NC_STRING still resolves instead of reading the 16-byte
+    * vlen descriptor as text. */
+  private def attrString(in: In, a: RawAttr): String = {
+    val clazz = a.dtypeBytes(0) & 0xF
+    val data =
+      if (clazz == 9) {
+        require(a.data.length >= 16,
+          s"${in.path}: vlen string attribute '${a.name}' descriptor is " +
+            s"${a.data.length} bytes (need 16)")
+        val d = ByteBuffer.wrap(a.data).order(ByteOrder.LITTLE_ENDIAN)
+        val len = d.getInt
+        val coll = d.getLong
+        val idx = d.getInt
+        require(len >= 0 && len <= 65536,
+          s"${in.path}: vlen string attribute '${a.name}' length $len")
+        val heap = globalHeapObject(in, in.checkedAddr(coll, s"'${a.name}' vlen heap"), idx)
+        require(heap.length >= len,
+          s"${in.path}: vlen string attribute '${a.name}' overruns its heap object")
+        java.util.Arrays.copyOfRange(heap, 0, len)
+      } else a.data
+    val nul = data.indexOf(0: Byte)
+    new String(data, 0, if (nul >= 0) nul else data.length, StandardCharsets.UTF_8)
   }
 
   // --------------------------------------------------------------- files
@@ -1135,8 +1244,8 @@ private[sources] object Hdf5 {
     def handleAttr(body: Array[Byte]): Unit = {
       val a = parseAttr(body, in.path)
       a.name match {
-        case "CLASS" => className = Some(attrString(a))
-        case "NAME" => scaleName = Some(attrString(a))
+        case "CLASS" => className = Some(attrString(in, a))
+        case "NAME" => scaleName = Some(attrString(in, a))
         case "_FillValue" => fillAttr = Some(a.data)
         case "DIMENSION_LIST" => dimList = Some(parseDimensionList(in, a))
         case _ => // REFERENCE_LIST, _Netcdf4Dimid, user attrs: framed, skipped
@@ -1974,6 +2083,10 @@ private[sources] object Netcdf4Read {
       case 4 => LongType
     }
     case 1 => if (t.size == 4) FloatType else DoubleType
+    case c => throw new IllegalArgumentException(
+      s"data variables of HDF5 datatype class $c are not supported as " +
+        "table columns (fixed-point and IEEE float only; string/vlen " +
+        "ATTRIBUTES are tolerated and, for NAME/CLASS, decoded)")
   }
 
   /** Read variable cells for outer indices [from, to) × full inner extent

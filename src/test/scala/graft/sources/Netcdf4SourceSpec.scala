@@ -341,6 +341,95 @@ class Netcdf4SourceSpec extends SparkSpec {
       s"got: ${ex2.getMessage}")
   }
 
+  test("huge and tiny fractal-heap objects: all four heap-ID classes decode") {
+    // hugetiny4.nc (tools/make_netcdf4_hugetiny_fixture.py): managed +
+    // TINY (in-ID link message) + HUGE-INDIRECT (type-1 v2 B-tree) links
+    // in one padded-ID heap, plus a HUGE-DIRECT dense attribute
+    // (address+length in the 17-byte ID) next to the load-bearing
+    // managed DIMENSION_LIST
+    val f = new File("data/netcdf/hugetiny4.nc").getAbsolutePath
+    val expected = new File("data/netcdf/hugetiny4_expected.parquet").getAbsolutePath
+    val df = nc(f, parts = 2)
+    val want = spark.read.parquet(expected)
+    assert(df.columns.sorted.toSeq == want.columns.sorted.toSeq,
+      s"columns: ${df.columns.mkString(",")}")
+    // the huge-linked variable surfaces as a real column
+    assert(df.columns.contains("v_with_a_name_past_the_managed_cap"))
+    val cols = want.columns.toSeq
+    val got = df.select(cols.map(col): _*).sort(col("y"), col("x")).collect().toSeq
+    val exp = want.select(cols.map(col): _*).sort(col("y"), col("x")).collect().toSeq
+    assert(got == exp)
+
+    val bytes = Files.readAllBytes(Paths.get(f))
+    def patchedRead(mutate: Array[Byte] => Unit): Unit = {
+      val b = bytes.clone()
+      mutate(b)
+      val dir = Files.createTempDirectory("nc4ht")
+      val p = dir.resolve("bad.nc")
+      Files.write(p, b, StandardOpenOption.CREATE)
+      nc(p.toString).collect()
+    }
+    // corrupting the huge-object index leaf fails its lookup3 checksum
+    val hleaf = indexOfSlice(bytes, "BTLF".getBytes) // first BTLF = huge index
+    val e1 = intercept[Exception](patchedRead(b => b(hleaf + 8) = (b(hleaf + 8) ^ 0x1).toByte))
+    assert(chain(e1).exists(m => m.contains("checksum") || m.contains("B-tree")), chain(e1).mkString("|"))
+    // the tiny and huge IDs live inside the (checksummed) name-index
+    // leaf — the SECOND BTLF in file order; to pin the ID-level rejects
+    // (not just the checksum guard) the patch re-seals the leaf
+    val nameLeaf = {
+      val first = indexOfSlice(bytes, "BTLF".getBytes)
+      first + 4 + indexOfSlice(bytes.drop(first + 4), "BTLF".getBytes)
+    }
+    val leafUsed = 6 + 6 * 17 // 6 records of (hash + 13-byte heap ID)
+    def resealLeaf(b: Array[Byte]): Unit = {
+      val c = Hdf5.lookup3(java.util.Arrays.copyOfRange(b, nameLeaf, nameLeaf + leafUsed), 0, leafUsed)
+      b(nameLeaf + leafUsed) = c.toByte
+      b(nameLeaf + leafUsed + 1) = (c >> 8).toByte
+      b(nameLeaf + leafUsed + 2) = (c >> 16).toByte
+      b(nameLeaf + leafUsed + 3) = (c >> 24).toByte
+    }
+    // flipping a tiny ID's length bits to 15 overruns the 13-byte ID: named reject
+    val tinyFlag = nameLeaf + indexOfSlice(
+      java.util.Arrays.copyOfRange(bytes, nameLeaf, nameLeaf + leafUsed + 4),
+      Array[Byte](0x2B, 1)) // 0x20|11, then link-message version 1
+    assert(tinyFlag > nameLeaf)
+    val e2 = intercept[Exception](patchedRead { b => b(tinyFlag) = 0x2F; resealLeaf(b) })
+    assert(chain(e2).exists(_.contains("tiny heap object")), chain(e2).mkString("|"))
+    // pointing the huge ID at an absent B-tree key: named reject
+    val hugeId = nameLeaf + indexOfSlice(
+      java.util.Arrays.copyOfRange(bytes, nameLeaf, nameLeaf + leafUsed + 4),
+      Array[Byte](0x10, 1, 0, 0, 0, 0, 0, 0, 0))
+    assert(hugeId > nameLeaf)
+    val e3 = intercept[Exception](patchedRead { b => b(hugeId + 1) = 9; resealLeaf(b) })
+    assert(chain(e3).exists(_.contains("not in the huge-object index")), chain(e3).mkString("|"))
+  }
+
+  private def chain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("NC_STRING metadata: vlen NAME/CLASS resolve, vlen attrs tolerated, string VAR rejects") {
+    // vlenstr4.nc (tools/make_netcdf4_vlenstr_fixture.py): the y scale's
+    // load-bearing NAME/CLASS are VLEN strings resolved through the
+    // global heap; the data var carries NC_STRING units/long_name the
+    // reader must frame and skip (never misread the 16-byte descriptors
+    // as text, never falsely reject the raster)
+    val f = new File("data/netcdf/vlenstr4.nc").getAbsolutePath
+    val df = nc(f, parts = 2)
+    assert(df.columns.sorted.toSeq == Seq("discharge", "x", "y"))
+    val want = spark.read.parquet(
+      new File("data/netcdf/vlenstr4_expected.parquet").getAbsolutePath)
+    val key = Seq(col("y"), col("x"))
+    assert(df.sort(key: _*).collect().toSeq ==
+      want.select(df.columns.map(col): _*).sort(key: _*).collect().toSeq)
+    // vlen NAME actually resolved: y is the real named coordinate
+    assert(df.select("y").distinct().count() == 5)
+    // an NC_STRING DATA variable has no table-column mapping: loud reject
+    val bad = new File("data/netcdf/strvar4.nc").getAbsolutePath
+    val ex = intercept[Exception](nc(bad).collect())
+    assert(chain(ex).exists(_.contains("datatype class 9")), chain(ex).mkString("|"))
+  }
+
   test("chunkOrigins rejects cross-dim products that would wrap Long") {
     // four dims of 65536 chunks each: the product is 2^64 ≡ 0 in Long —
     // a post-hoc bound check would pass it and silently emit an EMPTY

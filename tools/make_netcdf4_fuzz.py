@@ -11,7 +11,10 @@ parameter randomizes from the seed:
     lookup3 checksums) with COMPACT link messages or DENSE link storage
     (fractal heap + v2 B-tree name index: random block size and
     links-per-block packing, root direct block vs root indirect row with
-    Undef slots, B-tree depth 0 vs 1 with separator records);
+    Undef slots, B-tree depth 0 vs 1 with separator records; since
+    round 20 the heap-ID classes also randomize — id_len 7 or 14 and
+    managed cap 4096 or 12 bytes, partitioning links into MANAGED, TINY
+    (message inside the ID) and HUGE (raw spill + type-1 v2 B-tree));
   - 2-3 dims of random sizes, random coordinate direction, each dim a
     real coordinate variable or a PHONY scale (index coordinates);
   - 1-3 data variables over random dtypes (f4/f8/i2/i4/i8/u1/u2/u4 —
@@ -645,15 +648,34 @@ def main(out: str, seed: int) -> None:
     if dense:
         dns["start"] = int(rng.choice([256, 512]))
         dns["cap"] = int(rng.integers(3, 8))
-        DB_HDR = 4 + 1 + 8 + 4 + 4  # sig, ver, heap addr, 32-bit offset, cksum
-        placements = []
-        blk, used, cnt = 0, DB_HDR, 0
+        # round 20: heap-ID classes — an id_len above the managed minimum
+        # (the spec's independent heap-ID-length field) makes the 13-byte
+        # link bodies TINY-eligible; a small managed-object cap spills
+        # bodies to HUGE (raw object + the heap's type-1 v2 B-tree)
+        dns["idlen"] = int(rng.choice([7, 14]))
+        dns["maxobj"] = int(rng.choice([4096, 4096, 12]))
+        dns["lenbytes"] = 2 if dns["maxobj"] > 255 else 1
+        cls = {}
         for nm in link_names:
+            ln = len(link_msg(nm, 0))
+            if ln <= dns["idlen"] - 1 and bool(rng.integers(0, 2)):
+                cls[nm] = "tiny"
+            elif ln > dns["maxobj"]:
+                cls[nm] = "huge"
+            else:
+                cls[nm] = "managed"
+        dns["cls"] = cls
+        dns["huges"] = [nm for nm in link_names if cls[nm] == "huge"]
+        managed_names = [nm for nm in link_names if cls[nm] == "managed"]
+        DB_HDR = 4 + 1 + 8 + 4 + 4  # sig, ver, heap addr, 32-bit offset, cksum
+        placements = {}
+        blk, used, cnt = 0, DB_HDR, 0
+        for nm in managed_names:
             ln = len(link_msg(nm, 0))
             if cnt == dns["cap"] or used + ln > dns["start"]:
                 blk += 1
                 used, cnt = DB_HDR, 0
-            placements.append((blk, blk * dns["start"] + used, ln))
+            placements[nm] = (blk, blk * dns["start"] + used, ln)
             used += ln
             cnt += 1
         dns["placed"] = placements
@@ -681,6 +703,9 @@ def main(out: str, seed: int) -> None:
         if not dns["root_direct"]:
             order += ["fhib"]
         order += [f"fhdb{i}" for i in range(dns["nblocks"])]
+        if dns["huges"]:
+            order += [f"hugeobj_{nm}" for nm in dns["huges"]]
+            order += ["hbthd", "hbtleaf"]
         order += ["bthd"]
         order += [f"btleaf{j}" for j in range(len(dns["leaves"]))]
         if dns["depth1"]:
@@ -922,17 +947,17 @@ def main(out: str, seed: int) -> None:
         else:
             START = dns["start"]
             placed = dns["placed"]
-            bodies = [link_msg(nm, addr[f"oh_{nm}"]) for nm in link_names]
+            cls = dns["cls"]
             for bi in range(dns["nblocks"]):
                 data = bytearray(START)
                 data[0:4] = b"FHDB"
                 data[4] = 0
                 struct.pack_into("<Q", data, 5, addr["frhp"])
                 struct.pack_into("<I", data, 13, bi * START)
-                for (bk, off, ln), body in zip(placed, bodies):
+                for nm, (bk, off, ln) in placed.items():
                     if bk == bi:
                         local = off - bi * START
-                        data[local:local + ln] = body
+                        data[local:local + ln] = link_msg(nm, addr[f"oh_{nm}"])
                 struct.pack_into("<I", data, 17, lookup3(bytes(data)))
                 blocks[f"fhdb{bi}"] = bytes(data)
             if dns["root_direct"]:
@@ -943,20 +968,55 @@ def main(out: str, seed: int) -> None:
                                      else UNDEF) for i in range(4)))
                 blocks["fhib"] = fhib + u32(lookup3(fhib))
                 root_addr, cur_rows = addr["fhib"], 1
+            # huge links: raw objects + the heap's type-1 v2 B-tree,
+            # records sorted by (monotone) huge ID
+            huge_id = {nm: i + 1 for i, nm in enumerate(dns["huges"])}
+            huge_size = 0
+            for nm in dns["huges"]:
+                body = link_msg(nm, addr[f"oh_{nm}"])
+                blocks[f"hugeobj_{nm}"] = body
+                huge_size += len(body)
+            if dns["huges"]:
+                hrecs = b"".join(
+                    u64(addr[f"hugeobj_{nm}"]) +
+                    u64(len(link_msg(nm, addr[f"oh_{nm}"]))) + u64(huge_id[nm])
+                    for nm in dns["huges"])
+                hleaf = b"BTLF" + u8(0) + u8(1) + hrecs
+                blocks["hbtleaf"] = hleaf + u32(lookup3(hleaf))
+                hbthd = (b"BTHD" + u8(0) + u8(1) + u32(512) + u16(24) + u16(0) +
+                         u8(100) + u8(40) + u64(addr["hbtleaf"]) +
+                         u16(len(dns["huges"])) + u64(len(dns["huges"])))
+                blocks["hbthd"] = hbthd + u32(lookup3(hbthd))
+            tiny_names = [nm for nm in link_names if cls[nm] == "tiny"]
+            tiny_size = sum(len(link_msg(nm, 0)) for nm in tiny_names)
             managed = (1 if dns["root_direct"] else 4) * START
-            frhp = (b"FRHP" + u8(0) + u16(7) + u16(0) + u8(0x2) +
-                    u32(4096) + u64(0) + u64(UNDEF) +
-                    u64(managed - sum(p[2] for p in placed)) + u64(UNDEF) +
+            frhp = (b"FRHP" + u8(0) + u16(dns["idlen"]) + u16(0) + u8(0x2) +
+                    u32(dns["maxobj"]) + u64(len(dns["huges"]) + 1) +
+                    u64(addr["hbthd"] if dns["huges"] else UNDEF) +
+                    u64(managed - sum(p[2] for p in placed.values())) + u64(UNDEF) +
                     u64(managed) + u64(dns["nblocks"] * START) +
-                    u64(placed[-1][1] + placed[-1][2]) + u64(len(bodies)) +
-                    u64(0) + u64(0) + u64(0) + u64(0) +
+                    u64(max((p[1] + p[2] for p in placed.values()),
+                            default=DB_HDR)) +
+                    u64(len(placed)) +
+                    u64(huge_size) + u64(len(dns["huges"])) +
+                    u64(tiny_size) + u64(len(tiny_names)) +
                     u16(4) + u64(START) + u64(65536) + u16(32) + u16(1) +
                     u64(root_addr) + u16(cur_rows))
             blocks["frhp"] = frhp + u32(lookup3(frhp))
 
             def rec_bytes(h, i):
-                bk, off, ln = placed[i]
-                return u32(h) + u8(0) + u32(off) + u16(ln)
+                nm = link_names[i]
+                if cls[nm] == "managed":
+                    bk, off, ln = placed[nm]
+                    hid = (u8(0) + u32(off) +
+                           ln.to_bytes(dns["lenbytes"], "little"))
+                elif cls[nm] == "tiny":
+                    body = link_msg(nm, addr[f"oh_{nm}"])
+                    hid = u8(0x20 | (len(body) - 1)) + body
+                else:  # huge ID field is min(idlen-1, 8) bytes (H5HF rule)
+                    hid = (u8(0x10) + huge_id[nm].to_bytes(
+                        min(dns["idlen"] - 1, 8), "little"))
+                return u32(h) + hid.ljust(dns["idlen"], b"\x00")
             for j, leaf_recs in enumerate(dns["leaves"]):
                 leaf = b"BTLF" + u8(0) + u8(5)
                 for h, i in leaf_recs:
@@ -973,7 +1033,8 @@ def main(out: str, seed: int) -> None:
                 root_node, root_nrec = addr["btint"], len(dns["seps"])
             else:
                 root_node, root_nrec = addr["btleaf0"], len(dns["leaves"][0])
-            bthd = (b"BTHD" + u8(0) + u8(5) + u32(512) + u16(11) + u16(
+            bthd = (b"BTHD" + u8(0) + u8(5) + u32(512) +
+                    u16(4 + dns["idlen"]) + u16(
                     1 if dns["depth1"] else 0) + u8(100) + u8(40) +
                     u64(root_node) + u16(root_nrec) + u64(nrec_total))
             blocks["bthd"] = bthd + u32(lookup3(bthd))
