@@ -31,9 +31,37 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (1 to runs).map(_ => timeOnce(fn)).min
-    }
+    // Host-storm canary: the SAME byte-identical trivial plan sampled at
+    // suite start, middle and end. Its dispersion (max/min across the
+    // three checkpoints, permille) is the measured same-plan host-window
+    // factor for THIS run — BASELINE.md's documented wobble (1.24-1.59x
+    // on byte-identical plans) made mechanical, so the round gate can
+    // normalize drift that is storm, not plan (r19 ask #4). min-of-3 per
+    // checkpoint damps scheduler spikes while keeping minutes-scale
+    // window drift visible.
+    def canarySample(): Double = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.avg("l_extendedprice"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .count()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def runHalf(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) => name -> (1 to runs).map(_ => timeOnce(fn)).min }
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (half1, half2) = qseq.splitAt(qseq.size / 2)
+    val canaryStart = canarySample()
+    val results1 = runHalf(half1)
+    val canaryMid = canarySample()
+    val results2 = runHalf(half2)
+    val canaryEnd = canarySample()
+    val results = results1 ++ results2
+    val canaries = Seq(canaryStart, canaryMid, canaryEnd)
+    val hostFactorPm = math.round(1000.0 * canaries.max / math.max(canaries.min, 1e-9))
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     // ANN recall regression gate (untimed — not part of the query total):
@@ -43,10 +71,14 @@ object Bench {
       try {
         val nVecs = sys.env.getOrElse("GRAFT_BENCH_RECALL_VECS", "20000").toLong
         val (metrics, ok) = RecallGate.measure(spark, nVecs)
-        metrics :+ ("recall_floor_ok" -> (if (ok) 1L else 0L))
+        metrics ++ Seq(
+          "recall_floor_ok" -> (if (ok) 1L else 0L),
+          "host_factor_pm" -> hostFactorPm,
+          "canary_min_cs" -> math.round(canaries.min * 100))
       } catch { case e: Throwable =>
         System.err.println(s"RecallGate failed: $e")
-        Seq("recall_floor_ok" -> 0L)
+        Seq("recall_floor_ok" -> 0L, "host_factor_pm" -> hostFactorPm,
+          "canary_min_cs" -> math.round(canaries.min * 100))
       }
     // Two outputs (see BenchFormat for the budget rationale): the FULL
     // per-query table lands in the committed BENCH_DETAIL.json artifact,

@@ -90,6 +90,24 @@ object ProfileC1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Recall-only mode (GRAFT_C1_RECALL_ONLY=1): the per-round SCALE pin
+    // of the adaptive recall curve (r19 ask #8) — just the 1M-vector
+    // RecallGate measurement against the scale floors, cheap enough to
+    // re-run at every round close (BASELINE.md documents the pin), so a
+    // probe-coverage regression at scale surfaces mechanically instead
+    // of only at the 20k bench scale. Exits nonzero on a floor breach.
+    if (sys.env.get("GRAFT_C1_RECALL_ONLY").contains("1")) {
+      val nV = sys.env.getOrElse("GRAFT_C1_VECS", "1000000").toLong
+      val s0 = System.nanoTime()
+      val (metrics, ok) = RecallGate.measureScale(spark, nV)
+      val secs = (System.nanoTime() - s0) / 1e9
+      println(f"[c1-recall] vecs=$nV%d ${secs}%.1f s  " +
+        metrics.map { case (k, v) => s"$k=$v" }.mkString("  ") +
+        s"  scale_floor_ok=${if (ok) 1 else 0}")
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     val t0 = System.nanoTime()
     var failed = false
     def stage(name: String)(body: => Seq[(String, Long)]): Unit = {

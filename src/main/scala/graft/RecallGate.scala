@@ -37,6 +37,27 @@ object RecallGate {
   val FloorR10Adc16 = 550L
   val FloorR100Adc16 = 250L
 
+  /** Floors for the 1M-VECTOR scale curve (`ProfileC1` recall-only mode,
+    * re-measured per round — BASELINE.md): the same measurement at the
+    * scale where probe COVERAGE, not ADC ordering, is the binding
+    * constraint. Regression pins = measured band minus slack (r20
+    * measured: see BASELINE.md), not aspirations. */
+  val ScaleFloorR10Adaptive = 900L
+  val ScaleFloorR100Adaptive = 650L
+  val ScaleFloorR10Adc16 = 550L
+  val ScaleFloorR100Adc16 = 180L
+
+  /** The 1M scale pin: measure at `nVecs` and gate on the SCALE floors. */
+  def measureScale(spark: SparkSession, nVecs: Long): (Seq[(String, Long)], Boolean) = {
+    val (metrics, _) = measure(spark, nVecs)
+    val m = metrics.toMap
+    val ok = m("recall_r10_ad") >= ScaleFloorR10Adaptive &&
+      m("recall_r100_ad") >= ScaleFloorR100Adaptive &&
+      m("recall_r10_p16") >= ScaleFloorR10Adc16 &&
+      m("recall_r100_p16") >= ScaleFloorR100Adc16
+    (metrics, ok)
+  }
+
   /** Returns the permille metrics plus the floor verdict. */
   def measure(spark: SparkSession, nVecs: Long): (Seq[(String, Long)], Boolean) = {
     val embs = ProfileC1.syntheticEmbeddings(spark, nVecs).localCheckpoint()
@@ -80,9 +101,14 @@ object RecallGate {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("arank"))
       .localCheckpoint()
     val sizes = Pq.cellOccupancy(index)
+    // candidate cut scales with the budget (the C1 sizing rule: ~5% of
+    // the probed budget, floor 5001) so the same measurement serves both
+    // the 20k bench gate (5001, unchanged) and the 1M scale pin, where a
+    // fixed 5001 would bind before probe coverage does
+    val adCand = math.max(5001L, nVecs * 3 / 4 / 20).min(100001L).toInt
     val ad = ranked(Pq.ivfPqSearchRerankAdaptive(index, coarse, pq, embs,
       "vec_id", "embedding", queries, candidateBudget = nVecs * 3 / 4,
-      maxProbes = 64, candidates = 5001, topK = 101,
+      maxProbes = 64, candidates = adCand, topK = 101,
       cellSizes = Some(sizes)), "dist_sq_micros")
     val adc = ranked(Pq.ivfPqSearchBatchOverIndex(index, coarse, pq, queries,
       "vec_id", "embedding", nProbes = 16, topK = 101), "dist_micros")
