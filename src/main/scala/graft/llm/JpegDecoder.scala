@@ -24,17 +24,24 @@ package graft.llm
   * coefficient precision must decode IDENTICALLY to the baseline file
   * of the same image (spec-pinned).
   *
-  * Supported: 8-bit precision, 1 (gray), 3 (YCbCr), or 4 (CMYK family —
-  * round 19) components, sampling factors 1–2, restart intervals,
-  * interleaved and single-component scans. The 4-component case follows
-  * the Adobe conventions web corpora actually contain: APP14 transform 0
-  * = CMYK with samples stored INVERTED, transform 2 = YCCK (the inverted
-  * CMY channels ride the YCbCr transform, K inverted), no APP14 = plain
-  * CMYK; output is 3-channel RGB through the documented quick conversion
-  * `R = uC·uK/255` on the inverted-ink values (integer floor division —
-  * embedded identically in the generator's `jpeg_cmyk_truth`). Everything
-  * else (arithmetic coding, 12-bit, hierarchical, 4-component transform
-  * 1) returns None — decode is total, wrong pixels are never produced.
+  * Supported: 8-bit precision, plus 12-BIT via SOF1 extended sequential
+  * (round 20 — 16-bit DQT entries, DC categories to 15, samples
+  * level-shifted by 2048, clamped to 4095 and reduced to their HIGH 8
+  * bits exactly like 16-bit PNG, so every color path stays 8-bit);
+  * 1 (gray), 3 (YCbCr or, with APP14 transform 0, direct RGB), or 4
+  * (CMYK family — round 19) components, sampling factors 1–2, restart
+  * intervals, interleaved and single-component scans. The 4-component
+  * case follows the Adobe conventions web corpora actually contain:
+  * APP14 transform 0 = CMYK with samples stored INVERTED, transform 2 =
+  * YCCK (the inverted CMY channels ride the YCbCr transform, K
+  * inverted), no APP14 = plain CMYK; output is 3-channel RGB through the
+  * documented quick conversion `R = uC·uK/255` on the inverted-ink
+  * values (integer floor division — embedded identically in the
+  * generator's `jpeg_cmyk_truth`). Everything else (arithmetic coding —
+  * T.81 Table D.3's 113-row state machine cannot be reproduced from
+  * memory — hierarchical, lossless, 12-bit progressive, 4-component
+  * transform 1) returns None — decode is total, wrong pixels are never
+  * produced.
   * Chroma upsampling is nearest (index scaling), the documented shared
   * rule.
   */
@@ -210,6 +217,7 @@ private[llm] object JpegDecoder {
     var sawScan = false
     var sawEoi = false
     var adobeTransform = -1 // -1 = no APP14 Adobe marker seen
+    var precision = 8 // sample bits: 8, or 12 (SOF1); planes reduce to 8
 
     var off = 2
     while (!sawEoi) {
@@ -223,14 +231,17 @@ private[llm] object JpegDecoder {
         case 0xd9 => sawEoi = true
         case m if m >= 0xd0 && m <= 0xd7 => return None // RSTn outside a scan
         case 0x01 => // TEM, standalone
-        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 extended
+          // sequential / SOF2 progressive. 12-bit samples ride SOF1 only
+          // (T.81 limits baseline to 8; 12-bit progressive is not decoded)
           if (nComp != 0) return None // second frame
           progressive = marker == 0xc2
           if (off + 2 > b.length) return None
           val len = u16(b, off)
           if (off + len > b.length || len < 8) return None
           val p = off + 2
-          if ((b(p) & 0xff) != 8) return None
+          precision = b(p) & 0xff
+          if (precision != 8 && !(precision == 12 && marker == 0xc1)) return None
           h = u16(b, p + 1)
           w = u16(b, p + 3)
           nComp = b(p + 5) & 0xff
@@ -275,8 +286,14 @@ private[llm] object JpegDecoder {
             i += 1
           }
           off += len
-        case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
-          return None // other frame types: arithmetic/12-bit/hierarchical
+        case m if (m >= 0xc3 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
+          // other frame types: lossless, hierarchical, and ARITHMETIC-
+          // coded (SOF9-SOF11) — the latter stays an honest reject: the
+          // QM-coder's 113-row state-transition table (T.81 Table D.3)
+          // cannot be reproduced from memory, and a plausible-but-wrong
+          // table would poison the exact-hash discipline (same class as
+          // WebP's distance table)
+          return None
         case 0xdb =>
           if (off + 2 > b.length) return None
           val len = u16(b, off)
@@ -285,13 +302,19 @@ private[llm] object JpegDecoder {
           val end = off + len
           while (p < end) {
             val pqTq = b(p) & 0xff
-            if ((pqTq >> 4) != 0) return None
+            val pq = pqTq >> 4 // 0 = 8-bit entries, 1 = 16-bit (12-bit frames)
+            if (pq > 1) return None
             val tq = pqTq & 0xf
-            if (tq > 3 || p + 65 > end) return None
+            val entryLen = if (pq == 1) 128 else 64
+            if (tq > 3 || p + 1 + entryLen > end) return None
             var k = 0
-            while (k < 64) { qt(tq)(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+            while (k < 64) {
+              qt(tq)(Zigzag(k)) =
+                if (pq == 1) u16(b, p + 1 + 2 * k) else b(p + 1 + k) & 0xff
+              k += 1
+            }
             qtSeen(tq) = true
-            p += 65
+            p += 1 + entryLen
           }
           off += len
         case 0xc4 =>
@@ -360,7 +383,7 @@ private[llm] object JpegDecoder {
           val r = new BitReader(b, off + len)
           decodeScan(r, scanComps, scanDc, scanAc, ss, se, ah, al,
             progressive, restartInterval, nComp, compH, compV, mcux, mcuy,
-            blkWpad, blkWceil, blkHceil, coefs)
+            blkWpad, blkWceil, blkHceil, coefs, precision)
           sawScan = true
           off = r.endOffset()
         case 0xdc => return None // DNL unsupported
@@ -386,7 +409,13 @@ private[llm] object JpegDecoder {
     var i = 0
     while (i < nComp) { if (!qtSeen(compQ(i))) return None; i += 1 }
 
-    // dequant + IDCT + assemble
+    // dequant + IDCT + assemble. 12-bit frames level-shift by 2048,
+    // clamp to 4095 and reduce each sample to its HIGH 8 bits (the same
+    // tone reduction as 16-bit PNG), so every downstream color path
+    // stays 8-bit — the convention the generator's truth pipeline shares.
+    val levelShift = 1 << (precision - 1)
+    val maxSample = (1 << precision) - 1
+    val sampleShift = precision - 8
     val planeW = new Array[Int](nComp)
     val planes = new Array[Array[Int]](nComp)
     i = 0
@@ -420,9 +449,9 @@ private[llm] object JpegDecoder {
                 }
                 u += 1
               }
-              val p0 = (((acc + (1L << 25)) >> 26) + 128).toInt
-              val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
-              planes(i)((by * 8 + y) * planeW(i) + bx * 8 + x) = p
+              val p0 = (((acc + (1L << 25)) >> 26) + levelShift).toInt
+              val p = if (p0 < 0) 0 else if (p0 > maxSample) maxSample else p0
+              planes(i)((by * 8 + y) * planeW(i) + bx * 8 + x) = p >> sampleShift
               x += 1
             }
             y += 1
@@ -543,7 +572,9 @@ private[llm] object JpegDecoder {
       nComp: Int, compH: Array[Int], compV: Array[Int],
       mcux: Int, mcuy: Int,
       blkWpad: Array[Int], blkWceil: Array[Int], blkHceil: Array[Int],
-      coefs: Array[Array[Int]]): Unit = {
+      coefs: Array[Array[Int]], precision: Int): Unit = {
+    // DC magnitude categories cap at 11 for 8-bit samples, 15 for 12-bit
+    val dcMax = if (precision == 12) 15 else 11
     val ns = scanComps.length
     val pred = new Array[Int](ns)
     var eobrun = 0
@@ -564,7 +595,7 @@ private[llm] object JpegDecoder {
       val ci = scanComps(si)
       val c = coefs(ci)
       val s0 = r.decodeHuff(scanDc(si))
-      if (s0 > 11) throw Bail
+      if (s0 > dcMax) throw Bail
       val diff = if (s0 == 0) 0 else extend(r.receive(s0), s0)
       pred(si) += diff
       c(base) = pred(si)
@@ -586,7 +617,7 @@ private[llm] object JpegDecoder {
 
     def dcFirstBlock(si: Int, base: Int): Unit = {
       val s0 = r.decodeHuff(scanDc(si))
-      if (s0 > 11) throw Bail
+      if (s0 > dcMax) throw Bail
       val diff = if (s0 == 0) 0 else extend(r.receive(s0), s0)
       pred(si) += diff
       coefs(scanComps(si))(base) = pred(si) << al

@@ -373,6 +373,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImagePixels(ycckFix).exists(d => d._2 == 33 && d._3 == 23))
   }
 
+  test("12-bit JPEG (SOF1): decodes via the high-8-bit reduction; 12-bit SOF0 rejects") {
+    // media_034/035 ride the exact-hash fixture sweep; here pin the
+    // structural contract: SOF1 at 12 bits decodes, and the same frame
+    // re-labeled SOF0 (baseline is 8-bit only per T.81) rejects
+    val f12 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_034.jpg"))
+    val d = Multimodal.decodeImagePixels(f12)
+    assert(d.exists(x => x._2 == 31 && x._3 == 17 && x._4 == 3), d.map(x => (x._1, x._2, x._3, x._4)))
+    val sof = f12.indexOfSlice(Seq(0xFF.toByte, 0xC1.toByte))
+    assert(sof > 0)
+    val asBaseline = f12.clone()
+    asBaseline(sof + 1) = 0xC0.toByte
+    assert(Multimodal.decodeImagePixels(asBaseline).isEmpty,
+      "12-bit SOF0 must reject, never decode")
+    // grayscale 12-bit
+    val g12 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/media/media_035.jpg"))
+    assert(Multimodal.decodeImagePixels(g12).exists(x => x._2 == 19 && x._4 == 1))
+  }
+
   test("palette PNG: PLTE expansion; corrupt palettes stub-fall-back") {
     val pal = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("data/media/media_016.png"))

@@ -953,6 +953,19 @@ def main():
     emit(33, "jpg", "image/jpeg", j33, "jpeg", 33, 23, 4)
     expect_image(33, "jpeg", 33, 23, 3, list(t33))
 
+    # 12-BIT extended sequential (SOF1, round 20): 16-bit DQT entries,
+    # DC categories past 11, +2048 level shift with the 4095 clamp,
+    # samples reduced to their high 8 bits (the 16-bit-PNG convention,
+    # shared with the decoder). media_034 color 4:2:0 + restarts,
+    # media_035 grayscale.
+    j34, t34 = make_jpeg_real(31, 17, subsample=(2, 2), restart=2,
+                              precision=12)
+    emit(34, "jpg", "image/jpeg", j34, "jpeg", 31, 17, 3)
+    expect_image(34, "jpeg", 31, 17, 3, list(t34))
+    j35, t35 = make_jpeg_real(19, 26, gray=True, precision=12)
+    emit(35, "jpg", "image/jpeg", j35, "jpeg", 19, 26, 1)
+    expect_image(35, "jpeg", 19, 26, 1, list(t35))
+
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
     c = checksum(blob)
@@ -1103,6 +1116,15 @@ def fuzz(outdir: str, seed: int):
         rst = int(rng.choice([0, 0, 2, 4]))
         payload, truth = make_jpeg_real(w, h, subsample=sub, restart=rst,
                                         adobe_transform=0)
+        out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
+    for _ in range(int(rng.integers(2, 5))):  # 12-bit SOF1 JPEGs
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        kind = int(rng.integers(0, 4))
+        gray = kind == 0
+        sub = (1, 1) if gray else [(1, 1), (2, 2), (2, 1)][kind - 1]
+        rst = int(rng.choice([0, 0, 2, 4]))
+        payload, truth = make_jpeg_real(w, h, gray=gray, subsample=sub,
+                                        restart=rst, precision=12)
         out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
     for _ in range(int(rng.integers(2, 5))):  # PROGRESSIVE JPEGs: the
         # scan script transmits full precision, so the truth is the
@@ -1310,8 +1332,12 @@ def _jpeg_box_subsample(plane, width, height, sh, sv):
     return out
 
 
+def _jpeg_px12(x, y, c):
+    return (x * 211 + y * 337 + c * 419) % 4096
+
+
 def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0,
-                   adobe_transform=None):
+                   adobe_transform=None, precision=8):
     """Baseline sequential JPEG of the house pixel pattern. subsample =
     (h, v) chroma sampling divisors (1,1)=4:4:4, (2,2)=4:2:0, (2,1)=4:2:2.
     adobe_transform writes an APP14 Adobe marker with that transform code;
@@ -1321,31 +1347,34 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0,
     pixel array) where the ground truth is the decode of the QUANTIZED
     stream through the shared integer inverse pipeline (see
     jpeg_decode_truth)."""
+    assert precision in (8, 12)
     sh, sv = (1, 1) if gray else subsample
     comps = 1 if gray else 3
     rgb_direct = (not gray) and adobe_transform == 0
+    px = _jpeg_px12 if precision == 12 else _jpeg_rgb
+    smax = (1 << precision) - 1
+    mid = 1 << (precision - 1)
     # component planes in YCbCr (float rounded to int per JFIF)
     if gray:
-        planes = [[[_jpeg_rgb(x, y, 0) for x in range(width)]
+        planes = [[[px(x, y, 0) for x in range(width)]
                    for y in range(height)]]
     elif rgb_direct:
         # channels stored as-is; channels 1,2 still ride the "chroma"
         # sampling factors (legal, exercises the upsample path on RGB)
-        ys = [[_jpeg_rgb(x, y, 0) for x in range(width)] for y in range(height)]
-        cbs = [[_jpeg_rgb(x, y, 1) for x in range(width)] for y in range(height)]
-        crs = [[_jpeg_rgb(x, y, 2) for x in range(width)] for y in range(height)]
+        ys = [[px(x, y, 0) for x in range(width)] for y in range(height)]
+        cbs = [[px(x, y, 1) for x in range(width)] for y in range(height)]
+        crs = [[px(x, y, 2) for x in range(width)] for y in range(height)]
     else:
         ys, cbs, crs = [], [], []
         for y in range(height):
             ry, rcb, rcr = [], [], []
             for x in range(width):
-                r, g, b = (_jpeg_rgb(x, y, 0), _jpeg_rgb(x, y, 1),
-                           _jpeg_rgb(x, y, 2))
-                ry.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
-                rcb.append(min(255, max(0, round(128 - 0.168736 * r
-                                                 - 0.331264 * g + 0.5 * b))))
-                rcr.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g
-                                                 - 0.081312 * b))))
+                r, g, b = (px(x, y, 0), px(x, y, 1), px(x, y, 2))
+                ry.append(min(smax, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+                rcb.append(min(smax, max(0, round(mid - 0.168736 * r
+                                                  - 0.331264 * g + 0.5 * b))))
+                rcr.append(min(smax, max(0, round(mid + 0.5 * r - 0.418688 * g
+                                                  - 0.081312 * b))))
             ys.append(ry)
             cbs.append(rcb)
             crs.append(rcr)
@@ -1378,8 +1407,8 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0,
                 for yy in range(8):
                     for xx in range(8):
                         py = min(by * 8 + yy, rows - 1)
-                        px = min(bx * 8 + xx, cols - 1)
-                        blk[yy][xx] = plane[py][px] - 128
+                        pxx = min(bx * 8 + xx, cols - 1)
+                        blk[yy][xx] = plane[py][pxx] - mid
                 qblocks[ci][(bx, by)] = _fdct_quant(blk, qtabs[qsel[ci]])
 
     # entropy encode, MCU-interleaved
@@ -1444,13 +1473,21 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0,
         # APP14: tag, DCTEncodeVersion, flags0, flags1, transform
         out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
                                                 adobe_transform))
-    out += seg(0xDB, bytes([0]) + bytes(JPEG_QL[JPEG_ZIGZAG[k]] for k in range(64)))
+    def dqt_seg(tq, tab):
+        if precision == 12:  # Pq=1: 16-bit entries (T.81 requires for 12-bit)
+            return seg(0xDB, bytes([0x10 | tq]) +
+                       b"".join(struct.pack(">H", tab[JPEG_ZIGZAG[k]])
+                                for k in range(64)))
+        return seg(0xDB, bytes([tq]) + bytes(tab[JPEG_ZIGZAG[k]]
+                                             for k in range(64)))
+    out += dqt_seg(0, JPEG_QL)
     if comps > 1:
-        out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
-    sof = struct.pack(">BHHB", 8, height, width, comps)
+        out += dqt_seg(1, JPEG_QC)
+    sof = struct.pack(">BHHB", precision, height, width, comps)
     for ci in range(comps):
         sof += struct.pack(">BBB", ci + 1, (sf[ci][0] << 4) | sf[ci][1], qsel[ci])
-    out += seg(0xC0, sof)
+    # 12-bit rides SOF1 (extended sequential); baseline SOF0 is 8-bit only
+    out += seg(0xC1 if precision == 12 else 0xC0, sof)
     for (kind, tid), (bits, vals) in JPEG_HUFF.items():
         if comps == 1 and tid == 1:
             continue
@@ -1466,7 +1503,8 @@ def make_jpeg_real(width, height, gray=False, subsample=(1, 1), restart=0,
     out += bytes(w.out) + b"\xFF\xD9"
 
     truth = jpeg_decode_truth(qblocks, sf, qsel, width, height, comps,
-                              mcux, mcuy, rgb_direct=rgb_direct)
+                              mcux, mcuy, rgb_direct=rgb_direct,
+                              precision=precision)
     return out, truth
 
 
@@ -1579,12 +1617,13 @@ def _jpeg_entropy_check(stream, qblocks, sf, qsel, hsel, comps, mcux, mcuy,
 
 
 def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy,
-                      rgb_direct=False):
+                      rgb_direct=False, precision=8):
     """The shared integer inverse pipeline: dequant -> 13-bit fixed IDCT
-    (JPEG_IDCT_B) -> +128 clamp -> nearest upsample -> integer YCbCr->RGB
-    (or pass-through when rgb_direct: the APP14-transform-0 RGB shape).
-    Returns top-down row-major gray or RGB bytes (the Scala decoder's
-    contract)."""
+    (JPEG_IDCT_B) -> level shift (+128, or +2048 clamped to 4095 and
+    reduced to the high 8 bits for 12-bit frames) -> nearest upsample ->
+    integer YCbCr->RGB (or pass-through when rgb_direct: the
+    APP14-transform-0 RGB shape). Returns top-down row-major gray or RGB
+    bytes (the Scala decoder's contract)."""
     qtabs = [JPEG_QL, JPEG_QC]
     hmax = max(f[0] for f in sf)
     vmax = max(f[1] for f in sf)
@@ -1602,8 +1641,9 @@ def jpeg_decode_truth(qblocks, sf, qsel, width, height, comps, mcux, mcuy,
                         for v2 in range(8):
                             acc += (deq[v2 * 8 + u] * JPEG_IDCT_B[u][x]
                                     * JPEG_IDCT_B[v2][y])
-                    p = ((acc + (1 << 25)) >> 26) + 128
-                    plane[by * 8 + y][bx * 8 + x] = min(255, max(0, p))
+                    p = ((acc + (1 << 25)) >> 26) + (1 << (precision - 1))
+                    p = min((1 << precision) - 1, max(0, p))
+                    plane[by * 8 + y][bx * 8 + x] = p >> (precision - 8)
         planes.append(plane)
     out = bytearray()
     for y in range(height):
