@@ -441,6 +441,11 @@ private[sources] object GribModel {
           require(nPresent >= 0, // untrusted; drives payload-buffer sizing
             s"$path: negative data-point count $nPresent in section 5 at offset $at")
           val template = b.getShort(4) & 0xFFFF
+          // a corrupt section length below the template's fixed octets
+          // must reject by name, not as a buffer-bounds exception
+          require(b.limit() >= (if (template == 4) 7 else 15),
+            s"$path: section 5 of ${b.limit() + 5} octets too short for " +
+              s"template 5.$template")
           if (template != 4) {
             // every packed-integer template shares octets 12-21 (R/E/D/
             // nbits); template 5.4 (raw IEEE floats) has NONE of them —

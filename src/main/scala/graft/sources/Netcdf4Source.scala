@@ -748,7 +748,7 @@ private[sources] object Hdf5 {
       require(recs.length == nHuge,
         s"${in.path}: huge-object index holds ${recs.length} records, " +
           s"heap header says $nHuge")
-      recs.map { r =>
+      val entries = recs.map { r =>
         val bb = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
         val addr = bb.getLong
         val len = bb.getLong
@@ -756,7 +756,12 @@ private[sources] object Hdf5 {
         require(len > 0 && len <= 16L * 1024 * 1024,
           s"${in.path}: huge heap object of $len bytes exceeds the driver bound")
         id -> (in.checkedAddr(addr, "huge heap object"), len)
-      }.toMap
+      }
+      // a corrupt index with duplicate IDs is ambiguous — reject by name
+      // instead of letting the last record silently win
+      require(entries.map(_._1).distinct.length == entries.length,
+        s"${in.path}: duplicate IDs in the huge-object index")
+      entries.toMap
     }
     val hugeIdBytes = math.min(heapIdLen - 1, 8)
 
