@@ -77,6 +77,27 @@ class GribIndexCacheSpec extends SparkSpec {
     assert(counters()._1 == h1 + 1)
   }
 
+  test("a prior-VERSION sidecar falls back to a fresh walk and is repaired") {
+    // the r20 format bump (v5 -> v6: +ieeePrecision) makes this the live
+    // upgrade path: a stale v5 sidecar from the previous build must be
+    // re-walked and rewritten, never misparsed field-by-field
+    val dir = freshCacheDir()
+    grib(dir).count() // populate at the current version
+    val sidecar = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".gribidx")).head
+    val b = Files.readAllBytes(Paths.get(sidecar))
+    // header = magic(4) + version(4), both big-endian DataOutputStream ints
+    b(7) = (b(7) - 1).toByte // version - 1: a previous round's sidecar
+    Files.write(Paths.get(sidecar), b)
+    val (h0, m0) = counters()
+    val rows = asTuples(grib(dir))
+    val (h1, m1) = counters()
+    assert(m1 == m0 + 1 && h1 == h0, "stale-version sidecar must count as a miss")
+    assert(rows == asTuples(spark.read.parquet(expected)))
+    grib(dir).count()
+    assert(counters()._1 == h1 + 1, "repaired sidecar must hit again")
+  }
+
   test("same directory, different mtime/len key: no stale read across files") {
     val dir = freshCacheDir()
     // copy the fixture so (path, len, mtime) differs from the original
