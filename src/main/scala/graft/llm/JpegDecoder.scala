@@ -25,9 +25,10 @@ package graft.llm
   * of the same image (spec-pinned).
   *
   * Supported: 8-bit precision, plus 12-BIT via SOF1 extended sequential
-  * (round 20 — 16-bit DQT entries, DC categories to 15, samples
-  * level-shifted by 2048, clamped to 4095 and reduced to their HIGH 8
-  * bits exactly like 16-bit PNG, so every color path stays 8-bit);
+  * or SOF2 progressive (round 20 — 16-bit DQT entries, DC categories to
+  * 15, samples level-shifted by 2048, clamped to 4095 and reduced to
+  * their HIGH 8 bits exactly like 16-bit PNG, so every color path stays
+  * 8-bit);
   * 1 (gray), 3 (YCbCr or, with APP14 transform 0, direct RGB), or 4
   * (CMYK family — round 19) components, sampling factors 1–2, restart
   * intervals, interleaved and single-component scans. The 4-component
@@ -39,9 +40,8 @@ package graft.llm
   * values (integer floor division — embedded identically in the
   * generator's `jpeg_cmyk_truth`). Everything else (arithmetic coding —
   * T.81 Table D.3's 113-row state machine cannot be reproduced from
-  * memory — hierarchical, lossless, 12-bit progressive, 4-component
-  * transform 1) returns None — decode is total, wrong pixels are never
-  * produced.
+  * memory — hierarchical, lossless, 4-component transform 1) returns
+  * None — decode is total, wrong pixels are never produced.
   * Chroma upsampling is nearest (index scaling), the documented shared
   * rule.
   */
@@ -232,8 +232,8 @@ private[llm] object JpegDecoder {
         case m if m >= 0xd0 && m <= 0xd7 => return None // RSTn outside a scan
         case 0x01 => // TEM, standalone
         case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 extended
-          // sequential / SOF2 progressive. 12-bit samples ride SOF1 only
-          // (T.81 limits baseline to 8; 12-bit progressive is not decoded)
+          // sequential / SOF2 progressive. 12-bit samples ride SOF1 or
+          // SOF2 (T.81 limits BASELINE to 8 bits)
           if (nComp != 0) return None // second frame
           progressive = marker == 0xc2
           if (off + 2 > b.length) return None
@@ -241,7 +241,7 @@ private[llm] object JpegDecoder {
           if (off + len > b.length || len < 8) return None
           val p = off + 2
           precision = b(p) & 0xff
-          if (precision != 8 && !(precision == 12 && marker == 0xc1)) return None
+          if (precision != 8 && !(precision == 12 && marker != 0xc0)) return None
           h = u16(b, p + 1)
           w = u16(b, p + 3)
           nComp = b(p + 5) & 0xff

@@ -965,6 +965,12 @@ def main():
     j35, t35 = make_jpeg_real(19, 26, gray=True, precision=12)
     emit(35, "jpg", "image/jpeg", j35, "jpeg", 19, 26, 1)
     expect_image(35, "jpeg", 19, 26, 1, list(t35))
+    # 12-bit PROGRESSIVE (SOF2): the full scan script transmits full
+    # precision, so it must decode identically to the sequential file of
+    # the same image — the same invariant the 8-bit pair 026/027 pins
+    j36, t36 = make_jpeg_prog(23, 14, subsample=(2, 1), precision=12)
+    emit(36, "jpg", "image/jpeg", j36, "jpeg", 23, 14, 3)
+    expect_image(36, "jpeg", 23, 14, 3, list(t36))
 
     # opaque fallback -> stub decode (dims are the documented checksum fiction)
     blob = make_blob(1000)
@@ -1117,14 +1123,18 @@ def fuzz(outdir: str, seed: int):
         payload, truth = make_jpeg_real(w, h, subsample=sub, restart=rst,
                                         adobe_transform=0)
         out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
-    for _ in range(int(rng.integers(2, 5))):  # 12-bit SOF1 JPEGs
+    for _ in range(int(rng.integers(2, 5))):  # 12-bit SOF1/SOF2 JPEGs
         w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
         kind = int(rng.integers(0, 4))
         gray = kind == 0
         sub = (1, 1) if gray else [(1, 1), (2, 2), (2, 1)][kind - 1]
-        rst = int(rng.choice([0, 0, 2, 4]))
-        payload, truth = make_jpeg_real(w, h, gray=gray, subsample=sub,
-                                        restart=rst, precision=12)
+        if bool(rng.integers(0, 2)):
+            payload, truth = make_jpeg_prog(w, h, gray=gray, subsample=sub,
+                                            precision=12)
+        else:
+            rst = int(rng.choice([0, 0, 2, 4]))
+            payload, truth = make_jpeg_real(w, h, gray=gray, subsample=sub,
+                                            restart=rst, precision=12)
         out("jpg", payload, w * h, sum(truth), max(truth), checksum(truth))
     for _ in range(int(rng.integers(2, 5))):  # PROGRESSIVE JPEGs: the
         # scan script transmits full precision, so the truth is the
@@ -1908,12 +1918,14 @@ def _prog_scan_script(comps):
     return scans
 
 
-def make_jpeg_prog(width, height, gray=False, subsample=(1, 1)):
+def make_jpeg_prog(width, height, gray=False, subsample=(1, 1), precision=8):
     sh, sv = (1, 1) if gray else subsample
     comps = 1 if gray else 3
-    base, truth = make_jpeg_real(width, height, gray=gray, subsample=subsample)
+    base, truth = make_jpeg_real(width, height, gray=gray, subsample=subsample,
+                                 precision=precision)
     # recompute the quantized blocks exactly as make_jpeg_real does
-    qb, sf, qsel, mcux, mcuy = _jpeg_planes_qblocks(width, height, gray, (sh, sv))
+    qb, sf, qsel, mcux, mcuy = _jpeg_planes_qblocks(width, height, gray,
+                                                    (sh, sv), precision)
     hmax = max(f[0] for f in sf)
     vmax = max(f[1] for f in sf)
     # per-component ceil-dims block counts (non-interleaved AC scans)
@@ -2093,10 +2105,18 @@ def make_jpeg_prog(width, height, gray=False, subsample=(1, 1)):
         return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
     out = b"\xFF\xD8"
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(JPEG_QL[JPEG_ZIGZAG[k]] for k in range(64)))
+
+    def dqt_seg(tq, tab):
+        if precision == 12:  # Pq=1: 16-bit entries
+            return seg(0xDB, bytes([0x10 | tq]) +
+                       b"".join(struct.pack(">H", tab[JPEG_ZIGZAG[k]])
+                                for k in range(64)))
+        return seg(0xDB, bytes([tq]) + bytes(tab[JPEG_ZIGZAG[k]]
+                                             for k in range(64)))
+    out += dqt_seg(0, JPEG_QL)
     if comps > 1:
-        out += seg(0xDB, bytes([1]) + bytes(JPEG_QC[JPEG_ZIGZAG[k]] for k in range(64)))
-    sof = struct.pack(">BHHB", 8, height, width, comps)
+        out += dqt_seg(1, JPEG_QC)
+    sof = struct.pack(">BHHB", precision, height, width, comps)
     for ci in range(comps):
         sof += struct.pack(">BBB", ci + 1, (sf[ci][0] << 4) | sf[ci][1], qsel_[ci])
     out += seg(0xC2, sof)
@@ -2119,48 +2139,34 @@ def make_jpeg_prog(width, height, gray=False, subsample=(1, 1)):
     return out, truth
 
 
-def _jpeg_planes_qblocks(width, height, gray, subsample):
+def _jpeg_planes_qblocks(width, height, gray, subsample, precision=8):
     """The plane/FDCT/quantize stage of make_jpeg_real, factored so the
     progressive encoder reuses the exact same quantized blocks."""
     sh, sv = (1, 1) if gray else subsample
     comps = 1 if gray else 3
+    px12 = _jpeg_px12 if precision == 12 else _jpeg_rgb
+    smax = (1 << precision) - 1
+    mid = 1 << (precision - 1)
     if gray:
-        planes = [[[_jpeg_rgb(x, y, 0) for x in range(width)]
+        planes = [[[px12(x, y, 0) for x in range(width)]
                    for y in range(height)]]
     else:
         ys, cbs, crs = [], [], []
         for y in range(height):
             ry, rcb, rcr = [], [], []
             for x in range(width):
-                r, g, b = (_jpeg_rgb(x, y, 0), _jpeg_rgb(x, y, 1),
-                           _jpeg_rgb(x, y, 2))
-                ry.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
-                rcb.append(min(255, max(0, round(128 - 0.168736 * r
-                                                 - 0.331264 * g + 0.5 * b))))
-                rcr.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g
-                                                 - 0.081312 * b))))
+                r, g, b = (px12(x, y, 0), px12(x, y, 1), px12(x, y, 2))
+                ry.append(min(smax, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+                rcb.append(min(smax, max(0, round(mid - 0.168736 * r
+                                                  - 0.331264 * g + 0.5 * b))))
+                rcr.append(min(smax, max(0, round(mid + 0.5 * r - 0.418688 * g
+                                                  - 0.081312 * b))))
             ys.append(ry)
             cbs.append(rcb)
             crs.append(rcr)
-        cw = (width + sh - 1) // sh
-        ch = (height + sv - 1) // sv
-
-        def sub(plane):
-            outp = []
-            for j in range(ch):
-                row = []
-                for i in range(cw):
-                    acc, cnt = 0, 0
-                    for dj in range(sv):
-                        for di in range(sh):
-                            yy, xx = j * sv + dj, i * sh + di
-                            if yy < height and xx < width:
-                                acc += plane[yy][xx]
-                                cnt += 1
-                    row.append(round(acc / cnt))
-                outp.append(row)
-            return outp
-        planes = [ys, sub(cbs), sub(crs)]
+        planes = [ys,
+                  _jpeg_box_subsample(cbs, width, height, sh, sv),
+                  _jpeg_box_subsample(crs, width, height, sh, sv)]
     sf = [(sh, sv)] + [(1, 1)] * (comps - 1) if not gray else [(1, 1)]
     hmax = max(f[0] for f in sf)
     vmax = max(f[1] for f in sf)
@@ -2181,8 +2187,8 @@ def _jpeg_planes_qblocks(width, height, gray, subsample):
                 for yy in range(8):
                     for xx in range(8):
                         py = min(by * 8 + yy, rows - 1)
-                        px = min(bx * 8 + xx, cols - 1)
-                        blk[yy][xx] = plane[py][px] - 128
+                        pxx = min(bx * 8 + xx, cols - 1)
+                        blk[yy][xx] = plane[py][pxx] - mid
                 qblocks[ci][(bx, by)] = _fdct_quant(blk, qtabs[qsel[ci]])
     return qblocks, sf, qsel, mcux, mcuy
 
