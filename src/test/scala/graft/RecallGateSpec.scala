@@ -18,4 +18,19 @@ class RecallGateSpec extends SparkSpec {
     assert(m("recall_r100_ad") >= m("recall_r100_p16"), m.toString)
     println(s"[recall-gate] $m")
   }
+
+  test("the 1M scale pin gates on the SCALE floors, not the bench floors") {
+    // measureScale at a small corpus: the metrics are the same
+    // measurement; only the floor set differs (the 20k numbers clear the
+    // looser scale floors, so the verdict must be ok=true even where the
+    // bench r100_ad floor of 900 would... also pass — so additionally
+    // pin the floor CONSTANTS' ordering: every scale floor is at most
+    // its bench counterpart, because coverage binds at scale)
+    val (metrics, ok) = RecallGate.measureScale(spark, 20000L)
+    assert(ok, metrics.toString)
+    assert(RecallGate.ScaleFloorR10Adaptive <= RecallGate.FloorR10Adaptive)
+    assert(RecallGate.ScaleFloorR100Adaptive <= RecallGate.FloorR100Adaptive)
+    assert(RecallGate.ScaleFloorR10Adc16 <= RecallGate.FloorR10Adc16)
+    assert(RecallGate.ScaleFloorR100Adc16 <= RecallGate.FloorR100Adc16)
+  }
 }
