@@ -223,6 +223,80 @@ object GraftVecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** All k PCA component projections of one vector in one pass:
+    * `out(c) = round((Σ_j (v_j − μ_j)·load_{c,j}) · 1e6)` as longs, with
+    * the j-ascending fold order of the HOF spelling
+    * (`aggregate(transform(...), 0.0, _+_)`) so the sums are
+    * bit-identical, and Spark's `round(double)` semantics
+    * (BigDecimal HALF_UP, then the double→long cast) so the quantization
+    * matches the previous expression — and the DuckDB oracle — exactly.
+    * `load` is the row-major k×dim loading matrix. The interpreted HOF
+    * spelling evaluated k aggregate lambdas per row (CodegenFallback);
+    * this is one compiled loop (guide §4). A wrong-length vector is an
+    * ERROR (the [[graft.llm.Pca.pcaProject]] doc contract). */
+  def pcaProject(v: ArrayData, mu: ArrayData, load: ArrayData, dim: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"pcaProject: expected $dim-dim vector, got ${v.numElements()}")
+    require(mu.numElements() == dim,
+      s"pcaProject: mean has ${mu.numElements()} dims, expected $dim")
+    require(dim > 0 && load.numElements() % dim == 0,
+      s"pcaProject: loading matrix length ${load.numElements()} is not a multiple of dim $dim")
+    val k = load.numElements() / dim
+    val cent = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { cent(j) = v.getDouble(j) - mu.getDouble(j); j += 1 }
+    val out = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var acc = 0.0
+      j = 0
+      while (j < dim) {
+        acc += cent(j) * load.getDouble(off + j)
+        j += 1
+      }
+      out(c) = roundAsSpark(acc * 1e6)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Spark's `round(double)` → `cast(long)` chain: BigDecimal HALF_UP for
+    * finite values (round-half-AWAY-FROM-ZERO — `math.round` would differ
+    * on negative .5 boundaries), NaN → 0 and ±Inf saturating exactly as
+    * the double→long Cast does. */
+  private def roundAsSpark(x: Double): Long = {
+    if (java.lang.Double.isNaN(x)) 0L
+    else if (java.lang.Double.isInfinite(x)) {
+      if (x > 0) Long.MaxValue else Long.MinValue
+    } else {
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
+  }
+
+  /** Coarse-quantizer residual of one vector: `out(j) = v(j) −
+    * cents(cell·dim + j)` — element-wise exact IEEE subtraction against a
+    * row-major flattened centroid matrix, bit-identical to the
+    * `transform(sequence(1, dim), j => element_at(v, j) −
+    * element_at(flat, cell·dim + j))` spelling it replaces
+    * ([[graft.llm.Pq]] `withResidual`), which as a higher-order function
+    * was CodegenFallback — interpreted per row on the IVF-PQ hot path
+    * (train, encode, search all project residuals; guide §4). */
+  def residual(v: ArrayData, cents: ArrayData, cell: Int, dim: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"residual: expected $dim-dim vector, got ${v.numElements()}")
+    require(dim > 0 && cents.numElements() % dim == 0,
+      s"residual: centroid matrix length ${cents.numElements()} is not a multiple of dim $dim")
+    require(cell >= 0 && (cell + 1) * dim <= cents.numElements(),
+      s"residual: cell $cell out of range for ${cents.numElements() / dim} centroids")
+    val off = cell * dim
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { out(j) = v.getDouble(j) - cents.getDouble(off + j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cell-local SemDeDup scan: `ids` (long, ASCENDING — the caller sorts)
     * and `vecs` (double arrays, positionally aligned) are one k-means
     * cell's members; returns `array<struct<vec_id, dup_of>>` — every

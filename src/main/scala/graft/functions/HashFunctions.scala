@@ -120,6 +120,18 @@ object HashFunctions {
     invokeVec("bestCosine", doubleArray,
       Seq(e(v), e(norm), e(centsFlat), e(norms), Literal(dim)))
 
+  /** Compiled all-components PCA projection over literal mean/loading
+    * matrices: array of k `proj_micros` longs (see
+    * [[GraftVecOps.pcaProject]]). */
+  def pcaProjectAll(v: Column, mu: Column, load: Column, dim: Int): Column =
+    invokeVec("pcaProject", ArrayType(LongType, containsNull = false),
+      Seq(e(v), e(mu), e(load), Literal(dim)))
+
+  /** Compiled coarse-quantizer residual `v − cents[cell]` (see
+    * [[GraftVecOps.residual]]). */
+  def residual(v: Column, centsFlat: Column, cell: Column, dim: Int): Column =
+    invokeVec("residual", doubleArray, Seq(e(v), e(centsFlat), e(cell), Literal(dim)))
+
   /** Output type of [[GraftVecOps.pcaMoments]]. */
   val PcaMomentsType: ArrayType = ArrayType(StructType(Seq(
     StructField("i", IntegerType, nullable = false),

@@ -74,16 +74,24 @@ object Classify {
       textCol: String,
       labelCol: String,
       vocabSize: Int = 64): DataFrame = {
+    // Materialized ONCE: tokCounts feeds the vocab derivation and both
+    // inVocab references, and vocab is broadcast three times (inVocab,
+    // vSize, the final grid crossJoin) — without the checkpoints each
+    // reference re-runs the corpus explode+aggregate subtree (~5 corpus
+    // passes for one trained model; optimization guide §2.3/§5). The
+    // checkpointed relations are vocabulary-sized, never corpus-sized.
     val tokCounts = docs
       .filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("string").as("label"),
         explode(wordTokens(col(textCol))).as("token"))
       .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // top-V vocabulary, derived from the ALREADY-aggregated counts (a
     // dimension-sized re-agg, not a second corpus pass)
     val vocab = tokCounts.groupBy("token").agg(sum("cnt").as("tot"))
       .orderBy(col("tot").desc, col("token").asc).limit(vocabSize)
       .select("token")
+      .localCheckpoint()
     val inVocab = tokCounts.join(broadcast(vocab), "token")
     // label universe comes from the corpus, NOT from inVocab — a label
     // whose every token misses the vocab cap still gets grid rows (t_l=0)
@@ -109,9 +117,12 @@ object Classify {
   /** Label priors: `(label, n_docs, prior_micros)` with
     * `prior_micros = round(ln(n_docs / total_docs) * 1e6)`. */
   def nbPriors(docs: DataFrame, labelCol: String): DataFrame = {
+    // materialized: referenced twice (rows + the n_total aggregate) —
+    // one corpus scan instead of two for an L-row table
     val labels = docs.filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).cast("string").as("label"))
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     labels
       .crossJoin(broadcast(labels.agg(sum("n_docs").as("n_total"))))
       .select(col("label"), col("n_docs"),

@@ -40,11 +40,16 @@ object CurationArtifacts {
       perms: Int = 64): CurationArtifacts = {
     val d = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(labelCol).cast("string").as("__label"))
+    // one corpus unigram pass feeds both LM tables (lmBigrams would
+    // otherwise re-train its own copy — guide §2.3: never recompute a
+    // corpus pass to rebuild a dimension-sized frame)
+    val uni = LangModel.lmUnigrams(d, "doc_id", "text", vocabSize)
+      .localCheckpoint()
     CurationArtifacts(
       nbTokenModel = Classify.nbTrain(d, "doc_id", "text", "__label", vocabSize),
       nbPriors = Classify.nbPriors(d, "__label"),
-      lmUnigrams = LangModel.lmUnigrams(d, "doc_id", "text", vocabSize),
-      lmBigrams = LangModel.lmBigrams(d, "doc_id", "text", vocabSize),
+      lmUnigrams = uni,
+      lmBigrams = LangModel.lmBigramsWith(d, "text", uni),
       exactIndex = d.groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("keep_id")),
       signatures = Dedup.signatureTable(d, "doc_id", "text", shingleK, perms))
@@ -142,12 +147,24 @@ object Curation {
       minJaccard: Double = 0.5,
       clusterFn: (DataFrame, DataFrame) => DataFrame = DefaultClusterFn): DataFrame = {
     require(acceptLabels.nonEmpty, "curateV2 needs at least one accept label")
+    // materialized once: the projected corpus feeds every gate (exact
+    // window, quality, NB train+score, LM train+score, MinHash) plus the
+    // verdict join — without it each gate subtree re-reads and re-projects
+    // the source (curateV2With's documented posture, applied here too)
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(labelCol).cast("string").as("__label"))
-    val exact = d.select(col("doc_id"),
-      min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
-        .as("keep_id"))
+      .localCheckpoint()
+    // gate 1: PROJECT the 32-byte digest before the window so the exchange
+    // partitions on a plain column and ships (doc_id, md5) — a window
+    // partitioned directly on md5(text) re-evaluates the key post-shuffle,
+    // so the full text would cross the exchange (guide §2.3: shuffle
+    // digests, never payloads — the Dedup.exact discipline)
+    val exact = d
+      .select(col("doc_id"), md5(col("text")).as("__md5"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__md5")))
+          .as("keep_id"))
     val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
       .select("doc_id", "quality_score")
     val nb = Classify.nbClassify(d, "doc_id", "text", "__label")
@@ -202,12 +219,16 @@ object Curation {
       maxContamination: Double = 0.2,
       clusterFn: (DataFrame, DataFrame) => DataFrame = DefaultClusterFn): DataFrame = {
     require(acceptLabels.nonEmpty, "curateV3 needs at least one accept label")
+    // materialized once + digest-projected exact gate: see curateV2
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(labelCol).cast("string").as("__label"), col(urlCol).as("__url"))
-    val exact = d.select(col("doc_id"),
-      min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
-        .as("keep_id"))
+      .localCheckpoint()
+    val exact = d
+      .select(col("doc_id"), md5(col("text")).as("__md5"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__md5")))
+          .as("keep_id"))
     val winners = Mixture.domainCap(
       d.select(col("doc_id"), col("__url")), "doc_id", "__url", perDomain)
       .select(col("doc_id"), lit(true).as("in_cap"))

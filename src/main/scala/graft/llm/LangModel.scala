@@ -60,8 +60,25 @@ object LangModel {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      vocabSize: Int = 64): DataFrame = {
-    val uni = lmUnigrams(docs, idCol, textCol, vocabSize)
+      vocabSize: Int = 64): DataFrame =
+    // materialize the dimension-sized unigram table once: the bigram
+    // build references it three times (t1 counts, t2 vocab membership,
+    // V), and each broadcast would otherwise re-run the corpus
+    // tokenize+aggregate subtree — 3 extra corpus passes for a ≤vocabSize
+    // row table (optimization guide §2.3/§5: never recompute a corpus
+    // pass to rebuild a dimension-sized frame)
+    lmBigramsWith(docs, textCol, lmUnigrams(docs, idCol, textCol, vocabSize)
+      .localCheckpoint())
+
+  /** [[lmBigrams]] over an already-materialized unigram table (callers
+    * that train both tables — [[lmScore]], [[ccnetBuckets]],
+    * [[graft.llm.CurationArtifacts]] — compute the corpus unigram pass
+    * exactly once and reuse it here). `uni` must be small/materialized:
+    * it is broadcast three times. */
+  def lmBigramsWith(
+      docs: DataFrame,
+      textCol: String,
+      uni: DataFrame): DataFrame = {
     val pairs = docs
       .select(bindOnce(wordTokens(col(textCol)), t =>
         // size guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
@@ -123,10 +140,13 @@ object LangModel {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      vocabSize: Int = 64): DataFrame =
-    lmScoreWith(docs, idCol, textCol,
-      lmUnigrams(docs, idCol, textCol, vocabSize),
-      lmBigrams(docs, idCol, textCol, vocabSize))
+      vocabSize: Int = 64): DataFrame = {
+    // ONE corpus unigram pass feeds both the score collect and the bigram
+    // build (lmBigrams would otherwise re-train its own copy)
+    val uni = lmUnigrams(docs, idCol, textCol, vocabSize).localCheckpoint()
+    lmScoreWith(docs, idCol, textCol, uni,
+      lmBigramsWith(docs, textCol, uni))
+  }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
     * language, split the corpus into head/middle/tail THIRDS by
@@ -164,9 +184,9 @@ object LangModel {
       langCol: String,
       vocabSize: Int = 64,
       exact: Boolean = true): DataFrame = {
-    val scored = lmScoreWith(docs, idCol, textCol,
-        lmUnigrams(docs, idCol, textCol, vocabSize),
-        lmBigrams(docs, idCol, textCol, vocabSize),
+    val uni = lmUnigrams(docs, idCol, textCol, vocabSize).localCheckpoint()
+    val scored = lmScoreWith(docs, idCol, textCol, uni,
+        lmBigramsWith(docs, textCol, uni),
         passThrough = Seq(langCol))
       .withColumn("tok_lp_micros",
         when(col("n_pairs") === 0, lit(null).cast("long"))

@@ -67,14 +67,24 @@ object Pca {
       .filter(col(vecCol).isNotNull)
       .select(transform(Similarity.asDouble(col(vecCol)),
         x => round(x * 1e6).cast("long")).as("q"))
+    // ONE corpus pass: the vector count rides the moment aggregation
+    // (every vector contributes every (i, j) key exactly once, so any
+    // group's row count IS n) instead of a second corpus-scanning
+    // count aggregate; the dimension-sized result is materialized so the
+    // two union branches below don't re-run the pass (guide §2.3).
     val contrib = vecs
       .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"),
         col("c.x").cast("decimal(38,0)").as("x"))
-      .groupBy("i", "j").agg(sum("x").as("s"))
-    vecs.agg(count(lit(1)).cast("decimal(38,0)").as("s"))
+      .groupBy("i", "j")
+      .agg(sum("x").as("s"), count(lit(1)).cast("decimal(38,0)").as("cnt"))
+      .localCheckpoint()
+    // agg-over-possibly-empty: an empty drop still emits its (-2,-2,0)
+    // count row, exactly as the previous separate count aggregate did
+    contrib
+      .agg(coalesce(max(col("cnt")), lit(0).cast("decimal(38,0)")).as("s"))
       .select(lit(-2).as("i"), lit(-2).as("j"), col("s"))
-      .unionByName(contrib)
+      .unionByName(contrib.select(col("i"), col("j"), col("s")))
   }
 
   /** Train the model from merged per-drop states: fold the exact decimal
@@ -165,29 +175,20 @@ object Pca {
       if (r.getInt(0) == -1) mu(r.getInt(1)) = r.getDouble(2)
       else load(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
+    // Compiled kernel: one pass folds all k components per row with the
+    // identical j-ascending sums and round()·cast(long) quantization the
+    // HOF spelling produced (guide §4 — the k aggregate lambdas were
+    // CodegenFallback, interpreted per row). A wrong-length vector still
+    // ERRORS (the doc contract), now inside the kernel.
     val muLit = typedlit(mu.toSeq)
-    val comps = (0 until k).map { c =>
-      val vLit = typedlit(load(c).toSeq)
-      struct(lit(c).as("comp"),
-        round(aggregate(
-          transform(sequence(lit(1), lit(dim)), i =>
-            (element_at(col("__v"), i) - element_at(muLit, i)) * element_at(vLit, i)),
-          lit(0.0), (acc, x) => acc + x) * 1e6).cast("long").as("proj_micros"))
-    }
+    val loadLit = typedlit(load.flatten.toSeq)
     embeddings
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"),
-        Similarity.asDouble(col(vecCol)).as("__v0"))
-      // a wrong-length vector must ERROR (the doc contract): element_at
-      // past the end silently yields NULL projections otherwise
+        Similarity.asDouble(col(vecCol)).as("__v"))
       .select(col("vec_id"),
-        when(size(col("__v0")) === lit(dim), col("__v0"))
-          .otherwise(raise_error(concat(
-            lit(s"pcaProject: expected $dim-dim vector, got "),
-            size(col("__v0")).cast("string")))).as("__v"))
-      .select(col("vec_id"), explode(array(comps: _*)).as("p"))
-      .select(col("vec_id"), col("p.comp").as("comp"),
-        col("p.proj_micros").as("proj_micros"))
+        posexplode(graft.functions.HashFunctions.pcaProjectAll(
+          col("__v"), muLit, loadLit, dim)).as(Seq("comp", "proj_micros")))
   }
 
   /** PCA-whitened projections (Su et al. 2021-style embedding
@@ -239,18 +240,21 @@ object Pca {
       .filter(col(vecCol).isNotNull)
       .select(transform(Similarity.asDouble(col(vecCol)),
         x => round(x * 1e6).cast("long")).as("q"))
-    val n = vecs.count()
     // upper triangle (i <= j) plus the first moments as j = -1 rows,
     // built by the compiled kernel (the interpreted nested-transform
     // spelling cost 2.7 of the 4.2 s sf0.1 model build); micros products
     // stay far inside Long (1e7·1e7 = 1e14), the decimal sums are exact
-    // at any corpus size
+    // at any corpus size. The vector count rides the SAME aggregation
+    // (every vector contributes every (i, j) key exactly once, so any
+    // group's row count IS n) — the previous separate vecs.count() was a
+    // second full corpus pass per model build (guide §2.3).
     val contrib = vecs
       .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"),
         col("c.x").cast("decimal(38,0)").as("x"))
-      .groupBy("i", "j").agg(sum("x").as("s"))
+      .groupBy("i", "j").agg(sum("x").as("s"), count(lit(1)).as("cnt"))
       .collect()
+    val n = if (contrib.isEmpty) 0L else contrib.head.getLong(3)
     val s1 = new Array[Double](dim)
     val s2 = Array.ofDim[Double](dim, dim)
     contrib.foreach { r =>

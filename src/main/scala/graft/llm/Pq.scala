@@ -161,12 +161,15 @@ object Pq {
     * element-wise exact IEEE subtraction — deterministic and exactly
     * mirrorable). Zero shuffle. */
   private def withResidual(vecs: DataFrame, coarse: PqModel): DataFrame = {
+    // compiled residual kernel: the transform/element_at HOF spelling is
+    // CodegenFallback (interpreted per row) and this projection fronts
+    // every IVF-PQ train/encode/search pass (guide §4); the subtraction
+    // order and values are bit-identical
     val flatLit = typedlit(coarseFlat(coarse))
     vecs
       .withColumn("__cell", codeCols(col("v"), coarse).head)
-      .withColumn("__res", transform(sequence(lit(1), lit(coarse.dim)),
-        j => element_at(col("v"), j) -
-          element_at(flatLit, col("__cell") * coarse.dim + j)))
+      .withColumn("__res", graft.functions.HashFunctions.residual(
+        col("v"), flatLit, col("__cell"), coarse.dim))
   }
 
   /** Train the two-stage IVF-PQ index (Jégou et al. 2011 §III): a coarse

@@ -27,8 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise-double view of a float-array embedding column. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise-double view of a float-array embedding column. An array
+    * CAST, not `transform(v, _.cast("double"))`: the element-wise Cast is
+    * identical (float→double widening), but higher-order functions are
+    * CodegenFallback — interpreted per row — while Cast generates code
+    * (guide §4: no non-codegen expressions in the per-row hot path; this
+    * projection fronts every vector operator). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-fold dot product of two equal-length double arrays. */
   def dot(a: Column, b: Column): Column =
