@@ -130,6 +130,54 @@ object ProfileR21 {
       }
     }
 
+    if (names("rounds")) {
+      println("== clustersStar round-by-round (copy of the loop, instrumented) ==")
+      val d = docs.select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", minJaccard = 0.5)
+        .localCheckpoint()
+      println(s"pairs: ${pairs.count()}")
+      var edges = pairs.select(
+          greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      def signature(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")).cast("decimal(38,0)")).head
+        (r.getLong(0), Option(r.getAs[java.math.BigDecimal](1))
+          .getOrElse(java.math.BigDecimal.ZERO))
+      }
+      var sig = signature(edges)
+      println(s"round 0: edges=${sig._1}")
+      var round = 0
+      var converged = sig._1 == 0
+      while (!converged && round < 50) {
+        val t0 = System.nanoTime()
+        val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+          .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+        val mins = nbrs.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val large = nbrs.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .distinct()
+        val smins = large.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+        val joined = large.select(col("hi").as("u"), col("lo").as("v")).join(smins, "u")
+        val next = joined.select(col("u").as("hi"), col("m").as("lo"))
+          .union(joined.filter(col("v") =!= col("m"))
+            .select(col("v").as("hi"), col("m").as("lo")))
+          .distinct()
+          .localCheckpoint()
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        sig = nextSig
+        edges = next
+        round += 1
+        println(f"round $round: edges=${sig._1}  ${(System.nanoTime() - t0) / 1e9}%6.3f s  converged=$converged")
+      }
+    }
+
     if (names("star")) {
       println("== clustersStar round cost ==")
       val d = docs.select(col("doc_id"), col("text"))

@@ -204,7 +204,12 @@ object GraftVecOps {
     val qs = new Array[Long](d)
     var i = 0
     while (i < d) { qs(i) = q.getLong(i); i += 1 }
-    val out = new Array[Any](d + d * (d + 1) / 2)
+    // trailing (-2, -2, 1) count contribution: summed by the same
+    // aggregation, the (-2, -2) group IS the vector count — so one corpus
+    // pass trains the model where a separate count() aggregate used to
+    // pay a second (guide §2.3); the group key matches the persisted
+    // count row of [[graft.llm.Pca.state]] exactly
+    val out = new Array[Any](d + d * (d + 1) / 2 + 1)
     var o = 0
     i = 0
     while (i < d) {
@@ -220,6 +225,8 @@ object GraftVecOps {
       }
       i += 1
     }
+    out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](-2, -2, 1L))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

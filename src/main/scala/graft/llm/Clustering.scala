@@ -325,7 +325,8 @@ object Clustering {
     // state: every not-yet-chosen vector with its min squared distance to
     // the seeds chosen so far; checkpointed per round so round r re-scores
     // only against the newest seed instead of replaying r stacked
-    // projections from the scan
+    // projections from the scan (the top-1 collect then reads the
+    // checkpointed blocks — a cheap second job, not a second corpus pass).
     var state = vecs
       .filter(!(col("vec_id") <=> lit(seeds.head._1)))
       .select(col("vec_id"), col("v"),

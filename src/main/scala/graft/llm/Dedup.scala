@@ -142,6 +142,13 @@ object Dedup {
         pairsM.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .localCheckpoint()
+    // Two-stage kept deliberately: an r21 intra-session A/B of this
+    // two-stage shape against a fused single-join-pair form (sig and hs
+    // attached together, conjunctive filters) measured the fused form
+    // ~35% SLOWER at bench scale (1.66 vs 2.24 s min-of-5 alternating,
+    // ProfileAbR21) — and at scale the fused form also ships hs for
+    // candidates that fail the screen. Narrower rows through the joins
+    // beat fewer joins here.
     val screened = pairsM
       .join(shCand.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(shCand.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -273,12 +280,19 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("doc_id"), col("cluster_id"))
+      // ONE action per round: the label-sum invariant rides the
+      // checkpoint job as an observed metric (CollectMetrics) instead of
+      // a second job re-reading the checkpointed labels
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.select(col("doc_id"), col("cluster_id"))
         .union(viaEdges)
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"))
+        .observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
+      val nextSum = Option(obs.get.apply("s"))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
@@ -337,23 +351,42 @@ object Dedup {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no distinct here: duplicate (v, m) rows only fan the small-star
+      // join out by the duplicate count (bounded by |edges|) and the
+      // round-final distinct removes them — the dedup exchange of the full
+      // edge set per round cost more than it saved
       val large = nbrs.join(mins, "u")
         .filter(col("v") > col("u")) // v > u >= m, so (v, m) stays canonical
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // ---- small-star: u's smaller closure re-points at min(S(u) ∪ {u});
       // canonical edges already orient hi -> smaller lo
       val smins = large.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
       val joined = large.select(col("hi").as("u"), col("lo").as("v")).join(smins, "u")
-      val next = joined.select(col("u").as("hi"), col("m").as("lo"))
+      // smins IS the (u, m) branch as a set — reusing it instead of
+      // re-projecting `joined` keeps per-large-row duplicates out of the
+      // round-final distinct
+      val next = smins.select(col("u").as("hi"), col("m").as("lo"))
         .union(joined.filter(col("v") =!= col("m"))
           .select(col("v").as("hi"), col("m").as("lo")))
         .distinct()
+      // ONE action per round: the signature aggregates ride the
+      // checkpoint job as observed metrics (CollectMetrics computes them
+      // while the rows stream into the checkpoint) instead of a second
+      // job re-reading the checkpointed data.
+      val obs = new org.apache.spark.sql.Observation()
+      val nextM = next
+        .observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")).as("h"))
         .localCheckpoint()
-      val nextSig = signature(next)
-      converged = nextSig == sig
+      val or = obs.get
+      val nextSig = (or("n").asInstanceOf[Long],
+        Option(or("h")).map(_.asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO))
+      // compareTo, not ==: BigDecimal.equals is scale-sensitive and the
+      // initial signature comes from a head() row rather than a metric
+      converged = nextSig._1 == sig._1 && nextSig._2.compareTo(sig._2) == 0
       sig = nextSig
-      edges = next
+      edges = nextM
       round += 1
     }
     require(converged, s"clustersStar did not converge in $maxRounds rounds " +
@@ -672,6 +705,8 @@ object Dedup {
       minJaccard: Double,
       estSlack: Double = 0.15): DataFrame = {
     val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
+    // two-stage kept: see lshVerifiedPairs — the fused single-join-pair
+    // form measured ~35% slower intra-session (ProfileAbR21)
     val screened = cand
       .join(shNew.select(col("new_id"), col("sig").as("sig_a")), Seq("new_id"))
       .join(shHist.select(col("hist_id"), col("sig").as("sig_b")), Seq("hist_id"))

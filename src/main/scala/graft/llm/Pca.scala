@@ -67,24 +67,18 @@ object Pca {
       .filter(col(vecCol).isNotNull)
       .select(transform(Similarity.asDouble(col(vecCol)),
         x => round(x * 1e6).cast("long")).as("q"))
-    // ONE corpus pass: the vector count rides the moment aggregation
-    // (every vector contributes every (i, j) key exactly once, so any
-    // group's row count IS n) instead of a second corpus-scanning
-    // count aggregate; the dimension-sized result is materialized so the
-    // two union branches below don't re-run the pass (guide §2.3).
-    val contrib = vecs
+    // ONE corpus pass, ONE aggregation: the kernel emits a trailing
+    // (-2, -2, 1) contribution per vector, so the (-2, -2) group of the
+    // same moment sum IS the count row — no second corpus-scanning count
+    // aggregate and no union branch (guide §2.3). An empty drop yields an
+    // empty state (no rows); merging it is a no-op and training on only
+    // empty states still fails the n >= 2 guard, as before.
+    vecs
       .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"),
         col("c.x").cast("decimal(38,0)").as("x"))
       .groupBy("i", "j")
-      .agg(sum("x").as("s"), count(lit(1)).cast("decimal(38,0)").as("cnt"))
-      .localCheckpoint()
-    // agg-over-possibly-empty: an empty drop still emits its (-2,-2,0)
-    // count row, exactly as the previous separate count aggregate did
-    contrib
-      .agg(coalesce(max(col("cnt")), lit(0).cast("decimal(38,0)")).as("s"))
-      .select(lit(-2).as("i"), lit(-2).as("j"), col("s"))
-      .unionByName(contrib.select(col("i"), col("j"), col("s")))
+      .agg(sum("x").as("s"))
   }
 
   /** Train the model from merged per-drop states: fold the exact decimal
@@ -244,23 +238,26 @@ object Pca {
     // built by the compiled kernel (the interpreted nested-transform
     // spelling cost 2.7 of the 4.2 s sf0.1 model build); micros products
     // stay far inside Long (1e7·1e7 = 1e14), the decimal sums are exact
-    // at any corpus size. The vector count rides the SAME aggregation
-    // (every vector contributes every (i, j) key exactly once, so any
-    // group's row count IS n) — the previous separate vecs.count() was a
-    // second full corpus pass per model build (guide §2.3).
+    // at any corpus size. The vector count rides the SAME aggregation:
+    // the kernel's trailing (-2, -2, 1) contribution sums to n — the
+    // previous separate vecs.count() was a second full corpus pass per
+    // model build (guide §2.3).
     val contrib = vecs
       .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"),
         col("c.x").cast("decimal(38,0)").as("x"))
-      .groupBy("i", "j").agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .groupBy("i", "j").agg(sum("x").as("s"))
       .collect()
-    val n = if (contrib.isEmpty) 0L else contrib.head.getLong(3)
+    var n = 0L
     val s1 = new Array[Double](dim)
     val s2 = Array.ofDim[Double](dim, dim)
     contrib.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val s = r.getDecimal(2).doubleValue()
-      if (j == -1) s1(i) = s else { s2(i)(j) = s; s2(j)(i) = s }
+      if (i == -2) n = r.getDecimal(2).longValueExact()
+      else {
+        val s = r.getDecimal(2).doubleValue()
+        if (j == -1) s1(i) = s else { s2(i)(j) = s; s2(j)(i) = s }
+      }
     }
     val mean = s1.map(_ / (n * 1e6))
     val cov = Array.tabulate(dim, dim)((i, j) =>
