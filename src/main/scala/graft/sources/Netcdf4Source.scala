@@ -796,9 +796,12 @@ private[sources] object Hdf5 {
             s"${in.path}: huge heap ID $id not in the huge-object index"))
           in.bytes(addr, len.toInt)
         case 2 => // tiny: the object data lives IN the ID (short form —
-          // 4 length bits; the extended form starts at heapIdLen > 17)
-          require(heapIdLen <= 17,
-            s"${in.path}: extended tiny heap IDs (ID length $heapIdLen > 17) " +
+          // 4 length bits, data ≤ 16 bytes so IDs up to 1 flag + 1 version
+          // + 16 data = 18 bytes use it; the extended form — an extra
+          // length byte — applies only when heapIdLen > 18 per the HDF5
+          // fractal-heap spec)
+          require(heapIdLen <= 18,
+            s"${in.path}: extended tiny heap IDs (ID length $heapIdLen > 18) " +
               "are not supported")
           val len = (flag & 0x0F) + 1
           require(1 + len <= heapIdLen,
@@ -1215,6 +1218,14 @@ private[sources] object Hdf5 {
     val clazz = a.dtypeBytes(0) & 0xF
     val data =
       if (clazz == 9) {
+        // vlen type field (class bit field bits 0-3): 1 = string sequence.
+        // A vlen of any other base (e.g. vlen int) is NOT text — decoding
+        // its heap bytes as UTF-8 would fabricate garbage metadata, so it
+        // rejects by name instead (wrong-values-never-produced contract).
+        val vlenType = a.dtypeBytes(1) & 0xF
+        require(vlenType == 1,
+          s"${in.path}: attribute '${a.name}' is a vlen of non-string base " +
+            s"(vlen type $vlenType) — only vlen strings are supported")
         require(a.data.length >= 16,
           s"${in.path}: vlen string attribute '${a.name}' descriptor is " +
             s"${a.data.length} bytes (need 16)")
