@@ -31,8 +31,10 @@ object ProfileAbR21 {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
 
-    // ---------------- A/B 1: fused vs two-stage screen+verify ----------
-    def twoStagePairs(d: DataFrame): DataFrame = {
+    // ---------------- A/B 1: two-stage (in-code) vs fused screen+verify --
+    // (r21 decision record: the fused form measured slower — kept here so
+    // the comparison can be re-run in one session)
+    def fusedPairs(d: DataFrame): DataFrame = {
       val (perms, nBands, rowsPerBand, minJaccard, maxBucket, estSlack) =
         (64, 16, 4, 0.5, Dedup.MaxBucket, 0.15)
       val sh = d
@@ -56,24 +58,22 @@ object ProfileAbR21 {
           pairsM.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
         .localCheckpoint()
-      val screened = pairsM
-        .join(shCand.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(shCand.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      pairsM
+        .join(shCand.select(col("doc_id").as("doc_a"),
+          col("sig").as("sig_a"), col("hs").as("hs_a")), Seq("doc_a"))
+        .join(shCand.select(col("doc_id").as("doc_b"),
+          col("sig").as("sig_b"), col("hs").as("hs_b")), Seq("doc_b"))
         .filter(HashFunctions.sigAgreement(col("sig_a"), col("sig_b")) >= minAgree)
-        .select(col("doc_a"), col("doc_b"))
-      screened
-        .join(shCand.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-        .join(shCand.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           HashFunctions.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
     }
     val d = docs.select(col("doc_id"), col("text"))
     // alternate to cancel window drift
-    val (fusedT, twoT) = (
+    val (twoT, fusedT) = (
       minOf(5)(Dedup.minhashPairs(d, "doc_id", "text", minJaccard = 0.5).count()),
-      minOf(5)(twoStagePairs(d).count()))
-    println(f"AB1 minhashPairs  fused=$fusedT%6.3f s  two-stage=$twoT%6.3f s")
+      minOf(5)(fusedPairs(d).count()))
+    println(f"AB1 minhashPairs  two-stage(in-code)=$twoT%6.3f s  fused=$fusedT%6.3f s")
 
     // ---------------- A/B 2: observe-loop vs two-job loop (propagation) --
     def clustersTwoJob(docsIds: DataFrame, pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
@@ -121,6 +121,14 @@ object ProfileAbR21 {
       minOf(5)(Dedup.clustersStar(ids, pairsMat).count()),
       minOf(5)(Dedup.clusters(ids, pairsMat).count()))
     println(f"AB3 star=$starT%6.3f s  propagation=$propT%6.3f s")
+
+    // ------- A/B 4: q_cluster_rep with star vs propagation clusterFn ----
+    // (the r20 verdict watch item: re-pin the star default interleaved)
+    val (repStarT, repPropT) = (
+      minOf(5)(Dedup.clusterRepresentatives(docs, "doc_id", "text").count()),
+      minOf(5)(Dedup.clusterRepresentatives(docs, "doc_id", "text",
+        clusterFn = Dedup.clusters(_, _)).count()))
+    println(f"AB4 cluster_rep   star=$repStarT%6.3f s  propagation=$repPropT%6.3f s")
 
     spark.stop()
   }
