@@ -218,6 +218,8 @@ object Clustering {
       k: Int,
       iters: Int = 2): DataFrame = {
     require(k > 0 && iters > 0, "need k > 0 and iters > 0")
+    val spark = vectors.sparkSession
+    val idType = vectors.select(col(idCol)).schema.head.dataType
     val vecs = vectors
       .select(col(idCol).as("vec_id"), Similarity.asDouble(col(vecCol)).as("v"))
     // seed centroids: the k smallest ids AMONG NON-NULL VECTORS
@@ -229,18 +231,36 @@ object Clustering {
     // a NULL centroid would crash the assignment kernel. orderBy+limit
     // compiles to TakeOrderedAndProject — per-partition top-k, no global
     // sort.
-    var centroids = vecs
+    //
+    // Centroids are k tiny rows, so they live on the DRIVER between
+    // rounds (the convergedLoop discipline): each round is exactly ONE
+    // distributed job — collect the k updated centroids — instead of a
+    // k-row checkpoint job plus a re-collect inside the next assignment.
+    // NOTE the fixed-iters contract is preserved exactly: the next
+    // round's centroid set is update()'s output AS IS — a cluster that
+    // empties DROPS (unlike kmeansConverged, which retains it).
+    var centroids: Seq[(Any, Seq[Double])] = vecs
       .filter(col("v").isNotNull)
       .orderBy(col("vec_id"))
       .limit(k)
-      .select(col("vec_id").as("cluster"), col("v").as("c"))
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+    def centroidDf: DataFrame = localDf(spark,
+      centroids.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster", idType, nullable = true),
+        field("c", doubleArray))))
+    def assignCurrent(): DataFrame = sortForAssign(centroids, idType) match {
+      case Some(s) => assignLocal(vecs, s, idType)
+      case None => assign(vecs, centroidDf)
+    }
     var i = 0
     while (i < iters - 1) {
-      centroids = update(assign(vecs, centroids)).localCheckpoint()
+      centroids = update(assignCurrent()).collect()
+        .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
       i += 1
     }
-    assign(vecs, centroids)
+    assignCurrent()
   }
 
   /** Deterministic farthest-first (Gonzalez) seeding — the derandomized

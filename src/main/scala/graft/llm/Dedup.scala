@@ -260,20 +260,21 @@ object Dedup {
     // |V(edges)| — at 100 TB that is the difference between iterating over
     // the duplicate minority and re-shuffling the whole corpus each round.
     // Singletons rejoin once, at the end, via coalesce.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     // convergence via the label-sum invariant: a node's label only ever
     // decreases under min propagation, so the sum strictly decreases until
     // the fixpoint — one tiny aggregate per round instead of a diff join.
     // Summed as decimal(38,0) so the invariant cannot wrap on Long ids;
     // sum over zero rows is SQL NULL → 0 (an empty universe is already
-    // converged).
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
-        .getAs[java.math.BigDecimal](0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
+    // converged). The initial sum rides the initial checkpoint job as an
+    // observed metric, like every round's does.
+    val obs0 = new org.apache.spark.sql.Observation()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .observe(obs0, sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
+      .localCheckpoint()
+    var prevSum = Option(obs0.get.apply("s"))
+      .map(_.asInstanceOf[java.math.BigDecimal])
+      .getOrElse(java.math.BigDecimal.ZERO)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -326,23 +327,25 @@ object Dedup {
     */
   def clustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // canonical undirected edge set: (hi, lo), hi > lo, distinct
+    // (count, sum-of-edge-hashes): equal across a round <=> the edge set
+    // is the star fixpoint (both ops are idempotent exactly there). The
+    // initial signature rides the initial checkpoint job as observed
+    // metrics, like every round's does.
+    def sigOf(or: Map[String, Any]): (Long, java.math.BigDecimal) =
+      (or("n").asInstanceOf[Long],
+        Option(or("h")).map(_.asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO))
+    val obs0 = new org.apache.spark.sql.Observation()
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")).as("h"))
       .localCheckpoint()
 
-    // (count, sum-of-edge-hashes): equal across a round <=> the edge set
-    // is the star fixpoint (both ops are idempotent exactly there)
-    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).head
-      (r.getLong(0), Option(r.getAs[java.math.BigDecimal](1))
-        .getOrElse(java.math.BigDecimal.ZERO))
-    }
-
-    var sig = signature(edges)
+    var sig = sigOf(obs0.get)
     var round = 0
     var converged = sig._1 == 0
     while (!converged && round < maxRounds) {
@@ -378,12 +381,8 @@ object Dedup {
         .observe(obs, count(lit(1)).as("n"),
           sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")).as("h"))
         .localCheckpoint()
-      val or = obs.get
-      val nextSig = (or("n").asInstanceOf[Long],
-        Option(or("h")).map(_.asInstanceOf[java.math.BigDecimal])
-          .getOrElse(java.math.BigDecimal.ZERO))
-      // compareTo, not ==: BigDecimal.equals is scale-sensitive and the
-      // initial signature comes from a head() row rather than a metric
+      val nextSig = sigOf(obs.get)
+      // compareTo, not ==: BigDecimal.equals is scale-sensitive
       converged = nextSig._1 == sig._1 && nextSig._2.compareTo(sig._2) == 0
       sig = nextSig
       edges = nextM
