@@ -139,6 +139,66 @@ object GraftModelOps {
     new GenericArrayData(scores)
   }
 
+  private val phraseSetMemo = ThreadLocal.withInitial[
+    java.util.IdentityHashMap[AnyRef, java.util.HashSet[String]]](
+    () => new java.util.IdentityHashMap())
+
+  private def phraseSet(phrases: ArrayData): java.util.HashSet[String] = {
+    val memo = phraseSetMemo.get()
+    val hit = memo.get(phrases)
+    if (hit != null) return hit
+    val n = phrases.numElements()
+    val s = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { s.add(phrases.getUTF8String(i).toString); i += 1 }
+    if (memo.size() >= MemoCap) memo.clear()
+    memo.put(phrases, s)
+    s
+  }
+
+  /** Greedy left-to-right single-pass phrase merge (exact mirror of
+    * [[graft.llm.Collocations.mergePhrases]]' `aggregate` HOF fold, which
+    * was CodegenFallback AND rebuilt the accumulator array per token —
+    * O(tokens²) array copies per document, evaluated once per consuming
+    * column): the next token merges into the LAST output token iff that
+    * token contains no joiner (U+0001 — so merged tokens never re-merge,
+    * and a source token carrying the joiner never merges) and
+    * `last + J + next` is in the phrase set (per-thread memoized, like
+    * the model maps above). Returns (n_tokens, n_after, text_merged)
+    * with merged tokens joined by '_' and the document re-joined by ' ';
+    * NULL text yields (0, 0, ''), matching the operator's NULL contract. */
+  def phraseMerge(text: UTF8String, phrases: ArrayData): InternalRow = {
+    if (text == null)
+      return new GenericInternalRow(
+        Array[Any](0L, 0L, UTF8String.fromString("")))
+    val set = phraseSet(phrases)
+    val ts = tokens(text)
+    val out = new java.util.ArrayList[String](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      val x = ts(i)
+      var merged = false
+      if (!out.isEmpty) {
+        val last = out.get(out.size() - 1)
+        if (last.indexOf('\u0001') < 0 && set.contains(last + "\u0001" + x)) {
+          out.set(out.size() - 1, last + "\u0001" + x)
+          merged = true
+        }
+      }
+      if (!merged) out.add(x)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < out.size()) {
+      if (j > 0) sb.append(' ')
+      sb.append(out.get(j).replace('\u0001', '_'))
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](
+      ts.length.toLong, out.size().toLong, UTF8String.fromString(sb.toString)))
+  }
+
   // ------------------------------------------------------------ wrappers
 
   private val longArray = ArrayType(LongType, containsNull = false)
@@ -169,6 +229,18 @@ object GraftModelOps {
       Literal.create(uni.map(_._2), longArray),
       Literal.create(bi.map(_._1), stringArray),
       Literal.create(bi.map(_._2), longArray)))
+
+  /** Output schema of [[phraseMerge]]. */
+  val PhraseMergeType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_after", LongType, nullable = false),
+    StructField("text_merged", StringType, nullable = false)))
+
+  /** Compiled phrase merge over a literal `ab` phrase table. */
+  def phraseMergeKernel(s: Column, phrases: Seq[String]): Column =
+    invoke("phraseMerge", PhraseMergeType, Seq(
+      ColumnBridge.expression(s),
+      Literal.create(phrases, stringArray)))
 
   /** Compiled NB scoring over literal model tables: `lik` maps each
     * token (in `toks` order) to its label-ordered likelihood row. */

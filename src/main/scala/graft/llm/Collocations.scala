@@ -40,8 +40,14 @@ object Collocations {
       vocabSize: Int = 64,
       minCount: Int = 2): DataFrame = {
     require(vocabSize > 0 && minCount >= 1, "need vocabSize > 0 and minCount >= 1")
+    // materialized once: uni feeds vocab (x2 broadcast sides) and the
+    // t_total aggregate, pairs feeds p_total and the main join — without
+    // the checkpoints each broadcast re-runs its corpus explode+aggregate
+    // subtree (~5 corpus passes per table; guide §2.3/§5, the LangModel
+    // fix applied here). Both relations are vocabulary-sized.
     val uni = docs.select(explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val vocab = uni.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
     val tTot = uni.agg(sum(col("cnt")).as("t_total"))
     val pairs = docs
@@ -55,6 +61,7 @@ object Collocations {
       .select(explode(col("ps")).as("p"))
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val pTot = pairs.agg(sum(col("cnt")).as("p_total"))
     pairs
       .filter(col("cnt") >= minCount)
@@ -80,10 +87,11 @@ object Collocations {
     * engines; real tokenizer corpora do not carry control chars).
     *
     * Zero shuffle: the phrase table is dimension-sized (vocab² at most,
-    * in practice the high-PMI head) and folds as a literal array inside
-    * one sequential `aggregate` HOF per document — the [[Bpe.encode]]
-    * application posture without the per-word memo (documents fold once;
-    * there is no word histogram to exploit).
+    * in practice the high-PMI head) and bakes in as a literal consumed by
+    * the compiled [[graft.functions.GraftModelOps.phraseMerge]] kernel —
+    * one linear pass per document against a per-thread memoized phrase
+    * set (the [[Bpe.encode]] application posture without the per-word
+    * memo; documents fold once, there is no word histogram to exploit).
     *
     * Returns (doc_id, n_tokens, n_after, text_merged) — merged tokens
     * joined by '_', docs re-joined by ' '; NULL text yields (0, 0, ''). */
@@ -92,31 +100,18 @@ object Collocations {
       idCol: String,
       textCol: String,
       phrases: Seq[(String, String)]): DataFrame = {
-    val J = "\u0001"
-    val plit = typedlit(phrases.map { case (a, b) => a + J + b })
-    val toks = wordTokens(col(textCol))
-    val folded = aggregate(
-      toks,
-      array().cast("array<string>"),
-      (acc, x) => {
-        // branch order guards element_at against the empty accumulator
-        // (ANSI-safe: CASE WHEN conditions evaluate sequentially)
-        val last = element_at(acc, -1)
-        when(size(acc) === 0, array(x))
-          .when(!last.contains(J) &&
-              array_contains(plit, concat(last, lit(J), x)),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(last, lit(J), x))))
-          .otherwise(concat(acc, array(x)))
-      })
+    // compiled kernel (guide §4): the previous `aggregate` HOF fold was
+    // CodegenFallback AND rebuilt the accumulator array per token —
+    // O(tokens²) array copies per document, re-evaluated per consuming
+    // column; the kernel is one linear pass per row against a per-thread
+    // memoized phrase set, with identical merge semantics (see
+    // [[graft.functions.GraftModelOps.phraseMerge]]) and the same NULL
+    // contract
     docs.select(
       col(idCol).as("doc_id"),
-      when(col(textCol).isNull, lit(0L))
-        .otherwise(size(toks).cast("long")).as("n_tokens"),
-      when(col(textCol).isNull, lit(0L))
-        .otherwise(size(folded).cast("long")).as("n_after"),
-      when(col(textCol).isNull, lit(""))
-        .otherwise(array_join(transform(folded, x => translate(x, J, "_")), " "))
-        .as("text_merged"))
+      graft.functions.GraftModelOps.phraseMergeKernel(
+        col(textCol), phrases.map { case (a, b) => a + "\u0001" + b }).as("m"))
+      .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+        col("m.n_after").as("n_after"), col("m.text_merged").as("text_merged"))
   }
 }

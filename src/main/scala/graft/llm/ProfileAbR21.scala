@@ -130,6 +130,39 @@ object ProfileAbR21 {
         clusterFn = Dedup.clusters(_, _)).count()))
     println(f"AB4 cluster_rep   star=$repStarT%6.3f s  propagation=$repPropT%6.3f s")
 
+    // ------- A/B 5: pmi with materialized uni/pairs vs recompute --------
+    def pmiRecompute(dd: DataFrame): DataFrame = {
+      val uni = dd.select(explode(wordTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val vocab = uni.orderBy(col("cnt").desc, col("token").asc).limit(64)
+      val tTot = uni.agg(sum(col("cnt")).as("t_total"))
+      val pairs = dd
+        .select(bindOnce(wordTokens(col("text")), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i =>
+              struct(element_at(t, i).as("t1"), element_at(t, i + 1).as("t2"))))
+            .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      val pTot = pairs.agg(sum(col("cnt")).as("p_total"))
+      pairs
+        .filter(col("cnt") >= 2)
+        .join(broadcast(vocab.select(col("token").as("t1"), col("cnt").as("c1"))), Seq("t1"))
+        .join(broadcast(vocab.select(col("token").as("t2"), col("cnt").as("c2"))), Seq("t2"))
+        .crossJoin(broadcast(tTot))
+        .crossJoin(broadcast(pTot))
+        .select(col("t1"), col("t2"), col("cnt"), col("c1"), col("c2"),
+          round(log(
+            (col("cnt").cast("double") * col("t_total") * col("t_total")) /
+              (col("p_total").cast("double") * col("c1") * col("c2"))) * 1e6)
+            .cast("long").as("pmi_micros"))
+    }
+    val (pmiCkpT, pmiRecT) = (
+      minOf(5)(Collocations.pmi(docs, "doc_id", "text").count()),
+      minOf(5)(pmiRecompute(d).count()))
+    println(f"AB5 pmi           checkpointed=$pmiCkpT%6.3f s  recompute=$pmiRecT%6.3f s")
+
     spark.stop()
   }
 }
