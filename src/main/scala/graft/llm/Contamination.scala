@@ -92,14 +92,21 @@ object Contamination {
     val benchGrams = benchmark
       .select(explode(graft.functions.HashFunctions.ngramHashes(col(textCol), n)).as("g"))
       .distinct()
-    val matched = grams.join(benchGrams, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // ONE corpus explode pass + ONE (doc_id) shuffle for both counts:
+    // the bench-gram set is distinct, so a left join marks each gram row
+    // with exactly 0 or 1 hit and `count(col)` over the mark equals the
+    // old semi-join count — the separate totals/matched aggregations
+    // each re-exploded the corpus and shuffled (doc_id, cnt) separately
+    // (guide §2.3: aggregate once, never re-run a corpus pass for a
+    // second statistic of the same rows).
+    val counts = grams
+      .join(benchGrams.withColumn("__hit", lit(1)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
     // docs too short for a single n-gram never enter `grams`; restore them
     // with zero counts so the report covers the whole corpus
     docs.select(col(idCol).as("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
-      .join(matched, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

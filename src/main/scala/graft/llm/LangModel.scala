@@ -140,12 +140,13 @@ object LangModel {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      vocabSize: Int = 64): DataFrame = {
+      vocabSize: Int = 64,
+      passThrough: Seq[String] = Nil): DataFrame = {
     // ONE corpus unigram pass feeds both the score collect and the bigram
     // build (lmBigrams would otherwise re-train its own copy)
     val uni = lmUnigrams(docs, idCol, textCol, vocabSize).localCheckpoint()
     lmScoreWith(docs, idCol, textCol, uni,
-      lmBigramsWith(docs, textCol, uni))
+      lmBigramsWith(docs, textCol, uni), passThrough)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per

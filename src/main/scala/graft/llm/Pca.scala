@@ -67,18 +67,20 @@ object Pca {
       .filter(col(vecCol).isNotNull)
       .select(transform(Similarity.asDouble(col(vecCol)),
         x => round(x * 1e6).cast("long")).as("q"))
-    // ONE corpus pass, ONE aggregation: the kernel emits a trailing
-    // (-2, -2, 1) contribution per vector, so the (-2, -2) group of the
-    // same moment sum IS the count row — no second corpus-scanning count
-    // aggregate and no union branch (guide §2.3). An empty drop yields an
-    // empty state (no rows); merging it is a no-op and training on only
-    // empty states still fails the n >= 2 guard, as before.
+    // ONE corpus pass, ONE mergeable aggregate, ZERO explode: each task
+    // folds its vectors into a fixed d(d+3)/2-cell exact 128-bit
+    // accumulator ([[graft.functions.PcaMomentSums]]) — the previous
+    // explode shipped d(d+3)/2 + 1 struct rows PER VECTOR into a hash
+    // re-aggregation (2 145× row inflation at d = 64; guide §2.3). Sums
+    // are bit-identical exact integers; the (-2, -2, n) count row comes
+    // out of the same aggregate. An empty drop yields an empty state (no
+    // rows — the aggregate emits an empty array); merging it is a no-op
+    // and training on only empty states still fails the n >= 2 guard,
+    // as before.
     vecs
-      .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"),
-        col("c.x").cast("decimal(38,0)").as("x"))
-      .groupBy("i", "j")
-      .agg(sum("x").as("s"))
+      .agg(graft.functions.PcaMomentSums(col("q"), dim).as("a"))
+      .select(explode(col("a")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.s").as("s"))
   }
 
   /** Train the model from merged per-drop states: fold the exact decimal
@@ -234,19 +236,17 @@ object Pca {
       .filter(col(vecCol).isNotNull)
       .select(transform(Similarity.asDouble(col(vecCol)),
         x => round(x * 1e6).cast("long")).as("q"))
-    // upper triangle (i <= j) plus the first moments as j = -1 rows,
-    // built by the compiled kernel (the interpreted nested-transform
-    // spelling cost 2.7 of the 4.2 s sf0.1 model build); micros products
-    // stay far inside Long (1e7·1e7 = 1e14), the decimal sums are exact
-    // at any corpus size. The vector count rides the SAME aggregation:
-    // the kernel's trailing (-2, -2, 1) contribution sums to n — the
-    // previous separate vecs.count() was a second full corpus pass per
-    // model build (guide §2.3).
+    // upper triangle (i <= j) plus the first moments as j = -1 rows and
+    // the (-2, -2, n) count row, all out of ONE mergeable exact-128-bit
+    // aggregate ([[graft.functions.PcaMomentSums]] — see state()): no
+    // per-row contribution explode, no hash re-aggregation, no second
+    // corpus-scanning count() (guide §2.3). Micros products stay ≤ 1e14
+    // and the 128-bit cells are exact at any corpus size; the collected
+    // decimals are bit-identical to the previous decimal(38,0) SUMs.
     val contrib = vecs
-      .select(explode(graft.functions.HashFunctions.pcaMoments(col("q"), dim)).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"),
-        col("c.x").cast("decimal(38,0)").as("x"))
-      .groupBy("i", "j").agg(sum("x").as("s"))
+      .agg(graft.functions.PcaMomentSums(col("q"), dim).as("a"))
+      .select(explode(col("a")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.s").as("s"))
       .collect()
     var n = 0L
     val s1 = new Array[Double](dim)

@@ -61,18 +61,33 @@ object Retrieval {
       b: Double = 0.75,
       logIdf: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
-    // postings restricted to the query terms BEFORE the (token, doc)
-    // shuffle — the index over non-query tokens never materializes
-    val postings = docs
+    // ONE tokenizer pass feeds BOTH the postings and the corpus stats:
+    // the narrow (doc_id, dl, query-term tokens) projection is
+    // materialized once (a few bytes/doc — never the text or the full
+    // token list), where the previous shape re-tokenized the whole
+    // corpus a second time just for corpusStats' (n_docs, total_tokens)
+    // row (guide §2.3: never pay a corpus pass twice for two statistics
+    // of the same scan). Postings stay restricted to the query terms
+    // BEFORE the (token, doc) shuffle — the index over non-query tokens
+    // never materializes.
+    val base = docs
       .select(
         col(idCol).as("doc_id"),
         bindOnce(wordTokens(col(textCol)), t =>
           struct(size(t).as("dl"), filter(t, tok => tok.isin(queryTerms: _*)).as("toks"))).as("s"))
-      .select(col("doc_id"), col("s.dl").as("dl"), explode(col("s.toks")).as("token"))
+      .select(col("doc_id"), col("s.dl").as("dl"), col("s.toks").as("toks"))
+      .localCheckpoint()
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
-    // corpus stats: N and total token count (for avgdl) — one row, broadcast
-    score(postings, corpusStats(docs, idCol, textCol), k, k1, b, logIdf)
+    // corpus stats: N and total token count (for avgdl) — one row,
+    // broadcast; sum(dl) ≡ corpusStats' sum(size(wordTokens(text)))
+    // (size(NULL tokens) is NULL in both, skipped by sum)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    score(postings, stats, k, k1, b, logIdf)
   }
 
   /** One-row corpus statistics (n_docs, total_tokens) — the mergeable

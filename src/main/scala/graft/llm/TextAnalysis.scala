@@ -105,7 +105,16 @@ object TextAnalysis {
     * length saturation, lexical diversity, stopword-rate band, and
     * mean token length band — the usual cheap corpus-quality features
     * (cf. Gopher/C4-style filters). Deterministic double arithmetic. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      passThrough: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("doc_id", "quality_score", "quality_bucket")
+    val clashes = passThrough.intersect(reserved) ++
+      passThrough.diff(passThrough.distinct)
+    require(clashes.isEmpty,
+      s"qualityScore passThrough collides with generated/duplicate columns: ${clashes.mkString(", ")}")
     def scoreOf(tokens: Column): Column = {
       val nTokens = size(tokens)
       val lengthTerm = least(nTokens, lit(50)).cast("double") / 50.0
@@ -119,14 +128,14 @@ object TextAnalysis {
     // bindOnce ×2: one tokenizer run and one score evaluation per row
     // (CollapseProject would re-inline the split per referencing term)
     docs.select(
-      col(idCol).as("doc_id"),
+      (col(idCol).as("doc_id") +: passThrough.map(col)) :+
       bindOnce(wordTokens(col(textCol)), t =>
         bindOnce(scoreOf(t), s =>
           struct(
             s.as("quality_score"),
             when(s >= 0.7, "high").when(s >= 0.4, "medium").otherwise("low")
-              .as("quality_bucket")))).as("q"))
-      .select("doc_id", "q.*")
+              .as("quality_bucket")))).as("q"): _*)
+      .select((("doc_id" +: passThrough) :+ "q.*").map(col): _*)
   }
 
   /** Corpus vocabulary statistics: per token, total occurrences (`tf`) and

@@ -1047,15 +1047,17 @@ object CorpusStream {
     val winners = decided.filter(col("admit"))
       .select(col("doc_id"), lit(true).as("in_cap"))
 
-    // gates 3-5: zero-shuffle kernel/model projections
-    val quality = graft.llm.TextAnalysis.qualityScore(b, "doc_id", "text")
-      .select("doc_id", "quality_score")
-    val nb = graft.llm.Classify.nbScoreWith(b, "doc_id", "text",
-      nbTokenModel, nbPriors)
-      .select("doc_id", "predicted_label")
-    val lm = graft.llm.LangModel.lmScoreWith(b, "doc_id", "text",
-      lmUnigramModel, lmBigramModel)
-      .select("doc_id", "lp_micros", "n_pairs")
+    // gates 3-5: zero-shuffle kernel/model projections, chained via
+    // passThrough into ONE pass over b instead of three frames joined
+    // back on doc_id (the Curation.curateV2 inlining — three fewer
+    // verdict joins/exchanges per trigger, guide §2.4)
+    val scored = graft.llm.LangModel.lmScoreWith(
+      graft.llm.TextAnalysis.qualityScore(
+        graft.llm.Classify.nbScoreWith(b, "doc_id", "text",
+          nbTokenModel, nbPriors, passThrough = Seq("text")),
+        "doc_id", "text", passThrough = Seq("text", "predicted_label")),
+      "doc_id", "text", lmUnigramModel, lmBigramModel,
+      passThrough = Seq("quality_score", "predicted_label"))
 
     // gate 6: n-gram overlap vs the fixed benchmark (broadcast side)
     val contam = graft.llm.Contamination.overlap(
@@ -1079,12 +1081,9 @@ object CorpusStream {
       .withColumn("rep_hist_dup", lit(true))
 
     // the composed verdict: first failing gate, batch-curateV3 vocabulary
-    val verdict = b.select(col("doc_id"))
+    val verdict = scored
       .join(exact, Seq("doc_id"))
       .join(winners, Seq("doc_id"), "left")
-      .join(quality, Seq("doc_id"))
-      .join(nb, Seq("doc_id"))
-      .join(lm, Seq("doc_id"))
       .join(contam, Seq("doc_id"))
       .join(clusters, Seq("doc_id"))
       .join(repHistDup, Seq("cluster_id"), "left")
