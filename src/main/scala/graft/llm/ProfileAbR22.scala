@@ -262,6 +262,53 @@ object ProfileAbR22 {
         .filter(col("jaccard") >= minJaccard)
     }
 
+    // ---- minhashPairs WITHOUT the candidate-id-set distinct (a left
+    // semi ignores duplicate build rows; the distinct costs one
+    // aggregation per call) vs the in-code shape.
+    def minhashPairsNoDistinct(d: DataFrame): DataFrame = {
+      val (perms, nBands, rowsPerBand, minJaccard, maxBucket, estSlack) =
+        (64, 16, 4, 0.5, Dedup.MaxBucket, 0.15)
+      val sh = d
+        .select(col("doc_id"), HashFunctions.shingleHashes(col("text"), 5).as("hs"))
+        .withColumn("sig", HashFunctions.minhashSignature(col("hs"), perms))
+        .localCheckpoint()
+      val banded = sh
+        .select(col("doc_id"), explode(bandDigests(col("sig"), nBands, rowsPerBand)).as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.band_hash").as("band_hash"))
+      val pairs = Dedup.bucketPairs(
+        banded.groupBy(col("band"), col("band_hash"))
+          .agg(collect_list(col("doc_id")).as("ids")),
+        maxBucket,
+        (x, y) => struct(x.as("doc_a"), y.as("doc_b")))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val minAgree = math.ceil((minJaccard - estSlack) * perms).toInt
+      val pairsM = pairs.localCheckpoint()
+      val shCand = sh
+        .join(
+          pairsM.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      pairsM
+        .join(shCand.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(shCand.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .filter(HashFunctions.sigAgreement(col("sig_a"), col("sig_b")) >= minAgree)
+        .select(col("doc_a"), col("doc_b"))
+        .join(shCand.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+        .join(shCand.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          HashFunctions.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
+
+    if (which("minhash_nd")) {
+      val d2 = docs.select(col("doc_id"), col("text"))
+      val (oldT, newT) = abMin(5)(
+        Dedup.minhashPairs(d2, "doc_id", "text", minJaccard = 0.5).count())(
+        minhashPairsNoDistinct(d2).count())
+      println(f"AB_mhNoDist  with-distinct=$oldT%6.3f s  no-distinct=$newT%6.3f s")
+    }
+
     if (which("minhash_ser")) {
       val d2 = docs.select(col("doc_id"), col("text"))
       val (oldT, newT) = abMin(5)(
@@ -293,6 +340,63 @@ object ProfileAbR22 {
             .when(col("tok_lp_micros") >= col("__c_hi"), "head")
             .when(col("tok_lp_micros") >= col("__c_lo"), "middle")
             .otherwise("tail").as("bucket"))
+    }
+
+    // ---- old (r21-close) curateV3: join-gates + corpus localCheckpoint
+    def curateV3Old(docsIn: DataFrame, benchmark: DataFrame): DataFrame = {
+      val (minQuality, minAvgLpMicros, minJaccard) = (0.4, -3450000L, 0.5)
+      val perDomain = 3
+      val acceptLabels = Set("en", "de", "fr")
+      val d = docsIn.select(col("doc_id"), col("text"),
+        col("lang").cast("string").as("__label"), col("url").as("__url"))
+        .localCheckpoint()
+      val exact = d
+        .select(col("doc_id"), md5(col("text")).as("__md5"))
+        .select(col("doc_id"),
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__md5")))
+            .as("keep_id"))
+      val winners = Mixture.domainCap(
+        d.select(col("doc_id"), col("__url")), "doc_id", "__url", perDomain)
+        .select(col("doc_id"), lit(true).as("in_cap"))
+      val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select("doc_id", "quality_score")
+      val nb = Classify.nbClassify(d, "doc_id", "text", "__label")
+        .select("doc_id", "predicted_label")
+      val lm = LangModel.lmScore(d, "doc_id", "text")
+      val contam = overlapOld(d, benchmark, "doc_id", "text")
+        .select("doc_id", "contaminated")
+      val reps = Dedup.clustersStar(d.select(col("doc_id")),
+        Dedup.minhashPairs(d, "doc_id", "text", minJaccard = minJaccard))
+      d.select(col("doc_id"))
+        .join(exact, Seq("doc_id"))
+        .join(winners, Seq("doc_id"), "left")
+        .join(quality, Seq("doc_id"))
+        .join(nb, Seq("doc_id"))
+        .join(lm, Seq("doc_id"))
+        .join(contam, Seq("doc_id"))
+        .join(reps, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+            .when(col("in_cap").isNull, lit("domain_capped"))
+            .when(col("quality_score") < minQuality, lit("low_quality"))
+            .when(!col("predicted_label").isin(acceptLabels.toSeq: _*), lit("off_label"))
+            .when(col("lp_micros") < lit(minAvgLpMicros) * col("n_pairs"), lit("low_lp"))
+            .when(col("contaminated"), lit("contaminated"))
+            .when(col("doc_id") =!= col("cluster_id"), lit("near_duplicate"))
+            .otherwise(lit("kept")).as("reason"))
+        .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
+    }
+
+    if (which("curate_v3")) {
+      val d3 = docs.withColumn("url",
+        concat(lit("https://"), col("source"), lit(".com/p/"), col("doc_id")))
+      val bench = d3.filter(col("doc_id") < 50)
+      val (oldT, newT) = abMin(5)(
+        curateV3Old(d3, bench).count())(
+        Curation.curateV3(d3, "doc_id", "text", "lang", "url", bench,
+          acceptLabels = Set("en", "de", "fr"), perDomain = 3).count())
+      println(f"AB_curateV3  old(join-gates+ckpt)=$oldT%6.3f s  new(inline+rescan)=$newT%6.3f s")
     }
 
     if (which("ccnet")) {
