@@ -245,12 +245,28 @@ object Dedup {
     * @param pairs (doc_a, doc_b) undirected near-dup edges
     * @return (doc_id, cluster_id)
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+  def clusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int = 100,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // materialize the pair table once: BOTH union branches below and
     // every round's join would otherwise re-execute the upstream
     // pair-detection pipeline (LSH, verification, ...). The union itself
     // stays lazy — a narrow double-scan of the materialized pairs.
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // The pair count rides the checkpoint job as an observed metric and
+    // gates the small-graph driver path (see smallGraphLabels).
+    val obsP = new org.apache.spark.sql.Observation()
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+      .observe(obsP, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nPairs = obsP.get.apply("n").asInstanceOf[Long]
+    if (nPairs <= smallGraphMaxEdges && longIds(p, "doc_a", "doc_b")) {
+      val es = p.collect()
+      if (!es.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return labelJoin(docs,
+          smallGraphLabels(es.map(r => (r.getLong(0), r.getLong(1))), docs.sparkSession))
+    }
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Iterate ONLY over nodes that touch an edge: a node in no pair can
@@ -299,10 +315,73 @@ object Dedup {
       labels = next
       round += 1
     }
+    labelJoin(docs, labels)
+  }
+
+  /** Edge-count gate for the exact DRIVER-side component labeling in
+    * [[smallGraphLabels]]: 65 536 canonical edges ≈ 1 MB collected — far
+    * below the model tables and candidate-bucket sets the operators here
+    * already collect (the bounded-driver-collect discipline of
+    * [[graft.streaming.CorpusStream]] and [[Clustering]]'s driver-held
+    * centroids). Above the gate, or for non-long ids, the distributed
+    * loops run unchanged. */
+  val SmallGraphMaxEdges: Long = 65536L
+
+  private def longIds(df: DataFrame, a: String, b: String): Boolean =
+    df.schema(a).dataType == org.apache.spark.sql.types.LongType &&
+      df.schema(b).dataType == org.apache.spark.sql.types.LongType
+
+  /** Exact min-id connected components of a SMALL edge set on the
+    * driver: union-find whose union always points the LARGER root at the
+    * smaller, so every root IS its component's minimum id — literally
+    * the fixpoint the distributed loops iterate toward, without their
+    * per-round checkpoint actions and exchanges (the sf0.1 scaling pin
+    * measured the loops job-floor-bound: 8-core ≈ 32-core until the
+    * graph outgrows the driver anyway). Returns the (doc_id, cluster_id)
+    * rows for nodes that touch an edge, as a LOCAL relation — the
+    * universe join against it broadcasts instead of shuffling. Result is
+    * identical to the loops' (min reachable id; iteration-order
+    * independent), so the same oracles pin it. */
+  private def smallGraphLabels(
+      edges: Array[(Long, Long)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r).longValue() != r) r = parent.get(r).longValue()
+      var c = x
+      while (c != r) { val n = parent.get(c).longValue(); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val it = parent.keySet().iterator()
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+    while (it.hasNext) {
+      val n = it.next().longValue()
+      rows += org.apache.spark.sql.Row(n, find(n))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Shared tail of the clustering forms: re-attach singletons by a left
+    * join of the universe against the edge-node labels. */
+  private def labelJoin(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster_id", "edge_cluster_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
-  }
 
   /** [[clusters]] with DIAMETER-INDEPENDENT round count: alternating
     * large-star / small-star contraction (Kiveris et al., "Connected
@@ -325,7 +404,11 @@ object Dedup {
     *  - small-star: every node re-points its smaller-or-equal closure at
     *    that minimum — stars flatten.
     */
-  def clustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def clustersStar(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int = 50,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // canonical undirected edge set: (hi, lo), hi > lo, distinct
     // (count, sum-of-edge-hashes): equal across a round <=> the edge set
     // is the star fixpoint (both ops are idempotent exactly there). The
@@ -346,6 +429,15 @@ object Dedup {
       .localCheckpoint()
 
     var sig = sigOf(obs0.get)
+    // Small-graph driver path: the canonical edge count already rode the
+    // initial checkpoint as an observed metric, so the gate is free; the
+    // canonical (hi, lo) form is null-free by construction (greatest/
+    // least of a null pair collapses to hi = lo, filtered above). See
+    // smallGraphLabels — identical min-id labels, no per-round actions.
+    if (sig._1 > 0 && sig._1 <= smallGraphMaxEdges && longIds(edges, "hi", "lo")) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return labelJoin(docs, smallGraphLabels(es, docs.sparkSession))
+    }
     var round = 0
     var converged = sig._1 == 0
     while (!converged && round < maxRounds) {
@@ -393,9 +485,7 @@ object Dedup {
     // star fixpoint: edges are exactly (member, component-min)
     val labels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
       .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")).distinct())
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("cluster_id", "edge_cluster_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("edge_cluster_id"), col("doc_id")).as("cluster_id"))
+    labelJoin(docs, labels)
   }
 
   /** Near-dup cluster REPRESENTATIVE selection by quality — the keep

@@ -301,6 +301,26 @@ object ProfileAbR22 {
         .filter(col("jaccard") >= minJaccard)
     }
 
+    if (which("smallgraph")) {
+      val d2 = docs.select(col("doc_id"), col("text"))
+      val pairsM = Dedup.minhashPairs(d2, "doc_id", "text", minJaccard = 0.5)
+        .localCheckpoint()
+      val universe = d2.select(col("doc_id"))
+      val (loopT, drvT) = abMin(5)(
+        Dedup.clustersStar(universe, pairsM, smallGraphMaxEdges = 0).count())(
+        Dedup.clustersStar(universe, pairsM).count())
+      println(f"AB_sgStar    loop=$loopT%6.3f s  driver-path=$drvT%6.3f s")
+      val (loopP, drvP) = abMin(5)(
+        Dedup.clusters(universe, pairsM, smallGraphMaxEdges = 0).count())(
+        Dedup.clusters(universe, pairsM).count())
+      println(f"AB_sgProp    loop=$loopP%6.3f s  driver-path=$drvP%6.3f s")
+      val (repOld, repNew) = abMin(5)(
+        Dedup.clusterRepresentatives(d2, "doc_id", "text",
+          clusterFn = Dedup.clustersStar(_, _, smallGraphMaxEdges = 0)).count())(
+        Dedup.clusterRepresentatives(d2, "doc_id", "text").count())
+      println(f"AB_sgRep     loop=$repOld%6.3f s  driver-path=$repNew%6.3f s")
+    }
+
     if (which("minhash_nd")) {
       val d2 = docs.select(col("doc_id"), col("text"))
       val (oldT, newT) = abMin(5)(

@@ -52,12 +52,24 @@ class ClustersPropertySpec extends SparkSpec {
       }
       val docsDf = docs.toDF("doc_id")
       val pairsDf = pairs.toDF("doc_a", "doc_b")
+      // both code paths of both forms: the default gate takes the r22
+      // small-graph DRIVER path (these graphs are far under the edge
+      // cap); smallGraphMaxEdges = 0 forces the distributed LOOPS, so
+      // the loop implementations keep property coverage.
       val prop = Dedup.clusters(docsDf, pairsDf)
         .as[(Long, Long)].collect().toMap
       val star = Dedup.clustersStar(docsDf, pairsDf)
         .as[(Long, Long)].collect().toMap
+      val propLoop = Dedup.clusters(docsDf, pairsDf, smallGraphMaxEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      val starLoop = Dedup.clustersStar(docsDf, pairsDf, smallGraphMaxEdges = 0)
+        .as[(Long, Long)].collect().toMap
       val want = naive(docs, pairs)
       assert(star == prop, s"seed=$seed: star diverges from propagation")
+      assert(propLoop == prop,
+        s"seed=$seed: propagation loop diverges from driver path")
+      assert(starLoop == star,
+        s"seed=$seed: star loop diverges from driver path")
       assert(prop == want,
         s"seed=$seed: spark labeling diverges from union-find\n" +
           s"only-spark: ${(prop.toSet -- want.toSet).take(5)}\n" +

@@ -17,7 +17,10 @@ class ClustersSpec extends SparkSpec {
     val n = 12L
     val docs = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(docs, pairs).as[(Long, Long)].collect().toMap
+    // force the distributed loop (the default gate would take the r22
+    // small-graph driver path) — this test pins the LOOP's convergence
+    val got = Dedup.clusters(docs, pairs, smallGraphMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(1L))
   }
 
@@ -49,7 +52,10 @@ class ClustersSpec extends SparkSpec {
     val n = 1000L
     val docs = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.clustersStar(docs, pairs, maxRounds = 25).as[(Long, Long)]
+    // smallGraphMaxEdges = 0 forces the star LOOP — the round-count
+    // bound is exactly what this test exists to pin
+    val got = Dedup.clustersStar(docs, pairs, maxRounds = 25,
+      smallGraphMaxEdges = 0).as[(Long, Long)]
       .collect().toMap
     assert(got.size == n && got.values.toSet == Set(1L))
   }
