@@ -272,7 +272,7 @@ object GraftVecOps {
     * finite values (round-half-AWAY-FROM-ZERO — `math.round` would differ
     * on negative .5 boundaries), NaN → 0 and ±Inf saturating exactly as
     * the double→long Cast does. */
-  private def roundAsSpark(x: Double): Long = {
+  private[graft] def roundAsSpark(x: Double): Long = {
     if (java.lang.Double.isNaN(x)) 0L
     else if (java.lang.Double.isInfinite(x)) {
       if (x > 0) Long.MaxValue else Long.MinValue

@@ -74,60 +74,89 @@ object Classify {
       textCol: String,
       labelCol: String,
       vocabSize: Int = 64): DataFrame = {
-    // Materialized ONCE: tokCounts feeds the vocab derivation and both
-    // inVocab references, and vocab is broadcast three times (inVocab,
-    // vSize, the final grid crossJoin) — without the checkpoints each
-    // reference re-runs the corpus explode+aggregate subtree (~5 corpus
-    // passes for one trained model; optimization guide §2.3/§5). The
-    // checkpointed relations are vocabulary-sized, never corpus-sized.
+    // Materialized ONCE: tokCounts (vocabulary×label-sized, never
+    // corpus-sized) feeds the vocab derivation and the in-vocab collect
+    // — without the checkpoint each reference re-runs the corpus
+    // explode+aggregate subtree (optimization guide §2.3/§5).
     val tokCounts = docs
       .filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("string").as("label"),
         explode(wordTokens(col(textCol))).as("token"))
       .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    // top-V vocabulary, derived from the ALREADY-aggregated counts (a
-    // dimension-sized re-agg, not a second corpus pass)
-    val vocab = tokCounts.groupBy("token").agg(sum("cnt").as("tot"))
+    // The grid itself is DIMENSION-sized (L×V rows), so it is assembled
+    // on the driver from three bounded collects (r22 — the driver-held-
+    // centroids discipline): top-V vocabulary and the in-vocab counts
+    // from the tokCounts checkpoint, the label universe from its own
+    // corpus aggregation (a label whose every token misses the vocab cap
+    // still gets grid rows, t_l = 0 — and so does a label with no tokens
+    // at all, which tokCounts cannot see). The r21 distributed-grid
+    // spelling paid ~8 jobs per model build (vocab checkpoint, broadcast
+    // builds, multi-stage collects) to produce these same L×V rows.
+    // Arithmetic is bit-identical: StrictMath.log is exactly Spark's
+    // log expression, roundAsSpark its round→cast(long) chain
+    // (NbTrainDriverMathSpec pins both against the SQL spelling).
+    val vocab: Seq[String] = tokCounts.groupBy("token").agg(sum("cnt").as("tot"))
       .orderBy(col("tot").desc, col("token").asc).limit(vocabSize)
-      .select("token")
-      .localCheckpoint()
-    val inVocab = tokCounts.join(broadcast(vocab), "token")
-    // label universe comes from the corpus, NOT from inVocab — a label
-    // whose every token misses the vocab cap still gets grid rows (t_l=0)
-    val labels = docs.filter(col(labelCol).isNotNull)
-      .groupBy(col(labelCol).cast("string").as("label"))
-      .agg(count(lit(1)).as("n_docs"))
-    val labelTotals = labels.join(
-      inVocab.groupBy("label").agg(sum("cnt").as("t_l_raw")), Seq("label"), "left")
-      .select(col("label"), coalesce(col("t_l_raw"), lit(0L)).as("t_l"))
-    val vSize = vocab.agg(count(lit(1)).as("v_size"))
-    labelTotals
-      .crossJoin(broadcast(vocab)) // L×V dimension-sized grid
-      .join(inVocab, Seq("label", "token"), "left")
-      .crossJoin(broadcast(vSize)) // 1-row totals frame
-      .select(
-        col("label"), col("token"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("t_l") + col("v_size")).cast("double")) * 1e6)
-          .cast("long").as("loglik_micros"))
+      .select("token").collect().map(_.getString(0)).toSeq
+    val labels: Seq[String] = docs.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"))
+      .groupBy("label").agg(count(lit(1)))
+      .select("label").collect().map(_.getString(0)).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("loglik_micros",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val spark = docs.sparkSession
+    if (vocab.isEmpty || labels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val inVocab = tokCounts.filter(col("token").isin(vocab: _*))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val vSize = vocab.length.toLong
+    val tl: Map[String, Long] = labels.map(l =>
+      l -> vocab.iterator.map(t => inVocab.getOrElse((l, t), 0L)).sum).toMap
+    val rows = for (l <- labels; t <- vocab) yield {
+      val cnt = inVocab.getOrElse((l, t), 0L)
+      org.apache.spark.sql.Row(l, t, cnt,
+        graft.functions.GraftVecOps.roundAsSpark(
+          StrictMath.log((cnt + 1L).toDouble / (tl(l) + vSize).toDouble) * 1e6))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Label priors: `(label, n_docs, prior_micros)` with
     * `prior_micros = round(ln(n_docs / total_docs) * 1e6)`. */
   def nbPriors(docs: DataFrame, labelCol: String): DataFrame = {
-    // materialized: referenced twice (rows + the n_total aggregate) —
-    // one corpus scan instead of two for an L-row table
+    // ONE corpus aggregation, collected (L rows — dimension-sized), then
+    // driver arithmetic builds the table (r22; was a checkpoint + a
+    // crossJoin-broadcast plan per reference). StrictMath.log /
+    // roundAsSpark are bit-identical to the previous log/round SQL
+    // (NbTrainDriverMathSpec).
     val labels = docs.filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).cast("string").as("label"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint()
-    labels
-      .crossJoin(broadcast(labels.agg(sum("n_docs").as("n_total"))))
-      .select(col("label"), col("n_docs"),
-        round(log(col("n_docs").cast("double") / col("n_total").cast("double")) * 1e6)
-          .cast("long").as("prior_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTotal = labels.map(_._2).sum
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("prior_micros",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = labels.toSeq.map { case (l, n) =>
+      org.apache.spark.sql.Row(l, n,
+        graft.functions.GraftVecOps.roundAsSpark(
+          StrictMath.log(n.toDouble / nTotal.toDouble) * 1e6))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Score every document against a trained model: ZERO-shuffle pure

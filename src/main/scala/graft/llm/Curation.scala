@@ -42,9 +42,9 @@ object CurationArtifacts {
       col(labelCol).cast("string").as("__label"))
     // one corpus unigram pass feeds both LM tables (lmBigrams would
     // otherwise re-train its own copy — guide §2.3: never recompute a
-    // corpus pass to rebuild a dimension-sized frame)
+    // corpus pass to rebuild a dimension-sized frame); the table is a
+    // local relation since r22, so no checkpoint is needed to share it
     val uni = LangModel.lmUnigrams(d, "doc_id", "text", vocabSize)
-      .localCheckpoint()
     CurationArtifacts(
       nbTokenModel = Classify.nbTrain(d, "doc_id", "text", "__label", vocabSize),
       nbPriors = Classify.nbPriors(d, "__label"),

@@ -43,15 +43,32 @@ object LangModel {
       idCol: String,
       textCol: String,
       vocabSize: Int = 64): DataFrame = {
-    val toks = docs.select(explode(wordTokens(col(textCol))).as("token"))
+    // ONE corpus pass (tokenize + count + top-V TakeOrdered), collected
+    // (≤ V rows — dimension-sized), then driver arithmetic builds the
+    // table as a LOCAL relation (r22): the previous distributed tail
+    // paid a crossJoin-broadcast plan per reference, and every consumer
+    // (bigram build ×3 broadcasts, score collect) now reads the local
+    // rows without a job. StrictMath.log / roundAsSpark are bit-identical
+    // to the previous log/round SQL (NbTrainDriverMathSpec).
+    val top = docs.select(explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val vocab = toks
       .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
-    vocab
-      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("v_size"))))
-      .select(col("token"), col("cnt"),
-        round(log(lit(1.0) / (col("cnt") + col("v_size")).cast("double")) * 1e6)
-          .cast("long").as("fallback_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vSize = top.length.toLong
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fallback_micros",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = top.toSeq.map { case (t, c) =>
+      org.apache.spark.sql.Row(t, c,
+        graft.functions.GraftVecOps.roundAsSpark(
+          StrictMath.log(1.0 / (c + vSize).toDouble) * 1e6))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Sparse bigram table restricted to the vocab:
@@ -61,14 +78,10 @@ object LangModel {
       idCol: String,
       textCol: String,
       vocabSize: Int = 64): DataFrame =
-    // materialize the dimension-sized unigram table once: the bigram
-    // build references it three times (t1 counts, t2 vocab membership,
-    // V), and each broadcast would otherwise re-run the corpus
-    // tokenize+aggregate subtree — 3 extra corpus passes for a ≤vocabSize
-    // row table (optimization guide §2.3/§5: never recompute a corpus
-    // pass to rebuild a dimension-sized frame)
-    lmBigramsWith(docs, textCol, lmUnigrams(docs, idCol, textCol, vocabSize)
-      .localCheckpoint())
+    // the unigram table is a LOCAL relation since r22 (one corpus pass
+    // inside lmUnigrams, collected) — its three broadcast references
+    // below re-read driver rows, not the corpus, so no checkpoint
+    lmBigramsWith(docs, textCol, lmUnigrams(docs, idCol, textCol, vocabSize))
 
   /** [[lmBigrams]] over an already-materialized unigram table (callers
     * that train both tables — [[lmScore]], [[ccnetBuckets]],
@@ -143,8 +156,9 @@ object LangModel {
       vocabSize: Int = 64,
       passThrough: Seq[String] = Nil): DataFrame = {
     // ONE corpus unigram pass feeds both the score collect and the bigram
-    // build (lmBigrams would otherwise re-train its own copy)
-    val uni = lmUnigrams(docs, idCol, textCol, vocabSize).localCheckpoint()
+    // build (lmBigrams would otherwise re-train its own copy); the table
+    // is a local relation since r22, so no checkpoint is needed to share it
+    val uni = lmUnigrams(docs, idCol, textCol, vocabSize)
     lmScoreWith(docs, idCol, textCol, uni,
       lmBigramsWith(docs, textCol, uni), passThrough)
   }
@@ -185,7 +199,7 @@ object LangModel {
       langCol: String,
       vocabSize: Int = 64,
       exact: Boolean = true): DataFrame = {
-    val uni = lmUnigrams(docs, idCol, textCol, vocabSize).localCheckpoint()
+    val uni = lmUnigrams(docs, idCol, textCol, vocabSize) // local relation
     val scored = lmScoreWith(docs, idCol, textCol, uni,
         lmBigramsWith(docs, textCol, uni),
         passThrough = Seq(langCol))
