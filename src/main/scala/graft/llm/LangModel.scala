@@ -92,6 +92,26 @@ object LangModel {
       docs: DataFrame,
       textCol: String,
       uni: DataFrame): DataFrame = {
+    // vocab + counts from the (dimension-sized) unigram table: one
+    // bounded collect — free when uni is the r22 local relation
+    val uniRows = uni.select("token", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val vSize = uniRows.length.toLong
+    val c1 = uniRows.toMap
+    val vocab = uniRows.map(_._1).toSeq
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t1",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("t2",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("loglik_micros",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (vocab.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val pairs = docs
       .select(bindOnce(wordTokens(col(textCol)), t =>
         // size guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
@@ -103,14 +123,22 @@ object LangModel {
       .select(explode(col("ps")).as("p"))
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
-    pairs
-      .join(broadcast(uni.select(col("token").as("t1"), col("cnt").as("c1"))), Seq("t1"))
-      .join(broadcast(uni.select(col("token").as("t2"))), Seq("t2"))
-      .crossJoin(broadcast(uni.agg(count(lit(1)).as("v_size"))))
-      .select(col("t1"), col("t2"), col("cnt"),
-        round(log((col("cnt") + lit(1L)).cast("double") /
-          (col("c1") + col("v_size")).cast("double")) * 1e6)
-          .cast("long").as("loglik_micros"))
+    // the sparse table is ≤ vocab² rows — restrict the aggregated pairs
+    // to the vocab (same rows the two broadcast joins kept) and build it
+    // on the driver (r22, the nbTrain discipline: the distributed tail
+    // paid broadcast-build jobs per reference plus the score collect's
+    // multi-stage plan; driver math is bit-identical —
+    // NbTrainDriverMathSpec)
+    val kept = pairs
+      .filter(col("t1").isin(vocab: _*) && col("t2").isin(vocab: _*))
+      .collect()
+    val rows = kept.toSeq.map { r =>
+      val (t1, t2, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+      org.apache.spark.sql.Row(t1, t2, cnt,
+        graft.functions.GraftVecOps.roundAsSpark(
+          StrictMath.log((cnt + 1L).toDouble / (c1(t1) + vSize).toDouble) * 1e6))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Score every document against trained tables: (doc_id,
