@@ -45,11 +45,18 @@ object Collocations {
     // the checkpoints each broadcast re-runs its corpus explode+aggregate
     // subtree (~5 corpus passes per table; guide §2.3/§5, the LangModel
     // fix applied here). Both relations are vocabulary-sized.
+    // corpus totals RIDE the table checkpoints as observed metrics (the
+    // loop/observe discipline): T and P come out of the same jobs that
+    // materialize uni and pairs — no separate aggregate actions (an r22
+    // A/B measured the separate-collect spelling 0.07 s slower than the
+    // r21 broadcast tail; with the observes the driver tail wins)
+    val obsU = new org.apache.spark.sql.Observation()
     val uni = docs.select(explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .observe(obsU, sum(col("cnt")).as("t_total"))
       .localCheckpoint()
     val vocab = uni.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
-    val tTot = uni.agg(sum(col("cnt")).as("t_total"))
+    val obsP = new org.apache.spark.sql.Observation()
     val pairs = docs
       .select(bindOnce(wordTokens(col(textCol)), t =>
         // size guard: sequence(1, 0) DESCENDS instead of being empty —
@@ -61,16 +68,18 @@ object Collocations {
       .select(explode(col("ps")).as("p"))
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .observe(obsP, sum(col("cnt")).as("p_total"))
       .localCheckpoint()
     // The emitted table is ≤ vocab² rows, so it is built on the DRIVER
-    // from four bounded reads of the two checkpoints (r22, the nbTrain
-    // discipline): top-V vocab + T from uni, P + the vocab-restricted
-    // supported pairs from pairs. The r21 distributed tail paid a
-    // broadcast-build job per reference (vocab ×2, T, P) — the measured
-    // +0.19 s local checkpoint cost r21 accepted is repaid. Driver
-    // arithmetic is bit-identical: the same left-associated IEEE fold,
-    // StrictMath.log (exactly Spark's log — NbTrainDriverMathSpec) and
-    // the round()::long chain.
+    // from two bounded reads of the two checkpoints (r22, the nbTrain
+    // discipline): top-V vocab from uni and the vocab-restricted
+    // supported pairs from pairs; T and P arrive as the checkpoints'
+    // observed metrics. The r21 distributed tail paid a broadcast-build
+    // job per reference (vocab ×2, T, P) — the measured +0.19 s local
+    // checkpoint cost r21 accepted is repaid. Driver arithmetic is
+    // bit-identical: the same left-associated IEEE fold, StrictMath.log
+    // (exactly Spark's log — NbTrainDriverMathSpec) and the
+    // round()::long chain.
     val vocabRows = vocab.select("token", "cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val cOf = vocabRows.toMap
@@ -92,8 +101,11 @@ object Collocations {
     if (vocabSeq.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val tTotV = tTot.collect().head.getLong(0)
-    val pTotV = Option(pairs.agg(sum(col("cnt"))).collect().head.get(0))
+    // sum over zero rows is SQL NULL → 0 (vocabSeq nonempty implies a
+    // non-null T; P can still be null on a pairless corpus)
+    val tTotV = Option(obsU.get.apply("t_total"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val pTotV = Option(obsP.get.apply("p_total"))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val kept = pairs
       .filter(col("cnt") >= minCount &&

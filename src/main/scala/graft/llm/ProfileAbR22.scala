@@ -301,6 +301,156 @@ object ProfileAbR22 {
         .filter(col("jaccard") >= minJaccard)
     }
 
+    // ---- old (r21-close) distributed model-table tails ----
+    def nbTrainOld(docsIn: DataFrame, labelCol: String, vocabSize: Int = 64): DataFrame = {
+      val tokCounts = docsIn
+        .filter(col(labelCol).isNotNull)
+        .select(col(labelCol).cast("string").as("label"),
+          explode(TextHash.wordTokens(col("text"))).as("token"))
+        .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val vocabD = tokCounts.groupBy("token").agg(sum("cnt").as("tot"))
+        .orderBy(col("tot").desc, col("token").asc).limit(vocabSize)
+        .select("token")
+        .localCheckpoint()
+      val inVocab = tokCounts.join(broadcast(vocabD), "token")
+      val labels = docsIn.filter(col(labelCol).isNotNull)
+        .groupBy(col(labelCol).cast("string").as("label"))
+        .agg(count(lit(1)).as("n_docs"))
+      val labelTotals = labels.join(
+        inVocab.groupBy("label").agg(sum("cnt").as("t_l_raw")), Seq("label"), "left")
+        .select(col("label"), coalesce(col("t_l_raw"), lit(0L)).as("t_l"))
+      val vSizeD = vocabD.agg(count(lit(1)).as("v_size"))
+      labelTotals
+        .crossJoin(broadcast(vocabD))
+        .join(inVocab, Seq("label", "token"), "left")
+        .crossJoin(broadcast(vSizeD))
+        .select(
+          col("label"), col("token"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_l") + col("v_size")).cast("double")) * 1e6)
+            .cast("long").as("loglik_micros"))
+    }
+    def nbPriorsOld(docsIn: DataFrame, labelCol: String): DataFrame = {
+      val labels = docsIn.filter(col(labelCol).isNotNull)
+        .groupBy(col(labelCol).cast("string").as("label"))
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
+      labels
+        .crossJoin(broadcast(labels.agg(sum("n_docs").as("n_total"))))
+        .select(col("label"), col("n_docs"),
+          round(log(col("n_docs").cast("double") / col("n_total").cast("double")) * 1e6)
+            .cast("long").as("prior_micros"))
+    }
+    def lmUnigramsOld(docsIn: DataFrame, vocabSize: Int = 64): DataFrame = {
+      val toks = docsIn.select(explode(TextHash.wordTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val vocabD = toks
+        .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      vocabD
+        .crossJoin(broadcast(vocabD.agg(count(lit(1)).as("v_size"))))
+        .select(col("token"), col("cnt"),
+          round(log(lit(1.0) / (col("cnt") + col("v_size")).cast("double")) * 1e6)
+            .cast("long").as("fallback_micros"))
+    }
+    def lmBigramsWithOld(docsIn: DataFrame, uni: DataFrame): DataFrame = {
+      val pairs = docsIn
+        .select(TextHash.bindOnce(TextHash.wordTokens(col("text")), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i =>
+              struct(element_at(t, i).as("t1"), element_at(t, i + 1).as("t2"))))
+            .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      pairs
+        .join(broadcast(uni.select(col("token").as("t1"), col("cnt").as("c1"))), Seq("t1"))
+        .join(broadcast(uni.select(col("token").as("t2"))), Seq("t2"))
+        .crossJoin(broadcast(uni.agg(count(lit(1)).as("v_size"))))
+        .select(col("t1"), col("t2"), col("cnt"),
+          round(log((col("cnt") + lit(1L)).cast("double") /
+            (col("c1") + col("v_size")).cast("double")) * 1e6)
+            .cast("long").as("loglik_micros"))
+    }
+    def nbClassifyOld(docsIn: DataFrame): DataFrame =
+      Classify.nbScoreWith(docsIn, "doc_id", "text",
+        nbTrainOld(docsIn, "lang"), nbPriorsOld(docsIn, "lang"),
+        passThrough = Seq("lang"))
+    def lmScoreOld(docsIn: DataFrame): DataFrame = {
+      val uni = lmUnigramsOld(docsIn).localCheckpoint()
+      LangModel.lmScoreWith(docsIn, "doc_id", "text", uni,
+        lmBigramsWithOld(docsIn, uni))
+    }
+
+    if (which("models")) {
+      val (nbOld, nbNew) = abMin(5)(
+        nbClassifyOld(docs).count())(
+        Classify.nbClassify(docs, "doc_id", "text", "lang",
+          passThrough = Seq("lang")).count())
+      println(f"AB_nbClassify old(distributed tails)=$nbOld%6.3f s  new(driver tables)=$nbNew%6.3f s")
+      val (lmOld, lmNew) = abMin(5)(
+        lmScoreOld(docs).count())(
+        LangModel.lmScore(docs, "doc_id", "text").count())
+      println(f"AB_lmScore    old=$lmOld%6.3f s  new=$lmNew%6.3f s")
+      val (ltOld, ltNew) = abMin(5)(
+        lmBigramsWithOld(docs, lmUnigramsOld(docs).localCheckpoint()).count())(
+        LangModel.lmBigrams(docs, "doc_id", "text").count())
+      println(f"AB_lmTrain    old=$ltOld%6.3f s  new=$ltNew%6.3f s")
+    }
+
+    def pmiOld(docsIn: DataFrame, vocabSize: Int = 64, minCount: Int = 2): DataFrame = {
+      val uni = docsIn.select(explode(TextHash.wordTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val vocabD = uni.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      val tTot = uni.agg(sum(col("cnt")).as("t_total"))
+      val pairs = docsIn
+        .select(TextHash.bindOnce(TextHash.wordTokens(col("text")), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i =>
+              struct(element_at(t, i).as("t1"), element_at(t, i + 1).as("t2"))))
+            .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val pTot = pairs.agg(sum(col("cnt")).as("p_total"))
+      pairs
+        .filter(col("cnt") >= minCount)
+        .join(broadcast(vocabD.select(col("token").as("t1"), col("cnt").as("c1"))), Seq("t1"))
+        .join(broadcast(vocabD.select(col("token").as("t2"), col("cnt").as("c2"))), Seq("t2"))
+        .crossJoin(broadcast(tTot))
+        .crossJoin(broadcast(pTot))
+        .select(col("t1"), col("t2"), col("cnt"), col("c1"), col("c2"),
+          round(log(
+            (col("cnt").cast("double") * col("t_total") * col("t_total")) /
+              (col("p_total").cast("double") * col("c1") * col("c2"))) * 1e6)
+            .cast("long").as("pmi_micros"))
+    }
+
+    if (which("pmi")) {
+      val (pOld, pNew) = abMin(5)(
+        pmiOld(docs).count())(
+        Collocations.pmi(docs, "doc_id", "text").count())
+      println(f"AB_pmi       old=$pOld%6.3f s  new(driver tail)=$pNew%6.3f s")
+      def phraseOld(): Unit = {
+        val phrases = pmiOld(docs).filter(col("pmi_micros") > 0)
+          .select("t1", "t2").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        Collocations.mergePhrases(docs, "doc_id", "text", phrases).count()
+      }
+      def phraseNew(): Unit = {
+        val phrases = Collocations.pmi(docs, "doc_id", "text")
+          .filter(col("pmi_micros") > 0)
+          .select("t1", "t2").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        Collocations.mergePhrases(docs, "doc_id", "text", phrases).count()
+      }
+      val (phOld, phNew) = abMin(5)(phraseOld())(phraseNew())
+      println(f"AB_phrase    old=$phOld%6.3f s  new=$phNew%6.3f s")
+    }
+
     if (which("smallgraph")) {
       val d2 = docs.select(col("doc_id"), col("text"))
       val pairsM = Dedup.minhashPairs(d2, "doc_id", "text", minJaccard = 0.5)
