@@ -429,6 +429,57 @@ object ProfileAbR22 {
             .cast("long").as("pmi_micros"))
     }
 
+    // ---- FULL r21-close curateV2: join-gates + corpus ckpt + the old
+    // distributed model tails + loop-path clustering — every r22 change
+    // reverted at once, so one session settles the composite question.
+    def curateV2FullOld(docsIn: DataFrame): DataFrame = {
+      val (minQuality, minAvgLpMicros, minJaccard) = (0.4, -3450000L, 0.5)
+      val acceptLabels = Set("en", "de", "fr")
+      val d = docsIn.select(col("doc_id"), col("text"),
+        col("lang").cast("string").as("__label"))
+        .localCheckpoint()
+      val exact = d
+        .select(col("doc_id"), md5(col("text")).as("__md5"))
+        .select(col("doc_id"),
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__md5")))
+            .as("keep_id"))
+      val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select("doc_id", "quality_score")
+      val nb = Classify.nbScoreWith(d, "doc_id", "text",
+        nbTrainOld(d, "__label"), nbPriorsOld(d, "__label"))
+        .select("doc_id", "predicted_label")
+      val lm = {
+        val uni = lmUnigramsOld(d).localCheckpoint()
+        LangModel.lmScoreWith(d, "doc_id", "text", uni, lmBigramsWithOld(d, uni))
+      }
+      val reps = Dedup.clustersStar(d.select(col("doc_id")),
+        Dedup.minhashPairs(d, "doc_id", "text", minJaccard = minJaccard),
+        smallGraphMaxEdges = 0)
+      d.select(col("doc_id"))
+        .join(exact, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+        .join(nb, Seq("doc_id"))
+        .join(lm, Seq("doc_id"))
+        .join(reps, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+            .when(col("quality_score") < minQuality, lit("low_quality"))
+            .when(!col("predicted_label").isin(acceptLabels.toSeq: _*), lit("off_label"))
+            .when(col("lp_micros") < lit(minAvgLpMicros) * col("n_pairs"), lit("low_lp"))
+            .when(col("doc_id") =!= col("cluster_id"), lit("near_duplicate"))
+            .otherwise(lit("kept")).as("reason"))
+        .select(col("doc_id"), (col("reason") === "kept").as("keep"), col("reason"))
+    }
+
+    if (which("v2full")) {
+      val (oldT, newT) = abMin(7)(
+        curateV2FullOld(docs).count())(
+        Curation.curateV2(docs, "doc_id", "text", "lang",
+          acceptLabels = Set("en", "de", "fr")).count())
+      println(f"AB_v2full    r21-shape=$oldT%6.3f s  r22-shape=$newT%6.3f s")
+    }
+
     if (which("pmi")) {
       val (pOld, pNew) = abMin(5)(
         pmiOld(docs).count())(
